@@ -1,0 +1,94 @@
+"""PIP / geometry kernels vs independent oracles (no Ray)."""
+
+import numpy as np
+
+from rsgislib_ray.functions import geom as G
+
+
+def _convex_pip_oracle(px, py, ring):
+    """Half-plane test for CCW convex rings — independent of ray crossing."""
+    xs, ys = ring[0::2], ring[1::2]
+    if xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    inside = np.ones(len(px), dtype=bool)
+    for i in range(len(xs)):
+        x1, y1 = xs[i], ys[i]
+        x2, y2 = xs[(i + 1) % len(xs)], ys[(i + 1) % len(xs)]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        inside &= cross > 0
+    return inside
+
+
+def test_pip_rect_and_triangle_vs_halfplane():
+    rng = np.random.default_rng(42)
+    px = rng.uniform(-1, 11, 4000)
+    py = rng.uniform(-1, 11, 4000)
+    for ring in [
+        G.rect_ring(2, 3, 8, 9),
+        np.array([1.0, 1.0, 9.0, 2.0, 5.0, 9.0]),  # CCW triangle
+    ]:
+        got = G.points_in_ring(px, py, ring)
+        want = _convex_pip_oracle(px, py, ring)
+        # off-boundary points must agree exactly; the random draws are
+        # a.s. off-boundary
+        np.testing.assert_array_equal(got, want)
+
+
+def test_pip_concave_and_closed_ring():
+    # L-shaped concave polygon, explicitly closed
+    ring = np.array([0, 0, 4, 0, 4, 2, 2, 2, 2, 4, 0, 4, 0, 0], dtype=float)
+    px = np.array([1.0, 3.0, 3.0, 1.0, 5.0])
+    py = np.array([1.0, 1.0, 3.0, 3.0, 5.0])
+    got = G.points_in_ring(px, py, ring)
+    np.testing.assert_array_equal(got, [True, True, False, True, False])
+
+
+def test_pip_shared_edge_partition():
+    # two rects sharing the edge x=5: every boundary point belongs to
+    # exactly one (half-open edge rule) — no dup, no drop
+    left = G.rect_ring(0, 0, 5, 10)
+    right = G.rect_ring(5, 0, 10, 10)
+    px = np.full(50, 5.0)
+    py = np.linspace(0.1, 9.9, 50)
+    in_l = G.points_in_ring(px, py, left)
+    in_r = G.points_in_ring(px, py, right)
+    assert np.all(in_l.astype(int) + in_r.astype(int) == 1)
+
+
+def test_area_centroid_perimeter():
+    ring = G.rect_ring(2, 3, 8, 9)
+    assert G.ring_area(ring) == 36.0
+    assert G.ring_perimeter(ring) == 24.0
+    assert G.ring_centroid(ring) == (5.0, 6.0)
+    tri = np.array([0.0, 0.0, 4.0, 0.0, 0.0, 3.0])
+    assert G.ring_area(tri) == 6.0
+    cx, cy = G.ring_centroid(tri)
+    assert abs(cx - 4 / 3) < 1e-12 and abs(cy - 1.0) < 1e-12
+
+
+def test_rings_bbox_list_layout():
+    ring_xy = np.array([0, 0, 4, 0, 4, 4, 0, 4, 10, 10, 12, 11, 11, 13], dtype=float)
+    offsets = np.array([0, 4, 7])  # poly0 = 4 pts, poly1 = 3 pts
+    xmin, xmax, ymin, ymax = G.rings_bbox(ring_xy, offsets)
+    np.testing.assert_array_equal(xmin, [0, 10])
+    np.testing.assert_array_equal(xmax, [4, 12])
+    np.testing.assert_array_equal(ymin, [0, 10])
+    np.testing.assert_array_equal(ymax, [4, 13])
+
+
+def test_pip_pairs_grouped_refine():
+    rng = np.random.default_rng(0)
+    rings = [G.rect_ring(0, 0, 5, 5), G.rect_ring(3, 3, 9, 9), G.rect_ring(20, 20, 25, 25)]
+    ring_xy = np.concatenate(rings)
+    offsets = np.array([0, 4, 8, 12])
+    px = rng.uniform(0, 10, 300)
+    py = rng.uniform(0, 10, 300)
+    # all pairs as candidates
+    pair_pt = np.repeat(np.arange(300), 3)
+    pair_poly = np.tile(np.arange(3), 300)
+    got = G.pip_pairs(px, py, ring_xy, offsets, pair_pt, pair_poly)
+    for i, ring in enumerate(rings):
+        mask = pair_poly == i
+        np.testing.assert_array_equal(
+            got[mask], G.points_in_ring(px, py, ring)
+        )

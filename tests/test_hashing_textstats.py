@@ -1,0 +1,86 @@
+"""Hashing stability + text-stat kernels (no Ray)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+from rsgislib_ray.functions import hashing as H
+from rsgislib_ray.functions import textstats as T
+
+
+def test_hash_strings_stable_across_processes():
+    vals = ["alpha", "beta", "", "gamma delta", "alpha"]
+    h = H.hash_strings(vals)
+    assert h[0] == h[4]
+    assert len(set(h.tolist())) == 4
+    # stability across interpreter processes (dedup keys must agree
+    # between the 8-CPU and 32-CPU runs)
+    code = (
+        "from rsgislib_ray.functions.hashing import hash_strings;"
+        f"print(hash_strings({vals!r}).tolist())"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True,
+        cwd="/root/repo",
+    ).stdout.strip()
+    assert out == str(h.tolist())
+
+
+def test_splitmix_and_combine():
+    a = np.arange(10, dtype=np.uint64)
+    m = H.splitmix64(a)
+    assert len(set(m.tolist())) == 10
+    c1 = H.hash_combine(a, a + np.uint64(1))
+    c2 = H.hash_combine(a + np.uint64(1), a)
+    assert not np.array_equal(c1, c2)  # order-sensitive
+
+
+def test_fingerprints_detect_equality_and_difference():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    texts = [base, base, base.replace("lazy", "sleepy"), "completely different words"]
+    fp = H.doc_fingerprint(texts)
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[3]
+    assert np.all(fp >= 0)
+    # near-dup shares most winnowed k-grams
+    a = set(H.winnow_fingerprints(texts[0]).tolist())
+    b = set(H.winnow_fingerprints(texts[2]).tolist())
+    jac = len(a & b) / len(a | b)
+    assert jac > 0.3
+    c = set(H.winnow_fingerprints(texts[3]).tolist())
+    assert len(a & c) / len(a | c) < 0.1
+
+
+def test_token_count_matches_split_semantics():
+    arr = pa.array(["a b c", "one", "", "x  y"])
+    got = T.token_count(arr).to_pylist()
+    assert got == [3, 1, 1, 3]  # duckdb len(string_split(.,' ')) semantics
+
+
+def test_quality_stats():
+    arr = pa.array(["the cat sat on a mat!", "word"])
+    s = T.quality_stats(arr)
+    assert s["n_tokens"].tolist() == [6, 1]
+    assert s["n_stopwords"].tolist() == [2, 0]  # 'the', 'a'
+    assert s["n_punct"].tolist() == [1, 0]
+    assert s["stopword_ratio"][0] == 2.0 / 6.0
+
+
+def test_langid_deterministic():
+    texts = np.array(
+        ["the thing and the other thing going strong", "der die und der schein"],
+        dtype=object,
+    )
+    lang1, score1 = T.langid_scores(texts)
+    lang2, score2 = T.langid_scores(texts)
+    assert lang1.tolist() == lang2.tolist()
+    assert lang1[0] == "en" and lang1[1] == "de"
+    assert np.all(score1 >= 0)
+
+
+def test_word_shingles():
+    assert T.word_shingles(["a", "b", "c", "d"], 3) == ["a b c", "b c d"]
+    assert T.word_shingles(["a"], 3) == ["a"]
+    assert T.word_shingles([], 3) == []
