@@ -1,0 +1,385 @@
+"""Spatial join stages — the engine's core operator.
+
+Reimplements the reference's join family on Ray Data:
+- ``perform_spatial_join`` (geopandas sjoin, how in {inner,left},
+  predicate within/intersects/contains —
+  /root/reference/python/rsgislib/vectorattrs/__init__.py:1229-1307)
+- ``annotate_vec_selection`` semi-join flag (``:1158-1228``)
+- ``count_pt_intersects`` per-polygon point counts (``:1022-1102``)
+- bbox selects (vectorutils/__init__.py:1269-1380)
+
+Two physical strategies, chosen by zone-table size:
+
+1. **Broadcast** (default; zones fit in a worker's heap — the common
+   case, like the reference's in-memory rtree): the packed zone arrays
+   are ``ray.put`` ONCE; each actor in the ``map_batches`` pool builds
+   its STRtree ONCE in ``__init__`` and streams point batches through
+   — no shuffle at all, scales linearly with point count.
+2. **Cell-partitioned** (both sides large): assign each point to a cell
+   at a join level, duplicate each zone into every cell its envelope
+   covers (the same duplication the reference does by rasterizing per
+   feature envelope, zonalstats/__init__.py:340-430), then
+   ``groupby(cell)`` + per-group local STRtree join. Point cells are
+   unique per point, so no post-join dedup is needed for point-in-poly.
+
+Both return identical rows (tested); the span-sequence invariant holds
+because point rows pass through ``take`` untouched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from rsgislib_ray.functions import cells as cellmod
+from rsgislib_ray.functions.geom import pip_pairs
+from rsgislib_ray.state.strtree import STRtree
+
+
+class ZoneSet:
+    """Packed polygon side-table: numpy arrays + attr columns.
+
+    Cheap to pickle/broadcast; rebuildable STRtree. ``ring_offsets``
+    are coordinate-PAIR offsets (n_zones+1).
+    """
+
+    def __init__(
+        self,
+        fid: np.ndarray,
+        ring_xy: np.ndarray,
+        ring_offsets: np.ndarray,
+        bounds: np.ndarray,
+        attrs: pa.Table | None = None,
+    ):
+        self.fid = np.ascontiguousarray(fid, dtype=np.int64)
+        self.ring_xy = np.ascontiguousarray(ring_xy, dtype=np.float64)
+        self.ring_offsets = np.ascontiguousarray(ring_offsets, dtype=np.int64)
+        self.bounds = np.ascontiguousarray(bounds, dtype=np.float64)
+        self.attrs = attrs
+
+    def __len__(self) -> int:
+        return len(self.fid)
+
+    @classmethod
+    def from_table(
+        cls,
+        tbl: pa.Table,
+        fid_col: str = "fid",
+        ring_col: str = "ring_xy",
+        attr_cols: list[str] | None = None,
+    ) -> "ZoneSet":
+        fid = tbl[fid_col].to_numpy()
+        ring = tbl[ring_col]
+        if isinstance(ring, pa.ChunkedArray):
+            ring = ring.combine_chunks()
+        if isinstance(ring, pa.FixedSizeListArray):
+            width = ring.type.list_size
+            vals = ring.flatten().to_numpy(zero_copy_only=False)
+            offsets = np.arange(len(fid) + 1, dtype=np.int64) * (width // 2)
+        else:
+            off = ring.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            off = off - off[0]
+            vals = ring.flatten().to_numpy(zero_copy_only=False)
+            offsets = off // 2
+        pts = vals.reshape(-1, 2)
+        starts = offsets[:-1]
+        bounds = np.column_stack(
+            [
+                np.minimum.reduceat(pts[:, 0], starts),
+                np.maximum.reduceat(pts[:, 0], starts),
+                np.minimum.reduceat(pts[:, 1], starts),
+                np.maximum.reduceat(pts[:, 1], starts),
+            ]
+        )
+        attrs = tbl.select(attr_cols) if attr_cols else None
+        return cls(fid, vals, offsets, bounds, attrs)
+
+    def build_tree(self) -> STRtree:
+        return STRtree(self.bounds)
+
+    def match_points(
+        self, tree: STRtree, px: np.ndarray, py: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact (point_idx, zone_idx) matches: STRtree candidates
+        refined by even-odd PIP."""
+        cand_pt, cand_zone = tree.query_points(px, py)
+        if len(cand_pt) == 0:
+            return cand_pt, cand_zone
+        ok = pip_pairs(px, py, self.ring_xy, self.ring_offsets, cand_pt, cand_zone)
+        return cand_pt[ok], cand_zone[ok]
+
+
+class PIPJoin:
+    """Actor-pool stage: point batches -> joined batches.
+
+    State (packed zones + STRtree) is built once per actor from the
+    broadcast ObjectRef; ``__call__`` is pure vectorized numpy/Arrow.
+    """
+
+    def __init__(
+        self,
+        zones_ref,
+        how: str = "inner",
+        x_col: str = "x",
+        y_col: str = "y",
+        zone_prefix: str = "",
+        flag_col: str = "in_zone",
+    ):
+        self.zones: ZoneSet = ray.get(zones_ref) if hasattr(zones_ref, "hex") else zones_ref
+        self.tree = self.zones.build_tree()
+        self.how = how
+        self.x_col = x_col
+        self.y_col = y_col
+        self.zone_prefix = zone_prefix
+        self.flag_col = flag_col
+
+    def _zone_cols(self, zone_idx: np.ndarray, n_null_tail: int = 0) -> list[tuple[str, pa.Array]]:
+        cols = [
+            (
+                f"{self.zone_prefix}fid",
+                pa.concat_arrays(
+                    [
+                        pa.array(self.zones.fid[zone_idx], type=pa.int64()),
+                        pa.nulls(n_null_tail, pa.int64()),
+                    ]
+                )
+                if n_null_tail
+                else pa.array(self.zones.fid[zone_idx], type=pa.int64()),
+            )
+        ]
+        if self.zones.attrs is not None:
+            taken = self.zones.attrs.take(pa.array(zone_idx, type=pa.int64()))
+            for name in taken.column_names:
+                col = taken[name].combine_chunks()
+                if n_null_tail:
+                    col = pa.concat_arrays([col, pa.nulls(n_null_tail, col.type)])
+                cols.append((f"{self.zone_prefix}{name}", col))
+        return cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy()
+        py = batch[self.y_col].to_numpy()
+        pt_idx, zone_idx = self.zones.match_points(self.tree, px, py)
+
+        if self.how == "semi" or self.how == "anti":
+            matched = np.zeros(len(batch), dtype=bool)
+            matched[pt_idx] = True
+            if self.how == "anti":
+                return batch.filter(pa.array(~matched))
+            return batch.append_column(self.flag_col, pa.array(matched))
+
+        if self.how == "inner":
+            out = batch.take(pa.array(pt_idx, type=pa.int64()))
+            for name, col in self._zone_cols(zone_idx):
+                out = out.append_column(name, col)
+            return out
+
+        if self.how == "left":
+            matched = np.zeros(len(batch), dtype=bool)
+            matched[pt_idx] = True
+            un = np.flatnonzero(~matched)
+            order = np.concatenate([pt_idx, un])
+            out = batch.take(pa.array(order, type=pa.int64()))
+            for name, col in self._zone_cols(zone_idx, n_null_tail=len(un)):
+                out = out.append_column(name, col)
+            return out
+
+        raise ValueError(f"unsupported how={self.how!r}")
+
+
+def broadcast_zones(zones_tbl: pa.Table, attr_cols: list[str] | None = None):
+    """Pack + ``ray.put`` a zone table once; pass the ref to PIPJoin."""
+    zs = ZoneSet.from_table(zones_tbl, attr_cols=attr_cols)
+    return ray.put(zs)
+
+
+def spatial_join_points(
+    points: ray.data.Dataset,
+    zones_tbl: pa.Table,
+    how: str = "inner",
+    attr_cols: list[str] | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+    zone_prefix: str = "",
+    concurrency=(1, 8),
+    batch_size: int = 32768,
+) -> ray.data.Dataset:
+    """Broadcast spatial join: stream point batches through an actor
+    pool holding the zone STRtree. No shuffle."""
+    ref = broadcast_zones(zones_tbl, attr_cols)
+    return points.map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={
+            "zones_ref": ref,
+            "how": how,
+            "x_col": x_col,
+            "y_col": y_col,
+            "zone_prefix": zone_prefix,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def count_points_per_zone(
+    points: ray.data.Dataset,
+    zones_tbl: pa.Table,
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "n_points",
+) -> pa.Table:
+    """Per-polygon point count, zero-count zones included — the
+    reference's ``count_pt_intersects``
+    (vectorattrs/__init__.py:1022-1102: inner sjoin -> groupby size ->
+    merge back onto the polygon layer).
+
+    Counting is partial-aggregated inside the join actors' batches
+    (np.bincount per batch) before a tiny groupby-sum, so the shuffle
+    carries one row per (batch, zone), not one per matched point.
+    """
+    ref = broadcast_zones(zones_tbl)
+
+    class CountPIP(PIPJoin):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            px = batch[self.x_col].to_numpy()
+            py = batch[self.y_col].to_numpy()
+            _, zone_idx = self.zones.match_points(self.tree, px, py)
+            counts = np.bincount(zone_idx, minlength=len(self.zones))
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "fid": self.zones.fid[nz],
+                    "partial": counts[nz].astype(np.int64),
+                }
+            )
+
+    partials = points.map_batches(
+        CountPIP,
+        fn_constructor_kwargs={"zones_ref": ref, "x_col": x_col, "y_col": y_col},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=(1, 8),
+    )
+    import pandas as pd
+
+    agg = partials.groupby("fid").sum("partial").to_pandas()
+    base = pd.DataFrame({"fid": zones_tbl["fid"].to_numpy()})
+    merged = base.merge(
+        agg.rename(columns={"sum(partial)": out_col}), on="fid", how="left"
+    )
+    merged[out_col] = merged[out_col].fillna(0).astype(np.int64)
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Cell-partitioned path (both sides large)
+# ---------------------------------------------------------------------------
+
+
+def _zones_to_cells(zones_tbl: pa.Table, level: int) -> pa.Table:
+    """Duplicate each zone row into every cell its envelope covers."""
+    zs = ZoneSet.from_table(zones_tbl)
+    cell_lists = [
+        cellmod.covering_cells_bbox(b[0], b[1], b[2], b[3], level) for b in zs.bounds
+    ]
+    counts = np.array([len(c) for c in cell_lists], dtype=np.int64)
+    rep = np.repeat(np.arange(len(zs), dtype=np.int64), counts)
+    cells = (
+        np.concatenate(cell_lists) if len(cell_lists) else np.empty(0, dtype=np.int64)
+    )
+    taken = zones_tbl.take(pa.array(rep, type=pa.int64()))
+    return taken.append_column("cell", pa.array(cells, type=pa.int64()))
+
+
+def spatial_join_points_partitioned(
+    points: ray.data.Dataset,
+    zones: ray.data.Dataset | pa.Table,
+    level: int = 6,
+    x_col: str = "x",
+    y_col: str = "y",
+    key_col: str = "pt_row",
+) -> ray.data.Dataset:
+    """Shuffle join on the cell key for a LARGE zone side.
+
+    Emits (point key columns..., fid) — attribute fan-out happens via a
+    later equi-join on fid, keeping the shuffle narrow (SURVEY.md §7.4
+    wide-row rule). Zones spanning cells are duplicated per cell; each
+    point lives in exactly one cell, so results need no dedup.
+    """
+    import pandas as pd
+
+    if isinstance(zones, pa.Table):
+        zones = ray.data.from_arrow(zones)
+
+    zone_cells = zones.map_batches(
+        lambda t: _zones_to_cells(t, level), batch_format="pyarrow"
+    )
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        cell = cellmod.cells_from_xy(
+            batch[x_col].to_numpy(), batch[y_col].to_numpy(), level
+        )
+        return batch.append_column("cell", pa.array(cell, type=pa.int64()))
+
+    pts = points.map_batches(tag_points, batch_format="pyarrow")
+    pts = pts.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["cell"], pa.scalar(-1))),
+        batch_format="pyarrow",
+    )
+
+    # Union with role tags; align schemas with nulls. (ds.schema()
+    # returns a Ray Data Schema: parallel .names / .types lists.)
+    p_schema = pts.schema()
+    z_schema = zone_cells.schema()
+    p_fields = list(zip(p_schema.names, p_schema.types))
+    z_fields = list(zip(z_schema.names, z_schema.types))
+    p_names = set(p_schema.names)
+    z_names = set(z_schema.names)
+
+    def pad(batch: pa.Table, other_fields: list, own: set, role: int) -> pa.Table:
+        out = batch
+        for name, typ in other_fields:
+            if name not in own:
+                out = out.append_column(name, pa.nulls(len(batch), typ))
+        out = out.append_column("__role", pa.array([role] * len(batch), pa.int8()))
+        # deterministic column order
+        return out.select(sorted(out.column_names))
+
+    pu = pts.map_batches(
+        lambda t: pad(t, z_fields, p_names, 0), batch_format="pyarrow"
+    )
+    zu = zone_cells.map_batches(
+        lambda t: pad(t, p_fields, z_names, 1), batch_format="pyarrow"
+    )
+    both = pu.union(zu)
+
+    def local_join(group: pd.DataFrame) -> pd.DataFrame:
+        zmask = group["__role"] == 1
+        zrows = group[zmask]
+        prows = group[~zmask]
+        if len(zrows) == 0 or len(prows) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "fid": pd.Series([], dtype="int64"),
+                }
+            )
+        ztbl = pa.Table.from_pandas(
+            zrows[["fid", "ring_xy"]], preserve_index=False
+        )
+        zs = ZoneSet.from_table(ztbl)
+        tree = zs.build_tree()
+        px = prows[x_col].to_numpy(dtype=np.float64)
+        py = prows[y_col].to_numpy(dtype=np.float64)
+        pi, zi = zs.match_points(tree, px, py)
+        return pd.DataFrame(
+            {
+                key_col: prows[key_col].to_numpy()[pi],
+                "fid": zs.fid[zi],
+            }
+        )
+
+    return both.groupby("cell").map_groups(local_join, batch_format="pandas")

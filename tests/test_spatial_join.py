@@ -1,0 +1,126 @@
+"""Spatial join vs DuckDB oracle + broadcast/partitioned equivalence."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rsgislib_ray.sources import testdata as td
+from rsgislib_ray.stages.spatial_join import (
+    count_points_per_zone,
+    spatial_join_points,
+    spatial_join_points_partitioned,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in ["orders", "part", "supplier", "customer", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _oracle_pairs(con):
+    return con.execute(
+        f"""
+        WITH pts AS ({td.SQL_PTS}), zones AS ({td.SQL_ZONES})
+        SELECT p.pt_id, z.fid FROM pts p JOIN zones z
+          ON p.x > z.xmin AND p.x < z.xmax AND p.y > z.ymin AND p.y < z.ymax
+        ORDER BY p.pt_id, z.fid
+        """
+    ).fetch_arrow_table()
+
+
+def test_inner_join_matches_oracle(ray_session, sf_dir, oracle):
+    pts = td.points_from_orders(sf_dir)
+    zones = td.zones_from_part(sf_dir)
+    out = (
+        spatial_join_points(pts, zones, how="inner", zone_prefix="z_")
+        .to_pandas()
+        .sort_values(["pt_id", "z_fid"])
+        .reset_index(drop=True)
+    )
+    want = _oracle_pairs(oracle).to_pandas()
+    assert len(out) == len(want) > 0
+    np.testing.assert_array_equal(out["pt_id"].to_numpy(), want["pt_id"].to_numpy())
+    np.testing.assert_array_equal(out["z_fid"].to_numpy(), want["fid"].to_numpy())
+
+
+def test_left_and_semi_and_anti(ray_session, sf_dir, oracle):
+    pts = td.points_from_orders(sf_dir)
+    zones = td.zones_from_part(sf_dir)
+    n_pts = pts.count()
+    pairs = _oracle_pairs(oracle).to_pandas()
+    matched_ids = set(pairs["pt_id"].tolist())
+
+    left = spatial_join_points(pts, zones, how="left", zone_prefix="z_").to_pandas()
+    # every point appears; unmatched points exactly once with null fid
+    assert set(left["pt_id"]) == set(range(1, 1 + 0)) or len(
+        set(left["pt_id"])
+    ) == n_pts
+    null_rows = left[left["z_fid"].isna()]
+    assert set(null_rows["pt_id"]).isdisjoint(matched_ids)
+    assert len(left) == len(pairs) + (n_pts - len(matched_ids))
+
+    semi = spatial_join_points(pts, zones, how="semi").to_pandas()
+    assert len(semi) == n_pts
+    assert set(semi[semi["in_zone"]]["pt_id"]) == matched_ids
+
+    anti = spatial_join_points(pts, zones, how="anti").to_pandas()
+    assert set(anti["pt_id"]) == set(semi["pt_id"]) - matched_ids
+
+
+def test_zone_attrs_passthrough(ray_session, sf_dir):
+    pts = td.points_from_orders(sf_dir)
+    zones = td.zones_from_part(sf_dir)
+    out = spatial_join_points(
+        pts, zones, how="inner", attr_cols=["category"], zone_prefix="z_"
+    ).to_pandas()
+    k = out["z_fid"].to_numpy()
+    np.testing.assert_array_equal(out["z_category"].to_numpy(), (k % 5).astype(np.int32))
+
+
+def test_count_points_per_zone_matches_oracle(ray_session, sf_dir, oracle):
+    pts = td.points_from_orders(sf_dir)
+    zones = td.zones_from_part(sf_dir)
+    got = (
+        count_points_per_zone(pts, zones)
+        .to_pandas()
+        .sort_values("fid")
+        .reset_index(drop=True)
+    )
+    want = oracle.execute(
+        f"""
+        WITH pts AS ({td.SQL_PTS}), zones AS ({td.SQL_ZONES})
+        SELECT z.fid, count(p.pt_id) AS n_points
+        FROM zones z LEFT JOIN pts p
+          ON p.x > z.xmin AND p.x < z.xmax AND p.y > z.ymin AND p.y < z.ymax
+        GROUP BY z.fid ORDER BY z.fid
+        """
+    ).fetch_df()
+    np.testing.assert_array_equal(got["fid"].to_numpy(), want["fid"].to_numpy())
+    np.testing.assert_array_equal(
+        got["n_points"].to_numpy(), want["n_points"].to_numpy()
+    )
+
+
+def test_partitioned_equals_broadcast(ray_session, sf_dir):
+    import ray.data
+
+    pts = td.points_from_orders(sf_dir)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("pt_row", t["pt_id"])
+
+    pts_k = pts.map_batches(add_key, batch_format="pyarrow")
+    zones = td.zones_from_part(sf_dir)
+    bc = spatial_join_points(pts_k, zones, how="inner").to_pandas()
+    bc_pairs = sorted(zip(bc["pt_row"], bc["fid"]))
+    part = spatial_join_points_partitioned(
+        pts_k, zones, level=5, key_col="pt_row"
+    ).to_pandas()
+    part_pairs = sorted(zip(part["pt_row"], part["fid"]))
+    assert bc_pairs == part_pairs
