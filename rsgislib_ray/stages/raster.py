@@ -1,0 +1,202 @@
+"""Raster <-> vector stages over a cell-table raster representation.
+
+A "raster" here is a Dataset/table of pixel rows ``(pixel_id, row, col,
+band values...)`` plus a :class:`RasterGrid` carried as metadata — the
+Ray-native equivalent of the reference's GDAL dataset + geotransform.
+
+Reimplemented semantics (cited against the reference):
+- point -> pixel extraction: ``ext_point_band_values``
+  (/root/reference/python/rsgislib/zonalstats/__init__.py:1396-1596):
+  GDAL top-left geotransform math ``floor((x - tlx)/pxl_w)`` /
+  ``floor((y - tly)/pxl_h)`` with ``math.isclose(..., 1e-9)`` zero
+  guards (:1538-1546), out-of-image / nodata / threshold ->
+  ``out_no_data_val`` (:1562-1586).
+- rasterize: ``rasterise_vec_lyr``
+  (/root/reference/python/rsgislib/vectorutils/createrasters.py:14-134):
+  burn a constant or an attribute onto the grid; GDAL burns features in
+  layer order so LATER features overwrite earlier -> aggregate
+  ``max(fid)`` / value-of-max-fid per pixel (:108-116 semantics).
+- vectorise pixels -> points: ``vectorise_pxls_to_pts``
+  (createvectors.py:124-225): every pixel != nodata becomes its
+  center-point row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from rsgislib_ray.stages.spatial_join import ZoneSet, broadcast_zones
+
+
+@dataclass(frozen=True)
+class RasterGrid:
+    """GDAL-style top-left anchored grid (pxl_h is positive here;
+    y grows DOWNWARD from tly like the reference's negative
+    geotransform[5])."""
+
+    tlx: float
+    tly: float
+    pxl_w: float
+    pxl_h: float
+    n_cols: int
+    n_rows: int
+
+    def pixel_of(self, x: np.ndarray, y: np.ndarray):
+        """Vectorized reference pixel math incl. the isclose-0 guard.
+        Returns (col, row, in_img)."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        x_off = x - self.tlx
+        y_off = self.tly - y
+        col = np.floor(x_off / self.pxl_w)
+        row = np.floor(y_off / self.pxl_h)
+        col = np.where(np.isclose(x_off, 0.0, rtol=1e-9, atol=1e-9), 0.0, col)
+        row = np.where(np.isclose(y_off, 0.0, rtol=1e-9, atol=1e-9), 0.0, row)
+        in_img = (col >= 0) & (col < self.n_cols) & (row >= 0) & (row < self.n_rows)
+        return (
+            np.where(in_img, col, 0).astype(np.int64),
+            np.where(in_img, row, 0).astype(np.int64),
+            in_img,
+        )
+
+    def pixel_id(self, col: np.ndarray, row: np.ndarray) -> np.ndarray:
+        return row * np.int64(self.n_cols) + col
+
+    def centers(self, pixel_id: np.ndarray):
+        pid = np.asarray(pixel_id, dtype=np.int64)
+        row, col = np.divmod(pid, self.n_cols)
+        cx = self.tlx + (col + 0.5) * self.pxl_w
+        cy = self.tly - (row + 0.5) * self.pxl_h
+        return cx, cy
+
+
+def extract_point_values(
+    points: ray.data.Dataset,
+    grid: RasterGrid,
+    values_ref,
+    out_col: str = "pxl_val",
+    out_no_data: float = -9999.0,
+    img_no_data: float | None = None,
+    min_thres: float = -np.inf,
+    max_thres: float = np.inf,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """ext_point_band_values: gather the raster value under each point.
+
+    ``values_ref`` is a ``ray.put`` of a dense float64 array indexed by
+    pixel_id (the broadcast raster; for rasters too large to broadcast
+    use an equi-join on pixel_id instead — same semantics, documented
+    trade-off). Out-of-image / nodata / out-of-threshold points get
+    ``out_no_data`` (zonalstats/__init__.py:1562-1586).
+    """
+
+    class Extract:
+        def __init__(self):
+            self.values = ray.get(values_ref) if hasattr(values_ref, "hex") else values_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col, row, in_img = grid.pixel_of(
+                batch[x_col].to_numpy(), batch[y_col].to_numpy()
+            )
+            pid = grid.pixel_id(col, row)
+            val = self.values[np.where(in_img, pid, 0)]
+            out = np.where(in_img, val, out_no_data)
+            bad = ~in_img
+            if img_no_data is not None:
+                bad |= val == img_no_data
+            bad |= (val < min_thres) | (val > max_thres)
+            out = np.where(bad, out_no_data, out)
+            return batch.append_column(out_col, pa.array(out))
+
+    return points.map_batches(Extract, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def rasterize_zones(
+    pixels: ray.data.Dataset,
+    zones_tbl: pa.Table,
+    grid: RasterGrid,
+    burn_attr: str | None = None,
+    burn_val: float = 1.0,
+    background: float = 0.0,
+    x_col: str = "cx",
+    y_col: str = "cy",
+) -> ray.data.Dataset:
+    """rasterise_vec_lyr over a pixel-center Dataset.
+
+    Each pixel row gains ``burn`` — the burn value of the LAST covering
+    feature in fid order (GDAL RasterizeLayer overwrite order,
+    createrasters.py:108-116), or ``background`` when uncovered. The
+    zone side is broadcast; pixel batches stream through an actor pool.
+    """
+    attr_np = zones_tbl[burn_attr].to_numpy() if burn_attr else None
+    ref = broadcast_zones(zones_tbl)
+
+    class Burn:
+        def __init__(self):
+            zs = ray.get(ref) if hasattr(ref, "hex") else ref
+            self.zones: ZoneSet = zs
+            self.tree = zs.build_tree()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            px = batch[x_col].to_numpy()
+            py = batch[y_col].to_numpy()
+            pi, zi = self.zones.match_points(self.tree, px, py)
+            burn = np.full(len(batch), background, dtype=np.float64)
+            if len(pi):
+                # last-wins by fid: order pairs by (pixel, fid) and keep
+                # the max-fid entry per pixel
+                fid = self.zones.fid[zi]
+                order = np.lexsort((fid, pi))
+                pi_o, zi_o = pi[order], zi[order]
+                last = np.concatenate([pi_o[1:] != pi_o[:-1], [True]])
+                sel_p, sel_z = pi_o[last], zi_o[last]
+                if attr_np is not None:
+                    burn[sel_p] = attr_np[sel_z]
+                else:
+                    burn[sel_p] = burn_val
+            return batch.append_column("burn", pa.array(burn))
+
+    return pixels.map_batches(Burn, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def make_pixel_centers(grid: RasterGrid, override_num_blocks: int | None = None):
+    """Dense pixel-center Dataset for a grid (the rasterize canvas)."""
+    n = grid.n_cols * grid.n_rows
+
+    def gen(batch: pa.Table) -> pa.Table:
+        pid = batch["id"].to_numpy()
+        cx, cy = grid.centers(pid)
+        row, col = np.divmod(pid, grid.n_cols)
+        return pa.table(
+            {"pixel_id": pid, "row": row, "col": col, "cx": cx, "cy": cy}
+        )
+
+    return ray.data.range(n, override_num_blocks=override_num_blocks).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
+def vectorise_pixels_to_points(
+    raster: ray.data.Dataset,
+    grid: RasterGrid,
+    value_col: str,
+    no_data: float,
+) -> ray.data.Dataset:
+    """vectorise_pxls_to_pts: pixels != nodata -> center-point rows."""
+
+    def conv(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pa.compute.not_equal(batch[value_col], pa.scalar(no_data))
+        )
+        cx, cy = grid.centers(keep["pixel_id"].to_numpy())
+        return keep.append_column("x", pa.array(cx)).append_column(
+            "y", pa.array(cy)
+        )
+
+    return raster.map_batches(conv, batch_format="pyarrow")

@@ -1,0 +1,246 @@
+"""Zonal statistics — per-polygon aggregates over value cells.
+
+Reimplements ``calc_zonal_band_stats``
+(/root/reference/python/rsgislib/zonalstats/__init__.py:166-520) and the
+RAT populators (``populate_rat_with_stats``,
+/root/reference/src/rastergis/RSGISPopRATWithStats.cpp:144-341;
+percentiles :513-558; mode rastergis.cpp:1807) as a two-stage Ray Data
+aggregation:
+
+1. an actor-pool ``map_batches`` stage holds the broadcast zone STRtree
+   and COMBINES WITHIN EACH BATCH (sort + ``np.*.reduceat``): it emits
+   one partial row per (batch, zone) — count/sum/sumsq/min/max, or
+   per-(zone, value) counts for the order statistics. The all-to-all
+   ``groupby(fid)`` therefore shuffles partials, not matched cells;
+2. ``groupby("fid").map_groups`` finalizes.
+
+Pinned exact-match semantics (SURVEY.md §5):
+- stddev is POPULATION std (ddof=0 — zonalstats/__init__.py:458), via
+  ``sqrt(sumsq/n - (sum/n)^2)``; the two-pass C++ version
+  (RSGISPopRATWithStats.cpp:340) is algebraically identical.
+- mode ties -> SMALLEST modal value (scipy.stats.mstats.mode semantics,
+  zonalstats/__init__.py:466-470).
+- median = numpy median: mean of the two middle values for even counts
+  (numpy.ma.median, :472-473).
+- empty zone -> ``out_no_data`` in every requested field (:475-497).
+- integer value columns make every distributed partial sum exact
+  (associative) -> results independent of partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from rsgislib_ray.stages.spatial_join import ZoneSet, broadcast_zones
+
+MOMENT_STATS = ("count", "sum", "min", "max", "mean", "stddev")
+ORDER_STATS = ("mode", "median")
+
+
+def _segment_reduce(zone_idx: np.ndarray, vals: np.ndarray):
+    """Per-zone (cnt, sum, sumsq, min, max) via sort + reduceat."""
+    order = np.argsort(zone_idx, kind="stable")
+    z = zone_idx[order]
+    v = vals[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(z)) + 1])
+    uz = z[starts]
+    cnt = np.diff(np.concatenate([starts, [len(z)]]))
+    s = np.add.reduceat(v, starts)
+    sq = np.add.reduceat(v * v, starts)
+    mn = np.minimum.reduceat(v, starts)
+    mx = np.maximum.reduceat(v, starts)
+    return uz, cnt.astype(np.int64), s, sq, mn, mx
+
+
+class _ZonalMomentPartial:
+    def __init__(self, zones_ref, value_col: str, x_col: str, y_col: str):
+        self.zones: ZoneSet = (
+            ray.get(zones_ref) if hasattr(zones_ref, "hex") else zones_ref
+        )
+        self.tree = self.zones.build_tree()
+        self.value_col = value_col
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy()
+        py = batch[self.y_col].to_numpy()
+        pi, zi = self.zones.match_points(self.tree, px, py)
+        if len(pi) == 0:
+            return pa.table(
+                {
+                    "fid": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "sum_v": pa.array([], pa.int64()),
+                    "sumsq_v": pa.array([], pa.int64()),
+                    "min_v": pa.array([], pa.int64()),
+                    "max_v": pa.array([], pa.int64()),
+                }
+            )
+        vals = batch[self.value_col].to_numpy()[pi].astype(np.int64)
+        uz, cnt, s, sq, mn, mx = _segment_reduce(zi, vals)
+        return pa.table(
+            {
+                "fid": self.zones.fid[uz],
+                "cnt": cnt,
+                "sum_v": s,
+                "sumsq_v": sq,
+                "min_v": mn,
+                "max_v": mx,
+            }
+        )
+
+
+class _ZonalValueCountPartial:
+    def __init__(self, zones_ref, value_col: str, x_col: str, y_col: str):
+        self.zones: ZoneSet = (
+            ray.get(zones_ref) if hasattr(zones_ref, "hex") else zones_ref
+        )
+        self.tree = self.zones.build_tree()
+        self.value_col = value_col
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy()
+        py = batch[self.y_col].to_numpy()
+        pi, zi = self.zones.match_points(self.tree, px, py)
+        if len(pi) == 0:
+            return pa.table(
+                {
+                    "fid": pa.array([], pa.int64()),
+                    "val": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vals = batch[self.value_col].to_numpy()[pi].astype(np.int64)
+        key = np.stack([zi, vals], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "fid": self.zones.fid[uniq[:, 0]],
+                "val": uniq[:, 1],
+                "n": counts.astype(np.int64),
+            }
+        )
+
+
+def zonal_stats(
+    cells: ray.data.Dataset,
+    zones_tbl: pa.Table,
+    value_col: str,
+    stats: tuple[str, ...] = MOMENT_STATS,
+    out_no_data: float = -9999.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_scale: float = 1.0,
+    concurrency=(1, 8),
+) -> pa.Table:
+    """Per-zone stats table (one row per zone fid, empty zones filled
+    with ``out_no_data``). ``value_scale`` divides sums/means back to
+    the natural unit when the value column is pre-scaled to integers
+    (e.g. cents -> value_scale=100)."""
+    want_moments = [s for s in stats if s in MOMENT_STATS]
+    want_order = [s for s in stats if s in ORDER_STATS]
+    unknown = set(stats) - set(MOMENT_STATS) - set(ORDER_STATS)
+    if unknown:
+        raise ValueError(f"unknown stats: {unknown}")
+    ref = broadcast_zones(zones_tbl)
+
+    base = pd.DataFrame({"fid": zones_tbl["fid"].to_numpy()})
+
+    if want_moments:
+        partials = cells.map_batches(
+            _ZonalMomentPartial,
+            fn_constructor_kwargs={
+                "zones_ref": ref,
+                "value_col": value_col,
+                "x_col": x_col,
+                "y_col": y_col,
+            },
+            batch_format="pyarrow",
+            batch_size=65536,
+            concurrency=concurrency,
+        )
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            cnt = int(g["cnt"].sum())
+            s = int(g["sum_v"].sum())
+            q = int(g["sumsq_v"].sum())
+            m = float(cnt)
+            sd = float(s)
+            qd = float(q)
+            mean = sd / m
+            var = qd / m - (sd / m) * (sd / m)
+            return pd.DataFrame(
+                {
+                    "fid": [int(g["fid"].iloc[0])],
+                    "count": [cnt],
+                    "sum": [sd / value_scale],
+                    "min": [float(g["min_v"].min()) / value_scale],
+                    "max": [float(g["max_v"].max()) / value_scale],
+                    "mean": [mean / value_scale],
+                    "stddev": [np.sqrt(var) / value_scale],
+                }
+            )
+
+        mom = (
+            partials.groupby("fid").map_groups(combine, batch_format="pandas")
+        ).to_pandas()
+        base = base.merge(mom[["fid"] + want_moments], on="fid", how="left")
+
+    if want_order:
+        partials = cells.map_batches(
+            _ZonalValueCountPartial,
+            fn_constructor_kwargs={
+                "zones_ref": ref,
+                "value_col": value_col,
+                "x_col": x_col,
+                "y_col": y_col,
+            },
+            batch_format="pyarrow",
+            batch_size=65536,
+            concurrency=concurrency,
+        )
+
+        def combine_vc(g: pd.DataFrame) -> pd.DataFrame:
+            vc = g.groupby("val")["n"].sum()
+            vals = vc.index.to_numpy()
+            counts = vc.to_numpy()
+            # mode: smallest value among max-count (scipy mstats.mode)
+            mode = float(vals[counts == counts.max()].min())
+            # median: numpy semantics over the expanded multiset
+            total = counts.sum()
+            cum = np.cumsum(counts)
+            if total % 2 == 1:
+                k = total // 2
+                median = float(vals[np.searchsorted(cum, k + 1)])
+            else:
+                k = total // 2
+                lo = float(vals[np.searchsorted(cum, k)])
+                hi = float(vals[np.searchsorted(cum, k + 1)])
+                median = (lo + hi) / 2.0
+            return pd.DataFrame(
+                {
+                    "fid": [int(g["fid"].iloc[0])],
+                    "mode": [mode / value_scale],
+                    "median": [median / value_scale],
+                }
+            )
+
+        ords = (
+            partials.groupby("fid").map_groups(combine_vc, batch_format="pandas")
+        ).to_pandas()
+        base = base.merge(ords[["fid"] + want_order], on="fid", how="left")
+
+    for c in list(want_moments) + list(want_order):
+        base[c] = base[c].fillna(out_no_data)
+    if "count" in base.columns:
+        base["count"] = base["count"].astype(np.int64)
+    return pa.Table.from_pandas(
+        base.sort_values("fid").reset_index(drop=True), preserve_index=False
+    )

@@ -1,0 +1,198 @@
+"""Zonal stats / raster ops / tiling vs DuckDB oracles (bit-exact)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from rsgislib_ray.functions.grid import TileSpec
+from rsgislib_ray.sources import testdata as td
+from rsgislib_ray.stages.raster import (
+    RasterGrid,
+    extract_point_values,
+    make_pixel_centers,
+    rasterize_zones,
+)
+from rsgislib_ray.stages.tiling import assign_tiles, tile_counts
+from rsgislib_ray.stages.zonal import zonal_stats
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in ["orders", "part", "supplier", "customer", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+ZONAL_ORACLE = f"""
+WITH cells AS ({td.SQL_CELLS}), zones AS ({td.SQL_ZONES}),
+j AS (
+  SELECT z.fid, c.val_cents FROM zones z JOIN cells c
+    ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+),
+agg AS (
+  SELECT fid, COUNT(*) AS cnt, SUM(val_cents) AS s, SUM(val_cents * val_cents) AS q,
+         MIN(val_cents) AS mn, MAX(val_cents) AS mx
+  FROM j GROUP BY fid
+)
+SELECT z.fid,
+  COALESCE(a.cnt, -9999) AS count,
+  COALESCE(CAST(a.s AS DOUBLE) / 100.0, -9999.0) AS sum,
+  COALESCE(CAST(a.mn AS DOUBLE) / 100.0, -9999.0) AS min,
+  COALESCE(CAST(a.mx AS DOUBLE) / 100.0, -9999.0) AS max,
+  COALESCE((CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE)) / 100.0, -9999.0) AS mean,
+  COALESCE(sqrt(CAST(a.q AS DOUBLE) / CAST(a.cnt AS DOUBLE)
+      - (CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE))
+        * (CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE))) / 100.0, -9999.0) AS stddev
+FROM zones z LEFT JOIN agg a ON z.fid = a.fid
+ORDER BY z.fid
+"""
+
+
+def test_zonal_moments_bit_exact(ray_session, sf_dir, oracle):
+    cells = td.cells_from_lineitem(sf_dir)
+    zones = td.zones_from_part(sf_dir)
+    got = zonal_stats(
+        cells, zones, "val_cents",
+        stats=("count", "sum", "min", "max", "mean", "stddev"),
+        value_scale=100.0,
+    ).to_pandas()
+    want = oracle.execute(ZONAL_ORACLE).fetch_df()
+    np.testing.assert_array_equal(got["fid"].to_numpy(), want["fid"].to_numpy())
+    for c in ["count", "sum", "min", "max", "mean", "stddev"]:
+        np.testing.assert_array_equal(
+            got[c].to_numpy(), want[c].to_numpy(), err_msg=c
+        )
+
+
+def test_zonal_mode_median(ray_session, sf_dir, oracle):
+    cells = td.cells_from_lineitem(sf_dir)
+    zones = td.zones_from_part(sf_dir)
+    got = zonal_stats(
+        cells, zones, "qty", stats=("mode", "median"), out_no_data=-1.0
+    ).to_pandas()
+    want = oracle.execute(
+        f"""
+        WITH cells AS ({td.SQL_CELLS}), zones AS ({td.SQL_ZONES}),
+        j AS (
+          SELECT z.fid, c.qty FROM zones z JOIN cells c
+            ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+        ),
+        vc AS (SELECT fid, qty AS val, COUNT(*) AS n FROM j GROUP BY fid, qty),
+        md AS (
+          SELECT fid, val, row_number() OVER
+            (PARTITION BY fid ORDER BY n DESC, val ASC) AS rn
+          FROM vc
+        ),
+        med AS (SELECT fid, median(qty) AS median FROM j GROUP BY fid)
+        SELECT z.fid,
+          COALESCE(CAST(m.val AS DOUBLE), -1.0) AS mode,
+          COALESCE(CAST(med.median AS DOUBLE), -1.0) AS median
+        FROM zones z
+        LEFT JOIN (SELECT fid, val FROM md WHERE rn = 1) m ON z.fid = m.fid
+        LEFT JOIN med ON z.fid = med.fid
+        ORDER BY z.fid
+        """
+    ).fetch_df()
+    np.testing.assert_array_equal(got["mode"].to_numpy(), want["mode"].to_numpy())
+    np.testing.assert_array_equal(
+        got["median"].to_numpy(), want["median"].to_numpy()
+    )
+
+
+GRID = RasterGrid(tlx=0.0, tly=100.0, pxl_w=1.0, pxl_h=1.0, n_cols=100, n_rows=100)
+
+
+def _formula_raster() -> np.ndarray:
+    pid = np.arange(GRID.n_cols * GRID.n_rows, dtype=np.int64)
+    row, col = np.divmod(pid, GRID.n_cols)
+    return ((row * 31 + col * 17) % 997).astype(np.float64)
+
+
+def test_extract_point_values_vs_oracle(ray_session, sf_dir, oracle):
+    pts = td.points_from_orders(sf_dir)
+    vals = _formula_raster()
+    ref = ray.put(vals)
+    got = (
+        extract_point_values(pts, GRID, ref, out_no_data=-9999.0)
+        .to_pandas()
+        .sort_values("pt_id")
+        .reset_index(drop=True)
+    )
+    want = oracle.execute(
+        f"""
+        WITH pts AS ({td.SQL_PTS})
+        SELECT pt_id,
+          CASE WHEN x >= 0 AND x < 100 AND y > 0 AND y <= 100
+               THEN CAST((CAST(FLOOR(100 - y) AS BIGINT) * 31
+                        + CAST(FLOOR(x) AS BIGINT) * 17) % 997 AS DOUBLE)
+               ELSE -9999.0 END AS pxl_val
+        FROM pts ORDER BY pt_id
+        """
+    ).fetch_df()
+    np.testing.assert_array_equal(
+        got["pxl_val"].to_numpy(), want["pxl_val"].to_numpy()
+    )
+
+
+def test_rasterize_last_wins_vs_oracle(ray_session, sf_dir, oracle):
+    zones = td.zones_from_part(sf_dir)
+    pixels = make_pixel_centers(GRID)
+    got = (
+        rasterize_zones(pixels, zones, GRID, burn_attr="fid", background=0.0)
+        .to_pandas()
+        .sort_values("pixel_id")
+        .reset_index(drop=True)
+    )
+    want = oracle.execute(
+        f"""
+        WITH zones AS ({td.SQL_ZONES}),
+        px AS (
+          SELECT r.range AS pixel_id,
+                 CAST(r.range % 100 AS DOUBLE) + 0.5 AS cx,
+                 100.0 - (CAST(r.range // 100 AS DOUBLE) + 0.5) AS cy
+          FROM range(10000) r
+        )
+        SELECT p.pixel_id,
+          COALESCE(MAX(z.fid), 0) AS burn
+        FROM px p LEFT JOIN zones z
+          ON p.cx > z.xmin AND p.cx < z.xmax AND p.cy > z.ymin AND p.cy < z.ymax
+        GROUP BY p.pixel_id ORDER BY p.pixel_id
+        """
+    ).fetch_df()
+    np.testing.assert_array_equal(
+        got["burn"].to_numpy(), want["burn"].to_numpy().astype(np.float64)
+    )
+
+
+def test_tile_assignment_vs_oracle(ray_session, sf_dir, oracle):
+    pts = td.points_from_orders(sf_dir)
+    spec = TileSpec((0.0, 100.0, 0.0, 100.0), 30.0, 30.0)
+    got = (
+        assign_tiles(pts, spec)
+        .to_pandas()
+        .sort_values("pt_id")
+        .reset_index(drop=True)
+    )
+    want = oracle.execute(
+        f"""
+        WITH pts AS ({td.SQL_PTS})
+        SELECT pt_id,
+          CASE WHEN x >= 0 AND x < 100 AND y >= 0 AND y < 100
+               THEN CAST(FLOOR(y / 30.0) AS BIGINT) * 4
+                  + CAST(FLOOR(x / 30.0) AS BIGINT)
+               ELSE -1 END AS tile_id
+        FROM pts ORDER BY pt_id
+        """
+    ).fetch_df()
+    np.testing.assert_array_equal(
+        got["tile_id"].to_numpy(), want["tile_id"].to_numpy()
+    )
+    counts = tile_counts(pts, spec).to_pandas()
+    wc = want.groupby("tile_id").size()
+    for tid, n in wc.items():
+        assert counts[counts["tile_id"] == tid]["n_rows"].iloc[0] == n
