@@ -1,0 +1,169 @@
+"""kNN join / radius count vs DuckDB oracle + grid==brute equivalence."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from rsgislib_ray.sources import testdata as td
+from rsgislib_ray.stages.knn import (
+    KNNJoin,
+    KNNTieError,
+    _TargetIndex,
+    _topk_brute,
+    _topk_grid,
+    knn_join,
+    radius_count,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in ["orders", "part", "supplier", "customer", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_1nn_matches_oracle(ray_session, sf_dir, oracle):
+    base = td.base_points_from_customer(sf_dir)
+    targets = td.targets_from_supplier(sf_dir)
+    got = (
+        knn_join(base, targets, k=1, attr_cols=["label"], tie="error")
+        .to_pandas()
+        .sort_values("base_id")
+        .reset_index(drop=True)
+    )
+    want = oracle.execute(
+        f"""
+        WITH base AS ({td.SQL_BASE_PTS}), t AS ({td.SQL_TARGETS}),
+        d AS (
+          SELECT b.base_id, t.target_id, t.label,
+            (b.x - t.x) * (b.x - t.x) + (b.y - t.y) * (b.y - t.y) AS dist_sq,
+            row_number() OVER (PARTITION BY b.base_id
+                               ORDER BY (b.x - t.x) * (b.x - t.x)
+                                      + (b.y - t.y) * (b.y - t.y), t.target_id)
+              AS rn
+          FROM base b CROSS JOIN t
+        )
+        SELECT base_id, target_id, label, dist_sq FROM d WHERE rn = 1
+        ORDER BY base_id
+        """
+    ).fetch_df()
+    np.testing.assert_array_equal(got["base_id"].to_numpy(), want["base_id"].to_numpy())
+    np.testing.assert_array_equal(got["nn_id"].to_numpy(), want["target_id"].to_numpy())
+    np.testing.assert_array_equal(
+        got["nn_dist_sq"].to_numpy(), want["dist_sq"].to_numpy()
+    )
+    assert got["nn_label"].tolist() == want["label"].tolist()
+
+
+def test_knn_k4_long_format(ray_session, sf_dir, oracle):
+    base = td.base_points_from_customer(sf_dir)
+    targets = td.targets_from_supplier(sf_dir)
+    got = (
+        knn_join(base, targets, k=4, tie="lowest")
+        .to_pandas()
+        .sort_values(["base_id", "nn_rank"])
+        .reset_index(drop=True)
+    )
+    want = oracle.execute(
+        f"""
+        WITH base AS ({td.SQL_BASE_PTS}), t AS ({td.SQL_TARGETS}),
+        d AS (
+          SELECT b.base_id, t.target_id,
+            row_number() OVER (PARTITION BY b.base_id
+                               ORDER BY (b.x - t.x) * (b.x - t.x)
+                                      + (b.y - t.y) * (b.y - t.y), t.target_id)
+              AS rn
+          FROM base b CROSS JOIN t
+        )
+        SELECT base_id, rn AS nn_rank, target_id FROM d WHERE rn <= 4
+        ORDER BY base_id, rn
+        """
+    ).fetch_df()
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["nn_id"].to_numpy(), want["target_id"].to_numpy())
+    np.testing.assert_array_equal(got["nn_rank"].to_numpy(), want["nn_rank"].to_numpy())
+
+
+def test_tolerance_subsets_output(ray_session, sf_dir):
+    base = td.base_points_from_customer(sf_dir)
+    targets = td.targets_from_supplier(sf_dir)
+    all_rows = knn_join(base, targets, k=1, tie="lowest").to_pandas()
+    tol = 5.0
+    within = knn_join(base, targets, k=1, tie="lowest", tolerance=tol).to_pandas()
+    assert len(within) == (all_rows["nn_dist_sq"] <= tol * tol).sum()
+
+
+def test_tie_raises():
+    # two targets exactly equidistant from the base point
+    targets = pa.table(
+        {
+            "target_id": [1, 2],
+            "x": [0.0, 10.0],
+            "y": [5.0, 5.0],
+        }
+    )
+    idx = _TargetIndex(targets, "target_id", "x", "y", None, None)
+    stage = KNNJoin.__new__(KNNJoin)
+    stage.idx = idx
+    stage.k = 1
+    stage.x_col, stage.y_col = "x", "y"
+    stage.prefix = "nn_"
+    stage.tie = "error"
+    stage.tolerance = None
+    stage.strategy = "brute"
+    batch = pa.table({"base_id": [7], "x": [5.0], "y": [5.0]})
+    with pytest.raises(KNNTieError):
+        stage(batch)
+    stage.tie = "lowest"
+    out = stage(batch)
+    assert out["nn_id"].to_pylist() == [1]  # deterministic lowest id
+
+
+def test_grid_equals_brute():
+    rng = np.random.default_rng(42)
+    T = 5000
+    tbl = pa.table(
+        {
+            "target_id": np.arange(T, dtype=np.int64),
+            "x": rng.uniform(0, 100, T),
+            "y": rng.uniform(0, 100, T),
+        }
+    )
+    idx = _TargetIndex(tbl, "target_id", "x", "y", None, grid_level=6)
+    px = rng.uniform(-2, 102, 1500)
+    py = rng.uniform(-2, 102, 1500)
+    for k in (1, 5):
+        bd, bi, _ = _topk_brute(px, py, idx, k)
+        gd, gi, _ = _topk_grid(px, py, idx, k)
+        np.testing.assert_array_equal(bd, gd)
+        np.testing.assert_array_equal(bi, gi)
+
+
+def test_radius_count_vs_oracle(ray_session, sf_dir, oracle):
+    base = td.base_points_from_customer(sf_dir)
+    targets = td.targets_from_supplier(sf_dir)
+    got = (
+        radius_count(base, targets, radius=10.0)
+        .to_pandas()
+        .sort_values("base_id")
+        .reset_index(drop=True)
+    )
+    want = oracle.execute(
+        f"""
+        WITH base AS ({td.SQL_BASE_PTS}), t AS ({td.SQL_TARGETS})
+        SELECT b.base_id,
+          (SELECT COUNT(*) FROM t
+            WHERE (b.x - t.x) * (b.x - t.x) + (b.y - t.y) * (b.y - t.y) <= 100.0)
+          AS n_in_radius
+        FROM base b ORDER BY b.base_id
+        """
+    ).fetch_df()
+    np.testing.assert_array_equal(
+        got["n_in_radius"].to_numpy(), want["n_in_radius"].to_numpy()
+    )
