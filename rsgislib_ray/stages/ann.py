@@ -1,0 +1,216 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exact baseline: the query matrix is
+broadcast once (``ray.put``), each actor normalizes it in ``__init__``,
+and every batch does one float64 matmul + per-query local top-k; a tiny
+``groupby(query)`` merge then yields the global top-k. The scale path
+is the LSH-bucketed variant (random-hyperplane signatures shared by
+broadcast): candidates only form within matching buckets, trading
+recall for a bounded candidate set — both paths return (query_id,
+rank, vec_id) so rank order, not float similarity, is the contract
+(float sums are reduction-order sensitive; ranks are not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from rsgislib_ray.functions.hashing import splitmix64
+
+
+def _to_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.FixedSizeListArray):
+        d = col.type.list_size
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d).astype(
+            np.float64
+        )
+    off = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(off)
+    d = int(widths[0])
+    if not np.all(widths == d):
+        raise ValueError("ragged embedding column")
+    # flatten() already compensates for slicing offsets
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(-1, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class CosineTopK:
+    """Actor stage: per batch, local top-k candidates per query."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        q = ray.get(queries_ref) if hasattr(queries_ref, "hex") else queries_ref
+        self.q_ids = q["ids"]
+        self.Q = _normalize(q["matrix"].astype(np.float64))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_to_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy()
+        sims = M @ self.Q.T  # (batch, n_queries)
+        kk = min(self.k, len(ids))
+        if kk < len(ids):
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        else:
+            part = np.broadcast_to(
+                np.arange(len(ids))[:, None], (len(ids), sims.shape[1])
+            )
+        rows = []
+        for qi in range(sims.shape[1]):
+            cand = part[:, qi]
+            rows.append(
+                pa.table(
+                    {
+                        "query_id": np.full(len(cand), self.q_ids[qi], dtype=np.int64),
+                        "vec_id": ids[cand],
+                        "sim": sims[cand, qi],
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+
+def ann_topk(
+    embeddings: ray.data.Dataset,
+    query_tbl: pa.Table,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    concurrency=(1, 8),
+) -> pa.Table:
+    """Exact global cosine top-k per query: distributed local top-k +
+    tiny driver merge. Output (query_id, rank, vec_id) sorted; ties in
+    similarity break by vec_id for determinism."""
+    q = {
+        "ids": query_tbl[query_id_col].to_numpy().astype(np.int64),
+        "matrix": _to_matrix(query_tbl[query_vec_col]),
+    }
+    ref = ray.put(q)
+    local = embeddings.map_batches(
+        CosineTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref,
+            "k": k,
+            "vec_col": vec_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id"]]
+
+    out = local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(d: int, n_bits: int, seed: int = 11) -> np.ndarray:
+    h = splitmix64(np.arange(d * n_bits, dtype=np.uint64) + np.uint64(seed))
+    g = (h.astype(np.float64) / 2**64) * 2.0 - 1.0
+    return g.reshape(n_bits, d)
+
+
+def lsh_bucket_topk(
+    embeddings: ray.data.Dataset,
+    query_tbl: pa.Table,
+    k: int = 10,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k: random-hyperplane signatures bucket the
+    corpus; each query only scans its own bucket. Recall < 1 by design
+    — the documented trade; the bucket groupby is the only shuffle."""
+    Q = _to_matrix(query_tbl[query_vec_col])
+    q_ids = query_tbl[query_id_col].to_numpy().astype(np.int64)
+    H = _hyperplanes(Q.shape[1], n_bits)
+    q_sig = ((Q @ H.T) > 0) @ (1 << np.arange(n_bits))
+    by_bucket: dict[int, list[int]] = {}
+    for qi, s in enumerate(q_sig.astype(int)):
+        by_bucket.setdefault(int(s), []).append(qi)
+    ref = ray.put({"Q": _normalize(Q), "q_ids": q_ids, "H": H, "buckets": by_bucket})
+
+    class BucketScan:
+        def __init__(self):
+            st = ray.get(ref) if hasattr(ref, "hex") else ref
+            self.Q = st["Q"]
+            self.q_ids = st["q_ids"]
+            self.H = st["H"]
+            self.buckets = st["buckets"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _to_matrix(batch[vec_col])
+            ids = batch[id_col].to_numpy()
+            sig = ((M @ self.H.T) > 0) @ (1 << np.arange(self.H.shape[0]))
+            Mn = _normalize(M)
+            out = {"query_id": [], "vec_id": [], "sim": []}
+            for bucket, qis in self.buckets.items():
+                sel = np.flatnonzero(sig == bucket)
+                if len(sel) == 0:
+                    continue
+                sims = Mn[sel] @ self.Q[qis].T
+                for j, qi in enumerate(qis):
+                    out["query_id"].append(
+                        np.full(len(sel), self.q_ids[qi], dtype=np.int64)
+                    )
+                    out["vec_id"].append(ids[sel])
+                    out["sim"].append(sims[:, j])
+            if not out["query_id"]:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table({kk: np.concatenate(vv) for kk, vv in out.items()})
+
+    local = embeddings.map_batches(
+        BucketScan, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id"]]
+
+    out = local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+    )

@@ -1,0 +1,183 @@
+"""Dedup / text-analysis / ANN stages vs oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from rsgislib_ray.stages.ann import ann_topk, lsh_bucket_topk
+from rsgislib_ray.stages.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_dedup,
+    minhash_signatures,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+from rsgislib_ray.stages.text import add_quality_stats, add_token_count, add_langid
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _docs(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_count_vs_oracle(ray_session, sf_dir, oracle):
+    got = (
+        add_token_count(_docs(sf_dir))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = oracle.execute(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ).fetch_df()
+    np.testing.assert_array_equal(
+        got["n_tokens"].to_numpy(), want["n_tokens"].to_numpy()
+    )
+
+
+def test_quality_stats_vs_oracle(ray_session, sf_dir, oracle):
+    got = (
+        add_quality_stats(_docs(sf_dir))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = oracle.execute(
+        """
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','a','and','of','to','in','is','it'))) AS BIGINT)
+            AS n_stopwords
+        FROM documents ORDER BY doc_id
+        """
+    ).fetch_df()
+    for c in ["n_chars", "n_tokens", "n_stopwords"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), c)
+    # ratio formula mirrored
+    np.testing.assert_array_equal(
+        got["stopword_ratio"].to_numpy(),
+        want["n_stopwords"].to_numpy()
+        / np.maximum(want["n_tokens"].to_numpy(), 1).astype(np.float64),
+    )
+
+
+def test_exact_dedup_first_wins(ray_session, sf_dir, oracle):
+    docs = _docs(sf_dir)
+    got = exact_dedup(docs, ["text"], id_col="doc_id").to_pandas()
+    want = oracle.execute(
+        "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+    ).fetch_df()
+    assert sorted(got["doc_id"].tolist()) == sorted(want["doc_id"].tolist())
+    # schema preserved
+    assert set(got.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+def test_minhash_estimates_jaccard():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again ok",
+        "the quick brown fox jumps over the lazy cat again and again ok",
+        "completely unrelated words appear in this document body here now",
+    ]
+    sig = minhash_signatures(texts, n_perm=256)
+    est01 = (sig[0] == sig[1]).mean()
+    true01 = jaccard(texts[0], texts[1])
+    assert abs(est01 - true01) < 0.15
+    est02 = (sig[0] == sig[2]).mean()
+    assert est02 < 0.1
+
+
+def test_minhash_dedup_finds_planted_near_dups(ray_session):
+    rng = np.random.default_rng(42)
+    base_words = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(200):
+        words = [base_words[j] for j in rng.integers(0, 50, 30)]
+        docs.append(" ".join(words))
+    # plant near-dups: doc 200 = copy of 0 with one word changed;
+    # doc 201 = exact copy of 1
+    near0 = docs[0].split(" ")
+    near0[5] = "CHANGED"
+    docs.append(" ".join(near0))
+    docs.append(docs[1])
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    )
+    out = minhash_dedup(ds, threshold=0.6).to_pandas()
+    assert len(out) == len(docs)
+    c = out.set_index("doc_id")["cluster_id"]
+    assert c[200] == c[0] == 0
+    assert c[201] == c[1]
+    keep = out.set_index("doc_id")["keep"]
+    assert bool(keep[0]) and not bool(keep[200])
+    # brute-force oracle: every pair with true jaccard >= threshold is clustered
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if jaccard(docs[i], docs[j]) >= 0.9:
+                assert c[i] == c[j], (i, j)
+
+
+def test_simhash_near_dup(ray_session):
+    docs = ["alpha beta gamma delta epsilon zeta eta theta " * 4] * 2
+    docs.append(docs[0].replace("zeta", "zetaX"))
+    docs.append("nothing in common with the others at all whatsoever")
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": np.arange(4, dtype=np.int64), "text": docs})
+    )
+    sigs = simhash_signatures(np.asarray(docs, dtype=object))
+    assert sigs[0] == sigs[1]
+    pairs = simhash_near_dup_pairs(ds, max_hamming=8).to_pandas()
+    got_pairs = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got_pairs
+    assert (0, 3) not in got_pairs
+
+
+def test_ann_topk_vs_brute(ray_session, sf_dir):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = tbl.slice(0, 4)
+    got = ann_topk(emb, queries, k=5).to_pandas()
+    # brute numpy oracle
+    M = np.stack(tbl["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = tbl["vec_id"].to_numpy()
+    for qi in range(4):
+        sims = Mn @ Mn[qi]
+        order = np.lexsort((ids, -sims))[:5]
+        want_ids = ids[order]
+        got_ids = got[got["query_id"] == ids[qi]].sort_values("rank")["vec_id"]
+        np.testing.assert_array_equal(got_ids.to_numpy(), want_ids)
+
+
+def test_lsh_bucket_topk_subset_of_bucket(ray_session, sf_dir):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = tbl.slice(0, 2)
+    got = lsh_bucket_topk(emb, queries, k=5, n_bits=4).to_pandas()
+    # each query finds at least itself (identical vector, same bucket)
+    for qid in queries["vec_id"].to_pylist():
+        mine = got[got["query_id"] == qid]
+        assert len(mine) >= 1
+        assert mine.iloc[0]["vec_id"] == qid
+
+
+def test_langid_runs(ray_session, sf_dir):
+    out = add_langid(_docs(sf_dir)).to_pandas()
+    assert {"lang_pred", "lang_score"} <= set(out.columns)
+    assert out["lang_pred"].notna().all()
