@@ -1,0 +1,103 @@
+"""Clump / connected components vs a single-process BFS oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rsgislib_ray.stages.polygonize import clump, components_summary
+
+
+def _bfs_oracle(grid: np.ndarray, eight_conn: bool) -> np.ndarray:
+    """Label = min pixel_id per component, flood fill."""
+    h, w = grid.shape
+    labels = np.full((h, w), -1, dtype=np.int64)
+    shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if eight_conn:
+        shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    for r in range(h):
+        for c in range(w):
+            if labels[r, c] != -1:
+                continue
+            stack = [(r, c)]
+            comp = []
+            labels[r, c] = -2
+            while stack:
+                rr, cc = stack.pop()
+                comp.append((rr, cc))
+                for dr, dc in shifts:
+                    r2, c2 = rr + dr, cc + dc
+                    if (
+                        0 <= r2 < h
+                        and 0 <= c2 < w
+                        and labels[r2, c2] == -1
+                        and grid[r2, c2] == grid[rr, cc]
+                    ):
+                        labels[r2, c2] = -2
+                        stack.append((r2, c2))
+            lab = min(rr * w + cc for rr, cc in comp)
+            for rr, cc in comp:
+                labels[rr, cc] = lab
+    return labels
+
+
+def _grid_to_ds(grid: np.ndarray) -> ray.data.Dataset:
+    h, w = grid.shape
+    pid = np.arange(h * w, dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pixel_id": pid,
+                "row": pid // w,
+                "col": pid % w,
+                "value": grid.ravel().astype(np.int64),
+            }
+        )
+    ).repartition(6)
+
+
+@pytest.mark.parametrize("eight_conn", [False, True])
+def test_clump_matches_bfs(ray_session, eight_conn):
+    rng = np.random.default_rng(42)
+    grid = rng.integers(0, 3, (60, 80))
+    want = _bfs_oracle(grid, eight_conn)
+    # small tile size forces many cross-tile merges
+    got = (
+        clump(_grid_to_ds(grid), tile_size=16, eight_conn=eight_conn)
+        .to_pandas()
+        .sort_values("pixel_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        got["comp_label"].to_numpy(), want.ravel()
+    )
+
+
+def test_clump_snake_across_tiles(ray_session):
+    # a one-pixel-wide snake crossing many tile borders
+    grid = np.zeros((40, 40), dtype=np.int64)
+    for c in range(40):
+        grid[20, c] = 7
+    for r in range(40):
+        grid[r, 39] = 7
+    want = _bfs_oracle(grid, False)
+    got = (
+        clump(_grid_to_ds(grid), tile_size=8)
+        .to_pandas()
+        .sort_values("pixel_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(got["comp_label"].to_numpy(), want.ravel())
+
+
+def test_components_summary(ray_session):
+    grid = np.zeros((10, 10), dtype=np.int64)
+    grid[0:3, 0:3] = 5  # 9-pixel block
+    clumped = clump(_grid_to_ds(grid), tile_size=4)
+    summ = components_summary(clumped).to_pandas()
+    blk = summ[summ["value"] == 5]
+    assert len(blk) == 1
+    assert blk.iloc[0]["n_pixels"] == 9
+    assert blk.iloc[0]["centroid_row"] == 1.0
+    assert blk.iloc[0]["min_col"] == 0 and blk.iloc[0]["max_col"] == 2
+    assert summ["n_pixels"].sum() == 100
