@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship spatial-join + tiling pipeline over the
+sf0.001 interleaved document table; ``queries()`` exposes every
+implemented operator from SURVEY.md §2 (plus the training-data ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+SQL-expressible query. Ray is initialised by the driver — nothing here
+calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +15,25 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: interleaved docs ->
+    parse geom spans -> cell/tile assignment -> broadcast STRtree PIP
+    join. Returns the joined Dataset (spans column untouched)."""
+    from rsgislib_ray.pipelines.flagship import (
+        docs_from_documents_table,
+        flagship,
+    )
+
+    docs = docs_from_documents_table("/root/testdata/sf0.001")
+    return flagship(docs)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rsgislib_ray.pipelines.queries import queries as _q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rsgislib_ray.pipelines.queries import oracle_sql as _o
+
+    return _o()

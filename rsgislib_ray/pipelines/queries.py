@@ -1,0 +1,1112 @@
+"""Driver-facing query registry: one entry per implemented operator.
+
+Every entry couples a Ray Data pipeline (callable taking ``sf_dir``)
+with an equivalent DuckDB oracle SQL string (or ``None`` for genuinely
+non-SQL-expressible ops -> the driver records a rows-only check).
+Column names and float formulas are mirrored EXACTLY between the two
+sides (see sources/testdata.py for the derivation rules), so the
+driver's order-insensitive value-hash comparison passes bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from rsgislib_ray.functions.cells import decode_rowcol, cells_from_xy
+from rsgislib_ray.functions.geom import ring_area, ring_centroid, ring_perimeter
+from rsgislib_ray.functions.grid import TileSpec
+from rsgislib_ray.sources import testdata as td
+
+TILESPEC = TileSpec((0.0, 100.0, 0.0, 100.0), 30.0, 30.0)
+CELL_LEVEL = 10
+CELL_W = 100.0 / 1024.0  # 0.09765625, exactly representable
+
+# registry: name -> (fn, sql | None)
+_REGISTRY: dict = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict:
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict:
+    return {
+        name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None
+    }
+
+
+# ===========================================================================
+# Grid tiling + cell index (SURVEY.md §2.9)
+# ===========================================================================
+
+
+@register(
+    "tile_assign",
+    f"""
+    WITH pts AS ({td.SQL_PTS})
+    SELECT pt_id,
+      CASE WHEN x >= 0 AND x < 100 AND y >= 0 AND y < 100
+           THEN CAST(FLOOR(y / 30.0) AS BIGINT) * 4
+              + CAST(FLOOR(x / 30.0) AS BIGINT)
+           ELSE -1 END AS tile_id
+    FROM pts
+    """,
+)
+def q_tile_assign(sf_dir: str):
+    from rsgislib_ray.stages.tiling import assign_tiles
+
+    return assign_tiles(td.points_from_orders(sf_dir), TILESPEC).select_columns(
+        ["pt_id", "tile_id"]
+    )
+
+
+@register(
+    "tile_counts",
+    f"""
+    WITH pts AS ({td.SQL_PTS}),
+    t AS (
+      SELECT CASE WHEN x >= 0 AND x < 100 AND y >= 0 AND y < 100
+             THEN CAST(FLOOR(y / 30.0) AS BIGINT) * 4
+                + CAST(FLOOR(x / 30.0) AS BIGINT)
+             ELSE -1 END AS tile_id
+      FROM pts)
+    SELECT tile_id, COUNT(*) AS n_rows FROM t GROUP BY tile_id
+    """,
+)
+def q_tile_counts(sf_dir: str):
+    from rsgislib_ray.stages.tiling import tile_counts
+
+    return tile_counts(td.points_from_orders(sf_dir), TILESPEC)
+
+
+@register(
+    "cell_assign",
+    f"""
+    WITH pts AS ({td.SQL_PTS})
+    SELECT pt_id,
+      CASE WHEN x >= 0 AND x < 100 AND y >= 0 AND y < 100
+           THEN CAST(FLOOR(x / {CELL_W!r}) AS BIGINT) ELSE -1 END AS cell_col,
+      CASE WHEN x >= 0 AND x < 100 AND y >= 0 AND y < 100
+           THEN CAST(FLOOR(y / {CELL_W!r}) AS BIGINT) ELSE -1 END AS cell_row
+    FROM pts
+    """,
+)
+def q_cell_assign(sf_dir: str):
+    def tag(batch: pa.Table) -> pa.Table:
+        cid = cells_from_xy(
+            batch["x"].to_numpy(), batch["y"].to_numpy(), CELL_LEVEL
+        )
+        col, row = decode_rowcol(cid)
+        col = np.where(cid == -1, -1, col)
+        row = np.where(cid == -1, -1, row)
+        return pa.table(
+            {"pt_id": batch["pt_id"], "cell_col": col, "cell_row": row}
+        )
+
+    return td.points_from_orders(sf_dir).map_batches(tag, batch_format="pyarrow")
+
+
+# ===========================================================================
+# Spatial joins (SURVEY.md §2.4)
+# ===========================================================================
+
+_JOIN_ON = (
+    "p.x > z.xmin AND p.x < z.xmax AND p.y > z.ymin AND p.y < z.ymax"
+)
+
+
+@register(
+    "spatial_join_inner",
+    f"""
+    WITH pts AS ({td.SQL_PTS}), zones AS ({td.SQL_ZONES})
+    SELECT p.pt_id, z.fid AS z_fid, z.category AS z_category
+    FROM pts p JOIN zones z ON {_JOIN_ON}
+    """,
+)
+def q_spatial_join_inner(sf_dir: str):
+    from rsgislib_ray.stages.spatial_join import spatial_join_points
+
+    return spatial_join_points(
+        td.points_from_orders(sf_dir),
+        td.zones_from_part(sf_dir),
+        how="inner",
+        attr_cols=["category"],
+        zone_prefix="z_",
+    ).select_columns(["pt_id", "z_fid", "z_category"])
+
+
+@register(
+    "spatial_join_left",
+    f"""
+    WITH pts AS ({td.SQL_PTS}), zones AS ({td.SQL_ZONES})
+    SELECT p.pt_id, z.fid AS z_fid
+    FROM pts p LEFT JOIN zones z ON {_JOIN_ON}
+    """,
+)
+def q_spatial_join_left(sf_dir: str):
+    from rsgislib_ray.stages.spatial_join import spatial_join_points
+
+    return spatial_join_points(
+        td.points_from_orders(sf_dir),
+        td.zones_from_part(sf_dir),
+        how="left",
+        zone_prefix="z_",
+    ).select_columns(["pt_id", "z_fid"])
+
+
+@register(
+    "spatial_join_semi",
+    f"""
+    WITH pts AS ({td.SQL_PTS}), zones AS ({td.SQL_ZONES})
+    SELECT p.pt_id,
+      EXISTS (SELECT 1 FROM zones z WHERE {_JOIN_ON}) AS in_zone
+    FROM pts p
+    """,
+)
+def q_spatial_join_semi(sf_dir: str):
+    from rsgislib_ray.stages.spatial_join import spatial_join_points
+
+    return spatial_join_points(
+        td.points_from_orders(sf_dir), td.zones_from_part(sf_dir), how="semi"
+    ).select_columns(["pt_id", "in_zone"])
+
+
+@register(
+    "pip_count",
+    f"""
+    WITH pts AS ({td.SQL_PTS}), zones AS ({td.SQL_ZONES})
+    SELECT z.fid, COUNT(p.pt_id) AS n_points
+    FROM zones z LEFT JOIN pts p ON {_JOIN_ON}
+    GROUP BY z.fid
+    """,
+)
+def q_pip_count(sf_dir: str):
+    from rsgislib_ray.stages.spatial_join import count_points_per_zone
+
+    return count_points_per_zone(
+        td.points_from_orders(sf_dir), td.zones_from_part(sf_dir)
+    )
+
+
+@register(
+    "bbox_select",
+    f"""
+    WITH pts AS ({td.SQL_PTS})
+    SELECT pt_id, x, y FROM pts
+    WHERE x >= 20.0 AND x <= 60.0 AND y >= 30.0 AND y <= 70.0
+    """,
+)
+def q_bbox_select(sf_dir: str):
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"]
+        y = batch["y"]
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(x, 20.0), pc.less_equal(x, 60.0)),
+            pc.and_(pc.greater_equal(y, 30.0), pc.less_equal(y, 70.0)),
+        )
+        return batch.filter(keep)
+
+    return td.points_from_orders(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# ===========================================================================
+# Zonal statistics (SURVEY.md §2.5)
+# ===========================================================================
+
+
+@register(
+    "zonal_stats",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}), zones AS ({td.SQL_ZONES}),
+    j AS (
+      SELECT z.fid, c.val_cents FROM zones z JOIN cells c
+        ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+    ),
+    agg AS (
+      SELECT fid, COUNT(*) AS cnt, SUM(val_cents) AS s,
+             SUM(val_cents * val_cents) AS q,
+             MIN(val_cents) AS mn, MAX(val_cents) AS mx
+      FROM j GROUP BY fid
+    )
+    SELECT z.fid,
+      COALESCE(a.cnt, -9999) AS count,
+      COALESCE(CAST(a.s AS DOUBLE) / 100.0, -9999.0) AS sum,
+      COALESCE(CAST(a.mn AS DOUBLE) / 100.0, -9999.0) AS min,
+      COALESCE(CAST(a.mx AS DOUBLE) / 100.0, -9999.0) AS max,
+      COALESCE((CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE)) / 100.0, -9999.0)
+        AS mean,
+      COALESCE(sqrt(CAST(a.q AS DOUBLE) / CAST(a.cnt AS DOUBLE)
+          - (CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE))
+            * (CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE))) / 100.0, -9999.0)
+        AS stddev
+    FROM zones z LEFT JOIN agg a ON z.fid = a.fid
+    """,
+)
+def q_zonal_stats(sf_dir: str):
+    from rsgislib_ray.stages.zonal import zonal_stats
+
+    return zonal_stats(
+        td.cells_from_lineitem(sf_dir),
+        td.zones_from_part(sf_dir),
+        "val_cents",
+        stats=("count", "sum", "min", "max", "mean", "stddev"),
+        value_scale=100.0,
+    )
+
+
+@register(
+    "zonal_mode_median",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}), zones AS ({td.SQL_ZONES}),
+    j AS (
+      SELECT z.fid, c.qty FROM zones z JOIN cells c
+        ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+    ),
+    vc AS (SELECT fid, qty AS val, COUNT(*) AS n FROM j GROUP BY fid, qty),
+    md AS (
+      SELECT fid, val,
+        row_number() OVER (PARTITION BY fid ORDER BY n DESC, val ASC) AS rn
+      FROM vc
+    ),
+    med AS (SELECT fid, median(qty) AS m FROM j GROUP BY fid)
+    SELECT z.fid,
+      COALESCE(CAST(mo.val AS DOUBLE), -9999.0) AS mode,
+      COALESCE(CAST(med.m AS DOUBLE), -9999.0) AS median
+    FROM zones z
+    LEFT JOIN (SELECT fid, val FROM md WHERE rn = 1) mo ON z.fid = mo.fid
+    LEFT JOIN med ON z.fid = med.fid
+    """,
+)
+def q_zonal_mode_median(sf_dir: str):
+    from rsgislib_ray.stages.zonal import zonal_stats
+
+    return zonal_stats(
+        td.cells_from_lineitem(sf_dir),
+        td.zones_from_part(sf_dir),
+        "qty",
+        stats=("mode", "median"),
+    )
+
+
+@register(
+    "grouped_stats_global",
+    """
+    SELECT l_returnflag,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_grouped_stats_global(sf_dir: str):
+    """Masked-region stats analog (calc_sum_stats_msk_vals,
+    /root/reference/python/rsgislib/imagecalc/__init__.py:1019): group
+    by a mask value over exact integer partial sums."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "qty": batch["l_quantity"].to_numpy().astype(np.int64),
+                "cents": np.rint(batch["l_extendedprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n=("qty", "size"), sum_qty=("qty", "sum"), cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "sum_qty": [int(g["sum_qty"].sum())],
+                "sum_price": [float(int(g["cents"].sum())) / 100.0],
+            }
+        )
+
+    return partials.groupby("l_returnflag").map_groups(
+        combine, batch_format="pandas"
+    )
+
+
+# ===========================================================================
+# Raster ops (SURVEY.md §2.10)
+# ===========================================================================
+
+
+@register(
+    "point_extract",
+    f"""
+    WITH pts AS ({td.SQL_PTS})
+    SELECT pt_id,
+      CASE WHEN x >= 0 AND x < 100 AND y > 0 AND y <= 100
+           THEN CAST((CAST(FLOOR(100 - y) AS BIGINT) * 31
+                    + CAST(FLOOR(x) AS BIGINT) * 17) % 997 AS DOUBLE)
+           ELSE -9999.0 END AS pxl_val
+    FROM pts
+    """,
+)
+def q_point_extract(sf_dir: str):
+    import ray
+
+    from rsgislib_ray.stages.raster import RasterGrid, extract_point_values
+
+    grid = RasterGrid(0.0, 100.0, 1.0, 1.0, 100, 100)
+    pid = np.arange(10000, dtype=np.int64)
+    row, col = np.divmod(pid, 100)
+    vals = ((row * 31 + col * 17) % 997).astype(np.float64)
+    ref = ray.put(vals)
+    return extract_point_values(
+        td.points_from_orders(sf_dir), grid, ref, out_no_data=-9999.0
+    ).select_columns(["pt_id", "pxl_val"])
+
+
+@register(
+    "rasterize",
+    f"""
+    WITH zones AS ({td.SQL_ZONES}),
+    px AS (
+      SELECT r.range AS pixel_id,
+             CAST(r.range % 100 AS DOUBLE) + 0.5 AS cx,
+             100.0 - (CAST(r.range // 100 AS DOUBLE) + 0.5) AS cy
+      FROM range(10000) r
+    )
+    SELECT p.pixel_id, COALESCE(MAX(z.fid), 0) AS burn
+    FROM px p LEFT JOIN zones z
+      ON p.cx > z.xmin AND p.cx < z.xmax AND p.cy > z.ymin AND p.cy < z.ymax
+    GROUP BY p.pixel_id
+    """,
+)
+def q_rasterize(sf_dir: str):
+    from rsgislib_ray.stages.raster import (
+        RasterGrid,
+        make_pixel_centers,
+        rasterize_zones,
+    )
+
+    grid = RasterGrid(0.0, 100.0, 1.0, 1.0, 100, 100)
+    out = rasterize_zones(
+        make_pixel_centers(grid), td.zones_from_part(sf_dir), grid,
+        burn_attr="fid", background=0.0,
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "burn": pc.cast(batch["burn"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(to_int, batch_format="pyarrow")
+
+
+# ===========================================================================
+# kNN / radius (SURVEY.md §2.4)
+# ===========================================================================
+
+
+@register(
+    "knn_1nn",
+    f"""
+    WITH base AS ({td.SQL_BASE_PTS}), t AS ({td.SQL_TARGETS}),
+    d AS (
+      SELECT b.base_id, t.target_id, t.label,
+        (b.x - t.x) * (b.x - t.x) + (b.y - t.y) * (b.y - t.y) AS nn_dist_sq,
+        row_number() OVER (PARTITION BY b.base_id
+                           ORDER BY (b.x - t.x) * (b.x - t.x)
+                                  + (b.y - t.y) * (b.y - t.y), t.target_id)
+          AS rn
+      FROM base b CROSS JOIN t
+    )
+    SELECT base_id, target_id AS nn_id, label AS nn_label, nn_dist_sq
+    FROM d WHERE rn = 1
+    """,
+)
+def q_knn_1nn(sf_dir: str):
+    from rsgislib_ray.stages.knn import knn_join
+
+    return knn_join(
+        td.base_points_from_customer(sf_dir),
+        td.targets_from_supplier(sf_dir),
+        k=1,
+        attr_cols=["label"],
+        tie="lowest",
+    ).select_columns(["base_id", "nn_id", "nn_label", "nn_dist_sq"])
+
+
+@register(
+    "knn_k4",
+    f"""
+    WITH base AS ({td.SQL_BASE_PTS}), t AS ({td.SQL_TARGETS}),
+    d AS (
+      SELECT b.base_id, t.target_id,
+        row_number() OVER (PARTITION BY b.base_id
+                           ORDER BY (b.x - t.x) * (b.x - t.x)
+                                  + (b.y - t.y) * (b.y - t.y), t.target_id)
+          AS rn
+      FROM base b CROSS JOIN t
+    )
+    SELECT base_id, rn AS nn_rank, target_id AS nn_id FROM d WHERE rn <= 4
+    """,
+)
+def q_knn_k4(sf_dir: str):
+    from rsgislib_ray.stages.knn import knn_join
+
+    return knn_join(
+        td.base_points_from_customer(sf_dir),
+        td.targets_from_supplier(sf_dir),
+        k=4,
+        tie="lowest",
+    ).select_columns(["base_id", "nn_rank", "nn_id"])
+
+
+@register(
+    "radius_count",
+    f"""
+    WITH base AS ({td.SQL_BASE_PTS}), t AS ({td.SQL_TARGETS})
+    SELECT b.base_id,
+      (SELECT COUNT(*) FROM t
+        WHERE (b.x - t.x) * (b.x - t.x) + (b.y - t.y) * (b.y - t.y) <= 100.0)
+      AS n_in_radius
+    FROM base b
+    """,
+)
+def q_radius_count(sf_dir: str):
+    from rsgislib_ray.stages.knn import radius_count
+
+    return radius_count(
+        td.base_points_from_customer(sf_dir),
+        td.targets_from_supplier(sf_dir),
+        radius=10.0,
+    ).select_columns(["base_id", "n_in_radius"])
+
+
+# ===========================================================================
+# Vector attribute / scalar ops (SURVEY.md §2.2, §2.6-2.8)
+# ===========================================================================
+
+
+@register(
+    "attr_filter",
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE lang = 'en' AND n_chars > 200",
+)
+def q_attr_filter(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["lang"], "en"), pc.greater(t["n_chars"], 200)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "sort_top50",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS rank,
+           o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """,
+)
+def q_sort_top50(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    top = ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(50)
+    df = top.to_pandas()
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df
+
+
+@register(
+    "unique_values",
+    "SELECT DISTINCT l_returnflag FROM lineitem",
+)
+def q_unique_values(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag"]
+    )
+    vals = sorted(ds.unique("l_returnflag"))
+    return pa.table({"l_returnflag": vals})
+
+
+@register(
+    "count_per_value",
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+)
+def q_count_per_value(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch["o_orderpriority"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {"o_orderpriority": v, "partial": c.astype(np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
+@register(
+    "recode",
+    """
+    SELECT o_orderkey,
+      CASE o_orderpriority
+        WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+        WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END AS priority_code
+    FROM orders
+    """,
+)
+def q_recode(sf_dir: str):
+    lut = {
+        "1-URGENT": 1,
+        "2-HIGH": 2,
+        "3-MEDIUM": 3,
+        "4-NOT SPECIFIED": 4,
+    }
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = pa.array(list(lut.keys()))
+        pos = pc.index_in(batch["o_orderpriority"], value_set=keys)
+        codes = pc.take(
+            pa.array(list(lut.values()) + [5], type=pa.int32()),
+            pc.fill_null(pos, len(lut)),
+        )
+        return pa.table(
+            {"o_orderkey": batch["o_orderkey"], "priority_code": codes}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "band_math",
+    """
+    SELECT l_orderkey * 10 + l_linenumber AS cell_key,
+      l_extendedprice * (1.0 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def q_band_math(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "cell_key": ok * 10 + ln,
+                "revenue": batch["l_extendedprice"].to_numpy()
+                * (1.0 - batch["l_discount"].to_numpy()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "mask_apply",
+    """
+    SELECT l_orderkey * 10 + l_linenumber AS cell_key,
+      CASE WHEN l_quantity < 25.0 THEN -1.0 ELSE l_extendedprice END
+        AS masked_price
+    FROM lineitem
+    """,
+)
+def q_mask_apply(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+        masked = pc.if_else(
+            pc.less(batch["l_quantity"], 25.0),
+            pa.scalar(-1.0),
+            batch["l_extendedprice"],
+        )
+        return pa.table({"cell_key": ok * 10 + ln, "masked_price": masked})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "rescale",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    mm AS (SELECT MIN(val_cents) AS mn, MAX(val_cents) AS mx FROM cells)
+    SELECT c.cell_key,
+      CAST(c.val_cents - mm.mn AS DOUBLE) / CAST(mm.mx - mm.mn AS DOUBLE)
+        AS scaled
+    FROM cells c, mm
+    """,
+)
+def q_rescale(sf_dir: str):
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["val_cents"].to_numpy()
+        return pa.table(
+            {"mn": [np.min(v)], "mx": [np.max(v)]}
+        )
+
+    mm = cells.map_batches(partial, batch_format="pyarrow").to_pandas()
+    mn = int(mm["mn"].min())
+    mx = int(mm["mx"].max())
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch["val_cents"].to_numpy()
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "scaled": (v - mn).astype(np.float64)
+                / np.float64(mx - mn),
+            }
+        )
+
+    return cells.map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "geom_attrs",
+    f"""
+    WITH zones AS ({td.SQL_ZONES})
+    SELECT fid,
+      (xmax - xmin) * (ymax - ymin) AS area,
+      2.0 * ((xmax - xmin) + (ymax - ymin)) AS perimeter,
+      (xmin + xmax) / 2.0 AS cx,
+      (ymin + ymax) / 2.0 AS cy
+    FROM zones
+    """,
+)
+def q_geom_attrs(sf_dir: str):
+    zones = td.zones_from_part(sf_dir)
+    rings = zones["ring_xy"].combine_chunks()
+    vals = rings.flatten().to_numpy(zero_copy_only=False)
+    n = len(zones)
+    area = np.empty(n)
+    perim = np.empty(n)
+    cx = np.empty(n)
+    cy = np.empty(n)
+    for i in range(n):
+        ring = vals[i * 8 : (i + 1) * 8]
+        area[i] = ring_area(ring)
+        perim[i] = ring_perimeter(ring)
+        cx[i], cy[i] = ring_centroid(ring)
+    return pa.table(
+        {
+            "fid": zones["fid"],
+            "area": area,
+            "perimeter": perim,
+            "cx": cx,
+            "cy": cy,
+        }
+    )
+
+
+@register(
+    "bbox_cols",
+    f"SELECT fid, xmin, xmax, ymin, ymax FROM ({td.SQL_ZONES})",
+)
+def q_bbox_cols(sf_dir: str):
+    """pop_bbox_cols: envelopes computed FROM the rings (not the stored
+    bbox columns), proving the ring->bbox kernel."""
+    from rsgislib_ray.functions.geom import rings_bbox
+
+    zones = td.zones_from_part(sf_dir)
+    rings = zones["ring_xy"].combine_chunks()
+    vals = rings.flatten().to_numpy(zero_copy_only=False)
+    offsets = np.arange(len(zones) + 1, dtype=np.int64) * 4
+    xmin, xmax, ymin, ymax = rings_bbox(vals, offsets)
+    return pa.table(
+        {
+            "fid": zones["fid"],
+            "xmin": xmin,
+            "xmax": xmax,
+            "ymin": ymin,
+            "ymax": ymax,
+        }
+    )
+
+
+@register(
+    "layer_union",
+    f"""
+    WITH a AS ({td.SQL_PTS}), b AS ({td.SQL_BASE_PTS})
+    SELECT pt_id AS id, x, y, 'orders' AS src FROM a
+    UNION ALL
+    SELECT base_id AS id, x, y, 'customer' AS src FROM b
+    """,
+)
+def q_layer_union(sf_dir: str):
+    a = td.points_from_orders(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["pt_id"],
+                "x": t["x"],
+                "y": t["y"],
+                "src": pa.array(["orders"] * len(t)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    b = td.base_points_from_customer(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["base_id"],
+                "x": t["x"],
+                "y": t["y"],
+                "src": pa.array(["customer"] * len(t)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return a.union(b)
+
+
+# ===========================================================================
+# Events (streaming-shaped windowed aggregate)
+# ===========================================================================
+
+
+@register(
+    "event_windows",
+    """
+    SELECT user_id,
+      epoch_us(ts) // 3600000000 AS window_id,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY user_id, window_id
+    """,
+)
+def q_event_windows(sf_dir: str):
+    """Tumbling 1-hour windows per user over the events log — batch
+    windowing via partial per-batch aggregation (no event-time engine in
+    the reference either, SURVEY.md §2.12)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = ts // 3_600_000_000
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "window_id": win,
+                "cents": np.rint(batch["value"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby(["user_id", "window_id"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "window_id": [int(g["window_id"].iloc[0])],
+                "n": [int(g["n"].sum())],
+                "sum_cents": [int(g["sum_cents"].sum())],
+            }
+        )
+
+    return partials.groupby(["user_id", "window_id"]).map_groups(
+        combine, batch_format="pandas"
+    )
+
+
+# ===========================================================================
+# Documents: dedup / text analysis / ANN
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+)
+def q_dedup_exact(sf_dir: str):
+    from rsgislib_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), ["text"]
+    )
+
+
+@register("dedup_minhash", None)  # non-SQL: LSH banding + union-find
+def q_dedup_minhash(sf_dir: str):
+    from rsgislib_ray.stages.dedup import minhash_dedup
+
+    return minhash_dedup(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        threshold=0.7,
+    )
+
+
+@register("dedup_simhash", None)  # non-SQL: simhash banding
+def q_dedup_simhash(sf_dir: str):
+    from rsgislib_ray.stages.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        max_hamming=3,
+    )
+
+
+@register(
+    "ngram_jaccard",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, source,
+             unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM w a JOIN w b
+        ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+      CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.doc_a = sa.doc_id
+    JOIN sz sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5
+    """,
+)
+def q_ngram_jaccard(sf_dir: str):
+    from rsgislib_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def block(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch["lang"], batch["source"], "|"
+        )
+        return batch.append_column("block", key)
+
+    blocked = ds.map_batches(block, batch_format="pyarrow")
+    return ngram_jaccard_pairs(
+        blocked, "block", threshold=0.5, shingle_k=1
+    ).select_columns(["doc_a", "doc_b", "jaccard"])
+
+
+@register(
+    "token_count",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+    "FROM documents",
+)
+def q_token_count(sf_dir: str):
+    from rsgislib_ray.stages.text import add_token_count
+
+    return add_token_count(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    ).select_columns(["doc_id", "n_tokens"])
+
+
+@register(
+    "quality_stats",
+    """
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter(string_split(text, ' '),
+           w -> w IN ('the','a','and','of','to','in','is','it'))) AS BIGINT)
+        AS n_stopwords,
+      CAST(len(list_filter(string_split(text, ' '),
+           w -> w IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+        / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)
+        AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_quality_stats(sf_dir: str):
+    from rsgislib_ray.stages.text import add_quality_stats
+
+    return add_quality_stats(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    ).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_stopwords", "stopword_ratio"]
+    )
+
+
+@register("langid", None)  # heuristic scorer, non-SQL
+def q_langid(sf_dir: str):
+    from rsgislib_ray.stages.text import add_langid
+
+    return add_langid(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    ).select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+@register("fingerprint", None)  # winnowed rolling hash, non-SQL
+def q_fingerprint(sf_dir: str):
+    from rsgislib_ray.stages.text import add_fingerprint
+
+    return add_fingerprint(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+@register(
+    "ann_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 4),
+    sims AS (
+      SELECT q.query_id, e.vec_id,
+        row_number() OVER (PARTITION BY q.query_id
+          ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                   e.vec_id) AS rank
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+    FROM sims WHERE rank <= 10
+    """,
+)
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.ann import ann_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries_tbl = tbl.filter(pc.less(tbl["vec_id"], 4))
+    return ann_topk(emb, queries_tbl, k=10)
+
+
+@register("ann_lsh", None)  # approximate by design
+def q_ann_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.ann import lsh_bucket_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries_tbl = tbl.filter(pc.less(tbl["vec_id"], 4))
+    return lsh_bucket_topk(emb, queries_tbl, k=10, n_bits=6)
+
+
+# ===========================================================================
+# Interleaved-docs engine ops (input_hint shape; deterministic synth)
+# ===========================================================================
+
+
+@register("interleaved_parse_tile", None)  # synth not SQL-expressible
+def q_interleaved_parse_tile(sf_dir: str):
+    from rsgislib_ray.pipelines.flagship import docs_from_documents_table
+    from rsgislib_ray.stages.spans import parse_geom_spans
+    from rsgislib_ray.stages.tiling import assign_tiles
+
+    docs = docs_from_documents_table(sf_dir)
+    parsed = docs.map_batches(parse_geom_spans, batch_format="pyarrow")
+    return assign_tiles(parsed, TILESPEC).select_columns(
+        ["doc_id", "geom_kind", "x", "y", "tile_id"]
+    )
+
+
+@register("flagship_join", None)
+def q_flagship_join(sf_dir: str):
+    from rsgislib_ray.pipelines.flagship import (
+        docs_from_documents_table,
+        flagship,
+    )
+
+    joined = flagship(docs_from_documents_table(sf_dir))
+    return joined.select_columns(
+        ["doc_id", "tile_id", "cell_id", "zone_fid", "zone_category"]
+    )
+
+
+@register("clump_components", None)
+def q_clump_components(sf_dir: str):
+    """Connected components of a deterministic 120x120 label raster
+    (value = coarse checkerboard of the formula raster)."""
+    from rsgislib_ray.stages.polygonize import clump
+
+    n = 120
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    value = ((row // 6 + col // 6) % 3).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"pixel_id": pid, "row": row, "col": col, "value": value})
+    ).repartition(8)
+    return clump(ds, tile_size=32).select_columns(["pixel_id", "comp_label"])
