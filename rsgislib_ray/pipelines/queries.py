@@ -857,19 +857,10 @@ def q_event_windows(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Sum
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "window_id": [int(g["window_id"].iloc[0])],
-                "n": [int(g["n"].sum())],
-                "sum_cents": [int(g["sum_cents"].sum())],
-            }
-        )
-
-    return partials.groupby(["user_id", "window_id"]).map_groups(
-        combine, batch_format="pandas"
+    return partials.groupby(["user_id", "window_id"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents")
     )
 
 

@@ -167,30 +167,41 @@ def zonal_stats(
             concurrency=concurrency,
         )
 
-        def combine(g: pd.DataFrame) -> pd.DataFrame:
-            cnt = int(g["cnt"].sum())
-            s = int(g["sum_v"].sum())
-            q = int(g["sumsq_v"].sum())
-            m = float(cnt)
-            sd = float(s)
-            qd = float(q)
-            mean = sd / m
-            var = qd / m - (sd / m) * (sd / m)
-            return pd.DataFrame(
-                {
-                    "fid": [int(g["fid"].iloc[0])],
-                    "count": [cnt],
-                    "sum": [sd / value_scale],
-                    "min": [float(g["min_v"].min()) / value_scale],
-                    "max": [float(g["max_v"].max()) / value_scale],
-                    "mean": [mean / value_scale],
-                    "stddev": [np.sqrt(var) / value_scale],
-                }
-            )
+        # Native partial-sum aggregate (vectorized shuffle combine) ->
+        # tiny per-zone table -> closed-form stats on the driver. The
+        # integer sums keep everything exact and order-independent.
+        from ray.data.aggregate import Max, Min, Sum
 
-        mom = (
-            partials.groupby("fid").map_groups(combine, batch_format="pandas")
-        ).to_pandas()
+        agg = (
+            partials.groupby("fid")
+            .aggregate(
+                Sum("cnt", alias_name="cnt"),
+                Sum("sum_v", alias_name="sum_v"),
+                Sum("sumsq_v", alias_name="sumsq_v"),
+                Min("min_v", alias_name="min_v"),
+                Max("max_v", alias_name="max_v"),
+            )
+            .to_pandas()
+        )
+        cnt = agg["cnt"].to_numpy().astype(np.int64)
+        s = agg["sum_v"].to_numpy().astype(np.int64)
+        q = agg["sumsq_v"].to_numpy().astype(np.int64)
+        m = cnt.astype(np.float64)
+        sd = s.astype(np.float64)
+        qd = q.astype(np.float64)
+        mean = sd / m
+        var = qd / m - (sd / m) * (sd / m)
+        mom = pd.DataFrame(
+            {
+                "fid": agg["fid"].to_numpy().astype(np.int64),
+                "count": cnt,
+                "sum": sd / value_scale,
+                "min": agg["min_v"].to_numpy().astype(np.float64) / value_scale,
+                "max": agg["max_v"].to_numpy().astype(np.float64) / value_scale,
+                "mean": mean / value_scale,
+                "stddev": np.sqrt(var) / value_scale,
+            }
+        )
         base = base.merge(mom[["fid"] + want_moments], on="fid", how="left")
 
     if want_order:
@@ -207,34 +218,37 @@ def zonal_stats(
             concurrency=concurrency,
         )
 
-        def combine_vc(g: pd.DataFrame) -> pd.DataFrame:
-            vc = g.groupby("val")["n"].sum()
-            vals = vc.index.to_numpy()
-            counts = vc.to_numpy()
+        # Native (fid, val) count combine -> per-zone histograms are
+        # small by construction (exact-histogram percentile model,
+        # RSGISPopRATWithStats.cpp:513-558); finalize vectorized on the
+        # driver with one pandas pass over the sorted histogram table.
+        from ray.data.aggregate import Sum
+
+        vc = (
+            partials.groupby(["fid", "val"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values(["fid", "val"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for fid, g in vc.groupby("fid", sort=True):
+            vals = g["val"].to_numpy()
+            counts = g["n"].to_numpy()
             # mode: smallest value among max-count (scipy mstats.mode)
             mode = float(vals[counts == counts.max()].min())
             # median: numpy semantics over the expanded multiset
             total = counts.sum()
             cum = np.cumsum(counts)
+            k = total // 2
             if total % 2 == 1:
-                k = total // 2
                 median = float(vals[np.searchsorted(cum, k + 1)])
             else:
-                k = total // 2
                 lo = float(vals[np.searchsorted(cum, k)])
                 hi = float(vals[np.searchsorted(cum, k + 1)])
                 median = (lo + hi) / 2.0
-            return pd.DataFrame(
-                {
-                    "fid": [int(g["fid"].iloc[0])],
-                    "mode": [mode / value_scale],
-                    "median": [median / value_scale],
-                }
-            )
-
-        ords = (
-            partials.groupby("fid").map_groups(combine_vc, batch_format="pandas")
-        ).to_pandas()
+            rows.append((int(fid), mode / value_scale, median / value_scale))
+        ords = pd.DataFrame(rows, columns=["fid", "mode", "median"])
         base = base.merge(ords[["fid"] + want_order], on="fid", how="left")
 
     for c in list(want_moments) + list(want_order):
