@@ -1,0 +1,205 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline spatial-join + tile-assignment pipeline over
+the interleaved docs table derived from $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus a set of representative operator pipelines,
+and print ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: run the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and report both throughputs
+plus scaling efficiency (the sandbox stand-in for the N vs 4N cluster
+criterion — BASELINE.json:2,14).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = "/tmp/rsgislib_ray_bench"
+
+
+BENCH_MULT = int(os.environ.get("GRAFT_BENCH_MULT", "8"))
+
+
+def _n_docs(sf_dir: str) -> int:
+    """Headline corpus size: BENCH_MULT x the sf's lineitem rows, so
+    the timed region is long enough to amortize fixed Ray overheads
+    (worker start, actor pool spin-up) and expose real scaling."""
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+        * BENCH_MULT
+    )
+
+
+def _docs_path(n_docs: int) -> str:
+    return os.path.join(BENCH_TMP, f"docs_{n_docs}")
+
+
+def prepare_docs(n_docs: int) -> str:
+    """Materialize the deterministic interleaved docs table once
+    (untimed setup; the timed pipeline reads it like any input)."""
+    import ray.data
+
+    path = _docs_path(n_docs)
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    from rsgislib_ray.sources.synth import synth_docs_dataset
+
+    blocks = max(16, NCPUS * 4)
+    ds = synth_docs_dataset(n_docs, override_num_blocks=blocks)
+    ds.write_parquet(path)
+    with open(done, "w") as f:
+        f.write(str(n_docs))
+    return path
+
+
+def headline(docs_path: str) -> tuple[float, int]:
+    """Timed: read parquet -> parse spans -> cell+tile assign ->
+    broadcast STRtree PIP join -> count. Returns (sec, docs)."""
+    import ray.data
+
+    from rsgislib_ray.pipelines.flagship import flagship
+
+    docs = ray.data.read_parquet(docs_path)
+    n = docs.count()
+    # fixed-size actor pool: pre-started, no autoscale ramp in the
+    # timed region
+    pool = max(2, NCPUS - 2)
+    t0 = time.perf_counter()
+    joined = flagship(docs, concurrency=pool)
+    joined.count()
+    return time.perf_counter() - t0, n
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from rsgislib_ray.pipelines import queries as qmod
+
+    reg = qmod.queries()
+    names = [
+        "tile_assign",
+        "spatial_join_inner",
+        "pip_count",
+        "zonal_stats",
+        "knn_1nn",
+        "point_extract",
+        "rasterize",
+        "event_windows",
+        "dedup_exact",
+        "dedup_minhash",
+        "token_count",
+        "ann_topk",
+        "clump_components",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = reg[name](sf_dir)
+        # consume
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def single_run() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    n_docs = _n_docs(SF_DIR)
+    docs_path = prepare_docs(n_docs)
+    # warm: page cache + worker processes + module imports (untimed
+    # mini-run of the same pipeline shape)
+    import ray.data
+
+    ray.data.read_parquet(docs_path).count()
+    from rsgislib_ray.pipelines.flagship import flagship_synth
+
+    flagship_synth(5000, concurrency=max(2, NCPUS - 2)).count()
+
+    sec, docs = headline(docs_path)
+    qtimes = (
+        {} if os.environ.get("GRAFT_HEADLINE_ONLY") else run_queries(SF_DIR)
+    )
+    result = {
+        "metric": "spatial-join + tile-assignment throughput on interleaved docs",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NCPUS,
+        "n_docs": docs,
+        "docs_per_sec": round(docs / sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tp_lo = r_lo["docs_per_sec"]
+    tp_hi = r_hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8 -> 32 cpus, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": tp_lo,
+        "docs_per_sec_32": tp_hi,
+        "n_docs": r_lo["n_docs"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    else:
+        print(json.dumps(single_run()))

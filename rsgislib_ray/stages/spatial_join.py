@@ -58,6 +58,36 @@ class ZoneSet:
         self.ring_offsets = np.ascontiguousarray(ring_offsets, dtype=np.int64)
         self.bounds = np.ascontiguousarray(bounds, dtype=np.float64)
         self.attrs = attrs
+        self.is_rect = self._detect_rects()
+
+    def _detect_rects(self) -> np.ndarray:
+        """Axis-aligned 4-vertex rectangle rings: for those, even-odd
+        ray-crossing PIP is EXACTLY the half-open test
+        ``xmin <= x < xmax and ymin <= y < ymax`` (verified against
+        points_in_ring in tests), so refinement is pure vectorized
+        compare — no per-polygon loop. Rectilinear-edge check excludes
+        bowtie orderings."""
+        counts = np.diff(self.ring_offsets)
+        out = np.zeros(len(self.fid), dtype=bool)
+        four = counts == 4
+        if not four.any():
+            return out
+        idx = np.flatnonzero(four)
+        starts = self.ring_offsets[idx]
+        pts = self.ring_xy.reshape(-1, 2)
+        quad = pts[starts[:, None] + np.arange(4)[None, :]]  # (n,4,2)
+        b = self.bounds[idx]
+        on_corner = (
+            ((quad[:, :, 0] == b[:, 0, None]) | (quad[:, :, 0] == b[:, 1, None]))
+            & ((quad[:, :, 1] == b[:, 2, None]) | (quad[:, :, 1] == b[:, 3, None]))
+        ).all(axis=1)
+        nxt = np.roll(quad, -1, axis=1)
+        rectilinear = (
+            (quad[:, :, 0] == nxt[:, :, 0]) | (quad[:, :, 1] == nxt[:, :, 1])
+        ).all(axis=1)
+        nonzero = (b[:, 1] > b[:, 0]) & (b[:, 3] > b[:, 2])
+        out[idx] = on_corner & rectilinear & nonzero
+        return out
 
     def __len__(self) -> int:
         return len(self.fid)
@@ -103,11 +133,25 @@ class ZoneSet:
         self, tree: STRtree, px: np.ndarray, py: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact (point_idx, zone_idx) matches: STRtree candidates
-        refined by even-odd PIP."""
+        refined by even-odd PIP (vectorized half-open compare for
+        rectangle rings, grouped ray-crossing for the rest)."""
         cand_pt, cand_zone = tree.query_points(px, py)
         if len(cand_pt) == 0:
             return cand_pt, cand_zone
-        ok = pip_pairs(px, py, self.ring_xy, self.ring_offsets, cand_pt, cand_zone)
+        ok = np.empty(len(cand_pt), dtype=bool)
+        rect_pair = self.is_rect[cand_zone]
+        if rect_pair.any():
+            rp = np.flatnonzero(rect_pair)
+            b = self.bounds[cand_zone[rp]]
+            x = px[cand_pt[rp]]
+            y = py[cand_pt[rp]]
+            ok[rp] = (x >= b[:, 0]) & (x < b[:, 1]) & (y >= b[:, 2]) & (y < b[:, 3])
+        gen = ~rect_pair
+        if gen.any():
+            gp = np.flatnonzero(gen)
+            ok[gp] = pip_pairs(
+                px, py, self.ring_xy, self.ring_offsets, cand_pt[gp], cand_zone[gp]
+            )
         return cand_pt[ok], cand_zone[ok]
 
 

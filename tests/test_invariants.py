@@ -1,0 +1,101 @@
+"""North-rule invariants: span-sequence preservation through every
+pipeline, partition-count independence, and parallelism-level equality
+of results.
+"""
+
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rsgislib_ray.pipelines.flagship import flagship, synth_zone_table
+from rsgislib_ray.sources.synth import synth_docs_batch, synth_docs_dataset
+from rsgislib_ray.stages.spans import parse_geom_spans, span_signature
+
+
+def test_span_invariant_through_flagship(ray_session):
+    docs = synth_docs_dataset(3000, override_num_blocks=5)
+    before = {}
+    for batch in docs.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        sigs = span_signature(batch)
+        for d, s in zip(batch["doc_id"].to_pylist(), sigs):
+            before[d] = int(s)
+
+    joined = flagship(docs, how="left")  # left keeps every doc
+    seen = {}
+    for batch in joined.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        sigs = span_signature(batch)
+        for d, s in zip(batch["doc_id"].to_pylist(), sigs):
+            seen.setdefault(d, set()).add(int(s))
+
+    assert set(seen) == set(before)
+    for d, sigset in seen.items():
+        assert sigset == {before[d]}, f"span sequence changed for {d}"
+
+
+def test_generation_partition_independent(ray_session):
+    a = (
+        synth_docs_dataset(2000, override_num_blocks=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        synth_docs_dataset(2000, override_num_blocks=13)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["spans"].map(str).tolist() == b["spans"].map(str).tolist()
+
+
+def test_join_results_partition_independent(ray_session):
+    zones = synth_zone_table(32)
+    outs = []
+    for blocks in (3, 11):
+        docs = synth_docs_dataset(4000, override_num_blocks=blocks)
+        j = flagship(docs, zones=zones).to_pandas()
+        outs.append(
+            sorted(zip(j["doc_id"], j["zone_fid"]))
+        )
+    assert outs[0] == outs[1]
+
+
+PARALLEL_SNIPPET = """
+import json, sys
+import ray
+ray.init(address="local", num_cpus={ncpu}, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, "/root/repo")
+from rsgislib_ray.pipelines.flagship import flagship, synth_zone_table
+from rsgislib_ray.sources.synth import synth_docs_dataset
+docs = synth_docs_dataset(5000)
+j = flagship(docs, zones=synth_zone_table(32)).to_pandas()
+pairs = sorted(zip(j["doc_id"], j["zone_fid"]))
+import hashlib
+print(hashlib.sha256(str(pairs).encode()).hexdigest())
+ray.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_parallelism_level_equality():
+    """The 2-CPU and 8-CPU runs (fresh processes) produce identical
+    join results — the sandbox stand-in for N vs 4N cluster equality."""
+    digests = []
+    for ncpu in (2, 8):
+        out = subprocess.run(
+            [sys.executable, "-c", PARALLEL_SNIPPET.format(ncpu=ncpu)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd="/root/repo",
+        ).stdout.strip().splitlines()[-1]
+        digests.append(out)
+    assert digests[0] == digests[1]

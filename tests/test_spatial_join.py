@@ -124,3 +124,39 @@ def test_partitioned_equals_broadcast(ray_session, sf_dir):
     ).to_pandas()
     part_pairs = sorted(zip(part["pt_row"], part["fid"]))
     assert bc_pairs == part_pairs
+
+
+def test_rect_fastpath_matches_ray_crossing(ray_session):
+    """Rectangle fast-path must equal points_in_ring exactly, including
+    boundary points (half-open edge rule)."""
+    import numpy as np
+    from rsgislib_ray.functions.geom import points_in_ring, rect_ring
+    from rsgislib_ray.stages.spatial_join import ZoneSet
+
+    rings = np.concatenate(
+        [rect_ring(2, 3, 8, 9), rect_ring(5, 5, 10, 10),
+         np.array([1.0, 1.0, 9.0, 2.0, 5.0, 9.0, 1.0, 1.0])]  # non-rect quad
+    )
+    tbl = pa.table(
+        {
+            "fid": pa.array([0, 1, 2], pa.int64()),
+            "ring_xy": pa.ListArray.from_arrays(
+                pa.array([0, 8, 16, 24]), pa.array(rings)
+            ),
+        }
+    )
+    zs = ZoneSet.from_table(tbl)
+    assert zs.is_rect.tolist() == [True, True, False]
+    rng = np.random.default_rng(0)
+    # mix random and exact-boundary points
+    px = np.concatenate([rng.uniform(0, 11, 500), [2.0, 8.0, 5.0, 2.0], [8.0]])
+    py = np.concatenate([rng.uniform(0, 11, 500), [3.0, 9.0, 5.0, 9.0], [3.0]])
+    tree = zs.build_tree()
+    pi, zi = zs.match_points(tree, px, py)
+    got = set(zip(pi.tolist(), zi.tolist()))
+    want = set()
+    for z in range(3):
+        ring = rings[8 * z : 8 * z + (8 if z < 2 else 8)]
+        inside = points_in_ring(px, py, ring)
+        want |= {(int(p), z) for p in np.flatnonzero(inside)}
+    assert got == want
