@@ -81,7 +81,7 @@ def flagship(
     tilespec: TileSpec = DEFAULT_TILESPEC,
     cell_level: int = CELL_LEVEL,
     how: str = "inner",
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """docs (doc_id, spans) -> parsed + cell/tile-tagged + zone-joined."""
     if zones is None:
@@ -105,7 +105,7 @@ def flagship_synth(
     zones: pa.Table | None = None,
     how: str = "inner",
     override_num_blocks: int | None = None,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return flagship(
         synth_docs_dataset(n_docs, override_num_blocks=override_num_blocks),

@@ -1101,3 +1101,272 @@ def q_clump_components(sf_dir: str):
         pa.table({"pixel_id": pid, "row": row, "col": col, "value": value})
     ).repartition(8)
     return clump(ds, tile_size=32).select_columns(["pixel_id", "comp_label"])
+
+
+# ===========================================================================
+# Sampling / splitting / thinning (SURVEY.md §2.6)
+# ===========================================================================
+
+
+@register(
+    "sample_points",
+    f"""
+    WITH pts AS ({td.SQL_PTS})
+    SELECT pt_id, x, y FROM pts
+    WHERE (pt_id * 2654435761) % 4294967296
+        < CAST(FLOOR(0.25 * 4294967296) AS BIGINT)
+    """,
+)
+def q_sample_points(sf_dir: str):
+    from rsgislib_ray.stages.sampling import hash_sample
+
+    return hash_sample(td.points_from_orders(sf_dir), "pt_id", 0.25)
+
+
+@register(
+    "train_test_split",
+    f"""
+    WITH pts AS ({td.SQL_PTS})
+    SELECT pt_id,
+      CASE WHEN (pt_id * 2654435761) % 4294967296
+                < CAST(FLOOR(0.8 * 4294967296) AS BIGINT)
+           THEN 'train' ELSE 'test' END AS split
+    FROM pts
+    """,
+)
+def q_train_test_split(sf_dir: str):
+    from rsgislib_ray.stages.sampling import hash_split
+
+    return hash_split(
+        td.points_from_orders(sf_dir), "pt_id", {"train": 0.8, "test": 0.2}
+    ).select_columns(["pt_id", "split"])
+
+
+@register(
+    "thin_points",
+    f"""
+    WITH pts AS ({td.SQL_PTS}),
+    keyed AS (
+      SELECT pt_id, x, y,
+        CASE WHEN x >= 0 AND x < 100 AND y >= 0 AND y < 100
+             THEN CAST(FLOOR(y / 3.125) AS BIGINT) * 32
+                + CAST(FLOOR(x / 3.125) AS BIGINT)
+             ELSE -1 END AS cell
+      FROM pts)
+    SELECT pt_id, x, y FROM keyed
+    WHERE pt_id IN (SELECT min(pt_id) FROM keyed GROUP BY cell)
+    """,
+)
+def q_thin_points(sf_dir: str):
+    from rsgislib_ray.stages.sampling import thin_by_cell
+
+    return thin_by_cell(td.points_from_orders(sf_dir), "pt_id", level=5)
+
+
+# ===========================================================================
+# Category proportions / multi-image pixel stats / layer predicates
+# ===========================================================================
+
+
+@register(
+    "zonal_cat_proportions",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    cc AS (
+      SELECT *, (cell_key * 7) % 4 AS cat FROM cells
+    ),
+    zones AS ({td.SQL_ZONES}),
+    j AS (
+      SELECT z.fid, c.cat FROM zones z JOIN cc c
+        ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+    ),
+    n AS (SELECT fid, cat, COUNT(*) AS n FROM j GROUP BY fid, cat),
+    t AS (SELECT fid, COUNT(*) AS tot FROM j GROUP BY fid)
+    SELECT n.fid, n.cat, n.n,
+      CAST(n.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prop
+    FROM n JOIN t ON n.fid = t.fid
+    """,
+)
+def q_zonal_cat_proportions(sf_dir: str):
+    """populate_rat_with_cat_proportions analog
+    (/root/reference/python/src/rastergis.cpp:1792)."""
+    import ray
+
+    from rsgislib_ray.stages.spatial_join import ZoneSet, broadcast_zones
+    from rsgislib_ray.stages.zonal import _segment_reduce  # noqa: F401
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def with_cat(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "cat", pa.array((batch["cell_key"].to_numpy() * 7) % 4)
+        )
+
+    cells = cells.map_batches(with_cat, batch_format="pyarrow")
+    zones_tbl = td.zones_from_part(sf_dir)
+    ref = broadcast_zones(zones_tbl)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        zs = ray.get(ref) if hasattr(ref, "hex") else ref
+        tree = getattr(partial, "_tree", None)
+        if tree is None:
+            tree = zs.build_tree()
+            partial._tree = tree
+        pi, zi = zs.match_points(
+            tree, batch["x"].to_numpy(), batch["y"].to_numpy()
+        )
+        if len(pi) == 0:
+            return pa.table(
+                {
+                    "fid": pa.array([], pa.int64()),
+                    "cat": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        cat = batch["cat"].to_numpy()[pi]
+        key = np.stack([zi, cat], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "fid": zs.fid[uniq[:, 0]],
+                "cat": uniq[:, 1],
+                "partial": counts.astype(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        cells.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["fid", "cat"])
+        .aggregate(Sum("partial", alias_name="n"))
+        .to_pandas()
+    )
+    tot = counts.groupby("fid")["n"].transform("sum")
+    counts["prop"] = counts["n"].to_numpy().astype(np.float64) / tot.to_numpy().astype(
+        np.float64
+    )
+    return pa.Table.from_pandas(counts, preserve_index=False)
+
+
+_PIXEL_IMGS_SQL = """
+    px AS (
+      SELECT r.range AS pixel_id,
+             r.range // 100 AS row_i, r.range % 100 AS col_i
+      FROM range(10000) r
+    ),
+    imgs AS (
+      SELECT pixel_id,
+        (row_i * 31 + col_i * 17) % 997 AS v1,
+        (row_i * 31 + col_i * 17 + 7) % 997 AS v2,
+        (row_i * 13 + col_i * 29) % 997 AS v3
+      FROM px
+    )
+"""
+
+
+@register(
+    "pixel_mode",
+    f"""
+    WITH {_PIXEL_IMGS_SQL}
+    SELECT pixel_id,
+      CASE WHEN v2 = v3 AND v1 <> v2 THEN v2
+           WHEN v1 = v2 OR v1 = v3 THEN v1
+           ELSE least(v1, v2, v3) END AS mode_val,
+      CASE WHEN v1 <= v2 AND v1 <= v3 THEN 1
+           WHEN v2 <= v3 THEN 2 ELSE 3 END AS argmin_idx
+    FROM imgs
+    """,
+)
+def q_pixel_mode(sf_dir: str):
+    """calc_imgs_pxl_mode + get_img_idx_for_stat analogs over three
+    formula rasters (imagecalc/__init__.py:1100, imagecalc.cpp:2331)."""
+    from rsgislib_ray.functions.arrayops import row_argmin_first, row_mode_min
+
+    def gen(batch: pa.Table) -> pa.Table:
+        pid = batch["id"].to_numpy()
+        row, col = np.divmod(pid, 100)
+        v1 = (row * 31 + col * 17) % 997
+        v2 = (row * 31 + col * 17 + 7) % 997
+        v3 = (row * 13 + col * 29) % 997
+        return pa.table(
+            {
+                "pixel_id": pid,
+                "mode_val": row_mode_min([v1, v2, v3]),
+                "argmin_idx": row_argmin_first([v1, v2, v3]),
+            }
+        )
+
+    return ray.data.range(10000).map_batches(gen, batch_format="pyarrow")
+
+
+@register(
+    "layers_intersect",
+    f"""
+    WITH pts AS ({td.SQL_PTS}), zones AS ({td.SQL_ZONES})
+    SELECT EXISTS (
+      SELECT 1 FROM pts p JOIN zones z ON {_JOIN_ON}
+    ) AS intersects
+    """,
+)
+def q_layers_intersect(sf_dir: str):
+    """vec_intersects_vec boolean layer predicate
+    (/root/reference/python/rsgislib/vectorgeoms/__init__.py:2670):
+    early-exit any-match via per-batch partial ORs."""
+    from rsgislib_ray.stages.spatial_join import spatial_join_points
+
+    semi = spatial_join_points(
+        td.points_from_orders(sf_dir), td.zones_from_part(sf_dir), how="semi"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"any": [bool(pc.any(batch["in_zone"]).as_py())]}
+        )
+
+    parts = semi.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({"intersects": [bool(parts["any"].any())]})
+
+
+# ===========================================================================
+# String / date column ops (SURVEY.md §2.8)
+# ===========================================================================
+
+
+@register(
+    "name_col",
+    f"""
+    WITH zones AS ({td.SQL_ZONES})
+    SELECT fid, 'zone_' || lpad(CAST(fid AS VARCHAR), 6, '0') AS zone_name
+    FROM zones
+    """,
+)
+def q_name_col(sf_dir: str):
+    """create_name_col concat/zero-pad
+    (/root/reference/python/rsgislib/vectorattrs/__init__.py:453)."""
+    zones = td.zones_from_part(sf_dir)
+    fid = zones["fid"].to_numpy()
+    names = np.array([f"zone_{f:06d}" for f in fid], dtype=object)
+    return pa.table({"fid": fid, "zone_name": pa.array(names, pa.string())})
+
+
+@register(
+    "date_col",
+    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS order_month "
+    "FROM orders",
+)
+def q_date_col(sf_dir: str):
+    """create_date_col (vectorattrs/__init__.py:1839) via Arrow strftime."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "order_month": pc.strftime(batch["o_orderdate"], format="%Y-%m"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

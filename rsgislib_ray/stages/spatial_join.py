@@ -155,11 +155,110 @@ class ZoneSet:
         return cand_pt[ok], cand_zone[ok]
 
 
+# Per-worker-process cache of broadcast state (ZoneSet + its STRtree).
+# Stateless map_batches TASKS run in pre-warmed worker processes and hit
+# this cache, avoiding the actor-pool alternative's fresh-process spawn
+# + import cost per execution; semantics are identical (state built once
+# per process, batches streamed through).
+_STATE_CACHE: dict = {}
+
+
+def _zone_state(zones_ref):
+    key = zones_ref.hex() if hasattr(zones_ref, "hex") else id(zones_ref)
+    st = _STATE_CACHE.get(key)
+    if st is None:
+        zs = ray.get(zones_ref) if hasattr(zones_ref, "hex") else zones_ref
+        st = (zs, zs.build_tree())
+        _STATE_CACHE[key] = st
+    return st
+
+
+def _zone_cols(
+    zones: ZoneSet, zone_idx: np.ndarray, zone_prefix: str, n_null_tail: int = 0
+) -> list[tuple[str, pa.Array]]:
+    cols = [
+        (
+            f"{zone_prefix}fid",
+            pa.concat_arrays(
+                [
+                    pa.array(zones.fid[zone_idx], type=pa.int64()),
+                    pa.nulls(n_null_tail, pa.int64()),
+                ]
+            )
+            if n_null_tail
+            else pa.array(zones.fid[zone_idx], type=pa.int64()),
+        )
+    ]
+    if zones.attrs is not None:
+        taken = zones.attrs.take(pa.array(zone_idx, type=pa.int64()))
+        for name in taken.column_names:
+            col = taken[name].combine_chunks()
+            if n_null_tail:
+                col = pa.concat_arrays([col, pa.nulls(n_null_tail, col.type)])
+            cols.append((f"{zone_prefix}{name}", col))
+    return cols
+
+
+def _join_batch(
+    zones: ZoneSet,
+    tree: STRtree,
+    batch: pa.Table,
+    how: str,
+    x_col: str,
+    y_col: str,
+    zone_prefix: str,
+    flag_col: str,
+) -> pa.Table:
+    px = batch[x_col].to_numpy()
+    py = batch[y_col].to_numpy()
+    pt_idx, zone_idx = zones.match_points(tree, px, py)
+
+    if how == "semi" or how == "anti":
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[pt_idx] = True
+        if how == "anti":
+            return batch.filter(pa.array(~matched))
+        return batch.append_column(flag_col, pa.array(matched))
+
+    if how == "inner":
+        out = batch.take(pa.array(pt_idx, type=pa.int64()))
+        for name, col in _zone_cols(zones, zone_idx, zone_prefix):
+            out = out.append_column(name, col)
+        return out
+
+    if how == "left":
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[pt_idx] = True
+        un = np.flatnonzero(~matched)
+        order = np.concatenate([pt_idx, un])
+        out = batch.take(pa.array(order, type=pa.int64()))
+        for name, col in _zone_cols(zones, zone_idx, zone_prefix, len(un)):
+            out = out.append_column(name, col)
+        return out
+
+    raise ValueError(f"unsupported how={how!r}")
+
+
+def _pip_join_task(
+    batch: pa.Table,
+    zones_ref=None,
+    how: str = "inner",
+    x_col: str = "x",
+    y_col: str = "y",
+    zone_prefix: str = "",
+    flag_col: str = "in_zone",
+) -> pa.Table:
+    zones, tree = _zone_state(zones_ref)
+    return _join_batch(zones, tree, batch, how, x_col, y_col, zone_prefix, flag_col)
+
+
 class PIPJoin:
     """Actor-pool stage: point batches -> joined batches.
 
     State (packed zones + STRtree) is built once per actor from the
     broadcast ObjectRef; ``__call__`` is pure vectorized numpy/Arrow.
+    (The task-pool variant ``_pip_join_task`` shares the same kernel
+    via the per-process cache.)
     """
 
     def __init__(
@@ -179,58 +278,17 @@ class PIPJoin:
         self.zone_prefix = zone_prefix
         self.flag_col = flag_col
 
-    def _zone_cols(self, zone_idx: np.ndarray, n_null_tail: int = 0) -> list[tuple[str, pa.Array]]:
-        cols = [
-            (
-                f"{self.zone_prefix}fid",
-                pa.concat_arrays(
-                    [
-                        pa.array(self.zones.fid[zone_idx], type=pa.int64()),
-                        pa.nulls(n_null_tail, pa.int64()),
-                    ]
-                )
-                if n_null_tail
-                else pa.array(self.zones.fid[zone_idx], type=pa.int64()),
-            )
-        ]
-        if self.zones.attrs is not None:
-            taken = self.zones.attrs.take(pa.array(zone_idx, type=pa.int64()))
-            for name in taken.column_names:
-                col = taken[name].combine_chunks()
-                if n_null_tail:
-                    col = pa.concat_arrays([col, pa.nulls(n_null_tail, col.type)])
-                cols.append((f"{self.zone_prefix}{name}", col))
-        return cols
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        px = batch[self.x_col].to_numpy()
-        py = batch[self.y_col].to_numpy()
-        pt_idx, zone_idx = self.zones.match_points(self.tree, px, py)
-
-        if self.how == "semi" or self.how == "anti":
-            matched = np.zeros(len(batch), dtype=bool)
-            matched[pt_idx] = True
-            if self.how == "anti":
-                return batch.filter(pa.array(~matched))
-            return batch.append_column(self.flag_col, pa.array(matched))
-
-        if self.how == "inner":
-            out = batch.take(pa.array(pt_idx, type=pa.int64()))
-            for name, col in self._zone_cols(zone_idx):
-                out = out.append_column(name, col)
-            return out
-
-        if self.how == "left":
-            matched = np.zeros(len(batch), dtype=bool)
-            matched[pt_idx] = True
-            un = np.flatnonzero(~matched)
-            order = np.concatenate([pt_idx, un])
-            out = batch.take(pa.array(order, type=pa.int64()))
-            for name, col in self._zone_cols(zone_idx, n_null_tail=len(un)):
-                out = out.append_column(name, col)
-            return out
-
-        raise ValueError(f"unsupported how={self.how!r}")
+        return _join_batch(
+            self.zones,
+            self.tree,
+            batch,
+            self.how,
+            self.x_col,
+            self.y_col,
+            self.zone_prefix,
+            self.flag_col,
+        )
 
 
 def broadcast_zones(zones_tbl: pa.Table, attr_cols: list[str] | None = None):
@@ -247,21 +305,36 @@ def spatial_join_points(
     x_col: str = "x",
     y_col: str = "y",
     zone_prefix: str = "",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 32768,
 ) -> ray.data.Dataset:
-    """Broadcast spatial join: stream point batches through an actor
-    pool holding the zone STRtree. No shuffle."""
+    """Broadcast spatial join: stream point batches through workers
+    holding the zone STRtree (built once per worker process from the
+    broadcast ref). No shuffle.
+
+    Default is the stateless-task path (pre-warmed worker processes,
+    per-process state cache — no actor spawn latency). Pass
+    ``concurrency`` to force a fixed actor pool instead, e.g. when the
+    zone state is so large that the scheduler must pin it to dedicated
+    actors."""
     ref = broadcast_zones(zones_tbl, attr_cols)
+    kwargs = {
+        "zones_ref": ref,
+        "how": how,
+        "x_col": x_col,
+        "y_col": y_col,
+        "zone_prefix": zone_prefix,
+    }
+    if concurrency is None:
+        return points.map_batches(
+            _pip_join_task,
+            fn_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return points.map_batches(
         PIPJoin,
-        fn_constructor_kwargs={
-            "zones_ref": ref,
-            "how": how,
-            "x_col": x_col,
-            "y_col": y_col,
-            "zone_prefix": zone_prefix,
-        },
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
