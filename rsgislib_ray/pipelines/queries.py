@@ -1370,3 +1370,142 @@ def q_date_col(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ===========================================================================
+# Global / bbox-scoped stats, histograms, percentiles
+# ===========================================================================
+
+
+@register(
+    "stats_in_bbox",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    f AS (SELECT * FROM cells
+          WHERE x >= 25.0 AND x < 75.0 AND y >= 25.0 AND y < 75.0)
+    SELECT COUNT(*) AS n,
+      CAST(MIN(val_cents) AS DOUBLE) / 100.0 AS min,
+      CAST(MAX(val_cents) AS DOUBLE) / 100.0 AS max,
+      (CAST(CAST(SUM(val_cents) AS BIGINT) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE)) / 100.0 AS mean
+    FROM f
+    """,
+)
+def q_stats_in_bbox(sf_dir: str):
+    """get_img_band_stats_in_env (imagecalc.cpp:2125): bbox filter +
+    global aggregate from exact integer partials."""
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        keep = (x >= 25.0) & (x < 75.0) & (y >= 25.0) & (y < 75.0)
+        v = batch["val_cents"].to_numpy()[keep]
+        if len(v) == 0:
+            return pa.table(
+                {"n": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"n": [len(v)], "s": [int(v.sum())], "mn": [int(v.min())],
+             "mx": [int(v.max())]}
+        )
+
+    p = cells.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    s = int(p["s"].sum())
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "min": [float(p["mn"].min()) / 100.0],
+            "max": [float(p["mx"].max()) / 100.0],
+            "mean": [(float(s) / float(n)) / 100.0],
+        }
+    )
+
+
+@register(
+    "value_histogram",
+    f"""
+    WITH cells AS ({td.SQL_CELLS})
+    SELECT CAST(FLOOR(CAST(qty AS DOUBLE) / 5.0) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM cells GROUP BY bin
+    """,
+)
+def q_value_histogram(sf_dir: str):
+    """calc_histograms (imagecalc/__init__.py:954 family): fixed-width
+    binning, per-batch partial counts, tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = np.floor(batch["qty"].to_numpy().astype(np.float64) / 5.0).astype(
+            np.int64
+        )
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bin": u, "partial": c.astype(np.int64)})
+
+    return (
+        cells.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bin")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
+@register(
+    "zonal_percentiles",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}), zones AS ({td.SQL_ZONES}),
+    j AS (
+      SELECT z.fid, c.qty FROM zones z JOIN cells c
+        ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+    ),
+    agg AS (
+      SELECT fid, quantile_cont(qty, 0.25) AS p25,
+                  quantile_cont(qty, 0.75) AS p75
+      FROM j GROUP BY fid
+    )
+    SELECT z.fid,
+      COALESCE(CAST(a.p25 AS DOUBLE), -9999.0) AS p25,
+      COALESCE(CAST(a.p75 AS DOUBLE), -9999.0) AS p75
+    FROM zones z LEFT JOIN agg a ON z.fid = a.fid
+    """,
+)
+def q_zonal_percentiles(sf_dir: str):
+    """populate_rat_with_percentiles (rastergis.cpp:1767) via exact
+    per-zone histograms + numpy-linear interpolation."""
+    from rsgislib_ray.stages.zonal import zonal_stats
+
+    return zonal_stats(
+        td.cells_from_lineitem(sf_dir),
+        td.zones_from_part(sf_dir),
+        "qty",
+        stats=("p25", "p75"),
+    )
+
+
+@register("media_decode", None)  # stubbed codec; plumbing is real
+def q_media_decode(sf_dir: str):
+    from rsgislib_ray.pipelines.flagship import docs_from_documents_table
+    from rsgislib_ray.stages.media import decode_media
+
+    out = decode_media(docs_from_documents_table(sf_dir))
+    return out.select_columns(["doc_id", "span_pos", "media_ref", "img_mean"])
+
+
+@register("clump_summary", None)
+def q_clump_summary(sf_dir: str):
+    """components_summary (RAT rows: clump size/extent/centroid,
+    rastergis.cpp:1692,1710) over the deterministic label raster."""
+    from rsgislib_ray.stages.polygonize import clump, components_summary
+
+    n = 120
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    value = ((row // 6 + col // 6) % 3).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"pixel_id": pid, "row": row, "col": col, "value": value})
+    ).repartition(8)
+    return components_summary(clump(ds, tile_size=32))

@@ -145,8 +145,15 @@ def zonal_stats(
     the natural unit when the value column is pre-scaled to integers
     (e.g. cents -> value_scale=100)."""
     want_moments = [s for s in stats if s in MOMENT_STATS]
-    want_order = [s for s in stats if s in ORDER_STATS]
-    unknown = set(stats) - set(MOMENT_STATS) - set(ORDER_STATS)
+    # order stats: mode / median / pNN percentiles (numpy-linear
+    # interpolation over the exact per-zone histogram — the reference's
+    # exact-histogram percentile model, RSGISPopRATWithStats.cpp:513-558)
+    want_order = [
+        s
+        for s in stats
+        if s in ORDER_STATS or (s.startswith("p") and s[1:].isdigit())
+    ]
+    unknown = set(stats) - set(MOMENT_STATS) - set(want_order)
     if unknown:
         raise ValueError(f"unknown stats: {unknown}")
     ref = broadcast_zones(zones_tbl)
@@ -231,6 +238,11 @@ def zonal_stats(
             .sort_values(["fid", "val"])
             .reset_index(drop=True)
         )
+        pcts = [
+            (s, float(s[1:]) / 100.0)
+            for s in want_order
+            if s.startswith("p") and s[1:].isdigit()
+        ]
         rows = []
         for fid, g in vc.groupby("fid", sort=True):
             vals = g["val"].to_numpy()
@@ -247,8 +259,21 @@ def zonal_stats(
                 lo = float(vals[np.searchsorted(cum, k)])
                 hi = float(vals[np.searchsorted(cum, k + 1)])
                 median = (lo + hi) / 2.0
-            rows.append((int(fid), mode / value_scale, median / value_scale))
-        ords = pd.DataFrame(rows, columns=["fid", "mode", "median"])
+            rec = [int(fid), mode / value_scale, median / value_scale]
+            for _name, q in pcts:
+                # numpy-linear: pos = (n-1)*q over the expanded multiset,
+                # read order stats from the histogram without expanding
+                pos = (total - 1) * q
+                lo_i = int(np.floor(pos))
+                hi_i = int(np.ceil(pos))
+                lo_v = float(vals[np.searchsorted(cum, lo_i + 1)])
+                hi_v = float(vals[np.searchsorted(cum, hi_i + 1)])
+                frac = pos - lo_i
+                rec.append((lo_v + (hi_v - lo_v) * frac) / value_scale)
+            rows.append(tuple(rec))
+        ords = pd.DataFrame(
+            rows, columns=["fid", "mode", "median"] + [s for s, _ in pcts]
+        )
         base = base.merge(ords[["fid"] + want_order], on="fid", how="left")
 
     for c in list(want_moments) + list(want_order):
