@@ -82,7 +82,9 @@ SQL_BASE_PTS = (
 
 def points_from_orders(sf_dir: str) -> ray.data.Dataset:
     """Point layer derived from orders (one point per order)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).repartition(32)
 
     def derive(batch: pa.Table) -> pa.Table:
         k = batch["o_orderkey"].to_numpy()
@@ -135,7 +137,10 @@ def cells_from_lineitem(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
-    )
+        # the driver tables are single-file/single-row-group parquet, so
+        # the read is unsplittable: repartition (block split, no shuffle)
+        # so the fused derive->partial chains parallelize across CPUs
+    ).repartition(64)
 
     def derive(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy()
@@ -173,7 +178,9 @@ def targets_from_supplier(sf_dir: str) -> pa.Table:
 
 def base_points_from_customer(sf_dir: str) -> ray.data.Dataset:
     """kNN base point layer from customer."""
-    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).repartition(16)
 
     def derive(batch: pa.Table) -> pa.Table:
         k = batch["c_custkey"].to_numpy()

@@ -225,46 +225,91 @@ class KNNJoin:
         self.strategy = strategy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        px = batch[self.x_col].to_numpy().astype(np.float64)
-        py = batch[self.y_col].to_numpy().astype(np.float64)
-        if self.strategy == "grid" and self.idx.grid_level is not None:
-            d, i, tie = _topk_grid(px, py, self.idx, self.k)
-        else:
-            d, i, tie = _topk_brute(px, py, self.idx, self.k)
-        if self.tie == "error" and self.k == 1 and tie.any():
-            bad = int(np.flatnonzero(tie)[0])
-            raise KNNTieError(
-                f"point row {bad} has two targets at identical distance "
-                "(reference raises; pass tie='lowest' for deterministic "
-                "lowest-id tiebreak)"
+        return _knn_batch(
+            self.idx,
+            batch,
+            self.k,
+            self.x_col,
+            self.y_col,
+            self.prefix,
+            self.tie,
+            self.tolerance,
+            self.strategy,
+        )
+
+
+def _knn_batch(
+    idx: _TargetIndex,
+    batch: pa.Table,
+    k: int,
+    x_col: str,
+    y_col: str,
+    prefix: str,
+    tie: str,
+    tolerance: float | None,
+    strategy: str,
+) -> pa.Table:
+    px = batch[x_col].to_numpy().astype(np.float64)
+    py = batch[y_col].to_numpy().astype(np.float64)
+    if strategy == "auto":
+        strategy = (
+            "grid" if (idx.grid_level is not None and len(idx.ids) > 20000) else "brute"
+        )
+    if strategy == "grid" and idx.grid_level is not None:
+        d, i, tie_flags = _topk_grid(px, py, idx, k)
+    else:
+        d, i, tie_flags = _topk_brute(px, py, idx, k)
+    if tie == "error" and k == 1 and tie_flags.any():
+        bad = int(np.flatnonzero(tie_flags)[0])
+        raise KNNTieError(
+            f"point row {bad} has two targets at identical distance "
+            "(reference raises; pass tie='lowest' for deterministic "
+            "lowest-id tiebreak)"
+        )
+    B, kk = d.shape
+    rows = np.repeat(np.arange(B, dtype=np.int64), kk)
+    rank = np.tile(np.arange(kk, dtype=np.int64), B)
+    tpos = i.ravel()
+    dist_sq = d.ravel()
+    valid = tpos >= 0
+    if tolerance is not None:
+        valid &= dist_sq <= tolerance * tolerance
+    rows, rank, tpos, dist_sq = (
+        rows[valid],
+        rank[valid],
+        tpos[valid],
+        dist_sq[valid],
+    )
+    out = batch.take(pa.array(rows, type=pa.int64()))
+    out = out.append_column(f"{prefix}rank", pa.array(rank + 1))
+    out = out.append_column(
+        f"{prefix}id", pa.array(idx.ids[tpos], type=pa.int64())
+    )
+    out = out.append_column(f"{prefix}dist_sq", pa.array(dist_sq))
+    if idx.attrs is not None:
+        taken = idx.attrs.take(pa.array(tpos, type=pa.int64()))
+        for name in taken.column_names:
+            out = out.append_column(
+                f"{prefix}{name}", taken[name].combine_chunks()
             )
-        B, kk = d.shape
-        rows = np.repeat(np.arange(B, dtype=np.int64), kk)
-        rank = np.tile(np.arange(kk, dtype=np.int64), B)
-        tpos = i.ravel()
-        dist_sq = d.ravel()
-        valid = tpos >= 0
-        if self.tolerance is not None:
-            valid &= dist_sq <= self.tolerance * self.tolerance
-        rows, rank, tpos, dist_sq = (
-            rows[valid],
-            rank[valid],
-            tpos[valid],
-            dist_sq[valid],
-        )
-        out = batch.take(pa.array(rows, type=pa.int64()))
-        out = out.append_column(f"{self.prefix}rank", pa.array(rank + 1))
-        out = out.append_column(
-            f"{self.prefix}id", pa.array(self.idx.ids[tpos], type=pa.int64())
-        )
-        out = out.append_column(f"{self.prefix}dist_sq", pa.array(dist_sq))
-        if self.idx.attrs is not None:
-            taken = self.idx.attrs.take(pa.array(tpos, type=pa.int64()))
-            for name in taken.column_names:
-                out = out.append_column(
-                    f"{self.prefix}{name}", taken[name].combine_chunks()
-                )
-        return out
+    return out
+
+
+def _knn_task(
+    batch: pa.Table,
+    targets_ref=None,
+    k: int = 1,
+    x_col: str = "x",
+    y_col: str = "y",
+    prefix: str = "nn_",
+    tie: str = "error",
+    tolerance: float | None = None,
+    strategy: str = "auto",
+) -> pa.Table:
+    from rsgislib_ray.state.broadcast import cached
+
+    idx = cached(targets_ref)
+    return _knn_batch(idx, batch, k, x_col, y_col, prefix, tie, tolerance, strategy)
 
 
 def broadcast_targets(
@@ -297,8 +342,8 @@ def knn_join(
 ) -> ray.data.Dataset:
     ref = broadcast_targets(targets_tbl, id_col, target_x, target_y, attr_cols)
     return points.map_batches(
-        KNNJoin,
-        fn_constructor_kwargs={
+        _knn_task,
+        fn_kwargs={
             "targets_ref": ref,
             "k": k,
             "x_col": x_col,
@@ -310,7 +355,6 @@ def knn_join(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -331,25 +375,22 @@ def radius_count(
     ref = broadcast_targets(targets_tbl, id_col, x_col, y_col, grid_level=None)
     r_sq = radius * radius
 
-    class Count:
-        def __init__(self):
-            self.idx: _TargetIndex = ray.get(ref) if hasattr(ref, "hex") else ref
+    def count_batch(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            px = batch[x_col].to_numpy().astype(np.float64)
-            py = batch[y_col].to_numpy().astype(np.float64)
-            T = len(self.idx.tx)
-            out = np.zeros(len(px), dtype=np.int64)
-            step = max(1, _CHUNK_ELEMS // max(T, 1))
-            for s in range(0, len(px), step):
-                e = min(len(px), s + step)
-                dx = px[s:e, None] - self.idx.tx[None, :]
-                dy = py[s:e, None] - self.idx.ty[None, :]
-                out[s:e] = ((dx * dx + dy * dy) <= r_sq).sum(axis=1)
-            if exclude_self:
-                out -= 1
-            return batch.append_column(out_col, pa.array(out))
+        idx: _TargetIndex = cached(ref)
+        px = batch[x_col].to_numpy().astype(np.float64)
+        py = batch[y_col].to_numpy().astype(np.float64)
+        T = len(idx.tx)
+        out = np.zeros(len(px), dtype=np.int64)
+        step = max(1, _CHUNK_ELEMS // max(T, 1))
+        for s in range(0, len(px), step):
+            e = min(len(px), s + step)
+            dx = px[s:e, None] - idx.tx[None, :]
+            dy = py[s:e, None] - idx.ty[None, :]
+            out[s:e] = ((dx * dx + dy * dy) <= r_sq).sum(axis=1)
+        if exclude_self:
+            out -= 1
+        return batch.append_column(out_col, pa.array(out))
 
-    return points.map_batches(
-        Count, batch_format="pyarrow", batch_size=16384, concurrency=concurrency
-    )
+    return points.map_batches(count_batch, batch_format="pyarrow", batch_size=16384)

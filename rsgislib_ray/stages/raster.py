@@ -96,25 +96,24 @@ def extract_point_values(
     ``out_no_data`` (zonalstats/__init__.py:1562-1586).
     """
 
-    class Extract:
-        def __init__(self):
-            self.values = ray.get(values_ref) if hasattr(values_ref, "hex") else values_ref
+    from rsgislib_ray.state.broadcast import cached
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col, row, in_img = grid.pixel_of(
-                batch[x_col].to_numpy(), batch[y_col].to_numpy()
-            )
-            pid = grid.pixel_id(col, row)
-            val = self.values[np.where(in_img, pid, 0)]
-            out = np.where(in_img, val, out_no_data)
-            bad = ~in_img
-            if img_no_data is not None:
-                bad |= val == img_no_data
-            bad |= (val < min_thres) | (val > max_thres)
-            out = np.where(bad, out_no_data, out)
-            return batch.append_column(out_col, pa.array(out))
+    def extract(batch: pa.Table) -> pa.Table:
+        values = cached(values_ref)
+        col, row, in_img = grid.pixel_of(
+            batch[x_col].to_numpy(), batch[y_col].to_numpy()
+        )
+        pid = grid.pixel_id(col, row)
+        val = values[np.where(in_img, pid, 0)]
+        out = np.where(in_img, val, out_no_data)
+        bad = ~in_img
+        if img_no_data is not None:
+            bad |= val == img_no_data
+        bad |= (val < min_thres) | (val > max_thres)
+        out = np.where(bad, out_no_data, out)
+        return batch.append_column(out_col, pa.array(out))
 
-    return points.map_batches(Extract, batch_format="pyarrow", concurrency=(1, 8))
+    return points.map_batches(extract, batch_format="pyarrow")
 
 
 def rasterize_zones(
@@ -136,33 +135,29 @@ def rasterize_zones(
     """
     attr_np = zones_tbl[burn_attr].to_numpy() if burn_attr else None
     ref = broadcast_zones(zones_tbl)
+    from rsgislib_ray.state.broadcast import cached
 
-    class Burn:
-        def __init__(self):
-            zs = ray.get(ref) if hasattr(ref, "hex") else ref
-            self.zones: ZoneSet = zs
-            self.tree = zs.build_tree()
+    def burn_batch(batch: pa.Table) -> pa.Table:
+        zones, idx = cached(ref, lambda zs: (zs, zs.build_index()))
+        px = batch[x_col].to_numpy()
+        py = batch[y_col].to_numpy()
+        pi, zi = zones.match_points(idx, px, py)
+        burn = np.full(len(batch), background, dtype=np.float64)
+        if len(pi):
+            # last-wins by fid: order pairs by (pixel, fid) and keep
+            # the max-fid entry per pixel
+            fid = zones.fid[zi]
+            order = np.lexsort((fid, pi))
+            pi_o, zi_o = pi[order], zi[order]
+            last = np.concatenate([pi_o[1:] != pi_o[:-1], [True]])
+            sel_p, sel_z = pi_o[last], zi_o[last]
+            if attr_np is not None:
+                burn[sel_p] = attr_np[sel_z]
+            else:
+                burn[sel_p] = burn_val
+        return batch.append_column("burn", pa.array(burn))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            px = batch[x_col].to_numpy()
-            py = batch[y_col].to_numpy()
-            pi, zi = self.zones.match_points(self.tree, px, py)
-            burn = np.full(len(batch), background, dtype=np.float64)
-            if len(pi):
-                # last-wins by fid: order pairs by (pixel, fid) and keep
-                # the max-fid entry per pixel
-                fid = self.zones.fid[zi]
-                order = np.lexsort((fid, pi))
-                pi_o, zi_o = pi[order], zi[order]
-                last = np.concatenate([pi_o[1:] != pi_o[:-1], [True]])
-                sel_p, sel_z = pi_o[last], zi_o[last]
-                if attr_np is not None:
-                    burn[sel_p] = attr_np[sel_z]
-                else:
-                    burn[sel_p] = burn_val
-            return batch.append_column("burn", pa.array(burn))
-
-    return pixels.map_batches(Burn, batch_format="pyarrow", concurrency=(1, 8))
+    return pixels.map_batches(burn_batch, batch_format="pyarrow")
 
 
 def make_pixel_centers(grid: RasterGrid, override_num_blocks: int | None = None):

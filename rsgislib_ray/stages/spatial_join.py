@@ -129,13 +129,44 @@ class ZoneSet:
     def build_tree(self) -> STRtree:
         return STRtree(self.bounds)
 
+    def build_index(self):
+        """Default point-query index: flat cell-bucket (faster than the
+        STRtree for dense layers — one searchsorted per point batch).
+        Both index types expose ``query_points``; :meth:`match_points`
+        takes either."""
+        from rsgislib_ray.state.strtree import CellBucketIndex
+
+        return CellBucketIndex(self.bounds)
+
+    # Points per internal chunk: keeps candidate-pair temporaries in the
+    # tens-of-MB range so concurrent tasks don't blow worker heaps /
+    # thrash memory bandwidth (dense layers can produce >100 candidate
+    # pairs per point).
+    MATCH_CHUNK = 8192
+
     def match_points(
-        self, tree: STRtree, px: np.ndarray, py: np.ndarray
+        self, index, px: np.ndarray, py: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact (point_idx, zone_idx) matches: STRtree candidates
+        """Exact (point_idx, zone_idx) matches: index candidates
+        (CellBucketIndex or STRtree — anything with ``query_points``)
         refined by even-odd PIP (vectorized half-open compare for
-        rectangle rings, grouped ray-crossing for the rest)."""
-        cand_pt, cand_zone = tree.query_points(px, py)
+        rectangle rings, grouped ray-crossing for the rest). Chunked
+        over points to bound temporary memory."""
+        if len(px) <= self.MATCH_CHUNK:
+            return self._match_points_chunk(index, px, py)
+        outs_p = []
+        outs_z = []
+        for s in range(0, len(px), self.MATCH_CHUNK):
+            e = min(len(px), s + self.MATCH_CHUNK)
+            cp, cz = self._match_points_chunk(index, px[s:e], py[s:e])
+            outs_p.append(cp + s)
+            outs_z.append(cz)
+        return np.concatenate(outs_p), np.concatenate(outs_z)
+
+    def _match_points_chunk(
+        self, index, px: np.ndarray, py: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        cand_pt, cand_zone = index.query_points(px, py)
         if len(cand_pt) == 0:
             return cand_pt, cand_zone
         ok = np.empty(len(cand_pt), dtype=bool)
@@ -168,7 +199,7 @@ def _zone_state(zones_ref):
     st = _STATE_CACHE.get(key)
     if st is None:
         zs = ray.get(zones_ref) if hasattr(zones_ref, "hex") else zones_ref
-        st = (zs, zs.build_tree())
+        st = (zs, zs.build_index())
         _STATE_CACHE[key] = st
     return st
 
@@ -271,7 +302,7 @@ class PIPJoin:
         flag_col: str = "in_zone",
     ):
         self.zones: ZoneSet = ray.get(zones_ref) if hasattr(zones_ref, "hex") else zones_ref
-        self.tree = self.zones.build_tree()
+        self.tree = self.zones.build_index()
         self.how = how
         self.x_col = x_col
         self.y_col = y_col
@@ -359,26 +390,19 @@ def count_points_per_zone(
     """
     ref = broadcast_zones(zones_tbl)
 
-    class CountPIP(PIPJoin):
-        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
-            px = batch[self.x_col].to_numpy()
-            py = batch[self.y_col].to_numpy()
-            _, zone_idx = self.zones.match_points(self.tree, px, py)
-            counts = np.bincount(zone_idx, minlength=len(self.zones))
-            nz = np.flatnonzero(counts)
-            return pa.table(
-                {
-                    "fid": self.zones.fid[nz],
-                    "partial": counts[nz].astype(np.int64),
-                }
-            )
+    def count_partial(batch: pa.Table) -> pa.Table:
+        zones, idx = _zone_state(ref)
+        _, zone_idx = zones.match_points(
+            idx, batch[x_col].to_numpy(), batch[y_col].to_numpy()
+        )
+        counts = np.bincount(zone_idx, minlength=len(zones))
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"fid": zones.fid[nz], "partial": counts[nz].astype(np.int64)}
+        )
 
     partials = points.map_batches(
-        CountPIP,
-        fn_constructor_kwargs={"zones_ref": ref, "x_col": x_col, "y_col": y_col},
-        batch_format="pyarrow",
-        batch_size=65536,
-        concurrency=(1, 8),
+        count_partial, batch_format="pyarrow", batch_size=65536
     )
     import pandas as pd
 

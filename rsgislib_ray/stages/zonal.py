@@ -56,77 +56,118 @@ def _segment_reduce(zone_idx: np.ndarray, vals: np.ndarray):
     return uz, cnt.astype(np.int64), s, sq, mn, mx
 
 
-class _ZonalMomentPartial:
-    def __init__(self, zones_ref, value_col: str, x_col: str, y_col: str):
-        self.zones: ZoneSet = (
-            ray.get(zones_ref) if hasattr(zones_ref, "hex") else zones_ref
-        )
-        self.tree = self.zones.build_tree()
-        self.value_col = value_col
-        self.x_col = x_col
-        self.y_col = y_col
+def _zone_index(zones_ref):
+    from rsgislib_ray.state.broadcast import cached
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        px = batch[self.x_col].to_numpy()
-        py = batch[self.y_col].to_numpy()
-        pi, zi = self.zones.match_points(self.tree, px, py)
+    return cached(zones_ref, lambda zs: (zs, zs.build_index()))
+
+
+def _moment_partial(
+    batch: pa.Table,
+    zones_ref=None,
+    value_col: str = "val",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> pa.Table:
+    """One partial row per zone touched by this batch.
+
+    Works in point-chunks and scatters each chunk's segment-reduce into
+    DENSE per-zone accumulators: temporaries stay ~MBs even when dense
+    zone layers yield >100 matches per point, so concurrent tasks don't
+    fight for memory bandwidth (measured 20x slowdown with whole-batch
+    sort+gather under 10-way concurrency). Integer accumulators keep
+    sums exact/associative.
+    """
+    zones, idx = _zone_index(zones_ref)
+    px = batch[x_col].to_numpy()
+    py = batch[y_col].to_numpy()
+    vals_all = batch[value_col].to_numpy()
+    nz = len(zones)
+    cnt_d = np.zeros(nz, dtype=np.int64)
+    s_d = np.zeros(nz, dtype=np.int64)
+    q_d = np.zeros(nz, dtype=np.int64)
+    mn_d = np.full(nz, np.iinfo(np.int64).max)
+    mx_d = np.full(nz, np.iinfo(np.int64).min)
+    step = zones.MATCH_CHUNK
+    for cs in range(0, len(px), step):
+        ce = min(len(px), cs + step)
+        pi, zi = zones._match_points_chunk(idx, px[cs:ce], py[cs:ce])
         if len(pi) == 0:
-            return pa.table(
-                {
-                    "fid": pa.array([], pa.int64()),
-                    "cnt": pa.array([], pa.int64()),
-                    "sum_v": pa.array([], pa.int64()),
-                    "sumsq_v": pa.array([], pa.int64()),
-                    "min_v": pa.array([], pa.int64()),
-                    "max_v": pa.array([], pa.int64()),
-                }
-            )
-        vals = batch[self.value_col].to_numpy()[pi].astype(np.int64)
+            continue
+        vals = vals_all[cs:ce][pi].astype(np.int64)
         uz, cnt, s, sq, mn, mx = _segment_reduce(zi, vals)
-        return pa.table(
-            {
-                "fid": self.zones.fid[uz],
-                "cnt": cnt,
-                "sum_v": s,
-                "sumsq_v": sq,
-                "min_v": mn,
-                "max_v": mx,
-            }
-        )
+        cnt_d[uz] += cnt
+        s_d[uz] += s
+        q_d[uz] += sq
+        mn_d[uz] = np.minimum(mn_d[uz], mn)
+        mx_d[uz] = np.maximum(mx_d[uz], mx)
+    hit = np.flatnonzero(cnt_d)
+    return pa.table(
+        {
+            "fid": zones.fid[hit],
+            "cnt": cnt_d[hit],
+            "sum_v": s_d[hit],
+            "sumsq_v": q_d[hit],
+            "min_v": mn_d[hit],
+            "max_v": mx_d[hit],
+        }
+    )
 
 
-class _ZonalValueCountPartial:
-    def __init__(self, zones_ref, value_col: str, x_col: str, y_col: str):
-        self.zones: ZoneSet = (
-            ray.get(zones_ref) if hasattr(zones_ref, "hex") else zones_ref
-        )
-        self.tree = self.zones.build_tree()
-        self.value_col = value_col
-        self.x_col = x_col
-        self.y_col = y_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        px = batch[self.x_col].to_numpy()
-        py = batch[self.y_col].to_numpy()
-        pi, zi = self.zones.match_points(self.tree, px, py)
+def _value_count_partial(
+    batch: pa.Table,
+    zones_ref=None,
+    value_col: str = "val",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> pa.Table:
+    zones, idx = _zone_index(zones_ref)
+    px = batch[x_col].to_numpy()
+    py = batch[y_col].to_numpy()
+    vals_all = batch[value_col].to_numpy()
+    # chunked (zone, value)-count reduction; chunk results are already
+    # reduced, so the final combine runs over far fewer rows
+    zs_parts = []
+    vs_parts = []
+    ns_parts = []
+    step = zones.MATCH_CHUNK
+    for cs in range(0, len(px), step):
+        ce = min(len(px), cs + step)
+        pi, zi = zones._match_points_chunk(idx, px[cs:ce], py[cs:ce])
         if len(pi) == 0:
-            return pa.table(
-                {
-                    "fid": pa.array([], pa.int64()),
-                    "val": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        vals = batch[self.value_col].to_numpy()[pi].astype(np.int64)
-        key = np.stack([zi, vals], axis=1)
-        uniq, counts = np.unique(key, axis=0, return_counts=True)
+            continue
+        vals = vals_all[cs:ce][pi].astype(np.int64)
+        order = np.lexsort((vals, zi))
+        z2 = zi[order]
+        v2 = vals[order]
+        new = np.concatenate([[True], (z2[1:] != z2[:-1]) | (v2[1:] != v2[:-1])])
+        starts = np.flatnonzero(new)
+        zs_parts.append(z2[starts])
+        vs_parts.append(v2[starts])
+        ns_parts.append(np.diff(np.concatenate([starts, [len(z2)]])))
+    if not zs_parts:
         return pa.table(
             {
-                "fid": self.zones.fid[uniq[:, 0]],
-                "val": uniq[:, 1],
-                "n": counts.astype(np.int64),
+                "fid": pa.array([], pa.int64()),
+                "val": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
             }
         )
+    z = np.concatenate(zs_parts)
+    v = np.concatenate(vs_parts)
+    n = np.concatenate(ns_parts)
+    order = np.lexsort((v, z))
+    z, v, n = z[order], v[order], n[order]
+    new = np.concatenate([[True], (z[1:] != z[:-1]) | (v[1:] != v[:-1])])
+    starts = np.flatnonzero(new)
+    ncomb = np.add.reduceat(n, starts)
+    return pa.table(
+        {
+            "fid": zones.fid[z[starts]],
+            "val": v[starts],
+            "n": ncomb.astype(np.int64),
+        }
+    )
 
 
 def zonal_stats(
@@ -162,8 +203,8 @@ def zonal_stats(
 
     if want_moments:
         partials = cells.map_batches(
-            _ZonalMomentPartial,
-            fn_constructor_kwargs={
+            _moment_partial,
+            fn_kwargs={
                 "zones_ref": ref,
                 "value_col": value_col,
                 "x_col": x_col,
@@ -171,24 +212,21 @@ def zonal_stats(
             },
             batch_format="pyarrow",
             batch_size=65536,
-            concurrency=concurrency,
         )
 
-        # Native partial-sum aggregate (vectorized shuffle combine) ->
-        # tiny per-zone table -> closed-form stats on the driver. The
-        # integer sums keep everything exact and order-independent.
-        from ray.data.aggregate import Max, Min, Sum
-
-        agg = (
-            partials.groupby("fid")
-            .aggregate(
-                Sum("cnt", alias_name="cnt"),
-                Sum("sum_v", alias_name="sum_v"),
-                Sum("sumsq_v", alias_name="sumsq_v"),
-                Min("min_v", alias_name="min_v"),
-                Max("max_v", alias_name="max_v"),
-            )
-            .to_pandas()
+        # Partial rows number (blocks x zones-touched) — small relative
+        # to the cell stream. Combine on the driver with one pandas
+        # groupby (exact integer sums, order-independent); this avoids
+        # a full Ray sort-shuffle whose fixed cost dominates at these
+        # partial sizes. (At extreme zone counts swap in the native
+        # groupby().aggregate(Sum/Min/Max) — semantics identical.)
+        pdf = partials.to_pandas()
+        agg = pdf.groupby("fid", as_index=False).agg(
+            cnt=("cnt", "sum"),
+            sum_v=("sum_v", "sum"),
+            sumsq_v=("sumsq_v", "sum"),
+            min_v=("min_v", "min"),
+            max_v=("max_v", "max"),
         )
         cnt = agg["cnt"].to_numpy().astype(np.int64)
         s = agg["sum_v"].to_numpy().astype(np.int64)
@@ -213,8 +251,8 @@ def zonal_stats(
 
     if want_order:
         partials = cells.map_batches(
-            _ZonalValueCountPartial,
-            fn_constructor_kwargs={
+            _value_count_partial,
+            fn_kwargs={
                 "zones_ref": ref,
                 "value_col": value_col,
                 "x_col": x_col,
@@ -222,19 +260,14 @@ def zonal_stats(
             },
             batch_format="pyarrow",
             batch_size=65536,
-            concurrency=concurrency,
         )
 
-        # Native (fid, val) count combine -> per-zone histograms are
-        # small by construction (exact-histogram percentile model,
-        # RSGISPopRATWithStats.cpp:513-558); finalize vectorized on the
-        # driver with one pandas pass over the sorted histogram table.
-        from ray.data.aggregate import Sum
-
+        # (fid, val) histograms are pre-reduced per batch; combine on
+        # the driver (exact counts) and finalize with one pandas pass.
         vc = (
-            partials.groupby(["fid", "val"])
-            .aggregate(Sum("n", alias_name="n"))
-            .to_pandas()
+            partials.to_pandas()
+            .groupby(["fid", "val"], as_index=False)["n"]
+            .sum()
             .sort_values(["fid", "val"])
             .reset_index(drop=True)
         )

@@ -37,6 +37,116 @@ def _str_order(bounds: np.ndarray, cap: int) -> np.ndarray:
     return order
 
 
+class CellBucketIndex:
+    """Flat grid-bucket index over item bboxes — the fast path for
+    point-in-bbox candidate generation on dense layers.
+
+    Each item is duplicated into every grid cell its bbox touches;
+    entries are sorted by cell key, so a point query is one
+    ``searchsorted`` + vectorized run expansion (no tree descent).
+    Memory = O(sum of per-item cell covers); the constructor picks the
+    cell size from the median item extent so duplication stays ~100x
+    bounded while false candidates stay within ~20% of true matches.
+    STRtree (below) remains for bbox-vs-bbox queries and sparse layers.
+    """
+
+    def __init__(
+        self,
+        bounds: np.ndarray,
+        level: int | None = None,
+        frame: tuple[float, float, float, float] | None = None,  # x0,y0,w,h
+    ):
+        bounds = np.ascontiguousarray(bounds, dtype=np.float64)
+        self.n_items = len(bounds)
+        if frame is None:
+            # Frame = union of item bboxes: any point outside it is
+            # outside EVERY item bbox, so dropping out-of-frame query
+            # points is exact (no candidate loss).
+            if self.n_items:
+                x0 = float(bounds[:, 0].min())
+                y0 = float(bounds[:, 2].min())
+                width = max(float(bounds[:, 1].max()) - x0, 1e-9)
+                height = max(float(bounds[:, 3].max()) - y0, 1e-9)
+            else:
+                x0 = y0 = 0.0
+                width = height = 1.0
+            frame = (x0, y0, width, height)
+        x0, y0, width, height = frame
+        self.x0, self.y0 = x0, y0
+        if self.n_items == 0:
+            self.level = level if level is not None else 0
+            n = 1 << self.level
+            self.n_side = n
+            self.cw = width / n
+            self.ch = height / n
+            self.sorted_key = np.empty(0, dtype=np.int64)
+            self.item_of = np.empty(0, dtype=np.int64)
+            return
+        if level is None:
+            med_w = float(np.median(bounds[:, 1] - bounds[:, 0]))
+            med_h = float(np.median(bounds[:, 3] - bounds[:, 2]))
+            med = max(min(med_w, med_h), 1e-9)
+            target = max(med / 8.0, width / 4096.0)
+            level = int(np.clip(np.floor(np.log2(width / target)), 0, 12))
+        self.level = level
+        n = 1 << level
+        self.n_side = n
+        self.cw = width / n
+        self.ch = height / n
+        c0 = np.clip(np.floor((bounds[:, 0] - x0) / self.cw), 0, n - 1).astype(
+            np.int64
+        )
+        c1 = np.clip(np.floor((bounds[:, 1] - x0) / self.cw), 0, n - 1).astype(
+            np.int64
+        )
+        r0 = np.clip(np.floor((bounds[:, 2] - y0) / self.ch), 0, n - 1).astype(
+            np.int64
+        )
+        r1 = np.clip(np.floor((bounds[:, 3] - y0) / self.ch), 0, n - 1).astype(
+            np.int64
+        )
+        w = c1 - c0 + 1
+        h = r1 - r0 + 1
+        counts = w * h
+        total = int(counts.sum())
+        item = np.repeat(np.arange(self.n_items, dtype=np.int64), counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        ww = w[item]
+        col = c0[item] + within % ww
+        row = r0[item] + within // ww
+        key = row * n + col
+        order = np.argsort(key, kind="stable")
+        self.sorted_key = key[order]
+        self.item_of = item[order]
+
+    def query_points(self, px: np.ndarray, py: np.ndarray):
+        """(point_idx, item_idx) candidate pairs: all items whose bbox
+        cover-cell contains the point's cell (superset of true bbox
+        containment; caller refines)."""
+        if self.n_items == 0 or len(px) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        n = self.n_side
+        col = np.floor((np.asarray(px) - self.x0) / self.cw)
+        row = np.floor((np.asarray(py) - self.y0) / self.ch)
+        ok = (col >= 0) & (col < n) & (row >= 0) & (row < n)
+        pts = np.flatnonzero(ok)
+        key = (row[pts] * n + col[pts]).astype(np.int64)
+        lo = np.searchsorted(self.sorted_key, key, side="left")
+        hi = np.searchsorted(self.sorted_key, key, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        q = np.repeat(pts, cnt)
+        base = np.repeat(lo, cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        return q, self.item_of[base + within]
+
+
 class STRtree:
     """Static packed R-tree over item bboxes.
 
