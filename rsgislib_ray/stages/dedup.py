@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from rsgislib_ray.functions.hashing import hash_strings, splitmix64
+from rsgislib_ray.functions.hashing import hash_combine, hash_strings, splitmix64
 from rsgislib_ray.functions.textstats import word_shingles
 
 _U = np.uint64
@@ -144,38 +144,78 @@ def minhash_lsh_candidates(
     n_perm: int = 128,
     n_bands: int = 16,
     shingle_k: int = 3,
-) -> ray.data.Dataset:
-    """Candidate near-dup pairs (doc_a < doc_b) from banded MinHash."""
+) -> pa.Table:
+    """Candidate near-dup pairs (doc_a != doc_b, star per bucket) from
+    banded MinHash.
+
+    Bucket pairing is SORT-based, not per-group map_groups (which pays
+    per-bucket Python overhead across tens of thousands of buckets):
+    sort band rows by bucket key, emit star pairs per sorted RUN inside
+    each block vectorized, and stitch runs that span block boundaries
+    by connecting the per-(block, bucket) minima on the driver (one row
+    per run — tiny). Connectivity is preserved: every bucket member
+    links to its block-run minimum, and the block minima of one bucket
+    link to each other.
+    """
 
     def to_bands(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy()
         sig = minhash_signatures(texts, n_perm, shingle_k)
-        return _band_rows(ids, sig, n_bands)
+        t = _band_rows(ids, sig, n_bands)
+        key = hash_combine(
+            t["band_id"].to_numpy().astype(np.uint64),
+            t["band_hash"].to_numpy().astype(np.uint64),
+        ).astype(np.int64)
+        return pa.table({"bucket": key, "doc_id": t["doc_id"]})
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow", batch_size=4096)
+    sorted_bands = bands.sort("bucket")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype=ids.dtype),
-                 "doc_b": pd.Series([], dtype=ids.dtype)}
+    def emit(batch: pa.Table) -> pa.Table:
+        k = batch["bucket"].to_numpy()
+        d = batch["doc_id"].to_numpy()
+        order = np.lexsort((d, k))
+        k2, d2 = k[order], d[order]
+        new = np.concatenate([[True], k2[1:] != k2[:-1]])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [len(k2)]]))
+        a = np.repeat(d2[starts], counts)
+        keep = a != d2
+        pairs_a = a[keep]
+        pairs_b = d2[keep]
+        # run summaries for cross-block stitching (kind=1 rows)
+        return pa.table(
+            {
+                "doc_a": np.concatenate([pairs_a, d2[starts]]),
+                "doc_b": np.concatenate([pairs_b, d2[starts]]),
+                "bucket": np.concatenate(
+                    [np.zeros(len(pairs_a), dtype=np.int64), k2[starts]]
+                ),
+                "is_summary": np.concatenate(
+                    [
+                        np.zeros(len(pairs_a), dtype=np.int8),
+                        np.ones(len(starts), dtype=np.int8),
+                    ]
+                ),
+            }
+        )
+
+    both = sorted_bands.map_batches(emit, batch_format="pyarrow").to_pandas()
+    pairs = both[both["is_summary"] == 0][["doc_a", "doc_b"]]
+    summ = both[both["is_summary"] == 1]
+    # connect per-block minima of the same bucket
+    extra = []
+    for _bucket, g in summ.groupby("bucket"):
+        mins = np.sort(g["doc_a"].unique())
+        if len(mins) > 1:
+            extra.append(
+                pd.DataFrame({"doc_a": mins[0], "doc_b": mins[1:]})
             )
-        # bucket members are near-dup candidates; emit the star around
-        # the minimum id (enough for connected-component clustering)
-        return pd.DataFrame({"doc_a": np.full(len(ids) - 1, ids[0]),
-                             "doc_b": ids[1:]})
-
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
-    )
-
-    def dedup_pairs(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return pairs.map_batches(dedup_pairs, batch_format="pyarrow")
+    if extra:
+        pairs = pd.concat([pairs] + extra, ignore_index=True)
+    pairs = pairs.drop_duplicates().reset_index(drop=True)
+    return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
 def minhash_dedup(
