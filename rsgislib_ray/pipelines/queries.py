@@ -1509,3 +1509,100 @@ def q_clump_summary(sf_dir: str):
         pa.table({"pixel_id": pid, "row": row, "col": col, "value": value})
     ).repartition(8)
     return components_summary(clump(ds, tile_size=32))
+
+
+@register(
+    "neighbor_mean_diff",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}), zones AS ({td.SQL_ZONES}),
+    j AS (
+      SELECT z.fid, c.val_cents FROM zones z JOIN cells c
+        ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+    ),
+    zm AS (
+      SELECT fid, CAST(SUM(val_cents) AS BIGINT) AS s, COUNT(*) AS c
+      FROM j GROUP BY fid
+    ),
+    nbr AS (
+      SELECT a.fid AS fid, b.fid AS nfid FROM zones a JOIN zones b
+        ON a.fid <> b.fid
+       AND a.xmax >= b.xmin AND a.xmin <= b.xmax
+       AND a.ymax >= b.ymin AND a.ymin <= b.ymax
+    ),
+    nm AS (
+      SELECT n.fid,
+        CAST(SUM(m.s) AS BIGINT) AS ss,
+        CAST(SUM(m.c) AS BIGINT) AS sc,
+        COUNT(*) AS n_neighbors
+      FROM nbr n JOIN zm m ON n.nfid = m.fid GROUP BY n.fid
+    )
+    SELECT z.fid,
+      COALESCE(nm.n_neighbors, 0) AS n_neighbors,
+      CASE WHEN zm.c IS NOT NULL AND nm.sc IS NOT NULL
+           THEN (CAST(zm.s AS DOUBLE) / CAST(zm.c AS DOUBLE))
+              - (CAST(nm.ss AS DOUBLE) / CAST(nm.sc AS DOUBLE))
+           ELSE -9999.0 END AS rel_diff
+    FROM zones z
+    LEFT JOIN zm ON z.fid = zm.fid
+    LEFT JOIN nm ON z.fid = nm.fid
+    """,
+)
+def q_neighbor_mean_diff(sf_dir: str):
+    """calc_rel_diff_neigh_stats analog
+    (/root/reference/python/src/rastergis.cpp:2003, neighbour machinery
+    src/rastergis/RSGISCalcNeighbourStats.cpp): per zone, own mean minus
+    the POOLED mean over bbox-adjacent zones (pooled = exact integer
+    sum/count across neighbors — associative, so results are identical
+    at any parallelism; a mean-of-means would be float-order
+    sensitive). Neighbor discovery = STRtree bbox-vs-bbox query over
+    the zone layer; per-zone sums come from the distributed zonal
+    aggregation.
+    """
+    from rsgislib_ray.stages.spatial_join import ZoneSet
+    from rsgislib_ray.stages.zonal import zonal_stats
+    from rsgislib_ray.state.strtree import STRtree
+
+    zones = td.zones_from_part(sf_dir)
+    zm = zonal_stats(
+        td.cells_from_lineitem(sf_dir), zones, "val_cents", stats=("count", "sum")
+    ).to_pandas()
+    zs = ZoneSet.from_table(zones)
+    tree = STRtree(zs.bounds)
+    qi, ti = tree.query_bboxes(zs.bounds)
+    keep = qi != ti
+    qi, ti = qi[keep], ti[keep]
+
+    fid_arr = zs.fid
+    zm_idx = zm.set_index("fid")
+    s_by_pos = zm_idx["sum"].loc[fid_arr].to_numpy()  # exact ints as float
+    c_by_pos = zm_idx["count"].loc[fid_arr].to_numpy().astype(np.int64)
+    pop = c_by_pos > 0
+    s_int = np.where(pop, s_by_pos, 0.0).astype(np.int64)
+
+    valid = pop[ti]
+    qi, ti = qi[valid], ti[valid]
+    order = np.argsort(qi, kind="stable")
+    qi, ti = qi[order], ti[order]
+    if len(qi):
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(qi)) + 1])
+        ss = np.add.reduceat(s_int[ti], starts)
+        sc = np.add.reduceat(c_by_pos[ti], starts)
+        ns = np.diff(np.concatenate([starts, [len(qi)]]))
+        uq = qi[starts]
+    else:
+        starts = ss = sc = ns = uq = np.empty(0, dtype=np.int64)
+
+    n_neighbors = np.zeros(len(fid_arr), dtype=np.int64)
+    nbr_s = np.zeros(len(fid_arr), dtype=np.int64)
+    nbr_c = np.zeros(len(fid_arr), dtype=np.int64)
+    n_neighbors[uq] = ns
+    nbr_s[uq] = ss
+    nbr_c[uq] = sc
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        own_mean = s_int.astype(np.float64) / c_by_pos.astype(np.float64)
+        nbr_mean = nbr_s.astype(np.float64) / nbr_c.astype(np.float64)
+    rel = np.where(pop & (nbr_c > 0), own_mean - nbr_mean, -9999.0)
+    return pa.table(
+        {"fid": fid_arr, "n_neighbors": n_neighbors, "rel_diff": rel}
+    )

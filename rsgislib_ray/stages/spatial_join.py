@@ -186,22 +186,15 @@ class ZoneSet:
         return cand_pt[ok], cand_zone[ok]
 
 
-# Per-worker-process cache of broadcast state (ZoneSet + its STRtree).
+# Per-worker-process cache of broadcast state (ZoneSet + its index).
 # Stateless map_batches TASKS run in pre-warmed worker processes and hit
 # this cache, avoiding the actor-pool alternative's fresh-process spawn
 # + import cost per execution; semantics are identical (state built once
-# per process, batches streamed through).
-_STATE_CACHE: dict = {}
-
-
+# per process, batches streamed through). LRU-capped in state.broadcast.
 def _zone_state(zones_ref):
-    key = zones_ref.hex() if hasattr(zones_ref, "hex") else id(zones_ref)
-    st = _STATE_CACHE.get(key)
-    if st is None:
-        zs = ray.get(zones_ref) if hasattr(zones_ref, "hex") else zones_ref
-        st = (zs, zs.build_index())
-        _STATE_CACHE[key] = st
-    return st
+    from rsgislib_ray.state.broadcast import cached
+
+    return cached(zones_ref, lambda zs: (zs, zs.build_index()))
 
 
 def _zone_cols(

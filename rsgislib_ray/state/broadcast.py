@@ -15,17 +15,24 @@ from typing import Any, Callable
 
 import ray
 
-_CACHE: dict = {}
+from collections import OrderedDict
+
+_CACHE: OrderedDict = OrderedDict()
+_MAX_ENTRIES = 4  # long sessions run many pipelines; evict old state
 
 
 def cached(ref, build: Callable[[Any], Any] | None = None):
-    """Return (and memoize) the broadcast value for this process.
-
-    ``build`` post-processes the fetched value once per process (e.g.
-    ``lambda zs: (zs, zs.build_index())``).
+    """Return (and memoize, LRU-capped) the broadcast value for this
+    process. ``build`` post-processes the fetched value once per
+    process (e.g. ``lambda zs: (zs, zs.build_index())``).
     """
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    if key not in _CACHE:
-        val = ray.get(ref) if hasattr(ref, "hex") else ref
-        _CACHE[key] = build(val) if build is not None else val
-    return _CACHE[key]
+    if key in _CACHE:
+        _CACHE.move_to_end(key)
+        return _CACHE[key]
+    val = ray.get(ref) if hasattr(ref, "hex") else ref
+    out = build(val) if build is not None else val
+    _CACHE[key] = out
+    while len(_CACHE) > _MAX_ENTRIES:
+        _CACHE.popitem(last=False)
+    return out
