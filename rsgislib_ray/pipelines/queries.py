@@ -1606,3 +1606,70 @@ def q_neighbor_mean_diff(sf_dir: str):
     return pa.table(
         {"fid": fid_arr, "n_neighbors": n_neighbors, "rel_diff": rel}
     )
+
+
+@register(
+    "overlay_intersect_pairs",
+    f"""
+    WITH zones AS ({td.SQL_ZONES})
+    SELECT a.fid AS fid_a, b.fid AS fid_b,
+      (least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+        * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)) AS inter_area
+    FROM zones a JOIN zones b
+      ON a.fid < b.fid
+     AND least(a.xmax, b.xmax) > greatest(a.xmin, b.xmin)
+     AND least(a.ymax, b.ymax) > greatest(a.ymin, b.ymin)
+    """,
+)
+def q_overlay_intersect_pairs(sf_dir: str):
+    """Geometric overlay intersection for the rectangle layer
+    (vectorgeoms overlay family, /root/reference/python/rsgislib/
+    vectorgeoms/__init__.py:1292): STRtree bbox self-join -> exact
+    rect-rect intersection areas (general polygon clipping is the
+    documented v2; rect-rect is exact here)."""
+    from rsgislib_ray.stages.spatial_join import ZoneSet
+    from rsgislib_ray.state.strtree import STRtree
+
+    zones = td.zones_from_part(sf_dir)
+    zs = ZoneSet.from_table(zones)
+    tree = STRtree(zs.bounds)
+    qi, ti = tree.query_bboxes(zs.bounds)
+    keep = zs.fid[qi] < zs.fid[ti]
+    qi, ti = qi[keep], ti[keep]
+    a = zs.bounds[qi]
+    b = zs.bounds[ti]
+    w = np.minimum(a[:, 1], b[:, 1]) - np.maximum(a[:, 0], b[:, 0])
+    h = np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 2], b[:, 2])
+    pos = (w > 0) & (h > 0)
+    return pa.table(
+        {
+            "fid_a": zs.fid[qi[pos]],
+            "fid_b": zs.fid[ti[pos]],
+            "inter_area": w[pos] * h[pos],
+        }
+    )
+
+
+@register("polygonize_rings", None)  # ring tracing: rows-only check
+def q_polygonize_rings(sf_dir: str):
+    from rsgislib_ray.stages.polygonize import clump, component_rings
+
+    n = 60
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    value = ((row // 6 + col // 6) % 3).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"pixel_id": pid, "row": row, "col": col, "value": value})
+    ).repartition(4)
+    rings = component_rings(clump(ds, tile_size=16))
+    # drop the variable-length ring for the hash check; keep size stats
+    import pyarrow.compute as _pc
+
+    return pa.table(
+        {
+            "comp_label": rings["comp_label"],
+            "value": rings["value"],
+            "n_pixels": rings["n_pixels"],
+            "ring_len": _pc.list_value_length(rings["ring_xy"]),
+        }
+    )

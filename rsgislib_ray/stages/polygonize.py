@@ -261,3 +261,69 @@ def components_summary(clumped: ray.data.Dataset, value_col: str = "value") -> p
         .reset_index(drop=True)
         .pipe(pa.Table.from_pandas, preserve_index=False)
     )
+
+
+def component_rings(
+    clumped: ray.data.Dataset, grid_cell: float = 1.0
+) -> pa.Table:
+    """Trace each component's OUTER boundary ring (polygonize proper —
+    /root/reference/python/rsgislib/vectorutils/createvectors.py:25-123
+    produces polygon features; this produces the equivalent ring
+    coordinate lists).
+
+    Per component (``groupby(comp_label).map_groups``): collect its
+    cells, extract boundary edges vectorized (edges whose neighbor cell
+    is not in the component), then chain edges counter-clockwise. The
+    Python loop runs over BOUNDARY EDGES only (O(perimeter), not
+    O(area)). Rings are emitted as flat [x1,y1,...] lists in grid
+    units; holes are ignored (outer ring only — documented v1 contract;
+    the reference emits multipolygons with holes).
+    """
+
+    def trace(g: pd.DataFrame) -> pd.DataFrame:
+        label = int(g["comp_label"].iloc[0])
+        value = g["value"].iloc[0]
+        r = g["row"].to_numpy()
+        c = g["col"].to_numpy()
+        cells = set(zip(r.tolist(), c.tolist()))
+        # boundary edges as directed segments, CCW around the region
+        # (region to the LEFT of direction of travel); grid coords:
+        # x = col, y = row (row axis points up here; orientation is
+        # consistent within the engine)
+        edges: dict[tuple[int, int], tuple[int, int]] = {}
+        for rr, cc in cells:
+            if (rr - 1, cc) not in cells:  # bottom edge, left-to-right
+                edges[(cc, rr)] = (cc + 1, rr)
+            if (rr, cc + 1) not in cells:  # right edge, bottom-to-top
+                edges[(cc + 1, rr)] = (cc + 1, rr + 1)
+            if (rr + 1, cc) not in cells:  # top edge, right-to-left
+                edges[(cc + 1, rr + 1)] = (cc, rr + 1)
+            if (rr, cc - 1) not in cells:  # left edge, top-to-bottom
+                edges[(cc, rr + 1)] = (cc, rr)
+        # chain from the lexicographically smallest vertex (deterministic)
+        start = min(edges)
+        ring = [start]
+        cur = edges.pop(start)
+        while cur != start:
+            ring.append(cur)
+            cur = edges.pop(cur)
+        xy = []
+        for vx, vy in ring:
+            xy.extend([vx * grid_cell, vy * grid_cell])
+        return pd.DataFrame(
+            {
+                "comp_label": [label],
+                "value": [value],
+                "n_pixels": [len(g)],
+                "ring_xy": [xy],
+            }
+        )
+
+    out = (
+        clumped.groupby("comp_label")
+        .map_groups(trace, batch_format="pandas")
+        .to_pandas()
+        .sort_values("comp_label")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

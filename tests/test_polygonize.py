@@ -101,3 +101,27 @@ def test_components_summary(ray_session):
     assert blk.iloc[0]["centroid_row"] == 1.0
     assert blk.iloc[0]["min_col"] == 0 and blk.iloc[0]["max_col"] == 2
     assert summ["n_pixels"].sum() == 100
+
+
+def test_component_rings_rectangle_and_L(ray_session):
+    from rsgislib_ray.stages.polygonize import component_rings
+    from rsgislib_ray.functions.geom import ring_area, points_in_ring
+
+    grid = np.zeros((8, 8), dtype=np.int64)
+    grid[1:4, 2:6] = 5        # 3x4 rectangle
+    grid[5:7, 0:2] = 9        # 2x2 block
+    grid[5, 2] = 9            # L-extension (8-conn not needed: touching edge)
+    clumped = clump(_grid_to_ds(grid), tile_size=4)
+    rings = component_rings(clumped).to_pandas()
+    rect = rings[rings["value"] == 5].iloc[0]
+    assert rect["n_pixels"] == 12
+    ring = np.asarray(rect["ring_xy"], dtype=float)
+    assert abs(ring_area(ring)) == 12.0  # area equals pixel count
+    # every member pixel center lies inside the traced ring
+    rr, cc = np.nonzero(grid == 5)
+    assert points_in_ring(cc + 0.5, rr + 0.5, ring).all()
+    # background centers outside
+    assert not points_in_ring(np.array([0.5]), np.array([0.5]), ring).any()
+    lshape = rings[rings["value"] == 9].iloc[0]
+    lring = np.asarray(lshape["ring_xy"], dtype=float)
+    assert abs(ring_area(lring)) == lshape["n_pixels"]
