@@ -149,10 +149,12 @@ def single_run() -> dict:
 
     flagship_synth(20000, override_num_blocks=NCPUS).count()
 
-    sec, docs = headline(docs_path)
+    # queries first: the 10M-doc headline fills the object store and
+    # would otherwise inflate the per-query timings via spill pressure
     qtimes = (
         {} if os.environ.get("GRAFT_HEADLINE_ONLY") else run_queries(SF_DIR)
     )
+    sec, docs = headline(docs_path)
     result = {
         "metric": "spatial-join + tile-assignment throughput on interleaved docs",
         "value": round(sec, 3),
