@@ -1673,3 +1673,33 @@ def q_polygonize_rings(sf_dir: str):
             "ring_len": _pc.list_value_length(rings["ring_xy"]),
         }
     )
+
+
+@register(
+    "knn_manhattan",
+    f"""
+    WITH base AS ({td.SQL_BASE_PTS}), t AS ({td.SQL_TARGETS}),
+    d AS (
+      SELECT b.base_id, t.target_id,
+        abs(b.x - t.x) + abs(b.y - t.y) AS nn_dist_sq,
+        row_number() OVER (PARTITION BY b.base_id
+                           ORDER BY abs(b.x - t.x) + abs(b.y - t.y),
+                                    t.target_id) AS rn
+      FROM base b CROSS JOIN t
+    )
+    SELECT base_id, target_id AS nn_id, nn_dist_sq FROM d WHERE rn = 1
+    """,
+)
+def q_knn_manhattan(sf_dir: str):
+    """RAT-kNN alternative distance metric (manhattan;
+    RSGISRATKNN.h:63 metric set). The dist column carries the metric
+    value for non-euclidean metrics."""
+    from rsgislib_ray.stages.knn import knn_join
+
+    return knn_join(
+        td.base_points_from_customer(sf_dir),
+        td.targets_from_supplier(sf_dir),
+        k=1,
+        tie="lowest",
+        metric="manhattan",
+    ).select_columns(["base_id", "nn_id", "nn_dist_sq"])

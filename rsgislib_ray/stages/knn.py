@@ -63,8 +63,32 @@ class _TargetIndex:
             self.n_side = n
 
 
-def _topk_brute(px, py, idx: _TargetIndex, k: int):
-    """Chunked exact top-k: returns (dist_sq, target_pos) arrays of
+_METRICS = ("euclidean", "manhattan", "chebyshev", "minkowski", "mahalanobis")
+
+
+def _pair_dist(dx, dy, metric: str, p: float, vi):
+    """Vectorized 2-D distance matrix for the RAT-kNN metric set
+    (/root/reference/src/rastergis/RSGISRATKNN.h:63: euclid, mahalanobis,
+    manhattan, minkowski, chebyshev). Euclidean returns the SQUARED
+    distance (ordering-equivalent, matches the oracle formulas); the
+    others return the metric value itself."""
+    if metric == "euclidean":
+        return dx * dx + dy * dy
+    if metric == "manhattan":
+        return np.abs(dx) + np.abs(dy)
+    if metric == "chebyshev":
+        return np.maximum(np.abs(dx), np.abs(dy))
+    if metric == "minkowski":
+        return (np.abs(dx) ** p + np.abs(dy) ** p) ** (1.0 / p)
+    if metric == "mahalanobis":
+        a, b, c = vi  # inverse-covariance [[a, b], [b, c]]
+        return a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _topk_brute(px, py, idx: _TargetIndex, k: int, metric: str = "euclidean",
+                p: float = 3.0, vi=None):
+    """Chunked exact top-k: returns (dist, target_pos) arrays of
     shape (B, k) padded with inf / -1, plus a tie flag per point for
     k=1."""
     B = len(px)
@@ -78,7 +102,7 @@ def _topk_brute(px, py, idx: _TargetIndex, k: int):
         e = min(B, s + step)
         dx = px[s:e, None] - idx.tx[None, :]
         dy = py[s:e, None] - idx.ty[None, :]
-        d = dx * dx + dy * dy
+        d = _pair_dist(dx, dy, metric, p, vi)
         if kk < T:
             part = np.argpartition(d, kk, axis=1)[:, : kk + 1]
         else:
@@ -248,9 +272,14 @@ def _knn_batch(
     tie: str,
     tolerance: float | None,
     strategy: str,
+    metric: str = "euclidean",
+    minkowski_p: float = 3.0,
+    vi=None,
 ) -> pa.Table:
     px = batch[x_col].to_numpy().astype(np.float64)
     py = batch[y_col].to_numpy().astype(np.float64)
+    if metric != "euclidean":
+        strategy = "brute"  # grid ring bound assumes euclidean geometry
     if strategy == "auto":
         strategy = (
             "grid" if (idx.grid_level is not None and len(idx.ids) > 20000) else "brute"
@@ -258,7 +287,7 @@ def _knn_batch(
     if strategy == "grid" and idx.grid_level is not None:
         d, i, tie_flags = _topk_grid(px, py, idx, k)
     else:
-        d, i, tie_flags = _topk_brute(px, py, idx, k)
+        d, i, tie_flags = _topk_brute(px, py, idx, k, metric, minkowski_p, vi)
     if tie == "error" and k == 1 and tie_flags.any():
         bad = int(np.flatnonzero(tie_flags)[0])
         raise KNNTieError(
@@ -305,11 +334,17 @@ def _knn_task(
     tie: str = "error",
     tolerance: float | None = None,
     strategy: str = "auto",
+    metric: str = "euclidean",
+    minkowski_p: float = 3.0,
+    vi=None,
 ) -> pa.Table:
     from rsgislib_ray.state.broadcast import cached
 
     idx = cached(targets_ref)
-    return _knn_batch(idx, batch, k, x_col, y_col, prefix, tie, tolerance, strategy)
+    return _knn_batch(
+        idx, batch, k, x_col, y_col, prefix, tie, tolerance, strategy,
+        metric, minkowski_p, vi,
+    )
 
 
 def broadcast_targets(
@@ -337,9 +372,23 @@ def knn_join(
     tie: str = "error",
     tolerance: float | None = None,
     strategy: str = "auto",
+    metric: str = "euclidean",
+    minkowski_p: float = 3.0,
     concurrency=(1, 8),
     batch_size: int = 16384,
 ) -> ray.data.Dataset:
+    """kNN join; ``metric`` covers the RAT-kNN set (RSGISRATKNN.h:63):
+    euclidean (squared distances in the output column), manhattan,
+    chebyshev, minkowski(p), mahalanobis (inverse covariance estimated
+    from the target coordinates, like the reference's training-data
+    covariance)."""
+    vi = None
+    if metric == "mahalanobis":
+        tx = targets_tbl[target_x].to_numpy().astype(np.float64)
+        ty = targets_tbl[target_y].to_numpy().astype(np.float64)
+        cov = np.cov(np.stack([tx, ty]))
+        inv = np.linalg.inv(cov)
+        vi = (float(inv[0, 0]), float(inv[0, 1]), float(inv[1, 1]))
     ref = broadcast_targets(targets_tbl, id_col, target_x, target_y, attr_cols)
     return points.map_batches(
         _knn_task,
@@ -352,6 +401,9 @@ def knn_join(
             "tie": tie,
             "tolerance": tolerance,
             "strategy": strategy,
+            "metric": metric,
+            "minkowski_p": minkowski_p,
+            "vi": vi,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

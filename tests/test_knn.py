@@ -167,3 +167,47 @@ def test_radius_count_vs_oracle(ray_session, sf_dir, oracle):
     np.testing.assert_array_equal(
         got["n_in_radius"].to_numpy(), want["n_in_radius"].to_numpy()
     )
+
+
+def test_metrics_vs_brute_oracle():
+    rng = np.random.default_rng(5)
+    T = 200
+    tbl = pa.table(
+        {
+            "target_id": np.arange(T, dtype=np.int64),
+            "x": rng.uniform(0, 100, T),
+            "y": rng.uniform(0, 100, T),
+        }
+    )
+    from rsgislib_ray.stages.knn import _knn_batch, _TargetIndex
+
+    idx = _TargetIndex(tbl, "target_id", "x", "y", None, None)
+    px = rng.uniform(0, 100, 300)
+    py = rng.uniform(0, 100, 300)
+    batch = pa.table({"bid": np.arange(300, dtype=np.int64), "x": px, "y": py})
+    tx, ty = idx.tx, idx.ty
+    cov = np.cov(np.stack([tx, ty]))
+    inv = np.linalg.inv(cov)
+    vi = (float(inv[0, 0]), float(inv[0, 1]), float(inv[1, 1]))
+
+    def oracle(metric):
+        dx = px[:, None] - tx[None, :]
+        dy = py[:, None] - ty[None, :]
+        if metric == "manhattan":
+            d = np.abs(dx) + np.abs(dy)
+        elif metric == "chebyshev":
+            d = np.maximum(np.abs(dx), np.abs(dy))
+        elif metric == "minkowski":
+            d = (np.abs(dx) ** 3 + np.abs(dy) ** 3) ** (1 / 3)
+        else:
+            d = vi[0] * dx * dx + 2 * vi[1] * dx * dy + vi[2] * dy * dy
+        return d.argmin(axis=1)
+
+    for metric in ("manhattan", "chebyshev", "minkowski", "mahalanobis"):
+        out = _knn_batch(
+            idx, batch, 1, "x", "y", "nn_", "lowest", None, "auto",
+            metric, 3.0, vi,
+        ).to_pandas().sort_values("bid")
+        np.testing.assert_array_equal(
+            out["nn_id"].to_numpy(), idx.ids[oracle(metric)], err_msg=metric
+        )
