@@ -1703,3 +1703,125 @@ def q_knn_manhattan(sf_dir: str):
         tie="lowest",
         metric="manhattan",
     ).select_columns(["base_id", "nn_id", "nn_dist_sq"])
+
+
+@register(
+    "event_lag",
+    """
+    SELECT event_id, user_id,
+      lag(CAST(ROUND(value * 100) AS BIGINT))
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+    FROM events
+    """,
+)
+def q_event_lag(sf_dir: str):
+    """As-of/lag over the event log: previous event's value per user in
+    (ts, event_id) order — the merge_asof-shaped windowed op, executed
+    as sorted per-user groups."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = np.rint(g["value"].to_numpy() * 100)
+        # float64 with NaN head: matches DuckDB's BIGINT-lag-with-NULL
+        # after its pandas conversion (nullable ints hash awkwardly)
+        prev = np.empty(len(g), dtype=np.float64)
+        prev[0] = np.nan
+        prev[1:] = cents[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "prev_cents": prev,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+@register(
+    "event_sessions",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             > 1800000000 OR lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT event_id, user_id,
+      CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS BIGINT) AS session_id
+    FROM e
+    """,
+)
+def q_event_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user — gap-based sessionization
+    over sorted per-user groups (the engine's stand-in for event-time
+    session windows; the reference has none, SURVEY.md §2.12)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.diff(us, prepend=us[0] - 10**18)
+        new = (gap > 1_800_000_000).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "session_id": np.cumsum(new),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+@register(
+    "event_sliding_windows",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, hour_id AS window_start FROM e
+      UNION ALL
+      SELECT user_id, hour_id - 1 AS window_start FROM e
+    )
+    SELECT user_id, window_start, COUNT(*) AS n
+    FROM w GROUP BY user_id, window_start
+    """,
+)
+def q_event_sliding_windows(sf_dir: str):
+    """Sliding 2h windows, 1h step, per user: each event contributes to
+    two windows (duplicate-and-tumble rewrite — the standard batch
+    equivalent of a sliding window)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hour = us // 3_600_000_000
+        uid = batch["user_id"].to_numpy()
+        user2 = np.concatenate([uid, uid])
+        win = np.concatenate([hour, hour - 1])
+        df = pd.DataFrame({"user_id": user2, "window_start": win})
+        g = df.groupby(["user_id", "window_start"], as_index=False).size()
+        g = g.rename(columns={"size": "partial"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("partial", alias_name="n"))
+    )
