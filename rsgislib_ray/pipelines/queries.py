@@ -1825,3 +1825,84 @@ def q_event_sliding_windows(sf_dir: str):
         .groupby(["user_id", "window_start"])
         .aggregate(Sum("partial", alias_name="n"))
     )
+
+
+@register(
+    "zonal_mean_with_centroid_fallback",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}), zones AS ({td.SQL_ZONES}),
+    j AS (
+      SELECT z.fid, c.val_cents FROM zones z JOIN cells c
+        ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+    ),
+    agg AS (
+      SELECT fid, CAST(SUM(val_cents) AS BIGINT) AS s, COUNT(*) AS c
+      FROM j GROUP BY fid
+    ),
+    cent AS (
+      SELECT fid, (xmin + xmax) / 2.0 AS cx, (ymin + ymax) / 2.0 AS cy
+      FROM zones
+    )
+    SELECT z.fid,
+      COALESCE(a.c, 0) AS n_cells,
+      CASE WHEN a.c IS NOT NULL
+           THEN (CAST(a.s AS DOUBLE) / CAST(a.c AS DOUBLE)) / 100.0
+           WHEN cent.cx >= 0 AND cent.cx < 100 AND cent.cy > 0 AND cent.cy <= 100
+           THEN CAST((CAST(FLOOR(100 - cent.cy) AS BIGINT) * 31
+                    + CAST(FLOOR(cent.cx) AS BIGINT) * 17) % 997 AS DOUBLE)
+           ELSE -9999.0 END AS mean_or_centroid
+    FROM zones z
+    LEFT JOIN agg a ON z.fid = a.fid
+    JOIN cent ON z.fid = cent.fid
+    """,
+)
+def q_zonal_mean_with_centroid_fallback(sf_dir: str):
+    """calc_zonal_band_stats_test_poly_pts semantics
+    (/root/reference/python/rsgislib/zonalstats/__init__.py:885-1327):
+    use the pixel population when the zone contains >= 1 cell, else
+    fall back to sampling the raster under the polygon CENTROID. The
+    fallback raster is the deterministic formula grid used by
+    ``point_extract``; fids with cells report the exact integer-sum
+    mean."""
+    import ray as _ray
+
+    from rsgislib_ray.functions.geom import ring_centroid
+    from rsgislib_ray.stages.raster import RasterGrid
+    from rsgislib_ray.stages.zonal import zonal_stats
+
+    zones = td.zones_from_part(sf_dir)
+    zm = zonal_stats(
+        td.cells_from_lineitem(sf_dir), zones, "val_cents", stats=("count", "sum")
+    ).to_pandas()
+    fid = zones["fid"].to_numpy()
+    rings = zones["ring_xy"].combine_chunks()
+    vals = rings.flatten().to_numpy(zero_copy_only=False)
+    n = len(fid)
+    cx = np.empty(n)
+    cy = np.empty(n)
+    for i in range(n):
+        cx[i], cy[i] = ring_centroid(vals[i * 8 : (i + 1) * 8])
+
+    grid = RasterGrid(0.0, 100.0, 1.0, 1.0, 100, 100)
+    pid = np.arange(10000, dtype=np.int64)
+    row, col = np.divmod(pid, 100)
+    raster = ((row * 31 + col * 17) % 997).astype(np.float64)
+    gc, gr, in_img = grid.pixel_of(cx, cy)
+    cent_val = np.where(in_img, raster[grid.pixel_id(gc, gr)], -9999.0)
+
+    zm_idx = zm.set_index("fid")
+    c_by = zm_idx["count"].loc[fid].to_numpy().astype(np.int64)
+    s_by = zm_idx["sum"].loc[fid].to_numpy()
+    pop = c_by > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = (
+            s_by.astype(np.int64).astype(np.float64) / c_by.astype(np.float64)
+        ) / 100.0
+    out_val = np.where(pop, mean, cent_val)
+    return pa.table(
+        {
+            "fid": fid,
+            "n_cells": np.where(pop, c_by, 0).astype(np.int64),
+            "mean_or_centroid": out_val,
+        }
+    )

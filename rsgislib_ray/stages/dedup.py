@@ -358,27 +358,109 @@ def simhash_near_dup_pairs(
 
     bands = with_sig.map_batches(to_bands, batch_format="pyarrow")
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sig = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype=ids.dtype),
-                 "doc_b": pd.Series([], dtype=ids.dtype),
-                 "hamming": pd.Series([], dtype="int64")}
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hd = hamming64(sig[ii], sig[jj])
-        ok = hd <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ii[ok]], "doc_b": ids[jj[ok]], "hamming": hd[ok]}
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = hash_combine(
+            batch["band_id"].to_numpy().astype(np.uint64),
+            batch["band_val"].to_numpy().astype(np.uint64),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": key,
+                "doc_id": batch["doc_id"],
+                "simhash": batch["simhash"],
+            }
         )
 
-    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
-        emit, batch_format="pandas"
+    sorted_bands = bands.map_batches(add_key, batch_format="pyarrow").sort(
+        "bucket"
     )
-    pdf = pairs.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
+
+    # Sort-based bucket pairing (see minhash_lsh_candidates): all-pairs
+    # verification needs full bucket contents, so runs that touch a
+    # block BOUNDARY are forwarded as member rows and paired on the
+    # driver (boundary runs are O(#blocks) buckets — tiny).
+    def emit(batch: pa.Table) -> pa.Table:
+        k = batch["bucket"].to_numpy()
+        d = batch["doc_id"].to_numpy()
+        s = batch["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((d, k))
+        k, d, s = k[order], d[order], s[order]
+        new = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(k)]])
+        out_a, out_b, out_h = [], [], []
+        bnd_d, bnd_s, bnd_k = [], [], []
+        # loop ONLY over multi-member or boundary runs (singleton
+        # interior runs — the vast majority — are skipped wholesale)
+        interesting = np.flatnonzero(
+            ((ends - starts) >= 2) | (starts == 0) | (ends == len(k))
+        )
+        for ri in interesting:
+            st, en = starts[ri], ends[ri]
+            boundary = st == 0 or en == len(k)
+            if boundary:
+                bnd_d.append(d[st:en])
+                bnd_s.append(s[st:en])
+                bnd_k.append(k[st:en])
+                continue
+            m = en - st
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            hd = hamming64(s[st:en][ii], s[st:en][jj])
+            ok = hd <= max_hamming
+            out_a.append(d[st:en][ii[ok]])
+            out_b.append(d[st:en][jj[ok]])
+            out_h.append(hd[ok])
+        pa_a = np.concatenate(out_a) if out_a else np.empty(0, dtype=d.dtype)
+        pa_b = np.concatenate(out_b) if out_b else np.empty(0, dtype=d.dtype)
+        pa_h = (
+            np.concatenate(out_h) if out_h else np.empty(0, dtype=np.int64)
+        )
+        bd = np.concatenate(bnd_d) if bnd_d else np.empty(0, dtype=d.dtype)
+        bs = (
+            np.concatenate(bnd_s).astype(np.int64)
+            if bnd_s
+            else np.empty(0, dtype=np.int64)
+        )
+        bk = np.concatenate(bnd_k) if bnd_k else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_a": np.concatenate([pa_a, bd]),
+                "doc_b": np.concatenate([pa_b, bd]),
+                "hamming": np.concatenate(
+                    [pa_h, np.full(len(bd), -1, dtype=np.int64)]
+                ),
+                "bucket": np.concatenate(
+                    [np.zeros(len(pa_a), dtype=np.int64), bk]
+                ),
+                "sig": np.concatenate(
+                    [np.zeros(len(pa_a), dtype=np.int64), bs]
+                ),
+            }
+        )
+
+    both = sorted_bands.map_batches(emit, batch_format="pyarrow").to_pandas()
+    pairs = both[both["hamming"] >= 0][["doc_a", "doc_b", "hamming"]]
+    bnd = both[both["hamming"] < 0]
+    extra = []
+    for _bucket, g in bnd.groupby("bucket"):
+        g = g.drop_duplicates(subset=["doc_a"]).sort_values("doc_a")
+        ids = g["doc_a"].to_numpy()
+        sg = g["sig"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            continue
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hd = hamming64(sg[ii], sg[jj])
+        ok = hd <= max_hamming
+        extra.append(
+            pd.DataFrame(
+                {"doc_a": ids[ii[ok]], "doc_b": ids[jj[ok]], "hamming": hd[ok]}
+            )
+        )
+    if extra:
+        pairs = pd.concat([pairs] + extra, ignore_index=True)
+    pdf = pairs.drop_duplicates(subset=["doc_a", "doc_b"])
     return pa.Table.from_pandas(
         pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         preserve_index=False,
