@@ -78,9 +78,15 @@ def cmd_query(args) -> int:
 
     from rsgislib_ray.pipelines.queries import queries
 
+    reg = queries()
+    if args.name not in reg:
+        print(
+            f"unknown query {args.name!r}; available: {', '.join(sorted(reg))}",
+            file=sys.stderr,
+        )
+        return 2
     _init_ray(args.num_cpus)
-    fn = queries()[args.name]
-    res = fn(args.sf_dir)
+    res = reg[args.name](args.sf_dir)
     if isinstance(res, ray.data.Dataset):
         df = res.to_pandas()
     elif isinstance(res, pa.Table):

@@ -318,7 +318,7 @@ def q_grouped_stats_global(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_extendedprice"],
-    )
+    ).repartition(32)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -638,7 +638,7 @@ def q_band_math(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
-    )
+    ).repartition(32)
 
     def f(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy()
@@ -667,7 +667,7 @@ def q_mask_apply(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
-    )
+    ).repartition(32)
 
     def f(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy()
@@ -837,7 +837,7 @@ def q_event_windows(sf_dir: str):
     the reference either, SURVEY.md §2.12)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
-    )
+    ).repartition(32)
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -857,11 +857,14 @@ def q_event_windows(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    from ray.data.aggregate import Sum
-
-    return partials.groupby(["user_id", "window_id"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents")
+    # partials are per-(batch, user, window) — small; combine on the
+    # driver (exact integer sums). At true event-log scale swap for the
+    # native groupby().aggregate(Sum, Sum) — identical semantics.
+    pdf = partials.to_pandas()
+    out = pdf.groupby(["user_id", "window_id"], as_index=False).agg(
+        n=("n", "sum"), sum_cents=("sum_cents", "sum")
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # ===========================================================================
@@ -1274,7 +1277,9 @@ _PIXEL_IMGS_SQL = """
            WHEN v1 = v2 OR v1 = v3 THEN v1
            ELSE least(v1, v2, v3) END AS mode_val,
       CASE WHEN v1 <= v2 AND v1 <= v3 THEN 1
-           WHEN v2 <= v3 THEN 2 ELSE 3 END AS argmin_idx
+           WHEN v2 <= v3 THEN 2 ELSE 3 END AS argmin_idx,
+      CAST(v1 + v2 + v3 - least(v1, v2, v3) - greatest(v1, v2, v3)
+           AS DOUBLE) AS median_val
     FROM imgs
     """,
 )
@@ -1289,11 +1294,15 @@ def q_pixel_mode(sf_dir: str):
         v1 = (row * 31 + col * 17) % 997
         v2 = (row * 31 + col * 17 + 7) % 997
         v3 = (row * 13 + col * 29) % 997
+        from rsgislib_ray.functions.arrayops import row_percentile
+
         return pa.table(
             {
                 "pixel_id": pid,
                 "mode_val": row_mode_min([v1, v2, v3]),
                 "argmin_idx": row_argmin_first([v1, v2, v3]),
+                # p50 of 3 values == the middle value (exact)
+                "median_val": row_percentile([v1, v2, v3], 50.0),
             }
         )
 
@@ -1720,7 +1729,7 @@ def q_event_lag(sf_dir: str):
     as sorted per-user groups."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
-    )
+    ).repartition(32)
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
@@ -1765,7 +1774,7 @@ def q_event_sessions(sf_dir: str):
     session windows; the reference has none, SURVEY.md §2.12)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
-    )
+    ).repartition(32)
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
@@ -1805,7 +1814,7 @@ def q_event_sliding_windows(sf_dir: str):
     equivalent of a sliding window)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
-    )
+    ).repartition(32)
 
     def explode(batch: pa.Table) -> pa.Table:
         us = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -1818,13 +1827,12 @@ def q_event_sliding_windows(sf_dir: str):
         g = g.rename(columns={"size": "partial"})
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    return (
-        ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
-        .groupby(["user_id", "window_start"])
-        .aggregate(Sum("partial", alias_name="n"))
+    partials = ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
+    pdf = partials.to_pandas()
+    out = pdf.groupby(["user_id", "window_start"], as_index=False).agg(
+        n=("partial", "sum")
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 @register(
@@ -1905,4 +1913,32 @@ def q_zonal_mean_with_centroid_fallback(sf_dir: str):
             "n_cells": np.where(pop, c_by, 0).astype(np.int64),
             "mean_or_centroid": out_val,
         }
+    )
+
+
+@register("training_data_pipeline", None)  # composed showcase, rows-only
+def q_training_data_pipeline(sf_dir: str):
+    """End-to-end training-data curation pipeline over documents:
+    language-ID -> quality scoring -> quality filter -> exact dedup ->
+    token accounting. One streaming composition — each stage is the
+    same operator exposed individually elsewhere in the registry."""
+    from rsgislib_ray.stages.dedup import exact_dedup
+    from rsgislib_ray.stages.text import add_langid, add_quality_stats, add_token_count
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    scored = add_quality_stats(add_langid(docs))
+    kept = scored.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater(t["n_tokens"], 5),
+                pc.less(t["stopword_ratio"], 0.5),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    deduped = exact_dedup(kept, ["text"], id_col="doc_id")
+    return add_token_count(deduped.select_columns(["doc_id", "text", "lang_pred"])).select_columns(
+        ["doc_id", "lang_pred", "n_tokens"]
     )

@@ -124,48 +124,69 @@ def _value_count_partial(
     zones, idx = _zone_index(zones_ref)
     px = batch[x_col].to_numpy()
     py = batch[y_col].to_numpy()
-    vals_all = batch[value_col].to_numpy()
-    # chunked (zone, value)-count reduction; chunk results are already
-    # reduced, so the final combine runs over far fewer rows
-    zs_parts = []
-    vs_parts = []
-    ns_parts = []
+    vals_all = batch[value_col].to_numpy().astype(np.int64)
+    nz = len(zones)
+    uvals = np.unique(vals_all)
+    V = len(uvals)
     step = zones.MATCH_CHUNK
+
+    empty = pa.table(
+        {
+            "fid": pa.array([], pa.int64()),
+            "val": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    if V * nz <= 8_000_000:
+        # dense path (low-cardinality values — the exact-histogram model
+        # the reference uses, RSGISPopRATWithStats.cpp:513): one bincount
+        # per chunk into a (n_zones x V) counter — no sorting at all
+        dense = np.zeros(nz * V, dtype=np.int64)
+        for cs in range(0, len(px), step):
+            ce = min(len(px), cs + step)
+            pi, zi = zones._match_points_chunk(idx, px[cs:ce], py[cs:ce])
+            if len(pi) == 0:
+                continue
+            vix = np.searchsorted(uvals, vals_all[cs:ce][pi])
+            key = zi * V + vix
+            dense += np.bincount(key, minlength=nz * V)
+        hit = np.flatnonzero(dense)
+        if len(hit) == 0:
+            return empty
+        return pa.table(
+            {
+                "fid": zones.fid[hit // V],
+                "val": uvals[hit % V],
+                "n": dense[hit],
+            }
+        )
+
+    # sparse path (high-cardinality values): single sort over all
+    # matched pairs of the batch
+    all_z = []
+    all_v = []
     for cs in range(0, len(px), step):
         ce = min(len(px), cs + step)
         pi, zi = zones._match_points_chunk(idx, px[cs:ce], py[cs:ce])
         if len(pi) == 0:
             continue
-        vals = vals_all[cs:ce][pi].astype(np.int64)
-        order = np.lexsort((vals, zi))
-        z2 = zi[order]
-        v2 = vals[order]
-        new = np.concatenate([[True], (z2[1:] != z2[:-1]) | (v2[1:] != v2[:-1])])
-        starts = np.flatnonzero(new)
-        zs_parts.append(z2[starts])
-        vs_parts.append(v2[starts])
-        ns_parts.append(np.diff(np.concatenate([starts, [len(z2)]])))
-    if not zs_parts:
-        return pa.table(
-            {
-                "fid": pa.array([], pa.int64()),
-                "val": pa.array([], pa.int64()),
-                "n": pa.array([], pa.int64()),
-            }
-        )
-    z = np.concatenate(zs_parts)
-    v = np.concatenate(vs_parts)
-    n = np.concatenate(ns_parts)
+        all_z.append(zi)
+        all_v.append(vals_all[cs:ce][pi])
+    if not all_z:
+        return empty
+    z = np.concatenate(all_z)
+    v = np.concatenate(all_v)
     order = np.lexsort((v, z))
-    z, v, n = z[order], v[order], n[order]
+    z, v = z[order], v[order]
     new = np.concatenate([[True], (z[1:] != z[:-1]) | (v[1:] != v[:-1])])
     starts = np.flatnonzero(new)
-    ncomb = np.add.reduceat(n, starts)
+    counts = np.diff(np.concatenate([starts, [len(z)]]))
     return pa.table(
         {
             "fid": zones.fid[z[starts]],
             "val": v[starts],
-            "n": ncomb.astype(np.int64),
+            "n": counts.astype(np.int64),
         }
     )
 
