@@ -517,3 +517,129 @@ def spatial_join_points_partitioned(
         )
 
     return both.groupby("cell").map_groups(local_join, batch_format="pandas")
+
+
+def spatial_join_points_hashjoin(
+    points: ray.data.Dataset,
+    zones: ray.data.Dataset | pa.Table,
+    level: int = 6,
+    x_col: str = "x",
+    y_col: str = "y",
+    key_col: str = "pt_row",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Both-sides-large spatial join on Ray Data's NATIVE hash join.
+
+    Same semantics as :func:`spatial_join_points_partitioned` (cell
+    co-partition with zone duplication per covered cell) but the
+    exchange is ``Dataset.join`` — a vectorized hash-partitioned
+    shuffle — followed by a stateless PIP-refine ``map_batches`` over
+    the candidate pairs. No per-group Python, so it scales with
+    partition count rather than group count. Emits (key_col, fid).
+    """
+    if isinstance(zones, pa.Table):
+        zones = ray.data.from_arrow(zones)
+
+    def prep_zones(t: pa.Table) -> pa.Table:
+        out = _zones_to_cells(t, level).select(["fid", "ring_xy", "cell"])
+        ring = out["ring_xy"]
+        if isinstance(ring, pa.ChunkedArray):
+            ring = ring.combine_chunks()
+        # Acero's hash join rejects LIST payload columns entirely; ship
+        # the ring as packed float64 bytes (binary passes through) and
+        # decode in the refine stage.
+        if pa.types.is_fixed_size_list(ring.type):
+            w = ring.type.list_size
+            vals = ring.flatten().to_numpy(zero_copy_only=False)
+            blobs = [
+                vals[i * w : (i + 1) * w].tobytes() for i in range(len(ring))
+            ]
+        else:
+            off = ring.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            off = off - off[0]
+            vals = ring.flatten().to_numpy(zero_copy_only=False)
+            blobs = [
+                vals[off[i] : off[i + 1]].tobytes() for i in range(len(ring))
+            ]
+        return pa.table(
+            {
+                "fid": out["fid"],
+                "ring_blob": pa.array(blobs, type=pa.binary()),
+                "cell": out["cell"],
+            }
+        )
+
+    zone_cells = zones.map_batches(prep_zones, batch_format="pyarrow")
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        cell = cellmod.cells_from_xy(
+            batch[x_col].to_numpy(), batch[y_col].to_numpy(), level
+        )
+        out = pa.table(
+            {
+                key_col: batch[key_col],
+                x_col: batch[x_col],
+                y_col: batch[y_col],
+                "cell": pa.array(cell, type=pa.int64()),
+            }
+        )
+        return out.filter(pa.compute.not_equal(out["cell"], pa.scalar(-1)))
+
+    pts = points.map_batches(tag_points, batch_format="pyarrow")
+    joined = pts.join(
+        zone_cells,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("cell",),
+    )
+
+    def refine(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()), "fid": pa.array([], pa.int64())}
+            )
+        px = batch[x_col].to_numpy()
+        py = batch[y_col].to_numpy()
+        blob = batch["ring_blob"]
+        if isinstance(blob, pa.ChunkedArray):
+            blob = blob.combine_chunks()
+        raw = blob.to_pylist()
+        lens = np.array([len(b) // 8 for b in raw], dtype=np.int64)
+        vals = np.frombuffer(b"".join(raw), dtype=np.float64)
+        off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        # candidate rows are (point, its own ring); build a ZoneSet over
+        # the batch's rows and refine pair (i, i) — the rect fast path
+        # applies row-wise
+        zs = ZoneSet(
+            batch["fid"].to_numpy(),
+            vals,
+            off // 2,
+            np.column_stack(
+                [
+                    np.minimum.reduceat(vals[0::2], off[:-1] // 2),
+                    np.maximum.reduceat(vals[0::2], off[:-1] // 2),
+                    np.minimum.reduceat(vals[1::2], off[:-1] // 2),
+                    np.maximum.reduceat(vals[1::2], off[:-1] // 2),
+                ]
+            ),
+        )
+        idxs = np.arange(len(batch), dtype=np.int64)
+        ok = np.empty(len(batch), dtype=bool)
+        rect = zs.is_rect
+        if rect.any():
+            rp = np.flatnonzero(rect)
+            b = zs.bounds[rp]
+            ok[rp] = (
+                (px[rp] >= b[:, 0])
+                & (px[rp] < b[:, 1])
+                & (py[rp] >= b[:, 2])
+                & (py[rp] < b[:, 3])
+            )
+        gen = ~rect
+        if gen.any():
+            gp = np.flatnonzero(gen)
+            ok[gp] = pip_pairs(px, py, zs.ring_xy, zs.ring_offsets, gp, gp)
+        keep = batch.filter(pa.array(ok))
+        return pa.table({key_col: keep[key_col], "fid": keep["fid"]})
+
+    return joined.map_batches(refine, batch_format="pyarrow")

@@ -160,3 +160,22 @@ def test_rect_fastpath_matches_ray_crossing(ray_session):
         inside = points_in_ring(px, py, ring)
         want |= {(int(p), z) for p in np.flatnonzero(inside)}
     assert got == want
+
+
+def test_hashjoin_equals_broadcast(ray_session, sf_dir):
+    from rsgislib_ray.stages.spatial_join import spatial_join_points_hashjoin
+
+    pts = td.points_from_orders(sf_dir)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("pt_row", t["pt_id"])
+
+    pts_k = pts.map_batches(add_key, batch_format="pyarrow")
+    zones = td.zones_from_part(sf_dir)
+    bc = spatial_join_points(pts_k, zones, how="inner").to_pandas()
+    bc_pairs = sorted(zip(bc["pt_row"], bc["fid"]))
+    hj = spatial_join_points_hashjoin(
+        pts_k, zones, level=5, key_col="pt_row", num_partitions=8
+    ).to_pandas()
+    hj_pairs = sorted(zip(hj["pt_row"], hj["fid"]))
+    assert bc_pairs == hj_pairs
