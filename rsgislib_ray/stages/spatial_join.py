@@ -8,21 +8,25 @@ Reimplements the reference's join family on Ray Data:
 - ``count_pt_intersects`` per-polygon point counts (``:1022-1102``)
 - bbox selects (vectorutils/__init__.py:1269-1380)
 
-Two physical strategies, chosen by zone-table size:
+Three physical strategies, chosen by layer sizes:
 
 1. **Broadcast** (default; zones fit in a worker's heap — the common
    case, like the reference's in-memory rtree): the packed zone arrays
    are ``ray.put`` ONCE; each actor in the ``map_batches`` pool builds
    its STRtree ONCE in ``__init__`` and streams point batches through
    — no shuffle at all, scales linearly with point count.
-2. **Cell-partitioned** (both sides large): assign each point to a cell
-   at a join level, duplicate each zone into every cell its envelope
-   covers (the same duplication the reference does by rasterizing per
-   feature envelope, zonalstats/__init__.py:340-430), then
-   ``groupby(cell)`` + per-group local STRtree join. Point cells are
-   unique per point, so no post-join dedup is needed for point-in-poly.
+2. **Cell-partitioned groupby** (both sides large): assign each point
+   to a cell at a join level, duplicate each zone into every cell its
+   envelope covers (the same duplication the reference does by
+   rasterizing per feature envelope, zonalstats/__init__.py:340-430),
+   then ``groupby(cell)`` + per-group local STRtree join. Point cells
+   are unique per point, so no post-join dedup is needed.
+3. **Native hash join** (both sides large, preferred):
+   ``Dataset.join`` on the cell key — a vectorized hash-partitioned
+   shuffle — then a stateless PIP-refine ``map_batches`` over the
+   candidate pairs. Scales with partition count, no per-group Python.
 
-Both return identical rows (tested); the span-sequence invariant holds
+All return identical rows (tested); the span-sequence invariant holds
 because point rows pass through ``take`` untouched.
 """
 
