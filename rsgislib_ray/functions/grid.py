@@ -144,3 +144,73 @@ class TileSpec:
             (self.y_rem > 0) & (row == self.n_y), ymin + self.y_rem, ymin + self.y_size
         )
         return xmin, np.minimum(xmax, bxmax), ymin, np.minimum(ymax, bymax)
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal grids (create_hex_grid_bbox / _polys,
+# /root/reference/python/rsgislib/vectorutils/createvectors.py:1237,1346)
+# ---------------------------------------------------------------------------
+
+_SQRT3 = np.sqrt(3.0)
+
+
+def hex_centers(
+    bbox: tuple[float, float, float, float], size: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pointy-top hex grid covering the bbox: returns (hex_id, cx, cy).
+    ``size`` is the center-to-vertex radius; ids are row-major
+    ``r * 100000 + q`` axial keys offset to stay positive."""
+    xmin, xmax, ymin, ymax = bbox
+    w = _SQRT3 * size          # horizontal center spacing
+    h = 1.5 * size             # vertical center spacing
+    r0 = int(np.floor(ymin / h)) - 1
+    r1 = int(np.ceil(ymax / h)) + 1
+    rows = np.arange(r0, r1 + 1)
+    ids, cxs, cys = [], [], []
+    for r in rows:
+        cy = r * h
+        xoff = (r % 2) * (w / 2.0)
+        q0 = int(np.floor((xmin - xoff) / w)) - 1
+        q1 = int(np.ceil((xmax - xoff) / w)) + 1
+        qs = np.arange(q0, q1 + 1)
+        cx = qs * w + xoff
+        keep = (cx >= xmin - w) & (cx <= xmax + w) & (cy >= ymin - h) & (cy <= ymax + h)
+        ids.append((r + 50000) * np.int64(100000) + (qs[keep] + 50000))
+        cxs.append(cx[keep])
+        cys.append(np.full(keep.sum(), cy))
+    return (
+        np.concatenate(ids),
+        np.concatenate(cxs),
+        np.concatenate(cys),
+    )
+
+
+def assign_hex(
+    x: np.ndarray, y: np.ndarray, size: float
+) -> np.ndarray:
+    """Point -> pointy-top hex id via axial-coordinate cube rounding
+    (equivalent to nearest hex center; tested against the brute
+    nearest-center oracle). Matches the id scheme of :func:`hex_centers`."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    # axial coords for pointy-top hexes with the offset row layout used
+    # by hex_centers: recover (row, col) of the nearest center directly
+    h = 1.5 * size
+    w = _SQRT3 * size
+    # candidate rows: floor and ceil of y/h
+    r_lo = np.floor(y / h).astype(np.int64)
+    best_d = np.full(len(x), np.inf)
+    best_id = np.zeros(len(x), dtype=np.int64)
+    for dr in (0, 1):
+        r = r_lo + dr
+        cy = r * h
+        xoff = (r % 2) * (w / 2.0)
+        for dq in (0, 1):
+            q = np.floor((x - xoff) / w).astype(np.int64) + dq
+            cx = q * w + xoff
+            d = (x - cx) ** 2 + (y - cy) ** 2
+            better = d < best_d
+            best_d = np.where(better, d, best_d)
+            hex_id = (r + 50000) * np.int64(100000) + (q + 50000)
+            best_id = np.where(better, hex_id, best_id)
+    return best_id

@@ -1942,3 +1942,194 @@ def q_training_data_pipeline(sf_dir: str):
     return add_token_count(deduped.select_columns(["doc_id", "text", "lang_pred"])).select_columns(
         ["doc_id", "lang_pred", "n_tokens"]
     )
+
+
+@register(
+    "distance_to_zones",
+    f"""
+    WITH zones AS ({td.SQL_ZONES}),
+    px AS (
+      SELECT r.range AS pixel_id,
+             CAST(r.range % 100 AS DOUBLE) + 0.5 AS cx,
+             100.0 - (CAST(r.range // 100 AS DOUBLE) + 0.5) AS cy
+      FROM range(10000) r
+    )
+    SELECT p.pixel_id,
+      (SELECT MIN(greatest(z.xmin - p.cx, 0.0, p.cx - z.xmax)
+                  * greatest(z.xmin - p.cx, 0.0, p.cx - z.xmax)
+                + greatest(z.ymin - p.cy, 0.0, p.cy - z.ymax)
+                  * greatest(z.ymin - p.cy, 0.0, p.cy - z.ymax))
+       FROM zones z) AS dist_sq
+    FROM px p
+    """,
+)
+def q_distance_to_zones(sf_dir: str):
+    """create_dist_zones_to_vec_layer analog
+    (/root/reference/python/rsgislib/vectorutils/createrasters.py:384):
+    per-pixel squared distance to the nearest zone (exact point-to-rect
+    distance: clamped axis offsets). Broadcast zones; chunked vectorized
+    min over the zone set per pixel batch."""
+    import ray as _ray
+
+    from rsgislib_ray.stages.raster import RasterGrid, make_pixel_centers
+    from rsgislib_ray.state.broadcast import cached
+
+    grid = RasterGrid(0.0, 100.0, 1.0, 1.0, 100, 100)
+    zones = td.zones_from_part(sf_dir)
+    b = np.column_stack(
+        [
+            zones["xmin"].to_numpy(),
+            zones["xmax"].to_numpy(),
+            zones["ymin"].to_numpy(),
+            zones["ymax"].to_numpy(),
+        ]
+    )
+    ref = _ray.put(b)
+
+    def dist(batch: pa.Table) -> pa.Table:
+        bb = cached(ref)
+        cx = batch["cx"].to_numpy()
+        cy = batch["cy"].to_numpy()
+        out = np.full(len(cx), np.inf)
+        step = max(1, 4_000_000 // max(len(bb), 1))
+        for s in range(0, len(cx), step):
+            e = min(len(cx), s + step)
+            dx = np.maximum.reduce(
+                [bb[None, :, 0] - cx[s:e, None],
+                 np.zeros((e - s, len(bb))),
+                 cx[s:e, None] - bb[None, :, 1]]
+            )
+            dy = np.maximum.reduce(
+                [bb[None, :, 2] - cy[s:e, None],
+                 np.zeros((e - s, len(bb))),
+                 cy[s:e, None] - bb[None, :, 3]]
+            )
+            out[s:e] = (dx * dx + dy * dy).min(axis=1)
+        return pa.table({"pixel_id": batch["pixel_id"], "dist_sq": out})
+
+    return make_pixel_centers(grid).map_batches(dist, batch_format="pyarrow")
+
+
+@register(
+    "buffer_zones",
+    f"""
+    WITH zones AS ({td.SQL_ZONES})
+    SELECT fid,
+      xmin - 1.5 AS bxmin, xmax + 1.5 AS bxmax,
+      ymin - 1.5 AS bymin, ymax + 1.5 AS bymax,
+      (xmax - xmin + 3.0) * (ymax - ymin + 3.0) AS buffered_area
+    FROM zones
+    """,
+)
+def q_buffer_zones(sf_dir: str):
+    """Geometry buffer for the rectangle layer
+    (vectorgeoms buffer family, /root/reference/python/rsgislib/
+    vectorgeoms/__init__.py:1953): exact Minkowski expansion for
+    axis-aligned rects (square cap — general round-cap buffering v2)."""
+    zones = td.zones_from_part(sf_dir)
+    xmin = zones["xmin"].to_numpy()
+    xmax = zones["xmax"].to_numpy()
+    ymin = zones["ymin"].to_numpy()
+    ymax = zones["ymax"].to_numpy()
+    d = 1.5
+    return pa.table(
+        {
+            "fid": zones["fid"],
+            "bxmin": xmin - d,
+            "bxmax": xmax + d,
+            "bymin": ymin - d,
+            "bymax": ymax + d,
+            "buffered_area": (xmax - xmin + 3.0) * (ymax - ymin + 3.0),
+        }
+    )
+
+
+@register(
+    "reproject_points",
+    f"""
+    WITH pts AS ({td.SQL_PTS})
+    SELECT pt_id,
+      1000.0 + x * 30.0 + y * 0.5 AS px,
+      500.0 + y * 30.0 - x * 0.25 AS py
+    FROM pts
+    """,
+)
+def q_reproject_points(sf_dir: str):
+    """Affine reprojection (reproj_point / vector-layer reproject,
+    /root/reference/python/rsgislib/tools/geometrytools.py:584,
+    vectorutils/__init__.py:804): a single planar CRS change expressed
+    as an exact affine map (full proj chains are out of scope without a
+    proj library — documented)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        return pa.table(
+            {
+                "pt_id": batch["pt_id"],
+                "px": 1000.0 + x * 30.0 + y * 0.5,
+                "py": 500.0 + y * 30.0 - x * 0.25,
+            }
+        )
+
+    return td.points_from_orders(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "zones_within_pairs",
+    f"""
+    WITH zones AS ({td.SQL_ZONES})
+    SELECT a.fid AS inner_fid, b.fid AS outer_fid
+    FROM zones a JOIN zones b
+      ON a.fid <> b.fid
+     AND a.xmin >= b.xmin AND a.xmax <= b.xmax
+     AND a.ymin >= b.ymin AND a.ymax <= b.ymax
+    """,
+)
+def q_zones_within_pairs(sf_dir: str):
+    """vec_within_vec / contains predicates for the rect layer
+    (/root/reference/python/rsgislib/vectorgeoms/__init__.py:2804,2875):
+    STRtree bbox self-join candidates + exact containment test (for
+    rects bbox containment IS geometric containment)."""
+    from rsgislib_ray.stages.spatial_join import ZoneSet
+    from rsgislib_ray.state.strtree import STRtree
+
+    zones = td.zones_from_part(sf_dir)
+    zs = ZoneSet.from_table(zones)
+    tree = STRtree(zs.bounds)
+    qi, ti = tree.query_bboxes(zs.bounds)
+    keep = qi != ti
+    qi, ti = qi[keep], ti[keep]
+    a = zs.bounds[qi]
+    b = zs.bounds[ti]
+    within = (
+        (a[:, 0] >= b[:, 0])
+        & (a[:, 1] <= b[:, 1])
+        & (a[:, 2] >= b[:, 2])
+        & (a[:, 3] <= b[:, 3])
+    )
+    return pa.table(
+        {"inner_fid": zs.fid[qi[within]], "outer_fid": zs.fid[ti[within]]}
+    )
+
+
+@register("hex_assign", None)  # hex Voronoi membership; pytest oracle
+def q_hex_assign(sf_dir: str):
+    """create_hex_grid + point->hex assignment
+    (/root/reference/python/rsgislib/vectorutils/createvectors.py:1237):
+    pointy-top hex tiling, membership = nearest hex center (exact hex
+    Voronoi; verified against the brute nearest-center oracle in
+    tests)."""
+    from rsgislib_ray.functions.grid import assign_hex
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pt_id": batch["pt_id"],
+                "hex_id": assign_hex(
+                    batch["x"].to_numpy(), batch["y"].to_numpy(), 4.0
+                ),
+            }
+        )
+
+    return td.points_from_orders(sf_dir).map_batches(f, batch_format="pyarrow")

@@ -115,3 +115,19 @@ def test_split_hot_cells(ray_session=None):
     # recursive splitting bounds every partition key near the threshold
     split_max = out.groupby("part_cell").size().max()
     assert split_max <= 500
+
+
+def test_hex_assignment_matches_nearest_center():
+    from rsgislib_ray.functions.grid import assign_hex, hex_centers
+
+    size = 4.0
+    ids, cx, cy = hex_centers((0, 100, 0, 100), size)
+    assert len(ids) == len(set(ids.tolist()))  # unique ids
+    rng = np.random.default_rng(42)
+    x = rng.uniform(0, 100, 3000)
+    y = rng.uniform(0, 100, 3000)
+    got = assign_hex(x, y, size)
+    # brute oracle: nearest center wins (hexagonal Voronoi)
+    d = (x[:, None] - cx[None, :]) ** 2 + (y[:, None] - cy[None, :]) ** 2
+    want = ids[d.argmin(axis=1)]
+    np.testing.assert_array_equal(got, want)
