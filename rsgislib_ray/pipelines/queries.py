@@ -2133,3 +2133,39 @@ def q_hex_assign(sf_dir: str):
         )
 
     return td.points_from_orders(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "focal_mean",
+    """
+    WITH px AS (
+      SELECT r.range AS pixel_id,
+             r.range // 100 AS row_i, r.range % 100 AS col_i,
+             (r.range // 100 * 31 + r.range % 100 * 17) % 997 AS v
+      FROM range(10000) r
+    )
+    SELECT a.pixel_id,
+      CAST(CAST(SUM(b.v) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS filtered
+    FROM px a JOIN px b
+      ON abs(a.row_i - b.row_i) <= 1 AND abs(a.col_i - b.col_i) <= 1
+    GROUP BY a.pixel_id
+    """,
+)
+def q_focal_mean(sf_dir: str):
+    """Tiled 3x3 focal mean (perform_tiled_img_filter analog,
+    /root/reference/python/rsgislib/imagefilter/tiledfilter.py:952):
+    halo-duplicated tiles + dense box filter, truncated windows at the
+    edges. Integer pixel values make the mean exact vs the SQL
+    neighborhood join."""
+    from rsgislib_ray.stages.raster import tiled_filter
+
+    n = 100
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    value = ((row * 31 + col * 17) % 997).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table({"pixel_id": pid, "row": row, "col": col, "value": value})
+    ).repartition(8)
+    out = tiled_filter(ds, None, kernel_size=3, tile_size=32)
+    return out.select_columns(["pixel_id", "filtered"])

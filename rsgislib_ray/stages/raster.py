@@ -195,3 +195,106 @@ def vectorise_pixels_to_points(
         )
 
     return raster.map_batches(conv, batch_format="pyarrow")
+
+
+def tiled_filter(
+    raster: ray.data.Dataset,
+    grid: RasterGrid,
+    kernel_size: int = 3,
+    value_col: str = "value",
+    tile_size: int = 64,
+    agg: str = "mean",
+) -> ray.data.Dataset:
+    """Windowed (focal) filter via halo-duplicated tiles — the engine
+    version of ``perform_tiled_img_filter``
+    (/root/reference/python/rsgislib/imagefilter/tiledfilter.py:952-1060):
+    the reference cuts overlap tiles to files and Pool.maps a C++ kernel,
+    then mosaics with halo trim; here the halo is ROW DUPLICATION into
+    neighbor tiles before a ``groupby(tile)`` dense convolution, and the
+    trim is a filter on core membership — no files, one shuffle.
+
+    Edge pixels use the truncated window (mean over available
+    neighbors), matching a normalized box filter with zero-padding
+    divided by coverage. Returns (pixel_id, row, col, filtered).
+    """
+    import pandas as pd
+
+    halo = kernel_size // 2
+
+    def dup(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy()
+        c = batch["col"].to_numpy()
+        tr = r // tile_size
+        tc = c // tile_size
+        outs = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                # does this row fall in the halo of neighbor (tr+dr, tc+dc)?
+                tr2 = tr + dr
+                tc2 = tc + dc
+                lo_r = tr2 * tile_size - halo
+                hi_r = (tr2 + 1) * tile_size + halo
+                lo_c = tc2 * tile_size - halo
+                hi_c = (tc2 + 1) * tile_size + halo
+                ok = (
+                    (r >= lo_r) & (r < hi_r) & (c >= lo_c) & (c < hi_c)
+                    & (tr2 >= 0) & (tc2 >= 0)
+                )
+                if not ok.any():
+                    continue
+                sel = batch.filter(pa.array(ok))
+                tid = (tr2[ok] * np.int64(2**20) + tc2[ok]).astype(np.int64)
+                outs.append(sel.append_column("tile_id", pa.array(tid)))
+        return pa.concat_tables(outs)
+
+    tiled = raster.map_batches(dup, batch_format="pyarrow")
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["tile_id"].iloc[0])
+        tr, tc = tid // 2**20, tid % 2**20
+        r = g["row"].to_numpy()
+        c = g["col"].to_numpy()
+        v = g[value_col].to_numpy().astype(np.float64)
+        r0 = tr * tile_size - halo
+        c0 = tc * tile_size - halo
+        h = tile_size + 2 * halo
+        dense = np.zeros((h, h))
+        mask = np.zeros((h, h))
+        dense[r - r0, c - c0] = v
+        mask[r - r0, c - c0] = 1.0
+        # dense box filter via cumulative sums (O(tile) regardless of k)
+        def box(a):
+            cs = np.cumsum(np.cumsum(a, axis=0), axis=1)
+            cs = np.pad(cs, ((1, 0), (1, 0)))
+            k = kernel_size
+            out = np.zeros_like(a)
+            rr0 = np.clip(np.arange(h) - halo, 0, h)
+            rr1 = np.clip(np.arange(h) + halo + 1, 0, h)
+            for i in range(h):
+                out[i] = (
+                    cs[rr1[i], rr1] - cs[rr0[i], rr1]
+                    - cs[rr1[i], rr0] + cs[rr0[i], rr0]
+                )
+            return out
+
+        sums = box(dense)
+        cov = box(mask)
+        core = (
+            (r >= tr * tile_size)
+            & (r < (tr + 1) * tile_size)
+            & (c >= tc * tile_size)
+            & (c < (tc + 1) * tile_size)
+        )
+        rr, cc = r[core] - r0, c[core] - c0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            filt_v = sums[rr, cc] / cov[rr, cc]
+        return pd.DataFrame(
+            {
+                "pixel_id": g["pixel_id"].to_numpy()[core],
+                "row": r[core],
+                "col": c[core],
+                "filtered": filt_v,
+            }
+        )
+
+    return tiled.groupby("tile_id").map_groups(filt, batch_format="pandas")

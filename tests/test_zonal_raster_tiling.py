@@ -196,3 +196,38 @@ def test_tile_assignment_vs_oracle(ray_session, sf_dir, oracle):
     wc = want.groupby("tile_id").size()
     for tid, n in wc.items():
         assert counts[counts["tile_id"] == tid]["n_rows"].iloc[0] == n
+
+
+def test_tiled_filter_matches_full_convolution(ray_session):
+    """3x3 mean filter via halo tiles == brute full-grid convolution."""
+    import ray.data
+
+    from rsgislib_ray.stages.raster import tiled_filter
+
+    rng = np.random.default_rng(42)
+    n = 50
+    vals = rng.integers(0, 100, (n, n)).astype(np.float64)
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"pixel_id": pid, "row": row, "col": col, "value": vals.ravel()}
+        )
+    ).repartition(5)
+    got = (
+        tiled_filter(ds, None, kernel_size=3, tile_size=16)
+        .to_pandas()
+        .sort_values("pixel_id")
+        .reset_index(drop=True)
+    )
+    # brute oracle: truncated-window mean
+    want = np.zeros((n, n))
+    for r in range(n):
+        for c in range(n):
+            r0, r1 = max(0, r - 1), min(n, r + 2)
+            c0, c1 = max(0, c - 1), min(n, c + 2)
+            want[r, c] = vals[r0:r1, c0:c1].mean()
+    np.testing.assert_allclose(
+        got["filtered"].to_numpy(), want.ravel(), rtol=1e-12
+    )
+    assert len(got) == n * n  # every pixel exactly once (halo trimmed)
