@@ -2169,3 +2169,64 @@ def q_focal_mean(sf_dir: str):
     ).repartition(8)
     out = tiled_filter(ds, None, kernel_size=3, tile_size=32)
     return out.select_columns(["pixel_id", "filtered"])
+
+
+@register(
+    "knn_summarize",
+    f"""
+    WITH base AS ({td.SQL_BASE_PTS}), t AS ({td.SQL_TARGETS}),
+    d AS (
+      SELECT b.base_id, t.target_id,
+        row_number() OVER (PARTITION BY b.base_id
+                           ORDER BY (b.x - t.x) * (b.x - t.x)
+                                  + (b.y - t.y) * (b.y - t.y), t.target_id)
+          AS rn
+      FROM base b CROSS JOIN t
+    )
+    SELECT base_id,
+      CAST(CAST(SUM(target_id) AS BIGINT) AS DOUBLE) / 4.0 AS knn_mean_id,
+      CAST(COUNT(*) AS BIGINT) AS k_used
+    FROM d WHERE rn <= 4 GROUP BY base_id
+    """,
+)
+def q_knn_summarize(sf_dir: str):
+    """apply_rat_knn summarize step
+    (/root/reference/src/rastergis/RSGISRATKNN.h:63 summary modes
+    mean/median/mode): kNN join (k=4) -> per-base aggregate of the
+    neighbours' attribute (integer ids -> exact mean)."""
+    from ray.data.aggregate import Count, Sum
+
+    from rsgislib_ray.stages.knn import knn_join
+
+    nn = knn_join(
+        td.base_points_from_customer(sf_dir),
+        td.targets_from_supplier(sf_dir),
+        k=4,
+        tie="lowest",
+    ).select_columns(["base_id", "nn_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "base_id": batch["base_id"].to_numpy(),
+                "nn_id": batch["nn_id"].to_numpy(),
+            }
+        )
+        g = df.groupby("base_id", as_index=False).agg(
+            s=("nn_id", "sum"), n=("nn_id", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pdf = (
+        nn.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("base_id", as_index=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+    )
+    return pa.table(
+        {
+            "base_id": pdf["base_id"].to_numpy().astype(np.int64),
+            "knn_mean_id": pdf["s"].to_numpy().astype(np.float64) / 4.0,
+            "k_used": pdf["n"].to_numpy().astype(np.int64),
+        }
+    )
