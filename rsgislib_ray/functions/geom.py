@@ -141,3 +141,50 @@ def rect_ring(xmin: float, ymin: float, xmax: float, ymax: float) -> np.ndarray:
     return np.asarray(
         [xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax], dtype=np.float64
     )
+
+
+def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman clipping: ``subject`` (any simple ring)
+    clipped against a CONVEX CCW ``clip`` ring. Both are flat
+    [x1, y1, ...] arrays; returns the clipped ring (possibly empty).
+    This is the polygon-clipping core of the overlay family
+    (/root/reference/python/rsgislib/vectorgeoms/__init__.py:1292
+    geopandas overlay); rect zones are convex, so zone-vs-anything
+    intersection is exact."""
+    sx = list(subject[0::2])
+    sy = list(subject[1::2])
+    if len(sx) > 1 and sx[0] == sx[-1] and sy[0] == sy[-1]:
+        sx, sy = sx[:-1], sy[:-1]
+    cx = clip[0::2]
+    cy = clip[1::2]
+    if len(cx) > 1 and cx[0] == cx[-1] and cy[0] == cy[-1]:
+        cx, cy = cx[:-1], cy[:-1]
+    n = len(cx)
+    for i in range(n):
+        ex1, ey1 = cx[i], cy[i]
+        ex2, ey2 = cx[(i + 1) % n], cy[(i + 1) % n]
+        if not sx:
+            break
+        nx_, ny_ = [], []
+        m = len(sx)
+        for j in range(m):
+            px1, py1 = sx[j], sy[j]
+            px2, py2 = sx[(j + 1) % m], sy[(j + 1) % m]
+            in1 = (ex2 - ex1) * (py1 - ey1) - (ey2 - ey1) * (px1 - ex1) >= 0
+            in2 = (ex2 - ex1) * (py2 - ey1) - (ey2 - ey1) * (px2 - ex1) >= 0
+            if in1:
+                nx_.append(px1)
+                ny_.append(py1)
+            if in1 != in2:
+                # solve cross(e2-e1, p1 + t (p2-p1) - e1) = 0
+                den = (ex2 - ex1) * (py2 - py1) - (ey2 - ey1) * (px2 - px1)
+                if den != 0:
+                    num = (ex2 - ex1) * (py1 - ey1) - (ey2 - ey1) * (px1 - ex1)
+                    t = -num / den
+                    nx_.append(px1 + t * (px2 - px1))
+                    ny_.append(py1 + t * (py2 - py1))
+        sx, sy = nx_, ny_
+    out = np.empty(2 * len(sx))
+    out[0::2] = sx
+    out[1::2] = sy
+    return out

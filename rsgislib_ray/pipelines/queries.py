@@ -2230,3 +2230,80 @@ def q_knn_summarize(sf_dir: str):
             "k_used": pdf["n"].to_numpy().astype(np.int64),
         }
     )
+
+
+@register("overlay_doc_polys", None)  # general clipping; pytest-verified kernel
+def q_overlay_doc_polys(sf_dir: str):
+    """General overlay intersection: the interleaved docs' POLYGON
+    spans clipped against the zone layer (Sutherland-Hodgman,
+    functions/geom.clip_polygon_convex — overlay family,
+    vectorgeoms/__init__.py:1292). Emits (doc_id, zone_fid,
+    inter_area) for every doc-poly x zone candidate with positive
+    intersection."""
+    import ray as _ray
+
+    from rsgislib_ray.functions.geom import clip_polygon_convex, ring_area
+    from rsgislib_ray.pipelines.flagship import (
+        docs_from_documents_table,
+        synth_zone_table,
+    )
+    from rsgislib_ray.stages.spans import parse_geom_spans
+    from rsgislib_ray.stages.spatial_join import ZoneSet
+    from rsgislib_ray.state.broadcast import cached
+
+    zones = synth_zone_table(64)
+    zs = ZoneSet.from_table(zones)
+    ref = _ray.put(zs)
+
+    docs = docs_from_documents_table(sf_dir)
+    parsed = docs.map_batches(parse_geom_spans, batch_format="pyarrow")
+    polys = parsed.map_batches(
+        lambda t: t.filter(pc.equal(t["geom_kind"], "poly")).select(
+            ["doc_id", "ring_xy", "gxmin", "gxmax", "gymin", "gymax"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def overlay(batch: pa.Table) -> pa.Table:
+        z = cached(ref)
+        tree_pairs = []
+        qb = np.column_stack(
+            [
+                batch["gxmin"].to_numpy(),
+                batch["gxmax"].to_numpy(),
+                batch["gymin"].to_numpy(),
+                batch["gymax"].to_numpy(),
+            ]
+        )
+        from rsgislib_ray.state.strtree import STRtree
+
+        tree = STRtree(z.bounds)
+        qi, ti = tree.query_bboxes(qb)
+        ring = batch["ring_xy"]
+        if isinstance(ring, pa.ChunkedArray):
+            ring = ring.combine_chunks()
+        vals = ring.flatten().to_numpy(zero_copy_only=False)
+        off = ring.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_fid, out_area = [], [], []
+        for k in range(len(qi)):
+            i, j = int(qi[k]), int(ti[k])
+            subject = vals[off[i] : off[i + 1]]
+            clip = z.ring_xy[2 * z.ring_offsets[j] : 2 * z.ring_offsets[j + 1]]
+            inter = clip_polygon_convex(subject, clip)
+            if len(inter) >= 6:
+                a = abs(ring_area(inter))
+                if a > 0:
+                    out_doc.append(doc_ids[i])
+                    out_fid.append(z.fid[j])
+                    out_area.append(a)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.string()),
+                "zone_fid": pa.array(out_fid, pa.int64()),
+                "inter_area": pa.array(out_area, pa.float64()),
+            }
+        )
+
+    return polys.map_batches(overlay, batch_format="pyarrow")

@@ -92,3 +92,34 @@ def test_pip_pairs_grouped_refine():
         np.testing.assert_array_equal(
             got[mask], G.points_in_ring(px, py, ring)
         )
+
+
+def test_clip_polygon_convex():
+    from rsgislib_ray.functions.geom import clip_polygon_convex
+
+    rect = G.rect_ring(2, 2, 8, 8)
+    # triangle partially overlapping the rect
+    tri = np.array([0.0, 0.0, 10.0, 0.0, 5.0, 10.0])
+    clipped = clip_polygon_convex(tri, rect)
+    assert len(clipped) >= 6
+    # clipped area equals the analytic triangle∩rect area
+    area = abs(G.ring_area(clipped))
+    # brute Monte-Carlo oracle
+    rng = np.random.default_rng(42)
+    px = rng.uniform(0, 10, 200000)
+    py = rng.uniform(0, 10, 200000)
+    in_tri = G.points_in_ring(px, py, tri)
+    in_rect = G.points_in_ring(px, py, rect)
+    mc = (in_tri & in_rect).mean() * 100.0
+    assert abs(area - mc) < 0.5
+    # disjoint -> empty
+    far = G.rect_ring(50, 50, 60, 60)
+    assert len(clip_polygon_convex(tri, far)) == 0
+    # fully inside -> original area preserved
+    inner = np.array([4.0, 3.0, 6.0, 3.0, 5.0, 5.0])
+    c2 = clip_polygon_convex(inner, rect)
+    assert abs(abs(G.ring_area(c2)) - abs(G.ring_area(inner))) < 1e-12
+    # rect∩rect == analytic overlap
+    r2 = G.rect_ring(5, 5, 12, 12)
+    c3 = clip_polygon_convex(r2, rect)
+    assert abs(abs(G.ring_area(c3)) - 9.0) < 1e-12
