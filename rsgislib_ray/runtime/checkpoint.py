@@ -93,6 +93,17 @@ def checkpointed_write(
         tmp = pdir + f".tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp, exist_ok=True)
         tbl = pa.Table.from_pandas(g, preserve_index=False)
+        # span-sequence integrity fingerprint (north-rule invariant):
+        # order-insensitive combine of the per-row span signatures, so a
+        # reread partition can be checked against the manifest
+        span_sig = None
+        if "spans" in tbl.column_names:
+            from rsgislib_ray.stages.spans import span_signature
+
+            with np.errstate(over="ignore"):
+                span_sig = int(
+                    np.bitwise_xor.reduce(span_signature(tbl)) ^ np.uint64(len(tbl))
+                )
         pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
         if os.path.exists(pdir):  # stale uncommitted rerun leftovers
             import shutil
@@ -100,17 +111,15 @@ def checkpointed_write(
             shutil.rmtree(pdir)
         os.rename(tmp, pdir)
         with open(_manifest_path(out_dir), "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "partition": key_py,
-                        "rows": len(g),
-                        "lineage_id": lid,
-                        "ts": time.time(),
-                    }
-                )
-                + "\n"
-            )
+            rec = {
+                "partition": key_py,
+                "rows": len(g),
+                "lineage_id": lid,
+                "ts": time.time(),
+            }
+            if span_sig is not None:
+                rec["span_sig"] = span_sig
+            f.write(json.dumps(rec) + "\n")
         return pd.DataFrame({"partition": [key_py], "rows": [len(g)], "skipped": [False]})
 
     results = (

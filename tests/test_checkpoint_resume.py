@@ -88,3 +88,32 @@ def test_atomic_layout(ray_session, tmp_path):
     assert not glob.glob(os.path.join(out, "*.tmp-*"))
     assert len(glob.glob(os.path.join(out, "part=*"))) == 7
     assert os.path.exists(os.path.join(out, "_LINEAGE.json"))
+
+
+def test_span_signature_in_manifest(ray_session, tmp_path):
+    """Partitions carrying a spans column get an integrity fingerprint
+    that matches a recomputation from the reread data."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.sources.synth import synth_docs_dataset
+    from rsgislib_ray.stages.spans import parse_geom_spans, span_signature
+    from rsgislib_ray.stages.tiling import assign_tiles
+    from rsgislib_ray.functions.grid import TileSpec
+
+    docs = synth_docs_dataset(2000, override_num_blocks=3)
+    parsed = docs.map_batches(parse_geom_spans, batch_format="pyarrow")
+    tagged = assign_tiles(parsed, TileSpec((0, 100, 0, 100), 50, 50))
+    out = str(tmp_path / "o")
+    checkpointed_write(tagged, out, "tile_id", [{"op": "t"}])
+    with open(os.path.join(out, "_MANIFEST.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert all("span_sig" in r for r in recs)
+    # recompute from a reread partition
+    r0 = recs[0]
+    tbl = pq.read_table(
+        glob.glob(os.path.join(out, f"tile_id={r0['partition']}", "*.parquet"))[0]
+    )
+    sig = int(np.bitwise_xor.reduce(span_signature(tbl)) ^ np.uint64(len(tbl)))
+    assert sig == r0["span_sig"]
