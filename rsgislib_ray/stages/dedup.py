@@ -57,17 +57,47 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """First-wins exact dedup on a column subset
     (rm_feat_att_duplicates semantics: keep the lowest-id row of each
-    duplicate group). Returns the surviving rows."""
+    duplicate group). Returns the surviving rows.
+
+    Shape: per-batch partial (hash, min_id) -> min-combine ->
+    broadcast the winning (hash, id) pairs -> vectorized filter. The
+    only all-to-all is over one row per distinct hash per batch; the
+    wide rows never shuffle. (When the distinct-hash set itself exceeds
+    broadcast size, swap the driver combine for
+    ``groupby("content_hash").aggregate(Min)`` plus a hash-partitioned
+    semi-join — identical semantics.)"""
     hashed = add_content_hash(ds, cols)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def partial(batch: pa.Table) -> pa.Table:
+        h = batch["content_hash"].to_numpy()
+        i = batch[id_col].to_numpy()
+        order = np.lexsort((i, h))
+        h2, i2 = h[order], i[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(h2)) + 1])
+        return pa.table({"content_hash": h2[starts], "min_id": i2[starts]})
 
-    return (
-        hashed.groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["content_hash"])
+    winners = (
+        hashed.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("content_hash", as_index=False)["min_id"]
+        .min()
     )
+    wh = winners["content_hash"].to_numpy()
+    wi = winners["min_id"].to_numpy()
+    order = np.argsort(wh, kind="stable")
+    ref = ray.put((wh[order], wi[order]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        kh, ki = cached(ref)
+        h = batch["content_hash"].to_numpy()
+        i = batch[id_col].to_numpy()
+        pos = np.searchsorted(kh, h)
+        ok = ki[pos] == i
+        return batch.filter(pa.array(ok)).drop_columns(["content_hash"])
+
+    return hashed.map_batches(keep, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
