@@ -2307,3 +2307,18 @@ def q_overlay_doc_polys(sf_dir: str):
         )
 
     return polys.map_batches(overlay, batch_format="pyarrow")
+
+
+@register("ann_ivf", None)  # approximate by design; recall-tested
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN scale path: coarse k-means quantizer (deterministic
+    Lloyd, broadcast) + nprobe bucket scan; recall vs the exact path is
+    pinned in tests."""
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.ann import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries_tbl = tbl.filter(pc.less(tbl["vec_id"], 4))
+    return ivf_topk(emb, queries_tbl, k=10, n_centroids=16, nprobe=4)

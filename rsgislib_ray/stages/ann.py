@@ -214,3 +214,99 @@ def lsh_bucket_topk(
         .reset_index(drop=True)
         .pipe(pa.Table.from_pandas, preserve_index=False)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF variant (coarse k-means quantizer + probed buckets)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's k-means on normalized vectors (init = the
+    first n distinct sample rows; fixed iteration count — no RNG, so
+    results are identical at any parallelism)."""
+    X = _normalize(sample.astype(np.float64))
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    query_tbl: pa.Table,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> pa.Table:
+    """IVF approximate top-k: a coarse k-means quantizer buckets the
+    corpus; each query scans only its ``nprobe`` nearest buckets.
+    Recall < 1 by design (tested >= 0.7 at nprobe=4/16 centroids); the
+    quantizer trains once on a driver-side sample and is broadcast.
+    Output contract matches ann_topk: (query_id, rank, vec_id)."""
+    sample_tbl = embeddings.limit(train_sample).to_pandas()
+    sample = np.stack(sample_tbl[vec_col].to_numpy())
+    C = _kmeans(sample, n_centroids)
+    Q = _normalize(_to_matrix(query_tbl[query_vec_col]))
+    q_ids = query_tbl[query_id_col].to_numpy().astype(np.int64)
+    # per query: the nprobe closest centroids
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    ref = ray.put({"C": C, "Q": Q, "q_ids": q_ids, "probe": probe})
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        st = cached(ref)
+        M = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        assign = (M @ st["C"].T).argmax(axis=1)
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        for qi in range(len(st["q_ids"])):
+            mask = np.isin(assign, st["probe"][qi])
+            if not mask.any():
+                continue
+            sel = np.flatnonzero(mask)
+            sims = M[sel] @ st["Q"][qi]
+            kk = min(k, len(sel))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out["query_id"].append(
+                np.full(kk, st["q_ids"][qi], dtype=np.int64)
+            )
+            out["vec_id"].append(ids[sel[top]])
+            out["sim"].append(sims[top])
+        if not out["query_id"]:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table({kk2: np.concatenate(vv) for kk2, vv in out.items()})
+
+    local = embeddings.map_batches(scan, batch_format="pyarrow", batch_size=8192)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id"]]
+
+    out = local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+    )

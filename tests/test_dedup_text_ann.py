@@ -181,3 +181,22 @@ def test_langid_runs(ray_session, sf_dir):
     out = add_langid(_docs(sf_dir)).to_pandas()
     assert {"lang_pred", "lang_score"} <= set(out.columns)
     assert out["lang_pred"].notna().all()
+
+
+def test_ivf_recall_vs_exact(ray_session, sf_dir):
+    from rsgislib_ray.stages.ann import ann_topk, ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = tbl.slice(0, 8)
+    exact = ann_topk(emb, queries, k=10).to_pandas()
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4).to_pandas()
+    recalls = []
+    for qid in queries["vec_id"].to_pylist():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+    # the query vector itself (identical) must always be found
+    for qid in queries["vec_id"].to_pylist():
+        assert qid in set(approx[approx["query_id"] == qid]["vec_id"])
