@@ -93,6 +93,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     names = [
         "tile_assign",
         "spatial_join_inner",
+        "spatial_join_hash",
         "pip_count",
         "zonal_stats",
         "knn_1nn",

@@ -2322,3 +2322,69 @@ def q_ann_ivf(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     queries_tbl = tbl.filter(pc.less(tbl["vec_id"], 4))
     return ivf_topk(emb, queries_tbl, k=10, n_centroids=16, nprobe=4)
+
+
+@register(
+    "spatial_join_hash",
+    f"""
+    WITH pts AS ({td.SQL_PTS}), zones AS ({td.SQL_ZONES})
+    SELECT p.pt_id, z.fid FROM pts p JOIN zones z ON {_JOIN_ON}
+    """,
+)
+def q_spatial_join_hash(sf_dir: str):
+    """The both-sides-large join strategy (native hash shuffle + PIP
+    refine) on the same inputs as spatial_join_inner — same rows, no
+    broadcast assumption."""
+    from rsgislib_ray.stages.spatial_join import spatial_join_points_hashjoin
+
+    pts = td.points_from_orders(sf_dir).map_batches(
+        lambda t: t.append_column("pt_row", t["pt_id"]), batch_format="pyarrow"
+    )
+    out = spatial_join_points_hashjoin(
+        pts, td.zones_from_part(sf_dir), level=6, key_col="pt_row"
+    )
+    return out.map_batches(
+        lambda t: pa.table({"pt_id": t["pt_row"], "fid": t["fid"]}),
+        batch_format="pyarrow",
+    )
+
+
+@register("flagship_zonal", None)
+def q_flagship_zonal(sf_dir: str):
+    """End-to-end north-star composition: interleaved docs -> geometry
+    spans -> zone join -> per-zone TEXT aggregates (doc count + total
+    span count) — geoprocessing and text accounting in one streaming
+    pipeline."""
+    from ray.data.aggregate import Count, Sum
+
+    from rsgislib_ray.pipelines.flagship import (
+        docs_from_documents_table,
+        flagship,
+    )
+
+    joined = flagship(docs_from_documents_table(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        off = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_spans = np.diff(off - off[0])
+        df = pd.DataFrame(
+            {
+                "zone_fid": batch["zone_fid"].to_numpy(),
+                "n_spans": n_spans,
+            }
+        )
+        g = df.groupby("zone_fid", as_index=False).agg(
+            n_docs=("n_spans", "size"), total_spans=("n_spans", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pdf = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .to_pandas()
+        .groupby("zone_fid", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), total_spans=("total_spans", "sum"))
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
