@@ -549,26 +549,39 @@ def spatial_join_points_hashjoin(
         ring = out["ring_xy"]
         if isinstance(ring, pa.ChunkedArray):
             ring = ring.combine_chunks()
-        # Acero's hash join rejects LIST payload columns entirely; ship
-        # the ring as packed float64 bytes (binary passes through) and
-        # decode in the refine stage.
-        if pa.types.is_fixed_size_list(ring.type):
-            w = ring.type.list_size
-            vals = ring.flatten().to_numpy(zero_copy_only=False)
-            blobs = [
-                vals[i * w : (i + 1) * w].tobytes() for i in range(len(ring))
+        # Acero's hash join rejects LIST payload columns entirely.
+        # Rectangle rings (detected once) need only their 4 bounds —
+        # plain float64 columns pass through the join; general rings
+        # ship as packed float64 bytes (binary passes too), with EMPTY
+        # blobs for rect rows so the shuffle payload stays narrow.
+        zsub = ZoneSet.from_table(out)
+        n = len(out)
+        keep_ring = ~zsub.is_rect
+        counts = np.where(keep_ring, np.diff(zsub.ring_offsets) * 2, 0)
+        byte_off = np.concatenate([[0], np.cumsum(counts * 8)]).astype(np.int32)
+        if keep_ring.any():
+            pieces = [
+                zsub.ring_xy[
+                    2 * zsub.ring_offsets[i] : 2 * zsub.ring_offsets[i + 1]
+                ]
+                for i in np.flatnonzero(keep_ring)
             ]
+            vals = np.concatenate(pieces)
         else:
-            off = ring.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            off = off - off[0]
-            vals = ring.flatten().to_numpy(zero_copy_only=False)
-            blobs = [
-                vals[off[i] : off[i + 1]].tobytes() for i in range(len(ring))
-            ]
+            vals = np.empty(0, dtype=np.float64)
+        blob_arr = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(vals.tobytes())],
+        )
         return pa.table(
             {
                 "fid": out["fid"],
-                "ring_blob": pa.array(blobs, type=pa.binary()),
+                "zxmin": zsub.bounds[:, 0],
+                "zxmax": zsub.bounds[:, 1],
+                "zymin": zsub.bounds[:, 2],
+                "zymax": zsub.bounds[:, 3],
+                "ring_blob": blob_arr,
                 "cell": out["cell"],
             }
         )
@@ -604,45 +617,38 @@ def spatial_join_points_hashjoin(
             )
         px = batch[x_col].to_numpy()
         py = batch[y_col].to_numpy()
+        ok = np.zeros(len(batch), dtype=bool)
+        # rect rows: empty blob -> exact half-open bounds compare
         blob = batch["ring_blob"]
         if isinstance(blob, pa.ChunkedArray):
             blob = blob.combine_chunks()
-        raw = blob.to_pylist()
-        lens = np.array([len(b) // 8 for b in raw], dtype=np.int64)
-        vals = np.frombuffer(b"".join(raw), dtype=np.float64)
-        off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-        # candidate rows are (point, its own ring); build a ZoneSet over
-        # the batch's rows and refine pair (i, i) — the rect fast path
-        # applies row-wise
-        zs = ZoneSet(
-            batch["fid"].to_numpy(),
-            vals,
-            off // 2,
-            np.column_stack(
-                [
-                    np.minimum.reduceat(vals[0::2], off[:-1] // 2),
-                    np.maximum.reduceat(vals[0::2], off[:-1] // 2),
-                    np.minimum.reduceat(vals[1::2], off[:-1] // 2),
-                    np.maximum.reduceat(vals[1::2], off[:-1] // 2),
-                ]
-            ),
-        )
-        idxs = np.arange(len(batch), dtype=np.int64)
-        ok = np.empty(len(batch), dtype=bool)
-        rect = zs.is_rect
-        if rect.any():
-            rp = np.flatnonzero(rect)
-            b = zs.bounds[rp]
+        boff_all = np.frombuffer(blob.buffers()[1], dtype=np.int32)
+        boff = boff_all[blob.offset : blob.offset + len(blob) + 1].astype(np.int64)
+        blob_len = np.diff(boff)
+        is_rect_row = blob_len == 0
+        if is_rect_row.any():
+            rp = np.flatnonzero(is_rect_row)
             ok[rp] = (
-                (px[rp] >= b[:, 0])
-                & (px[rp] < b[:, 1])
-                & (py[rp] >= b[:, 2])
-                & (py[rp] < b[:, 3])
+                (px[rp] >= batch["zxmin"].to_numpy()[rp])
+                & (px[rp] < batch["zxmax"].to_numpy()[rp])
+                & (py[rp] >= batch["zymin"].to_numpy()[rp])
+                & (py[rp] < batch["zymax"].to_numpy()[rp])
             )
-        gen = ~rect
-        if gen.any():
-            gp = np.flatnonzero(gen)
-            ok[gp] = pip_pairs(px, py, zs.ring_xy, zs.ring_offsets, gp, gp)
+        gen = np.flatnonzero(~is_rect_row)
+        if len(gen):
+            data = np.frombuffer(blob.buffers()[2], dtype=np.uint8)
+            seg = data[boff[0] : boff[-1]]
+            vals = np.ascontiguousarray(seg).view(np.float64)
+            off = (boff - boff[0]) // 8
+            # build a compact ring set over the non-rect rows only
+            goff = np.concatenate([[0], np.cumsum(blob_len[gen] // 16)]).astype(
+                np.int64
+            )
+            gvals = np.concatenate(
+                [vals[off[i] : off[i + 1]] for i in gen]
+            ) if len(gen) else np.empty(0)
+            idxs = np.arange(len(gen), dtype=np.int64)
+            ok[gen] = pip_pairs(px[gen], py[gen], gvals, goff, idxs, idxs)
         keep = batch.filter(pa.array(ok))
         return pa.table({key_col: keep[key_col], "fid": keep["fid"]})
 
