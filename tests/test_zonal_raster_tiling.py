@@ -231,3 +231,26 @@ def test_tiled_filter_matches_full_convolution(ray_session):
         got["filtered"].to_numpy(), want.ravel(), rtol=1e-12
     )
     assert len(got) == n * n  # every pixel exactly once (halo trimmed)
+
+
+def test_images_equal(ray_session):
+    import ray.data
+
+    from rsgislib_ray.stages.raster import images_equal
+
+    n = 40
+    pid = np.arange(n * n, dtype=np.int64)
+    v = ((pid * 13) % 211).astype(np.float64)
+    t1 = pa.table({"pixel_id": pid, "value": v})
+    v2 = v.copy()
+    v2[5] += 3.0
+    t2 = pa.table({"pixel_id": pid, "value": v2})
+    same = images_equal(ray.data.from_arrow(t1), ray.data.from_arrow(t1))
+    assert same["equal"] and same["n_diff"] == 0
+    diff = images_equal(ray.data.from_arrow(t1), ray.data.from_arrow(t2))
+    assert not diff["equal"] and diff["n_diff"] == 1
+    assert diff["max_abs_diff"] == 3.0
+    tol = images_equal(
+        ray.data.from_arrow(t1), ray.data.from_arrow(t2), tolerance=5.0
+    )
+    assert tol["equal"]
