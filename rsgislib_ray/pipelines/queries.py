@@ -2388,3 +2388,28 @@ def q_flagship_zonal(sf_dir: str):
         .agg(n_docs=("n_docs", "sum"), total_spans=("total_spans", "sum"))
     )
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+@register("kmeans_clusters", None)  # iterative fit; deterministic but non-SQL
+def q_kmeans_clusters(sf_dir: str):
+    """imagecalc.kmeans_clustering analog (imagecalc.cpp:1889):
+    deterministic quantile-seeded Lloyd fit over distributed partial
+    sums, then a cluster-assignment stage. Output: per-cell cluster +
+    per-cluster sizes for the stability check."""
+    from rsgislib_ray.stages.zonal import kmeans_cluster
+
+    cells = td.cells_from_lineitem(sf_dir)
+    labeled = kmeans_cluster(cells, ["x", "y"], n_clusters=8, iters=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["cluster"].to_numpy(), return_counts=True)
+        return pa.table({"cluster": u, "partial": c.astype(np.int64)})
+
+    pdf = (
+        labeled.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("cluster", as_index=False)["partial"]
+        .sum()
+        .rename(columns={"partial": "n_cells"})
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)

@@ -337,3 +337,87 @@ def zonal_stats(
     return pa.Table.from_pandas(
         base.sort_values("fid").reset_index(drop=True), preserve_index=False
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means pixel clustering (imagecalc.kmeans_clustering,
+# /root/reference/python/src/imagecalc.cpp:1889; ISODATA :1916)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_cluster(
+    cells: ray.data.Dataset,
+    feature_cols: list[str],
+    n_clusters: int = 8,
+    iters: int = 10,
+    sample_rows: int = 65536,
+) -> ray.data.Dataset:
+    """Euclidean Lloyd's k-means over cell feature columns.
+
+    Deterministic: centers initialize at evenly-spaced quantiles of a
+    driver-side sample (no RNG), a fixed iteration count runs over
+    DISTRIBUTED partial sums (per-batch assign + sum/count partials ->
+    exact combine -> new centers), then a final assign stage labels
+    every cell. The fit loop is the two-phase map/reduce the reference
+    does in C++ single-threaded."""
+    import ray as _ray
+
+    sample = cells.limit(sample_rows).to_pandas()
+    X = np.column_stack([sample[c].to_numpy().astype(np.float64) for c in feature_cols])
+    qs = np.linspace(0, 100, n_clusters + 2)[1:-1]
+    C = np.column_stack(
+        [np.percentile(X[:, j], qs) for j in range(X.shape[1])]
+    )
+
+    for _ in range(iters):
+        ref = _ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            from rsgislib_ray.state.broadcast import cached
+
+            cc = cached(ref)
+            M = np.column_stack(
+                [batch[c].to_numpy().astype(np.float64) for c in feature_cols]
+            )
+            d = ((M[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            sums = np.zeros_like(cc)
+            cnts = np.zeros(len(cc), dtype=np.int64)
+            np.add.at(sums, a, M)
+            np.add.at(cnts, a, 1)
+            cols = {"cluster": np.arange(len(cc), dtype=np.int64), "n": cnts}
+            for j in range(cc.shape[1]):
+                cols[f"s{j}"] = sums[:, j]
+            return pa.table(cols)
+
+        pdf = (
+            cells.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .to_pandas()
+            .groupby("cluster", as_index=False)
+            .sum()
+        )
+        n = pdf["n"].to_numpy().astype(np.float64)
+        newC = C.copy()
+        nz = n > 0
+        for j in range(C.shape[1]):
+            newC[nz, j] = pdf[f"s{j}"].to_numpy()[nz] / n[nz]
+        if np.allclose(newC, C, rtol=0, atol=1e-12):
+            C = newC
+            break
+        C = newC
+
+    ref = _ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        cc = cached(ref)
+        M = np.column_stack(
+            [batch[c].to_numpy().astype(np.float64) for c in feature_cols]
+        )
+        d = ((M[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "cluster", pa.array(d.argmin(axis=1).astype(np.int64))
+        )
+
+    return cells.map_batches(assign, batch_format="pyarrow")
