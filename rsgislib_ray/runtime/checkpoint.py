@@ -127,6 +127,12 @@ def checkpointed_write(
         .map_groups(write_partition, batch_format="pandas")
         .to_pandas()
     )
+    if len(results) == 0:
+        # everything was pruned upstream (fully-resumed run): nothing
+        # to write is a valid, successful outcome
+        results = pd.DataFrame(
+            {"partition": [], "rows": [], "skipped": []}
+        ).astype({"rows": "int64", "skipped": "bool"})
     meta = {
         "out_dir": out_dir,
         "lineage_id": lid,

@@ -117,3 +117,61 @@ def test_span_signature_in_manifest(ray_session, tmp_path):
     )
     sig = int(np.bitwise_xor.reduce(span_signature(tbl)) ^ np.uint64(len(tbl)))
     assert sig == r0["span_sig"]
+
+
+@pytest.mark.slow
+def test_resume_after_real_kill(tmp_path):
+    """Kill a checkpointed CLI run mid-write, resume, verify the final
+    output equals a clean single run (atomic commits + manifest)."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out_killed = str(tmp_path / "killed")
+    out_clean = str(tmp_path / "clean")
+    cmd = [
+        sys.executable, "-m", "rsgislib_ray.cli", "--num-cpus", "4",
+        "flagship", "--out", out_killed, "--n-docs", "60000",
+    ]
+    proc = subprocess.Popen(
+        cmd, cwd="/root/repo", stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    # let it get partway into the partition writes, then kill hard
+    deadline = time.time() + 60
+    manifest = os.path.join(out_killed, "_MANIFEST.jsonl")
+    while time.time() < deadline:
+        if os.path.exists(manifest) and os.path.getsize(manifest) > 0:
+            break
+        if proc.poll() is not None:
+            break  # finished before we could kill — still a valid test
+        time.sleep(0.2)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+    # resume (fresh process)
+    subprocess.run(
+        cmd + ["--resume"], cwd="/root/repo", check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, timeout=300,
+    )
+    # clean single run for comparison
+    subprocess.run(
+        [
+            sys.executable, "-m", "rsgislib_ray.cli", "--num-cpus", "4",
+            "flagship", "--out", out_clean, "--n-docs", "60000",
+        ],
+        cwd="/root/repo", check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, timeout=300,
+    )
+
+    import pyarrow.dataset as pads
+
+    a = pads.dataset(glob.glob(os.path.join(out_killed, "tile_id=*/*.parquet"))).to_table()
+    b = pads.dataset(glob.glob(os.path.join(out_clean, "tile_id=*/*.parquet"))).to_table()
+    assert a.num_rows == b.num_rows
+    ka = sorted(zip(a["doc_id"].to_pylist(), a["zone_fid"].to_pylist()))
+    kb = sorted(zip(b["doc_id"].to_pylist(), b["zone_fid"].to_pylist()))
+    assert ka == kb
