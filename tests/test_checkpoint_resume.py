@@ -175,3 +175,15 @@ def test_resume_after_real_kill(tmp_path):
     ka = sorted(zip(a["doc_id"].to_pylist(), a["zone_fid"].to_pylist()))
     kb = sorted(zip(b["doc_id"].to_pylist(), b["zone_fid"].to_pylist()))
     assert ka == kb
+
+
+def test_torn_manifest_line_ignored(ray_session, tmp_path):
+    """A torn (partially-written) trailing manifest line must not poison
+    resume — that partition simply counts as uncommitted."""
+    out = str(tmp_path / "out")
+    checkpointed_write(_pts(), out, "part", LINEAGE)
+    lid = lineage_fingerprint(LINEAGE)
+    with open(os.path.join(out, "_MANIFEST.jsonl"), "a") as f:
+        f.write('{"partition": 99, "rows": 5, "lineage_')  # torn write
+    done = finished_partitions(out, lid)
+    assert done == set(range(7))  # torn line ignored, rest intact
