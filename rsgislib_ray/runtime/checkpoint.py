@@ -170,8 +170,20 @@ def resume_filter(
     return ds.map_batches(prune, batch_format="pyarrow"), done
 
 
-def read_checkpointed(out_dir: str) -> ray.data.Dataset:
-    """Read back only COMMITTED partitions (manifest-listed dirs)."""
+def read_checkpointed(
+    out_dir: str, lineage_id: str | None = None
+) -> ray.data.Dataset:
+    """Read back only COMMITTED partitions (manifest-listed dirs) of ONE
+    pipeline version. ``lineage_id`` defaults to the id recorded by the
+    most recent :func:`checkpointed_write` (``_LINEAGE.json``), so a
+    rerun with changed lineage into the same ``out_dir`` never mixes
+    partitions from two versions; pass ``lineage_id=""`` to read every
+    manifest record regardless of version."""
+    if lineage_id is None:
+        lj = os.path.join(out_dir, "_LINEAGE.json")
+        if os.path.exists(lj):
+            with open(lj) as f:
+                lineage_id = json.load(f).get("lineage_id")
     path = _manifest_path(out_dir)
     parts = []
     seen = set()
@@ -181,6 +193,8 @@ def read_checkpointed(out_dir: str) -> ray.data.Dataset:
                 try:
                     rec = json.loads(line)
                 except json.JSONDecodeError:
+                    continue
+                if lineage_id and rec.get("lineage_id") != lineage_id:
                     continue
                 if rec["partition"] in seen:
                     continue

@@ -54,18 +54,27 @@ def exact_dedup(
     ds: ray.data.Dataset,
     cols: list[str],
     id_col: str = "doc_id",
+    strategy: str = "broadcast",
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """First-wins exact dedup on a column subset
     (rm_feat_att_duplicates semantics: keep the lowest-id row of each
     duplicate group). Returns the surviving rows.
 
-    Shape: per-batch partial (hash, min_id) -> min-combine ->
-    broadcast the winning (hash, id) pairs -> vectorized filter. The
-    only all-to-all is over one row per distinct hash per batch; the
-    wide rows never shuffle. (When the distinct-hash set itself exceeds
-    broadcast size, swap the driver combine for
-    ``groupby("content_hash").aggregate(Min)`` plus a hash-partitioned
-    semi-join — identical semantics.)"""
+    Shape: per-batch partial (hash, min_id) pre-reduce -> NATIVE
+    distributed ``groupby("content_hash").min`` (the combine never runs
+    on the driver) -> winner filter:
+
+    - ``strategy="broadcast"``: the winner blocks stay in the object
+      store (``to_arrow_refs``); each worker process fetches + sorts
+      them once (``cached_multi``) and filters its batches with a
+      vectorized searchsorted. Right when the distinct-hash set fits a
+      worker heap; the wide rows never shuffle.
+    - ``strategy="join"``: hash-partitioned native ``Dataset.join`` on
+      content_hash + ``id == win_id`` filter — the 100 TB path when the
+      distinct-hash set itself is too large to broadcast. One all-to-all
+      over the wide rows, no driver materialization anywhere.
+    """
     hashed = add_content_hash(ds, cols)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -78,26 +87,55 @@ def exact_dedup(
 
     winners = (
         hashed.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .to_pandas()
-        .groupby("content_hash", as_index=False)["min_id"]
-        .min()
-    )
-    wh = winners["content_hash"].to_numpy()
-    wi = winners["min_id"].to_numpy()
-    order = np.argsort(wh, kind="stable")
-    ref = ray.put((wh[order], wi[order]))
+        .groupby("content_hash")
+        .min("min_id")
+    )  # columns: content_hash, min(min_id) — computed distributed
 
-    def keep(batch: pa.Table) -> pa.Table:
-        from rsgislib_ray.state.broadcast import cached
+    if strategy == "join":
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"content_hash": b["content_hash"], "win_id": b["min(min_id)"]}
+            )
 
-        kh, ki = cached(ref)
+        w = winners.map_batches(rename, batch_format="pyarrow")
+        joined = hashed.join(
+            w, join_type="inner", num_partitions=num_partitions,
+            on=("content_hash",),
+        )
+
+        def keep_join(b: pa.Table) -> pa.Table:
+            ok = pa.compute.equal(b[id_col], b["win_id"])
+            return b.filter(ok).drop_columns(["content_hash", "win_id"])
+
+        return joined.map_batches(keep_join, batch_format="pyarrow")
+
+    blocks = winners.to_arrow_refs()  # result lives in the object store
+
+    def build_winner_arrays(tables: list) -> tuple:
+        nonempty = [tb for tb in tables if tb.num_rows]
+        if not nonempty:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        t = pa.concat_tables(nonempty)
+        wh = t["content_hash"].to_numpy()
+        wi = t["min(min_id)"].to_numpy()
+        order = np.argsort(wh, kind="stable")
+        return wh[order], wi[order]
+
+    def keep(batch: pa.Table, _blocks=None) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached_multi
+
+        kh, ki = cached_multi(_blocks, build_winner_arrays)
+        if len(batch) == 0 or len(kh) == 0:
+            return batch.slice(0, 0).drop_columns(["content_hash"])
         h = batch["content_hash"].to_numpy()
         i = batch[id_col].to_numpy()
-        pos = np.searchsorted(kh, h)
-        ok = ki[pos] == i
+        pos = np.minimum(np.searchsorted(kh, h), len(kh) - 1)
+        ok = (kh[pos] == h) & (ki[pos] == i)
         return batch.filter(pa.array(ok)).drop_columns(["content_hash"])
 
-    return hashed.map_batches(keep, batch_format="pyarrow")
+    return hashed.map_batches(
+        keep, fn_kwargs={"_blocks": blocks}, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +205,24 @@ def jaccard(a: str, b: str, shingle_k: int = 3) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
+_MAX_RUN_ALLPAIRS = 512  # buckets beyond this emit linear chain pairs
+
+
+def _run_pairs(ids: np.ndarray):
+    """All (i<j) pairs for a sorted-by-id bucket run, falling back to a
+    linear CHAIN (consecutive ids) for degenerate giant buckets so the
+    pair count stays O(m) — connectivity under union-find is identical
+    when chained pairs verify, and giant buckets are near-identical docs
+    by construction."""
+    m = len(ids)
+    if m < 2:
+        return np.empty(0, ids.dtype), np.empty(0, ids.dtype)
+    if m <= _MAX_RUN_ALLPAIRS:
+        ii, jj = np.triu_indices(m, k=1)
+        return ids[ii], ids[jj]
+    return ids[:-1], ids[1:]
+
+
 def minhash_lsh_candidates(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -174,19 +230,19 @@ def minhash_lsh_candidates(
     n_perm: int = 128,
     n_bands: int = 16,
     shingle_k: int = 3,
-) -> pa.Table:
-    """Candidate near-dup pairs (doc_a != doc_b, star per bucket) from
-    banded MinHash.
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs (doc_a < doc_b, ALL pairs per bucket)
+    from banded MinHash, returned as a streaming Dataset.
 
     Bucket pairing is SORT-based, not per-group map_groups (which pays
     per-bucket Python overhead across tens of thousands of buckets):
-    sort band rows by bucket key, emit star pairs per sorted RUN inside
-    each block vectorized, and stitch runs that span block boundaries
-    by connecting the per-(block, bucket) minima on the driver (one row
-    per run — tiny). Connectivity is preserved: every bucket member
-    links to its block-run minimum, and the block minima of one bucket
-    link to each other.
-    """
+    sort band rows by bucket key, emit all-pairs per sorted RUN inside
+    each block vectorized. Runs touching a block BOUNDARY forward their
+    member rows (capped) and are paired on the driver — boundary runs
+    are O(#blocks) buckets, tiny. All-pairs (vs star pairs to the run
+    minimum) is required so that two bucket members a,b with
+    jaccard(a,b) >= threshold stay linked even when their pairs with a
+    third member fail verification."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
@@ -209,43 +265,214 @@ def minhash_lsh_candidates(
         k2, d2 = k[order], d[order]
         new = np.concatenate([[True], k2[1:] != k2[:-1]])
         starts = np.flatnonzero(new)
-        counts = np.diff(np.concatenate([starts, [len(k2)]]))
-        a = np.repeat(d2[starts], counts)
-        keep = a != d2
-        pairs_a = a[keep]
-        pairs_b = d2[keep]
-        # run summaries for cross-block stitching (kind=1 rows)
+        ends = np.concatenate([starts[1:], [len(k2)]])
+        out_a, out_b = [], []
+        bnd_d, bnd_k = [], []
+        interesting = np.flatnonzero(
+            ((ends - starts) >= 2) | (starts == 0) | (ends == len(k2))
+        )
+        for ri in interesting:
+            st, en = starts[ri], ends[ri]
+            if st == 0 or en == len(k2):  # boundary: forward members
+                mem = d2[st:en][:_MAX_RUN_ALLPAIRS]
+                bnd_d.append(mem)
+                bnd_k.append(np.full(len(mem), k2[st], dtype=np.int64))
+                if en - st > _MAX_RUN_ALLPAIRS:
+                    # chain-link the truncated tail locally so nothing
+                    # is disconnected from the forwarded head
+                    a, b = d2[st + _MAX_RUN_ALLPAIRS - 1 : en - 1], d2[
+                        st + _MAX_RUN_ALLPAIRS : en
+                    ]
+                    out_a.append(a)
+                    out_b.append(b)
+                continue
+            a, b = _run_pairs(d2[st:en])
+            out_a.append(a)
+            out_b.append(b)
+        pa_a = np.concatenate(out_a) if out_a else np.empty(0, dtype=d.dtype)
+        pa_b = np.concatenate(out_b) if out_b else np.empty(0, dtype=d.dtype)
+        bd = np.concatenate(bnd_d) if bnd_d else np.empty(0, dtype=d.dtype)
+        bk = np.concatenate(bnd_k) if bnd_k else np.empty(0, dtype=np.int64)
         return pa.table(
             {
-                "doc_a": np.concatenate([pairs_a, d2[starts]]),
-                "doc_b": np.concatenate([pairs_b, d2[starts]]),
+                "doc_a": np.concatenate([pa_a, bd]),
+                "doc_b": np.concatenate([pa_b, bd]),
                 "bucket": np.concatenate(
-                    [np.zeros(len(pairs_a), dtype=np.int64), k2[starts]]
+                    [np.zeros(len(pa_a), dtype=np.int64), bk]
                 ),
                 "is_summary": np.concatenate(
                     [
-                        np.zeros(len(pairs_a), dtype=np.int8),
-                        np.ones(len(starts), dtype=np.int8),
+                        np.zeros(len(pa_a), dtype=np.int8),
+                        np.ones(len(bd), dtype=np.int8),
                     ]
                 ),
             }
         )
 
-    both = sorted_bands.map_batches(emit, batch_format="pyarrow").to_pandas()
-    pairs = both[both["is_summary"] == 0][["doc_a", "doc_b"]]
-    summ = both[both["is_summary"] == 1]
-    # connect per-block minima of the same bucket
-    extra = []
+    both = sorted_bands.map_batches(emit, batch_format="pyarrow").materialize()
+    pairs_ds = both.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["is_summary"], 0)).select(
+            ["doc_a", "doc_b"]
+        ),
+        batch_format="pyarrow",
+    )
+    summ = (
+        both.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["is_summary"], 1)).select(
+                ["doc_a", "bucket"]
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+    )  # boundary members only: O(#blocks) runs
+    extra_a, extra_b = [], []
     for _bucket, g in summ.groupby("bucket"):
-        mins = np.sort(g["doc_a"].unique())
-        if len(mins) > 1:
-            extra.append(
-                pd.DataFrame({"doc_a": mins[0], "doc_b": mins[1:]})
+        mem = np.sort(g["doc_a"].unique())
+        a, b = _run_pairs(mem)
+        extra_a.append(a)
+        extra_b.append(b)
+    if extra_a:
+        ea = np.concatenate(extra_a)
+        eb = np.concatenate(extra_b)
+        if len(ea):
+            pairs_ds = pairs_ds.union(
+                ray.data.from_arrow(
+                    pa.table({"doc_a": ea, "doc_b": eb})
+                )
             )
-    if extra:
-        pairs = pd.concat([pairs] + extra, ignore_index=True)
-    pairs = pairs.drop_duplicates().reset_index(drop=True)
-    return pa.Table.from_pandas(pairs, preserve_index=False)
+    return pairs_ds
+
+
+def _shingle_hash_arrays(texts, shingle_k: int) -> list:
+    """Per-doc sorted-unique uint64 shingle-hash arrays (one hashing
+    pass over the exploded shingle list, then per-doc unique)."""
+    tok_lists = [
+        word_shingles(t.split(" "), shingle_k) if t else [""] for t in texts
+    ]
+    counts = np.array([max(len(t), 1) for t in tok_lists], dtype=np.int64)
+    flat = [s for lst in tok_lists for s in (lst if lst else [""])]
+    sh = hash_strings(flat)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    return [
+        np.unique(sh[starts[i] : starts[i + 1]]) for i in range(len(texts))
+    ]
+
+
+def verify_pairs_jaccard(
+    docs: ray.data.Dataset,
+    pairs: pd.DataFrame,
+    threshold: float,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Exact-Jaccard verification of candidate pairs, DISTRIBUTED:
+    the (tiny, contracted) pair adjacency is broadcast; the corpus
+    streams through a map_batches that emits one row per (pair, side)
+    with that doc's sorted shingle-hash array; rows co-partition by
+    ``pair_id % num_buckets`` and each bucket verifies its pairs with
+    vectorized sorted-array intersection (np.intersect1d). No document
+    text ever lands on the driver. Shingle sets are compared by 64-bit
+    hash — collision probability is negligible and deterministic.
+
+    Returns the surviving (doc_a, doc_b, jaccard) rows (small)."""
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    n = len(a)
+    pid = np.arange(n, dtype=np.int64)
+    doc_ids = np.concatenate([a, b])
+    pid2 = np.concatenate([pid, pid])
+    side2 = np.concatenate(
+        [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+    )
+    order = np.argsort(doc_ids, kind="stable")
+    adj_ref = ray.put((doc_ids[order], pid2[order], side2[order]))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        dsrt, psrt, ssrt = cached(adj_ref)
+        ids = batch[id_col].to_numpy()
+        lo = np.searchsorted(dsrt, ids, side="left")
+        hi = np.searchsorted(dsrt, ids, side="right")
+        cnt = hi - lo
+        sel = np.flatnonzero(cnt > 0)
+        if len(sel) == 0:
+            return pa.table(
+                {
+                    "vb": pa.array([], pa.int64()),
+                    "pair_id": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "sh": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        texts = batch[text_col].to_numpy(zero_copy_only=False)[sel]
+        sh_arrays = _shingle_hash_arrays(texts, shingle_k)
+        # one output row per (doc, membership)
+        c = cnt[sel]
+        total = int(c.sum())
+        within = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+        srcpos = np.repeat(lo[sel], c) + within
+        doc_pos = np.repeat(np.arange(len(sel)), c)
+        out_pid = psrt[srcpos]
+        lens = np.array([len(sh_arrays[i]) for i in doc_pos], dtype=np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        values = (
+            np.concatenate([sh_arrays[i] for i in doc_pos])
+            if total
+            else np.empty(0, dtype=np.uint64)
+        )
+        sh_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.uint64())
+        )
+        return pa.table(
+            {
+                "vb": pa.array(out_pid % num_buckets, pa.int64()),
+                "pair_id": pa.array(out_pid, pa.int64()),
+                "side": pa.array(ssrt[srcpos], pa.int8()),
+                "sh": sh_list,
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        got: dict = {}
+        ok_pids = []
+        sims = []
+        for pid_v, side_v, sh_v in zip(g["pair_id"], g["side"], g["sh"]):
+            key = int(pid_v)
+            slot = got.setdefault(key, [None, None])
+            slot[int(side_v)] = np.asarray(sh_v, dtype=np.uint64)
+        for key, (sa, sb) in got.items():
+            if sa is None or sb is None:
+                continue  # partner doc absent from the corpus
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            sim = 1.0 if union == 0 else inter / union
+            if sim >= threshold:
+                ok_pids.append(key)
+                sims.append(sim)
+        return pd.DataFrame(
+            {
+                "pair_id": pd.Series(ok_pids, dtype="int64"),
+                "jaccard": pd.Series(sims, dtype="float64"),
+            }
+        )
+
+    ver = (
+        exploded.groupby("vb")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(ver) == 0:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    keep = ver["pair_id"].to_numpy()
+    return pd.DataFrame(
+        {"doc_a": a[keep], "doc_b": b[keep], "jaccard": ver["jaccard"].to_numpy()}
+    )
 
 
 def minhash_dedup(
@@ -256,40 +483,26 @@ def minhash_dedup(
     n_perm: int = 128,
     n_bands: int = 16,
     shingle_k: int = 3,
-) -> pa.Table:
-    """Near-dup clustering: LSH candidates -> exact-Jaccard verify ->
-    union-find -> keep the lowest id per cluster.
+) -> ray.data.Dataset:
+    """Near-dup clustering: LSH candidates -> distributed exact-Jaccard
+    verify -> union-find over the contracted verified pairs (driver,
+    tiny) -> broadcast labeling sweep over the corpus.
 
-    Returns (doc_id, cluster_id, keep). The verified pair set is far
-    smaller than the corpus (banded LSH bounds it); union-find runs on
-    the driver over that contracted pair list — the documented
-    assumption (matches the guide's candidate-set-small pattern). The
-    heavy stages (signatures, banding, verification) are distributed.
+    Returns a Dataset of (doc_id, cluster_id, keep). Only CONTRACTED
+    state (candidate pairs, the non-trivial union-find map) ever lands
+    on the driver; document texts and the id sweep stay distributed.
     """
     texts_needed = ds.select_columns([id_col, text_col])
-    pairs = minhash_lsh_candidates(
+    pairs_ds = minhash_lsh_candidates(
         texts_needed, text_col, id_col, n_perm, n_bands, shingle_k
     )
+    # contracted pair list (bounded by band collisions) -> driver
+    pdf = pairs_ds.to_pandas().drop_duplicates()
+    verified = verify_pairs_jaccard(
+        texts_needed, pdf, threshold, shingle_k, id_col, text_col
+    )
 
-    # The candidate PAIR list is small (bounded by band collisions);
-    # only texts of candidate ids are pulled to the driver for exact
-    # Jaccard verification — the corpus itself keeps streaming.
-    pdf = pairs.to_pandas().drop_duplicates()
-    cand_ids = set(pdf["doc_a"]).union(pdf["doc_b"])
-    if len(pdf):
-        cand_arr = pa.array(sorted(cand_ids))
-        cand_texts = texts_needed.map_batches(
-            lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=cand_arr)),
-            batch_format="pyarrow",
-        ).to_pandas()
-        id_text = cand_texts.set_index(id_col)[text_col].to_dict()
-        keep_mask = [
-            jaccard(id_text[a], id_text[b], shingle_k) >= threshold
-            for a, b in zip(pdf["doc_a"], pdf["doc_b"])
-        ]
-        pdf = pdf[np.asarray(keep_mask, dtype=bool)]
-
-    # Union-find over verified pairs.
+    # Union-find over verified pairs (contracted graph).
     parent: dict = {}
 
     def find(x):
@@ -298,22 +511,39 @@ def minhash_dedup(
             x = parent[x]
         return x
 
-    for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
-        ra, rb = find(a), find(b)
+    for pa_, pb_ in zip(verified["doc_a"], verified["doc_b"]):
+        ra, rb = find(pa_), find(pb_)
         if ra != rb:
             lo, hi = (ra, rb) if ra <= rb else (rb, ra)
             parent[hi] = lo
 
-    # Emit one row per doc. Only candidate ids can be non-singleton, so
-    # the union-find map is tiny; the id sweep itself is a narrow
-    # single-column pull (at true 10^12 scale this final labeling step
-    # becomes a broadcast-map over the id column instead — same logic).
-    all_ids = sorted(
-        texts_needed.select_columns([id_col]).to_pandas()[id_col].tolist()
+    # broadcast the (tiny) non-self root map; label the corpus in a
+    # vectorized map_batches — no corpus-wide driver pull
+    keys = np.array(sorted(parent.keys()), dtype=np.int64)
+    vals = np.array([find(k) for k in keys], dtype=np.int64)
+    root_ref = ray.put((keys, vals))
+
+    def label(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        kk, vv = cached(root_ref)
+        i = batch[id_col].to_numpy().astype(np.int64)
+        cluster = i.copy()
+        if len(kk):
+            pos = np.minimum(np.searchsorted(kk, i), len(kk) - 1)
+            hit = kk[pos] == i
+            cluster[hit] = vv[pos[hit]]
+        return pa.table(
+            {
+                id_col: pa.array(i),
+                "cluster_id": pa.array(cluster),
+                "keep": pa.array(cluster == i),
+            }
+        )
+
+    return texts_needed.select_columns([id_col]).map_batches(
+        label, batch_format="pyarrow"
     )
-    cluster = [find(i) for i in all_ids]
-    keep = [c == i for i, c in zip(all_ids, cluster)]
-    return pa.table({id_col: all_ids, "cluster_id": cluster, "keep": keep})
 
 
 # ---------------------------------------------------------------------------

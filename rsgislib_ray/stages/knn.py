@@ -120,11 +120,22 @@ def _topk_brute(px, py, idx: _TargetIndex, k: int, metric: str = "euclidean",
                 (pd_sorted[:, :-1] == pd_sorted[:, 1:]).any(axis=1)
             )
             for r in tie_rows:  # per-row fixup only where a tie exists
-                row_d = pd_sorted[r]
-                ro = np.lexsort((ids_sorted[r], row_d))
-                pd_sorted[r] = row_d[ro]
-                pi_sorted[r] = pi_sorted[r][ro]
-                if row_d[0] == row_d[1]:
+                if kk < T and pd_sorted[r, kk - 1] == pd_sorted[r, kk]:
+                    # The tie run at the kth boundary may extend beyond
+                    # the kk+1 argpartition survivors (>=3 targets at an
+                    # identical kth distance): fall back to a full row
+                    # sort so the id tiebreak is global, matching the
+                    # oracle's ORDER BY dist, target_id.
+                    row_d_full = d[r]
+                    ro = np.lexsort((idx.ids, row_d_full))[: kk + 1]
+                    pd_sorted[r] = row_d_full[ro]
+                    pi_sorted[r] = ro
+                else:
+                    row_d = pd_sorted[r].copy()
+                    ro = np.lexsort((ids_sorted[r], row_d))
+                    pd_sorted[r] = row_d[ro]
+                    pi_sorted[r] = pi_sorted[r][ro]
+                if pd_sorted[r, 0] == pd_sorted[r, 1]:
                     tie[s + r] = True
         out_d[s:e] = pd_sorted[:, :kk]
         out_i[s:e] = pi_sorted[:, :kk]
@@ -132,10 +143,16 @@ def _topk_brute(px, py, idx: _TargetIndex, k: int, metric: str = "euclidean",
 
 
 def _topk_grid(px, py, idx: _TargetIndex, k: int):
-    """Ring-expansion exact top-k over the cell-bucket index."""
+    """Ring-expansion exact top-k over the cell-bucket index.
+
+    Internally tracks at least 2 neighbours so the 1-NN tie flag can be
+    recomputed once from the FINAL merged result (an equidistant pair
+    seen in an early ring must not flag a tie when a later ring holds a
+    strictly nearer unique neighbour)."""
     B = len(px)
     T = len(idx.tx)
-    kk = min(k, T)
+    out_k = min(k, T)
+    kk = min(max(k, 2), T)  # track top-2 minimum for exact tie detection
     n = idx.n_side
     cw = idx.cell_w
     pcol = np.clip(np.floor((px - DEFAULT_FRAME.x0) / cw), 0, n - 1).astype(np.int64)
@@ -143,7 +160,6 @@ def _topk_grid(px, py, idx: _TargetIndex, k: int):
 
     best_d = np.full((B, kk), np.inf)
     best_i = np.full((B, kk), -1, dtype=np.int64)
-    tie = np.zeros(B, dtype=bool)
     alive = np.arange(B)
     r = 0
     max_r = 2 * n
@@ -203,19 +219,18 @@ def _topk_grid(px, py, idx: _TargetIndex, k: int):
             kp, kd, ki, kr = allp[keep], alld[keep], alli[keep], rank[keep]
             best_d[kp, kr] = kd
             best_i[kp, kr] = ki
-            # tie flag for 1-NN: first two equal and valid
-            if kk >= 1:
-                two = keep & (rank == 1)
-                p2 = allp[two]
-                first_d = best_d[p2, 0]
-                tie[p2] |= (alld[two] == first_d) & (alli[two] >= 0)
         # finish condition: kth distance within the guaranteed ring bound
         kth = best_d[alive, kk - 1]
         bound = (r * cw) ** 2  # any target in ring > r is at least r*cw away
         done = (kth <= bound) & np.isfinite(kth)
         alive = alive[~done]
         r += 1
-    return best_d, best_i, tie
+    # 1-NN tie flag from the FINAL merged top-2 (not or-ed per ring)
+    if kk >= 2:
+        tie = (best_d[:, 0] == best_d[:, 1]) & (best_i[:, 1] >= 0)
+    else:
+        tie = np.zeros(B, dtype=bool)
+    return best_d[:, :out_k], best_i[:, :out_k], tie
 
 
 class KNNJoin:
@@ -302,7 +317,15 @@ def _knn_batch(
     dist_sq = d.ravel()
     valid = tpos >= 0
     if tolerance is not None:
-        valid &= dist_sq <= tolerance * tolerance
+        # euclidean/mahalanobis carry SQUARED values in the dist column;
+        # the other metrics carry the metric value itself, so compare
+        # against the unsquared tolerance for them.
+        thresh = (
+            tolerance * tolerance
+            if metric in ("euclidean", "mahalanobis")
+            else tolerance
+        )
+        valid &= dist_sq <= thresh
     rows, rank, tpos, dist_sq = (
         rows[valid],
         rank[valid],
@@ -423,8 +446,19 @@ def radius_count(
 ) -> ray.data.Dataset:
     """calc_npts_in_radius: per base point, how many targets lie within
     ``radius`` (strict <=). ``exclude_self`` subtracts the self match
-    when base and target are the same layer (reference :1152)."""
-    ref = broadcast_targets(targets_tbl, id_col, x_col, y_col, grid_level=None)
+    when base and target are the same layer (reference :1152).
+
+    Scale path: cell-bucket index sized so one ring of cells covers the
+    radius — per point only the O((2r/cell_w+1)^2) nearby buckets are
+    distance-checked, instead of a B x T distance matrix."""
+    # pick a grid level whose cell width ~ radius so the candidate
+    # square is a small constant number of cells
+    level = int(
+        np.clip(
+            np.floor(np.log2(DEFAULT_FRAME.width / max(radius, 1e-9))), 0, 10
+        )
+    )
+    ref = broadcast_targets(targets_tbl, id_col, x_col, y_col, grid_level=level)
     r_sq = radius * radius
 
     def count_batch(batch: pa.Table) -> pa.Table:
@@ -433,14 +467,41 @@ def radius_count(
         idx: _TargetIndex = cached(ref)
         px = batch[x_col].to_numpy().astype(np.float64)
         py = batch[y_col].to_numpy().astype(np.float64)
-        T = len(idx.tx)
-        out = np.zeros(len(px), dtype=np.int64)
-        step = max(1, _CHUNK_ELEMS // max(T, 1))
-        for s in range(0, len(px), step):
-            e = min(len(px), s + step)
-            dx = px[s:e, None] - idx.tx[None, :]
-            dy = py[s:e, None] - idx.ty[None, :]
-            out[s:e] = ((dx * dx + dy * dy) <= r_sq).sum(axis=1)
+        B = len(px)
+        out = np.zeros(B, dtype=np.int64)
+        n, cw = idx.n_side, idx.cell_w
+        pcol = np.clip(
+            np.floor((px - DEFAULT_FRAME.x0) / cw), 0, n - 1
+        ).astype(np.int64)
+        prow = np.clip(
+            np.floor((py - DEFAULT_FRAME.y0) / cw), 0, n - 1
+        ).astype(np.int64)
+        rc = int(np.ceil(radius / cw)) + 1  # +1 covers edge-clipped points
+        for dc in range(-rc, rc + 1):
+            for dr in range(-rc, rc + 1):
+                c2 = pcol + dc
+                r2 = prow + dr
+                ok = (c2 >= 0) & (c2 < n) & (r2 >= 0) & (r2 < n)
+                if not ok.any():
+                    continue
+                key = r2[ok] * n + c2[ok]
+                lo = np.searchsorted(idx.sorted_key, key, side="left")
+                hi = np.searchsorted(idx.sorted_key, key, side="right")
+                cnt = hi - lo
+                nz = cnt > 0
+                if not nz.any():
+                    continue
+                p_sel = np.flatnonzero(ok)[nz]
+                lo, cnt = lo[nz], cnt[nz]
+                total = int(cnt.sum())
+                pp = np.repeat(p_sel, cnt)
+                base = np.repeat(lo, cnt)
+                within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                tt = idx.order[base + within]
+                dx = px[pp] - idx.tx[tt]
+                dy = py[pp] - idx.ty[tt]
+                hit = (dx * dx + dy * dy) <= r_sq
+                out += np.bincount(pp[hit], minlength=B)
         if exclude_self:
             out -= 1
         return batch.append_column(out_col, pa.array(out))

@@ -187,3 +187,35 @@ def test_torn_manifest_line_ignored(ray_session, tmp_path):
         f.write('{"partition": 99, "rows": 5, "lineage_')  # torn write
     done = finished_partitions(out, lid)
     assert done == set(range(7))  # torn line ignored, rest intact
+
+
+def test_read_filters_by_lineage(ray_session, tmp_path):
+    """After a rerun with CHANGED lineage into the same out_dir, reading
+    back must not mix partitions from the old version (regression:
+    read_checkpointed ignored lineage_id)."""
+    import json
+
+    out = str(tmp_path / "out")
+    # v1 writes all 7 partitions
+    checkpointed_write(_pts(), out, "part", LINEAGE)
+    # v2 (different lineage) rewrites only partitions 0-2, with doubled x
+    v2 = [{"op": "test_write", "params": {"v": 2}}]
+    ds2 = _pts().map_batches(
+        lambda t: t.filter(pa.compute.less(t["part"], 3)).set_column(
+            1, "x", pa.compute.multiply(
+                t.filter(pa.compute.less(t["part"], 3))["x"], 2.0)
+        ),
+        batch_format="pyarrow",
+    )
+    checkpointed_write(ds2, out, "part", v2)
+    # default read follows _LINEAGE.json (v2): only v2's 3 partitions
+    back = read_checkpointed(out).to_pandas()
+    assert set(back["part"]) == {0, 1, 2}
+    # explicit old lineage id reads nothing stale for parts 0-2 rewritten
+    # by v2 (their dirs now hold v2 data, manifest rows filtered out) and
+    # the v1-only partitions 3-6 are still readable under v1's id
+    back1 = read_checkpointed(out, lineage_id=lineage_fingerprint(LINEAGE)).to_pandas()
+    assert set(back1["part"]) <= set(range(7))
+    # lineage_id="" reads every manifest record (legacy behavior)
+    back_all = read_checkpointed(out, lineage_id="").to_pandas()
+    assert set(back_all["part"]) == set(range(7))

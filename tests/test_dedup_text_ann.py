@@ -200,3 +200,62 @@ def test_ivf_recall_vs_exact(ray_session, sf_dir):
     # the query vector itself (identical) must always be found
     for qid in queries["vec_id"].to_pylist():
         assert qid in set(approx[approx["query_id"] == qid]["vec_id"])
+
+
+def test_exact_dedup_join_strategy_matches_broadcast(ray_session, sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    a = (
+        exact_dedup(docs, ["text"], strategy="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        exact_dedup(docs, ["text"], strategy="join", num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_lsh_all_pairs_per_bucket(ray_session):
+    """3 identical docs share every band bucket: candidates must
+    contain ALL 3 pairs, not just star pairs to the bucket minimum
+    (regression: star pairing silently split clusters whose members
+    only verify against each other)."""
+    from rsgislib_ray.stages.dedup import minhash_lsh_candidates
+
+    text = "a b c d e f g h i j"
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": np.array([10, 20, 30]), "text": [text] * 3})
+    )
+    pairs = minhash_lsh_candidates(ds).to_pandas().drop_duplicates()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert {(10, 20), (10, 30), (20, 30)} <= got
+
+
+def test_verify_pairs_jaccard_distributed_matches_exact(ray_session):
+    from rsgislib_ray.stages.dedup import verify_pairs_jaccard
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(words[j] for j in rng.integers(0, 30, 25)) for i in range(40)
+    ]
+    texts[35] = texts[0]  # exact dup pair
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": np.arange(40, dtype=np.int64), "text": texts})
+    )
+    ii, jj = np.triu_indices(40, k=1)
+    pairs = pd.DataFrame({"doc_a": ii.astype(np.int64), "doc_b": jj.astype(np.int64)})
+    thr = 0.3
+    got = verify_pairs_jaccard(ds, pairs, thr, shingle_k=3)
+    got_set = set(map(tuple, got[["doc_a", "doc_b"]].to_numpy().astype(int)))
+    want = {
+        (int(a), int(b))
+        for a, b in zip(ii, jj)
+        if jaccard(texts[a], texts[b], 3) >= thr
+    }
+    assert got_set == want
+    assert (0, 35) in got_set

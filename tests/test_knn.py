@@ -211,3 +211,56 @@ def test_metrics_vs_brute_oracle():
         np.testing.assert_array_equal(
             out["nn_id"].to_numpy(), idx.ids[oracle(metric)], err_msg=metric
         )
+
+
+def test_grid_tie_flag_not_sticky_across_rings():
+    """An equidistant pair in the point's own cell must NOT flag a tie
+    when a strictly nearer unique neighbour sits in a later ring
+    (regression: per-ring |= accumulation of the tie flag)."""
+    tbl = pa.table(
+        {
+            "target_id": np.array([1, 2, 3], dtype=np.int64),
+            # cell width at level 6 is 100/64 = 1.5625: the pair lives in
+            # cell (0,0); the near target in cell (1,0) -> ring 1.
+            "x": [0.5, 0.5, 1.7],
+            "y": [0.0, 1.0, 0.5],
+        }
+    )
+    idx = _TargetIndex(tbl, "target_id", "x", "y", None, grid_level=6)
+    px = np.array([1.5])
+    py = np.array([0.5])
+    gd, gi, gtie = _topk_grid(px, py, idx, 1)
+    bd, bi, btie = _topk_brute(px, py, idx, 1)
+    assert idx.ids[gi[0, 0]] == 3 and idx.ids[bi[0, 0]] == 3
+    assert not gtie[0] and not btie[0]
+    # and a REAL tie (remove the near target) is still flagged
+    idx2 = _TargetIndex(tbl.slice(0, 2), "target_id", "x", "y", None, grid_level=6)
+    _, _, t2 = _topk_grid(px, py, idx2, 1)
+    assert t2[0]
+
+
+def test_brute_multiway_boundary_tie_lowest_id():
+    """>=3 targets exactly tied at the kth distance: the argpartition
+    survivor subset is arbitrary, so the id tiebreak must fall back to a
+    full row sort (regression: tiebreak only among kk+1 survivors)."""
+    rng = np.random.default_rng(7)
+    # 4-way exact tie at distance 1 around the origin, ids shuffled so
+    # the lowest id is not first, plus background targets farther out.
+    far_x = rng.uniform(20, 90, 40)
+    far_y = rng.uniform(20, 90, 40)
+    tbl = pa.table(
+        {
+            "target_id": np.concatenate(
+                [np.array([9, 3, 7, 5], dtype=np.int64),
+                 np.arange(100, 140, dtype=np.int64)]
+            ),
+            "x": np.concatenate([np.array([6.0, 5.0, 4.0, 5.0]), far_x]),
+            "y": np.concatenate([np.array([5.0, 6.0, 5.0, 4.0]), far_y]),
+        }
+    )
+    idx = _TargetIndex(tbl, "target_id", "x", "y", None, None)
+    px = np.array([5.0])
+    py = np.array([5.0])
+    d, i, tie = _topk_brute(px, py, idx, 1)
+    assert tie[0]
+    assert idx.ids[i[0, 0]] == 3  # global lowest id among the tied run
