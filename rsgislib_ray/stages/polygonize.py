@@ -99,6 +99,32 @@ def _local_cc_unionfind(
     return np.array([root_min[r] for r in roots], dtype=np.int64)
 
 
+def _edge_components_minlabel(ea: np.ndarray, eb: np.ndarray):
+    """Vectorized union-find (min-hooking + pointer jumping) over an
+    edge list of int64 labels. Returns (labels, root_label) arrays where
+    root_label is the component's MINIMUM label — O(E log V) numpy, no
+    per-edge Python loop."""
+    if len(ea) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    labels = np.unique(np.concatenate([ea, eb]))
+    ia = np.searchsorted(labels, ea)
+    ib = np.searchsorted(labels, eb)
+    parent = np.arange(len(labels), dtype=np.int64)
+    while True:
+        while True:  # full path compression by pointer jumping
+            gp = parent[parent]
+            if np.array_equal(gp, parent):
+                break
+            parent = gp
+        ra, rb = parent[ia], parent[ib]
+        if np.all(ra == rb):
+            break
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        np.minimum.at(parent, hi, lo)
+    return labels, labels[parent]
+
+
 def clump(
     raster: ray.data.Dataset,
     tile_size: int = 256,
@@ -151,46 +177,114 @@ def clump(
     labeled = tiled.groupby("tile_id").map_groups(local, batch_format="pandas")
     labeled = labeled.materialize()
 
-    # ---- contracted cross-tile merge on border strips only ----------
-    borders = labeled.map_batches(
-        lambda t: t.filter(t["is_border"]).select(
-            ["row", "col", value_col, "local_label"]
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
+    # ---- contracted cross-tile merge: DISTRIBUTED edge extraction ---
+    # Each border pixel emits an anchor row at its own position plus one
+    # probe row per forward shift; after a sort on the position key,
+    # matching (anchor, probe) rows of equal value in one run are a
+    # label-graph edge. Only label EDGES (pre-deduped per block) reach
+    # the driver — border pixel rows never do. Runs straddling a block
+    # boundary are forwarded raw (O(#blocks) rows) and matched on the
+    # driver.
     shifts = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if eight_conn else [])
-    b = borders
-    for dr, dc in shifts:
-        a = b.copy()
-        a["row"] = a["row"] + dr
-        a["col"] = a["col"] + dc
-        m = a.merge(b, on=["row", "col"], suffixes=("_a", "_b"))
-        m = m[m[f"{value_col}_a"] == m[f"{value_col}_b"]]
-        for la, lb in zip(m["local_label_a"], m["local_label_b"]):
-            if la != lb:
-                union(int(la), int(lb))
+    POS = np.int64(1) << 32
 
-    labels = np.unique(borders["local_label"].to_numpy())
-    root_map = {int(l): find(int(l)) for l in labels}
-    # resolve roots to min-pixel-id transitively (roots are labels
-    # themselves = pixel ids, and union keeps the minimum as root)
-    keys = np.array(sorted(root_map), dtype=np.int64)
-    vals = np.array([root_map[k] for k in sorted(root_map)], dtype=np.int64)
+    def emit_probe_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(t["is_border"])
+        r = t["row"].to_numpy().astype(np.int64)
+        c = t["col"].to_numpy().astype(np.int64)
+        v = t[value_col].to_numpy().astype(np.int64)
+        lab = t["local_label"].to_numpy().astype(np.int64)
+        pos = [r * POS + c]
+        anchor = [np.ones(len(r), dtype=np.int8)]
+        vals = [v]
+        labs = [lab]
+        for dr, dc in shifts:
+            pos.append((r + dr) * POS + (c + dc))
+            anchor.append(np.zeros(len(r), dtype=np.int8))
+            vals.append(v)
+            labs.append(lab)
+        return pa.table(
+            {
+                "pos": np.concatenate(pos),
+                "anchor": np.concatenate(anchor),
+                "val": np.concatenate(vals),
+                "lab": np.concatenate(labs),
+            }
+        )
+
+    probe_rows = labeled.map_batches(
+        emit_probe_rows, batch_format="pyarrow"
+    ).sort("pos")
+
+    def emit_edges(t: pa.Table) -> pa.Table:
+        p = t["pos"].to_numpy()
+        an = t["anchor"].to_numpy()
+        v = t["val"].to_numpy()
+        lab = t["lab"].to_numpy()
+        order = np.argsort(p, kind="stable")
+        p, an, v, lab = p[order], an[order], v[order], lab[order]
+        new = np.concatenate([[True], p[1:] != p[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(p)]])
+        ea, eb = [], []
+        fwd = []  # boundary-run row indices forwarded raw
+        for ri in range(len(starts)):
+            st, en = starts[ri], ends[ri]
+            if st == 0 or en == len(p):
+                fwd.append(np.arange(st, en))
+                continue
+            if en - st < 2:
+                continue
+            a_idx = np.flatnonzero(an[st:en] == 1)
+            if len(a_idx) == 0:
+                continue
+            ai = st + a_idx[0]
+            pr = np.arange(st, en)[an[st:en] == 0]
+            ok = (v[pr] == v[ai]) & (lab[pr] != lab[ai])
+            ea.append(np.minimum(lab[pr[ok]], lab[ai]))
+            eb.append(np.maximum(lab[pr[ok]], lab[ai]))
+        ea = np.concatenate(ea) if ea else np.empty(0, dtype=np.int64)
+        eb = np.concatenate(eb) if eb else np.empty(0, dtype=np.int64)
+        if len(ea):  # contract: dedupe edges within the block
+            uniq = np.unique(np.stack([ea, eb], axis=1), axis=0)
+            ea, eb = uniq[:, 0], uniq[:, 1]
+        fi = np.concatenate(fwd) if fwd else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "ea": np.concatenate([ea, p[fi]]),
+                "eb": np.concatenate([eb, lab[fi]]),
+                "val": np.concatenate(
+                    [np.zeros(len(ea), dtype=np.int64), v[fi]]
+                ),
+                "kind": np.concatenate(
+                    [
+                        np.zeros(len(ea), dtype=np.int8),
+                        np.where(an[fi] == 1, np.int8(1), np.int8(2)),
+                    ]
+                ),
+            }
+        )
+
+    edge_rows = probe_rows.map_batches(
+        emit_edges, batch_format="pyarrow"
+    ).to_pandas()
+    edges = edge_rows[edge_rows["kind"] == 0]
+    ea = edges["ea"].to_numpy().astype(np.int64)
+    eb = edges["eb"].to_numpy().astype(np.int64)
+    bnd = edge_rows[edge_rows["kind"] != 0]
+    if len(bnd):  # match forwarded boundary runs (anchor kind=1 vs probe 2)
+        anch = bnd[bnd["kind"] == 1]
+        prob = bnd[bnd["kind"] == 2]
+        m = anch.merge(
+            prob, left_on=["ea", "val"], right_on=["ea", "val"],
+            suffixes=("_a", "_p"),
+        )
+        m = m[m["eb_a"] != m["eb_p"]]
+        if len(m):
+            ea = np.concatenate([ea, m[["eb_a", "eb_p"]].min(axis=1).to_numpy()])
+            eb = np.concatenate([eb, m[["eb_a", "eb_p"]].max(axis=1).to_numpy()])
+
+    keys, vals = _edge_components_minlabel(ea, eb)
     ref = ray.put((keys, vals))
 
     def relabel(batch: pa.Table) -> pa.Table:
@@ -263,59 +357,115 @@ def components_summary(clumped: ray.data.Dataset, value_col: str = "value") -> p
     )
 
 
+# left-turn preference at pinch vertices: for incoming direction d the
+# continuation priority is [left, straight, right] (region stays on the
+# left, so the sharpest left turn keeps the same boundary cycle)
+_TURN_PRIORITY = {
+    (1, 0): [(0, 1), (1, 0), (0, -1)],
+    (0, 1): [(-1, 0), (0, 1), (1, 0)],
+    (-1, 0): [(0, -1), (-1, 0), (0, 1)],
+    (0, -1): [(1, 0), (0, -1), (-1, 0)],
+}
+
+
+def _trace_all_cycles(cells: set) -> list[list[tuple[int, int]]]:
+    """Chain ALL boundary cycles of a cell set (region-on-left directed
+    edges): the first/largest CCW cycles are outer rings, CW cycles are
+    holes. Pinch vertices (two outgoing edges, possible under 8-conn or
+    hole-touching corners) are resolved by the sharpest-left-turn rule,
+    which yields valid, non-crossing rings."""
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for rr, cc in cells:
+        segs = []
+        if (rr - 1, cc) not in cells:  # bottom edge, left-to-right
+            segs.append(((cc, rr), (cc + 1, rr)))
+        if (rr, cc + 1) not in cells:  # right edge, bottom-to-top
+            segs.append(((cc + 1, rr), (cc + 1, rr + 1)))
+        if (rr + 1, cc) not in cells:  # top edge, right-to-left
+            segs.append(((cc + 1, rr + 1), (cc, rr + 1)))
+        if (rr, cc - 1) not in cells:  # left edge, top-to-bottom
+            segs.append(((cc, rr + 1), (cc, rr)))
+        for a, b in segs:
+            edges.setdefault(a, []).append(b)
+    cycles = []
+    while edges:
+        start = min(edges)  # deterministic: smallest remaining vertex
+        outs = edges[start]
+        cur_to = min(outs)  # deterministic first step
+        outs.remove(cur_to)
+        if not outs:
+            del edges[start]
+        ring = [start]
+        prev = start
+        while cur_to != start:
+            ring.append(cur_to)
+            outs = edges[cur_to]
+            if len(outs) == 1:
+                nxt = outs[0]
+            else:
+                d_in = (cur_to[0] - prev[0], cur_to[1] - prev[1])
+                nxt = None
+                for d_out in _TURN_PRIORITY[d_in]:
+                    cand = (cur_to[0] + d_out[0], cur_to[1] + d_out[1])
+                    if cand in outs:
+                        nxt = cand
+                        break
+                if nxt is None:
+                    nxt = outs[0]
+            outs.remove(nxt)
+            if not outs:
+                del edges[cur_to]
+            prev = cur_to
+            cur_to = nxt
+        cycles.append(ring)
+    return cycles
+
+
 def component_rings(
     clumped: ray.data.Dataset, grid_cell: float = 1.0
 ) -> pa.Table:
-    """Trace each component's OUTER boundary ring (polygonize proper —
-    /root/reference/python/rsgislib/vectorutils/createvectors.py:25-123
-    produces polygon features; this produces the equivalent ring
-    coordinate lists).
+    """Polygonize proper: trace every component's boundary RINGS —
+    outer ring(s) CCW and interior rings (HOLES) CW — matching the
+    reference's polygon output including interior rings
+    (/root/reference/python/rsgislib/vectorutils/createvectors.py:25-123
+    emits polygons with holes; the 8CONNECTED option maps to the clump
+    stage's ``eight_conn``).
 
-    Per component (``groupby(comp_label).map_groups``): collect its
-    cells, extract boundary edges vectorized (edges whose neighbor cell
-    is not in the component), then chain edges counter-clockwise. The
-    Python loop runs over BOUNDARY EDGES only (O(perimeter), not
-    O(area)). Rings are emitted as flat [x1,y1,...] lists in grid
-    units; holes are ignored (outer ring only — documented v1 contract;
-    the reference emits multipolygons with holes).
+    Per component (``groupby(comp_label).map_groups``): collect cells,
+    extract boundary edges (O(perimeter)), chain all cycles with a
+    deterministic left-turn rule at pinch vertices. Output: one row per
+    RING — (comp_label, value, n_pixels, ring_id, is_hole, area,
+    ring_xy) — ring_id 0 is the largest outer ring; signed areas over a
+    component's rings sum to n_pixels (holes are negative).
     """
 
     def trace(g: pd.DataFrame) -> pd.DataFrame:
+        from rsgislib_ray.functions.geom import ring_area
+
         label = int(g["comp_label"].iloc[0])
         value = g["value"].iloc[0]
         r = g["row"].to_numpy()
         c = g["col"].to_numpy()
         cells = set(zip(r.tolist(), c.tolist()))
-        # boundary edges as directed segments, CCW around the region
-        # (region to the LEFT of direction of travel); grid coords:
-        # x = col, y = row (row axis points up here; orientation is
-        # consistent within the engine)
-        edges: dict[tuple[int, int], tuple[int, int]] = {}
-        for rr, cc in cells:
-            if (rr - 1, cc) not in cells:  # bottom edge, left-to-right
-                edges[(cc, rr)] = (cc + 1, rr)
-            if (rr, cc + 1) not in cells:  # right edge, bottom-to-top
-                edges[(cc + 1, rr)] = (cc + 1, rr + 1)
-            if (rr + 1, cc) not in cells:  # top edge, right-to-left
-                edges[(cc + 1, rr + 1)] = (cc, rr + 1)
-            if (rr, cc - 1) not in cells:  # left edge, top-to-bottom
-                edges[(cc, rr + 1)] = (cc, rr)
-        # chain from the lexicographically smallest vertex (deterministic)
-        start = min(edges)
-        ring = [start]
-        cur = edges.pop(start)
-        while cur != start:
-            ring.append(cur)
-            cur = edges.pop(cur)
-        xy = []
-        for vx, vy in ring:
-            xy.extend([vx * grid_cell, vy * grid_cell])
+        cycles = _trace_all_cycles(cells)
+        rows = []
+        for ring in cycles:
+            xy = []
+            for vx, vy in ring:
+                xy.extend([vx * grid_cell, vy * grid_cell])
+            area = float(ring_area(np.asarray(xy, dtype=np.float64)))
+            rows.append((area, xy))
+        # ring_id 0 = largest-area outer ring, then descending signed area
+        rows.sort(key=lambda t: (-t[0], t[1]))
         return pd.DataFrame(
             {
-                "comp_label": [label],
-                "value": [value],
-                "n_pixels": [len(g)],
-                "ring_xy": [xy],
+                "comp_label": np.full(len(rows), label, dtype=np.int64),
+                "value": [value] * len(rows),
+                "n_pixels": np.full(len(rows), len(g), dtype=np.int64),
+                "ring_id": np.arange(len(rows), dtype=np.int64),
+                "is_hole": np.array([a < 0 for a, _ in rows], dtype=bool),
+                "area": np.array([a for a, _ in rows], dtype=np.float64),
+                "ring_xy": [xy for _, xy in rows],
             }
         )
 
@@ -323,7 +473,7 @@ def component_rings(
         clumped.groupby("comp_label")
         .map_groups(trace, batch_format="pandas")
         .to_pandas()
-        .sort_values("comp_label")
+        .sort_values(["comp_label", "ring_id"])
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)

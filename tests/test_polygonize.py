@@ -125,3 +125,50 @@ def test_component_rings_rectangle_and_L(ray_session):
     lshape = rings[rings["value"] == 9].iloc[0]
     lring = np.asarray(lshape["ring_xy"], dtype=float)
     assert abs(ring_area(lring)) == lshape["n_pixels"]
+
+
+def test_component_rings_donut_hole(ray_session):
+    """A 4x4 square with a 2x2 hole must emit an outer ring (area 16)
+    AND an interior ring (area -4); signed areas sum to n_pixels
+    (regression: outer-rings-only v1 contract dropped holes)."""
+    from rsgislib_ray.stages.polygonize import component_rings
+    from rsgislib_ray.functions.geom import points_in_ring
+
+    grid = np.zeros((8, 8), dtype=np.int64)
+    grid[2:6, 2:6] = 5
+    grid[3:5, 3:5] = 0  # punch the hole (background value)
+    clumped = clump(_grid_to_ds(grid), tile_size=4)
+    rings = component_rings(clumped).to_pandas()
+    donut = rings[rings["value"] == 5]
+    assert len(donut) == 2
+    outer = donut[~donut["is_hole"]].iloc[0]
+    hole = donut[donut["is_hole"]].iloc[0]
+    assert outer["ring_id"] == 0 and outer["area"] == 16.0
+    assert hole["area"] == -4.0
+    assert donut["area"].sum() == donut["n_pixels"].iloc[0] == 12
+    # hole center is inside the outer ring but inside the hole ring too
+    oring = np.asarray(outer["ring_xy"], dtype=float)
+    hring = np.asarray(hole["ring_xy"], dtype=float)
+    assert points_in_ring(np.array([4.0]), np.array([4.0]), oring).all()
+    assert points_in_ring(np.array([4.0]), np.array([4.0]), hring).all()
+    # a pixel of the ring body: inside outer, outside hole
+    assert points_in_ring(np.array([2.5]), np.array([2.5]), oring).all()
+    assert not points_in_ring(np.array([2.5]), np.array([2.5]), hring).any()
+
+
+def test_component_rings_8conn_pinch(ray_session):
+    """Two squares touching at a corner form ONE 8-conn component; the
+    left-turn rule must yield two valid non-crossing CCW rings whose
+    areas sum to n_pixels."""
+    from rsgislib_ray.stages.polygonize import component_rings
+
+    grid = np.zeros((6, 6), dtype=np.int64)
+    grid[1:3, 1:3] = 4
+    grid[3:5, 3:5] = 4
+    clumped = clump(_grid_to_ds(grid), tile_size=4, eight_conn=True)
+    rings = component_rings(clumped).to_pandas()
+    comp = rings[rings["value"] == 4]
+    assert comp["comp_label"].nunique() == 1  # one 8-conn component
+    assert len(comp) == 2 and not comp["is_hole"].any()
+    assert sorted(comp["area"]) == [4.0, 4.0]
+    assert comp["area"].sum() == comp["n_pixels"].iloc[0]
