@@ -188,3 +188,183 @@ def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     out[0::2] = sx
     out[1::2] = sy
     return out
+
+
+def clip_halfplane(
+    subject: np.ndarray, ax: float, ay: float, bx: float, by: float
+) -> np.ndarray:
+    """Keep the part of ``subject`` on or LEFT of the directed line
+    a->b (one Sutherland-Hodgman pass against an unbounded half-plane).
+    Building block for the overlay difference/symdiff family
+    (/root/reference/python/rsgislib/vectorgeoms/__init__.py:1344-1505).
+    """
+    sx = list(subject[0::2])
+    sy = list(subject[1::2])
+    if len(sx) > 1 and sx[0] == sx[-1] and sy[0] == sy[-1]:
+        sx, sy = sx[:-1], sy[:-1]
+    ex, ey = bx - ax, by - ay
+    nx_, ny_ = [], []
+    m = len(sx)
+    for j in range(m):
+        px1, py1 = sx[j], sy[j]
+        px2, py2 = sx[(j + 1) % m], sy[(j + 1) % m]
+        in1 = ex * (py1 - ay) - ey * (px1 - ax) >= 0
+        in2 = ex * (py2 - ay) - ey * (px2 - ax) >= 0
+        if in1:
+            nx_.append(px1)
+            ny_.append(py1)
+        if in1 != in2:
+            den = ex * (py2 - py1) - ey * (px2 - px1)
+            if den != 0:
+                num = ex * (py1 - ay) - ey * (px1 - ax)
+                t = -num / den
+                nx_.append(px1 + t * (px2 - px1))
+                ny_.append(py1 + t * (py2 - py1))
+    out = np.empty(2 * len(nx_))
+    out[0::2] = nx_
+    out[1::2] = ny_
+    return out
+
+
+def convex_difference(subject: np.ndarray, clip: np.ndarray) -> list:
+    """``subject`` minus a CONVEX CCW ``clip`` ring, returned as a list
+    of disjoint pieces (vectorgeoms difference,
+    /root/reference/python/rsgislib/vectorgeoms/__init__.py:1344).
+
+    Decomposition: the complement of a convex region is the disjoint
+    union of wedges W_i = outside(e_i) ∩ inside(e_1..i-1); clipping the
+    subject to each wedge with half-plane passes is exact. Areas are
+    exact for any simple subject; for non-convex subjects a piece can
+    carry zero-width bridge edges (standard Sutherland-Hodgman
+    artifact) that do not affect area or containment."""
+    cx = clip[0::2]
+    cy = clip[1::2]
+    if len(cx) > 1 and cx[0] == cx[-1] and cy[0] == cy[-1]:
+        cx, cy = cx[:-1], cy[:-1]
+    pieces = []
+    remaining = np.asarray(subject, dtype=np.float64)
+    n = len(cx)
+    for i in range(n):
+        if len(remaining) < 6:
+            break
+        ax_, ay_ = cx[i], cy[i]
+        bx_, by_ = cx[(i + 1) % n], cy[(i + 1) % n]
+        # outside of edge i = left of the REVERSED edge b->a
+        out_piece = clip_halfplane(remaining, bx_, by_, ax_, ay_)
+        if len(out_piece) >= 6 and abs(ring_area(out_piece)) > 1e-12:
+            pieces.append(out_piece)
+        remaining = clip_halfplane(remaining, ax_, ay_, bx_, by_)
+    return pieces
+
+
+def convex_symdiff(a: np.ndarray, b: np.ndarray) -> list:
+    """Symmetric difference of two CONVEX rings as disjoint pieces
+    (vectorgeoms symmetric_difference,
+    /root/reference/python/rsgislib/vectorgeoms/__init__.py:1450)."""
+    return convex_difference(a, b) + convex_difference(b, a)
+
+
+def buffer_convex_ring(
+    ring: np.ndarray, dist: float, seg_per_quarter: int = 8
+) -> np.ndarray:
+    """Round-join Minkowski buffer of a CONVEX CCW ring: each edge is
+    offset outward by ``dist`` and consecutive edges are joined by
+    sampled arc fans (vectorgeoms buffer_vec_lyr,
+    /root/reference/python/rsgislib/vectorgeoms/__init__.py:1831,1953).
+    Exact up to arc sampling; the sampled area has the closed form
+    area + perimeter*d + k*d^2*sin(pi/k)*cos(pi/k) summed over the full
+    turn (k = total arc segments over 2*pi)."""
+    xs = ring[0::2]
+    ys = ring[1::2]
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    n = len(xs)
+    out_x: list = []
+    out_y: list = []
+    for i in range(n):
+        x0, y0 = xs[i - 1], ys[i - 1]
+        x1, y1 = xs[i], ys[i]
+        x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+        # outward normals of incoming and outgoing edges (CCW ring:
+        # interior on the left, outward = right of travel direction)
+        def _norm(dx, dy):
+            L = np.hypot(dx, dy)
+            return (dy / L, -dx / L) if L > 0 else (0.0, 0.0)
+
+        nin = _norm(x1 - x0, y1 - y0)
+        nout = _norm(x2 - x1, y2 - y1)
+        a0 = np.arctan2(nin[1], nin[0])
+        a1 = np.arctan2(nout[1], nout[0])
+        turn = a1 - a0
+        while turn < 0:
+            turn += 2 * np.pi
+        while turn >= 2 * np.pi:
+            turn -= 2 * np.pi
+        steps = max(1, int(np.ceil(turn / (np.pi / 2) * seg_per_quarter)))
+        for s in range(steps + 1):
+            ang = a0 + turn * s / steps
+            out_x.append(x1 + dist * np.cos(ang))
+            out_y.append(y1 + dist * np.sin(ang))
+    out = np.empty(2 * len(out_x))
+    out[0::2] = out_x
+    out[1::2] = out_y
+    return out
+
+
+def douglas_peucker(
+    xs: np.ndarray, ys: np.ndarray, tol: float
+) -> np.ndarray:
+    """Keep-mask for Douglas-Peucker simplification of an OPEN polyline
+    (iterative stack, numpy distance kernel per segment —
+    vectorgeoms simplify via shapely.simplify,
+    /root/reference/python/rsgislib/vectorgeoms/__init__.py:3276)."""
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        x0, y0, x1, y1 = xs[i0], ys[i0], xs[i1], ys[i1]
+        seg = np.arange(i0 + 1, i1)
+        dx, dy = x1 - x0, y1 - y0
+        L = np.hypot(dx, dy)
+        if L == 0:
+            d = np.hypot(xs[seg] - x0, ys[seg] - y0)
+        else:
+            d = np.abs(dy * (xs[seg] - x0) - dx * (ys[seg] - y0)) / L
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            split = seg[imax]
+            keep[split] = True
+            stack.append((i0, split))
+            stack.append((split, i1))
+    return keep
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker on a CLOSED ring: anchor at the first vertex and
+    the vertex farthest from it (deterministic), simplify both halves.
+    Returns the simplified flat ring (closure implicit)."""
+    xs = ring[0::2].copy()
+    ys = ring[1::2].copy()
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    n = len(xs)
+    if n <= 3:
+        out = np.empty(2 * n)
+        out[0::2] = xs
+        out[1::2] = ys
+        return out
+    far = int(np.argmax((xs - xs[0]) ** 2 + (ys - ys[0]) ** 2))
+    idx1 = np.arange(0, far + 1)
+    idx2 = np.concatenate([np.arange(far, n), [0]])
+    k1 = douglas_peucker(xs[idx1], ys[idx1], tol)
+    k2 = douglas_peucker(xs[idx2], ys[idx2], tol)
+    sel = np.concatenate([idx1[k1], idx2[k2][1:-1]])
+    sel = np.unique(sel)  # ascending original order keeps orientation
+    out = np.empty(2 * len(sel))
+    out[0::2] = xs[sel]
+    out[1::2] = ys[sel]
+    return out

@@ -214,3 +214,26 @@ def assign_hex(
             hex_id = (r + 50000) * np.int64(100000) + (q + 50000)
             best_id = np.where(better, hex_id, best_id)
     return best_id
+
+
+def hex_polygons(
+    bbox: tuple[float, float, float, float], size: float
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """Materialize the pointy-top hex POLYGON vertices for every hex of
+    :func:`hex_centers` (create_hex_grid emits polygon features,
+    /root/reference/python/rsgislib/vectorutils/createvectors.py:1237,
+    1346 — centers alone were the v1 contract). Returns flat arrays
+    (hex_id, vertex_id 0..5, vx, vy); vertex k sits at angle
+    pi/6 + k*pi/3 from the center (pointy-top)."""
+    ids, cxs, cys = hex_centers(bbox, size)
+    n = len(ids)
+    k = np.arange(6, dtype=np.int64)
+    ang = np.pi / 6 + k * (np.pi / 3)
+    vx = (cxs[:, None] + size * np.cos(ang)[None, :]).ravel()
+    vy = (cys[:, None] + size * np.sin(ang)[None, :]).ravel()
+    return (
+        np.repeat(ids, 6),
+        np.tile(k, n),
+        vx,
+        vy,
+    )

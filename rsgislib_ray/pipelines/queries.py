@@ -1090,7 +1090,15 @@ def q_flagship_join(sf_dir: str):
     )
 
 
-@register("clump_components", None)
+@register(
+    "clump_components",
+    """
+    SELECT CAST(p.range AS BIGINT) AS pixel_id,
+      ((p.range // 120) // 6 * 6) * 120 + ((p.range % 120) // 6 * 6)
+        AS comp_label
+    FROM range(0, 14400) p
+    """,
+)
 def q_clump_components(sf_dir: str):
     """Connected components of a deterministic 120x120 label raster
     (value = coarse checkerboard of the formula raster)."""
@@ -1504,7 +1512,26 @@ def q_media_decode(sf_dir: str):
     return out.select_columns(["doc_id", "span_pos", "media_ref", "img_mean"])
 
 
-@register("clump_summary", None)
+@register(
+    "clump_summary",
+    """
+    WITH b AS (
+      SELECT CAST(g.range // 20 AS BIGINT) AS r,
+             CAST(g.range % 20 AS BIGINT) AS c
+      FROM range(0, 400) g
+    )
+    SELECT (r * 6) * 120 + c * 6 AS comp_label,
+      (r + c) % 3 AS value,
+      CAST(36 AS BIGINT) AS n_pixels,
+      CAST(r * 6 AS DOUBLE) + 2.5 AS centroid_row,
+      CAST(c * 6 AS DOUBLE) + 2.5 AS centroid_col,
+      CAST(r * 6 AS DOUBLE) AS min_row,
+      CAST(r * 6 + 5 AS DOUBLE) AS max_row,
+      CAST(c * 6 AS DOUBLE) AS min_col,
+      CAST(c * 6 + 5 AS DOUBLE) AS max_col
+    FROM b
+    """,
+)
 def q_clump_summary(sf_dir: str):
     """components_summary (RAT rows: clump size/extent/centroid,
     rastergis.cpp:1692,1710) over the deterministic label raster."""
@@ -1659,7 +1686,21 @@ def q_overlay_intersect_pairs(sf_dir: str):
     )
 
 
-@register("polygonize_rings", None)  # ring tracing: rows-only check
+@register(
+    "polygonize_rings",
+    """
+    WITH b AS (
+      SELECT CAST(g.range // 10 AS BIGINT) AS r,
+             CAST(g.range % 10 AS BIGINT) AS c
+      FROM range(0, 100) g
+    )
+    SELECT (r * 6) * 60 + c * 6 AS comp_label,
+      (r + c) % 3 AS value,
+      CAST(36 AS BIGINT) AS n_pixels,
+      CAST(8 AS INTEGER) AS ring_len
+    FROM b
+    """,
+)
 def q_polygonize_rings(sf_dir: str):
     from rsgislib_ray.stages.polygonize import clump, component_rings
 
@@ -2113,7 +2154,41 @@ def q_zones_within_pairs(sf_dir: str):
     )
 
 
-@register("hex_assign", None)  # hex Voronoi membership; pytest oracle
+@register(
+    "hex_assign",
+    f"""
+    WITH pts AS ({td.SQL_PTS}),
+    cand AS (
+      SELECT pt_id, x, y, d.dr AS dr, d.dq AS dq
+      FROM pts CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) d(dr, dq)
+    ),
+    rc AS (
+      SELECT pt_id, x, y, dr, dq,
+        CAST(FLOOR(y / 6.0) AS BIGINT) + dr AS r
+      FROM cand
+    ),
+    qc AS (
+      SELECT pt_id, x, y, dr, dq, r, r * 6.0 AS cy,
+        (r % 2) * (sqrt(3.0) * 4.0 / 2.0) AS xoff
+      FROM rc
+    ),
+    qq AS (
+      SELECT *, CAST(FLOOR((x - xoff) / (sqrt(3.0) * 4.0)) AS BIGINT) + dq AS q
+      FROM qc
+    ),
+    sc AS (
+      SELECT pt_id, r, q, dr, dq,
+        (x - (q * (sqrt(3.0) * 4.0) + xoff)) * (x - (q * (sqrt(3.0) * 4.0) + xoff))
+          + (y - cy) * (y - cy) AS d2
+      FROM qq
+    )
+    SELECT pt_id, (r + 50000) * 100000 + (q + 50000) AS hex_id
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY pt_id ORDER BY d2, dr, dq) AS rn
+      FROM sc
+    ) WHERE rn = 1
+    """,
+)
 def q_hex_assign(sf_dir: str):
     """create_hex_grid + point->hex assignment
     (/root/reference/python/rsgislib/vectorutils/createvectors.py:1237):
@@ -2413,3 +2488,345 @@ def q_kmeans_clusters(sf_dir: str):
         .rename(columns={"partial": "n_cells"})
     )
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ===========================================================================
+# Round 2: overlay difference/symdiff, round buffer, simplify,
+# separability, hex polygons, ISODATA, equirect reprojection
+# ===========================================================================
+
+
+@register(
+    "overlay_difference",
+    f"""
+    WITH zones AS ({td.SQL_ZONES})
+    SELECT a.fid AS fid_a, b.fid AS fid_b,
+      (a.xmax - a.xmin) * (a.ymax - a.ymin)
+        - (least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+        * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)) AS diff_area
+    FROM zones a JOIN zones b
+      ON a.fid < b.fid
+     AND least(a.xmax, b.xmax) > greatest(a.xmin, b.xmin)
+     AND least(a.ymax, b.ymax) > greatest(a.ymin, b.ymin)
+    """,
+)
+def q_overlay_difference(sf_dir: str):
+    """Geometric overlay DIFFERENCE a \\ b for overlapping rect pairs
+    (vectorgeoms difference, /root/reference/python/rsgislib/
+    vectorgeoms/__init__.py:1344): half-plane wedge decomposition
+    (functions/geom.convex_difference) — the summed piece areas are
+    exact for integer-corner rects, verified against the closed form."""
+    from rsgislib_ray.functions.geom import convex_difference, rect_ring, ring_area
+    from rsgislib_ray.stages.spatial_join import ZoneSet
+    from rsgislib_ray.state.strtree import STRtree
+
+    zones = td.zones_from_part(sf_dir)
+    zs = ZoneSet.from_table(zones)
+    tree = STRtree(zs.bounds)
+    qi, ti = tree.query_bboxes(zs.bounds)
+    keep = zs.fid[qi] < zs.fid[ti]
+    qi, ti = qi[keep], ti[keep]
+    a = zs.bounds[qi]
+    b = zs.bounds[ti]
+    w = np.minimum(a[:, 1], b[:, 1]) - np.maximum(a[:, 0], b[:, 0])
+    h = np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 2], b[:, 2])
+    pos = (w > 0) & (h > 0)
+    qi, ti = qi[pos], ti[pos]
+    areas = np.empty(len(qi))
+    for k in range(len(qi)):
+        ab = zs.bounds[qi[k]]
+        bb = zs.bounds[ti[k]]
+        ra = rect_ring(ab[0], ab[2], ab[1], ab[3])
+        rb = rect_ring(bb[0], bb[2], bb[1], bb[3])
+        areas[k] = sum(ring_area(p) for p in convex_difference(ra, rb))
+    return pa.table(
+        {"fid_a": zs.fid[qi], "fid_b": zs.fid[ti], "diff_area": areas}
+    )
+
+
+@register(
+    "overlay_symdiff",
+    f"""
+    WITH zones AS ({td.SQL_ZONES})
+    SELECT a.fid AS fid_a, b.fid AS fid_b,
+      (a.xmax - a.xmin) * (a.ymax - a.ymin)
+        + (b.xmax - b.xmin) * (b.ymax - b.ymin)
+        - 2.0 * (least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+        * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)) AS symdiff_area
+    FROM zones a JOIN zones b
+      ON a.fid < b.fid
+     AND least(a.xmax, b.xmax) > greatest(a.xmin, b.xmin)
+     AND least(a.ymax, b.ymax) > greatest(a.ymin, b.ymin)
+    """,
+)
+def q_overlay_symdiff(sf_dir: str):
+    """Symmetric difference for overlapping rect pairs (vectorgeoms
+    symmetric_difference, /root/reference/python/rsgislib/vectorgeoms/
+    __init__.py:1450) via convex_symdiff piece decomposition."""
+    from rsgislib_ray.functions.geom import convex_symdiff, rect_ring, ring_area
+    from rsgislib_ray.stages.spatial_join import ZoneSet
+    from rsgislib_ray.state.strtree import STRtree
+
+    zones = td.zones_from_part(sf_dir)
+    zs = ZoneSet.from_table(zones)
+    tree = STRtree(zs.bounds)
+    qi, ti = tree.query_bboxes(zs.bounds)
+    keep = zs.fid[qi] < zs.fid[ti]
+    qi, ti = qi[keep], ti[keep]
+    a = zs.bounds[qi]
+    b = zs.bounds[ti]
+    w = np.minimum(a[:, 1], b[:, 1]) - np.maximum(a[:, 0], b[:, 0])
+    h = np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 2], b[:, 2])
+    pos = (w > 0) & (h > 0)
+    qi, ti = qi[pos], ti[pos]
+    areas = np.empty(len(qi))
+    for k in range(len(qi)):
+        ab = zs.bounds[qi[k]]
+        bb = zs.bounds[ti[k]]
+        ra = rect_ring(ab[0], ab[2], ab[1], ab[3])
+        rb = rect_ring(bb[0], bb[2], bb[1], bb[3])
+        areas[k] = sum(ring_area(p) for p in convex_symdiff(ra, rb))
+    return pa.table(
+        {"fid_a": zs.fid[qi], "fid_b": zs.fid[ti], "symdiff_area": areas}
+    )
+
+
+@register(
+    "buffer_round",
+    f"""
+    WITH zones AS ({td.SQL_ZONES})
+    SELECT fid, 36 AS n_vertices,
+      CAST(FLOOR(((xmax - xmin) * (ymax - ymin)
+        + 2.0 * ((xmax - xmin) + (ymax - ymin)) * 1.5
+        + 32.0 * (1.5 * 1.5 / 2.0) * sin(pi() / 16.0)) * 1000000.0) AS BIGINT)
+        AS area_micro
+    FROM zones
+    """,
+)
+def q_buffer_round(sf_dir: str):
+    """Round-join buffer of the rect layer (vectorgeoms buffer_vec_lyr,
+    /root/reference/python/rsgislib/vectorgeoms/__init__.py:1831,1953):
+    arc-sampled Minkowski expansion (8 segments/quarter). The sampled
+    polygon's shoelace area has the closed form
+    area + perim*d + 36*d^2*sin(pi/16) (4 corners x 8 triangles);
+    compared to the oracle in integer micro-units to absorb the ulp
+    difference between shoelace summation and the closed form."""
+    from rsgislib_ray.functions.geom import buffer_convex_ring, rect_ring, ring_area
+
+    def f(batch: pa.Table) -> pa.Table:
+        xmin = batch["xmin"].to_numpy()
+        xmax = batch["xmax"].to_numpy()
+        ymin = batch["ymin"].to_numpy()
+        ymax = batch["ymax"].to_numpy()
+        nv = np.empty(len(batch), dtype=np.int32)
+        am = np.empty(len(batch), dtype=np.int64)
+        for i in range(len(batch)):
+            ring = buffer_convex_ring(
+                rect_ring(xmin[i], ymin[i], xmax[i], ymax[i]), 1.5, 8
+            )
+            nv[i] = len(ring) // 2
+            am[i] = np.int64(np.floor(ring_area(ring) * 1000000.0))
+        return pa.table(
+            {"fid": batch["fid"], "n_vertices": nv, "area_micro": am}
+        )
+
+    return td.zones_dataset(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "simplify_rings",
+    f"""
+    WITH zones AS ({td.SQL_ZONES})
+    SELECT fid, 4 AS n_vertices,
+      (xmax - xmin) * (ymax - ymin) AS area
+    FROM zones
+    """,
+)
+def q_simplify_rings(sf_dir: str):
+    """Douglas-Peucker simplification (vectorgeoms simplify via
+    shapely, /root/reference/python/rsgislib/vectorgeoms/__init__.py:
+    3276): rect rings densified with collinear edge midpoints simplify
+    back to exactly the 4 corners; areas stay exact (integer corners)."""
+    from rsgislib_ray.functions.geom import ring_area, simplify_ring
+
+    def f(batch: pa.Table) -> pa.Table:
+        xmin = batch["xmin"].to_numpy()
+        xmax = batch["xmax"].to_numpy()
+        ymin = batch["ymin"].to_numpy()
+        ymax = batch["ymax"].to_numpy()
+        nv = np.empty(len(batch), dtype=np.int32)
+        area = np.empty(len(batch))
+        for i in range(len(batch)):
+            xm = (xmin[i] + xmax[i]) / 2.0
+            ym = (ymin[i] + ymax[i]) / 2.0
+            dense = np.array(
+                [
+                    xmin[i], ymin[i], xm, ymin[i], xmax[i], ymin[i],
+                    xmax[i], ym, xmax[i], ymax[i], xm, ymax[i],
+                    xmin[i], ymax[i], xmin[i], ym,
+                ]
+            )
+            simp = simplify_ring(dense, 0.01)
+            nv[i] = len(simp) // 2
+            area[i] = ring_area(simp)
+        return pa.table(
+            {"fid": batch["fid"], "n_vertices": nv, "area": area}
+        )
+
+    return td.zones_dataset(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "separability_jm",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    cl AS (SELECT cell_key % 3 AS cls, val_cents // 100 AS v FROM cells),
+    st AS (
+      SELECT cls, COUNT(*) AS n,
+        CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+      FROM cl GROUP BY cls
+    ),
+    mv AS (
+      SELECT cls, CAST(s AS DOUBLE) / n AS m,
+        CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n)
+          * (CAST(s AS DOUBLE) / n) AS v
+      FROM st
+    )
+    SELECT a.cls AS class_a, b.cls AS class_b,
+      0.25 * ((a.m - b.m) * (a.m - b.m)) / (a.v + b.v)
+        + 0.5 * ln((a.v + b.v) / (2.0 * sqrt(a.v * b.v)))
+        AS bhattacharyya,
+      2.0 * (1.0 - exp(-(
+        0.25 * ((a.m - b.m) * (a.m - b.m)) / (a.v + b.v)
+        + 0.5 * ln((a.v + b.v) / (2.0 * sqrt(a.v * b.v)))
+      ))) AS jm_distance
+    FROM mv a JOIN mv b ON a.cls < b.cls
+    """,
+)
+def q_separability_jm(sf_dir: str):
+    """JM / Bhattacharyya class separability (rastergis
+    calc_jm_distance, /root/reference/src/rastergis/rastergis.cpp:
+    2199-2231) over lineitem-derived cells, class = cell_key % 3,
+    value = whole currency units (val_cents // 100, integer-exact
+    distributed moments)."""
+    from rsgislib_ray.stages.zonal import class_separability
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cls": batch["cell_key"].to_numpy() % 3,
+                "v": batch["val_cents"].to_numpy() // 100,
+            }
+        )
+
+    return class_separability(
+        cells.map_batches(derive, batch_format="pyarrow"), "cls", "v"
+    )
+
+
+@register(
+    "hex_polys",
+    """
+    WITH rows_r AS (
+      SELECT CAST(r.range AS BIGINT) AS r FROM range(-1, 19) r
+    ),
+    rowx AS (
+      SELECT r, r * 6.0 AS cy,
+        (((r % 2) + 2) % 2) * (sqrt(3.0) * 4.0 / 2.0) AS xoff
+      FROM rows_r
+    ),
+    qs AS (
+      SELECT rowx.r, rowx.cy, rowx.xoff, CAST(q.range AS BIGINT) AS q
+      FROM rowx CROSS JOIN range(-30, 31) q
+      WHERE q.range >= CAST(FLOOR((0.0 - rowx.xoff) / (sqrt(3.0) * 4.0)) AS BIGINT) - 1
+        AND q.range <= CAST(CEIL((100.0 - rowx.xoff) / (sqrt(3.0) * 4.0)) AS BIGINT) + 1
+    ),
+    centers AS (
+      SELECT (r + 50000) * 100000 + (q + 50000) AS hex_id,
+        q * (sqrt(3.0) * 4.0) + xoff AS cx, cy
+      FROM qs
+      WHERE q * (sqrt(3.0) * 4.0) + xoff >= 0.0 - sqrt(3.0) * 4.0
+        AND q * (sqrt(3.0) * 4.0) + xoff <= 100.0 + sqrt(3.0) * 4.0
+        AND cy >= 0.0 - 6.0 AND cy <= 100.0 + 6.0
+    )
+    SELECT hex_id, CAST(k.range AS BIGINT) AS vertex_id,
+      cx + 4.0 * cos(pi() / 6.0 + k.range * (pi() / 3.0)) AS vx,
+      cy + 4.0 * sin(pi() / 6.0 + k.range * (pi() / 3.0)) AS vy
+    FROM centers CROSS JOIN range(0, 6) k
+    """,
+)
+def q_hex_polys(sf_dir: str):
+    """Materialized pointy-top hex grid POLYGONS over the frame
+    (create_hex_grid polygon features, /root/reference/python/rsgislib/
+    vectorutils/createvectors.py:1237,1346): one row per (hex, vertex),
+    vertices at angles pi/6 + k*pi/3 — closes the centers-only v1 gap."""
+    from rsgislib_ray.functions.grid import hex_polygons
+
+    ids, vid, vx, vy = hex_polygons((0.0, 100.0, 0.0, 100.0), 4.0)
+    return pa.table(
+        {
+            "hex_id": pa.array(ids, pa.int64()),
+            "vertex_id": pa.array(vid, pa.int64()),
+            "vx": pa.array(vx, pa.float64()),
+            "vy": pa.array(vy, pa.float64()),
+        }
+    )
+
+
+@register("isodata_clusters", None)  # iterative split/merge fit; non-SQL
+def q_isodata_clusters(sf_dir: str):
+    """ISODATA clustering (imagecalc.cpp:1916 executeISODataClustering):
+    Lloyd + deterministic discard/merge/split rounds over distributed
+    partials; output per-cluster sizes for the stability check."""
+    from rsgislib_ray.stages.zonal import isodata_cluster
+
+    cells = td.cells_from_lineitem(sf_dir)
+    labeled = isodata_cluster(
+        cells, ["x", "y"], n_clusters=6, iters=6,
+        min_cluster_frac=0.005, split_std=18.0, merge_dist=2.0,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["cluster"].to_numpy(), return_counts=True)
+        return pa.table({"cluster": u, "partial": c.astype(np.int64)})
+
+    pdf = (
+        labeled.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("cluster", as_index=False)["partial"]
+        .sum()
+        .rename(columns={"partial": "n_cells"})
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+@register(
+    "reproject_equirect",
+    f"""
+    WITH pts AS ({td.SQL_PTS})
+    SELECT pt_id,
+      6378137.0 * (((x * 3.6 - 180.0) * pi() / 180.0))
+        * cos(45.0 * pi() / 180.0) AS mx,
+      6378137.0 * ((y * 0.9 - 45.0) * pi() / 180.0) AS my
+    FROM pts
+    """,
+)
+def q_reproject_equirect(sf_dir: str):
+    """Full CRS reprojection at the formula level: frame coords ->
+    lon/lat degrees -> equirectangular meters at standard parallel 45N
+    (WGS84 a=6378137). Mirrors reference reproj chains
+    (vectorutils/__init__.py:804, tools/geometrytools.py:584) for the
+    planar-formula subset feasible without a proj library."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        lon = x * 3.6 - 180.0
+        lat = y * 0.9 - 45.0
+        mx = 6378137.0 * ((lon * np.pi / 180.0)) * np.cos(45.0 * np.pi / 180.0)
+        my = 6378137.0 * (lat * np.pi / 180.0)
+        return pa.table({"pt_id": batch["pt_id"], "mx": mx, "my": my})
+
+    return td.points_from_orders(sf_dir).map_batches(f, batch_format="pyarrow")

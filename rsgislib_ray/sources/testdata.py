@@ -193,3 +193,25 @@ def base_points_from_customer(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def zones_dataset(sf_dir: str) -> ray.data.Dataset:
+    """Streaming Dataset variant of :func:`zones_from_part` (no ring
+    column) for per-zone geometry transforms (buffer/simplify)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).repartition(16)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy()
+        return pa.table(
+            {
+                "fid": pa.array(k, type=pa.int64()),
+                "xmin": (k * 31 % 88).astype(np.float64),
+                "xmax": (k * 31 % 88 + 4 + k % 9).astype(np.float64),
+                "ymin": (k * 57 % 88).astype(np.float64),
+                "ymax": (k * 57 % 88 + 4 + (k * 3) % 9).astype(np.float64),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")

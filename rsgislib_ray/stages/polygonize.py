@@ -450,6 +450,17 @@ def component_rings(
         cycles = _trace_all_cycles(cells)
         rows = []
         for ring in cycles:
+            # collapse collinear runs (unit-edge chains) to corner
+            # vertices only — minimal rings, matching polygonize output
+            keep = []
+            m = len(ring)
+            for i in range(m):
+                p0, p1, p2 = ring[i - 1], ring[i], ring[(i + 1) % m]
+                if (p1[0] - p0[0]) * (p2[1] - p1[1]) != (p1[1] - p0[1]) * (
+                    p2[0] - p1[0]
+                ):
+                    keep.append(p1)
+            ring = keep if keep else ring
             xy = []
             for vx, vy in ring:
                 xy.extend([vx * grid_cell, vy * grid_cell])

@@ -421,3 +421,206 @@ def kmeans_cluster(
         )
 
     return cells.map_batches(assign, batch_format="pyarrow")
+
+
+def class_separability(
+    cells: ray.data.Dataset,
+    class_col: str,
+    value_col: str,
+) -> pa.Table:
+    """Pairwise 1-D Gaussian class separability: Bhattacharyya distance
+    and Jeffries-Matusita (reference calc_jm_distance /
+    calc_bhattacharyya_distance, /root/reference/src/rastergis/
+    rastergis.cpp:2199-2231 — the C++ computes the same Gaussian form
+    from RAT class moments).
+
+    Per-class (n, sum, sumsq) partials are integer-exact and combined
+    from one tiny row per (block, class); the pairwise closed form
+    B = 0.25*(m1-m2)^2/(v1+v2) + 0.5*ln((v1+v2)/(2*sqrt(v1*v2))),
+    JM = 2*(1-exp(-B)) mirrors the SQL oracle bit-for-bit."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cls = batch[class_col].to_numpy().astype(np.int64)
+        v = batch[value_col].to_numpy().astype(np.int64)
+        order = np.argsort(cls, kind="stable")
+        sc, sv = cls[order], v[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(sc)) + 1])
+        return pa.table(
+            {
+                "cls": sc[starts],
+                "n": np.diff(np.concatenate([starts, [len(sc)]])).astype(
+                    np.int64
+                ),
+                "s": np.add.reduceat(sv, starts),
+                "ss": np.add.reduceat(sv * sv, starts),
+            }
+        )
+
+    st = (
+        cells.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("cls", as_index=False)
+        .sum()
+        .sort_values("cls")
+    )
+    cls = st["cls"].to_numpy()
+    n = st["n"].to_numpy().astype(np.float64)
+    m = st["s"].to_numpy().astype(np.float64) / n
+    v = st["ss"].to_numpy().astype(np.float64) / n - m * m
+    import math  # scalar libm calls: bit-identical to DuckDB's ln/exp
+    rows_a, rows_b, bh, jm = [], [], [], []
+    for i in range(len(cls)):
+        for j in range(i + 1, len(cls)):
+            b = 0.25 * ((m[i] - m[j]) * (m[i] - m[j])) / (v[i] + v[j]) + 0.5 * math.log(
+                (v[i] + v[j]) / (2.0 * math.sqrt(v[i] * v[j]))
+            )
+            rows_a.append(cls[i])
+            rows_b.append(cls[j])
+            bh.append(b)
+            jm.append(2.0 * (1.0 - math.exp(-b)))
+    return pa.table(
+        {
+            "class_a": pa.array(rows_a, pa.int64()),
+            "class_b": pa.array(rows_b, pa.int64()),
+            "bhattacharyya": pa.array(bh, pa.float64()),
+            "jm_distance": pa.array(jm, pa.float64()),
+        }
+    )
+
+
+def isodata_cluster(
+    cells: ray.data.Dataset,
+    feature_cols: list[str],
+    n_clusters: int = 8,
+    iters: int = 8,
+    min_cluster_frac: float = 0.01,
+    split_std: float = 10.0,
+    merge_dist: float = 1.0,
+    sample_rows: int = 65536,
+) -> ray.data.Dataset:
+    """ISODATA clustering: Lloyd iterations with deterministic SPLIT /
+    MERGE / DISCARD rounds between them (reference
+    rsgis::cmds::executeISODataClustering, /root/reference/src/cmds/
+    ImageCalculus — imagecalc.cpp:1916 binding; the C++ delegates to
+    RSGISISODATAClusterer with the same three rules).
+
+    - discard: clusters holding < min_cluster_frac of rows
+    - merge: greedy lowest-index pairs with centroid distance
+      < merge_dist (each cluster merges at most once per round)
+    - split: clusters whose largest per-dim std > split_std split into
+      c +- 0.5*std along that dim
+    All decisions derive from integer-exact distributed partials, so
+    the fit is deterministic under any partitioning."""
+    import ray as _ray
+
+    sample = cells.limit(sample_rows).to_pandas()
+    X = np.column_stack(
+        [sample[c].to_numpy().astype(np.float64) for c in feature_cols]
+    )
+    qs = np.linspace(0, 100, n_clusters + 2)[1:-1]
+    C = np.column_stack([np.percentile(X[:, j], qs) for j in range(X.shape[1])])
+
+    total = None
+    for _ in range(iters):
+        ref = _ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            from rsgislib_ray.state.broadcast import cached
+
+            cc = cached(ref)
+            M = np.column_stack(
+                [batch[c].to_numpy().astype(np.float64) for c in feature_cols]
+            )
+            d = ((M[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            sums = np.zeros_like(cc)
+            sumsq = np.zeros_like(cc)
+            cnts = np.zeros(len(cc), dtype=np.int64)
+            np.add.at(sums, a, M)
+            np.add.at(sumsq, a, M * M)
+            np.add.at(cnts, a, 1)
+            cols = {"cluster": np.arange(len(cc), dtype=np.int64), "n": cnts}
+            for j in range(cc.shape[1]):
+                cols[f"s{j}"] = sums[:, j]
+                cols[f"q{j}"] = sumsq[:, j]
+            return pa.table(cols)
+
+        pdf = (
+            cells.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .to_pandas()
+            .groupby("cluster", as_index=False)
+            .sum()
+            .sort_values("cluster")
+        )
+        n = pdf["n"].to_numpy().astype(np.float64)
+        if total is None:
+            total = float(n.sum())
+        dmn = X.shape[1]
+        mean = np.column_stack(
+            [
+                np.where(n > 0, pdf[f"s{j}"].to_numpy() / np.maximum(n, 1), C[:, j])
+                for j in range(dmn)
+            ]
+        )
+        var = np.column_stack(
+            [
+                np.maximum(
+                    pdf[f"q{j}"].to_numpy() / np.maximum(n, 1)
+                    - mean[:, j] * mean[:, j],
+                    0.0,
+                )
+                for j in range(dmn)
+            ]
+        )
+        # discard tiny clusters
+        keep = n >= min_cluster_frac * total
+        if keep.sum() == 0:
+            keep = n > 0
+        mean, var, n = mean[keep], var[keep], n[keep]
+        # merge close pairs (greedy, lowest index first)
+        alive = np.ones(len(mean), dtype=bool)
+        merged = []
+        for i in range(len(mean)):
+            if not alive[i]:
+                continue
+            for j in range(i + 1, len(mean)):
+                if not alive[j]:
+                    continue
+                if np.sqrt(((mean[i] - mean[j]) ** 2).sum()) < merge_dist:
+                    w = n[i] + n[j]
+                    mean[i] = (mean[i] * n[i] + mean[j] * n[j]) / w
+                    n[i] = w
+                    alive[j] = False
+                    break
+            merged.append(i)
+        mean, var, n = mean[alive], var[alive], n[alive]
+        # split high-variance clusters
+        out = []
+        for i in range(len(mean)):
+            sd = np.sqrt(var[i])
+            jmax = int(np.argmax(sd))
+            if sd[jmax] > split_std and len(mean) + len(out) < 2 * n_clusters:
+                lo = mean[i].copy()
+                hi = mean[i].copy()
+                lo[jmax] -= 0.5 * sd[jmax]
+                hi[jmax] += 0.5 * sd[jmax]
+                out.extend([lo, hi])
+            else:
+                out.append(mean[i])
+        C = np.vstack(out)
+
+    ref = _ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        cc = cached(ref)
+        M = np.column_stack(
+            [batch[c].to_numpy().astype(np.float64) for c in feature_cols]
+        )
+        d = ((M[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "cluster", pa.array(d.argmin(axis=1).astype(np.int64))
+        )
+
+    return cells.map_batches(assign, batch_format="pyarrow")

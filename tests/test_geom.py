@@ -123,3 +123,66 @@ def test_clip_polygon_convex():
     r2 = G.rect_ring(5, 5, 12, 12)
     c3 = clip_polygon_convex(r2, rect)
     assert abs(abs(G.ring_area(c3)) - 9.0) < 1e-12
+
+
+def test_convex_difference_monte_carlo():
+    """A\\B piece decomposition: membership of random points matches
+    (in A) and not (in B); areas sum to the closed form."""
+    from rsgislib_ray.functions.geom import (
+        convex_difference,
+        convex_symdiff,
+        points_in_ring,
+        rect_ring,
+        ring_area,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        ax0, ay0 = rng.uniform(0, 50, 2)
+        aw, ah = rng.uniform(5, 30, 2)
+        bx0, by0 = rng.uniform(0, 50, 2)
+        bw, bh = rng.uniform(5, 30, 2)
+        A = rect_ring(ax0, ay0, ax0 + aw, ay0 + ah)
+        B = rect_ring(bx0, by0, bx0 + bw, by0 + bh)
+        pieces = convex_difference(A, B)
+        iw = max(0.0, min(ax0 + aw, bx0 + bw) - max(ax0, bx0))
+        ih = max(0.0, min(ay0 + ah, by0 + bh) - max(ay0, by0))
+        want = aw * ah - iw * ih
+        got = sum(ring_area(p) for p in pieces)
+        assert abs(got - want) < 1e-9
+        sd = convex_symdiff(A, B)
+        assert abs(sum(ring_area(p) for p in sd) - (aw * ah + bw * bh - 2 * iw * ih)) < 1e-9
+        # membership: points in A and not in B are in exactly one piece
+        px = rng.uniform(0, 80, 400)
+        py = rng.uniform(0, 80, 400)
+        in_a = points_in_ring(px, py, A)
+        in_b = points_in_ring(px, py, B)
+        cnt = np.zeros(400, dtype=int)
+        for p in pieces:
+            cnt += points_in_ring(px, py, p).astype(int)
+        np.testing.assert_array_equal(cnt > 0, in_a & ~in_b)
+
+
+def test_buffer_and_simplify_roundtrip():
+    from rsgislib_ray.functions.geom import (
+        buffer_convex_ring,
+        rect_ring,
+        ring_area,
+        simplify_ring,
+    )
+
+    ring = rect_ring(0, 0, 10, 6)
+    buf = buffer_convex_ring(ring, 2.0, 8)
+    # area between square-cap (upper bound) and true round (lower-ish)
+    a = ring_area(buf)
+    import math
+
+    closed = 60 + 32 * 2.0 + 32 * (4.0 / 2.0) * math.sin(math.pi / 16)
+    assert abs(a - closed) < 1e-9
+    # a huge tolerance collapses to the two DP anchors (degenerate)
+    simp = simplify_ring(buf, 100.0)
+    assert len(simp) // 2 >= 2
+    # densified rect simplifies to its 4 corners
+    dense = np.array([0,0, 5,0, 10,0, 10,3, 10,6, 5,6, 0,6, 0,3], dtype=float)
+    s = simplify_ring(dense, 0.01)
+    assert len(s) // 2 == 4 and ring_area(s) == 60.0

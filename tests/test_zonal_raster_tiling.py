@@ -254,3 +254,35 @@ def test_images_equal(ray_session):
         ray.data.from_arrow(t1), ray.data.from_arrow(t2), tolerance=5.0
     )
     assert tol["equal"]
+
+
+def test_isodata_split_and_merge(ray_session):
+    """ISODATA: an elongated cluster splits when its std exceeds
+    split_std; near-coincident centers merge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from rsgislib_ray.stages.zonal import isodata_cluster
+
+    rng = np.random.default_rng(5)
+    # two tight blobs + one elongated stripe
+    a = rng.normal([10, 10], 0.5, (300, 2))
+    b = rng.normal([80, 80], 0.5, (300, 2))
+    stripe = np.column_stack(
+        [rng.uniform(20, 70, 400), rng.normal(40, 0.5, 400)]
+    )
+    X = np.vstack([a, b, stripe])
+    ds = ray.data.from_arrow(
+        pa.table({"x": X[:, 0], "y": X[:, 1]})
+    ).repartition(4)
+    out = isodata_cluster(
+        ds, ["x", "y"], n_clusters=3, iters=6,
+        min_cluster_frac=0.01, split_std=8.0, merge_dist=1.0,
+    ).to_pandas()
+    # the stripe (x-std ~14 > 8) must have split -> more than 3 clusters
+    assert out["cluster"].nunique() > 3
+    # blobs a and b land in single, distinct clusters
+    ca = out.iloc[:300]["cluster"]
+    cb = out.iloc[300:600]["cluster"]
+    assert ca.nunique() == 1 and cb.nunique() == 1
+    assert ca.iloc[0] != cb.iloc[0]
