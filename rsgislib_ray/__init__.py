@@ -18,6 +18,16 @@ Layout:
     runtime/    checkpoint/resume manifests, metrics, lineage
 """
 
+import logging as _logging
+
+# Parquet blocks written by pandas carry b'pandas' schema metadata whose
+# decoded form is a dict — pa.Schema with such metadata is unhashable and
+# Ray Data's schema-unify dedup logs a benign warning PER BLOCK. Silence
+# it here (this module is imported by every worker that runs our fns).
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).setLevel(_logging.ERROR)
+
 from rsgislib_ray.functions.cells import CellFrame, DEFAULT_FRAME, cells_from_xy
 from rsgislib_ray.functions.grid import TileSpec, bbox_grid
 

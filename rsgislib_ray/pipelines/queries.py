@@ -1869,9 +1869,16 @@ def q_event_sliding_windows(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
-    pdf = partials.to_pandas()
-    out = pdf.groupby(["user_id", "window_start"], as_index=False).agg(
-        n=("partial", "sum")
+    # NATIVE distributed combine: with 10^9 users the (user, window)
+    # partial set is corpus-sized, so it must never land on the driver
+    # pre-reduction (the query returns the final table either way).
+    from ray.data.aggregate import Sum
+
+    out = (
+        partials.groupby(["user_id", "window_start"])
+        .aggregate(Sum("partial"))
+        .to_pandas()
+        .rename(columns={"sum(partial)": "n"})
     )
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -46,41 +46,44 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class CosineTopK:
-    """Actor stage: per batch, local top-k candidates per query."""
+def _cosine_topk_batch(
+    batch: pa.Table, queries_ref=None, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> pa.Table:
+    """Stateless task: per batch, local top-k candidates per query.
+    The query matrix is fetched + normalized ONCE per worker process via
+    the broadcast cache (not an actor pool: avoids the
+    constructor-args-in-object-store restart hazard, Ray issue #53727,
+    and doesn't cap parallelism at the pool size)."""
+    from rsgislib_ray.state.broadcast import cached
 
-    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
-        q = ray.get(queries_ref) if hasattr(queries_ref, "hex") else queries_ref
-        self.q_ids = q["ids"]
-        self.Q = _normalize(q["matrix"].astype(np.float64))
-        self.k = k
-        self.vec_col = vec_col
-        self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        M = _normalize(_to_matrix(batch[self.vec_col]))
-        ids = batch[self.id_col].to_numpy()
-        sims = M @ self.Q.T  # (batch, n_queries)
-        kk = min(self.k, len(ids))
-        if kk < len(ids):
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-        else:
-            part = np.broadcast_to(
-                np.arange(len(ids))[:, None], (len(ids), sims.shape[1])
+    q_ids, Q = cached(
+        queries_ref,
+        build=lambda q: (q["ids"], _normalize(q["matrix"].astype(np.float64))),
+    )
+    M = _normalize(_to_matrix(batch[vec_col]))
+    ids = batch[id_col].to_numpy()
+    sims = M @ Q.T  # (batch, n_queries)
+    kk = min(k, len(ids))
+    if kk < len(ids):
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+    else:
+        part = np.broadcast_to(
+            np.arange(len(ids))[:, None], (len(ids), sims.shape[1])
+        )
+    rows = []
+    for qi in range(sims.shape[1]):
+        cand = part[:, qi]
+        rows.append(
+            pa.table(
+                {
+                    "query_id": np.full(len(cand), q_ids[qi], dtype=np.int64),
+                    "vec_id": ids[cand],
+                    "sim": sims[cand, qi],
+                }
             )
-        rows = []
-        for qi in range(sims.shape[1]):
-            cand = part[:, qi]
-            rows.append(
-                pa.table(
-                    {
-                        "query_id": np.full(len(cand), self.q_ids[qi], dtype=np.int64),
-                        "vec_id": ids[cand],
-                        "sim": sims[cand, qi],
-                    }
-                )
-            )
-        return pa.concat_tables(rows)
+        )
+    return pa.concat_tables(rows)
 
 
 def ann_topk(
@@ -102,8 +105,8 @@ def ann_topk(
     }
     ref = ray.put(q)
     local = embeddings.map_batches(
-        CosineTopK,
-        fn_constructor_kwargs={
+        _cosine_topk_batch,
+        fn_kwargs={
             "queries_ref": ref,
             "k": k,
             "vec_col": vec_col,
@@ -111,7 +114,6 @@ def ann_topk(
         },
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=concurrency,
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

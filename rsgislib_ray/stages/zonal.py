@@ -201,11 +201,19 @@ def zonal_stats(
     y_col: str = "y",
     value_scale: float = 1.0,
     concurrency=(1, 8),
+    combine: str = "driver",
 ) -> pa.Table:
     """Per-zone stats table (one row per zone fid, empty zones filled
     with ``out_no_data``). ``value_scale`` divides sums/means back to
     the natural unit when the value column is pre-scaled to integers
-    (e.g. cents -> value_scale=100)."""
+    (e.g. cents -> value_scale=100).
+
+    ``combine`` selects where partials reduce: ``"driver"`` (one pandas
+    groupby over (blocks x zones-touched) rows — fastest at moderate
+    zone counts, no shuffle) or ``"native"`` (Ray
+    ``groupby().aggregate(Sum/Min/Max)`` — the 10^8-zones path: the
+    driver only ever sees the FINAL one-row-per-zone result, identical
+    values since all partials are exact integers)."""
     want_moments = [s for s in stats if s in MOMENT_STATS]
     # order stats: mode / median / pNN percentiles (numpy-linear
     # interpolation over the exact per-zone histogram — the reference's
@@ -235,20 +243,40 @@ def zonal_stats(
             batch_size=65536,
         )
 
-        # Partial rows number (blocks x zones-touched) — small relative
-        # to the cell stream. Combine on the driver with one pandas
-        # groupby (exact integer sums, order-independent); this avoids
-        # a full Ray sort-shuffle whose fixed cost dominates at these
-        # partial sizes. (At extreme zone counts swap in the native
-        # groupby().aggregate(Sum/Min/Max) — semantics identical.)
-        pdf = partials.to_pandas()
-        agg = pdf.groupby("fid", as_index=False).agg(
-            cnt=("cnt", "sum"),
-            sum_v=("sum_v", "sum"),
-            sumsq_v=("sumsq_v", "sum"),
-            min_v=("min_v", "min"),
-            max_v=("max_v", "max"),
-        )
+        if combine == "native":
+            from ray.data.aggregate import Max, Min, Sum
+
+            agg = (
+                partials.groupby("fid")
+                .aggregate(
+                    Sum("cnt"), Sum("sum_v"), Sum("sumsq_v"),
+                    Min("min_v"), Max("max_v"),
+                )
+                .to_pandas()
+                .rename(
+                    columns={
+                        "sum(cnt)": "cnt",
+                        "sum(sum_v)": "sum_v",
+                        "sum(sumsq_v)": "sumsq_v",
+                        "min(min_v)": "min_v",
+                        "max(max_v)": "max_v",
+                    }
+                )
+            )
+        else:
+            # Partial rows number (blocks x zones-touched) — small
+            # relative to the cell stream. Combine on the driver with
+            # one pandas groupby (exact integer sums, order-
+            # independent); avoids a full Ray sort-shuffle whose fixed
+            # cost dominates at these partial sizes.
+            pdf = partials.to_pandas()
+            agg = pdf.groupby("fid", as_index=False).agg(
+                cnt=("cnt", "sum"),
+                sum_v=("sum_v", "sum"),
+                sumsq_v=("sumsq_v", "sum"),
+                min_v=("min_v", "min"),
+                max_v=("max_v", "max"),
+            )
         cnt = agg["cnt"].to_numpy().astype(np.int64)
         s = agg["sum_v"].to_numpy().astype(np.int64)
         q = agg["sumsq_v"].to_numpy().astype(np.int64)
@@ -284,14 +312,27 @@ def zonal_stats(
         )
 
         # (fid, val) histograms are pre-reduced per batch; combine on
-        # the driver (exact counts) and finalize with one pandas pass.
-        vc = (
-            partials.to_pandas()
-            .groupby(["fid", "val"], as_index=False)["n"]
-            .sum()
-            .sort_values(["fid", "val"])
-            .reset_index(drop=True)
-        )
+        # the driver (exact counts) or natively, then finalize with one
+        # pandas pass over the contracted per-zone histograms.
+        if combine == "native":
+            from ray.data.aggregate import Sum
+
+            vc = (
+                partials.groupby(["fid", "val"])
+                .aggregate(Sum("n"))
+                .to_pandas()
+                .rename(columns={"sum(n)": "n"})
+                .sort_values(["fid", "val"])
+                .reset_index(drop=True)
+            )
+        else:
+            vc = (
+                partials.to_pandas()
+                .groupby(["fid", "val"], as_index=False)["n"]
+                .sum()
+                .sort_values(["fid", "val"])
+                .reset_index(drop=True)
+            )
         pcts = [
             (s, float(s[1:]) / 100.0)
             for s in want_order
