@@ -2837,3 +2837,55 @@ def q_reproject_equirect(sf_dir: str):
         return pa.table({"pt_id": batch["pt_id"], "mx": mx, "my": my})
 
     return td.points_from_orders(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "image_footprint",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1010 AS BIGINT), CAST(1 AS BIGINT), CAST(6000 AS BIGINT),
+       CAST(0 AS BIGINT), FALSE, CAST(6400.0 AS DOUBLE), CAST(8 AS INTEGER)),
+      (CAST(1010 AS BIGINT), CAST(1 AS BIGINT), CAST(6000 AS BIGINT),
+       CAST(1 AS BIGINT), TRUE, CAST(-400.0 AS DOUBLE), CAST(8 AS INTEGER))
+    ) t(comp_label, value, n_pixels, ring_id, is_hole, area, ring_len)
+    """,
+)
+def q_image_footprint(sf_dir: str):
+    """extract_image_footprint (reference
+    /root/reference/python/rsgislib/imageutils/__init__.py footprint
+    family: valid-mask -> polygonize -> dissolve): valid pixels clump
+    into components whose traced rings (outer + interior holes) ARE the
+    dissolved footprint. Fixture: a 100x100 raster valid on a 80x80
+    block with a 20x20 nodata hole -> one component, one outer ring
+    (area 6400) and one hole ring (area -400)."""
+    from rsgislib_ray.stages.polygonize import clump, component_rings
+
+    n = 100
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    valid = (
+        (row >= 10) & (row < 90) & (col >= 10) & (col < 90)
+        & ~((row >= 40) & (row < 60) & (col >= 40) & (col < 60))
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "pixel_id": pid,
+                "row": row,
+                "col": col,
+                "value": valid.astype(np.int64),
+            }
+        )
+    ).repartition(8)
+    rings = component_rings(clump(ds, tile_size=32, no_data=0))
+    return pa.table(
+        {
+            "comp_label": rings["comp_label"],
+            "value": rings["value"],
+            "n_pixels": rings["n_pixels"],
+            "ring_id": rings["ring_id"],
+            "is_hole": rings["is_hole"],
+            "area": rings["area"],
+            "ring_len": pc.list_value_length(rings["ring_xy"]),
+        }
+    )
