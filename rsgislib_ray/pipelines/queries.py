@@ -2889,3 +2889,24 @@ def q_image_footprint(sf_dir: str):
             "ring_len": pc.list_value_length(rings["ring_xy"]),
         }
     )
+
+
+@register(
+    "dedup_embedding",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+)
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the embeddings table —
+    completes the dedup family (exact/minhash/simhash/ngram/embedding).
+    Threshold 0.4 sits >=1e-4 from every pair similarity in the
+    testdata, so the float kernels on both sides agree on membership."""
+    from rsgislib_ray.stages.ann import embedding_near_dup
+
+    return embedding_near_dup(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=0.4,
+    )

@@ -312,3 +312,46 @@ def ivf_topk(
         .reset_index(drop=True)
         .pipe(pa.Table.from_pandas, preserve_index=False)
     )
+
+
+def embedding_near_dup(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) — the embedding-space member of the dedup family
+    (exact / MinHash / SimHash / n-gram live in stages/dedup).
+
+    Exact blocked variant: the normalized matrix is broadcast once and
+    every batch runs one matmul against it — O(n^2) compute distributed
+    over batches with bounded memory. At corpus scale swap the
+    broadcast side for LSH buckets (:func:`lsh_bucket_topk`) or the IVF
+    quantizer (:func:`ivf_topk`); the pair-emission contract is
+    unchanged."""
+    tbl = embeddings.select_columns([id_col, vec_col]).to_arrow_refs()
+    import pyarrow as _pa
+
+    full = _pa.concat_tables([ray.get(r) for r in tbl])
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    Mn = _normalize(_to_matrix(full[vec_col]))
+    ref = ray.put((ids_all, Mn))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        aid, A = cached(ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        B = _normalize(_to_matrix(batch[vec_col]))
+        sims = B @ A.T
+        bi, ai = np.nonzero(sims >= threshold)
+        keep = ids[bi] < aid[ai]
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi[keep]], pa.int64()),
+                "id_b": pa.array(aid[ai[keep]], pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow", batch_size=4096)
