@@ -2910,3 +2910,27 @@ def q_dedup_embedding(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
         threshold=0.4,
     )
+
+
+@register("media_pipeline", None)  # stubbed codecs; plumbing is real
+def q_media_pipeline(sf_dir: str):
+    """Full multimodal path: explode media spans -> decode (stub) ->
+    block-mean resize -> audio features + frame sampling — the
+    decode/feature-extract/resize/frame-sample family over opaque media
+    refs, all actor-pool map_batches with real Ray-side plumbing."""
+    from rsgislib_ray.pipelines.flagship import docs_from_documents_table
+    from rsgislib_ray.stages.media import (
+        audio_features,
+        decode_media,
+        resize_images,
+        sample_frames,
+    )
+
+    decoded = decode_media(docs_from_documents_table(sf_dir))
+    small = resize_images(decoded, out_side=4)
+    frames = sample_frames(small, n_sample=2)
+    feats = audio_features(frames)
+    return feats.select_columns(
+        ["doc_id", "media_ref", "frame_index", "n_frames", "img_mean",
+         "rms", "zero_crossings"]
+    )

@@ -114,3 +114,126 @@ def decode_media(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def resize_images(
+    decoded: ray.data.Dataset,
+    out_side: int = 4,
+    image_col: str = "image",
+    side: int = THUMB,
+) -> ray.data.Dataset:
+    """REAL resize kernel (block-mean downsample) over the fixed-shape
+    tensor column — the post-decode stage a training pipeline runs; no
+    codec needed, so nothing is stubbed here. out_side must divide the
+    input side."""
+    if side % out_side:
+        raise ValueError("out_side must divide the input side")
+    f = side // out_side
+
+    def resize(batch: pa.Table) -> pa.Table:
+        col = batch[image_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        imgs = flat.reshape(len(batch), side, side, 3).astype(np.float64)
+        small = imgs.reshape(len(batch), out_side, f, out_side, f, 3).mean(
+            axis=(2, 4)
+        )
+        out_flat = np.rint(small).astype(np.uint8).reshape(len(batch), -1)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(out_flat.ravel(), type=pa.uint8()), out_flat.shape[1]
+        )
+        return batch.append_column(f"{image_col}_small", arr)
+
+    return decoded.map_batches(resize, batch_format="pyarrow", batch_size=256)
+
+
+class FakeVideoProbe:
+    """Deterministic stand-in for a container probe: frame count is a
+    counter-based function of the ref (real probes replace this one
+    method; the sampling plumbing below is real)."""
+
+    def n_frames(self, refs: np.ndarray) -> np.ndarray:
+        return (hash_strings(refs) % np.uint64(240) + np.uint64(16)).astype(
+            np.int64
+        )
+
+
+def sample_frames(
+    media: ray.data.Dataset,
+    n_sample: int = 4,
+    ref_col: str = "media_ref",
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Video frame-sampling stage: one output row per (ref, sampled
+    frame index), uniform stride over the probed frame count — the
+    standard decode-k-frames layout for video training data. Probe
+    state builds once per actor; emission is vectorized."""
+
+    class Sample:
+        def __init__(self):
+            self.probe = FakeVideoProbe()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            refs = batch[ref_col].to_numpy(zero_copy_only=False)
+            nf = self.probe.n_frames(refs)
+            k = np.minimum(nf, n_sample)
+            total = int(k.sum())
+            parent = np.repeat(np.arange(len(refs), dtype=np.int64), k)
+            within = np.arange(total) - np.repeat(np.cumsum(k) - k, k)
+            # uniform stride: frame_i = floor(i * n_frames / k)
+            frame = (within * nf[parent]) // np.maximum(k[parent], 1)
+            out = batch.take(pa.array(parent))
+            out = out.append_column("frame_index", pa.array(frame, pa.int64()))
+            out = out.append_column(
+                "n_frames", pa.array(nf[parent], pa.int64())
+            )
+            return out
+
+    return media.map_batches(
+        Sample, batch_format="pyarrow", batch_size=1024, concurrency=concurrency
+    )
+
+
+class FakeAudioDecoder:
+    """Deterministic waveform stand-in (uint64 counter stream -> int16
+    PCM); replace with a real codec where available."""
+
+    def decode(self, refs: np.ndarray, n_samples: int = 256) -> np.ndarray:
+        h = hash_strings(refs)
+        idx = np.arange(n_samples, dtype=np.uint64)
+        w = splitmix64(h[:, None] ^ idx[None, :]) % np.uint64(65536)
+        return (w.astype(np.int64) - 32768).astype(np.int16)
+
+
+def audio_features(
+    media: ray.data.Dataset,
+    ref_col: str = "media_ref",
+    n_samples: int = 256,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Audio feature-extraction stage: decode (stubbed) -> REAL
+    vectorized features (RMS energy, zero-crossing rate, peak) — the
+    audio member of the multimodal family."""
+
+    class Extract:
+        def __init__(self):
+            self.decoder = FakeAudioDecoder()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            refs = batch[ref_col].to_numpy(zero_copy_only=False)
+            w = self.decoder.decode(refs, n_samples).astype(np.float64)
+            rms = np.sqrt((w * w).mean(axis=1))
+            zc = (np.diff(np.signbit(w), axis=1) != 0).sum(axis=1).astype(
+                np.int64
+            )
+            peak = np.abs(w).max(axis=1)
+            out = batch.append_column("rms", pa.array(rms))
+            out = out.append_column("zero_crossings", pa.array(zc))
+            out = out.append_column("peak", pa.array(peak))
+            return out
+
+    return media.map_batches(
+        Extract, batch_format="pyarrow", batch_size=2048,
+        concurrency=concurrency,
+    )

@@ -85,3 +85,58 @@ def test_lance_arrow_write(ray_session, tmp_path):
     man = lance_io.write_table_arrow(tbl, uri)
     assert man["fragments"][0]["rows"] == 3
     assert lance_io.read_table(uri).count() == 3
+
+
+def test_resize_frames_audio_stages(ray_session):
+    """Round-2 multimodal additions: block-mean resize (real kernel),
+    uniform frame sampling, audio features — deterministic across
+    partitionings."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from rsgislib_ray.stages.media import (
+        FakeImageDecoder,
+        FakeVideoProbe,
+        audio_features,
+        resize_images,
+        sample_frames,
+    )
+
+    refs = pa.table(
+        {"media_ref": [f"media://img_{i}" for i in range(40)]}
+    )
+    ds = ray.data.from_arrow(refs).repartition(4)
+    # decode -> resize: mean of each 2x2 block
+    from rsgislib_ray.stages.media import decode_media, THUMB
+
+    docs = None  # decode_media expects docs; use DecodeImages directly
+    from rsgislib_ray.stages.media import DecodeImages
+
+    decoded = ds.map_batches(
+        DecodeImages, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 2),
+    )
+    small = resize_images(decoded, out_side=4).to_pandas()
+    assert len(small) == 40
+    img0 = FakeImageDecoder().decode(np.array(["media://img_0"]))[0]
+    want0 = np.rint(
+        img0.astype(np.float64).reshape(4, 2, 4, 2, 3).mean(axis=(1, 3))
+    ).astype(np.uint8).ravel()
+    got0 = np.asarray(
+        small[small["media_ref"] == "media://img_0"]["image_small"].iloc[0]
+    )
+    np.testing.assert_array_equal(got0, want0)
+
+    # frame sampling: uniform stride, deterministic count
+    frames = sample_frames(ds, n_sample=4).to_pandas()
+    nf0 = int(FakeVideoProbe().n_frames(np.array(["media://img_0"]))[0])
+    g0 = frames[frames["media_ref"] == "media://img_0"]
+    assert len(g0) == 4
+    assert g0["frame_index"].tolist() == [i * nf0 // 4 for i in range(4)]
+    assert (frames["frame_index"] < frames["n_frames"]).all()
+
+    # audio features: real kernels over the fake waveform
+    af = audio_features(ds).to_pandas()
+    assert len(af) == 40
+    assert (af["rms"] > 0).all() and (af["peak"] <= 32768).all()
+    assert af["zero_crossings"].between(0, 255).all()
