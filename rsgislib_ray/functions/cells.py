@@ -232,3 +232,34 @@ def covering_cells_bbox(
     rows = np.arange(r0, r1 + 1, dtype=np.int64)
     cc, rr = np.meshgrid(cols, rows)
     return encode_rowcol(cc.ravel(), rr.ravel(), level)
+
+
+def covering_cells_bboxes(
+    xmin: np.ndarray,
+    xmax: np.ndarray,
+    ymin: np.ndarray,
+    ymax: np.ndarray,
+    level: int,
+    frame: CellFrame = DEFAULT_FRAME,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`covering_cells_bbox` over MANY bboxes: returns
+    (owner_index, cell) pair arrays — the zone-duplication kernel with
+    no per-zone Python loop. Identical cell sets, row-major order."""
+    cw, ch = frame.cell_size(level)
+    n = 1 << level
+    c0 = np.maximum(0, np.floor((xmin - frame.x0) / cw)).astype(np.int64)
+    c1 = np.minimum(n - 1, np.floor((xmax - frame.x0) / cw)).astype(np.int64)
+    r0 = np.maximum(0, np.floor((ymin - frame.y0) / ch)).astype(np.int64)
+    r1 = np.minimum(n - 1, np.floor((ymax - frame.y0) / ch)).astype(np.int64)
+    w = np.maximum(c1 - c0 + 1, 0)
+    h = np.maximum(r1 - r0 + 1, 0)
+    cnt = w * h
+    valid = cnt > 0
+    cnt = np.where(valid, cnt, 0)
+    total = int(cnt.sum())
+    owner = np.repeat(np.arange(len(xmin), dtype=np.int64), cnt)
+    within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    ww = w[owner]
+    rr = r0[owner] + within // ww
+    cc = c0[owner] + within % ww
+    return owner, encode_rowcol(cc, rr, level)

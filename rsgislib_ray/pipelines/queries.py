@@ -2934,3 +2934,29 @@ def q_media_pipeline(sf_dir: str):
         ["doc_id", "media_ref", "frame_index", "n_frames", "img_mean",
          "rms", "zero_crossings"]
     )
+
+
+@register(
+    "spatial_join_sortmerge",
+    f"""
+    WITH pts AS ({td.SQL_PTS}), zones AS ({td.SQL_ZONES})
+    SELECT p.pt_id, z.fid FROM pts p JOIN zones z ON {_JOIN_ON}
+    """,
+)
+def q_spatial_join_sortmerge(sf_dir: str):
+    """Both-sides-large join, SORT-MERGE strategy: one range shuffle of
+    the unioned sides + vectorized in-block run join (inline PIP),
+    boundary cells via a bounded groupby. Same rows as every other
+    strategy; beats even the broadcast path at sf0.1 (see BASELINE.md)."""
+    from rsgislib_ray.stages.spatial_join import spatial_join_points_sortmerge
+
+    pts = td.points_from_orders(sf_dir).map_batches(
+        lambda t: t.append_column("pt_row", t["pt_id"]), batch_format="pyarrow"
+    )
+    out = spatial_join_points_sortmerge(
+        pts, td.zones_from_part(sf_dir), level=6, key_col="pt_row"
+    )
+    return out.map_batches(
+        lambda t: pa.table({"pt_id": t["pt_row"], "fid": t["fid"]}),
+        batch_format="pyarrow",
+    )

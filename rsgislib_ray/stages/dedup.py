@@ -55,7 +55,7 @@ def exact_dedup(
     cols: list[str],
     id_col: str = "doc_id",
     strategy: str = "broadcast",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """First-wins exact dedup on a column subset
     (rm_feat_att_duplicates semantics: keep the lowest-id row of each
@@ -92,6 +92,10 @@ def exact_dedup(
     )  # columns: content_hash, min(min_id) — computed distributed
 
     if strategy == "join":
+        from rsgislib_ray.stages.spatial_join import _default_join_partitions
+
+        num_partitions = _default_join_partitions(num_partitions)
+
         def rename(b: pa.Table) -> pa.Table:
             return pa.table(
                 {"content_hash": b["content_hash"], "win_id": b["min(min_id)"]}

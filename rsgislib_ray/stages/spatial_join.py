@@ -417,16 +417,26 @@ def count_points_per_zone(
 # ---------------------------------------------------------------------------
 
 
+def _default_join_partitions(requested: int | None) -> int:
+    """Clamp join partition count to the cluster's CPU count: Ray's
+    hash-shuffle join spawns ~one aggregator actor per partition, and
+    partitions >> CPUs oversubscribes a small cluster into ray.get
+    convoys (measured: 32 partitions on 4 CPUs runs minutes instead of
+    seconds)."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    cap = max(4, cpus)
+    return min(requested, cap) if requested else cap
+
+
 def _zones_to_cells(zones_tbl: pa.Table, level: int) -> pa.Table:
-    """Duplicate each zone row into every cell its envelope covers."""
+    """Duplicate each zone row into every cell its envelope covers
+    (vectorized — no per-zone Python loop)."""
     zs = ZoneSet.from_table(zones_tbl)
-    cell_lists = [
-        cellmod.covering_cells_bbox(b[0], b[1], b[2], b[3], level) for b in zs.bounds
-    ]
-    counts = np.array([len(c) for c in cell_lists], dtype=np.int64)
-    rep = np.repeat(np.arange(len(zs), dtype=np.int64), counts)
-    cells = (
-        np.concatenate(cell_lists) if len(cell_lists) else np.empty(0, dtype=np.int64)
+    rep, cells = cellmod.covering_cells_bboxes(
+        zs.bounds[:, 0], zs.bounds[:, 1], zs.bounds[:, 2], zs.bounds[:, 3],
+        level,
     )
     taken = zones_tbl.take(pa.array(rep, type=pa.int64()))
     return taken.append_column("cell", pa.array(cells, type=pa.int64()))
@@ -530,7 +540,7 @@ def spatial_join_points_hashjoin(
     x_col: str = "x",
     y_col: str = "y",
     key_col: str = "pt_row",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Both-sides-large spatial join on Ray Data's NATIVE hash join.
 
@@ -543,6 +553,7 @@ def spatial_join_points_hashjoin(
     """
     if isinstance(zones, pa.Table):
         zones = ray.data.from_arrow(zones)
+    num_partitions = _default_join_partitions(num_partitions)
 
     def prep_zones(t: pa.Table) -> pa.Table:
         out = _zones_to_cells(t, level).select(["fid", "ring_xy", "cell"])
@@ -653,3 +664,467 @@ def spatial_join_points_hashjoin(
         return pa.table({key_col: keep[key_col], "fid": keep["fid"]})
 
     return joined.map_batches(refine, batch_format="pyarrow")
+
+
+def spatial_join_points_packjoin(
+    points: ray.data.Dataset,
+    zones: ray.data.Dataset | pa.Table,
+    level: int = 6,
+    x_col: str = "x",
+    y_col: str = "y",
+    key_col: str = "pt_row",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Both-sides-large spatial join, PACK-JOIN strategy.
+
+    The hash-join strategy (:func:`spatial_join_points_hashjoin`)
+    materializes one Acero row PER CANDIDATE PAIR (~#points x
+    zones-per-cell) through the shuffle. Here points are sorted by cell
+    and PACKED — one row per per-block cell run carrying (ids, coords)
+    as binary blobs — so the join exchanges O(cells) pack rows against
+    the zone-cell table and the pair explosion happens VECTORIZED after
+    the join, never as Acero rows. Same output contract: (key_col, fid).
+    """
+    if isinstance(zones, pa.Table):
+        zones = ray.data.from_arrow(zones)
+    num_partitions = _default_join_partitions(num_partitions)
+
+    def prep_zones(t: pa.Table) -> pa.Table:
+        # identical payload narrowing to spatial_join_points_hashjoin:
+        # rect rows ship 4 bounds + empty blob, general rings ship
+        # packed float64 bytes (ZoneSet detects rects vectorized)
+        out = _zones_to_cells(t, level).select(["fid", "ring_xy", "cell"])
+        zsub = ZoneSet.from_table(out)
+        n = len(out)
+        keep_ring = ~zsub.is_rect
+        counts = np.where(keep_ring, np.diff(zsub.ring_offsets) * 2, 0)
+        byte_off = np.concatenate([[0], np.cumsum(counts * 8)]).astype(np.int32)
+        if keep_ring.any():
+            pieces = [
+                zsub.ring_xy[
+                    2 * zsub.ring_offsets[i] : 2 * zsub.ring_offsets[i + 1]
+                ]
+                for i in np.flatnonzero(keep_ring)
+            ]
+            vals = np.concatenate(pieces)
+        else:
+            vals = np.empty(0, dtype=np.float64)
+        blob_arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(vals.tobytes())],
+        )
+        return pa.table(
+            {
+                "fid": out["fid"],
+                "zxmin": zsub.bounds[:, 0],
+                "zxmax": zsub.bounds[:, 1],
+                "zymin": zsub.bounds[:, 2],
+                "zymax": zsub.bounds[:, 3],
+                "ring_blob": blob_arr,
+                "cell": out["cell"],
+            }
+        )
+
+    zone_cells = zones.map_batches(prep_zones, batch_format="pyarrow")
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        cell = cellmod.cells_from_xy(
+            batch[x_col].to_numpy(), batch[y_col].to_numpy(), level
+        )
+        out = pa.table(
+            {
+                key_col: batch[key_col],
+                x_col: batch[x_col],
+                y_col: batch[y_col],
+                "cell": pa.array(cell, type=pa.int64()),
+            }
+        )
+        return out.filter(pa.compute.not_equal(out["cell"], pa.scalar(-1)))
+
+    def pack(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy()
+        ids = batch[key_col].to_numpy().astype(np.int64)
+        px = batch[x_col].to_numpy().astype(np.float64)
+        py = batch[y_col].to_numpy().astype(np.float64)
+        order = np.argsort(cell, kind="stable")
+        c2, i2, x2, y2 = cell[order], ids[order], px[order], py[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(c2)) + 1])
+        counts = np.diff(np.concatenate([starts, [len(c2)]]))
+        id_off = (starts * 8).astype(np.int32)
+        id_off = np.concatenate([id_off, [np.int32(len(c2) * 8)]])
+        xy = np.empty(2 * len(c2))
+        xy[0::2] = x2
+        xy[1::2] = y2
+        xy_off = (starts * 16).astype(np.int32)
+        xy_off = np.concatenate([xy_off, [np.int32(len(c2) * 16)]])
+        id_blob = pa.Array.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(id_off.tobytes()), pa.py_buffer(i2.tobytes())],
+        )
+        xy_blob = pa.Array.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(xy_off.tobytes()), pa.py_buffer(xy.tobytes())],
+        )
+        return pa.table(
+            {"cell": pa.array(c2[starts]), "id_blob": id_blob, "xy_blob": xy_blob}
+        )
+
+    packs = (
+        points.map_batches(tag_points, batch_format="pyarrow")
+        .sort("cell")
+        .map_batches(pack, batch_format="pyarrow")
+    )
+
+    joined = packs.join(
+        zone_cells,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("cell",),
+    )
+
+    def _blob_parts(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off_all = np.frombuffer(col.buffers()[1], dtype=np.int32)
+        off = off_all[col.offset : col.offset + len(col) + 1].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        return off, data
+
+    def refine(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()), "fid": pa.array([], pa.int64())}
+            )
+        id_off, id_data = _blob_parts(batch["id_blob"])
+        xy_off, xy_data = _blob_parts(batch["xy_blob"])
+        n_pts = np.diff(id_off) // 8
+        rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_pts)
+        total = int(n_pts.sum())
+        # flatten per-row point slices into pair-aligned arrays
+        within = np.arange(total) - np.repeat(np.cumsum(n_pts) - n_pts, n_pts)
+        ids_flat = np.frombuffer(
+            np.ascontiguousarray(id_data[id_off[0] : id_off[-1]]), dtype=np.int64
+        )
+        id_base = (id_off[rep] - id_off[0]) // 8 + within
+        pair_id = ids_flat[id_base]
+        xy_flat = np.frombuffer(
+            np.ascontiguousarray(xy_data[xy_off[0] : xy_off[-1]]),
+            dtype=np.float64,
+        )
+        xy_base = (xy_off[rep] - xy_off[0]) // 8 + 2 * within
+        ppx = xy_flat[xy_base]
+        ppy = xy_flat[xy_base + 1]
+
+        rb_off, rb_data = _blob_parts(batch["ring_blob"])
+        blob_len = np.diff(rb_off)
+        row_is_rect = blob_len == 0
+        ok = np.zeros(total, dtype=bool)
+        pr = row_is_rect[rep]
+        if pr.any():
+            zb = np.column_stack(
+                [
+                    batch["zxmin"].to_numpy(),
+                    batch["zxmax"].to_numpy(),
+                    batch["zymin"].to_numpy(),
+                    batch["zymax"].to_numpy(),
+                ]
+            )[rep[pr]]
+            ok[pr] = (
+                (ppx[pr] >= zb[:, 0])
+                & (ppx[pr] < zb[:, 1])
+                & (ppy[pr] >= zb[:, 2])
+                & (ppy[pr] < zb[:, 3])
+            )
+        gp = np.flatnonzero(~pr)
+        if len(gp):
+            gen_rows = np.flatnonzero(~row_is_rect)
+            vals = np.frombuffer(
+                np.ascontiguousarray(rb_data[rb_off[0] : rb_off[-1]]),
+                dtype=np.float64,
+            )
+            voff = (rb_off - rb_off[0]) // 8
+            goff = np.concatenate(
+                [[0], np.cumsum(blob_len[gen_rows] // 16)]
+            ).astype(np.int64)
+            gvals = (
+                np.concatenate([vals[voff[i] : voff[i + 1]] for i in gen_rows])
+                if len(gen_rows)
+                else np.empty(0)
+            )
+            row_to_gen = np.full(len(batch), -1, dtype=np.int64)
+            row_to_gen[gen_rows] = np.arange(len(gen_rows))
+            ok[gp] = pip_pairs(
+                ppx[gp], ppy[gp], gvals, goff,
+                np.arange(len(gp), dtype=np.int64), row_to_gen[rep[gp]],
+            )
+        fid = batch["fid"].to_numpy()[rep]
+        return pa.table(
+            {
+                key_col: pa.array(pair_id[ok], pa.int64()),
+                "fid": pa.array(fid[ok], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(refine, batch_format="pyarrow")
+
+
+def spatial_join_points_sortmerge(
+    points: ray.data.Dataset,
+    zones: ray.data.Dataset | pa.Table,
+    level: int = 6,
+    x_col: str = "x",
+    y_col: str = "y",
+    key_col: str = "pt_row",
+) -> ray.data.Dataset:
+    """Both-sides-large spatial join, SORT-MERGE strategy.
+
+    ``Dataset.join`` pays two hash shuffles plus per-partition Acero
+    setup (~3.5 s fixed on this box regardless of row count). Here both
+    sides union into ONE range shuffle (``sort("cell")``) and each
+    sorted block joins its cell runs vectorized (searchsorted
+    expansion + inline PIP refine — no pair rows ever materialize
+    through a shuffle). Cells that straddle a block boundary are
+    resolved by a tiny ``groupby(cell).map_groups`` over at most
+    2 cells x blocks rows — fully distributed, no driver step.
+    Output contract: (key_col, fid), identical to the other strategies.
+    """
+    if isinstance(zones, pa.Table):
+        zones = ray.data.from_arrow(zones)
+
+    def prep_zones(t: pa.Table) -> pa.Table:
+        out = _zones_to_cells(t, level).select(["fid", "ring_xy", "cell"])
+        zsub = ZoneSet.from_table(out)
+        n = len(out)
+        keep_ring = ~zsub.is_rect
+        counts = np.where(keep_ring, np.diff(zsub.ring_offsets) * 2, 0)
+        byte_off = np.concatenate([[0], np.cumsum(counts * 8)]).astype(np.int32)
+        if keep_ring.any():
+            pieces = [
+                zsub.ring_xy[
+                    2 * zsub.ring_offsets[i] : 2 * zsub.ring_offsets[i + 1]
+                ]
+                for i in np.flatnonzero(keep_ring)
+            ]
+            vals = np.concatenate(pieces)
+        else:
+            vals = np.empty(0, dtype=np.float64)
+        blob_arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(vals.tobytes())],
+        )
+        zeros = np.zeros(n)
+        return pa.table(
+            {
+                "cell": out["cell"],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(np.zeros(n, dtype=np.int64)),
+                "fid": out["fid"],
+                x_col: zeros,
+                y_col: zeros,
+                "zxmin": zsub.bounds[:, 0],
+                "zxmax": zsub.bounds[:, 1],
+                "zymin": zsub.bounds[:, 2],
+                "zymax": zsub.bounds[:, 3],
+                "ring_blob": blob_arr,
+            }
+        )
+
+    def prep_points(batch: pa.Table) -> pa.Table:
+        cell = cellmod.cells_from_xy(
+            batch[x_col].to_numpy(), batch[y_col].to_numpy(), level
+        )
+        ok = cell != -1
+        n = int(ok.sum())
+        empty_blob = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(np.zeros(n + 1, dtype=np.int32).tobytes()),
+             pa.py_buffer(b"")],
+        )
+        zeros = np.zeros(n)
+        return pa.table(
+            {
+                "cell": pa.array(cell[ok], pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(
+                    batch[key_col].to_numpy()[ok].astype(np.int64)
+                ),
+                "fid": pa.array(np.zeros(n, dtype=np.int64)),
+                x_col: batch[x_col].to_numpy()[ok].astype(np.float64),
+                y_col: batch[y_col].to_numpy()[ok].astype(np.float64),
+                "zxmin": zeros,
+                "zxmax": zeros,
+                "zymin": zeros,
+                "zymax": zeros,
+                "ring_blob": empty_blob,
+            }
+        )
+
+    both = (
+        points.map_batches(prep_points, batch_format="pyarrow")
+        .union(zones.map_batches(prep_zones, batch_format="pyarrow"))
+        .sort("cell")
+    )
+
+    def _join_arrays(
+        pcell, pkey, ppx, ppy, zcell, zfid, zb, zv_lo, zv_hi, zvals
+    ):
+        """Vectorized run join: points x zones sharing a cell, with
+        inline rect / ring PIP refine. zcell must be sorted. zv_lo /
+        zv_hi are per-zone float64 slice bounds into zvals (equal for
+        rect rows -> empty ring)."""
+        lo = np.searchsorted(zcell, pcell, side="left")
+        hi = np.searchsorted(zcell, pcell, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        rep = np.repeat(np.arange(len(pcell), dtype=np.int64), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        zi = lo[rep] + within
+        px_p = ppx[rep]
+        py_p = ppy[rep]
+        ok = np.zeros(total, dtype=bool)
+        zwidth = zv_hi - zv_lo
+        is_rect_pair = zwidth[zi] == 0
+        pr = np.flatnonzero(is_rect_pair)
+        if len(pr):
+            zsel = zi[pr]
+            ok[pr] = (
+                (px_p[pr] >= zb[zsel, 0])
+                & (px_p[pr] < zb[zsel, 1])
+                & (py_p[pr] >= zb[zsel, 2])
+                & (py_p[pr] < zb[zsel, 3])
+            )
+        gp = np.flatnonzero(~is_rect_pair)
+        if len(gp):
+            gen_rows = np.flatnonzero(zwidth > 0)
+            goff = np.concatenate(
+                [[0], np.cumsum(zwidth[gen_rows] // 2)]
+            ).astype(np.int64)
+            gvals = (
+                np.concatenate(
+                    [zvals[zv_lo[i] : zv_hi[i]] for i in gen_rows]
+                )
+                if len(gen_rows)
+                else np.empty(0)
+            )
+            row_to_gen = np.full(len(zcell), -1, dtype=np.int64)
+            row_to_gen[gen_rows] = np.arange(len(gen_rows))
+            ok[gp] = pip_pairs(
+                px_p[gp], py_p[gp], gvals, goff,
+                np.arange(len(gp), dtype=np.int64), row_to_gen[zi[gp]],
+            )
+        return pkey[rep[ok]], zfid[zi[ok]]
+
+    def _split_blob(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off_all = np.frombuffer(col.buffers()[1], dtype=np.int32)
+        off = off_all[col.offset : col.offset + len(col) + 1].astype(np.int64)
+        buf = col.buffers()[2]
+        data = (
+            np.frombuffer(buf, dtype=np.uint8) if buf is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        return off, data
+
+    both = both.materialize()  # sorted union (narrow): ONE sort, two consumers
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy()
+        if len(cell) == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "fid": pa.array([], pa.int64())}
+            )
+        # boundary cells (first/last value of this sorted block) are
+        # resolved by the grouped pass below
+        interior = (cell != cell[0]) & (cell != cell[-1])
+        side = batch["side"].to_numpy()
+        rb_off, rb_data = _split_blob(batch["ring_blob"])
+        vals = (
+            np.frombuffer(
+                np.ascontiguousarray(rb_data[rb_off[0] : rb_off[-1]]),
+                dtype=np.float64,
+            )
+            if rb_off[-1] > rb_off[0]
+            else np.empty(0)
+        )
+        voff = (rb_off - rb_off[0]) // 8
+        pi = np.flatnonzero(interior & (side == 0))
+        zir = np.flatnonzero(interior & (side == 1))
+        keys, fids = _join_arrays(
+            cell[pi],
+            batch["key"].to_numpy()[pi],
+            batch[x_col].to_numpy()[pi],
+            batch[y_col].to_numpy()[pi],
+            cell[zir],
+            batch["fid"].to_numpy()[zir],
+            np.column_stack(
+                [
+                    batch["zxmin"].to_numpy()[zir],
+                    batch["zxmax"].to_numpy()[zir],
+                    batch["zymin"].to_numpy()[zir],
+                    batch["zymax"].to_numpy()[zir],
+                ]
+            ),
+            voff[zir],        # per-zone float64 slice bounds into the
+            voff[zir + 1],    # block's concatenated ring values
+            vals,
+        ) if len(pi) and len(zir) else (np.empty(0, np.int64), np.empty(0, np.int64))
+        return pa.table({"key": pa.array(keys), "fid": pa.array(fids)})
+
+    def extract_boundary(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy()
+        if len(cell) == 0:
+            return batch
+        return batch.filter(pa.array((cell == cell[0]) | (cell == cell[-1])))
+
+    pairs = both.map_batches(emit_pairs, batch_format="pyarrow")
+
+    def bnd_join(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        side = g["side"].to_numpy()
+        p = g[side == 0]
+        z = g[side == 1].sort_values("cell", kind="stable")
+        if len(p) == 0 or len(z) == 0:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype="int64"),
+                    "fid": pd.Series([], dtype="int64"),
+                }
+            )
+        blob = z["ring_blob"].to_numpy()
+        blob_len = np.array([len(b) for b in blob], dtype=np.int64)
+        vals = (
+            np.frombuffer(b"".join(blob), dtype=np.float64)
+            if blob_len.sum()
+            else np.empty(0)
+        )
+        voff = np.concatenate([[0], np.cumsum(blob_len)]) // 8
+        keys, fids = _join_arrays(
+            p["cell"].to_numpy(),
+            p["key"].to_numpy(),
+            p[x_col].to_numpy(),
+            p[y_col].to_numpy(),
+            z["cell"].to_numpy(),
+            z["fid"].to_numpy(),
+            z[["zxmin", "zxmax", "zymin", "zymax"]].to_numpy(),
+            voff[:-1],
+            voff[1:],
+            vals,
+        )
+        return pd.DataFrame({"key": keys, "fid": fids})
+
+    bnd_pairs = (
+        both.map_batches(extract_boundary, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(bnd_join, batch_format="pandas")
+    )
+    out = pairs.union(bnd_pairs)
+    return out.map_batches(
+        lambda t: pa.table(
+            {key_col: t["key"], "fid": t["fid"]}
+        ),
+        batch_format="pyarrow",
+    )

@@ -179,3 +179,32 @@ def test_hashjoin_equals_broadcast(ray_session, sf_dir):
     ).to_pandas()
     hj_pairs = sorted(zip(hj["pt_row"], hj["fid"]))
     assert bc_pairs == hj_pairs
+
+
+def test_all_join_strategies_equal(ray_session, sf_dir):
+    """broadcast / groupby / native-hash / pack / sort-merge must
+    produce identical (point, zone) pair sets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rsgislib_ray.sources import testdata as td
+    from rsgislib_ray.stages.spatial_join import (
+        spatial_join_points,
+        spatial_join_points_hashjoin,
+        spatial_join_points_packjoin,
+        spatial_join_points_sortmerge,
+    )
+
+    zones = td.zones_from_part(sf_dir)
+    pts = td.points_from_orders(sf_dir).map_batches(
+        lambda t: t.append_column("pt_row", t["pt_id"]), batch_format="pyarrow"
+    ).materialize()
+    base = spatial_join_points(pts, zones, how="inner").to_pandas()
+    want = sorted(zip(base["pt_id"], base["fid"]))
+    for fn in (
+        spatial_join_points_hashjoin,
+        spatial_join_points_packjoin,
+        spatial_join_points_sortmerge,
+    ):
+        got = fn(pts, zones, level=6, key_col="pt_row").to_pandas()
+        assert sorted(zip(got["pt_row"], got["fid"])) == want, fn.__name__
