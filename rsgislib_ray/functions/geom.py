@@ -368,3 +368,35 @@ def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
     out[0::2] = xs[sel]
     out[1::2] = ys[sel]
     return out
+
+
+def point_ring_distance(
+    px: np.ndarray, py: np.ndarray, ring: np.ndarray
+) -> np.ndarray:
+    """Distance from many points to ONE polygon (0 inside): min
+    point-to-segment distance over the ring's edges, vectorized
+    (P x E), masked to 0 for interior points. Generalizes the
+    rect-only distance path of create_dist_zones_to_vec_layer
+    (/root/reference/python/rsgislib/imagecalc/__init__.py dist-zones
+    family) to arbitrary simple rings."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    xs = ring[0::2]
+    ys = ring[1::2]
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    x1, y1 = xs, ys
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    ex = (x2 - x1)[None, :]
+    ey = (y2 - y1)[None, :]
+    wx = px[:, None] - x1[None, :]
+    wy = py[:, None] - y1[None, :]
+    seg_len2 = ex * ex + ey * ey
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(np.where(seg_len2 > 0, (wx * ex + wy * ey) / seg_len2, 0.0), 0.0, 1.0)
+    dx = wx - t * ex
+    dy = wy - t * ey
+    d = np.sqrt((dx * dx + dy * dy).min(axis=1))
+    inside = points_in_ring(px, py, ring)
+    d[inside] = 0.0
+    return d

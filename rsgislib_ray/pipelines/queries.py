@@ -2960,3 +2960,39 @@ def q_spatial_join_sortmerge(sf_dir: str):
         lambda t: pa.table({"pt_id": t["pt_row"], "fid": t["fid"]}),
         batch_format="pyarrow",
     )
+
+
+@register(
+    "distance_to_ring",
+    f"""
+    WITH pts AS ({td.SQL_PTS})
+    SELECT pt_id,
+      CAST(FLOOR(sqrt(
+        GREATEST(30.0 - x, x - 70.0, 0.0) * GREATEST(30.0 - x, x - 70.0, 0.0)
+        + GREATEST(30.0 - y, y - 70.0, 0.0) * GREATEST(30.0 - y, y - 70.0, 0.0)
+      ) * 1000000.0) AS BIGINT) AS dist_micro
+    FROM pts
+    """,
+)
+def q_distance_to_ring(sf_dir: str):
+    """GENERAL point-to-polygon distance (create_dist_zones_to_vec_layer
+    beyond the rect-only v1 path): min point-to-segment distance over
+    ring edges, 0 inside (functions/geom.point_ring_distance). Verified
+    against the rect closed form in integer micro-units (the segment
+    projection arithmetic differs from the closed form by ulps)."""
+    from rsgislib_ray.functions.geom import point_ring_distance, rect_ring
+
+    ring = rect_ring(30.0, 30.0, 70.0, 70.0)
+
+    def f(batch: pa.Table) -> pa.Table:
+        d = point_ring_distance(
+            batch["x"].to_numpy(), batch["y"].to_numpy(), ring
+        )
+        return pa.table(
+            {
+                "pt_id": batch["pt_id"],
+                "dist_micro": np.floor(d * 1000000.0).astype(np.int64),
+            }
+        )
+
+    return td.points_from_orders(sf_dir).map_batches(f, batch_format="pyarrow")

@@ -186,3 +186,28 @@ def test_buffer_and_simplify_roundtrip():
     dense = np.array([0,0, 5,0, 10,0, 10,3, 10,6, 5,6, 0,6, 0,3], dtype=float)
     s = simplify_ring(dense, 0.01)
     assert len(s) // 2 == 4 and ring_area(s) == 60.0
+
+
+def test_point_ring_distance_general():
+    from rsgislib_ray.functions.geom import point_ring_distance, rect_ring
+
+    # triangle hypotenuse distance + inside-zero + vertex clamp
+    tri = np.array([0, 0, 4, 0, 0, 4], dtype=float)
+    d = point_ring_distance(
+        np.array([4.0, 1.0, -1.0, 5.0]),
+        np.array([4.0, 1.0, -1.0, -1.0]),
+        tri,
+    )
+    assert abs(d[0] - 2 * np.sqrt(2)) < 1e-12   # to hypotenuse midpoint
+    assert d[1] == 0.0                          # inside
+    assert abs(d[2] - np.sqrt(2)) < 1e-12       # to corner (0,0)
+    assert abs(d[3] - np.sqrt(2)) < 1e-12       # past corner (4,0)
+    # rect case matches the closed form
+    r = rect_ring(2, 3, 6, 8)
+    rng = np.random.default_rng(9)
+    px = rng.uniform(-5, 15, 300)
+    py = rng.uniform(-5, 15, 300)
+    got = point_ring_distance(px, py, r)
+    dx = np.maximum.reduce([2 - px, px - 6, np.zeros_like(px)])
+    dy = np.maximum.reduce([3 - py, py - 8, np.zeros_like(py)])
+    np.testing.assert_allclose(got, np.hypot(dx, dy), atol=1e-9)
