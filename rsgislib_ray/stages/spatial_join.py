@@ -1128,3 +1128,40 @@ def spatial_join_points_sortmerge(
         ),
         batch_format="pyarrow",
     )
+
+
+# Zones above this row count stop being broadcast by default: the
+# packed arrays + per-process index build stop amortizing and the
+# shuffle strategies win (measured crossover region on the bench box).
+BROADCAST_ZONE_LIMIT = 2_000_000
+
+
+def spatial_join_auto(
+    points: ray.data.Dataset,
+    zones: pa.Table | ray.data.Dataset,
+    level: int = 6,
+    x_col: str = "x",
+    y_col: str = "y",
+    key_col: str = "pt_row",
+    **broadcast_kwargs,
+) -> ray.data.Dataset:
+    """Strategy-selecting entry point for the inner point-in-polygon
+    join: BROADCAST (zero-shuffle, per-process cached index) while the
+    zone side fits comfortably, else SORT-MERGE (one range shuffle +
+    vectorized run join — the fastest both-sides-large strategy, see
+    BASELINE.md). All strategies emit identical rows (tested)."""
+    n_zones = (
+        zones.num_rows if isinstance(zones, pa.Table) else zones.count()
+    )
+    if n_zones <= BROADCAST_ZONE_LIMIT:
+        tbl = zones if isinstance(zones, pa.Table) else pa.concat_tables(
+            [ray.get(r) for r in zones.to_arrow_refs()]
+        )
+        out = spatial_join_points(
+            points, tbl, how="inner", x_col=x_col, y_col=y_col,
+            **broadcast_kwargs,
+        )
+        return out
+    return spatial_join_points_sortmerge(
+        points, zones, level=level, x_col=x_col, y_col=y_col, key_col=key_col
+    )
