@@ -1768,27 +1768,14 @@ def q_event_lag(sf_dir: str):
     """As-of/lag over the event log: previous event's value per user in
     (ts, event_id) order — the merge_asof-shaped windowed op, executed
     as sorted per-user groups."""
+    from rsgislib_ray.stages.events import event_lag
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     ).repartition(32)
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        cents = np.rint(g["value"].to_numpy() * 100)
-        # float64 with NaN head: matches DuckDB's BIGINT-lag-with-NULL
-        # after its pandas conversion (nullable ints hash awkwardly)
-        prev = np.empty(len(g), dtype=np.float64)
-        prev[0] = np.nan
-        prev[1:] = cents[:-1]
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"],
-                "user_id": g["user_id"],
-                "prev_cents": prev,
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    # sorted-run implementation (stages/events.py): per-user Python runs
+    # only for the <= 2 block-edge users, not once per user
+    return event_lag(ds)
 
 
 @register(
@@ -1813,24 +1800,12 @@ def q_event_sessions(sf_dir: str):
     """Session windows (30-min gap) per user — gap-based sessionization
     over sorted per-user groups (the engine's stand-in for event-time
     session windows; the reference has none, SURVEY.md §2.12)."""
+    from rsgislib_ray.stages.events import event_sessions
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     ).repartition(32)
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        gap = np.diff(us, prepend=us[0] - 10**18)
-        new = (gap > 1_800_000_000).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"],
-                "user_id": g["user_id"],
-                "session_id": np.cumsum(new),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return event_sessions(ds)
 
 
 @register(
