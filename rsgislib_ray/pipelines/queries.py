@@ -2971,3 +2971,62 @@ def q_distance_to_ring(sf_dir: str):
         )
 
     return td.points_from_orders(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "udf_op_pipeline",
+    f"""
+    WITH cells AS ({td.SQL_CELLS})
+    SELECT CAST(cell_key % 16 AS BIGINT) AS k,
+      COUNT(*) AS n,
+      CAST(SUM(val_cents // 100) AS BIGINT) AS s,
+      CAST(MAX(val_cents // 100) AS BIGINT) AS mx
+    FROM cells GROUP BY cell_key % 16
+    """,
+)
+def q_udf_op_pipeline(sf_dir: str):
+    """User-extension surface driver-verified (SURVEY §2.11): a custom
+    BatchOp (derives the key through broadcast state) chained into a
+    custom Aggregator (partial/combine/final) — the engine analog of a
+    RSGISCalcImageValue visitor feeding a RSGISRATCalcValue reduce."""
+    from rsgislib_ray.ops import OpContext, apply_aggregator, apply_op
+
+    mod = np.int64(16)
+
+    def derive(batch: pa.Table, ctx: OpContext) -> pa.Table:
+        m = ctx.state("mod")
+        return pa.table(
+            {
+                "k": batch["cell_key"].to_numpy() % m,
+                "v": batch["val_cents"].to_numpy() // 100,
+            }
+        )
+
+    class StatsAgg:
+        key_col = "k"
+        combine = {"n": "sum", "s": "sum", "mx": "max"}
+
+        def partial(self, batch: pa.Table) -> pa.Table:
+            k = batch["k"].to_numpy()
+            v = batch["v"].to_numpy()
+            order = np.argsort(k, kind="stable")
+            k2, v2 = k[order], v[order]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(k2)) + 1])
+            return pa.table(
+                {
+                    "k": k2[starts],
+                    "n": np.diff(np.concatenate([starts, [len(k2)]])).astype(
+                        np.int64
+                    ),
+                    "s": np.add.reduceat(v2, starts),
+                    "mx": np.maximum.reduceat(v2, starts),
+                }
+            )
+
+        def final(self, combined: pa.Table) -> pa.Table:
+            return combined.select(["k", "n", "s", "mx"])
+
+    derived = apply_op(
+        td.cells_from_lineitem(sf_dir), derive, broadcast={"mod": mod}
+    )
+    return apply_aggregator(derived, StatsAgg())
