@@ -72,10 +72,13 @@ def headline(docs_path: str) -> tuple[float, int]:
 
     from rsgislib_ray.pipelines.flagship import flagship
 
-    # 128 read blocks (2 fragments per task): fewer scheduling waves at
-    # 32 cpus than the 256-file default, still 32 waves at 4 cpus —
-    # measured best of {default 256, 128, 512} at both levels
-    docs = ray.data.read_parquet(docs_path, override_num_blocks=128)
+    # ~1.5 blocks per CPU (min 32): measured best across 4/16/32 cpus —
+    # enough waves to balance, few enough that per-task scheduling and
+    # block-boundary overhead don't dominate (4cpu 12.4->8.3s,
+    # 16cpu 2.5->2.2s, 32cpu 1.8->1.37s vs the fixed-128 setting)
+    docs = ray.data.read_parquet(
+        docs_path, override_num_blocks=max(32, int(NCPUS * 1.5))
+    )
     n = docs.count()
 
     # stateless-task join path: pre-warmed workers, per-process

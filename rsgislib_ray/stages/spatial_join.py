@@ -868,6 +868,32 @@ def spatial_join_points_packjoin(
     return joined.map_batches(refine, batch_format="pyarrow")
 
 
+def _emit_how(
+    how: str,
+    keys: np.ndarray,
+    fids: np.ndarray,
+    pkeys: np.ndarray,
+    matched: np.ndarray,
+) -> pa.Table:
+    """Shape the per-block join result for the requested join mode."""
+    if how == "inner":
+        return pa.table({"key": pa.array(keys), "fid": pa.array(fids)})
+    neg1 = lambda n: np.full(n, -1, dtype=np.int64)  # noqa: E731
+    if how == "left":
+        un = pkeys[~matched]
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([keys, un])),
+                "fid": pa.array(np.concatenate([fids, neg1(len(un))])),
+            }
+        )
+    if how == "semi":
+        m = pkeys[matched]
+        return pa.table({"key": pa.array(m), "fid": pa.array(neg1(len(m)))})
+    un = pkeys[~matched]  # anti
+    return pa.table({"key": pa.array(un), "fid": pa.array(neg1(len(un)))})
+
+
 def spatial_join_points_sortmerge(
     points: ray.data.Dataset,
     zones: ray.data.Dataset | pa.Table,
@@ -875,6 +901,7 @@ def spatial_join_points_sortmerge(
     x_col: str = "x",
     y_col: str = "y",
     key_col: str = "pt_row",
+    how: str = "inner",
 ) -> ray.data.Dataset:
     """Both-sides-large spatial join, SORT-MERGE strategy.
 
@@ -886,8 +913,13 @@ def spatial_join_points_sortmerge(
     through a shuffle). Cells that straddle a block boundary are
     resolved by a tiny ``groupby(cell).map_groups`` over at most
     2 cells x blocks rows — fully distributed, no driver step.
-    Output contract: (key_col, fid), identical to the other strategies.
+    Output contract: (key_col, fid) pair rows for ``how="inner"``;
+    ``"left"`` adds unmatched points with fid=-1; ``"semi"`` /
+    ``"anti"`` emit one (key_col, fid=-1) row per matched / unmatched
+    point. Inner rows identical to the other strategies (tested).
     """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
     if isinstance(zones, pa.Table):
         zones = ray.data.from_arrow(zones)
 
@@ -933,7 +965,10 @@ def spatial_join_points_sortmerge(
         cell = cellmod.cells_from_xy(
             batch[x_col].to_numpy(), batch[y_col].to_numpy(), level
         )
-        ok = cell != -1
+        # out-of-frame points (cell -1) stay in the stream for
+        # left/anti semantics: no zone ever maps to cell -1, so they
+        # flow through as unmatched; inner emits nothing for them
+        ok = np.ones(len(cell), dtype=bool) if how != "inner" else cell != -1
         n = int(ok.sum())
         empty_blob = pa.Array.from_buffers(
             pa.binary(), n,
@@ -977,7 +1012,11 @@ def spatial_join_points_sortmerge(
         cnt = hi - lo
         total = int(cnt.sum())
         if total == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.zeros(len(pcell), dtype=bool),
+            )
         rep = np.repeat(np.arange(len(pcell), dtype=np.int64), cnt)
         within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         zi = lo[rep] + within
@@ -1014,7 +1053,9 @@ def spatial_join_points_sortmerge(
                 px_p[gp], py_p[gp], gvals, goff,
                 np.arange(len(gp), dtype=np.int64), row_to_gen[zi[gp]],
             )
-        return pkey[rep[ok]], zfid[zi[ok]]
+        matched = np.zeros(len(pcell), dtype=bool)
+        matched[rep[ok]] = True
+        return pkey[rep[ok]], zfid[zi[ok]], matched
 
     def _split_blob(col):
         if isinstance(col, pa.ChunkedArray):
@@ -1052,26 +1093,32 @@ def spatial_join_points_sortmerge(
         voff = (rb_off - rb_off[0]) // 8
         pi = np.flatnonzero(interior & (side == 0))
         zir = np.flatnonzero(interior & (side == 1))
-        keys, fids = _join_arrays(
-            cell[pi],
-            batch["key"].to_numpy()[pi],
-            batch[x_col].to_numpy()[pi],
-            batch[y_col].to_numpy()[pi],
-            cell[zir],
-            batch["fid"].to_numpy()[zir],
-            np.column_stack(
-                [
-                    batch["zxmin"].to_numpy()[zir],
-                    batch["zxmax"].to_numpy()[zir],
-                    batch["zymin"].to_numpy()[zir],
-                    batch["zymax"].to_numpy()[zir],
-                ]
-            ),
-            voff[zir],        # per-zone float64 slice bounds into the
-            voff[zir + 1],    # block's concatenated ring values
-            vals,
-        ) if len(pi) and len(zir) else (np.empty(0, np.int64), np.empty(0, np.int64))
-        return pa.table({"key": pa.array(keys), "fid": pa.array(fids)})
+        pkeys = batch["key"].to_numpy()[pi]
+        if len(pi) and len(zir):
+            keys, fids, matched = _join_arrays(
+                cell[pi],
+                pkeys,
+                batch[x_col].to_numpy()[pi],
+                batch[y_col].to_numpy()[pi],
+                cell[zir],
+                batch["fid"].to_numpy()[zir],
+                np.column_stack(
+                    [
+                        batch["zxmin"].to_numpy()[zir],
+                        batch["zxmax"].to_numpy()[zir],
+                        batch["zymin"].to_numpy()[zir],
+                        batch["zymax"].to_numpy()[zir],
+                    ]
+                ),
+                voff[zir],        # per-zone float64 slice bounds into the
+                voff[zir + 1],    # block's concatenated ring values
+                vals,
+            )
+        else:
+            keys = np.empty(0, dtype=np.int64)
+            fids = np.empty(0, dtype=np.int64)
+            matched = np.zeros(len(pi), dtype=bool)
+        return _emit_how(how, keys, fids, pkeys, matched)
 
     def extract_boundary(batch: pa.Table) -> pa.Table:
         cell = batch["cell"].to_numpy()
@@ -1088,12 +1135,14 @@ def spatial_join_points_sortmerge(
         p = g[side == 0]
         z = g[side == 1].sort_values("cell", kind="stable")
         if len(p) == 0 or len(z) == 0:
-            return pd.DataFrame(
-                {
-                    "key": pd.Series([], dtype="int64"),
-                    "fid": pd.Series([], dtype="int64"),
-                }
-            )
+            pk = p["key"].to_numpy() if len(p) else np.empty(0, dtype=np.int64)
+            return _emit_how(
+                how,
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                pk,
+                np.zeros(len(pk), dtype=bool),
+            ).to_pandas()
         blob = z["ring_blob"].to_numpy()
         blob_len = np.array([len(b) for b in blob], dtype=np.int64)
         vals = (
@@ -1102,7 +1151,7 @@ def spatial_join_points_sortmerge(
             else np.empty(0)
         )
         voff = np.concatenate([[0], np.cumsum(blob_len)]) // 8
-        keys, fids = _join_arrays(
+        keys, fids, matched = _join_arrays(
             p["cell"].to_numpy(),
             p["key"].to_numpy(),
             p[x_col].to_numpy(),
@@ -1114,7 +1163,8 @@ def spatial_join_points_sortmerge(
             voff[1:],
             vals,
         )
-        return pd.DataFrame({"key": keys, "fid": fids})
+        out = _emit_how(how, keys, fids, p["key"].to_numpy(), matched)
+        return out.to_pandas()
 
     bnd_pairs = (
         both.map_batches(extract_boundary, batch_format="pyarrow")

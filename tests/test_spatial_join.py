@@ -208,3 +208,39 @@ def test_all_join_strategies_equal(ray_session, sf_dir):
     ):
         got = fn(pts, zones, level=6, key_col="pt_row").to_pandas()
         assert sorted(zip(got["pt_row"], got["fid"])) == want, fn.__name__
+
+
+def test_sortmerge_how_modes(ray_session, sf_dir):
+    """sortmerge left/semi/anti agree with the broadcast join."""
+    import numpy as np
+
+    from rsgislib_ray.sources import testdata as td
+    from rsgislib_ray.stages.spatial_join import (
+        spatial_join_points,
+        spatial_join_points_sortmerge,
+    )
+
+    zones = td.zones_from_part(sf_dir)
+    pts = td.points_from_orders(sf_dir).map_batches(
+        lambda t: t.append_column("pt_row", t["pt_id"]), batch_format="pyarrow"
+    ).materialize()
+    n_pts = pts.count()
+    semi_b = spatial_join_points(pts, zones, how="semi").to_pandas()
+    matched_b = set(semi_b[semi_b["in_zone"]]["pt_id"])
+    semi = spatial_join_points_sortmerge(
+        pts, zones, how="semi", key_col="pt_row"
+    ).to_pandas()
+    assert set(semi["pt_row"]) == matched_b
+    anti = spatial_join_points_sortmerge(
+        pts, zones, how="anti", key_col="pt_row"
+    ).to_pandas()
+    assert set(anti["pt_row"]) == set(semi_b["pt_id"]) - matched_b
+    assert len(semi) + len(anti) == n_pts
+    left = spatial_join_points_sortmerge(
+        pts, zones, how="left", key_col="pt_row"
+    ).to_pandas()
+    inner = spatial_join_points_sortmerge(
+        pts, zones, how="inner", key_col="pt_row"
+    ).to_pandas()
+    assert len(left) == len(inner) + len(anti)
+    assert (left["fid"] == -1).sum() == len(anti)
