@@ -244,3 +244,28 @@ def test_sortmerge_how_modes(ray_session, sf_dir):
     ).to_pandas()
     assert len(left) == len(inner) + len(anti)
     assert (left["fid"] == -1).sum() == len(anti)
+
+
+def test_spatial_join_auto_selects_and_matches(ray_session, sf_dir):
+    """auto: broadcast below the zone limit (same rows as explicit
+    broadcast); monkeypatched limit forces the sort-merge branch."""
+    import numpy as np
+
+    import rsgislib_ray.stages.spatial_join as sj
+    from rsgislib_ray.sources import testdata as td
+
+    zones = td.zones_from_part(sf_dir)
+    pts = td.points_from_orders(sf_dir).map_batches(
+        lambda t: t.append_column("pt_row", t["pt_id"]), batch_format="pyarrow"
+    ).materialize()
+    base = sj.spatial_join_points(pts, zones, how="inner").to_pandas()
+    want = sorted(zip(base["pt_id"], base["fid"]))
+    got_b = sj.spatial_join_auto(pts, zones).to_pandas()
+    assert sorted(zip(got_b["pt_id"], got_b["fid"])) == want
+    old = sj.BROADCAST_ZONE_LIMIT
+    sj.BROADCAST_ZONE_LIMIT = 1  # force the sort-merge branch
+    try:
+        got_s = sj.spatial_join_auto(pts, zones).to_pandas()
+    finally:
+        sj.BROADCAST_ZONE_LIMIT = old
+    assert sorted(zip(got_s["pt_row"], got_s["fid"])) == want
