@@ -400,3 +400,81 @@ def point_ring_distance(
     inside = points_in_ring(px, py, ring)
     d[inside] = 0.0
     return d
+
+
+def triangulate_ring(ring: np.ndarray) -> list:
+    """Ear-clipping triangulation of a SIMPLE ring (CCW or CW input;
+    works on the CCW orientation internally). Returns a list of flat
+    6-element triangle rings whose union is the polygon — the
+    decomposition that lifts the convex-only overlay ops to arbitrary
+    simple polygons (vectorgeoms difference/overlay family,
+    /root/reference/python/rsgislib/vectorgeoms/__init__.py:1344)."""
+    xs = list(ring[0::2])
+    ys = list(ring[1::2])
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    n = len(xs)
+    if n < 3:
+        return []
+    if ring_area(np.asarray([v for p in zip(xs, ys) for v in p])) < 0:
+        xs, ys = xs[::-1], ys[::-1]  # enforce CCW
+    idx = list(range(len(xs)))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n_i = len(idx)
+        ear_found = False
+        for k in range(n_i):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % n_i]
+            ax, ay = xs[i0], ys[i0]
+            bx, by = xs[i1], ys[i1]
+            cx, cy = xs[i2], ys[i2]
+            cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            if cross <= 0:
+                continue  # reflex or degenerate corner
+            # no other active vertex strictly inside the candidate ear
+            tri = np.asarray([ax, ay, bx, by, cx, cy])
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                if points_in_ring(
+                    np.asarray([xs[j]]), np.asarray([ys[j]]), tri
+                )[0]:
+                    ok = False
+                    break
+            if ok:
+                tris.append(tri)
+                del idx[k]
+                ear_found = True
+                break
+        if not ear_found:  # numerically stuck: clip the least-reflex ear
+            i0, i1, i2 = idx[0], idx[1], idx[2]
+            tris.append(
+                np.asarray([xs[i0], ys[i0], xs[i1], ys[i1], xs[i2], ys[i2]])
+            )
+            del idx[1]
+    if len(idx) == 3:
+        i0, i1, i2 = idx
+        tris.append(
+            np.asarray([xs[i0], ys[i0], xs[i1], ys[i1], xs[i2], ys[i2]])
+        )
+    return [t for t in tris if abs(ring_area(t)) > 1e-12]
+
+
+def polygon_difference(subject: np.ndarray, clip: np.ndarray) -> list:
+    """``subject`` minus an ARBITRARY simple ``clip`` ring: triangulate
+    the clip and fold :func:`convex_difference` over the triangles
+    (A \\ (T1 u T2 u ...) = ((A \\ T1) \\ T2) ... — triangles are
+    disjoint up to shared edges, so piece areas stay exact). Returns
+    disjoint pieces."""
+    pieces = [np.asarray(subject, dtype=np.float64)]
+    for tri in triangulate_ring(clip):
+        nxt = []
+        for p in pieces:
+            nxt.extend(convex_difference(p, tri))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces

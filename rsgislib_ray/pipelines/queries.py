@@ -3030,3 +3030,50 @@ def q_udf_op_pipeline(sf_dir: str):
         td.cells_from_lineitem(sf_dir), derive, broadcast={"mod": mod}
     )
     return apply_aggregator(derived, StatsAgg())
+
+
+@register(
+    "overlay_difference_concave",
+    f"""
+    WITH zones AS ({td.SQL_ZONES})
+    SELECT fid,
+      CAST(FLOOR((
+        (xmax - xmin) * (ymax - ymin)
+        - GREATEST(least(xmax, 40.0) - greatest(xmin, 0.0), 0.0)
+          * GREATEST(least(ymax, 20.0) - greatest(ymin, 0.0), 0.0)
+        - GREATEST(least(xmax, 20.0) - greatest(xmin, 0.0), 0.0)
+          * GREATEST(least(ymax, 40.0) - greatest(ymin, 20.0), 0.0)
+      ) * 1000000.0) AS BIGINT) AS diff_micro
+    FROM zones
+    """,
+)
+def q_overlay_difference_concave(sf_dir: str):
+    """Difference against an ARBITRARY (concave) polygon: each zone
+    rect minus a fixed L-shaped region, via ear-clipping triangulation
+    + convex-difference folding (functions/geom.polygon_difference —
+    vectorgeoms difference for non-convex layers,
+    /root/reference/python/rsgislib/vectorgeoms/__init__.py:1344). The
+    L decomposes into two disjoint rects for the closed-form oracle;
+    areas compare in integer micro-units (triangle hypotenuse clips
+    introduce ulp-level noise vs the closed form)."""
+    from rsgislib_ray.functions.geom import polygon_difference, rect_ring, ring_area
+
+    L = np.array(
+        [0.0, 0.0, 40.0, 0.0, 40.0, 20.0, 20.0, 20.0, 20.0, 40.0, 0.0, 40.0]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        xmin = batch["xmin"].to_numpy()
+        xmax = batch["xmax"].to_numpy()
+        ymin = batch["ymin"].to_numpy()
+        ymax = batch["ymax"].to_numpy()
+        out = np.empty(len(batch), dtype=np.int64)
+        for i in range(len(batch)):
+            pieces = polygon_difference(
+                rect_ring(xmin[i], ymin[i], xmax[i], ymax[i]), L
+            )
+            area = sum(ring_area(p) for p in pieces)
+            out[i] = np.int64(np.floor(area * 1000000.0))
+        return pa.table({"fid": batch["fid"], "diff_micro": out})
+
+    return td.zones_dataset(sf_dir).map_batches(f, batch_format="pyarrow")

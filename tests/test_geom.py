@@ -211,3 +211,36 @@ def test_point_ring_distance_general():
     dx = np.maximum.reduce([2 - px, px - 6, np.zeros_like(px)])
     dy = np.maximum.reduce([3 - py, py - 8, np.zeros_like(py)])
     np.testing.assert_allclose(got, np.hypot(dx, dy), atol=1e-9)
+
+
+def test_polygon_difference_concave_monte_carlo():
+    from rsgislib_ray.functions.geom import (
+        points_in_ring,
+        polygon_difference,
+        rect_ring,
+        ring_area,
+        triangulate_ring,
+    )
+
+    rng = np.random.default_rng(13)
+    # concave star-ish hexagon clip
+    clip = np.array([10,10, 30,14, 50,10, 44,30, 50,50, 10,46], float)
+    assert abs(sum(ring_area(t) for t in triangulate_ring(clip))
+               - ring_area(clip)) < 1e-9
+    for _ in range(10):
+        x0, y0 = rng.uniform(0, 40, 2)
+        A = rect_ring(x0, y0, x0 + rng.uniform(5, 25), y0 + rng.uniform(5, 25))
+        pieces = polygon_difference(A, clip)
+        got = sum(ring_area(p) for p in pieces)
+        px = rng.uniform(0, 70, 120000)
+        py = rng.uniform(0, 70, 120000)
+        inA = points_in_ring(px, py, A)
+        inC = points_in_ring(px, py, clip)
+        mc = (inA & ~inC).mean() * 4900
+        assert abs(got - mc) < 0.35 * np.sqrt(mc + 1)  # MC tolerance
+        # piece membership: in exactly A \ clip
+        cnt = np.zeros(len(px), dtype=int)
+        for p in pieces:
+            cnt += points_in_ring(px, py, p).astype(int)
+        mism = (cnt > 0) != (inA & ~inC)
+        assert mism.mean() < 2e-4  # only boundary-ulp points may differ
