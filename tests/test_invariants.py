@@ -99,3 +99,50 @@ def test_parallelism_level_equality():
         ).stdout.strip().splitlines()[-1]
         digests.append(out)
     assert digests[0] == digests[1]
+
+
+def test_sortmerge_and_events_partition_independent(ray_session, sf_dir):
+    """The sort-based operators (sort-merge join, event lag/sessions)
+    must give identical results under different input partitionings —
+    block-boundary handling is exactly what varies."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rsgislib_ray.sources import testdata as td
+    from rsgislib_ray.stages.events import event_lag, event_sessions
+    from rsgislib_ray.stages.spatial_join import spatial_join_points_sortmerge
+
+    zones = td.zones_from_part(sf_dir)
+
+    def join_at(nparts):
+        pts = td.points_from_orders(sf_dir).map_batches(
+            lambda t: t.append_column("pt_row", t["pt_id"]),
+            batch_format="pyarrow",
+        ).repartition(nparts)
+        out = spatial_join_points_sortmerge(pts, zones, key_col="pt_row")
+        return sorted(zip(*[out.to_pandas()[c] for c in ("pt_row", "fid")]))
+
+    assert join_at(2) == join_at(13)
+
+    ev = f"{sf_dir}/events.parquet"
+
+    def lag_at(nparts):
+        ds = ray.data.read_parquet(
+            ev, columns=["event_id", "user_id", "ts", "value"]
+        ).repartition(nparts)
+        df = event_lag(ds).to_pandas().sort_values("event_id")
+        return df["prev_cents"].to_numpy()
+
+    a, b = lag_at(2), lag_at(11)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    np.testing.assert_array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+
+    def sess_at(nparts):
+        ds = ray.data.read_parquet(
+            ev, columns=["event_id", "user_id", "ts"]
+        ).repartition(nparts)
+        df = event_sessions(ds).to_pandas().sort_values("event_id")
+        return df["session_id"].to_numpy()
+
+    np.testing.assert_array_equal(sess_at(2), sess_at(11))
