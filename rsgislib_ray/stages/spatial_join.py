@@ -375,6 +375,7 @@ def count_points_per_zone(
     x_col: str = "x",
     y_col: str = "y",
     out_col: str = "n_points",
+    combine: str = "driver",
 ) -> pa.Table:
     """Per-polygon point count, zero-count zones included — the
     reference's ``count_pt_intersects``
@@ -403,11 +404,26 @@ def count_points_per_zone(
     )
     import pandas as pd
 
-    agg = partials.groupby("fid").sum("partial").to_pandas()
+    if combine == "native":
+        # distributed combine: the driver only sees one row per zone —
+        # the extreme-zone-count path (same trade as zonal_stats)
+        agg = (
+            partials.groupby("fid")
+            .sum("partial")
+            .to_pandas()
+            .rename(columns={"sum(partial)": out_col})
+        )
+    else:
+        # partials are pre-reduced to (blocks x zones-touched) rows; one
+        # driver pandas groupby beats a full sort-shuffle at this size
+        agg = (
+            partials.to_pandas()
+            .groupby("fid", as_index=False)["partial"]
+            .sum()
+            .rename(columns={"partial": out_col})
+        )
     base = pd.DataFrame({"fid": zones_tbl["fid"].to_numpy()})
-    merged = base.merge(
-        agg.rename(columns={"sum(partial)": out_col}), on="fid", how="left"
-    )
+    merged = base.merge(agg, on="fid", how="left")
     merged[out_col] = merged[out_col].fillna(0).astype(np.int64)
     return pa.Table.from_pandas(merged, preserve_index=False)
 
