@@ -172,3 +172,19 @@ def test_component_rings_8conn_pinch(ray_session):
     assert len(comp) == 2 and not comp["is_hole"].any()
     assert sorted(comp["area"]) == [4.0, 4.0]
     assert comp["area"].sum() == comp["n_pixels"].iloc[0]
+
+
+def test_clump_10x_raster(ray_session):
+    """VERDICT round-2 'done' criterion: distributed clump correct at
+    10x the round-1 fixture size (160k pixels, many cross-tile
+    merges)."""
+    rng = np.random.default_rng(7)
+    grid = rng.integers(0, 3, (400, 400))
+    want = _bfs_oracle(grid, False)
+    got = (
+        clump(_grid_to_ds(grid), tile_size=64)
+        .to_pandas()
+        .sort_values("pixel_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(got["comp_label"].to_numpy(), want.ravel())
