@@ -331,30 +331,36 @@ def components_summary(clumped: ray.data.Dataset, value_col: str = "value") -> p
 
     partials = clumped.map_batches(partial, batch_format="pyarrow", batch_size=65536)
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["n"].sum())
-        return pd.DataFrame(
-            {
-                "comp_label": [int(g["comp_label"].iloc[0])],
-                "value": [g["value"].iloc[0]],
-                "n_pixels": [n],
-                "centroid_row": [float(g["sum_r"].sum()) / n],
-                "centroid_col": [float(g["sum_c"].sum()) / n],
-                "min_row": [g["min_r"].min()],
-                "max_row": [g["max_r"].max()],
-                "min_col": [g["min_c"].min()],
-                "max_col": [g["max_c"].max()],
-            }
-        )
+    # NATIVE distributed combine (one Sum/Min/Max aggregate — no
+    # per-component Python; components can number in the millions) then
+    # a vectorized finalize on the per-component rows.
+    from ray.data.aggregate import Max, Min, Sum
 
-    return (
+    agg = (
         partials.groupby("comp_label")
-        .map_groups(combine, batch_format="pandas")
+        .aggregate(
+            Sum("n"), Min("value"), Sum("sum_r"), Sum("sum_c"),
+            Min("min_r"), Max("max_r"), Min("min_c"), Max("max_c"),
+        )
         .to_pandas()
         .sort_values("comp_label")
         .reset_index(drop=True)
-        .pipe(pa.Table.from_pandas, preserve_index=False)
     )
+    n = agg["sum(n)"].to_numpy().astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "comp_label": agg["comp_label"].astype(np.int64),
+            "value": agg["min(value)"],
+            "n_pixels": n,
+            "centroid_row": agg["sum(sum_r)"].to_numpy() / n,
+            "centroid_col": agg["sum(sum_c)"].to_numpy() / n,
+            "min_row": agg["min(min_r)"],
+            "max_row": agg["max(max_r)"],
+            "min_col": agg["min(min_c)"],
+            "max_col": agg["max(max_c)"],
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # left-turn preference at pinch vertices: for incoming direction d the
@@ -439,7 +445,7 @@ def component_rings(
     component's rings sum to n_pixels (holes are negative).
     """
 
-    def trace(g: pd.DataFrame) -> pd.DataFrame:
+    def trace_one(g: pd.DataFrame) -> pd.DataFrame:
         from rsgislib_ray.functions.geom import ring_area
 
         label = int(g["comp_label"].iloc[0])
@@ -480,9 +486,28 @@ def component_rings(
             }
         )
 
+    # bucket components so the grouped pass runs over a BOUNDED number
+    # of Ray groups (millions of small components would otherwise pay
+    # per-component scheduling + pandas conversion); components of one
+    # bucket trace sequentially inside the worker.
+    n_buckets = 64
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        lab = batch["comp_label"].to_numpy()
+        return batch.append_column(
+            "_rb", pa.array((lab % n_buckets).astype(np.int64))
+        )
+
+    def trace_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            trace_one(sub) for _lab, sub in g.groupby("comp_label", sort=True)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
     out = (
-        clumped.groupby("comp_label")
-        .map_groups(trace, batch_format="pandas")
+        clumped.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(trace_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values(["comp_label", "ring_id"])
         .reset_index(drop=True)
