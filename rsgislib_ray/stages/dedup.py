@@ -320,30 +320,25 @@ def minhash_lsh_candidates(
         ),
         batch_format="pyarrow",
     )
-    summ = (
+    # boundary runs (O(#blocks) buckets): pair them in a DISTRIBUTED
+    # grouped pass — group count is bounded by 2 buckets per block, so
+    # no boundary member row ever lands on the driver
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        mem = np.sort(g["doc_a"].unique())
+        a, b = _run_pairs(mem)
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    extra = (
         both.map_batches(
             lambda t: t.filter(pa.compute.equal(t["is_summary"], 1)).select(
                 ["doc_a", "bucket"]
             ),
             batch_format="pyarrow",
-        ).to_pandas()
-    )  # boundary members only: O(#blocks) runs
-    extra_a, extra_b = [], []
-    for _bucket, g in summ.groupby("bucket"):
-        mem = np.sort(g["doc_a"].unique())
-        a, b = _run_pairs(mem)
-        extra_a.append(a)
-        extra_b.append(b)
-    if extra_a:
-        ea = np.concatenate(extra_a)
-        eb = np.concatenate(extra_b)
-        if len(ea):
-            pairs_ds = pairs_ds.union(
-                ray.data.from_arrow(
-                    pa.table({"doc_a": ea, "doc_b": eb})
-                )
-            )
-    return pairs_ds
+        )
+        .groupby("bucket")
+        .map_groups(stitch, batch_format="pandas")
+    )
+    return pairs_ds.union(extra)
 
 
 def _shingle_hash_arrays(texts, shingle_k: int) -> list:
