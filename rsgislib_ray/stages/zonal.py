@@ -338,37 +338,50 @@ def zonal_stats(
             for s in want_order
             if s.startswith("p") and s[1:].isdigit()
         ]
-        rows = []
-        for fid, g in vc.groupby("fid", sort=True):
-            vals = g["val"].to_numpy()
-            counts = g["n"].to_numpy()
-            # mode: smallest value among max-count (scipy mstats.mode)
-            mode = float(vals[counts == counts.max()].min())
-            # median: numpy semantics over the expanded multiset
-            total = counts.sum()
-            cum = np.cumsum(counts)
-            k = total // 2
-            if total % 2 == 1:
-                median = float(vals[np.searchsorted(cum, k + 1)])
-            else:
-                lo = float(vals[np.searchsorted(cum, k)])
-                hi = float(vals[np.searchsorted(cum, k + 1)])
-                median = (lo + hi) / 2.0
-            rec = [int(fid), mode / value_scale, median / value_scale]
-            for _name, q in pcts:
-                # numpy-linear: pos = (n-1)*q over the expanded multiset,
-                # read order stats from the histogram without expanding
-                pos = (total - 1) * q
-                lo_i = int(np.floor(pos))
-                hi_i = int(np.ceil(pos))
-                lo_v = float(vals[np.searchsorted(cum, lo_i + 1)])
-                hi_v = float(vals[np.searchsorted(cum, hi_i + 1)])
-                frac = pos - lo_i
-                rec.append((lo_v + (hi_v - lo_v) * frac) / value_scale)
-            rows.append(tuple(rec))
-        ords = pd.DataFrame(
-            rows, columns=["fid", "mode", "median"] + [s for s, _ in pcts]
+        # VECTORIZED finalize over all zones at once (no per-zone Python
+        # loop): vc is sorted by (fid, val); global cumsum is strictly
+        # increasing, so the k-th order stat of zone f is one GLOBAL
+        # searchsorted at (cumulative offset of f) + k.
+        vals = vc["val"].to_numpy().astype(np.float64)
+        counts = vc["n"].to_numpy().astype(np.int64)
+        fids_v = vc["fid"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(fids_v)) + 1])
+        run_len = np.diff(np.concatenate([starts, [len(fids_v)]]))
+        run_fid = fids_v[starts]
+        totals = np.add.reduceat(counts, starts)
+        cum = np.cumsum(counts)
+        off = cum[starts] - counts[starts]
+        run_id = np.repeat(np.arange(len(starts)), run_len)
+        # mode: smallest value among max-count (scipy mstats.mode)
+        runmax = np.maximum.reduceat(counts, starts)
+        mode = np.minimum.reduceat(
+            np.where(counts == runmax[run_id], vals, np.inf), starts
         )
+
+        def kth(k: np.ndarray) -> np.ndarray:
+            return vals[np.searchsorted(cum, off + k, side="left")]
+
+        k = totals // 2
+        odd = totals % 2 == 1
+        med_odd = kth(k + 1)
+        med_even = (kth(np.maximum(k, 1)) + kth(k + 1)) / 2.0
+        median = np.where(odd, med_odd, med_even)
+        cols = {
+            "fid": run_fid.astype(np.int64),
+            "mode": mode / value_scale,
+            "median": median / value_scale,
+        }
+        for name_p, q in pcts:
+            # numpy-linear: pos = (n-1)*q over the expanded multiset,
+            # read order stats from the histogram without expanding
+            pos = (totals - 1) * q
+            lo_i = np.floor(pos)
+            hi_i = np.ceil(pos)
+            lo_v = kth(lo_i.astype(np.int64) + 1)
+            hi_v = kth(hi_i.astype(np.int64) + 1)
+            frac = pos - lo_i
+            cols[name_p] = (lo_v + (hi_v - lo_v) * frac) / value_scale
+        ords = pd.DataFrame(cols)
         base = base.merge(ords[["fid"] + want_order], on="fid", how="left")
 
     for c in list(want_moments) + list(want_order):
