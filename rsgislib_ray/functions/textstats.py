@@ -103,3 +103,12 @@ def word_shingles(words: list[str], k: int = 3) -> list[str]:
     if len(words) < k:
         return [" ".join(words)] if words else []
     return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def token_count_regex(text: pa.Array) -> pa.Array:
+    """BPE-ish sub-word unit count: word runs + individual
+    non-space punctuation (the GPT-2-pretokenizer shape expressed as
+    one RE2 pattern — Arrow and DuckDB both use RE2, so
+    ``len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))`` matches
+    exactly)."""
+    return pc.count_substring_regex(text, r"\w+|[^\w\s]")

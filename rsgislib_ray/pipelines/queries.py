@@ -3077,3 +3077,32 @@ def q_overlay_difference_concave(sf_dir: str):
         return pa.table({"fid": batch["fid"], "diff_micro": out})
 
     return td.zones_dataset(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER)
+        AS n_units
+    FROM documents
+    """,
+)
+def q_token_count_bpe(sf_dir: str):
+    """BPE-ish tokenizer-unit count (word runs + punctuation singles via
+    one RE2 pattern) — the sub-word counting companion to the
+    whitespace token count; Arrow and DuckDB share RE2 semantics so the
+    oracle matches exactly."""
+    from rsgislib_ray.functions.textstats import token_count_regex
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_units": token_count_regex(col)}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(f, batch_format="pyarrow")
