@@ -3106,3 +3106,51 @@ def q_token_count_bpe(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(f, batch_format="pyarrow")
+
+
+_SM64_SQL = """
+s1 AS (SELECT CAST((CAST(x AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z FROM keys),
+s2 AS (SELECT xor(z, z >> 30) AS z FROM s1),
+s3 AS (SELECT CAST(((CAST(z AS HUGEINT) * 484763065) % 18446744073709551616
+         + ((CAST(z AS HUGEINT) % 4294967296 * 3210233709) % 4294967296)
+           * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM s2),
+s4 AS (SELECT xor(z, z >> 27) AS z FROM s3),
+s5 AS (SELECT CAST(((CAST(z AS HUGEINT) * 321982955) % 18446744073709551616
+         + ((CAST(z AS HUGEINT) % 4294967296 * 2496678331) % 4294967296)
+           * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM s4),
+s6 AS (SELECT xor(z, z >> 31) AS z FROM s5)
+"""
+
+
+@register(
+    "kmv_distinct",
+    f"""
+    WITH pts AS ({td.SQL_PTS}),
+    keys AS (SELECT CAST(pt_id % 5000 AS UBIGINT) AS x FROM pts),
+    {_SM64_SQL},
+    hset AS (SELECT DISTINCT z AS h FROM s6),
+    kmin AS (SELECT h FROM hset ORDER BY h LIMIT 1024),
+    agg AS (SELECT COUNT(*) AS n_kept, MAX(h) AS hk FROM kmin)
+    SELECT
+      CASE WHEN n_kept < 1024 THEN CAST(n_kept AS DOUBLE)
+           ELSE (CAST(1024 AS DOUBLE) - 1.0) * 18446744073709551616.0
+                / CAST(hk AS DOUBLE) END AS distinct_est,
+      CAST(n_kept AS BIGINT) AS n_kept,
+      CAST(1024 AS BIGINT) AS k
+    FROM agg
+    """,
+)
+def q_kmv_distinct(sf_dir: str):
+    """KMV distinct-count sketch (stages/sketch.py): shuffle-free
+    mergeable k-minimum-values synopsis. The splitmix64 hash is
+    mirrored BIT-EXACTLY in DuckDB HUGEINT arithmetic (hi/lo
+    decomposition of the 64x64 wraparound multiplies), so the driver
+    verifies the ESTIMATE itself, not just an error bound."""
+    from rsgislib_ray.stages.sketch import kmv_distinct_count
+
+    keyed = td.points_from_orders(sf_dir).map_batches(
+        lambda t: pa.table({"key": t["pt_id"].to_numpy() % 5000}),
+        batch_format="pyarrow",
+    )
+    return kmv_distinct_count(keyed, "key", k=1024)

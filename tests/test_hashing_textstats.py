@@ -84,3 +84,23 @@ def test_word_shingles():
     assert T.word_shingles(["a", "b", "c", "d"], 3) == ["a b c", "b c d"]
     assert T.word_shingles(["a"], 3) == ["a"]
     assert T.word_shingles([], 3) == []
+
+
+def test_kmv_distinct_accuracy_and_merge_invariance(ray_session):
+    """KMV sketch: ~1/sqrt(k) relative error and partition-independent
+    (the union of per-block sketches is the sketch of the union)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rsgislib_ray.stages.sketch import kmv_distinct_count
+
+    keys = (np.arange(400000, dtype=np.int64) * 7919) % 60000
+    true = len(np.unique(keys))
+    ests = []
+    for nparts in (2, 16):
+        ds = ray.data.from_arrow(pa.table({"key": keys})).repartition(nparts)
+        out = kmv_distinct_count(ds, "key", k=2048).to_pandas()
+        ests.append(float(out["distinct_est"].iloc[0]))
+        assert abs(ests[-1] - true) / true < 0.1
+    assert ests[0] == ests[1]  # deterministic under partitioning
