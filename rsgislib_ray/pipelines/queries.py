@@ -3154,3 +3154,34 @@ def q_kmv_distinct(sf_dir: str):
         batch_format="pyarrow",
     )
     return kmv_distinct_count(keyed, "key", k=1024)
+
+
+@register(
+    "stratified_sample",
+    f"""
+    WITH pts AS ({td.SQL_PTS}),
+    keys AS (SELECT pt_id % 40 AS grp, pt_id, CAST(pt_id AS UBIGINT) AS x
+             FROM pts),
+    {_SM64_SQL.replace("SELECT CAST", "SELECT grp, pt_id, CAST").replace("SELECT xor", "SELECT grp, pt_id, xor")}
+    SELECT grp, pt_id FROM (
+      SELECT grp, pt_id,
+        row_number() OVER (PARTITION BY grp ORDER BY z, pt_id) AS rn
+      FROM s6
+    ) WHERE rn <= 20
+    """,
+)
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: the 20 smallest-hash rows per
+    stratum (seedless splitmix64 order — identical under any
+    partitioning; the SQL mirrors the hash bit-exactly). Requires a
+    UNIQUE id column (the winner filter is id-based)."""
+    from rsgislib_ray.stages.sampling import stratified_hash_sample
+
+    pts = td.points_from_orders(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"grp": t["pt_id"].to_numpy() % 40, "pt_id": t["pt_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = stratified_hash_sample(pts, "grp", "pt_id", 20)
+    return out.select_columns(["grp", "pt_id"])

@@ -122,3 +122,67 @@ def thin_by_cell(
         return batch.drop_columns(["__cell"]).filter(pa.array(keep))
 
     return tagged.map_batches(filt, batch_format="pyarrow")
+
+
+def stratified_hash_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+) -> "ray.data.Dataset":
+    """Deterministic stratified sample: the ``n_per_group`` rows with
+    the SMALLEST splitmix64(id) per group — a seedless, shuffle-free
+    analog of the reference's per-class sample extraction
+    (imageutils/__init__.py perform_random_pxl_sample_in_mask_low_pxl_count
+    family): any partitioning yields the same sample because hash order
+    is global.
+
+    Shape: per-batch top-N per group (sort + rank, vectorized) ->
+    bounded combine of (blocks x groups x N) candidate rows -> final
+    winners broadcast back as a filter. Output: the sampled rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rsgislib_ray.functions.hashing import splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy().astype(np.int64)
+        i = batch[id_col].to_numpy().astype(np.int64)
+        h = splitmix64(i.astype(np.uint64))
+        order = np.lexsort((i, h, g))
+        g2, i2, h2 = g[order], i[order], h[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(g2)) + 1])
+        run_id = np.cumsum(
+            np.concatenate([[0], (np.diff(g2) != 0).astype(np.int64)])
+        )
+        rank = np.arange(len(g2)) - starts[run_id]
+        keep = rank < n_per_group
+        return pa.table(
+            {
+                group_col: g2[keep],
+                id_col: i2[keep],
+                "_h": h2[keep].astype(np.int64),
+            }
+        )
+
+    cands = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()  # bounded: blocks x groups x N rows
+    cands["_hu"] = cands["_h"].to_numpy().astype(np.uint64)
+    cands = cands.sort_values([group_col, "_hu", id_col], kind="stable")
+    winners = cands.groupby(group_col, sort=True).head(n_per_group)
+    wid = np.sort(winners[id_col].to_numpy().astype(np.int64))
+    ref = ray.put(wid)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        w = cached(ref)
+        i = batch[id_col].to_numpy().astype(np.int64)
+        pos = np.searchsorted(w, i)
+        pos = np.minimum(pos, len(w) - 1) if len(w) else pos
+        ok = (w[pos] == i) if len(w) else np.zeros(len(i), dtype=bool)
+        return batch.filter(pa.array(ok))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")

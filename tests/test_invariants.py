@@ -146,3 +146,23 @@ def test_sortmerge_and_events_partition_independent(ray_session, sf_dir):
         return df["session_id"].to_numpy()
 
     np.testing.assert_array_equal(sess_at(2), sess_at(11))
+
+
+def test_stratified_sample_partition_independent(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rsgislib_ray.stages.sampling import stratified_hash_sample
+
+    ids = np.arange(30000, dtype=np.int64)
+    tbl = pa.table({"grp": ids % 13, "id": ids})
+
+    def sample_at(nparts):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = stratified_hash_sample(ds, "grp", "id", 15).to_pandas()
+        return sorted(zip(out["grp"], out["id"]))
+
+    a = sample_at(2)
+    assert len(a) == 13 * 15
+    assert a == sample_at(17)
