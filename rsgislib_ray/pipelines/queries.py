@@ -3185,3 +3185,39 @@ def q_stratified_sample(sf_dir: str):
     )
     out = stratified_hash_sample(pts, "grp", "pt_id", 20)
     return out.select_columns(["grp", "pt_id"])
+
+
+@register(
+    "topk_per_group",
+    f"""
+    WITH pts AS ({td.SQL_PTS}),
+    vals AS (
+      SELECT pt_id % 40 AS grp, pt_id, (pt_id * 7919) % 10000 AS v
+      FROM pts
+    )
+    SELECT grp, pt_id, v FROM (
+      SELECT grp, pt_id, v,
+        row_number() OVER (PARTITION BY grp ORDER BY v DESC, pt_id) AS rn
+      FROM vals
+    ) WHERE rn <= 5
+    """,
+)
+def q_topk_per_group(sf_dir: str):
+    """Top-5 rows per stratum by a derived value (grouped top-k: the
+    per-group analog of sort_top50 — partial top-n per batch, bounded
+    combine, winner id filter; ties break by lowest id to match the
+    row_number oracle)."""
+    from rsgislib_ray.stages.sampling import top_n_per_group
+
+    pts = td.points_from_orders(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "grp": t["pt_id"].to_numpy() % 40,
+                "pt_id": t["pt_id"],
+                "v": (t["pt_id"].to_numpy() * 7919) % 10000,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = top_n_per_group(pts, "grp", "pt_id", "v", 5)
+    return out.select_columns(["grp", "pt_id", "v"])

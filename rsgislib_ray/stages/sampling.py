@@ -186,3 +186,62 @@ def stratified_hash_sample(
         return batch.filter(pa.array(ok))
 
     return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+
+def top_n_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    n: int,
+    ascending: bool = False,
+) -> "ray.data.Dataset":
+    """Top-``n`` rows per group by ``value_col`` (ties -> lowest id),
+    distributed: per-batch top-n partials -> bounded combine -> winner
+    id filter. ``id_col`` must be unique. The per-group ORDER BY
+    value, id contract matches ``row_number()`` oracles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    sign = 1.0 if ascending else -1.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy().astype(np.int64)
+        i = batch[id_col].to_numpy().astype(np.int64)
+        v = batch[value_col].to_numpy().astype(np.float64) * sign
+        order = np.lexsort((i, v, g))
+        g2, i2, v2 = g[order], i[order], v[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(g2)) + 1])
+        run_id = np.cumsum(
+            np.concatenate([[0], (np.diff(g2) != 0).astype(np.int64)])
+        )
+        rank = np.arange(len(g2)) - starts[run_id]
+        keep = rank < n
+        return pa.table(
+            {
+                group_col: g2[keep],
+                id_col: i2[keep],
+                "_v": v2[keep],
+            }
+        )
+
+    cands = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()  # bounded: blocks x groups x n
+    cands = cands.sort_values([group_col, "_v", id_col], kind="stable")
+    winners = cands.groupby(group_col, sort=True).head(n)
+    wid = np.sort(winners[id_col].to_numpy().astype(np.int64))
+    ref = ray.put(wid)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        w = cached(ref)
+        i = batch[id_col].to_numpy().astype(np.int64)
+        if len(w) == 0:
+            return batch.slice(0, 0)
+        pos = np.minimum(np.searchsorted(w, i), len(w) - 1)
+        return batch.filter(pa.array(w[pos] == i))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")
