@@ -3221,3 +3221,33 @@ def q_topk_per_group(sf_dir: str):
     )
     out = top_n_per_group(pts, "grp", "pt_id", "v", 5)
     return out.select_columns(["grp", "pt_id", "v"])
+
+
+@register(
+    "asof_join_rates",
+    """
+    WITH ref AS (
+      SELECT TIMESTAMP '2024-01-01' + INTERVAL (v * 7) HOUR AS rts,
+             CAST(v * 3 + 1 AS DOUBLE) AS rate
+      FROM (SELECT CAST(g.range AS INT) AS v FROM range(0, 25) g)
+    )
+    SELECT e.event_id, r.rate
+    FROM events e ASOF LEFT JOIN ref r ON e.ts >= r.rts
+    """,
+)
+def q_asof_join_rates(sf_dir: str):
+    """As-of join (backward) of the event log against a broadcast
+    reference series — the merge_asof-shaped custom operator; verified
+    against DuckDB's native ASOF JOIN."""
+    from rsgislib_ray.stages.events import asof_join_broadcast
+
+    base_us = np.datetime64("2024-01-01", "us").astype(np.int64)
+    v = np.arange(25, dtype=np.int64)
+    ref_ts = base_us + v * 7 * 3_600_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    ).repartition(16)
+    out = asof_join_broadcast(
+        ds, ref_ts, {"rate": (v * 3 + 1).astype(np.float64)}
+    )
+    return out.select_columns(["event_id", "rate"])

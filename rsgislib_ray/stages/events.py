@@ -150,3 +150,44 @@ def event_sessions(
         )
 
     return sorted_user_apply(ds, block_fn, group_fn, user_col, (ts_col, id_col))
+
+
+def asof_join_broadcast(
+    ds: ray.data.Dataset,
+    ref_ts: np.ndarray,
+    ref_vals: dict,
+    ts_col: str = "ts",
+    direction: str = "backward",
+) -> ray.data.Dataset:
+    """As-of join against a BROADCAST reference series: for each row,
+    the reference entry with the largest ref_ts <= row ts (backward —
+    merge_asof / DuckDB ASOF JOIN semantics). ``ref_ts`` must be sorted
+    ascending (int64 epoch-us); ``ref_vals`` maps output column ->
+    aligned value array. Rows before the first reference entry get
+    nulls. One searchsorted per batch — no shuffle; the scale
+    assumption is the standard one: the reference series is the small
+    side (rates, calibration, config history)."""
+    if direction != "backward":
+        raise ValueError("only backward as-of is implemented")
+    import ray as _ray
+
+    ref = _ray.put((np.asarray(ref_ts, dtype=np.int64), dict(ref_vals)))
+
+    def join(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        rts, vals = cached(ref)
+        ts = batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        pos = np.searchsorted(rts, ts, side="right") - 1
+        valid = pos >= 0
+        safe = np.maximum(pos, 0)
+        out = batch
+        for name, arr in vals.items():
+            col = np.asarray(arr)[safe].astype(np.float64)
+            out = out.append_column(
+                name,
+                pa.array(np.where(valid, col, np.nan), pa.float64()),
+            )
+        return out
+
+    return ds.map_batches(join, batch_format="pyarrow")
