@@ -3251,3 +3251,33 @@ def q_asof_join_rates(sf_dir: str):
         ds, ref_ts, {"rate": (v * 3 + 1).astype(np.float64)}
     )
     return out.select_columns(["event_id", "rate"])
+
+
+@register(
+    "interval_join",
+    f"""
+    WITH pts AS ({td.SQL_PTS}),
+    iv AS (
+      SELECT CAST(g.range AS BIGINT) AS interval_id,
+        CAST(g.range * 7 % 90 AS DOUBLE) AS lo,
+        CAST(g.range * 7 % 90 + 3 + g.range % 11 AS DOUBLE) AS hi
+      FROM range(0, 60) g
+    )
+    SELECT p.pt_id, i.interval_id
+    FROM pts p JOIN iv i ON p.x >= i.lo AND p.x < i.hi
+    """,
+)
+def q_interval_join(sf_dir: str):
+    """1-D range (interval) join: points x overlapping value intervals
+    via a broadcast sorted-interval index (candidate window bounded by
+    the max interval width + exact refine) — the named range-join
+    custom operator; plain inequality-join oracle."""
+    from rsgislib_ray.stages.events import interval_join_broadcast
+
+    g = np.arange(60, dtype=np.int64)
+    lo = (g * 7 % 90).astype(np.float64)
+    hi = (g * 7 % 90 + 3 + g % 11).astype(np.float64)
+    out = interval_join_broadcast(
+        td.points_from_orders(sf_dir), lo, hi, g, "x"
+    )
+    return out.select_columns(["pt_id", "interval_id"])

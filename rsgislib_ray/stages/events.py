@@ -191,3 +191,48 @@ def asof_join_broadcast(
         return out
 
     return ds.map_batches(join, batch_format="pyarrow")
+
+
+def interval_join_broadcast(
+    ds: ray.data.Dataset,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    ids: np.ndarray,
+    value_col: str,
+    out_col: str = "interval_id",
+) -> ray.data.Dataset:
+    """Range (interval) join against a broadcast interval table: emit
+    one output row per (row, interval) with lo <= value < hi. Intervals
+    may overlap; candidate generation is vectorized over the sorted
+    interval starts (same candidate+refine shape as the spatial join,
+    one dimension down)."""
+    import ray as _ray
+
+    order = np.argsort(lo, kind="stable")
+    ref = _ray.put(
+        (
+            np.asarray(lo, np.float64)[order],
+            np.asarray(hi, np.float64)[order],
+            np.asarray(ids, np.int64)[order],
+            float(np.max(np.asarray(hi) - np.asarray(lo))) if len(lo) else 0.0,
+        )
+    )
+
+    def join(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        slo, shi, sid, max_w = cached(ref)
+        v = batch[value_col].to_numpy().astype(np.float64)
+        # candidates: intervals with lo in (v - max_width, v]
+        first = np.searchsorted(slo, v - max_w, side="left")
+        last = np.searchsorted(slo, v, side="right")
+        cnt = last - first
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(len(v), dtype=np.int64), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ii = first[rep] + within
+        ok = (v[rep] >= slo[ii]) & (v[rep] < shi[ii])
+        out = batch.take(pa.array(rep[ok]))
+        return out.append_column(out_col, pa.array(sid[ii[ok]], pa.int64()))
+
+    return ds.map_batches(join, batch_format="pyarrow")
