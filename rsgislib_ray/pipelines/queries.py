@@ -3281,3 +3281,55 @@ def q_interval_join(sf_dir: str):
         td.points_from_orders(sf_dir), lo, hi, g, "x"
     )
     return out.select_columns(["pt_id", "interval_id"])
+
+
+@register(
+    "hll_distinct",
+    f"""
+    WITH pts AS ({td.SQL_PTS}),
+    keys AS (SELECT CAST(pt_id % 3000 AS UBIGINT) AS x FROM pts),
+    {_SM64_SQL},
+    rr AS (SELECT z >> 52 AS reg, z % 4503599627370496 AS w FROM s6),
+    rho AS (
+      SELECT reg,
+        CASE WHEN w = 0 THEN 53
+             ELSE 53 - length(bin(w)) END AS rho
+      FROM rr
+    ),
+    mreg AS (SELECT reg, MAX(rho) AS mr FROM rho GROUP BY reg),
+    s AS (
+      SELECT SUM(CAST(CAST(1 AS HUGEINT) << (53 - mr) AS HUGEINT)) AS sp,
+             COUNT(*) AS npresent
+      FROM mreg
+    ),
+    agg AS (
+      SELECT sp + (4096 - npresent) * (CAST(1 AS HUGEINT) << 53) AS S,
+             4096 - npresent AS v_zero
+      FROM s
+    )
+    SELECT
+      CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                * 9007199254740992.0 / CAST(S AS DOUBLE) <= 2.5 * 4096.0
+            AND v_zero > 0
+           THEN 4096.0 * ln(4096.0 / CAST(v_zero AS DOUBLE))
+           ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                * 9007199254740992.0 / CAST(S AS DOUBLE) END AS distinct_est,
+      CAST(v_zero AS BIGINT) AS v_zero,
+      CAST(4096 AS BIGINT) AS m
+    FROM agg
+    """,
+)
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-count sketch (stages/sketch.py, p=12):
+    register maxes are a mergeable max-sketch; the harmonic sum is kept
+    as an EXACT integer on both sides (Python bigint / HUGEINT shifts)
+    and the estimate is one mirrored float expression — the driver
+    verifies the HLL ESTIMATE bit-for-bit, including the small-range
+    linear-counting branch."""
+    from rsgislib_ray.stages.sketch import hll_distinct_count
+
+    keyed = td.points_from_orders(sf_dir).map_batches(
+        lambda t: pa.table({"key": t["pt_id"].to_numpy() % 3000}),
+        batch_format="pyarrow",
+    )
+    return hll_distinct_count(keyed, "key")

@@ -58,3 +58,70 @@ def kmv_distinct_count(
             "k": pa.array([k], pa.int64()),
         }
     )
+
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_W_BITS = 64 - HLL_P          # 52
+_RHO_MAX = _W_BITS + 1        # 53
+_POW_W = float(1 << _W_BITS)  # 2^52 exactly
+
+
+def hll_distinct_count(
+    ds: ray.data.Dataset, key_col: str
+) -> pa.Table:
+    """HyperLogLog distinct count (Flajolet et al. 2007), p=12
+    (m=4096 registers, ~1.6% relative error). Registers are the max
+    leading-zero rank per bucket — a mergeable max-sketch, so each
+    block ships at most m (register, rho) rows and merging is a max.
+
+    ORACLE-EXACT by construction: rho is integer (bit length), the
+    harmonic sum is accumulated as the EXACT integer
+    S = sum_r 2^(RHO_MAX - M_r) (Python bigint here, HUGEINT in SQL),
+    and the float estimate is one identical expression on both sides —
+    no float summation order anywhere."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = splitmix64(batch[key_col].to_numpy().astype(np.uint64))
+        reg = (h >> np.uint64(_W_BITS)).astype(np.int64)
+        w = h & np.uint64((1 << _W_BITS) - 1)
+        # rho = RHO_MAX - bit_length(w); vectorized bit length via log2
+        # is float-unsafe, use the exact integer path
+        bl = np.zeros(len(w), dtype=np.int64)
+        nz = w > 0
+        # bit_length via frexp on exact doubles is unsafe >2^53; do it
+        # with a 6-step binary reduction (exact, vectorized)
+        ww = w[nz].copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = ww >= (np.uint64(1) << np.uint64(shift))
+            bl[np.flatnonzero(nz)[big]] += shift
+            ww = np.where(big, ww >> np.uint64(shift), ww)
+        bl[nz] += 1  # bit_length = floor(log2)+1
+        rho = np.where(nz, _RHO_MAX - bl, _RHO_MAX).astype(np.int64)
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(regs, reg, rho)
+        hit = np.flatnonzero(regs)
+        return pa.table({"reg": hit, "rho": regs[hit]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    pdf = parts.to_pandas()  # bounded: blocks x m rows
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(regs, pdf["reg"].to_numpy(), pdf["rho"].to_numpy())
+    S = sum(1 << (_RHO_MAX - int(mr)) for mr in regs)  # exact bigint
+    v_zero = int((regs == 0).sum())
+    alpha = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+    est = (
+        alpha * float(HLL_M) * float(HLL_M)
+        * (2.0 * _POW_W) / float(S)
+    )
+    if est <= 2.5 * float(HLL_M) and v_zero > 0:
+        import math
+
+        est = float(HLL_M) * math.log(float(HLL_M) / float(v_zero))
+    return pa.table(
+        {
+            "distinct_est": pa.array([est], pa.float64()),
+            "v_zero": pa.array([v_zero], pa.int64()),
+            "m": pa.array([HLL_M], pa.int64()),
+        }
+    )

@@ -104,3 +104,23 @@ def test_kmv_distinct_accuracy_and_merge_invariance(ray_session):
         ests.append(float(out["distinct_est"].iloc[0]))
         assert abs(ests[-1] - true) / true < 0.1
     assert ests[0] == ests[1]  # deterministic under partitioning
+
+
+def test_hll_distinct_accuracy_and_merge_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rsgislib_ray.stages.sketch import hll_distinct_count
+
+    for true in (300, 80000):
+        keys = (np.arange(400000, dtype=np.int64) * 31) % true
+        ests = []
+        for nparts in (2, 16):
+            ds = ray.data.from_arrow(pa.table({"key": keys})).repartition(
+                nparts
+            )
+            out = hll_distinct_count(ds, "key").to_pandas()
+            ests.append(float(out["distinct_est"].iloc[0]))
+            assert abs(ests[-1] - true) / true < 0.06
+        assert ests[0] == ests[1]
