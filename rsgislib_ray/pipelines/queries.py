@@ -3333,3 +3333,66 @@ def q_hll_distinct(sf_dir: str):
         batch_format="pyarrow",
     )
     return hll_distinct_count(keyed, "key")
+
+
+def _sm64_carry(cols: str) -> str:
+    """splitmix64 CTE chain carrying extra columns (RE: _SM64_SQL)."""
+    mul1 = ("CAST(((CAST(z AS HUGEINT) * 484763065) % 18446744073709551616"
+            " + ((CAST(z AS HUGEINT) % 4294967296 * 3210233709) % 4294967296)"
+            " * 4294967296) % 18446744073709551616 AS UBIGINT)")
+    mul2 = ("CAST(((CAST(z AS HUGEINT) * 321982955) % 18446744073709551616"
+            " + ((CAST(z AS HUGEINT) % 4294967296 * 2496678331) % 4294967296)"
+            " * 4294967296) % 18446744073709551616 AS UBIGINT)")
+    return f"""
+    s1 AS (SELECT {cols}, CAST((CAST(x AS HUGEINT) + 11400714819323198485)
+             % 18446744073709551616 AS UBIGINT) AS z FROM ex),
+    s2 AS (SELECT {cols}, xor(z, z >> 30) AS z FROM s1),
+    s3 AS (SELECT {cols}, {mul1} AS z FROM s2),
+    s4 AS (SELECT {cols}, xor(z, z >> 27) AS z FROM s3),
+    s5 AS (SELECT {cols}, {mul2} AS z FROM s4),
+    s6 AS (SELECT {cols}, xor(z, z >> 31) AS z FROM s5)
+    """
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    un AS (
+      SELECT 0 AS side, qty AS k FROM cells
+      UNION ALL
+      SELECT 1 AS side, CAST(g.range + 1 AS BIGINT) AS k FROM range(0, 50) g
+    ),
+    ex AS (
+      SELECT side, k, i.range AS i,
+        xor(CAST(k AS UBIGINT), CAST(12648430 + i.range AS UBIGINT)) AS x
+      FROM un CROSS JOIN range(0, 4) i
+    ),
+    {_sm64_carry("side, k, i")},
+    slots AS (SELECT side, k, i, CAST(z % 2048 AS BIGINT) AS slot FROM s6),
+    counters AS (
+      SELECT i, slot, COUNT(*) AS n FROM slots WHERE side = 0
+      GROUP BY i, slot
+    ),
+    est AS (
+      SELECT q.k AS key, MIN(COALESCE(c.n, 0)) AS est_count
+      FROM (SELECT DISTINCT k, i, slot FROM slots WHERE side = 1) q
+      LEFT JOIN counters c ON c.i = q.i AND c.slot = q.slot
+      GROUP BY q.k
+    )
+    SELECT key, CAST(est_count AS BIGINT) AS est_count FROM est
+    """,
+)
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-min sketch frequency estimates for the 50 qty values
+    (stages/sketch.py): 4 x 2048 integer counters summed from per-batch
+    bincounts (mergeable), estimate = min over rows — all-integer, so
+    the SQL oracle reproduces the ESTIMATES exactly."""
+    from rsgislib_ray.stages.sketch import cms_estimate_counts
+
+    cells = td.cells_from_lineitem(sf_dir).map_batches(
+        lambda t: pa.table({"qty": t["qty"]}), batch_format="pyarrow"
+    )
+    return cms_estimate_counts(
+        cells, "qty", np.arange(1, 51, dtype=np.int64)
+    )

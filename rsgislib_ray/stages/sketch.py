@@ -125,3 +125,51 @@ def hll_distinct_count(
             "m": pa.array([HLL_M], pa.int64()),
         }
     )
+
+
+CMS_D = 4       # hash rows
+CMS_W = 2048    # counters per row
+
+
+def cms_estimate_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    query_keys: np.ndarray,
+) -> pa.Table:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for ``query_keys``: d x w integer counter matrix built as
+    per-batch bincounts and SUMMED (mergeable — each block ships one
+    d*w partial, never rows); estimate = min over rows. All-integer, so
+    the estimate is exactly reproducible (and SQL-mirrorable: row i
+    counter = COUNT(*) GROUP BY splitmix64(key ^ seed_i) % w)."""
+
+    def row_hash(keys: np.ndarray, i: int) -> np.ndarray:
+        return (
+            splitmix64(keys.astype(np.uint64) ^ np.uint64(0xC0FFEE + i))
+            % np.uint64(CMS_W)
+        ).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy().astype(np.int64)
+        counters = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+        for i in range(CMS_D):
+            counters[i * CMS_W : (i + 1) * CMS_W] = np.bincount(
+                row_hash(k, i), minlength=CMS_W
+            )
+        hit = np.flatnonzero(counters)
+        return pa.table({"slot": hit, "n": counters[hit]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    pdf = parts.to_pandas()  # bounded: blocks x d*w rows
+    counters = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    np.add.at(counters, pdf["slot"].to_numpy(), pdf["n"].to_numpy())
+    q = np.asarray(query_keys, dtype=np.int64)
+    ests = np.full(len(q), np.iinfo(np.int64).max)
+    for i in range(CMS_D):
+        ests = np.minimum(ests, counters[i * CMS_W + row_hash(q, i)])
+    return pa.table(
+        {
+            "key": pa.array(q, pa.int64()),
+            "est_count": pa.array(ests, pa.int64()),
+        }
+    )

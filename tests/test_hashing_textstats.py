@@ -124,3 +124,26 @@ def test_hll_distinct_accuracy_and_merge_invariance(ray_session):
             ests.append(float(out["distinct_est"].iloc[0]))
             assert abs(ests[-1] - true) / true < 0.06
         assert ests[0] == ests[1]
+
+
+def test_cms_overestimates_bounded_and_partition_invariant(ray_session):
+    """CMS: estimate >= true count always; within epsilon*N slack;
+    identical under any partitioning (pure integer merge)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rsgislib_ray.stages.sketch import cms_estimate_counts
+
+    rng = np.random.default_rng(8)
+    keys = rng.zipf(1.5, 200000).astype(np.int64) % 10000
+    true = np.bincount(keys, minlength=10000)
+    q = np.argsort(true)[-20:].astype(np.int64)  # heavy hitters
+    outs = []
+    for nparts in (2, 16):
+        ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(nparts)
+        out = cms_estimate_counts(ds, "k", q).to_pandas().sort_values("key")
+        outs.append(out["est_count"].to_numpy())
+        assert (outs[-1] >= true[np.sort(q)]).all()
+        assert (outs[-1] - true[np.sort(q)] <= 2 * len(keys) / 2048).all()
+    np.testing.assert_array_equal(outs[0], outs[1])
