@@ -3396,3 +3396,59 @@ def q_cms_heavy_hitters(sf_dir: str):
     return cms_estimate_counts(
         cells, "qty", np.arange(1, 51, dtype=np.int64)
     )
+
+
+@register(
+    "haversine_distance",
+    f"""
+    WITH pts AS ({td.SQL_PTS}),
+    ll AS (
+      SELECT pt_id,
+        radians(x * 3.6 - 180.0) AS lam,
+        radians(y * 0.9 - 45.0) AS phi
+      FROM pts
+    ),
+    h AS (
+      SELECT pt_id,
+        sin((phi - radians(10.0)) / 2.0) * sin((phi - radians(10.0)) / 2.0)
+        + cos(radians(10.0)) * cos(phi)
+          * sin((lam - radians(20.0)) / 2.0) * sin((lam - radians(20.0)) / 2.0)
+          AS hav_a
+      FROM ll
+    )
+    SELECT pt_id, hav_a,
+      CAST(FLOOR(2.0 * 6371000.0 * asin(sqrt(hav_a))) AS BIGINT) AS dist_m
+    FROM h
+    """,
+)
+def q_haversine_distance(sf_dir: str):
+    """Great-circle (haversine) distance from each point's derived
+    lon/lat to a fixed reference (10N, 20E) — the geodesic member of
+    the reference's degree<->metre tools (tools/geometrytools.py
+    great-circle family). The haversine 'a' term is BIT-EXACT
+    (numpy sin/cos match libm); the final asin differs by <=1 ulp
+    between numpy and DuckDB, so the distance compares in whole metres
+    (ulp at 1e7 m ~ 2e-9 — no boundary risk)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        lam = np.radians(x * 3.6 - 180.0)
+        phi = np.radians(y * 0.9 - 45.0)
+        phi0 = np.radians(10.0)
+        lam0 = np.radians(20.0)
+        a = (
+            np.sin((phi - phi0) / 2.0) * np.sin((phi - phi0) / 2.0)
+            + np.cos(phi0) * np.cos(phi)
+            * np.sin((lam - lam0) / 2.0) * np.sin((lam - lam0) / 2.0)
+        )
+        d = 2.0 * 6371000.0 * np.arcsin(np.sqrt(a))
+        return pa.table(
+            {
+                "pt_id": batch["pt_id"],
+                "hav_a": pa.array(a, pa.float64()),
+                "dist_m": pa.array(np.floor(d).astype(np.int64)),
+            }
+        )
+
+    return td.points_from_orders(sf_dir).map_batches(f, batch_format="pyarrow")
