@@ -3452,3 +3452,61 @@ def q_haversine_distance(sf_dir: str):
         )
 
     return td.points_from_orders(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "raster_rle",
+    """
+    WITH b AS (
+      SELECT CAST(g.range AS BIGINT) AS i FROM range(0, 2400) g
+    )
+    SELECT (i // 20) AS row,
+      (i % 20) * 6 AS start_col,
+      CAST(6 AS BIGINT) AS run_len,
+      ((i // 20) // 6 + (i % 20) * 6 // 6) % 3 AS value
+    FROM b
+    """,
+)
+def q_raster_rle(sf_dir: str):
+    """Run-length encoding of raster rows (the compression primitive
+    behind KEA/RAT storage in the reference's raster model): one output
+    row per (row, run) with start/length/value — computed with a
+    vectorized per-batch change-point scan over row-major pixel order.
+    The deterministic 120x120 checkerboard has closed-form runs (20
+    runs of 6 per row) for the oracle."""
+    n = 120
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    value = ((row // 6 + col // 6) % 3).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"pixel_id": pid, "row": row, "col": col, "value": value})
+    ).repartition(6)
+
+    def rle(batch: pa.Table) -> pa.Table:
+        # pixels arrive row-major within each block (contiguous pid
+        # ranges after repartition); runs never span blocks here because
+        # we break runs at block boundaries only if a row is split —
+        # guard by also breaking on row change and emitting partial
+        # runs; the checkerboard rows are 120 px and blocks are
+        # 2400-row slices, so rows stay whole.
+        r = batch["row"].to_numpy()
+        c = batch["col"].to_numpy()
+        v = batch["value"].to_numpy()
+        order = np.lexsort((c, r))
+        r2, c2, v2 = r[order], c[order], v[order]
+        brk = np.concatenate(
+            [[True], (r2[1:] != r2[:-1]) | (v2[1:] != v2[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.concatenate([starts, [len(r2)]]))
+        return pa.table(
+            {
+                "row": r2[starts],
+                "start_col": c2[starts],
+                "run_len": lens.astype(np.int64),
+                "value": v2[starts],
+            }
+        )
+
+    return ds.map_batches(rle, batch_format="pyarrow", batch_size=1 << 20)
+
