@@ -3510,3 +3510,109 @@ def q_raster_rle(sf_dir: str):
 
     return ds.map_batches(rle, batch_format="pyarrow", batch_size=1 << 20)
 
+
+
+@register(
+    "dissolve_zones",
+    f"""
+    WITH zones AS ({td.SQL_ZONES}),
+    edges AS (
+      SELECT a.fid AS fa, b.fid AS fb
+      FROM zones a JOIN zones b
+        ON a.fid < b.fid
+       AND least(a.xmax, b.xmax) > greatest(a.xmin, b.xmin)
+       AND least(a.ymax, b.ymax) > greatest(a.ymin, b.ymin)
+    ),
+    nbr AS (
+      SELECT fa AS fid, fb AS nb FROM edges
+      UNION ALL SELECT fb, fa FROM edges
+    ),
+    cc AS (
+      WITH RECURSIVE walk(fid, l) AS (
+        SELECT fid, fid FROM zones
+        UNION
+        SELECT n.fid, walk.l FROM walk JOIN nbr n ON walk.fid = n.nb
+        WHERE walk.l < n.fid
+      )
+      SELECT fid, MIN(l) AS comp FROM walk GROUP BY fid
+    ),
+    pix AS (
+      SELECT gx.range AS x, gy.range AS y
+      FROM range(0, 100) gx CROSS JOIN range(0, 100) gy
+    ),
+    cover AS (
+      SELECT DISTINCT c.comp, p.x, p.y
+      FROM pix p
+      JOIN zones z ON p.x >= z.xmin AND p.x < z.xmax
+                  AND p.y >= z.ymin AND p.y < z.ymax
+      JOIN cc c ON c.fid = z.fid
+    ),
+    areas AS (SELECT comp, COUNT(*) AS ua FROM cover GROUP BY comp)
+    SELECT z.fid, c.comp AS comp_label,
+      CAST(a.ua AS DOUBLE) AS union_area
+    FROM zones z JOIN cc c ON z.fid = c.fid JOIN areas a ON a.comp = c.comp
+    """,
+)
+def q_dissolve_zones(sf_dir: str):
+    """Vector DISSOLVE (vectorgeoms dissolve/union family,
+    /root/reference/python/rsgislib/vectorgeoms/__init__.py:1505):
+    zones merge into connected overlap components (STRtree pair graph +
+    the vectorized min-label union-find) and each component's EXACT
+    union area comes from coordinate-compression (integer corners ->
+    the union area equals the covered-unit-pixel count, which is what
+    the recursive-CTE + pixel-grid oracle computes)."""
+    from rsgislib_ray.stages.polygonize import _edge_components_minlabel
+    from rsgislib_ray.stages.spatial_join import ZoneSet
+    from rsgislib_ray.state.strtree import STRtree
+
+    zones = td.zones_from_part(sf_dir)
+    zs = ZoneSet.from_table(zones)
+    tree = STRtree(zs.bounds)
+    qi, ti = tree.query_bboxes(zs.bounds)
+    keep = zs.fid[qi] < zs.fid[ti]
+    qi, ti = qi[keep], ti[keep]
+    a = zs.bounds[qi]
+    b = zs.bounds[ti]
+    w = np.minimum(a[:, 1], b[:, 1]) - np.maximum(a[:, 0], b[:, 0])
+    h = np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 2], b[:, 2])
+    pos = (w > 0) & (h > 0)
+    ea = zs.fid[qi[pos]]
+    eb = zs.fid[ti[pos]]
+    keys, roots = _edge_components_minlabel(
+        np.minimum(ea, eb), np.maximum(ea, eb)
+    )
+    comp = zs.fid.copy()
+    if len(keys):
+        p = np.searchsorted(keys, zs.fid)
+        p = np.minimum(p, len(keys) - 1)
+        hit = keys[p] == zs.fid
+        comp[hit] = roots[p[hit]]
+    # exact union area per component by coordinate compression
+    order = np.argsort(comp, kind="stable")
+    sc = comp[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(sc)) + 1])
+    ends = np.concatenate([starts[1:], [len(sc)]])
+    area_of_comp = {}
+    for s0, e0 in zip(starts, ends):
+        idx = order[s0:e0]
+        bx = zs.bounds[idx]
+        xs = np.unique(np.concatenate([bx[:, 0], bx[:, 1]]))
+        ys = np.unique(np.concatenate([bx[:, 2], bx[:, 3]]))
+        cov = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
+        x0 = np.searchsorted(xs, bx[:, 0])
+        x1 = np.searchsorted(xs, bx[:, 1])
+        y0 = np.searchsorted(ys, bx[:, 2])
+        y1 = np.searchsorted(ys, bx[:, 3])
+        for j in range(len(idx)):
+            cov[x0[j]:x1[j], y0[j]:y1[j]] = True
+        dx = np.diff(xs)
+        dy = np.diff(ys)
+        area_of_comp[int(sc[s0])] = float((cov * np.outer(dx, dy)).sum())
+    ua = np.array([area_of_comp[int(c)] for c in comp])
+    return pa.table(
+        {
+            "fid": pa.array(zs.fid, pa.int64()),
+            "comp_label": pa.array(comp, pa.int64()),
+            "union_area": pa.array(ua, pa.float64()),
+        }
+    )
