@@ -3616,3 +3616,63 @@ def q_dissolve_zones(sf_dir: str):
             "union_area": pa.array(ua, pa.float64()),
         }
     )
+
+
+@register(
+    "layers_min_distance",
+    f"""
+    WITH pts AS ({td.SQL_PTS}), zones AS ({td.SQL_ZONES})
+    SELECT CAST(FLOOR(MIN(sqrt(
+      GREATEST(z.xmin - p.x, p.x - z.xmax, 0.0)
+        * GREATEST(z.xmin - p.x, p.x - z.xmax, 0.0)
+      + GREATEST(z.ymin - p.y, p.y - z.ymax, 0.0)
+        * GREATEST(z.ymin - p.y, p.y - z.ymax, 0.0)
+    )) * 1000000.0) AS BIGINT) AS min_dist_micro
+    FROM pts p CROSS JOIN zones z
+    """,
+)
+def q_layers_min_distance(sf_dir: str):
+    """Minimum distance between two layers (reference
+    calc_dist_between_lyrs, /root/reference/python/rsgislib/
+    vectorgeoms/__init__.py:2104): per-batch point->nearest-rect
+    distance minima over the broadcast zone layer, then one global MIN
+    — the all-pairs oracle is the closed rect-distance form, compared
+    in integer micro-units."""
+    from rsgislib_ray.stages.spatial_join import ZoneSet, broadcast_zones
+
+    zones = td.zones_from_part(sf_dir)
+    ref = broadcast_zones(zones)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        zs: ZoneSet = cached(ref)
+        px = batch["x"].to_numpy()
+        py = batch["y"].to_numpy()
+        best = np.full(len(px), np.inf)
+        step = 2048
+        b = zs.bounds
+        for s in range(0, len(px), step):
+            e = min(len(px), s + step)
+            dx = np.maximum(
+                np.maximum(b[None, :, 0] - px[s:e, None],
+                           px[s:e, None] - b[None, :, 1]), 0.0
+            )
+            dy = np.maximum(
+                np.maximum(b[None, :, 2] - py[s:e, None],
+                           py[s:e, None] - b[None, :, 3]), 0.0
+            )
+            best[s:e] = np.sqrt(dx * dx + dy * dy).min(axis=1)
+        return pa.table({"m": pa.array([float(best.min())], pa.float64())})
+
+    parts = td.points_from_orders(sf_dir).map_batches(
+        partial, batch_format="pyarrow", batch_size=16384
+    )
+    m = float(parts.to_pandas()["m"].min())
+    return pa.table(
+        {
+            "min_dist_micro": pa.array(
+                [np.int64(np.floor(m * 1000000.0))], pa.int64()
+            )
+        }
+    )
