@@ -1231,3 +1231,43 @@ def spatial_join_auto(
     return spatial_join_points_sortmerge(
         points, zones, level=level, x_col=x_col, y_col=y_col, key_col=key_col
     )
+
+
+def attach_zone_attrs(
+    pairs: ray.data.Dataset,
+    zones_tbl: pa.Table,
+    attr_cols: list[str],
+    fid_col: str = "fid",
+    prefix: str = "zone_",
+) -> ray.data.Dataset:
+    """Fan zone attribute columns out onto a (key, fid) pair stream —
+    the follow-up that gives the shuffle join strategies the same
+    output surface as the broadcast join (which copies attrs inline).
+    Broadcast lookup: sorted fid -> attr row index, one searchsorted
+    per batch."""
+    fids = zones_tbl[fid_col].to_numpy().astype(np.int64)
+    order = np.argsort(fids, kind="stable")
+    ref = ray.put(
+        (fids[order], zones_tbl.select(attr_cols).take(pa.array(order)))
+    )
+
+    def fan(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        sfid, attrs = cached(ref)
+        f = batch[fid_col].to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(sfid, f), len(sfid) - 1)
+        ok = sfid[pos] == f  # left-join rows with fid=-1 keep nulls
+        taken = attrs.take(pa.array(np.where(ok, pos, 0)))
+        out = batch
+        for name in taken.column_names:
+            col = taken[name].combine_chunks()
+            if not ok.all():
+                col = pa.array(
+                    [col[i].as_py() if ok[i] else None for i in range(len(ok))],
+                    type=col.type,
+                )
+            out = out.append_column(f"{prefix}{name}", col)
+        return out
+
+    return pairs.map_batches(fan, batch_format="pyarrow")

@@ -288,3 +288,26 @@ def test_pip_count_native_combine_equals_driver(ray_session, sf_dir):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_sortmerge_with_attrs_matches_broadcast(ray_session, sf_dir):
+    """sortmerge pairs + attach_zone_attrs == broadcast inner join with
+    inline attr copy."""
+    from rsgislib_ray.sources import testdata as td
+    from rsgislib_ray.stages.spatial_join import (
+        attach_zone_attrs,
+        spatial_join_points,
+        spatial_join_points_sortmerge,
+    )
+
+    zones = td.zones_from_part(sf_dir)
+    pts = td.points_from_orders(sf_dir).map_batches(
+        lambda t: t.append_column("pt_row", t["pt_id"]), batch_format="pyarrow"
+    ).materialize()
+    base = spatial_join_points(
+        pts, zones, how="inner", attr_cols=["category"], zone_prefix="zone_"
+    ).to_pandas()
+    want = sorted(zip(base["pt_id"], base["zone_fid"], base["zone_category"]))
+    pairs = spatial_join_points_sortmerge(pts, zones, key_col="pt_row")
+    got = attach_zone_attrs(pairs, zones, ["category"]).to_pandas()
+    assert sorted(zip(got["pt_row"], got["fid"], got["zone_category"])) == want
