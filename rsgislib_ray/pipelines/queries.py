@@ -3676,3 +3676,94 @@ def q_layers_min_distance(sf_dir: str):
             )
         }
     )
+
+
+@register(
+    "zonal_area_weighted",
+    f"""
+    WITH zones AS ({td.SQL_ZONES}),
+    pix AS (
+      SELECT gx.range AS px, gy.range AS py,
+        (gy.range * 31 + gx.range * 17) % 997 AS val
+      FROM range(0, 100) gx CROSS JOIN range(0, 100) gy
+    ),
+    ov AS (
+      SELECT z.fid,
+        (least(CAST(p.px + 1 AS DOUBLE), z.xmax)
+          - greatest(CAST(p.px AS DOUBLE), z.xmin))
+        * (least(CAST(p.py + 1 AS DOUBLE), z.ymax)
+          - greatest(CAST(p.py AS DOUBLE), z.ymin)) AS w,
+        p.val
+      FROM zones z JOIN pix p
+        ON CAST(p.px + 1 AS DOUBLE) > z.xmin AND CAST(p.px AS DOUBLE) < z.xmax
+       AND CAST(p.py + 1 AS DOUBLE) > z.ymin AND CAST(p.py AS DOUBLE) < z.ymax
+    )
+    SELECT fid,
+      CAST(SUM(w * val) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS wmean,
+      CAST(SUM(w) AS DOUBLE) AS cover_area
+    FROM ov GROUP BY fid
+    """,
+)
+def q_zonal_area_weighted(sf_dir: str):
+    """AREA-WEIGHTED zonal mean — the reference's rasterized-coverage
+    zonal model (zonalstats/__init__.py:340-430 burns each feature's
+    envelope and weights partially-covered pixels): pixel x zone
+    overlap areas are exact for integer-cornered rects, and w / w*val
+    are integer-valued doubles, so the distributed partial sums are
+    exact in any order and match the SQL closed form bit-for-bit."""
+    from rsgislib_ray.stages.spatial_join import ZoneSet, broadcast_zones
+
+    zones = td.zones_from_part(sf_dir)
+    ref = broadcast_zones(zones)
+
+    n = 100
+    pid = np.arange(n * n, dtype=np.int64)
+    py_, px_ = np.divmod(pid, n)  # range(gx) x range(gy) orientation
+    val = (py_ * 31 + px_ * 17) % 997
+    raster = ray.data.from_arrow(
+        pa.table({"px": px_, "py": py_, "val": val})
+    ).repartition(8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        zs: ZoneSet = cached(ref)
+        px = batch["px"].to_numpy().astype(np.float64)
+        py = batch["py"].to_numpy().astype(np.float64)
+        v = batch["val"].to_numpy().astype(np.float64)
+        b = zs.bounds
+        nz = len(zs)
+        sw = np.zeros(nz)
+        swv = np.zeros(nz)
+        step = 2048
+        for s in range(0, len(px), step):
+            e = min(len(px), s + step)
+            ox = np.minimum(px[s:e, None] + 1.0, b[None, :, 1]) - np.maximum(
+                px[s:e, None], b[None, :, 0]
+            )
+            oy = np.minimum(py[s:e, None] + 1.0, b[None, :, 3]) - np.maximum(
+                py[s:e, None], b[None, :, 2]
+            )
+            w = np.where((ox > 0) & (oy > 0), ox * oy, 0.0)
+            sw += w.sum(axis=0)
+            swv += (w * v[s:e, None]).sum(axis=0)
+        hit = np.flatnonzero(sw)
+        return pa.table(
+            {"fid": zs.fid[hit], "sw": sw[hit], "swv": swv[hit]}
+        )
+
+    pdf = (
+        raster.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+        .groupby("fid", as_index=False)
+        .sum()
+    )
+    return pa.table(
+        {
+            "fid": pa.array(pdf["fid"].to_numpy().astype(np.int64)),
+            "wmean": pa.array(
+                pdf["swv"].to_numpy() / pdf["sw"].to_numpy(), pa.float64()
+            ),
+            "cover_area": pa.array(pdf["sw"].to_numpy(), pa.float64()),
+        }
+    )
