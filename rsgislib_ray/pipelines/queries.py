@@ -3767,3 +3767,51 @@ def q_zonal_area_weighted(sf_dir: str):
             "cover_area": pa.array(pdf["sw"].to_numpy(), pa.float64()),
         }
     )
+
+
+@register(
+    "bloom_semi_join",
+    f"""
+    WITH pts AS ({td.SQL_PTS}), t AS ({td.SQL_TARGETS}),
+    un AS (
+      SELECT 0 AS side, target_id * 13 AS k FROM t
+      UNION ALL
+      SELECT 1 AS side, pt_id AS k FROM pts
+    ),
+    ex AS (
+      SELECT side, k, i.range AS i,
+        xor(CAST(k AS UBIGINT), CAST(725007 + i.range AS UBIGINT)) AS x
+      FROM un CROSS JOIN range(0, 4) i
+    ),
+    {_sm64_carry("side, k, i")},
+    slots AS (SELECT side, k, i, CAST(z % 131072 AS BIGINT) AS slot FROM s6),
+    member_slots AS (
+      SELECT DISTINCT i, slot FROM slots WHERE side = 0
+    ),
+    hits AS (
+      SELECT s.k, COUNT(*) AS nhit
+      FROM slots s JOIN member_slots m ON s.i = m.i AND s.slot = m.slot
+      WHERE s.side = 1
+      GROUP BY s.k
+    )
+    SELECT p.pt_id FROM pts p JOIN hits h ON h.k = p.pt_id
+    WHERE h.nhit = 4
+    """,
+)
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-filter semi-join pre-filter (stages/sketch.py): points
+    whose id might be in the member set target_id*13 — no false
+    negatives, DETERMINISTIC false positives, and the SQL mirrors the
+    exact slot positions so the pass set is oracle-checked (0xB100F =
+    725007)."""
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.sketch import bloom_filter_semi_join
+
+    t = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    )["s_suppkey"].to_numpy()
+    out = bloom_filter_semi_join(
+        td.points_from_orders(sf_dir), t * 13, "pt_id"
+    )
+    return out.select_columns(["pt_id"])

@@ -173,3 +173,46 @@ def cms_estimate_counts(
             "est_count": pa.array(ests, pa.int64()),
         }
     )
+
+
+BLOOM_BITS = 1 << 17  # 131072
+BLOOM_D = 4
+
+
+def _bloom_slots(keys: np.ndarray, i: int) -> np.ndarray:
+    return (
+        splitmix64(keys.astype(np.uint64) ^ np.uint64(0xB100F + i))
+        % np.uint64(BLOOM_BITS)
+    ).astype(np.int64)
+
+
+def bloom_filter_semi_join(
+    big: ray.data.Dataset,
+    member_keys: np.ndarray,
+    key_col: str,
+) -> ray.data.Dataset:
+    """Bloom-filter pre-join: keep rows of ``big`` whose key MIGHT be
+    in ``member_keys`` (no false negatives; deterministic false
+    positives ~ (1-e^(-dn/m))^d). The filter is a mergeable OR-bitmap —
+    the standard way to pre-filter a huge probe stream before an exact
+    join without broadcasting the exact key set. The pass set is fully
+    deterministic, so it is ORACLE-CHECKABLE (the SQL mirrors the
+    splitmix64 slot positions)."""
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    mk = np.asarray(member_keys, dtype=np.int64)
+    for i in range(BLOOM_D):
+        bits[_bloom_slots(mk, i)] = True
+    ref = ray.put(np.packbits(bits))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        packed = cached(ref)
+        b = np.unpackbits(packed).astype(bool)
+        k = batch[key_col].to_numpy().astype(np.int64)
+        ok = np.ones(len(k), dtype=bool)
+        for i in range(BLOOM_D):
+            ok &= b[_bloom_slots(k, i)]
+        return batch.filter(pa.array(ok))
+
+    return big.map_batches(probe, batch_format="pyarrow")

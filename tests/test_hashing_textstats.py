@@ -147,3 +147,20 @@ def test_cms_overestimates_bounded_and_partition_invariant(ray_session):
         assert (outs[-1] >= true[np.sort(q)]).all()
         assert (outs[-1] - true[np.sort(q)] <= 2 * len(keys) / 2048).all()
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_bloom_semi_join_no_false_negatives(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rsgislib_ray.stages.sketch import bloom_filter_semi_join
+
+    members = np.arange(0, 5000, 7, dtype=np.int64)
+    keys = np.arange(20000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(6)
+    out = bloom_filter_semi_join(ds, members, "k").to_pandas()
+    got = set(out["k"])
+    assert set(members) <= got          # no false negatives
+    fp = len(got - set(members)) / len(keys)
+    assert fp < 0.01                    # m=131072, d=4, n=715 -> tiny
