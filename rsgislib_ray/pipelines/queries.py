@@ -3365,7 +3365,7 @@ def _sm64_carry(cols: str) -> str:
     ),
     ex AS (
       SELECT side, k, i.range AS i,
-        xor(CAST(k AS UBIGINT), CAST(12648430 + i.range AS UBIGINT)) AS x
+        CAST(k * 8 + 4 + i.range AS UBIGINT) AS x
       FROM un CROSS JOIN range(0, 4) i
     ),
     {_sm64_carry("side, k, i")},

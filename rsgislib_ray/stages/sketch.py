@@ -144,10 +144,11 @@ def cms_estimate_counts(
     counter = COUNT(*) GROUP BY splitmix64(key ^ seed_i) % w)."""
 
     def row_hash(keys: np.ndarray, i: int) -> np.ndarray:
-        return (
-            splitmix64(keys.astype(np.uint64) ^ np.uint64(0xC0FFEE + i))
-            % np.uint64(CMS_W)
-        ).astype(np.int64)
+        # distinct-input family (see _bloom_slots): k*8+i never
+        # collides across (k, i), keeping the d rows independent
+        with np.errstate(over="ignore"):
+            x = keys.astype(np.uint64) * np.uint64(8) + np.uint64(4 + i)
+        return (splitmix64(x) % np.uint64(CMS_W)).astype(np.int64)
 
     def partial(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy().astype(np.int64)
