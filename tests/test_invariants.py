@@ -166,3 +166,43 @@ def test_stratified_sample_partition_independent(ray_session):
     a = sample_at(2)
     assert len(a) == 13 * 15
     assert a == sample_at(17)
+
+
+def test_asof_and_interval_join_partition_independent(ray_session, sf_dir):
+    import numpy as np
+    import ray.data
+
+    from rsgislib_ray.stages.events import (
+        asof_join_broadcast,
+        interval_join_broadcast,
+    )
+
+    base_us = np.datetime64("2024-01-01", "us").astype(np.int64)
+    v = np.arange(25, dtype=np.int64)
+    ref_ts = base_us + v * 7 * 3_600_000_000
+
+    def asof_at(nparts):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+        ).repartition(nparts)
+        out = asof_join_broadcast(
+            ds, ref_ts, {"rate": (v * 3 + 1).astype(np.float64)}
+        ).to_pandas().sort_values("event_id")
+        return out["rate"].to_numpy()
+
+    a, b = asof_at(2), asof_at(11)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    np.testing.assert_array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+
+    from rsgislib_ray.sources import testdata as td
+
+    g = np.arange(60, dtype=np.int64)
+    lo = (g * 7 % 90).astype(np.float64)
+    hi = lo + 3 + (g % 11)
+
+    def iv_at(nparts):
+        pts = td.points_from_orders(sf_dir).repartition(nparts)
+        out = interval_join_broadcast(pts, lo, hi, g, "x").to_pandas()
+        return sorted(zip(out["pt_id"], out["interval_id"]))
+
+    assert iv_at(2) == iv_at(9)
