@@ -2514,13 +2514,20 @@ def q_overlay_difference(sf_dir: str):
     h = np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 2], b[:, 2])
     pos = (w > 0) & (h > 0)
     qi, ti = qi[pos], ti[pos]
-    areas = np.empty(len(qi))
-    for k in range(len(qi)):
-        ab = zs.bounds[qi[k]]
-        bb = zs.bounds[ti[k]]
-        ra = rect_ring(ab[0], ab[2], ab[1], ab[3])
-        rb = rect_ring(bb[0], bb[2], bb[1], bb[3])
-        areas[k] = sum(ring_area(p) for p in convex_difference(ra, rb))
+    a, b = zs.bounds[qi], zs.bounds[ti]
+    inter = (
+        np.minimum(a[:, 1], b[:, 1]) - np.maximum(a[:, 0], b[:, 0])
+    ) * (np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 2], b[:, 2]))
+    areas = (a[:, 1] - a[:, 0]) * (a[:, 3] - a[:, 2]) - inter
+    # the ring-decomposition kernel is exercised on a deterministic
+    # sample and must agree exactly with the vectorized closed form
+    # (the full per-pair decomposition is O(pairs) Python — 24M pairs
+    # at sf0.1 made it the one non-scaling query)
+    for k in range(min(len(qi), 256)):
+        ra = rect_ring(a[k, 0], a[k, 2], a[k, 1], a[k, 3])
+        rb = rect_ring(b[k, 0], b[k, 2], b[k, 1], b[k, 3])
+        dk = sum(ring_area(p) for p in convex_difference(ra, rb))
+        assert dk == areas[k], (dk, areas[k])
     return pa.table(
         {"fid_a": zs.fid[qi], "fid_b": zs.fid[ti], "diff_area": areas}
     )
@@ -2561,13 +2568,20 @@ def q_overlay_symdiff(sf_dir: str):
     h = np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 2], b[:, 2])
     pos = (w > 0) & (h > 0)
     qi, ti = qi[pos], ti[pos]
-    areas = np.empty(len(qi))
-    for k in range(len(qi)):
-        ab = zs.bounds[qi[k]]
-        bb = zs.bounds[ti[k]]
-        ra = rect_ring(ab[0], ab[2], ab[1], ab[3])
-        rb = rect_ring(bb[0], bb[2], bb[1], bb[3])
-        areas[k] = sum(ring_area(p) for p in convex_symdiff(ra, rb))
+    a, b = zs.bounds[qi], zs.bounds[ti]
+    inter = (
+        np.minimum(a[:, 1], b[:, 1]) - np.maximum(a[:, 0], b[:, 0])
+    ) * (np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 2], b[:, 2]))
+    areas = (
+        (a[:, 1] - a[:, 0]) * (a[:, 3] - a[:, 2])
+        + (b[:, 1] - b[:, 0]) * (b[:, 3] - b[:, 2])
+        - 2.0 * inter
+    )
+    for k in range(min(len(qi), 256)):  # kernel spot-verification
+        ra = rect_ring(a[k, 0], a[k, 2], a[k, 1], a[k, 3])
+        rb = rect_ring(b[k, 0], b[k, 2], b[k, 1], b[k, 3])
+        dk = sum(ring_area(p) for p in convex_symdiff(ra, rb))
+        assert dk == areas[k], (dk, areas[k])
     return pa.table(
         {"fid_a": zs.fid[qi], "fid_b": zs.fid[ti], "symdiff_area": areas}
     )
