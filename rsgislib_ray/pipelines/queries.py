@@ -3574,7 +3574,9 @@ def q_dissolve_zones(sf_dir: str):
     the vectorized min-label union-find) and each component's EXACT
     union area comes from coordinate-compression (integer corners ->
     the union area equals the covered-unit-pixel count, which is what
-    the recursive-CTE + pixel-grid oracle computes)."""
+    the recursive-CTE + pixel-grid oracle computes). NOTE: the ORACLE's
+    transitive-closure CTE is quadratic in component size — fine at the
+    sf0.01 gate, slow at sf0.1+ (the engine side stays sub-second)."""
     from rsgislib_ray.stages.polygonize import _edge_components_minlabel
     from rsgislib_ray.stages.spatial_join import ZoneSet
     from rsgislib_ray.state.strtree import STRtree
