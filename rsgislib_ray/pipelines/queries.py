@@ -47,6 +47,30 @@ def oracle_sql() -> dict:
     }
 
 
+def _sm64_chain(cols: str, src: str = "ex", prefix: str = "s") -> str:
+    """splitmix64 as a DuckDB CTE chain: reads UBIGINT column ``x``
+    from CTE ``src``, emits ``z`` in CTE ``{prefix}6``, carrying
+    ``cols`` through. Mirrors ``functions/hashing.splitmix64``
+    bit-for-bit; the 64x64 multiply mod 2^64 is decomposed into
+    lo/hi-32 partial products so every intermediate fits HUGEINT."""
+    mul1 = ("CAST(((CAST(z AS HUGEINT) * 484763065) % 18446744073709551616"
+            " + ((CAST(z AS HUGEINT) % 4294967296 * 3210233709) % 4294967296)"
+            " * 4294967296) % 18446744073709551616 AS UBIGINT)")
+    mul2 = ("CAST(((CAST(z AS HUGEINT) * 321982955) % 18446744073709551616"
+            " + ((CAST(z AS HUGEINT) % 4294967296 * 2496678331) % 4294967296)"
+            " * 4294967296) % 18446744073709551616 AS UBIGINT)")
+    p = prefix
+    return f"""
+    {p}1 AS (SELECT {cols}, CAST((CAST(x AS HUGEINT) + 11400714819323198485)
+             % 18446744073709551616 AS UBIGINT) AS z FROM {src}),
+    {p}2 AS (SELECT {cols}, xor(z, z >> 30) AS z FROM {p}1),
+    {p}3 AS (SELECT {cols}, {mul1} AS z FROM {p}2),
+    {p}4 AS (SELECT {cols}, xor(z, z >> 27) AS z FROM {p}3),
+    {p}5 AS (SELECT {cols}, {mul2} AS z FROM {p}4),
+    {p}6 AS (SELECT {cols}, xor(z, z >> 31) AS z FROM {p}5)
+    """
+
+
 # ===========================================================================
 # Grid tiling + cell index (SURVEY.md §2.9)
 # ===========================================================================
@@ -1009,8 +1033,84 @@ def q_langid(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred", "lang_score"])
 
 
-@register("fingerprint", None)  # winnowed rolling hash, non-SQL
+@register(
+    "fingerprint",
+    """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len,
+             GREATEST(1, length(text) - 7) AS m
+      FROM documents
+    ),
+    pows(j, pw) AS (VALUES
+      (0, CAST(12924618581234127435 AS HUGEINT)),
+      (1, CAST(10923514805226455897 AS HUGEINT)),
+      (2, CAST(14453212906556403763 AS HUGEINT)),
+      (3, CAST(14003818205314896721 AS HUGEINT)),
+      (4, CAST(1000009000027000027 AS HUGEINT)),
+      (5, CAST(1000006000009 AS HUGEINT)),
+      (6, CAST(1000003 AS HUGEINT)),
+      (7, CAST(1 AS HUGEINT))),
+    win AS (
+      SELECT doc_id, text, len, w.range AS i
+      FROM d CROSS JOIN range(0, 600) w WHERE w.range < m
+    ),
+    term AS (
+      SELECT doc_id, i,
+        CASE WHEN i + p.j < len
+             THEN unicode(substr(text, CAST(i + p.j + 1 AS INT), 1))
+             ELSE 0 END AS byte,
+        p.pw AS pw
+      FROM win CROSS JOIN pows p
+    ),
+    ex AS (
+      SELECT doc_id, i,
+        CAST(SUM(CAST(byte AS HUGEINT) * pw) % 18446744073709551616
+             AS UBIGINT) AS x
+      FROM term GROUP BY doc_id, i
+    ),
+    """
+    + _sm64_chain("doc_id, i", "ex", "k")
+    + """,
+    hs AS (
+      SELECT doc_id, i, z AS h,
+             COUNT(*) OVER (PARTITION BY doc_id) AS m
+      FROM k6
+    ),
+    wmins AS (
+      SELECT doc_id, i, m,
+        MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+      FROM hs
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, wmin FROM wmins
+      WHERE i <= m - 16 OR (m <= 16 AND i = 0)
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sel GROUP BY doc_id),
+    ex2 AS (
+      SELECT sel.doc_id,
+        CAST((CAST(sel.wmin AS HUGEINT) + cnt.c) % 18446744073709551616
+             AS UBIGINT) AS x
+      FROM sel JOIN cnt ON sel.doc_id = cnt.doc_id
+    ),
+    """
+    + _sm64_chain("doc_id", "ex2", "t")
+    + """,
+    acc AS (
+      SELECT doc_id,
+        CAST(SUM(CAST(z AS HUGEINT)) % 18446744073709551616 AS UBIGINT) AS a
+      FROM t6 GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(a >> 1 AS BIGINT) AS fingerprint FROM acc
+    """,
+)
 def q_fingerprint(sf_dir: str):
+    """Winnowed rolling-hash fingerprint (functions/hashing.py: k=8
+    byte-polynomial k-gram hashes -> splitmix64 -> w=16 window minima
+    -> unique -> wrap-add combine). The SQL oracle mirrors every stage
+    bit-for-bit in HUGEINT arithmetic (B^j constants inlined; the
+    driver's documents are single-byte ASCII so unicode(substr) ==
+    utf-8 byte)."""
     from rsgislib_ray.stages.text import add_fingerprint
 
     return add_fingerprint(
@@ -3351,21 +3451,7 @@ def q_hll_distinct(sf_dir: str):
 
 def _sm64_carry(cols: str) -> str:
     """splitmix64 CTE chain carrying extra columns (RE: _SM64_SQL)."""
-    mul1 = ("CAST(((CAST(z AS HUGEINT) * 484763065) % 18446744073709551616"
-            " + ((CAST(z AS HUGEINT) % 4294967296 * 3210233709) % 4294967296)"
-            " * 4294967296) % 18446744073709551616 AS UBIGINT)")
-    mul2 = ("CAST(((CAST(z AS HUGEINT) * 321982955) % 18446744073709551616"
-            " + ((CAST(z AS HUGEINT) % 4294967296 * 2496678331) % 4294967296)"
-            " * 4294967296) % 18446744073709551616 AS UBIGINT)")
-    return f"""
-    s1 AS (SELECT {cols}, CAST((CAST(x AS HUGEINT) + 11400714819323198485)
-             % 18446744073709551616 AS UBIGINT) AS z FROM ex),
-    s2 AS (SELECT {cols}, xor(z, z >> 30) AS z FROM s1),
-    s3 AS (SELECT {cols}, {mul1} AS z FROM s2),
-    s4 AS (SELECT {cols}, xor(z, z >> 27) AS z FROM s3),
-    s5 AS (SELECT {cols}, {mul2} AS z FROM s4),
-    s6 AS (SELECT {cols}, xor(z, z >> 31) AS z FROM s5)
-    """
+    return _sm64_chain(cols)
 
 
 @register(
