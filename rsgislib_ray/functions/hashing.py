@@ -77,6 +77,32 @@ def winnow_fingerprints(text: str, k: int = 8, w: int = 16) -> np.ndarray:
     return np.unique(win.min(axis=1))
 
 
+def polyhash_strings(values) -> np.ndarray:
+    """Vectorized 64-bit polynomial string hash: Horner over utf-8
+    bytes with base ``_FP_BASE`` (uint64 wraparound), finished with
+    splitmix64. Unlike ``hash_strings`` (SipHash via pandas C code)
+    every step is plain integer arithmetic, so SQL oracles reproduce
+    it exactly (queries.py ``_sm64_chain`` + a B^k powers table).
+    The position loop runs max-string-length times over vectorized
+    arrays — fine for tokens/shingles."""
+    enc = [v.encode("utf-8") if isinstance(v, str) else str(v).encode("utf-8")
+           for v in values]
+    n = len(enc)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    blob = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts = np.cumsum(lens) - lens
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max(initial=0))):
+            active = j < lens
+            h[active] = h[active] * _FP_BASE + blob[starts[active] + j].astype(
+                np.uint64
+            )
+    return splitmix64(h)
+
+
 def doc_fingerprint(texts, k: int = 8, w: int = 16) -> np.ndarray:
     """One int64 fingerprint per document: order-insensitive combine of
     its winnowed k-gram hash set. Equal for byte-identical docs, stable

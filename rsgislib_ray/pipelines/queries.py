@@ -923,15 +923,102 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
-@register("dedup_simhash", None)  # non-SQL: simhash banding
+_POLY_POWS = ",\n      ".join(
+    f"({k}, CAST({pow(1000003, k, 1 << 64)} AS HUGEINT))" for k in range(48)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' near sentinel' FROM documents
+      WHERE doc_id % 10 = 5
+    ),
+    tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    tok AS (
+      SELECT doc_id, t.range AS ti,
+             toks[CAST(t.range + 1 AS INT)] AS w
+      FROM tl CROSS JOIN range(0, 200) t
+      WHERE t.range < len(toks)
+    ),
+    pows(k, pw) AS (VALUES
+      {_POLY_POWS}),
+    term AS (
+      SELECT doc_id, ti,
+        unicode(substr(w, CAST(j.range + 1 AS INT), 1)) AS byte,
+        length(w) - 1 - j.range AS k
+      FROM tok CROSS JOIN range(0, 48) j
+      WHERE j.range < length(w)
+    ),
+    poly AS (
+      SELECT doc_id, ti,
+        CAST(SUM(CAST(byte AS HUGEINT) * pw) % 18446744073709551616
+             AS UBIGINT) AS x
+      FROM term JOIN pows ON pows.k = term.k
+      GROUP BY doc_id, ti
+    ),
+    ex AS (
+      SELECT tok.doc_id, tok.ti, COALESCE(poly.x, 0) AS x
+      FROM tok LEFT JOIN poly
+        ON tok.doc_id = poly.doc_id AND tok.ti = poly.ti
+    ),
+    {{chain}},
+    votes AS (
+      SELECT doc_id, b.range AS b,
+        SUM(CASE WHEN (z >> CAST(b.range AS INT)) & 1 = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM h6 CROSS JOIN range(0, 64) b
+      GROUP BY doc_id, b.range
+    ),
+    sigs AS (
+      SELECT doc_id,
+        bit_or(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INT)
+                    ELSE CAST(0 AS UBIGINT) END) AS sig
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """.replace("{chain}", _sm64_chain("doc_id, ti", "ex", "h")),
+)
 def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs at Hamming <= 3 over the documents table
+    augmented with planted duplicates (exact copies of doc_id%10==0,
+    one-suffix mutations of doc_id%10==5) so the pair set is
+    non-empty. The 4x16-bit band LSH is EXACT at max_hamming=3
+    (pigeonhole: 3 flipped bits leave >=1 band equal), so the SQL
+    oracle is brute-force all-pairs over bit-exact mirrored
+    signatures (polynomial token hash + splitmix64 + vote bits)."""
     from rsgislib_ray.stages.dedup import simhash_near_dup_pairs
 
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        txt = batch["text"].to_numpy(zero_copy_only=False)
+        m0 = did % 10 == 0
+        m5 = did % 10 == 5
+        return pa.table(
+            {
+                "doc_id": np.concatenate(
+                    [did, did[m0] + 1000000, did[m5] + 2000000]
+                ),
+                "text": np.concatenate(
+                    [txt, txt[m0], txt[m5] + " near sentinel"]
+                ),
+            }
+        )
+
     return simhash_near_dup_pairs(
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ),
-        max_hamming=3,
+        ds.map_batches(plant, batch_format="pyarrow"), max_hamming=3
     )
 
 

@@ -28,7 +28,12 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from rsgislib_ray.functions.hashing import hash_combine, hash_strings, splitmix64
+from rsgislib_ray.functions.hashing import (
+    hash_combine,
+    hash_strings,
+    polyhash_strings,
+    splitmix64,
+)
 from rsgislib_ray.functions.textstats import word_shingles
 
 _U = np.uint64
@@ -557,7 +562,7 @@ def simhash_signatures(texts) -> np.ndarray:
     tok_lists = [t.split(" ") if t else [""] for t in texts]
     counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
     flat = [w for lst in tok_lists for w in lst]
-    th = hash_strings(flat)
+    th = polyhash_strings(flat)  # SQL-mirrorable (see dedup_simhash oracle)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U(1)).astype(
         np.int64
     )
