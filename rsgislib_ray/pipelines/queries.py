@@ -911,21 +911,173 @@ def q_dedup_exact(sf_dir: str):
     )
 
 
-@register("dedup_minhash", None)  # non-SQL: LSH banding + union-find
-def q_dedup_minhash(sf_dir: str):
-    from rsgislib_ray.stages.dedup import minhash_dedup
-
-    return minhash_dedup(
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ),
-        threshold=0.7,
-    )
-
-
 _POLY_POWS = ",\n      ".join(
     f"({k}, CAST({pow(1000003, k, 1 << 64)} AS HUGEINT))" for k in range(48)
 )
+
+
+def _minhash_oracle_sql(n_perm: int = 32, n_bands: int = 16) -> str:
+    """Full SQL mirror of the MinHash LSH dedup pipeline
+    (stages/dedup.py): shingle polyhash -> (a*h+b) perms with uint64
+    WRAP then mod 2^61-1 -> per-band splitmix folds (unrolled chains)
+    -> all-pairs-per-bucket candidates -> exact-Jaccard verify ->
+    min-label connected components (recursive CTE). Bit-exact vs the
+    engine; assumes bucket runs stay under _MAX_RUN_ALLPAIRS (true for
+    the driver corpus) and no 64-bit shingle-hash collisions."""
+    m64 = 18446744073709551616
+    mers = 2305843009213693951
+    rpb = n_perm // n_bands
+    sm = np.arange(2 * n_perm, dtype=np.uint64) + np.uint64(7)
+    from rsgislib_ray.functions.hashing import splitmix64 as _sm64
+
+    h = _sm64(sm)
+    a = (h[:n_perm] | np.uint64(1)) % np.uint64(mers)
+    b = h[n_perm:] % np.uint64(mers)
+    perms = ",\n      ".join(
+        f"({p}, CAST({int(a[p])} AS HUGEINT), CAST({int(b[p])} AS HUGEINT))"
+        for p in range(n_perm)
+    )
+    fold = []
+    for j in range(rpb):
+        src = "f0" if j == 0 else f"g{j-1}6"
+        fold.append(f"""
+    bx{j} AS (SELECT f.doc_id, f.band, xor(f.z, s.m) AS x
+             FROM {src} f JOIN sig s
+               ON s.doc_id = f.doc_id AND s.p = f.band * {rpb} + {j}),""")
+        fold.append(_sm64_chain("doc_id, band", f"bx{j}", f"g{j}") + ",")
+    fold_sql = "\n".join(fold)
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' near sentinel' FROM documents
+      WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    shingles AS (
+      SELECT doc_id,
+        ws[CAST(i.range + 1 AS INT)] || ' ' ||
+        ws[CAST(i.range + 2 AS INT)] || ' ' ||
+        ws[CAST(i.range + 3 AS INT)] AS s
+      FROM words CROSS JOIN range(0, 600) i
+      WHERE len(ws) >= 3 AND i.range <= len(ws) - 3
+      UNION ALL
+      SELECT doc_id, array_to_string(ws, ' ') FROM words WHERE len(ws) < 3
+    ),
+    dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
+    pows(k, pw) AS (VALUES
+      {_POLY_POWS}),
+    term AS (
+      SELECT doc_id, s,
+        unicode(substr(s, CAST(j.range + 1 AS INT), 1)) AS byte,
+        length(s) - 1 - j.range AS k
+      FROM dsh CROSS JOIN range(0, 48) j
+      WHERE j.range < length(s)
+    ),
+    ex AS (
+      SELECT doc_id, s,
+        CAST(SUM(CAST(byte AS HUGEINT) * pw) % {m64} AS UBIGINT) AS x
+      FROM term JOIN pows ON pows.k = term.k
+      GROUP BY doc_id, s
+    ),
+    {_sm64_chain("doc_id, s", "ex", "m")},
+    shh AS (SELECT doc_id, s,
+                   CAST(CAST(z AS HUGEINT) % {mers} AS UBIGINT) AS sh
+            FROM m6),
+    perms(p, a, b) AS (VALUES
+      {perms}),
+    hp AS (
+      SELECT doc_id, p,
+        CAST((((a * CAST(sh AS HUGEINT)) % {m64} + b) % {m64}) % {mers}
+             AS UBIGINT) AS v
+      FROM shh CROSS JOIN perms
+    ),
+    sig AS (SELECT doc_id, p, MIN(v) AS m FROM hp GROUP BY doc_id, p),
+    f0 AS (SELECT DISTINCT doc_id, b.range AS band, CAST(0 AS UBIGINT) AS z
+           FROM sig CROSS JOIN range(0, {n_bands}) b),
+    {fold_sql}
+    bands AS (SELECT doc_id, band, z AS bh FROM g{rpb - 1}6),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    szs AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN dsh x ON x.doc_id = c.doc_a
+      JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN szs sa ON sa.doc_id = i.doc_a
+      JOIN szs sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.7
+    ),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(src, dst) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+    ),
+    clusters AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT c.doc_id,
+           COALESCE(cl.cluster_id, c.doc_id) AS cluster_id,
+           COALESCE(cl.cluster_id, c.doc_id) = c.doc_id AS keep
+    FROM corpus c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id
+    """
+
+
+@register("dedup_minhash", _minhash_oracle_sql())
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup clustering over the documents table with
+    planted duplicates (exact copies of doc_id%10==0 and %20==0 — the
+    latter makes 3-member clusters — plus suffix mutations of
+    doc_id%10==5). n_perm=32/n_bands=16 keeps the bit-exact SQL
+    mirror's perm stage affordable; the engine default stays 128.
+    The oracle verifies the ENTIRE pipeline: signatures, band folds,
+    bucket candidates, exact-Jaccard verify, min-id cluster labels."""
+    from rsgislib_ray.stages.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        txt = batch["text"].to_numpy(zero_copy_only=False)
+        m0 = did % 10 == 0
+        m5 = did % 10 == 5
+        m20 = did % 20 == 0
+        return pa.table(
+            {
+                "doc_id": np.concatenate(
+                    [did, did[m0] + 1000000, did[m5] + 2000000,
+                     did[m20] + 3000000]
+                ),
+                "text": np.concatenate(
+                    [txt, txt[m0], txt[m5] + " near sentinel", txt[m20]]
+                ),
+            }
+        )
+
+    return minhash_dedup(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        threshold=0.7,
+        n_perm=32,
+        n_bands=16,
+    )
 
 
 @register(

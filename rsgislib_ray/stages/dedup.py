@@ -171,7 +171,7 @@ def minhash_signatures(
     ]
     counts = np.array([max(len(t), 1) for t in tok_lists], dtype=np.int64)
     flat = [s for lst in tok_lists for s in (lst if lst else [""])]
-    sh = hash_strings(flat) % _U(_MERSENNE)
+    sh = polyhash_strings(flat) % _U(_MERSENNE)  # SQL-mirrorable
     starts = np.cumsum(counts) - counts
     sig = np.empty((len(texts), n_perm), dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -354,7 +354,7 @@ def _shingle_hash_arrays(texts, shingle_k: int) -> list:
     ]
     counts = np.array([max(len(t), 1) for t in tok_lists], dtype=np.int64)
     flat = [s for lst in tok_lists for s in (lst if lst else [""])]
-    sh = hash_strings(flat)
+    sh = polyhash_strings(flat)
     starts = np.concatenate([[0], np.cumsum(counts)])
     return [
         np.unique(sh[starts[i] : starts[i + 1]]) for i in range(len(texts))
