@@ -1261,8 +1261,50 @@ def q_quality_stats(sf_dir: str):
     )
 
 
-@register("langid", None)  # heuristic scorer, non-SQL
+from rsgislib_ray.functions.textstats import _LANG_PROFILES as _LP
+
+_LANG_PROFILE_VALUES = ",\n      ".join(
+    f"('{lang}', '{tri}')"
+    for lang, tris in sorted(_LP.items())
+    for tri in tris
+)
+
+
+@register(
+    "langid",
+    f"""
+    WITH profiles(lang, tri) AS (VALUES
+      {_LANG_PROFILE_VALUES}),
+    d AS (SELECT doc_id, lower(text) AS lt, length(text) AS n
+          FROM documents),
+    cnt AS (
+      SELECT d.doc_id, p.lang, MAX(d.n) AS n,
+        SUM((length(d.lt) - length(replace(d.lt, p.tri, '')))
+            // length(p.tri)) AS c
+      FROM d CROSS JOIN profiles p
+      GROUP BY d.doc_id, p.lang
+    ),
+    sc AS (
+      SELECT doc_id, lang,
+        CAST(c AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1.0) AS s
+      FROM cnt
+    ),
+    best AS (
+      SELECT doc_id, lang, s,
+        row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC)
+          AS rk
+      FROM sc
+    )
+    SELECT doc_id, lang AS lang_pred, s AS lang_score
+    FROM best WHERE rk = 1
+    """,
+)
 def q_langid(sf_dir: str):
+    """Trigram-profile language heuristic. The SQL oracle mirrors the
+    count-substring scoring exactly: non-overlapping occurrence counts
+    (Arrow count_substring == the replace() length trick), double
+    normalization by max(len,1), argmax with alphabetical tie-break
+    (langs are scored in sorted order; argmax takes the first max)."""
     from rsgislib_ray.stages.text import add_langid
 
     return add_langid(
@@ -2278,7 +2320,50 @@ def q_zonal_mean_with_centroid_fallback(sf_dir: str):
     )
 
 
-@register("training_data_pipeline", None)  # composed showcase, rows-only
+@register(
+    "training_data_pipeline",
+    f"""
+    WITH profiles(lang, tri) AS (VALUES
+      {_LANG_PROFILE_VALUES}),
+    d AS (SELECT doc_id, lower(text) AS lt, length(text) AS n
+          FROM documents),
+    cnt AS (
+      SELECT d.doc_id, p.lang, MAX(d.n) AS n,
+        SUM((length(d.lt) - length(replace(d.lt, p.tri, '')))
+            // length(p.tri)) AS c
+      FROM d CROSS JOIN profiles p
+      GROUP BY d.doc_id, p.lang
+    ),
+    best AS (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY CAST(c AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1.0)
+                     DESC,
+                   lang ASC) AS rk
+      FROM cnt
+    ),
+    lp AS (SELECT doc_id, lang AS lang_pred FROM best WHERE rk = 1),
+    q AS (
+      SELECT doc_id, text,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_filter(string_split(text, ' '),
+            x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it')))
+          AS n_stop
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text, n_tokens FROM q
+      WHERE n_tokens > 5
+        AND CAST(n_stop AS DOUBLE)
+            / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) < 0.5
+    ),
+    winners AS (SELECT text, MIN(doc_id) AS win FROM kept GROUP BY text)
+    SELECT k.doc_id, l.lang_pred, k.n_tokens
+    FROM kept k
+    JOIN winners w ON k.text = w.text AND k.doc_id = w.win
+    JOIN lp l ON l.doc_id = k.doc_id
+    """,
+)
 def q_training_data_pipeline(sf_dir: str):
     """End-to-end training-data curation pipeline over documents:
     language-ID -> quality scoring -> quality filter -> exact dedup ->
