@@ -1445,7 +1445,119 @@ def q_ann_lsh(sf_dir: str):
 # ===========================================================================
 
 
-@register("interleaved_parse_tile", None)  # synth not SQL-expressible
+def _synth_parsed_cte() -> str:
+    """SQL mirror of sources/synth.synth_docs_batch geometry + the
+    spans.parse_geom_spans round-trip, ending in CTE ``parsed``
+    (doc_id, geom_kind, x, y). Every stage is bit-exact vs numpy:
+    splitmix64 streams in HUGEINT, u01 = UBIGINT->DOUBLE / 2^64,
+    Box-Muller via ln/cos (verified bit-identical to numpy's libm at
+    sf0.01 and sf0.1), %.6f printf round-trip = the span-text parse."""
+    c42 = 13679457532755275413  # splitmix64(seed=42)
+    m64 = "18446744073709551616"
+    salts = [3, 4, 5, 6, 87, 7, 8, 89, 9, 10, 11]
+    parts, joins, sel = [], [], []
+    for s in salts:
+        parts.append(
+            f"\n    x{s} AS (SELECT i, xor(h, CAST({s} AS UBIGINT)) AS x"
+            " FROM hh),"
+        )
+        parts.append(_sm64_chain("i", f"x{s}", f"c{s}") + ",")
+        joins.append(f"JOIN c{s}6 ON c{s}6.i = hh.i")
+        sel.append(f"c{s}6.z AS z{s}")
+    streams = "\n".join(parts)
+    return f"""idx AS (SELECT doc_id AS i FROM documents),
+    e0 AS (SELECT i, xor(CAST(i AS UBIGINT), CAST({c42} AS UBIGINT)) AS x
+           FROM idx),
+    {_sm64_chain("i", "e0", "hc")},
+    hh AS (SELECT i, z AS h FROM hc6),
+    {streams}
+    wide AS (
+      SELECT hh.i, {", ".join(sel)}
+      FROM hh
+      {" ".join(joins)}
+    ),
+    v AS (
+      SELECT i,
+        (z3 % 10 = 0) AS is_poly_raw,
+        (z4 % 5 = 0) AS hot,
+        CAST(z5 % 3 AS INT) AS which,
+        CAST(z6 AS DOUBLE) / {m64}.0 AS u6,
+        CAST(z87 AS DOUBLE) / {m64}.0 AS u87,
+        CAST(z7 AS DOUBLE) / {m64}.0 AS u7,
+        CAST(z8 AS DOUBLE) / {m64}.0 AS u8,
+        CAST(z89 AS DOUBLE) / {m64}.0 AS u89,
+        CAST(z9 AS DOUBLE) / {m64}.0 AS u9,
+        CAST(z10 AS DOUBLE) / {m64}.0 AS u10,
+        CAST(z11 AS DOUBLE) / {m64}.0 AS u11
+      FROM wide
+    ),
+    hsp(wh, hx, hy) AS (VALUES (0, 20.0, 30.0), (1, 65.0, 70.0),
+                               (2, 80.0, 15.0)),
+    gsn AS (
+      SELECT v.*,
+        sqrt(-2.0 * ln(greatest(u6, 1e-12))) * cos(2.0 * pi() * u87) AS gx,
+        sqrt(-2.0 * ln(greatest(u8, 1e-12))) * cos(2.0 * pi() * u89) AS gy,
+        hsp.hx, hsp.hy
+      FROM v JOIN hsp ON hsp.wh = v.which
+    ),
+    raw AS (
+      SELECT i, is_poly_raw, u10, u11,
+        least(greatest(CASE WHEN hot THEN hx + 0.5 * gx
+                            ELSE u7 * 100.0 END, 0.0), 99.999999) AS cpx,
+        least(greatest(CASE WHEN hot THEN hy + 0.5 * gy
+                            ELSE u9 * 100.0 END, 0.0), 99.999999) AS cpy
+      FROM gsn
+    ),
+    fixed AS (
+      SELECT i, u10, u11,
+        CASE WHEN i IN (0, 1, 2, 3) THEN FALSE
+             WHEN i = 4 THEN TRUE ELSE is_poly_raw END AS is_poly,
+        CASE i WHEN 0 THEN 0.0 WHEN 1 THEN 30.0 WHEN 2 THEN 150.0
+               WHEN 3 THEN 50.0 WHEN 4 THEN 10.0 ELSE cpx END AS px,
+        CASE i WHEN 0 THEN 0.0 WHEN 1 THEN 30.0 WHEN 2 THEN 150.0
+               WHEN 3 THEN 50.0 WHEN 4 THEN 10.0 ELSE cpy END AS py
+      FROM raw
+    ),
+    rect AS (
+      SELECT i, is_poly, px, py,
+        least(px + (0.5 + 4.0 * u10), 99.999999) AS pxmax,
+        least(py + (0.5 + 4.0 * u11), 99.999999) AS pymax
+      FROM fixed
+    ),
+    rt AS (
+      SELECT i, is_poly,
+        CAST(printf('%.6f', px) AS DOUBLE) AS rx,
+        CAST(printf('%.6f', py) AS DOUBLE) AS ry,
+        CAST(printf('%.6f', pxmax) AS DOUBLE) AS rxmax,
+        CAST(printf('%.6f', pymax) AS DOUBLE) AS rymax
+      FROM rect
+    ),
+    parsed AS (
+      SELECT printf('d%08d', i) AS doc_id,
+        CASE WHEN is_poly THEN 'poly' ELSE 'point' END AS geom_kind,
+        CASE WHEN is_poly THEN (rx + rxmax) * 0.5 ELSE rx END AS x,
+        CASE WHEN is_poly THEN (ry + rymax) * 0.5 ELSE ry END AS y,
+        rx AS gxmin,
+        CASE WHEN is_poly THEN rxmax ELSE rx END AS gxmax,
+        ry AS gymin,
+        CASE WHEN is_poly THEN rymax ELSE ry END AS gymax,
+        is_poly
+      FROM rt
+    )"""
+
+
+@register(
+    "interleaved_parse_tile",
+    f"""
+    WITH {_synth_parsed_cte()}
+    SELECT doc_id, geom_kind, x, y,
+      CASE WHEN x >= 0 AND x < 100 AND y >= 0 AND y < 100
+           THEN CAST(FLOOR(y / 30.0) AS BIGINT) * 4
+              + CAST(FLOOR(x / 30.0) AS BIGINT)
+           ELSE -1 END AS tile_id
+    FROM parsed
+    """,
+)
 def q_interleaved_parse_tile(sf_dir: str):
     from rsgislib_ray.pipelines.flagship import docs_from_documents_table
     from rsgislib_ray.stages.spans import parse_geom_spans
@@ -1458,7 +1570,78 @@ def q_interleaved_parse_tile(sf_dir: str):
     )
 
 
-@register("flagship_join", None)
+def _flagship_join_sql() -> str:
+    """SQL mirror of the flagship pipeline: synthesized docs (see
+    _synth_parsed_cte) + synthesized zone table (flagship.py
+    synth_zone_table: integer corners from splitmix64 streams) +
+    Morton cell ids (level 10 << 52) + tile ids + strict-interior
+    point-in-zone join. Verified bit-exact vs the engine at sf0.01 and
+    sf0.1."""
+    zstreams, zsel, zjoin = [], [], []
+    for s in (1, 2, 3, 4):
+        zstreams.append(
+            f"\n    zx{s} AS (SELECT fid, xor(h, CAST({s} AS UBIGINT)) AS x"
+            " FROM zhh),"
+        )
+        zstreams.append(_sm64_chain("fid", f"zx{s}", f"zc{s}") + ",")
+        zsel.append(f"zc{s}6.z AS z{s}")
+        zjoin.append(f"JOIN zc{s}6 ON zc{s}6.fid = zhh.fid")
+    zs = "\n".join(zstreams)
+    return f"""
+    WITH {_synth_parsed_cte()},
+    zk AS (SELECT CAST(k.range AS BIGINT) AS fid,
+                  CAST(k.range AS UBIGINT) AS kk FROM range(0, 64) k),
+    ze0 AS (SELECT fid, kk + CAST(99 AS UBIGINT) AS x FROM zk),
+    {_sm64_chain("fid", "ze0", "zh")},
+    zhh AS (SELECT fid, z AS h FROM zh6),
+    {zs}
+    zwide AS (
+      SELECT zhh.fid, {", ".join(zsel)}
+      FROM zhh {" ".join(zjoin)}
+    ),
+    zones AS (
+      SELECT fid,
+        CAST(z1 % 88 AS DOUBLE) AS xmin,
+        CAST(z2 % 88 AS DOUBLE) AS ymin,
+        CAST(z1 % 88 AS DOUBLE) + (4.0 + CAST(z3 % 9 AS DOUBLE)) AS xmax,
+        CAST(z2 % 88 AS DOUBLE) + (4.0 + CAST(z4 % 9 AS DOUBLE)) AS ymax,
+        CAST(fid % 5 AS BIGINT) AS category
+      FROM zwide
+    ),
+    pt AS (
+      SELECT doc_id, x, y,
+        CASE WHEN x >= 0 AND x < 100 AND y >= 0 AND y < 100
+             THEN CAST(FLOOR(y / 30.0) AS BIGINT) * 4
+                + CAST(FLOOR(x / 30.0) AS BIGINT)
+             ELSE -1 END AS tile_id,
+        CAST(FLOOR(x / {CELL_W!r}) AS BIGINT) AS ccol,
+        CAST(FLOOR(y / {CELL_W!r}) AS BIGINT) AS crow
+      FROM parsed
+    ),
+    mort AS (
+      SELECT doc_id, SUM(
+          (((CAST(ccol AS UBIGINT) >> CAST(b.range AS INT)) & 1)
+             << CAST(2 * b.range AS INT))
+        + (((CAST(crow AS UBIGINT) >> CAST(b.range AS INT)) & 1)
+             << CAST(2 * b.range + 1 AS INT))) AS m
+      FROM pt CROSS JOIN range(0, 10) b
+      WHERE ccol >= 0 AND ccol < 1024 AND crow >= 0 AND crow < 1024
+      GROUP BY doc_id
+    ),
+    tagged AS (
+      SELECT p.doc_id, p.x, p.y, p.tile_id,
+        CASE WHEN m.m IS NULL THEN -1
+             ELSE CAST(m.m AS BIGINT) + 45035996273704960 END AS cell_id
+      FROM pt p LEFT JOIN mort m ON m.doc_id = p.doc_id
+    )
+    SELECT t.doc_id, t.tile_id, t.cell_id,
+           z.fid AS zone_fid, z.category AS zone_category
+    FROM tagged t JOIN zones z
+      ON t.x > z.xmin AND t.x < z.xmax AND t.y > z.ymin AND t.y < z.ymax
+    """
+
+
+@register("flagship_join", _flagship_join_sql())
 def q_flagship_join(sf_dir: str):
     from rsgislib_ray.pipelines.flagship import (
         docs_from_documents_table,
