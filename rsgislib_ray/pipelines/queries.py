@@ -1454,7 +1454,7 @@ def _synth_parsed_cte() -> str:
     sf0.01 and sf0.1), %.6f printf round-trip = the span-text parse."""
     c42 = 13679457532755275413  # splitmix64(seed=42)
     m64 = "18446744073709551616"
-    salts = [3, 4, 5, 6, 87, 7, 8, 89, 9, 10, 11]
+    salts = [1, 3, 4, 5, 6, 87, 7, 8, 89, 9, 10, 11]
     parts, joins, sel = [], [], []
     for s in salts:
         parts.append(
@@ -1478,6 +1478,7 @@ def _synth_parsed_cte() -> str:
     ),
     v AS (
       SELECT i,
+        CAST(2 + z1 % 5 AS BIGINT) AS n_spans,
         (z3 % 10 = 0) AS is_poly_raw,
         (z4 % 5 = 0) AS hot,
         CAST(z5 % 3 AS INT) AS which,
@@ -1501,7 +1502,7 @@ def _synth_parsed_cte() -> str:
       FROM v JOIN hsp ON hsp.wh = v.which
     ),
     raw AS (
-      SELECT i, is_poly_raw, u10, u11,
+      SELECT i, n_spans, is_poly_raw, u10, u11,
         least(greatest(CASE WHEN hot THEN hx + 0.5 * gx
                             ELSE u7 * 100.0 END, 0.0), 99.999999) AS cpx,
         least(greatest(CASE WHEN hot THEN hy + 0.5 * gy
@@ -1509,7 +1510,7 @@ def _synth_parsed_cte() -> str:
       FROM gsn
     ),
     fixed AS (
-      SELECT i, u10, u11,
+      SELECT i, n_spans, u10, u11,
         CASE WHEN i IN (0, 1, 2, 3) THEN FALSE
              WHEN i = 4 THEN TRUE ELSE is_poly_raw END AS is_poly,
         CASE i WHEN 0 THEN 0.0 WHEN 1 THEN 30.0 WHEN 2 THEN 150.0
@@ -1519,13 +1520,13 @@ def _synth_parsed_cte() -> str:
       FROM raw
     ),
     rect AS (
-      SELECT i, is_poly, px, py,
+      SELECT i, n_spans, is_poly, px, py,
         least(px + (0.5 + 4.0 * u10), 99.999999) AS pxmax,
         least(py + (0.5 + 4.0 * u11), 99.999999) AS pymax
       FROM fixed
     ),
     rt AS (
-      SELECT i, is_poly,
+      SELECT i, n_spans, is_poly,
         CAST(printf('%.6f', px) AS DOUBLE) AS rx,
         CAST(printf('%.6f', py) AS DOUBLE) AS ry,
         CAST(printf('%.6f', pxmax) AS DOUBLE) AS rxmax,
@@ -1533,7 +1534,7 @@ def _synth_parsed_cte() -> str:
       FROM rect
     ),
     parsed AS (
-      SELECT printf('d%08d', i) AS doc_id,
+      SELECT printf('d%08d', i) AS doc_id, n_spans,
         CASE WHEN is_poly THEN 'poly' ELSE 'point' END AS geom_kind,
         CASE WHEN is_poly THEN (rx + rxmax) * 0.5 ELSE rx END AS x,
         CASE WHEN is_poly THEN (ry + rymax) * 0.5 ELSE ry END AS y,
@@ -1609,7 +1610,7 @@ def _flagship_join_sql() -> str:
       FROM zwide
     ),
     pt AS (
-      SELECT doc_id, x, y,
+      SELECT doc_id, n_spans, x, y,
         CASE WHEN x >= 0 AND x < 100 AND y >= 0 AND y < 100
              THEN CAST(FLOOR(y / 30.0) AS BIGINT) * 4
                 + CAST(FLOOR(x / 30.0) AS BIGINT)
@@ -1629,19 +1630,27 @@ def _flagship_join_sql() -> str:
       GROUP BY doc_id
     ),
     tagged AS (
-      SELECT p.doc_id, p.x, p.y, p.tile_id,
+      SELECT p.doc_id, p.n_spans, p.x, p.y, p.tile_id,
         CASE WHEN m.m IS NULL THEN -1
              ELSE CAST(m.m AS BIGINT) + 45035996273704960 END AS cell_id
       FROM pt p LEFT JOIN mort m ON m.doc_id = p.doc_id
+    ),
+    joined AS (
+      SELECT t.doc_id, t.n_spans, t.tile_id, t.cell_id,
+             z.fid AS zone_fid, z.category AS zone_category
+      FROM tagged t JOIN zones z
+        ON t.x > z.xmin AND t.x < z.xmax AND t.y > z.ymin AND t.y < z.ymax
     )
-    SELECT t.doc_id, t.tile_id, t.cell_id,
-           z.fid AS zone_fid, z.category AS zone_category
-    FROM tagged t JOIN zones z
-      ON t.x > z.xmin AND t.x < z.xmax AND t.y > z.ymin AND t.y < z.ymax
     """
 
 
-@register("flagship_join", _flagship_join_sql())
+@register(
+    "flagship_join",
+    _flagship_join_sql()
+    + """
+    SELECT doc_id, tile_id, cell_id, zone_fid, zone_category FROM joined
+    """,
+)
 def q_flagship_join(sf_dir: str):
     from rsgislib_ray.pipelines.flagship import (
         docs_from_documents_table,
@@ -3013,7 +3022,15 @@ def q_spatial_join_hash(sf_dir: str):
     )
 
 
-@register("flagship_zonal", None)
+@register(
+    "flagship_zonal",
+    _flagship_join_sql()
+    + """
+    SELECT zone_fid, COUNT(*) AS n_docs,
+           CAST(SUM(n_spans) AS BIGINT) AS total_spans
+    FROM joined GROUP BY zone_fid
+    """,
+)
 def q_flagship_zonal(sf_dir: str):
     """End-to-end north-star composition: interleaved docs -> geometry
     spans -> zone join -> per-zone TEXT aggregates (doc count + total
