@@ -1428,7 +1428,68 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(emb, queries_tbl, k=10)
 
 
-@register("ann_lsh", None)  # approximate by design
+def _ann_lsh_oracle_sql(n_bits: int = 6, d: int = 64, k: int = 10) -> str:
+    """SQL mirror of lsh_bucket_topk (stages/ann.py): uniform
+    hyperplanes from the splitmix64 stream (seed 11), sign-bit
+    signatures, same-bucket scan, normalized-dot ranking. Float sums
+    are sequential in SQL vs BLAS-blocked in numpy; sims/dots are well
+    separated (verified bit-stable at sf0.01 and sf0.1)."""
+    m64 = "18446744073709551616"
+    return f"""
+    WITH pi AS (SELECT CAST(i.range AS BIGINT) AS i,
+                       CAST(i.range + 11 AS UBIGINT) AS x
+                FROM range(0, {n_bits * d}) i),
+    {_sm64_chain("i", "pi", "pc")},
+    pl AS (SELECT i // {d} AS b, i % {d} AS j,
+                  CAST(z AS DOUBLE) / {m64}.0 * 2.0 - 1.0 AS w
+           FROM pc6),
+    el AS (
+      SELECT vec_id,
+             CAST(j.range AS BIGINT) AS j,
+             CAST(embedding[CAST(j.range + 1 AS INT)] AS DOUBLE) AS e
+      FROM embeddings CROSS JOIN range(0, {d}) j
+    ),
+    dots AS (
+      SELECT el.vec_id, pl.b, SUM(el.e * pl.w) AS dot
+      FROM el JOIN pl ON pl.j = el.j
+      GROUP BY el.vec_id, pl.b
+    ),
+    sigs AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(b AS INT) ELSE 0 END)
+             AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id
+    ),
+    nrm AS (
+      SELECT vec_id, sqrt(SUM(e * e)) AS n FROM el GROUP BY vec_id
+    ),
+    mn AS (
+      SELECT el.vec_id, el.j,
+             el.e / (CASE WHEN nrm.n = 0 THEN 1.0 ELSE nrm.n END) AS e
+      FROM el JOIN nrm ON nrm.vec_id = el.vec_id
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+             SUM(mv.e * mq.e) AS sim
+      FROM sigs q
+      JOIN sigs v ON v.sig = q.sig
+      JOIN mn mv ON mv.vec_id = v.vec_id
+      JOIN mn mq ON mq.vec_id = q.vec_id AND mq.j = mv.j
+      WHERE q.vec_id < 4
+      GROUP BY q.vec_id, v.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_lsh", _ann_lsh_oracle_sql())
 def q_ann_lsh(sf_dir: str):
     import pyarrow.parquet as pq
 

@@ -164,43 +164,45 @@ def lsh_bucket_topk(
         by_bucket.setdefault(int(s), []).append(qi)
     ref = ray.put({"Q": _normalize(Q), "q_ids": q_ids, "H": H, "buckets": by_bucket})
 
-    class BucketScan:
-        def __init__(self):
-            st = ray.get(ref) if hasattr(ref, "hex") else ref
-            self.Q = st["Q"]
-            self.q_ids = st["q_ids"]
-            self.H = st["H"]
-            self.buckets = st["buckets"]
+    def bucket_scan(batch: pa.Table, state_ref=None) -> pa.Table:
+        # Stateless task + per-process cached() fetch (same shape as
+        # _cosine_topk_batch): no actor constructor args in the object
+        # store, so there is no restart-after-object-loss hazard.
+        from rsgislib_ray.state.broadcast import cached
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            M = _to_matrix(batch[vec_col])
-            ids = batch[id_col].to_numpy()
-            sig = ((M @ self.H.T) > 0) @ (1 << np.arange(self.H.shape[0]))
-            Mn = _normalize(M)
-            out = {"query_id": [], "vec_id": [], "sim": []}
-            for bucket, qis in self.buckets.items():
-                sel = np.flatnonzero(sig == bucket)
-                if len(sel) == 0:
-                    continue
-                sims = Mn[sel] @ self.Q[qis].T
-                for j, qi in enumerate(qis):
-                    out["query_id"].append(
-                        np.full(len(sel), self.q_ids[qi], dtype=np.int64)
-                    )
-                    out["vec_id"].append(ids[sel])
-                    out["sim"].append(sims[:, j])
-            if not out["query_id"]:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "vec_id": pa.array([], pa.int64()),
-                        "sim": pa.array([], pa.float64()),
-                    }
+        st = cached(state_ref)
+        Qn, q_ids_, H_, buckets = st["Q"], st["q_ids"], st["H"], st["buckets"]
+        M = _to_matrix(batch[vec_col])
+        ids = batch[id_col].to_numpy()
+        sig = ((M @ H_.T) > 0) @ (1 << np.arange(H_.shape[0]))
+        Mn = _normalize(M)
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        for bucket, qis in buckets.items():
+            sel = np.flatnonzero(sig == bucket)
+            if len(sel) == 0:
+                continue
+            sims = Mn[sel] @ Qn[qis].T
+            for j, qi in enumerate(qis):
+                out["query_id"].append(
+                    np.full(len(sel), q_ids_[qi], dtype=np.int64)
                 )
-            return pa.table({kk: np.concatenate(vv) for kk, vv in out.items()})
+                out["vec_id"].append(ids[sel])
+                out["sim"].append(sims[:, j])
+        if not out["query_id"]:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table({kk: np.concatenate(vv) for kk, vv in out.items()})
 
     local = embeddings.map_batches(
-        BucketScan, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+        bucket_scan,
+        fn_kwargs={"state_ref": ref},
+        batch_format="pyarrow",
+        batch_size=8192,
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
