@@ -1632,13 +1632,10 @@ def q_interleaved_parse_tile(sf_dir: str):
     )
 
 
-def _flagship_join_sql() -> str:
-    """SQL mirror of the flagship pipeline: synthesized docs (see
-    _synth_parsed_cte) + synthesized zone table (flagship.py
-    synth_zone_table: integer corners from splitmix64 streams) +
-    Morton cell ids (level 10 << 52) + tile ids + strict-interior
-    point-in-zone join. Verified bit-exact vs the engine at sf0.01 and
-    sf0.1."""
+def _synth_zones_cte() -> str:
+    """SQL mirror of flagship.synth_zone_table (64 integer-corner rect
+    zones from splitmix64 streams, seed 99), ending in CTE ``zones``
+    (fid, xmin, ymin, xmax, ymax, category)."""
     zstreams, zsel, zjoin = [], [], []
     for s in (1, 2, 3, 4):
         zstreams.append(
@@ -1649,9 +1646,7 @@ def _flagship_join_sql() -> str:
         zsel.append(f"zc{s}6.z AS z{s}")
         zjoin.append(f"JOIN zc{s}6 ON zc{s}6.fid = zhh.fid")
     zs = "\n".join(zstreams)
-    return f"""
-    WITH {_synth_parsed_cte()},
-    zk AS (SELECT CAST(k.range AS BIGINT) AS fid,
+    return f"""zk AS (SELECT CAST(k.range AS BIGINT) AS fid,
                   CAST(k.range AS UBIGINT) AS kk FROM range(0, 64) k),
     ze0 AS (SELECT fid, kk + CAST(99 AS UBIGINT) AS x FROM zk),
     {_sm64_chain("fid", "ze0", "zh")},
@@ -1669,7 +1664,18 @@ def _flagship_join_sql() -> str:
         CAST(z2 % 88 AS DOUBLE) + (4.0 + CAST(z4 % 9 AS DOUBLE)) AS ymax,
         CAST(fid % 5 AS BIGINT) AS category
       FROM zwide
-    ),
+    )"""
+
+
+def _flagship_join_sql() -> str:
+    """SQL mirror of the flagship pipeline: synthesized docs (see
+    _synth_parsed_cte) + synthesized zone table (_synth_zones_cte) +
+    Morton cell ids (level 10 << 52) + tile ids + strict-interior
+    point-in-zone join. Verified bit-exact vs the engine at sf0.01 and
+    sf0.1."""
+    return f"""
+    WITH {_synth_parsed_cte()},
+    {_synth_zones_cte()},
     pt AS (
       SELECT doc_id, n_spans, x, y,
         CASE WHEN x >= 0 AND x < 100 AND y >= 0 AND y < 100
@@ -2966,14 +2972,31 @@ def q_knn_summarize(sf_dir: str):
     )
 
 
-@register("overlay_doc_polys", None)  # general clipping; pytest-verified kernel
+@register(
+    "overlay_doc_polys",
+    f"""
+    WITH {_synth_parsed_cte()},
+    {_synth_zones_cte()}
+    SELECT p.doc_id, z.fid AS zone_fid,
+      CAST(ROUND((LEAST(p.gxmax, z.xmax) - GREATEST(p.gxmin, z.xmin))
+                 * (LEAST(p.gymax, z.ymax) - GREATEST(p.gymin, z.ymin))
+                 * 1000000) AS BIGINT) AS inter_area_um
+    FROM parsed p JOIN zones z
+      ON p.is_poly
+     AND LEAST(p.gxmax, z.xmax) > GREATEST(p.gxmin, z.xmin)
+     AND LEAST(p.gymax, z.ymax) > GREATEST(p.gymin, z.ymin)
+    """,
+)
 def q_overlay_doc_polys(sf_dir: str):
     """General overlay intersection: the interleaved docs' POLYGON
     spans clipped against the zone layer (Sutherland-Hodgman,
     functions/geom.clip_polygon_convex — overlay family,
     vectorgeoms/__init__.py:1292). Emits (doc_id, zone_fid,
-    inter_area) for every doc-poly x zone candidate with positive
-    intersection."""
+    inter_area_um) for every doc-poly x zone candidate with positive
+    intersection. The engine area comes from the general clip kernel
+    (shoelace of the clipped ring); both rects being axis-aligned, the
+    SQL oracle uses the closed form — areas are compared in rounded
+    micro-units so the two float routes agree."""
     import ray as _ray
 
     from rsgislib_ray.functions.geom import clip_polygon_convex, ring_area
@@ -3031,12 +3054,12 @@ def q_overlay_doc_polys(sf_dir: str):
                 if a > 0:
                     out_doc.append(doc_ids[i])
                     out_fid.append(z.fid[j])
-                    out_area.append(a)
+                    out_area.append(int(np.round(a * 1e6)))
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.string()),
                 "zone_fid": pa.array(out_fid, pa.int64()),
-                "inter_area": pa.array(out_area, pa.float64()),
+                "inter_area_um": pa.array(out_area, pa.int64()),
             }
         )
 
