@@ -2651,6 +2651,42 @@ def q_training_data_pipeline(sf_dir: str):
 
 
 @register(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS start_offset
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // 512 AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (concat-and-chunk, budget 512 tokens): global
+    token start-offset per doc via a two-level distributed prefix sum
+    (per-block cumsum + O(blocks) scan state on the driver), bin id by
+    integer division. Training-data op beyond the reference; the
+    oracle is one window cumsum."""
+    from rsgislib_ray.stages.packing import assign_packed_bins
+
+    return assign_packed_bins(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        budget=512,
+    )
+
+
+@register(
     "distance_to_zones",
     f"""
     WITH zones AS ({td.SQL_ZONES}),
