@@ -2651,6 +2651,99 @@ def q_training_data_pipeline(sf_dir: str):
 
 
 @register(
+    "kgram_cross_dup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' tail sentinel words appended'
+      FROM documents WHERE doc_id % 10 = 5
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    grams AS (
+      SELECT doc_id,
+        ws[CAST(i.range + 1 AS INT)] || ' ' ||
+        ws[CAST(i.range + 2 AS INT)] || ' ' ||
+        ws[CAST(i.range + 3 AS INT)] || ' ' ||
+        ws[CAST(i.range + 4 AS INT)] || ' ' ||
+        ws[CAST(i.range + 5 AS INT)] || ' ' ||
+        ws[CAST(i.range + 6 AS INT)] || ' ' ||
+        ws[CAST(i.range + 7 AS INT)] || ' ' ||
+        ws[CAST(i.range + 8 AS INT)] AS s
+      FROM words CROSS JOIN range(0, 600) i
+      WHERE len(ws) >= 8 AND i.range <= len(ws) - 8
+      UNION ALL
+      SELECT doc_id, array_to_string(ws, ' ') FROM words WHERE len(ws) < 8
+    ),
+    dg AS (SELECT DISTINCT doc_id, s FROM grams)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS shared_windows
+    FROM dg a JOIN dg b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q_kgram_cross_dup(sf_dir: str):
+    """Cross-document substring duplication: doc pairs sharing >= 1
+    distinct 8-word window, with the shared-window count — over the
+    documents table plus planted duplicates (exact copies + suffix
+    mutations). Engine counts distinct shared polyhash windows; the
+    oracle counts distinct shared window STRINGS (equal modulo 64-bit
+    collisions)."""
+    from rsgislib_ray.stages.dedup import kgram_duplicate_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        txt = batch["text"].to_numpy(zero_copy_only=False)
+        m0 = did % 10 == 0
+        m5 = did % 10 == 5
+        return pa.table(
+            {
+                "doc_id": np.concatenate(
+                    [did, did[m0] + 1000000, did[m5] + 2000000]
+                ),
+                "text": np.concatenate(
+                    [txt, txt[m0], txt[m5] + " tail sentinel words appended"]
+                ),
+            }
+        )
+
+    return kgram_duplicate_pairs(
+        ds.map_batches(plant, batch_format="pyarrow"), k=8
+    )
+
+
+@register(
+    "redact_terms",
+    r"""
+    SELECT doc_id,
+      regexp_replace(text, '\b(key|hash|customer)\b', '[REDACTED]', 'g')
+        AS redacted,
+      CAST(len(regexp_extract_all(text, '\b(key|hash|customer)\b'))
+           AS BIGINT) AS n_redactions
+    FROM documents
+    """,
+)
+def q_redact_terms(sf_dir: str):
+    """Regex redaction (PII-scrub shape): RE2 pattern shared by Arrow
+    and DuckDB, so replacement text and match counts are bit-exact
+    between the engine and the oracle."""
+    from rsgislib_ray.stages.text import add_redaction
+
+    return add_redaction(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        pattern=r"\b(key|hash|customer)\b",
+    ).select_columns(["doc_id", "redacted", "n_redactions"])
+
+
+@register(
     "pack_sequences",
     """
     WITH t AS (

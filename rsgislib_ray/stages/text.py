@@ -72,6 +72,32 @@ def add_langid(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
     )
 
 
+def add_redaction(
+    ds: ray.data.Dataset,
+    pattern: str,
+    replacement: str = "[REDACTED]",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """PII-style regex redaction: replace every match of ``pattern``
+    (RE2 — identical semantics in Arrow and DuckDB, so the oracle is
+    ``regexp_replace(..., 'g')``) and count matches per doc. Stateless
+    vectorized batch transform; the compiled program lives inside
+    Arrow's kernel, so there is no per-row Python."""
+    import pyarrow.compute as pc
+
+    def tag(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = pc.count_substring_regex(col, pattern).cast(pa.int64())
+        red = pc.replace_substring_regex(col, pattern, replacement)
+        return batch.append_column("redacted", red).append_column(
+            "n_redactions", n
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def add_fingerprint(
     ds: ray.data.Dataset, text_col: str = "text", out_col: str = "fingerprint"
 ) -> ray.data.Dataset:
