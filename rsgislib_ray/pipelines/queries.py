@@ -2651,6 +2651,48 @@ def q_training_data_pipeline(sf_dir: str):
 
 
 @register(
+    "tfidf_top_terms",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+           GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w
+           GROUP BY term),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+        tf.tf * ln(CAST(nn.n AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN nn
+    ),
+    r AS (
+      SELECT doc_id, term, tfidf,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term ASC) AS rank
+      FROM s
+    )
+    SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 terms per doc by tf-idf: distributed df counting (partial
+    distinct-pair reduce + native groupby) with the vocabulary-sized
+    (term, df) result broadcast to a vectorized scoring pass. Scores
+    are bit-exact vs SQL (one int*ln(double) per term)."""
+    from rsgislib_ray.stages.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        top_k=3,
+    )
+
+
+@register(
     "kgram_cross_dup",
     """
     WITH corpus AS (
