@@ -2651,6 +2651,75 @@ def q_training_data_pipeline(sf_dir: str):
 
 
 @register(
+    "decontaminate",
+    """
+    WITH bench AS (
+      SELECT text FROM documents WHERE doc_id % 50 = 7
+    ),
+    bws AS (SELECT string_split(text, ' ') AS ws FROM bench),
+    bgrams AS (
+      SELECT DISTINCT
+        ws[CAST(i.range + 1 AS INT)] || ' ' ||
+        ws[CAST(i.range + 2 AS INT)] || ' ' ||
+        ws[CAST(i.range + 3 AS INT)] || ' ' ||
+        ws[CAST(i.range + 4 AS INT)] || ' ' ||
+        ws[CAST(i.range + 5 AS INT)] || ' ' ||
+        ws[CAST(i.range + 6 AS INT)] || ' ' ||
+        ws[CAST(i.range + 7 AS INT)] || ' ' ||
+        ws[CAST(i.range + 8 AS INT)] AS s
+      FROM bws CROSS JOIN range(0, 600) i
+      WHERE len(ws) >= 8 AND i.range <= len(ws) - 8
+    ),
+    dws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    dgrams AS (
+      SELECT DISTINCT doc_id,
+        ws[CAST(i.range + 1 AS INT)] || ' ' ||
+        ws[CAST(i.range + 2 AS INT)] || ' ' ||
+        ws[CAST(i.range + 3 AS INT)] || ' ' ||
+        ws[CAST(i.range + 4 AS INT)] || ' ' ||
+        ws[CAST(i.range + 5 AS INT)] || ' ' ||
+        ws[CAST(i.range + 6 AS INT)] || ' ' ||
+        ws[CAST(i.range + 7 AS INT)] || ' ' ||
+        ws[CAST(i.range + 8 AS INT)] AS s
+      FROM dws CROSS JOIN range(0, 600) i
+      WHERE len(ws) >= 8 AND i.range <= len(ws) - 8
+    ),
+    hits AS (
+      SELECT d.doc_id, COUNT(*) AS n
+      FROM dgrams d JOIN bgrams b ON b.s = d.s
+      GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+      COALESCE(h.n, 0) AS n_contaminated,
+      COALESCE(h.n, 0) > 0 AS contaminated
+    FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id
+    """,
+)
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: per-doc count of distinct 8-word
+    windows shared with a benchmark set (docs doc_id%50==7 stand in
+    for the benchmark — they contaminate themselves and any planted
+    copies). Broadcast gram-hash set + vectorized searchsorted probe;
+    zero shuffles."""
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.dedup import decontaminate
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sel = tbl["doc_id"].to_numpy() % 50 == 7
+    bench_texts = tbl.filter(pa.array(sel))["text"].to_pylist()
+    return decontaminate(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        bench_texts,
+        k=8,
+    )
+
+
+@register(
     "tfidf_top_terms",
     """
     WITH w AS (

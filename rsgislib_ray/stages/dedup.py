@@ -909,3 +909,65 @@ def kgram_duplicate_pairs(
         )
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    benchmark_texts,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: count, per corpus doc, its k-word
+    windows that appear in ANY benchmark text (the n-gram-overlap
+    contamination check run before training). The benchmark gram-hash
+    set is tiny next to the corpus — built once on the driver,
+    broadcast via ``ray.put``, probed per batch with one vectorized
+    searchsorted. No shuffle at all."""
+    bench_lists = [
+        word_shingles(t.split(" "), k) if t else [] for t in benchmark_texts
+    ]
+    flat = [s for lst in bench_lists for s in lst]
+    bench = (
+        np.unique(polyhash_strings(flat))
+        if flat
+        else np.empty(0, dtype=np.uint64)
+    )
+    ref = ray.put(bench)
+
+    def probe(batch: pa.Table, _ref=None) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        bset = cached(_ref)
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        lists = [
+            word_shingles(t.split(" "), k) if t else [] for t in texts
+        ]
+        counts = np.array([len(t) for t in lists], dtype=np.int64)
+        flat_g = [s for lst in lists for s in lst]
+        n_bad = np.zeros(len(texts), dtype=np.int64)
+        if flat_g and len(bset):
+            h = polyhash_strings(flat_g)  # hash the batch ONCE
+            parent = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+            # distinct (doc, gram): sort by (parent, hash), drop runs
+            order = np.lexsort((h, parent))
+            p2, h2 = parent[order], h[order]
+            first = np.concatenate(
+                [[True], (p2[1:] != p2[:-1]) | (h2[1:] != h2[:-1])]
+            )
+            p2, h2 = p2[first], h2[first]
+            pos = np.minimum(np.searchsorted(bset, h2), len(bset) - 1)
+            hit = bset[pos] == h2
+            np.add.at(n_bad, p2[hit], 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_contaminated": pa.array(n_bad),
+                "contaminated": pa.array(n_bad > 0),
+            }
+        )
+
+    return ds.map_batches(
+        probe, fn_kwargs={"_ref": ref}, batch_format="pyarrow",
+        batch_size=4096,
+    )
