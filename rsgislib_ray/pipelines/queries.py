@@ -1515,7 +1515,7 @@ def _synth_parsed_cte() -> str:
     sf0.01 and sf0.1), %.6f printf round-trip = the span-text parse."""
     c42 = 13679457532755275413  # splitmix64(seed=42)
     m64 = "18446744073709551616"
-    salts = [1, 3, 4, 5, 6, 87, 7, 8, 89, 9, 10, 11]
+    salts = [1, 2, 3, 4, 5, 6, 87, 7, 8, 89, 9, 10, 11]
     parts, joins, sel = [], [], []
     for s in salts:
         parts.append(
@@ -1540,6 +1540,7 @@ def _synth_parsed_cte() -> str:
     v AS (
       SELECT i,
         CAST(2 + z1 % 5 AS BIGINT) AS n_spans,
+        CAST(z2 % (2 + z1 % 5) AS BIGINT) AS geom_pos,
         (z3 % 10 = 0) AS is_poly_raw,
         (z4 % 5 = 0) AS hot,
         CAST(z5 % 3 AS INT) AS which,
@@ -1563,7 +1564,7 @@ def _synth_parsed_cte() -> str:
       FROM v JOIN hsp ON hsp.wh = v.which
     ),
     raw AS (
-      SELECT i, n_spans, is_poly_raw, u10, u11,
+      SELECT i, n_spans, geom_pos, is_poly_raw, u10, u11,
         least(greatest(CASE WHEN hot THEN hx + 0.5 * gx
                             ELSE u7 * 100.0 END, 0.0), 99.999999) AS cpx,
         least(greatest(CASE WHEN hot THEN hy + 0.5 * gy
@@ -1571,7 +1572,7 @@ def _synth_parsed_cte() -> str:
       FROM gsn
     ),
     fixed AS (
-      SELECT i, n_spans, u10, u11,
+      SELECT i, n_spans, geom_pos, u10, u11,
         CASE WHEN i IN (0, 1, 2, 3) THEN FALSE
              WHEN i = 4 THEN TRUE ELSE is_poly_raw END AS is_poly,
         CASE i WHEN 0 THEN 0.0 WHEN 1 THEN 30.0 WHEN 2 THEN 150.0
@@ -1581,13 +1582,13 @@ def _synth_parsed_cte() -> str:
       FROM raw
     ),
     rect AS (
-      SELECT i, n_spans, is_poly, px, py,
+      SELECT i, n_spans, geom_pos, is_poly, px, py,
         least(px + (0.5 + 4.0 * u10), 99.999999) AS pxmax,
         least(py + (0.5 + 4.0 * u11), 99.999999) AS pymax
       FROM fixed
     ),
     rt AS (
-      SELECT i, n_spans, is_poly,
+      SELECT i, n_spans, geom_pos, is_poly,
         CAST(printf('%.6f', px) AS DOUBLE) AS rx,
         CAST(printf('%.6f', py) AS DOUBLE) AS ry,
         CAST(printf('%.6f', pxmax) AS DOUBLE) AS rxmax,
@@ -1595,7 +1596,7 @@ def _synth_parsed_cte() -> str:
       FROM rect
     ),
     parsed AS (
-      SELECT printf('d%08d', i) AS doc_id, n_spans,
+      SELECT printf('d%08d', i) AS doc_id, n_spans, geom_pos,
         CASE WHEN is_poly THEN 'poly' ELSE 'point' END AS geom_kind,
         CASE WHEN is_poly THEN (rx + rxmax) * 0.5 ELSE rx END AS x,
         CASE WHEN is_poly THEN (ry + rymax) * 0.5 ELSE ry END AS y,
@@ -2647,6 +2648,77 @@ def q_training_data_pipeline(sf_dir: str):
     deduped = exact_dedup(kept, ["text"], id_col="doc_id")
     return add_token_count(deduped.select_columns(["doc_id", "text", "lang_pred"])).select_columns(
         ["doc_id", "lang_pred", "n_tokens"]
+    )
+
+
+@register(
+    "per_source_cap",
+    """
+    WITH r AS (
+      SELECT doc_id, source, lang,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM r WHERE rk <= 10
+    """,
+)
+def q_per_source_cap(sf_dir: str):
+    """Per-domain document cap (corpus-balance curation: keep at most
+    N docs per source, deterministic lowest-id-first). Runs on the
+    distributed grouped top-k machinery (per-batch partial top-n +
+    bounded combine + broadcast winner filter) with a string source
+    keyed through a stable hash surrogate."""
+    from rsgislib_ray.functions.hashing import polyhash_strings
+    from rsgislib_ray.stages.sampling import top_n_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        h = polyhash_strings(
+            batch["source"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return batch.append_column("src_key", pa.array(h))
+
+    capped = top_n_per_group(
+        ds.map_batches(key, batch_format="pyarrow"),
+        group_col="src_key",
+        id_col="doc_id",
+        value_col="doc_id",
+        n=10,
+        ascending=True,
+    )
+    return capped.select_columns(["doc_id", "source", "lang"])
+
+
+@register(
+    "span_kind_counts",
+    f"""
+    WITH {_synth_parsed_cte()}
+    SELECT doc_id, n_spans,
+      (n_spans + 1) // 2 - CASE WHEN geom_pos % 2 = 0 THEN 1 ELSE 0 END
+        AS n_text,
+      n_spans // 2 - CASE WHEN geom_pos % 2 = 1 THEN 1 ELSE 0 END
+        AS n_image,
+      CAST(1 AS BIGINT) AS n_geom,
+      n_spans // 2 - CASE WHEN geom_pos % 2 = 1 THEN 1 ELSE 0 END
+        AS n_media_refs
+    FROM parsed
+    """,
+)
+def q_span_kind_counts(sf_dir: str):
+    """Per-doc span accounting straight off the interleaved spans
+    structs (input_hint schema): counts by kind + media_ref presence,
+    computed with Arrow kernels over the flattened struct. The oracle
+    derives the same counts from the synth mirror's (n_spans,
+    geom_pos) streams — a driver-checked guarantee that the engine
+    reads the span SEQUENCE faithfully."""
+    from rsgislib_ray.pipelines.flagship import docs_from_documents_table
+    from rsgislib_ray.stages.spans import span_kind_counts
+
+    return docs_from_documents_table(sf_dir).map_batches(
+        span_kind_counts, batch_format="pyarrow"
     )
 
 

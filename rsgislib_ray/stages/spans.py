@@ -156,3 +156,38 @@ def span_signature(batch: pa.Table, spans_col: str = "spans") -> np.ndarray:
             # associative -> partition-independent
             sig[nz] = np.add.reduceat(h, off[:-1][nz])
     return sig
+
+
+def span_kind_counts(batch: pa.Table, spans_col: str = "spans") -> pa.Table:
+    """Per-doc span accounting straight off the interleaved schema:
+    (doc_id, n_spans, n_text, n_image, n_geom, n_media_refs). Pure
+    Arrow kernels over the flattened struct — no Python per row."""
+    spans = batch[spans_col]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    n = len(batch)
+    flat = spans.flatten()
+    parent = _list_parent_indices(spans)
+    kind = flat.field("kind")
+    media = flat.field("media_ref")
+
+    def per_doc(mask: np.ndarray) -> np.ndarray:
+        return np.bincount(parent[mask], minlength=n).astype(np.int64)
+
+    is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+    is_image = pc.equal(kind, "image").to_numpy(zero_copy_only=False)
+    is_geom = (~is_text) & (~is_image)
+    has_media = pc.not_equal(media, "").to_numpy(zero_copy_only=False)
+    n_spans = np.diff(
+        spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_spans": pa.array(n_spans),
+            "n_text": pa.array(per_doc(is_text)),
+            "n_image": pa.array(per_doc(is_image)),
+            "n_geom": pa.array(per_doc(is_geom)),
+            "n_media_refs": pa.array(per_doc(has_media)),
+        }
+    )
