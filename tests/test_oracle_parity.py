@@ -26,6 +26,13 @@ PARITY_QUERIES = [
     "flagship_zonal",
     "ann_lsh",
     "overlay_doc_polys",
+    "pack_sequences",
+    "redact_terms",
+    "kgram_cross_dup",
+    "tfidf_top_terms",
+    "decontaminate",
+    "span_kind_counts",
+    "per_source_cap",
 ]
 
 
