@@ -2144,8 +2144,63 @@ def q_zonal_percentiles(sf_dir: str):
     )
 
 
-@register("media_decode", None)  # stubbed codec; plumbing is real
+def _media_decode_sql() -> str:
+    """SQL mirror of the media explode + deterministic fake decode:
+    image spans are the odd non-geom positions, media_ref is the synth
+    format string, pixels are splitmix64(polyhash(ref) ^ idx) % 256
+    and img_mean their exact integer mean (bit-exact: 192 uint8 sums
+    fit float64 exactly on both sides)."""
+    return f"""
+    WITH {_synth_parsed_cte()},
+    imgspans AS (
+      SELECT p.doc_id, CAST(s.range AS INT) AS span_pos,
+        'media://' || p.doc_id || '/' || CAST(s.range AS VARCHAR)
+          AS media_ref
+      FROM parsed p CROSS JOIN range(0, 6) s
+      WHERE s.range < p.n_spans AND s.range % 2 = 1
+        AND s.range != p.geom_pos
+    ),
+    pows(k, pw) AS (VALUES
+      {_POLY_POWS}),
+    term AS (
+      SELECT media_ref,
+        unicode(substr(media_ref, CAST(j.range + 1 AS INT), 1)) AS byte,
+        length(media_ref) - 1 - j.range AS k
+      FROM (SELECT DISTINCT media_ref FROM imgspans) r
+      CROSS JOIN range(0, 48) j
+      WHERE j.range < length(media_ref)
+    ),
+    rex AS (
+      SELECT media_ref,
+        CAST(SUM(CAST(byte AS HUGEINT) * pw) % 18446744073709551616
+             AS UBIGINT) AS x
+      FROM term JOIN pows ON pows.k = term.k
+      GROUP BY media_ref
+    ),
+    {_sm64_chain("media_ref", "rex", "rh")},
+    refh AS (SELECT media_ref, z AS h FROM rh6),
+    pex AS (
+      SELECT media_ref, xor(h, CAST(i.range AS UBIGINT)) AS x
+      FROM refh CROSS JOIN range(0, 192) i
+    ),
+    {_sm64_chain("media_ref", "pex", "pxc")},
+    means AS (
+      SELECT media_ref,
+        CAST(SUM(CAST(z % 256 AS BIGINT)) AS DOUBLE) / 192.0 AS img_mean
+      FROM pxc6 GROUP BY media_ref
+    )
+    SELECT i.doc_id, i.span_pos, i.media_ref, m.img_mean
+    FROM imgspans i JOIN means m ON m.media_ref = i.media_ref
+    """
+
+
+@register("media_decode", _media_decode_sql())
 def q_media_decode(sf_dir: str):
+    """Media explode + deterministic fake decode (stages/media.py):
+    the decode KERNEL is a stub (no codec in this container) but it is
+    a pure splitmix64 function of the ref, so the whole path — span
+    explode, actor-pool decode stage, feature column — is
+    oracle-verified bit-exactly, including the float img_mean."""
     from rsgislib_ray.pipelines.flagship import docs_from_documents_table
     from rsgislib_ray.stages.media import decode_media
 
@@ -3921,7 +3976,91 @@ def q_dedup_embedding(sf_dir: str):
     )
 
 
-@register("media_pipeline", None)  # stubbed codecs; plumbing is real
+def _media_pipeline_sql() -> str:
+    """SQL mirror of the full multimodal path: image-span explode,
+    fake decode (img_mean), video frame sampling (n_frames =
+    polyhash % 240 + 16, uniform stride k=2), audio features (RMS /
+    zero crossings over the 256-sample fake waveform). All stubs are
+    pure splitmix64 functions, so every stage is bit-exact; one
+    hash-stream chain serves both pixels (idx<192, mod 256) and audio
+    samples (mod 65536)."""
+    return f"""
+    WITH {_synth_parsed_cte()},
+    imgspans AS (
+      SELECT p.doc_id, CAST(s.range AS INT) AS span_pos,
+        'media://' || p.doc_id || '/' || CAST(s.range AS VARCHAR)
+          AS media_ref
+      FROM parsed p CROSS JOIN range(0, 6) s
+      WHERE s.range < p.n_spans AND s.range % 2 = 1
+        AND s.range != p.geom_pos
+    ),
+    pows(k, pw) AS (VALUES
+      {_POLY_POWS}),
+    term AS (
+      SELECT media_ref,
+        unicode(substr(media_ref, CAST(j.range + 1 AS INT), 1)) AS byte,
+        length(media_ref) - 1 - j.range AS k
+      FROM (SELECT DISTINCT media_ref FROM imgspans) r
+      CROSS JOIN range(0, 48) j
+      WHERE j.range < length(media_ref)
+    ),
+    rex AS (
+      SELECT media_ref,
+        CAST(SUM(CAST(byte AS HUGEINT) * pw) % 18446744073709551616
+             AS UBIGINT) AS x
+      FROM term JOIN pows ON pows.k = term.k
+      GROUP BY media_ref
+    ),
+    {_sm64_chain("media_ref", "rex", "rh")},
+    refh AS (SELECT media_ref, z AS h FROM rh6),
+    pex AS (
+      SELECT media_ref, CAST(i.range AS BIGINT) AS idx,
+             xor(h, CAST(i.range AS UBIGINT)) AS x
+      FROM refh CROSS JOIN range(0, 256) i
+    ),
+    {_sm64_chain("media_ref, idx", "pex", "pxc")},
+    means AS (
+      SELECT media_ref,
+        CAST(SUM(CAST(z % 256 AS BIGINT)) AS DOUBLE) / 192.0 AS img_mean
+      FROM pxc6 WHERE idx < 192 GROUP BY media_ref
+    ),
+    wave AS (
+      SELECT media_ref, idx,
+        CAST(CAST(z % 65536 AS BIGINT) - 32768 AS DOUBLE) AS w
+      FROM pxc6
+    ),
+    lagged AS (
+      SELECT media_ref, idx, w,
+        LAG(w) OVER (PARTITION BY media_ref ORDER BY idx) AS pw
+      FROM wave
+    ),
+    audio AS (
+      SELECT media_ref,
+        sqrt(SUM(w * w) / 256.0) AS rms,
+        CAST(SUM(CASE WHEN pw IS NOT NULL AND (w < 0) != (pw < 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM lagged GROUP BY media_ref
+    ),
+    vid AS (
+      SELECT media_ref,
+        CAST(h % 240 + 16 AS BIGINT) AS n_frames
+      FROM refh
+    ),
+    frames AS (
+      SELECT media_ref, n_frames,
+        CAST(f.range * n_frames // 2 AS BIGINT) AS frame_index
+      FROM vid CROSS JOIN range(0, 2) f
+    )
+    SELECT i.doc_id, i.media_ref, fr.frame_index, fr.n_frames,
+           m.img_mean, a.rms, a.zero_crossings
+    FROM imgspans i
+    JOIN frames fr ON fr.media_ref = i.media_ref
+    JOIN means m ON m.media_ref = i.media_ref
+    JOIN audio a ON a.media_ref = i.media_ref
+    """
+
+
+@register("media_pipeline", _media_pipeline_sql())
 def q_media_pipeline(sf_dir: str):
     """Full multimodal path: explode media spans -> decode (stub) ->
     block-mean resize -> audio features + frame sampling — the

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from rsgislib_ray.functions.hashing import hash_strings, splitmix64
+from rsgislib_ray.functions.hashing import polyhash_strings, splitmix64
 
 THUMB = 8  # fake-decode thumbnail side (pixels)
 
@@ -34,7 +34,7 @@ class FakeImageDecoder:
     reproducible across processes and parallelism levels."""
 
     def decode(self, refs: np.ndarray) -> np.ndarray:
-        h = hash_strings(refs)
+        h = polyhash_strings(refs)  # SQL-mirrorable (media_decode oracle)
         n = len(refs)
         idx = np.arange(THUMB * THUMB * 3, dtype=np.uint64)
         px = splitmix64(h[:, None] ^ idx[None, :]) % np.uint64(256)
@@ -154,7 +154,7 @@ class FakeVideoProbe:
     method; the sampling plumbing below is real)."""
 
     def n_frames(self, refs: np.ndarray) -> np.ndarray:
-        return (hash_strings(refs) % np.uint64(240) + np.uint64(16)).astype(
+        return (polyhash_strings(refs) % np.uint64(240) + np.uint64(16)).astype(
             np.int64
         )
 
@@ -200,7 +200,7 @@ class FakeAudioDecoder:
     PCM); replace with a real codec where available."""
 
     def decode(self, refs: np.ndarray, n_samples: int = 256) -> np.ndarray:
-        h = hash_strings(refs)
+        h = polyhash_strings(refs)  # SQL-mirrorable (media oracles)
         idx = np.arange(n_samples, dtype=np.uint64)
         w = splitmix64(h[:, None] ^ idx[None, :]) % np.uint64(65536)
         return (w.astype(np.int64) - 32768).astype(np.int16)

@@ -33,6 +33,8 @@ PARITY_QUERIES = [
     "decontaminate",
     "span_kind_counts",
     "per_source_cap",
+    "media_decode",
+    "media_pipeline",
 ]
 
 
