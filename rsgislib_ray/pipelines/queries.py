@@ -4975,3 +4975,111 @@ def q_bloom_semi_join(sf_dir: str):
         td.points_from_orders(sf_dir), t * 13, "pt_id"
     )
     return out.select_columns(["pt_id"])
+
+
+@register(
+    "repetition_stats",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+      FROM w
+    ),
+    tok AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+    tkc AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk),
+    ent AS (
+      SELECT tkc.doc_id,
+        CAST(SUM(CAST(floor(((CAST(c AS DOUBLE) / b.n_words)
+              * ln(CAST(b.n_words AS DOUBLE) / c)) * 1000000000)
+            AS BIGINT)) AS BIGINT) AS entropy_nano
+      FROM tkc JOIN base b ON b.doc_id = tkc.doc_id
+      GROUP BY tkc.doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+        unnest([ws[i] || ' ' || ws[i+1]
+                for i in generate_series(1, greatest(len(ws)-1, 0))]) AS g
+      FROM w
+    ),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    bgt AS (SELECT doc_id, MAX(c) AS top_c FROM bgc GROUP BY doc_id),
+    tg AS (
+      SELECT doc_id,
+        unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                for i in generate_series(1, greatest(len(ws)-2, 0))]) AS g
+      FROM w
+    ),
+    tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g),
+    tgd AS (
+      SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+      FROM tgc GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words, b.n_distinct_words,
+      CAST(b.n_words - b.n_distinct_words AS DOUBLE) / b.n_words
+        AS dup_word_frac,
+      CAST(COALESCE(bgt.top_c, 0) AS BIGINT) AS top_bigram_count,
+      CASE WHEN b.n_words > 1
+           THEN CAST(COALESCE(bgt.top_c, 0) AS DOUBLE) / (b.n_words - 1)
+           ELSE 0.0 END AS top_bigram_frac,
+      CASE WHEN b.n_words > 2
+           THEN CAST(COALESCE(tgd.dup_occ, 0) AS DOUBLE) / (b.n_words - 2)
+           ELSE 0.0 END AS dup_trigram_frac,
+      COALESCE(ent.entropy_nano, 0) AS entropy_nano
+    FROM base b
+    LEFT JOIN bgt USING (doc_id)
+    LEFT JOIN tgd USING (doc_id)
+    LEFT JOIN ent USING (doc_id)
+    """,
+)
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition/diversity quality signals per document
+    (duplicate-word fraction, top-bigram fraction, duplicate-trigram
+    fraction, exact fixed-point unigram entropy) — pure per-doc
+    map_batches, zero shuffles."""
+    from rsgislib_ray.stages.text import repetition_stats
+
+    return repetition_stats(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
+@register(
+    "unigram_lm_score",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vc AS (SELECT term, COUNT(*) AS c FROM w GROUP BY term),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+    lp AS (
+      SELECT term,
+        CAST(floor(ln(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE)) * 1000000)
+          AS BIGINT) AS lp
+      FROM vc CROSS JOIN nn
+    ),
+    s AS (
+      SELECT w.doc_id, CAST(SUM(lp.lp) AS BIGINT) AS lm_sum_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM w JOIN lp ON lp.term = w.term
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_tokens, lm_sum_micro,
+           CAST(lm_sum_micro AS DOUBLE) / n_tokens AS lm_mean_micro
+    FROM s
+    """,
+)
+def q_unigram_lm_score(sf_dir: str):
+    """Self-trained corpus unigram LM score per doc (the CCNet/KenLM
+    perplexity-filter shape): distributed vocabulary counts, broadcast
+    (term → micro-nat log-prob) map, vectorized per-doc integer sums —
+    exact under any parallelism."""
+    from rsgislib_ray.stages.text import unigram_lm_score
+
+    return unigram_lm_score(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )

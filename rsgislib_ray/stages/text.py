@@ -224,3 +224,201 @@ def tfidf_top_terms(
         fn_kwargs={"_blocks": df_blocks},
         batch_format="pyarrow",
     )
+
+
+def _flat_words(col, text_col_table=None):
+    """Flatten a batch's word lists: (flat object array, parent doc
+    index, per-doc word counts)."""
+    from rsgislib_ray.functions.textstats import word_lists
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = word_lists(col)
+    flat = words.flatten().to_numpy(zero_copy_only=False)
+    counts = np.diff(words.offsets.to_numpy(zero_copy_only=False)).astype(
+        np.int64
+    )
+    parent = np.repeat(np.arange(len(words), dtype=np.int64), counts)
+    return flat, parent, counts
+
+
+def repetition_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Gopher-style per-document repetition / diversity signals (Rae et
+    al. 2021 §A1.1 quality heuristics; reference has no text module —
+    this is part of the training-data layer the north rule adds):
+
+    - ``n_words`` / ``n_distinct_words`` and ``dup_word_frac`` —
+      fraction of word occurrences that are repeats;
+    - ``top_bigram_count`` / ``top_bigram_frac`` — occurrences of the
+      most frequent bigram over total bigrams (n_words-1);
+    - ``dup_trigram_frac`` — fraction of trigram occurrences whose
+      trigram appears more than once in the doc;
+    - ``entropy_nano`` — unigram word-distribution entropy in exact
+      fixed-point nano-nats: SUM over distinct words of
+      floor(((c/n) * ln(n/c)) * 1e9), order-independent and bit-equal
+      to the SQL oracle (each term's ln is evaluated with scalar libm).
+
+    Pure per-doc map_batches — no shuffle; all counting is vectorized
+    (pandas C groupby over (doc, gram) pairs, no per-row Python).
+    """
+    import math
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, parent, n_words = _flat_words(batch[text_col])
+        n = len(n_words)
+        ids = batch[id_col]
+
+        dfw = (
+            pd.DataFrame({"d": parent, "w": flat})
+            .groupby(["d", "w"], as_index=False, sort=False)
+            .size()
+        )
+        n_distinct = np.bincount(
+            dfw["d"].to_numpy(), minlength=n
+        ).astype(np.int64)
+
+        # entropy over distinct words — scalar libm ln per UNIQUE
+        # (count, doc_len) pair (few hundred pairs per batch), then a
+        # vectorized int64 scatter-add
+        c = dfw["size"].to_numpy().astype(np.int64)
+        nw = n_words[dfw["d"].to_numpy()]
+        pair = c * 1_000_000 + nw
+        upair, inv = np.unique(pair, return_inverse=True)
+        uvals = np.empty(len(upair), dtype=np.int64)
+        for i, p in enumerate(upair):
+            ci, ni = int(p // 1_000_000), int(p % 1_000_000)
+            uvals[i] = math.floor(((ci / ni) * math.log(ni / ci)) * 1e9)
+        entropy = np.zeros(n, dtype=np.int64)
+        np.add.at(entropy, dfw["d"].to_numpy(), uvals[inv])
+
+        def gram_counts(k: int) -> pd.DataFrame:
+            """(doc, k-gram) occurrence counts, vectorized."""
+            if len(flat) < k:
+                return pd.DataFrame({"d": [], "size": []})
+            g = pd.Series(flat[: len(flat) - k + 1], dtype=object)
+            for j in range(1, k):
+                g = g + " " + pd.Series(flat[j : len(flat) - k + 1 + j], dtype=object)
+            same = parent[: len(flat) - k + 1] == parent[k - 1 :]
+            return (
+                pd.DataFrame(
+                    {"d": parent[: len(flat) - k + 1][same], "g": g.to_numpy()[same]}
+                )
+                .groupby(["d", "g"], as_index=False, sort=False)
+                .size()
+            )
+
+        bgc = gram_counts(2)
+        top_bigram = np.zeros(n, dtype=np.int64)
+        if len(bgc):
+            m = bgc.groupby("d", sort=False)["size"].max()
+            top_bigram[m.index.to_numpy()] = m.to_numpy()
+
+        tgc = gram_counts(3)
+        dup_tri = np.zeros(n, dtype=np.int64)
+        if len(tgc):
+            dups = tgc[tgc["size"] > 1]
+            if len(dups):
+                s = dups.groupby("d", sort=False)["size"].sum()
+                dup_tri[s.index.to_numpy()] = s.to_numpy()
+
+        nb = n_words - 1
+        nt = n_words - 2
+        return pa.table(
+            {
+                id_col: ids,
+                "n_words": n_words,
+                "n_distinct_words": n_distinct,
+                "dup_word_frac": (n_words - n_distinct).astype(np.float64)
+                / n_words,
+                "top_bigram_count": top_bigram,
+                "top_bigram_frac": np.where(
+                    nb > 0, top_bigram.astype(np.float64) / np.maximum(nb, 1), 0.0
+                ),
+                "dup_trigram_frac": np.where(
+                    nt > 0, dup_tri.astype(np.float64) / np.maximum(nt, 1), 0.0
+                ),
+                "entropy_nano": entropy,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def unigram_lm_score(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Corpus unigram language-model score per document (the classic
+    perplexity-style quality filter, e.g. CCNet/KenLM stage, reduced to
+    a self-trained unigram model so it is deterministic and
+    SQL-mirrorable).
+
+    Pass 1 counts word occurrences distributed (per-batch partials +
+    one narrow ``groupby(term).sum`` of the vocabulary); the
+    vocabulary-sized (term → log-prob) map is broadcast via block refs
+    and never lands on the driver. Pass 2 scores each doc vectorized.
+
+    Exactness: per-token log-prob is quantized to int64 micro-nats
+    ``floor(ln(c / N) * 1e6)`` with SCALAR libm ln (bit-identical to
+    DuckDB), so the per-doc sum is an exact integer — associative and
+    order-independent under any parallelism.
+
+    Output: (doc_id, n_tokens, lm_sum_micro, lm_mean_micro).
+    """
+    import math
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, _parent, _counts = _flat_words(batch[text_col])
+        cnt = pd.Series(flat).value_counts()
+        return pa.table(
+            {
+                "term": pa.array(cnt.index.to_numpy(dtype=object), pa.string()),
+                "partial": cnt.to_numpy().astype(np.int64),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("partial")
+    )
+    vocab_blocks = vocab.to_arrow_refs()
+
+    def build_lp(tables: list) -> pd.Series:
+        good = [t for t in tables if t.num_rows]
+        if not good:
+            return pd.Series(dtype=np.int64)
+        t = pa.concat_tables(good)
+        c = t["sum(partial)"].to_numpy().astype(np.int64)
+        total = int(c.sum())
+        lp = np.array(
+            [math.floor(math.log(int(ci) / total) * 1e6) for ci in c],
+            dtype=np.int64,
+        )
+        return pd.Series(lp, index=t["term"].to_numpy(zero_copy_only=False))
+
+    def score(batch: pa.Table, _blocks=None) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached_multi
+
+        lp = cached_multi(_blocks, build_lp)
+        flat, parent, n_tokens = _flat_words(batch[text_col])
+        sums = np.zeros(len(n_tokens), dtype=np.int64)
+        if len(flat):
+            np.add.at(sums, parent, lp[flat].to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": n_tokens,
+                "lm_sum_micro": sums,
+                "lm_mean_micro": sums.astype(np.float64) / n_tokens,
+            }
+        )
+
+    return ds.map_batches(
+        score, fn_kwargs={"_blocks": vocab_blocks}, batch_format="pyarrow"
+    )

@@ -35,6 +35,8 @@ PARITY_QUERIES = [
     "per_source_cap",
     "media_decode",
     "media_pipeline",
+    "repetition_stats",
+    "unigram_lm_score",
 ]
 
 
