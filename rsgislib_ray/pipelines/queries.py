@@ -5083,3 +5083,70 @@ def q_unigram_lm_score(sf_dir: str):
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     )
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (
+      SELECT doc_id, ws,
+        unnest(generate_series(0, (len(ws) + 23) // 24 - 1)) AS ci
+      FROM w
+    )
+    SELECT doc_id,
+      CAST(ci AS BIGINT) AS chunk_id,
+      CAST(ci * 24 AS BIGINT) AS start_word,
+      CAST(least(ci * 24 + 32, len(ws)) AS BIGINT) AS end_word,
+      CAST(least(ci * 24 + 32, len(ws)) - ci * 24 AS BIGINT) AS n_words,
+      array_to_string(ws[ci * 24 + 1 : least(ci * 24 + 32, len(ws))], ' ')
+        AS chunk_text
+    FROM c
+    """,
+)
+def q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (max_len=32, stride=24): the
+    long-document split step before tokenization. One Arrow take +
+    binary_join per batch — vectorized flat-map, zero shuffles."""
+    from rsgislib_ray.stages.text import chunk_documents
+
+    return chunk_documents(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        max_len=32,
+        stride=24,
+    )
+
+
+@register(
+    "shuffle_shards",
+    f"""
+    WITH keys AS (
+      SELECT doc_id, CAST(doc_id * 8 + 3 AS UBIGINT) AS x FROM documents
+    ),
+    {_sm64_chain("doc_id", src="keys")},
+    k AS (
+      SELECT doc_id, CAST(z % 8 AS BIGINT) AS shard,
+             CAST(z % 9223372036854775808 AS BIGINT) AS skey
+      FROM s6
+    )
+    SELECT doc_id, shard, skey,
+      CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1
+        AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global corpus shuffle into 8 training shards with
+    exact in-shard positions: splitmix64 keys, ONE range shuffle
+    (sort), two-level prefix scan for the global ranks (O(blocks ×
+    shards) driver state)."""
+    from rsgislib_ray.stages.packing import shuffle_shards
+
+    return shuffle_shards(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ),
+        n_shards=8,
+    )

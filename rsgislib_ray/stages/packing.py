@@ -112,3 +112,105 @@ def assign_packed_bins(
     return from_arrow_refs(per_block).map_batches(
         tag, batch_format="pyarrow", batch_size=None
     )
+
+
+def shuffle_shards(
+    ds: ray.data.Dataset,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: int = 3,
+) -> ray.data.Dataset:
+    """Deterministic global corpus shuffle into training shards.
+
+    Every doc gets a pseudorandom uint64 key ``splitmix64(id*8+seed)``;
+    ``shard = key % n_shards`` and ``pos`` is the doc's rank inside its
+    shard ordered by ``(key, id)`` — i.e. the (shard, position) layout
+    a training loader would read, reproducible across runs and cluster
+    sizes.
+
+    Scale shape: the rank needs a global order per shard, which is ONE
+    range shuffle (``ds.sort`` on (shard, key, id)); the cross-block
+    prefix is the same two-level scan as :func:`assign_packed_bins` —
+    per-block per-shard counts (O(blocks × shards) ints) are
+    exclusive-scanned on the driver and broadcast back, so no data
+    re-shuffles and nothing corpus-sized lands on the driver.
+    """
+    from rsgislib_ray.functions.hashing import splitmix64
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        z = splitmix64((ids * 8 + seed).astype(np.uint64))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "shard": (z % np.uint64(n_shards)).astype(np.int64),
+                "skey": (z % np.uint64(1 << 63)).astype(np.int64),
+            }
+        )
+
+    srt = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .sort(["shard", "skey", id_col])
+    )
+    refs = list(srt.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def summarize(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        sh = tbl["shard"].to_numpy()
+        first = (
+            int(sh[0]),
+            int(tbl["skey"].to_numpy()[0]),
+            int(tbl[id_col].to_numpy()[0]),
+        )
+        return first, np.bincount(sh, minlength=n_shards).astype(np.int64)
+
+    sums = [s for s in ray.get([summarize.remote(r) for r in refs]) if s]
+    bases: dict = {}
+    acc = np.zeros(n_shards, dtype=np.int64)
+    for i in sorted(range(len(sums)), key=lambda j: sums[j][0]):
+        bases[sums[i][0]] = acc.copy()
+        acc = acc + sums[i][1]
+    base_ref = ray.put(bases)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                    "skey": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        table_bases = cached(base_ref)
+        sh = batch["shard"].to_numpy()
+        first = (
+            int(sh[0]),
+            int(batch["skey"].to_numpy()[0]),
+            int(batch[id_col].to_numpy()[0]),
+        )
+        base = table_bases[first]
+        newrun = np.concatenate([[True], sh[1:] != sh[:-1]])
+        run_starts = np.flatnonzero(newrun)
+        run_lens = np.diff(np.concatenate([run_starts, [len(sh)]]))
+        within = np.arange(len(sh), dtype=np.int64) - np.repeat(
+            run_starts, run_lens
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "shard": batch["shard"],
+                "skey": batch["skey"],
+                "pos": base[sh] + within,
+            }
+        )
+
+    from ray.data import from_arrow_refs
+
+    return from_arrow_refs(refs).map_batches(
+        tag, batch_format="pyarrow", batch_size=None
+    )

@@ -422,3 +422,71 @@ def unigram_lm_score(
     return ds.map_batches(
         score, fn_kwargs={"_blocks": vocab_blocks}, batch_format="pyarrow"
     )
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    max_len: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Token-window chunking for training: split each document's
+    whitespace token stream into overlapping windows of ``max_len``
+    words starting every ``stride`` words (the standard long-document
+    pre-tokenization split). One chunk row per window:
+    (doc_id, chunk_id, start_word, end_word, n_words, chunk_text).
+
+    Fully vectorized flat-map: chunk word ranges are gathered with one
+    Arrow ``take`` over the flattened word array and re-joined with
+    ``pc.binary_join`` — no per-row Python. Pure per-doc expansion,
+    zero shuffles.
+    """
+    import pyarrow.compute as pc
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.functions.textstats import word_lists
+
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = word_lists(col)
+        flat_arr = words.flatten()
+        word_offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(word_offs)
+        ids = batch[id_col].to_numpy()
+
+        n_chunks = (counts + stride - 1) // stride
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
+        cstarts = np.cumsum(n_chunks) - n_chunks
+        ci = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+            cstarts, n_chunks
+        )
+        start = ci * stride
+        end = np.minimum(start + max_len, counts[doc_idx])
+        lens = end - start
+
+        base = word_offs[doc_idx] + start
+        total = int(lens.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        gidx = np.repeat(base, lens) + within
+        taken = flat_arr.take(pa.array(gidx, pa.int64()))
+        if isinstance(taken, pa.ChunkedArray):
+            taken = taken.combine_chunks()
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(lens)]), pa.int32()), taken
+        )
+        return pa.table(
+            {
+                id_col: ids[doc_idx],
+                "chunk_id": ci,
+                "start_word": start,
+                "end_word": end,
+                "n_words": lens,
+                "chunk_text": pc.binary_join(la, " "),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

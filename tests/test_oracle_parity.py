@@ -37,6 +37,8 @@ PARITY_QUERIES = [
     "media_pipeline",
     "repetition_stats",
     "unigram_lm_score",
+    "chunk_documents",
+    "shuffle_shards",
 ]
 
 

@@ -59,3 +59,57 @@ def test_packing_bins_respect_budget(ray_session):
     ).all()
     total = out["n_tokens"].sum()
     assert out["start_offset"].max() < total
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 8])
+def test_shuffle_shards_partition_independent(ray_session, blocks):
+    """shard/pos layout must be identical under any input block layout
+    and must be a valid permutation: per shard, positions are exactly
+    0..count-1 ordered by (skey, doc_id)."""
+    from rsgislib_ray.stages.packing import shuffle_shards
+
+    tbl = pa.table({"doc_id": np.arange(400, dtype=np.int64)})
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    out = (
+        shuffle_shards(ds, n_shards=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 400
+    for sh, grp in out.groupby("shard"):
+        g = grp.sort_values(["skey", "doc_id"])
+        assert (g["pos"].to_numpy() == np.arange(len(g))).all()
+    # layout invariant across block counts: compare against 1 block
+    base = (
+        shuffle_shards(ray.data.from_arrow(tbl), n_shards=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out[["shard", "skey", "pos"]].to_numpy()
+            == base[["shard", "skey", "pos"]].to_numpy()).all()
+
+
+def test_chunk_documents_reconstruction(ray_session):
+    """Stride-window chunks must tile each doc: first chunk starts at 0,
+    starts advance by stride, last chunk ends at n_words, and each
+    chunk_text round-trips the original words."""
+    from rsgislib_ray.stages.text import chunk_documents
+
+    tbl = _corpus(n=60, seed=9)
+    out = (
+        chunk_documents(ray.data.from_arrow(tbl), max_len=16, stride=10)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    for did, grp in out.groupby("doc_id"):
+        words = tbl["text"][did].as_py().split(" ")
+        n = len(words)
+        assert grp["start_word"].iloc[0] == 0
+        assert (np.diff(grp["start_word"].to_numpy()) == 10).all()
+        assert grp["end_word"].iloc[-1] == n
+        for _, r in grp.iterrows():
+            assert r["chunk_text"] == " ".join(
+                words[r["start_word"]: r["end_word"]]
+            )
