@@ -5150,3 +5150,58 @@ def q_shuffle_shards(sf_dir: str):
         ),
         n_shards=8,
     )
+
+
+@register(
+    "semantic_dedup",
+    """
+    WITH RECURSIVE c AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      ORDER BY vec_id LIMIT 8
+    ),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(e.embedding, c.embedding) AS sim
+      FROM embeddings e CROSS JOIN c
+    ),
+    asg AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid ASC) AS rn
+        FROM sims) WHERE rn = 1
+    ),
+    p AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      JOIN asg ca ON ca.vec_id = a.vec_id
+      JOIN asg cb ON cb.vec_id = b.vec_id
+      WHERE ca.cluster = cb.cluster
+        AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    ),
+    e2 AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+    reach(u, v) AS (
+      SELECT vec_id AS u, vec_id AS v FROM embeddings
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e2 ON e2.u = r.v
+    ),
+    lbl AS (SELECT u AS vec_id, MIN(v) AS rep_id FROM reach GROUP BY u)
+    SELECT a.vec_id, a.cluster, l.rep_id,
+           (l.rep_id = a.vec_id) AS keep
+    FROM asg a JOIN lbl l ON l.vec_id = a.vec_id
+    """,
+)
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic dedup over the embeddings table:
+    deterministic 8-way quantizer (lowest-id centroids), within-cluster
+    cosine pairs >= 0.4, min-id components. Threshold and argmax
+    margins on this data are >= 4e-5 — far above the float-kernel
+    divergence between numpy and DuckDB — so membership is exact."""
+    from rsgislib_ray.stages.ann import semantic_dedup
+
+    return semantic_dedup(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        n_clusters=8,
+        threshold=0.4,
+    )

@@ -357,3 +357,111 @@ def embedding_near_dup(
         )
 
     return embeddings.map_batches(pairs, batch_format="pyarrow", batch_size=4096)
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): quantize the embedding space into clusters, find
+    cosine near-duplicate pairs WITHIN each cluster only, connect them
+    into components and keep the min-id representative per component.
+
+    Deterministic quantizer: the centroids are the normalized
+    embeddings of the ``n_clusters`` smallest ids (fixed,
+    non-iterative) so the whole operator is SQL-mirrorable; swap in
+    :func:`ivf_topk`'s k-means quantizer when oracle exactness isn't
+    required. Assignment ties break to the lowest centroid id (argmax
+    keeps the first maximum; centroids are id-ordered).
+
+    Scale shape mirrors :func:`embedding_near_dup` + minhash_dedup's
+    labeling: the normalized matrix + cluster assignment are built once
+    per worker from block refs (never on the driver), pair emission is
+    a blocked same-cluster masked matmul, only the CONTRACTED verified
+    pair list reaches the driver for union-find, and the final label
+    sweep is a broadcast-map over the corpus.
+
+    Returns (vec_id, cluster, rep_id, keep).
+    """
+    refs = embeddings.select_columns([id_col, vec_col]).to_arrow_refs()
+
+    def build_state(tables: list):
+        full = pa.concat_tables([t for t in tables if t.num_rows])
+        ids = full[id_col].to_numpy().astype(np.int64)
+        Mn = _normalize(_to_matrix(full[vec_col]))
+        order = np.argsort(ids, kind="stable")[:n_clusters]
+        cent_ids = ids[order]
+        C = Mn[order]
+        cl = cent_ids[np.argmax(Mn @ C.T, axis=1)]
+        return ids, Mn, cl, C, cent_ids
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached_multi
+
+        ids_all, Mn, cl_all, C, cent_ids = cached_multi(refs, build_state)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        B = _normalize(_to_matrix(batch[vec_col]))
+        bcl = cent_ids[np.argmax(B @ C.T, axis=1)]
+        sims = B @ Mn.T
+        bi, ai = np.nonzero(sims >= threshold)
+        keep = (ids[bi] < ids_all[ai]) & (bcl[bi] == cl_all[ai])
+        return pa.table(
+            {
+                "u": pa.array(ids[bi[keep]], pa.int64()),
+                "v": pa.array(ids_all[ai[keep]], pa.int64()),
+            }
+        )
+
+    pdf = (
+        embeddings.map_batches(pairs, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for u, v in zip(pdf["u"], pdf["v"]):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            lo, hi = (ru, rv) if ru <= rv else (rv, ru)
+            parent[hi] = lo
+
+    keys = np.array(sorted(parent.keys()), dtype=np.int64)
+    vals = np.array([find(int(k)) for k in keys], dtype=np.int64)
+    root_ref = ray.put((keys, vals))
+
+    def label(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached, cached_multi
+
+        _ids_all, _Mn, _cl_all, C, cent_ids = cached_multi(refs, build_state)
+        kk, vv = cached(root_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        B = _normalize(_to_matrix(batch[vec_col]))
+        bcl = cent_ids[np.argmax(B @ C.T, axis=1)]
+        rep = ids.copy()
+        if len(kk):
+            pos = np.minimum(np.searchsorted(kk, ids), len(kk) - 1)
+            hit = kk[pos] == ids
+            rep[hit] = vv[pos[hit]]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": pa.array(bcl),
+                "rep_id": pa.array(rep),
+                "keep": pa.array(rep == ids),
+            }
+        )
+
+    return embeddings.map_batches(
+        label, batch_format="pyarrow", batch_size=4096
+    )

@@ -39,6 +39,7 @@ PARITY_QUERIES = [
     "unigram_lm_score",
     "chunk_documents",
     "shuffle_shards",
+    "semantic_dedup",
 ]
 
 
