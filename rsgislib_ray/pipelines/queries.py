@@ -5205,3 +5205,170 @@ def q_semantic_dedup(sf_dir: str):
         n_clusters=8,
         threshold=0.4,
     )
+
+
+@register(
+    "raster_pyramid",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    lv AS (SELECT g.range AS level FROM range(0, 3) g),
+    m AS (
+      SELECT lv.level,
+        CAST(floor(c.x) AS BIGINT) // (1 << lv.level) AS px,
+        CAST(floor(c.y) AS BIGINT) // (1 << lv.level) AS py,
+        COUNT(*) AS n_cells, SUM(c.val_cents) AS sum_val
+      FROM cells c CROSS JOIN lv
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(level AS BIGINT) AS level, px, py,
+      CAST(n_cells AS BIGINT) AS n_cells,
+      CAST(sum_val AS BIGINT) AS sum_val,
+      CAST(sum_val AS DOUBLE) / n_cells AS mean_val
+    FROM m
+    """,
+)
+def q_raster_pyramid(sf_dir: str):
+    """Overview pyramid (imageutils.gen_overviews shape): levels 0-2 of
+    2x-coarser pixel aggregates with exact int sums — per-batch
+    multi-level partials before ONE narrow groupby shuffle."""
+    from rsgislib_ray.stages.raster import build_pyramid
+
+    return build_pyramid(td.cells_from_lineitem(sf_dir), levels=3)
+
+
+@register(
+    "class_change_matrix",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}), zones AS ({td.SQL_ZONES}),
+    -- cell_key is NOT unique in the synthetic lineitem; burn per ROW
+    cells2 AS (SELECT row_number() OVER () AS rid, * FROM cells),
+    burn AS (
+      SELECT c.rid, c.qty, COALESCE(MAX(z.fid), 0) AS fid
+      FROM cells2 c LEFT JOIN zones z
+        ON c.x > z.xmin AND c.x < z.xmax
+       AND c.y > z.ymin AND c.y < z.ymax
+      GROUP BY c.rid, c.qty
+    ),
+    cls AS (
+      SELECT CASE WHEN fid = 0 THEN -1 ELSE fid % 5 END AS class_a,
+             qty % 5 AS class_b
+      FROM burn
+    ),
+    m AS (
+      SELECT class_a, class_b, COUNT(*) AS n_cells
+      FROM cls GROUP BY class_a, class_b
+    )
+    SELECT CAST(class_a AS BIGINT) AS class_a,
+           CAST(class_b AS BIGINT) AS class_b,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(n_cells AS DOUBLE)
+             / SUM(n_cells) OVER (PARTITION BY class_a) AS row_frac
+    FROM m
+    """,
+)
+def q_class_change_matrix(sf_dir: str):
+    """Class change / contingency matrix between a vector-derived class
+    layer (last-wins zone burn % 5, background -1) and a measured class
+    layer (qty % 5) — the rastergis change-matrix shape
+    (calc_change_stats): broadcast-zone burn + per-batch 2D partial
+    counts + one tiny groupby; row fractions computed on the ~30-row
+    contingency table."""
+    from rsgislib_ray.stages.raster import rasterize_zones, RasterGrid
+
+    cells = td.cells_from_lineitem(sf_dir)
+    grid = RasterGrid(0.0, 100.0, 1.0, 1.0, 100, 100)
+    burned = rasterize_zones(
+        cells, td.zones_from_part(sf_dir), grid,
+        burn_attr="fid", background=0.0, x_col="x", y_col="y",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        fid = batch["burn"].to_numpy().astype(np.int64)
+        ca = np.where(fid == 0, -1, fid % 5)
+        cb = batch["qty"].to_numpy().astype(np.int64) % 5
+        g = (
+            pd.DataFrame({"class_a": ca, "class_b": cb})
+            .groupby(["class_a", "class_b"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "class_a": g["class_a"].to_numpy(),
+                "class_b": g["class_b"].to_numpy(),
+                "n_partial": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        t = partial(batch)
+        return pa.table(
+            {
+                "k": t["class_a"].to_numpy() * 1000 + t["class_b"].to_numpy(),
+                "n_partial": t["n_partial"],
+            }
+        )
+
+    agg = (
+        burned.map_batches(key_partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("n_partial")
+    )
+    tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in agg.to_arrow_refs()) if t.num_rows]
+    )
+    k = tbl["k"].to_numpy()
+    ca = np.floor_divide(k, 1000)
+    # -1 class packs to negative keys: floor-div/mod keep class_b >= 0
+    cb = np.mod(k, 1000)
+    n = tbl["sum(n_partial)"].to_numpy().astype(np.int64)
+    import pandas as pd
+
+    df = pd.DataFrame({"class_a": ca, "class_b": cb, "n_cells": n})
+    tot = df.groupby("class_a")["n_cells"].transform("sum").to_numpy()
+    df["row_frac"] = df["n_cells"].to_numpy().astype(np.float64) / tot
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+@register(
+    "event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+      CAST(v.user_id IS NOT NULL AS BIGINT)
+        + CAST(c.user_id IS NOT NULL AS BIGINT)
+        + CAST(p.user_id IS NOT NULL AS BIGINT) AS steps_completed
+    FROM u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+)
+def q_event_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel per user, strictly
+    increasing timestamps: vectorized iterative min-aggregation (one
+    narrow per-user shuffle per step + broadcast step maps), no
+    per-user Python."""
+    from rsgislib_ray.stages.events import event_funnel
+
+    return event_funnel(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        )
+    )

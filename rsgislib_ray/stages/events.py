@@ -236,3 +236,101 @@ def interval_join_broadcast(
         return out.append_column(out_col, pa.array(sid[ii[ok]], pa.int64()))
 
     return ds.map_batches(join, batch_format="pyarrow")
+
+
+def event_funnel(
+    events: ray.data.Dataset,
+    steps: tuple = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Ordered funnel: per user, the earliest time of step 1, the
+    earliest step-2 event STRICTLY after it, the earliest step-3 event
+    strictly after that, and the number of steps completed.
+
+    Fully vectorized iterative shape (no per-user Python): each step is
+    a per-batch partial-min (filtered against the broadcast previous
+    step map) + one narrow ``groupby(user).min`` of per-user partials;
+    the per-user step table is broadcast via block refs to the next
+    step and to the final assembly sweep. len(steps) narrow shuffles
+    of per-user partials total — nothing corpus-sized on the driver.
+    """
+    import pyarrow.compute as pc
+
+    from rsgislib_ray.state.broadcast import cached_multi
+
+    def build_map(tables: list) -> pd.Series:
+        good = [t for t in tables if t.num_rows]
+        if not good:
+            return pd.Series(dtype=np.int64)
+        t = pa.concat_tables(good)
+        return pd.Series(
+            t["min(t)"].to_numpy().astype(np.int64),
+            index=t[user_col].to_numpy(),
+        )
+
+    step_blocks: list = []
+    for si, step in enumerate(steps):
+        prev_blocks = step_blocks[-1] if step_blocks else None
+
+        def partial(
+            batch: pa.Table, _step=step, _prev=prev_blocks
+        ) -> pa.Table:
+            m = pc.equal(batch[type_col], _step)
+            sub = batch.filter(m)
+            u = sub[user_col].to_numpy()
+            t = sub[ts_col].cast(pa.int64()).to_numpy()
+            if _prev is not None:
+                pm = cached_multi(_prev, build_map)
+                pv = pm.reindex(u).to_numpy()
+                keep = ~np.isnan(pv) & (t > pv)
+                u, t = u[keep], t[keep]
+            g = (
+                pd.DataFrame({user_col: u, "t": t})
+                .groupby(user_col, as_index=False)["t"]
+                .min()
+            )
+            return pa.table(
+                {
+                    user_col: g[user_col].to_numpy(),
+                    "t": g["t"].to_numpy().astype(np.int64),
+                }
+            )
+
+        agg = (
+            events.map_batches(partial, batch_format="pyarrow")
+            .groupby(user_col)
+            .min("t")
+        )
+        step_blocks.append(agg.to_arrow_refs())
+
+    def users_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch[user_col].to_numpy())
+        return pa.table({user_col: u})
+
+    users = (
+        events.map_batches(users_partial, batch_format="pyarrow")
+        .groupby(user_col)
+        .count()
+    )
+
+    def assemble(batch: pa.Table, _blocks=None) -> pa.Table:
+        u = batch[user_col].to_numpy()
+        cols = {user_col: pa.array(u)}
+        done = np.zeros(len(u), dtype=np.int64)
+        for step, blocks in zip(steps, _blocks):
+            m = cached_multi(blocks, build_map)
+            v = m.reindex(u).to_numpy()
+            ok = ~np.isnan(v)
+            done += ok.astype(np.int64)
+            ts = np.where(ok, v, 0).astype(np.int64)
+            cols[f"t_{step}"] = pa.Array.from_pandas(
+                ts, mask=~ok, type=pa.int64()
+            ).cast(pa.timestamp("us"))
+        cols["steps_completed"] = pa.array(done)
+        return pa.table(cols)
+
+    return users.select_columns([user_col]).map_batches(
+        assemble, fn_kwargs={"_blocks": step_blocks}, batch_format="pyarrow"
+    )

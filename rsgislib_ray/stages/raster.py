@@ -329,3 +329,75 @@ def images_equal(
         "n_diff": int(bad.sum()),
         "max_abs_diff": float(np.nanmax(diff)) if len(m) else 0.0,
     }
+
+
+def build_pyramid(
+    cells: ray.data.Dataset,
+    levels: int = 3,
+    value_col: str = "val_cents",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Image pyramid / overview levels (reference
+    imageutils.gen_overviews + pop_img_stats shape,
+    imageutils/__init__.py): aggregate point-cells into a base 1-unit
+    pixel grid (level 0) and 2x-coarser levels by exact integer sums.
+
+    One pass: each batch emits per-(level, pixel) partial rows for ALL
+    levels (a cell contributes to `levels` rows), pre-reduced with a
+    vectorized pandas groupby BEFORE the single narrow
+    groupby-aggregate shuffle of pixel partials — the
+    partial-before-shuffle pattern. Output per (level, px, py):
+    n_cells, sum (exact int64) and mean (= sum/n, bit-stable).
+    """
+    import pandas as pd
+
+    # pack (level, px, py) into one int64 key: px,py < 2^20, level < 16
+    def partial(batch: pa.Table) -> pa.Table:
+        px0 = np.floor(batch[x_col].to_numpy()).astype(np.int64)
+        py0 = np.floor(batch[y_col].to_numpy()).astype(np.int64)
+        v = batch[value_col].to_numpy().astype(np.int64)
+        frames = []
+        for lvl in range(levels):
+            key = (
+                (np.int64(lvl) << np.int64(40))
+                | ((px0 >> lvl) << np.int64(20))
+                | (py0 >> lvl)
+            )
+            g = (
+                pd.DataFrame({"k": key, "v": v})
+                .groupby("k", as_index=False)
+                .agg(n=("v", "size"), s=("v", "sum"))
+            )
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "k": out["k"].to_numpy(),
+                "n_partial": out["n"].to_numpy().astype(np.int64),
+                "s_partial": out["s"].to_numpy().astype(np.int64),
+            }
+        )
+
+    agg = (
+        cells.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum(["n_partial", "s_partial"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy()
+        n = batch["sum(n_partial)"].to_numpy().astype(np.int64)
+        s = batch["sum(s_partial)"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "level": (k >> np.int64(40)),
+                "px": (k >> np.int64(20)) & np.int64((1 << 20) - 1),
+                "py": k & np.int64((1 << 20) - 1),
+                "n_cells": n,
+                "sum_val": s,
+                "mean_val": s.astype(np.float64) / n,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

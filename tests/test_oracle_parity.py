@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-TABLES = ["documents", "embeddings"]
+TABLES = ["documents", "embeddings", "lineitem", "part", "events"]
 
 # Queries whose engine output and DuckDB oracle must agree exactly.
 PARITY_QUERIES = [
@@ -40,6 +40,9 @@ PARITY_QUERIES = [
     "chunk_documents",
     "shuffle_shards",
     "semantic_dedup",
+    "raster_pyramid",
+    "class_change_matrix",
+    "event_funnel",
 ]
 
 
