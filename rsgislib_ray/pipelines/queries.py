@@ -5372,3 +5372,57 @@ def q_event_funnel(sf_dir: str):
             columns=["user_id", "ts", "event_type"],
         )
     )
+
+
+_PR_ITER = """
+  SELECT n.node, 150000 + COALESCE(SUM(p.pr * 85 // 400), 0) AS pr
+  FROM {prev} n
+  LEFT JOIN e ON e.v = n.node
+  LEFT JOIN {prev} p ON p.node = e.u
+  GROUP BY n.node
+"""
+
+
+@register(
+    "pagerank_knn",
+    f"""
+    WITH base AS ({td.SQL_BASE_PTS}),
+    d AS (
+      SELECT a.base_id AS u, b.base_id AS v,
+        row_number() OVER (PARTITION BY a.base_id
+          ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y),
+                   b.base_id) AS rn
+      FROM base a JOIN base b ON a.base_id <> b.base_id
+    ),
+    e AS (SELECT u, v FROM d WHERE rn <= 4),
+    p0 AS (SELECT base_id AS node, CAST(1000000 AS BIGINT) AS pr FROM base),
+    i1 AS ({_PR_ITER.format(prev="p0")}),
+    i2 AS ({_PR_ITER.format(prev="i1")}),
+    i3 AS ({_PR_ITER.format(prev="i2")})
+    SELECT node, CAST(pr AS BIGINT) AS pr FROM i3
+    """,
+)
+def q_pagerank_knn(sf_dir: str):
+    """Integer-exact PageRank (3 iterations, damping 0.85 in micro-unit
+    floor arithmetic) over the 4-NN directed graph of the customer
+    points: kNN edges via the broadcast-index join, one narrow
+    per-target groupby per iteration, broadcast rank vector. Exact, so
+    the oracle unrolls the iterations in SQL."""
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.graph import knn_edges, pagerank
+
+    keys = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )["c_custkey"].to_numpy()
+    tbl = pa.table(
+        {
+            "base_id": pa.array(keys, pa.int64()),
+            "x": ((keys * 3571) % 10000) / 100.0 + 0.005,
+            "y": ((keys * 9901) % 10000) / 100.0 + 0.005,
+        }
+    )
+    edges = knn_edges(
+        td.base_points_from_customer(sf_dir), tbl, k=4
+    )
+    return pagerank(edges, keys, outdeg=4, iters=3)

@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-TABLES = ["documents", "embeddings", "lineitem", "part", "events"]
+TABLES = ["documents", "embeddings", "lineitem", "part", "events", "customer"]
 
 # Queries whose engine output and DuckDB oracle must agree exactly.
 PARITY_QUERIES = [
@@ -43,6 +43,7 @@ PARITY_QUERIES = [
     "raster_pyramid",
     "class_change_matrix",
     "event_funnel",
+    "pagerank_knn",
 ]
 
 
