@@ -112,6 +112,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "token_count",
         "ann_topk",
         "clump_components",
+        # round-2 training-data / graph additions
+        "repetition_stats",
+        "unigram_lm_score",
+        "chunk_documents",
+        "shuffle_shards",
+        "semantic_dedup",
+        "raster_pyramid",
+        "event_funnel",
+        "pagerank_knn",
         # shuffle-heavy strategies LAST: their sort/join stages leave a
         # large idle-worker pool behind that breaks the per-process
         # broadcast-cache locality of later broadcast-path queries

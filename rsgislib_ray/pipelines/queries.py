@@ -5426,3 +5426,49 @@ def q_pagerank_knn(sf_dir: str):
         td.base_points_from_customer(sf_dir), tbl, k=4
     )
     return pagerank(edges, keys, outdeg=4, iters=3)
+
+
+@register(
+    "zonal_winsorized",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}), zones AS ({td.SQL_ZONES}),
+    j AS (
+      SELECT z.fid, c.qty FROM zones z JOIN cells c
+        ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+    ),
+    q AS (
+      SELECT fid, quantile_cont(qty, 0.05) AS lo,
+                  quantile_cont(qty, 0.95) AS hi
+      FROM j GROUP BY fid
+    ),
+    agg AS (
+      SELECT j.fid,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN j.qty >= q.lo AND j.qty <= q.hi
+                 THEN j.qty ELSE 0 END) AS BIGINT) AS s_int,
+        CAST(SUM(CASE WHEN j.qty < q.lo THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_lo,
+        CAST(SUM(CASE WHEN j.qty > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hi,
+        ANY_VALUE(q.lo) AS lo, ANY_VALUE(q.hi) AS hi
+      FROM j JOIN q ON q.fid = j.fid GROUP BY j.fid
+    )
+    SELECT z.fid,
+      COALESCE(a.n, 0) AS n_cells,
+      COALESCE((CAST(a.s_int AS DOUBLE) + a.n_lo * a.lo + a.n_hi * a.hi)
+               / a.n, -9999.0) AS wins_mean
+    FROM zones z LEFT JOIN agg a ON a.fid = z.fid
+    """,
+)
+def q_zonal_winsorized(sf_dir: str):
+    """Winsorized per-zone mean (values clamped to the zone's exact
+    5th/95th histogram percentiles): robust-stat companion to
+    zonal_percentiles — exact integer interior sums + one fixed float
+    expression, so the quantile_cont oracle matches bit-for-bit."""
+    from rsgislib_ray.stages.zonal import zonal_winsorized_mean
+
+    return zonal_winsorized_mean(
+        td.cells_from_lineitem(sf_dir),
+        td.zones_from_part(sf_dir),
+        "qty",
+    )

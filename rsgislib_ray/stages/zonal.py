@@ -678,3 +678,101 @@ def isodata_cluster(
         )
 
     return cells.map_batches(assign, batch_format="pyarrow")
+
+
+def zonal_winsorized_mean(
+    cells: ray.data.Dataset,
+    zones_tbl: pa.Table,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_no_data: float = -9999.0,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> pa.Table:
+    """Robust per-zone winsorized mean: cell values clamped to the
+    zone's [lower, upper] exact-histogram percentiles before averaging
+    (the robust-stat companion to populate_rat_with_percentiles,
+    RSGISPopRATWithStats.cpp:513-558).
+
+    Exactness: the interior sum and the above/below counts are exact
+    integers from the per-(zone, value) histogram partials, and the
+    mean is one fixed float expression
+    ``(s_int + n_lo*lo + n_hi*hi) / n`` — so a SQL oracle using
+    quantile_cont + the same expression matches bit-for-bit. Integer
+    value columns required (same contract as the rest of this module).
+    """
+    ref = broadcast_zones(zones_tbl)
+    partials = cells.map_batches(
+        _value_count_partial,
+        fn_kwargs={
+            "zones_ref": ref,
+            "value_col": value_col,
+            "x_col": x_col,
+            "y_col": y_col,
+        },
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    vc = (
+        partials.to_pandas()
+        .groupby(["fid", "val"], as_index=False)["n"]
+        .sum()
+        .sort_values(["fid", "val"])
+        .reset_index(drop=True)
+    )
+    vals = vc["val"].to_numpy().astype(np.float64)
+    counts = vc["n"].to_numpy().astype(np.int64)
+    fids_v = vc["fid"].to_numpy()
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(fids_v)) + 1])
+    run_len = np.diff(np.concatenate([starts, [len(fids_v)]]))
+    run_fid = fids_v[starts]
+    totals = np.add.reduceat(counts, starts)
+    cum = np.cumsum(counts)
+    off = cum[starts] - counts[starts]
+    run_id = np.repeat(np.arange(len(starts)), run_len)
+
+    def kth(k: np.ndarray) -> np.ndarray:
+        return vals[np.searchsorted(cum, off + k, side="left")]
+
+    def pctl(q: float) -> np.ndarray:
+        pos = (totals - 1) * q
+        lo_i = np.floor(pos)
+        frac = pos - lo_i
+        lo_v = kth(lo_i.astype(np.int64) + 1)
+        hi_v = kth(np.ceil(pos).astype(np.int64) + 1)
+        return lo_v + (hi_v - lo_v) * frac
+
+    lo = pctl(lower)
+    hi = pctl(upper)
+    lo_x, hi_x = lo[run_id], hi[run_id]
+    ivals = vals.astype(np.int64)
+    interior = (vals >= lo_x) & (vals <= hi_x)
+    s_int = np.add.reduceat(
+        np.where(interior, ivals * counts, 0), starts
+    ).astype(np.int64)
+    n_lo = np.add.reduceat(
+        np.where(vals < lo_x, counts, 0), starts
+    ).astype(np.int64)
+    n_hi = np.add.reduceat(
+        np.where(vals > hi_x, counts, 0), starts
+    ).astype(np.int64)
+    wins = (s_int.astype(np.float64) + n_lo * lo + n_hi * hi) / totals
+
+    base = pd.DataFrame({"fid": zones_tbl["fid"].to_numpy()})
+    out = base.merge(
+        pd.DataFrame(
+            {
+                "fid": run_fid.astype(np.int64),
+                "n_cells": totals.astype(np.int64),
+                "wins_mean": wins,
+            }
+        ),
+        on="fid",
+        how="left",
+    )
+    out["n_cells"] = out["n_cells"].fillna(0).astype(np.int64)
+    out["wins_mean"] = out["wins_mean"].fillna(out_no_data)
+    return pa.Table.from_pandas(
+        out.sort_values("fid").reset_index(drop=True), preserve_index=False
+    )

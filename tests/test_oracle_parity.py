@@ -44,6 +44,7 @@ PARITY_QUERIES = [
     "class_change_matrix",
     "event_funnel",
     "pagerank_knn",
+    "zonal_winsorized",
 ]
 
 
