@@ -5472,3 +5472,56 @@ def q_zonal_winsorized(sf_dir: str):
         td.zones_from_part(sf_dir),
         "qty",
     )
+
+
+def _pmi_pairs_sql(d: int) -> str:
+    return f"""
+      SELECT unnest([
+        CASE WHEN ws[i] <= ws[i+{d}]
+             THEN ws[i] || ' ' || ws[i+{d}]
+             ELSE ws[i+{d}] || ' ' || ws[i] END
+        for i in generate_series(1, greatest(len(ws)-{d}, 0))]) AS pair
+      FROM w
+    """
+
+
+@register(
+    "token_pmi",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pr AS ({_pmi_pairs_sql(1)} UNION ALL {_pmi_pairs_sql(2)}
+           UNION ALL {_pmi_pairs_sql(3)}),
+    pc AS (SELECT pair, COUNT(*) AS c_xy FROM pr GROUP BY pair),
+    tok AS (SELECT unnest(ws) AS t FROM w),
+    tc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    nn AS (SELECT SUM(c) AS n FROM tc),
+    pp AS (SELECT SUM(c_xy) AS p FROM pc),
+    f AS (
+      SELECT string_split(pair, ' ')[1] AS tok_a,
+             string_split(pair, ' ')[2] AS tok_b, c_xy
+      FROM pc WHERE c_xy >= 5
+    )
+    SELECT f.tok_a, f.tok_b, CAST(f.c_xy AS BIGINT) AS n_pairs,
+      CAST(floor(ln(CAST(f.c_xy * nn.n * nn.n AS DOUBLE)
+                    / CAST(pp.p * ta.c * tb.c AS DOUBLE)) * 1000000)
+        AS BIGINT) AS pmi_micro
+    FROM f
+    JOIN tc ta ON ta.t = f.tok_a
+    JOIN tc tb ON tb.t = f.tok_b
+    CROSS JOIN nn CROSS JOIN pp
+    """,
+)
+def q_token_pmi(sf_dir: str):
+    """Within-window (w=3) token-pair PMI over the corpus in exact
+    micro-nats: two partial-count passes + narrow groupbys, broadcast
+    vocabulary map, scalar-libm ln over float-cast exact integer
+    products."""
+    from rsgislib_ray.stages.text import token_pmi
+
+    return token_pmi(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        window=3,
+        min_count=5,
+    )

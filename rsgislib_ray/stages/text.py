@@ -490,3 +490,129 @@ def chunk_documents(
         )
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def token_pmi(
+    ds: ray.data.Dataset,
+    window: int = 3,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Pointwise mutual information of token pairs co-occurring within
+    ``window`` positions (the word2vec/GloVe-era corpus statistic):
+    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with p(a,b) = c_ab / P over
+    unordered within-window pairs and p(a) = c_a / N over tokens.
+
+    Distributed shape: token counts and pair counts are per-batch
+    partials finished by two narrow groupby-sums; the vocabulary-sized
+    token-count map broadcasts into the final scoring map. PMI is
+    emitted in int64 micro-nats (scalar libm ln over float-cast exact
+    integer products) so the oracle matches bit-for-bit.
+    """
+    import math
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        flat, _p, _c = _flat_words(batch[text_col])
+        cnt = pd.Series(flat).value_counts()
+        return pa.table(
+            {
+                "t": pa.array(cnt.index.to_numpy(dtype=object), pa.string()),
+                "partial": cnt.to_numpy().astype(np.int64),
+            }
+        )
+
+    tok_counts = (
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("t")
+        .sum("partial")
+    )
+    tok_blocks = tok_counts.to_arrow_refs()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _c = _flat_words(batch[text_col])
+        parts = []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                continue
+            a = pd.Series(flat[:-d], dtype=object)
+            b = pd.Series(flat[d:], dtype=object)
+            same = parent[:-d] == parent[d:]
+            lo = a.where(a <= b, b)
+            hi = b.where(a <= b, a)
+            parts.append((lo + " " + hi)[same])
+        if not parts:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "partial": pa.array([], pa.int64())})
+        cnt = pd.concat(parts, ignore_index=True).value_counts()
+        return pa.table(
+            {
+                "pair": pa.array(cnt.index.to_numpy(dtype=object), pa.string()),
+                "partial": cnt.to_numpy().astype(np.int64),
+            }
+        )
+
+    pair_counts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .sum("partial")
+        .materialize()  # contracted (vocab^2-bounded); reused twice
+    )
+    # P (total pair occurrences) must be a full-corpus constant before
+    # scoring: one tiny aggregate over the contracted pair table
+    p_total = int(pair_counts.sum("sum(partial)"))
+
+    def build_tok(tables: list) -> pd.Series:
+        good = [t for t in tables if t.num_rows]
+        t = pa.concat_tables(good)
+        return pd.Series(
+            t["sum(partial)"].to_numpy().astype(np.int64),
+            index=t["t"].to_numpy(zero_copy_only=False),
+        )
+
+    def score(batch: pa.Table, _blocks=None) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached_multi
+
+        tc = cached_multi(_blocks, build_tok)
+        n_total = int(tc.sum())
+        pairs = batch["pair"].to_numpy(zero_copy_only=False)
+        c_xy = batch["sum(partial)"].to_numpy().astype(np.int64)
+        keep = c_xy >= min_count
+        pairs, c_xy = pairs[keep], c_xy[keep]
+        split = pd.Series(pairs).str.split(" ", n=1, expand=True)
+        if len(pairs) == 0:
+            return pa.table(
+                {
+                    "tok_a": pa.array([], pa.string()),
+                    "tok_b": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "pmi_micro": pa.array([], pa.int64()),
+                }
+            )
+        ca = tc[split[0].to_numpy()].to_numpy().astype(np.int64)
+        cb = tc[split[1].to_numpy()].to_numpy().astype(np.int64)
+        pmi = np.array(
+            [
+                math.floor(
+                    math.log(
+                        float(int(cxy) * n_total * n_total)
+                        / float(p_total * int(a) * int(b))
+                    )
+                    * 1e6
+                )
+                for cxy, a, b in zip(c_xy, ca, cb)
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "tok_a": pa.array(split[0].to_numpy(dtype=object), pa.string()),
+                "tok_b": pa.array(split[1].to_numpy(dtype=object), pa.string()),
+                "n_pairs": pa.array(c_xy),
+                "pmi_micro": pa.array(pmi),
+            }
+        )
+
+    return pair_counts.map_batches(
+        score, fn_kwargs={"_blocks": tok_blocks}, batch_format="pyarrow"
+    )

@@ -45,6 +45,7 @@ PARITY_QUERIES = [
     "event_funnel",
     "pagerank_knn",
     "zonal_winsorized",
+    "token_pmi",
 ]
 
 
