@@ -244,46 +244,42 @@ def event_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-) -> ray.data.Dataset:
+) -> "pa.Table":
     """Ordered funnel: per user, the earliest time of step 1, the
     earliest step-2 event STRICTLY after it, the earliest step-3 event
     strictly after that, and the number of steps completed.
 
-    Fully vectorized iterative shape (no per-user Python): each step is
-    a per-batch partial-min (filtered against the broadcast previous
-    step map) + one narrow ``groupby(user).min`` of per-user partials;
-    the per-user step table is broadcast via block refs to the next
-    step and to the final assembly sweep. len(steps) narrow shuffles
-    of per-user partials total — nothing corpus-sized on the driver.
+    Zero shuffles: each step is one streaming ``map_batches`` pass that
+    pre-reduces to per-(user) partial minima (filtered against the
+    broadcast previous-step map); the CONTRACTED partials (<= blocks x
+    users rows — the same size class as the broadcast map itself) are
+    combined with one exact pandas min and re-broadcast for the next
+    step. The per-user result table is assembled once at the end. For
+    user counts beyond broadcast range, swap each combine for
+    ``groupby(user).min`` — the partial stages are unchanged.
     """
     import pyarrow.compute as pc
 
-    from rsgislib_ray.state.broadcast import cached_multi
+    import ray as _ray
 
-    def build_map(tables: list) -> pd.Series:
-        good = [t for t in tables if t.num_rows]
-        if not good:
-            return pd.Series(dtype=np.int64)
-        t = pa.concat_tables(good)
-        return pd.Series(
-            t["min(t)"].to_numpy().astype(np.int64),
-            index=t[user_col].to_numpy(),
-        )
-
-    step_blocks: list = []
-    for si, step in enumerate(steps):
-        prev_blocks = step_blocks[-1] if step_blocks else None
+    maps: list = []
+    prev_ref = None
+    for step in steps:
 
         def partial(
-            batch: pa.Table, _step=step, _prev=prev_blocks
+            batch: pa.Table, _step=step, _prev=prev_ref
         ) -> pa.Table:
+            from rsgislib_ray.state.broadcast import cached
+
             m = pc.equal(batch[type_col], _step)
             sub = batch.filter(m)
             u = sub[user_col].to_numpy()
             t = sub[ts_col].cast(pa.int64()).to_numpy()
             if _prev is not None:
-                pm = cached_multi(_prev, build_map)
+                pm = cached(_prev)
                 pv = pm.reindex(u).to_numpy()
+                # timestamps (us) < 2^53: float compare vs NaN-padded
+                # map values is exact
                 keep = ~np.isnan(pv) & (t > pv)
                 u, t = u[keep], t[keep]
             g = (
@@ -298,39 +294,52 @@ def event_funnel(
                 }
             )
 
-        agg = (
-            events.map_batches(partial, batch_format="pyarrow")
-            .groupby(user_col)
-            .min("t")
-        )
-        step_blocks.append(agg.to_arrow_refs())
+        parts = [
+            t
+            for t in _ray.get(
+                list(
+                    events.map_batches(
+                        partial, batch_format="pyarrow"
+                    ).to_arrow_refs()
+                )
+            )
+            if t.num_rows
+        ]
+        if parts:
+            cat = pa.concat_tables(parts).to_pandas()
+            m = cat.groupby(user_col)["t"].min()
+        else:
+            m = pd.Series(dtype=np.int64)
+        prev_ref = _ray.put(m)
+        maps.append(m)
 
     def users_partial(batch: pa.Table) -> pa.Table:
-        u = np.unique(batch[user_col].to_numpy())
-        return pa.table({user_col: u})
+        return pa.table(
+            {user_col: np.unique(batch[user_col].to_numpy())}
+        )
 
-    users = (
-        events.map_batches(users_partial, batch_format="pyarrow")
-        .groupby(user_col)
-        .count()
-    )
+    utabs = [
+        t
+        for t in _ray.get(
+            list(
+                events.map_batches(
+                    users_partial, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+        )
+        if t.num_rows
+    ]
+    users = np.unique(np.concatenate([t[user_col].to_numpy() for t in utabs]))
 
-    def assemble(batch: pa.Table, _blocks=None) -> pa.Table:
-        u = batch[user_col].to_numpy()
-        cols = {user_col: pa.array(u)}
-        done = np.zeros(len(u), dtype=np.int64)
-        for step, blocks in zip(steps, _blocks):
-            m = cached_multi(blocks, build_map)
-            v = m.reindex(u).to_numpy()
-            ok = ~np.isnan(v)
-            done += ok.astype(np.int64)
-            ts = np.where(ok, v, 0).astype(np.int64)
-            cols[f"t_{step}"] = pa.Array.from_pandas(
-                ts, mask=~ok, type=pa.int64()
-            ).cast(pa.timestamp("us"))
-        cols["steps_completed"] = pa.array(done)
-        return pa.table(cols)
-
-    return users.select_columns([user_col]).map_batches(
-        assemble, fn_kwargs={"_blocks": step_blocks}, batch_format="pyarrow"
-    )
+    cols: dict = {user_col: pa.array(users)}
+    done = np.zeros(len(users), dtype=np.int64)
+    for step, m in zip(steps, maps):
+        v = m.reindex(users).to_numpy()
+        ok = ~np.isnan(v)
+        done += ok.astype(np.int64)
+        ts = np.where(ok, v, 0).astype(np.int64)
+        cols[f"t_{step}"] = pa.Array.from_pandas(
+            ts, mask=~ok, type=pa.int64()
+        ).cast(pa.timestamp("us"))
+    cols["steps_completed"] = pa.array(done)
+    return pa.table(cols)

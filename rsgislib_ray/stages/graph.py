@@ -112,20 +112,28 @@ def pagerank(
                 }
             )
 
-        agg = (
-            edges.map_batches(partial, batch_format="pyarrow")
-            .groupby("v")
-            .sum("share")
-        )
-        # per-node result — same size class as the broadcast state
-        # itself (see module docstring for the beyond-broadcast swap)
+        partials = edges.map_batches(partial, batch_format="pyarrow")
+        # combine the contracted partials (<= blocks x nodes rows, the
+        # same size class as the broadcast rank vector itself) with one
+        # exact-integer pandas groupby — a Ray sort-shuffle's fixed cost
+        # dominates at per-node sizes; swap for groupby("v").sum when
+        # node state outgrows the broadcast regime (module docstring)
         t = pa.concat_tables(
-            [b for b in (ray.get(r) for r in agg.to_arrow_refs()) if b.num_rows]
+            [
+                b
+                for b in (ray.get(r) for r in partials.to_arrow_refs())
+                if b.num_rows
+            ]
         )
         new_pr = np.full(len(nids), base, dtype=np.int64)
         if t.num_rows:
-            pos = np.searchsorted(nids, t["v"].to_numpy())
-            new_pr[pos] += t["sum(share)"].to_numpy().astype(np.int64)
+            g = (
+                t.to_pandas()
+                .groupby("v", as_index=False)["share"]
+                .sum()
+            )
+            pos = np.searchsorted(nids, g["v"].to_numpy())
+            new_pr[pos] += g["share"].to_numpy().astype(np.int64)
         pr = new_pr
 
     return pa.table({"node": pa.array(nids), "pr": pa.array(pr)})

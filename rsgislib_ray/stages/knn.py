@@ -50,6 +50,9 @@ class _TargetIndex:
         self.tx = tbl[x_col].to_numpy().astype(np.float64)
         self.ty = tbl[y_col].to_numpy().astype(np.float64)
         self.attrs = tbl.select(attr_cols) if attr_cols else None
+        # id-ascending permutation: lets the brute path resolve distance
+        # ties with ONE stable argsort (ORDER BY dist, id) per chunk
+        self.id_order = np.argsort(self.ids, kind="stable")
         self.grid_level = grid_level
         if grid_level is not None:
             n = 1 << grid_level
@@ -103,8 +106,14 @@ def _topk_brute(px, py, idx: _TargetIndex, k: int, metric: str = "euclidean",
         dx = px[s:e, None] - idx.tx[None, :]
         dy = py[s:e, None] - idx.ty[None, :]
         d = _pair_dist(dx, dy, metric, p, vi)
-        if kk < T:
-            part = np.argpartition(d, kk, axis=1)[:, : kk + 1]
+        # Widened survivor window: lattice coordinates make equal
+        # distances COMMON, so the window carries 16 columns of slack
+        # beyond kk+1 — tie runs at the kth boundary almost always end
+        # inside it, keeping the fixup a cheap vectorized re-sort of
+        # survivors instead of a full-row sort.
+        W = min(T, kk + 17)
+        if W < T:
+            part = np.argpartition(d, W - 1, axis=1)[:, :W]
         else:
             part = np.broadcast_to(np.arange(T), (e - s, T)).copy()
         pd = np.take_along_axis(d, part, axis=1)
@@ -112,31 +121,38 @@ def _topk_brute(px, py, idx: _TargetIndex, k: int, metric: str = "euclidean",
         pd_sorted = np.take_along_axis(pd, o, axis=1)
         pi_sorted = np.take_along_axis(part, o, axis=1)
         # deterministic ordering for equal distances: by target id
-        # (stable sort on distance keeps partition order, so re-sort
-        # equal-distance runs by id)
-        ids_sorted = idx.ids[pi_sorted]
+        # (ORDER BY dist, target_id), fully vectorized: rows with ANY
+        # adjacent equal distance re-sort their survivors by id first
+        # (stable), then by distance (stable) — a rowwise lexsort.
         if pd_sorted.shape[1] > 1:
-            tie_rows = np.flatnonzero(
+            rows = np.flatnonzero(
                 (pd_sorted[:, :-1] == pd_sorted[:, 1:]).any(axis=1)
             )
-            for r in tie_rows:  # per-row fixup only where a tie exists
-                if kk < T and pd_sorted[r, kk - 1] == pd_sorted[r, kk]:
-                    # The tie run at the kth boundary may extend beyond
-                    # the kk+1 argpartition survivors (>=3 targets at an
-                    # identical kth distance): fall back to a full row
-                    # sort so the id tiebreak is global, matching the
-                    # oracle's ORDER BY dist, target_id.
-                    row_d_full = d[r]
-                    ro = np.lexsort((idx.ids, row_d_full))[: kk + 1]
-                    pd_sorted[r] = row_d_full[ro]
-                    pi_sorted[r] = ro
-                else:
-                    row_d = pd_sorted[r].copy()
-                    ro = np.lexsort((ids_sorted[r], row_d))
-                    pd_sorted[r] = row_d[ro]
-                    pi_sorted[r] = pi_sorted[r][ro]
-                if pd_sorted[r, 0] == pd_sorted[r, 1]:
-                    tie[s + r] = True
+            if len(rows):
+                ids_s = idx.ids[pi_sorted[rows]]
+                o1 = np.argsort(ids_s, axis=1, kind="stable")
+                pd_r = np.take_along_axis(pd_sorted[rows], o1, axis=1)
+                pi_r = np.take_along_axis(pi_sorted[rows], o1, axis=1)
+                o2 = np.argsort(pd_r, axis=1, kind="stable")
+                pd_sorted[rows] = np.take_along_axis(pd_r, o2, axis=1)
+                pi_sorted[rows] = np.take_along_axis(pi_r, o2, axis=1)
+                tie[s + rows] = pd_sorted[rows, 0] == pd_sorted[rows, 1]
+                if W < T:
+                    # a tie run covering the ENTIRE slack escapes the
+                    # window; those (rare) rows get the exact full-row
+                    # (dist, id) sort over the id-ascending permutation
+                    esc = rows[
+                        pd_sorted[rows, kk - 1] == pd_sorted[rows, W - 1]
+                    ]
+                    if len(esc):
+                        io = idx.id_order
+                        D2 = d[esc][:, io]
+                        oo = np.argsort(D2, axis=1, kind="stable")[:, :W]
+                        pi_sorted[esc] = io[oo]
+                        pd_sorted[esc] = np.take_along_axis(D2, oo, axis=1)
+                        tie[s + esc] = (
+                            pd_sorted[esc, 0] == pd_sorted[esc, 1]
+                        )
         out_d[s:e] = pd_sorted[:, :kk]
         out_i[s:e] = pi_sorted[:, :kk]
     return out_d, out_i, tie
@@ -259,7 +275,7 @@ class KNNJoin:
         self.tolerance = tolerance
         if strategy == "auto":
             strategy = "grid" if (
-                self.idx.grid_level is not None and len(self.idx.ids) > 20000
+                self.idx.grid_level is not None and len(self.idx.ids) > 2000
             ) else "brute"
         self.strategy = strategy
 
@@ -296,8 +312,10 @@ def _knn_batch(
     if metric != "euclidean":
         strategy = "brute"  # grid ring bound assumes euclidean geometry
     if strategy == "auto":
+        # grid wins well below the old 20k cutoff: at 15k lattice targets
+        # the ring search is ~100x cheaper than the full distance matrix
         strategy = (
-            "grid" if (idx.grid_level is not None and len(idx.ids) > 20000) else "brute"
+            "grid" if (idx.grid_level is not None and len(idx.ids) > 2000) else "brute"
         )
     if strategy == "grid" and idx.grid_level is not None:
         d, i, tie_flags = _topk_grid(px, py, idx, k)
