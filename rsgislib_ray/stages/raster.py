@@ -337,6 +337,7 @@ def build_pyramid(
     value_col: str = "val_cents",
     x_col: str = "x",
     y_col: str = "y",
+    combine: str = "driver",
 ) -> ray.data.Dataset:
     """Image pyramid / overview levels (reference
     imageutils.gen_overviews + pop_img_stats shape,
@@ -379,25 +380,58 @@ def build_pyramid(
             }
         )
 
-    agg = (
-        cells.map_batches(partial, batch_format="pyarrow")
-        .groupby("k")
-        .sum(["n_partial", "s_partial"])
+    partials = cells.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
     )
+    if combine == "native":
+        # the 10^10-pixel path: finish with the all-to-all aggregate
+        agg = partials.groupby("k").sum(["n_partial", "s_partial"])
 
-    def finish(batch: pa.Table) -> pa.Table:
-        k = batch["k"].to_numpy()
-        n = batch["sum(n_partial)"].to_numpy().astype(np.int64)
-        s = batch["sum(s_partial)"].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "level": (k >> np.int64(40)),
-                "px": (k >> np.int64(20)) & np.int64((1 << 20) - 1),
-                "py": k & np.int64((1 << 20) - 1),
-                "n_cells": n,
-                "sum_val": s,
-                "mean_val": s.astype(np.float64) / n,
-            }
-        )
+        def finish(batch: pa.Table) -> pa.Table:
+            k = batch["k"].to_numpy()
+            n = batch["sum(n_partial)"].to_numpy().astype(np.int64)
+            s = batch["sum(s_partial)"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "level": (k >> np.int64(40)),
+                    "px": (k >> np.int64(20)) & np.int64((1 << 20) - 1),
+                    "py": k & np.int64((1 << 20) - 1),
+                    "n_cells": n,
+                    "sum_val": s,
+                    "mean_val": s.astype(np.float64) / n,
+                }
+            )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    # default: per-(level, pixel) partials are bounded by raster size x
+    # blocks — one exact pandas combine beats the sort-shuffle's fixed
+    # cost at these sizes (same trade as stages/zonal.zonal_stats)
+    import pandas as pd
+
+    t = pa.concat_tables(
+        [
+            b
+            for b in (ray.get(r) for r in partials.to_arrow_refs())
+            if b.num_rows
+        ]
+    )
+    g = (
+        t.to_pandas()
+        .groupby("k", as_index=False)
+        .agg(n=("n_partial", "sum"), s=("s_partial", "sum"))
+    )
+    k = g["k"].to_numpy()
+    n = g["n"].to_numpy().astype(np.int64)
+    s = g["s"].to_numpy().astype(np.int64)
+    out = pa.table(
+        {
+            "level": (k >> np.int64(40)),
+            "px": (k >> np.int64(20)) & np.int64((1 << 20) - 1),
+            "py": k & np.int64((1 << 20) - 1),
+            "n_cells": n,
+            "sum_val": s,
+            "mean_val": s.astype(np.float64) / n,
+        }
+    )
+    return ray.data.from_arrow(out)
