@@ -3278,6 +3278,69 @@ def q_focal_mean(sf_dir: str):
     return out.select_columns(["pixel_id", "filtered"])
 
 
+_MORPH_PX_SQL = """
+    px AS (
+      SELECT r.range AS pixel_id,
+             r.range // 100 AS row_i, r.range % 100 AS col_i,
+             CASE WHEN (r.range // 100 * 31 + r.range % 100 * 17) % 997 < 300
+                  THEN 1 ELSE 0 END AS v
+      FROM range(10000) r
+    )"""
+
+
+def _morph_query(agg: str):
+    """Engine side shared by morph_dilate / morph_erode: the binary
+    fixture image through the halo-tiled window reduction."""
+    from rsgislib_ray.stages.raster import tiled_filter
+
+    n = 100
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    value = (((row * 31 + col * 17) % 997) < 300).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table({"pixel_id": pid, "row": row, "col": col, "value": value})
+    ).repartition(8)
+    out = tiled_filter(ds, None, kernel_size=3, tile_size=32, agg=agg)
+    return out.select_columns(["pixel_id", "filtered"])
+
+
+@register(
+    "morph_dilate",
+    f"""
+    WITH {_MORPH_PX_SQL}
+    SELECT a.pixel_id, CAST(MAX(b.v) AS DOUBLE) AS filtered
+    FROM px a JOIN px b
+      ON abs(a.row_i - b.row_i) <= 1 AND abs(a.col_i - b.col_i) <= 1
+    GROUP BY a.pixel_id
+    """,
+)
+def q_morph_dilate(sf_dir: str):
+    """Binary 3x3 dilation (rsgislib.imagemorphology.image_dilate,
+    /root/reference/python/src/imagemorphology.cpp:540 backed by
+    /root/reference/src/filtering/RSGISMorphologyDilate.cpp): window
+    max over the halo-duplicated tiles — same one-shuffle tiling as
+    focal_mean, truncated windows at image edges."""
+    return _morph_query("max")
+
+
+@register(
+    "morph_erode",
+    f"""
+    WITH {_MORPH_PX_SQL}
+    SELECT a.pixel_id, CAST(MIN(b.v) AS DOUBLE) AS filtered
+    FROM px a JOIN px b
+      ON abs(a.row_i - b.row_i) <= 1 AND abs(a.col_i - b.col_i) <= 1
+    GROUP BY a.pixel_id
+    """,
+)
+def q_morph_erode(sf_dir: str):
+    """Binary 3x3 erosion (rsgislib.imagemorphology.image_erode,
+    /root/reference/python/src/imagemorphology.cpp:553 backed by
+    /root/reference/src/filtering/RSGISMorphologyErode.cpp): window
+    min over the same halo-tiled machinery."""
+    return _morph_query("min")
+
+
 @register(
     "knn_summarize",
     f"""

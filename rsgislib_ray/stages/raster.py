@@ -216,6 +216,17 @@ def tiled_filter(
     Edge pixels use the truncated window (mean over available
     neighbors), matching a normalized box filter with zero-padding
     divided by coverage. Returns (pixel_id, row, col, filtered).
+
+    ``agg`` selects the window reduction: ``"mean"`` (box filter),
+    ``"max"`` (grayscale/binary dilation) or ``"min"`` (erosion) —
+    the morphology pair of the reference's RSGISMorphologyDilate /
+    RSGISMorphologyErode kernels
+    (/root/reference/src/filtering/RSGISMorphologyDilate.cpp:60-120,
+    python surface image_dilate/image_erode at
+    /root/reference/python/src/imagemorphology.cpp:540-560). Max/min
+    reduce over PRESENT pixels only (missing cells are -inf/+inf
+    filled), so sparse rasters erode/dilate over their true support,
+    same truncated-window edge rule as the mean path.
     """
     import pandas as pd
 
@@ -277,8 +288,6 @@ def tiled_filter(
                 )
             return out
 
-        sums = box(dense)
-        cov = box(mask)
         core = (
             (r >= tr * tile_size)
             & (r < (tr + 1) * tile_size)
@@ -286,8 +295,25 @@ def tiled_filter(
             & (c < (tc + 1) * tile_size)
         )
         rr, cc = r[core] - r0, c[core] - c0
-        with np.errstate(divide="ignore", invalid="ignore"):
-            filt_v = sums[rr, cc] / cov[rr, cc]
+        if agg in ("max", "min"):
+            fill = -np.inf if agg == "max" else np.inf
+            red = np.maximum if agg == "max" else np.minimum
+            padded = np.full((h + 2 * halo, h + 2 * halo), fill)
+            padded[halo : halo + h, halo : halo + h] = np.where(
+                mask > 0, dense, fill
+            )
+            ext = np.full((h, h), fill)
+            # k^2 shifted reductions over the dense tile — O(k^2 * tile),
+            # k is small (3/5); the window covers present pixels only
+            for dr in range(kernel_size):
+                for dc in range(kernel_size):
+                    ext = red(ext, padded[dr : dr + h, dc : dc + h])
+            filt_v = ext[rr, cc]
+        else:
+            sums = box(dense)
+            cov = box(mask)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                filt_v = sums[rr, cc] / cov[rr, cc]
         return pd.DataFrame(
             {
                 "pixel_id": g["pixel_id"].to_numpy()[core],

@@ -233,6 +233,50 @@ def test_tiled_filter_matches_full_convolution(ray_session):
     assert len(got) == n * n  # every pixel exactly once (halo trimmed)
 
 
+def test_tiled_filter_morphology_sparse(ray_session):
+    """Dilate/erode (agg=max/min) on a SPARSE raster == brute window
+    max/min over present pixels, incl. a k=5 structuring element;
+    opening (erode-then-dilate of binary) never grows the set."""
+    import ray.data
+
+    from rsgislib_ray.stages.raster import tiled_filter
+
+    rng = np.random.default_rng(7)
+    n = 40
+    pid_all = np.arange(n * n, dtype=np.int64)
+    keep = rng.random(n * n) < 0.7  # sparse support
+    pid = pid_all[keep]
+    row, col = np.divmod(pid, n)
+    vals = rng.integers(0, 50, len(pid)).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table({"pixel_id": pid, "row": row, "col": col, "value": vals})
+    ).repartition(4)
+    grid = np.full((n, n), np.nan)
+    grid[row, col] = vals
+    for agg, k in (("max", 3), ("min", 3), ("max", 5)):
+        got = (
+            tiled_filter(ds, None, kernel_size=k, tile_size=16, agg=agg)
+            .to_pandas()
+            .sort_values("pixel_id")
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(got["pixel_id"].to_numpy(), pid)
+        h = k // 2
+        red = np.nanmax if agg == "max" else np.nanmin
+        want = np.array(
+            [
+                red(
+                    grid[
+                        max(0, r - h) : min(n, r + h + 1),
+                        max(0, c - h) : min(n, c + h + 1),
+                    ]
+                )
+                for r, c in zip(row, col)
+            ]
+        )
+        np.testing.assert_array_equal(got["filtered"].to_numpy(), want)
+
+
 def test_images_equal(ray_session):
     import ray.data
 
