@@ -5588,3 +5588,144 @@ def q_token_pmi(sf_dir: str):
         window=3,
         min_count=5,
     )
+
+
+# ===========================================================================
+# Round-2 continuation: training-data pipeline operators (quality
+# classifier, importance sampling, BPE statistics, paragraph dedup)
+# ===========================================================================
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    terms AS (SELECT DISTINCT term FROM w),
+    pows(k, pw) AS (VALUES
+      {{POWS}}),
+    tch AS (
+      SELECT term, unicode(substr(term, CAST(j.range + 1 AS INT), 1)) AS byte,
+             length(term) - 1 - j.range AS k
+      FROM terms CROSS JOIN range(0, 48) j
+      WHERE j.range < length(term)
+    ),
+    polysum AS (
+      SELECT term,
+        CAST(SUM(CAST(byte AS HUGEINT) * pw) % 18446744073709551616
+             AS UBIGINT) AS x
+      FROM tch JOIN pows ON pows.k = tch.k
+      GROUP BY term
+    ),
+    ex AS (
+      SELECT t.term, COALESCE(p.x, 0) AS x
+      FROM terms t LEFT JOIN polysum p ON p.term = t.term
+    ),
+    {{HCHAIN}},
+    bk AS (SELECT term, CAST(z % 4096 AS UBIGINT) AS x FROM h6),
+    {{WCHAIN}},
+    tw AS (
+      SELECT term, CAST(CAST(z % 2001 AS BIGINT) - 1000 AS BIGINT) AS wt
+      FROM w6
+    )
+    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(tw.wt) AS BIGINT) AS score_micro,
+           SUM(tw.wt) > 0 AS keep
+    FROM w JOIN tw ON tw.term = w.term
+    GROUP BY w.doc_id
+    """.replace("{POWS}", _POLY_POWS)
+       .replace("{HCHAIN}", _sm64_chain("term", "ex", "h"))
+       .replace("{WCHAIN}", _sm64_chain("term", "bk", "w")),
+)
+def q_quality_classifier(sf_dir: str):
+    """Hashed bag-of-words linear quality classifier (the
+    fastText-shaped model-scoring stage of LLM data pipelines; scorer
+    shape = reference's apply_keras_pixel_classifier actor pattern,
+    /root/reference/python/rsgislib/imageutils/__init__.py ML apply
+    family): deterministic weight table, exact int64 doc scores, zero
+    shuffles."""
+    from rsgislib_ray.stages.text import hashed_linear_score
+
+    return hashed_linear_score(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
+@register(
+    "dsir_select",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tc AS (
+      SELECT term, COUNT(*) AS raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
+      FROM w GROUP BY term
+    ),
+    tot AS (
+      SELECT SUM(raw) AS n_raw, SUM(tgt) AS n_tgt, COUNT(*) AS v FROM tc
+    ),
+    lam AS (
+      SELECT term,
+        CAST(floor(ln((CAST(tgt AS DOUBLE) + 1.0)
+                      / CAST(tot.n_tgt + tot.v AS DOUBLE)) * 1000000)
+          AS BIGINT)
+        - CAST(floor(ln((CAST(raw AS DOUBLE) + 1.0)
+                        / CAST(tot.n_raw + tot.v AS DOUBLE)) * 1000000)
+          AS BIGINT) AS lam
+      FROM tc CROSS JOIN tot
+    ),
+    s AS (
+      SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lam.lam) AS BIGINT) AS logratio_micro
+      FROM w JOIN lam ON lam.term = w.term
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_tokens, logratio_micro FROM s
+    ORDER BY logratio_micro DESC, doc_id LIMIT 200
+    """,
+)
+def q_dsir_select(sf_dir: str):
+    """DSIR importance selection (Xie et al. 2023): pick the 200 raw
+    docs whose unigram stats look most like the English-target slice —
+    one distributed counting pass, broadcast log-ratio map, exact
+    integer doc scores, native sort+limit."""
+    from rsgislib_ray.stages.text import dsir_importance
+
+    return dsir_importance(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    pr AS (
+      SELECT substr(term, CAST(j.range + 1 AS INT), 2) AS pair
+      FROM w CROSS JOIN range(0, 47) j
+      WHERE j.range < length(term) - 1
+    ),
+    pc AS (SELECT pair, COUNT(*) AS n FROM pr GROUP BY pair)
+    SELECT pair, CAST(n AS BIGINT) AS n_pairs
+    FROM pc ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def q_bpe_pair_counts(sf_dir: str):
+    """Corpus-wide adjacent byte-pair counts within words (the BPE
+    merge-selection statistic): one vectorized bincount per batch over
+    the batch's joined byte buffer, <=65536-row partials, narrow
+    groupby + tiny top-k sort."""
+    from rsgislib_ray.stages.text import bpe_pair_counts
+
+    return bpe_pair_counts(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )

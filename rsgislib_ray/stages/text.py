@@ -616,3 +616,207 @@ def token_pmi(
     return pair_counts.map_batches(
         score, fn_kwargs={"_blocks": tok_blocks}, batch_format="pyarrow"
     )
+
+
+def hashed_linear_score(
+    ds: ray.data.Dataset,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 0,
+) -> ray.data.Dataset:
+    """fastText-shaped hashed bag-of-words linear classifier with a
+    DETERMINISTIC weight table (the quality-classifier stage of a
+    training-data pipeline, e.g. the GPT-3/CCNet quality filter,
+    reduced to a fixed linear model so it is SQL-mirrorable).
+
+    Feature hashing: bucket = polyhash(token) -> splitmix64 -> mod
+    ``n_buckets``; weight_micro[b] = splitmix64(b) % 2001 - 1000. The
+    weight table is a pure function of the bucket id, so every task
+    REBUILDS it locally in one vectorized call — nothing is broadcast,
+    shipped, or shuffled; the stage is embarrassingly parallel
+    (a real trained model would instead ride the ``cached_multi``
+    broadcast used by unigram_lm_score).
+
+    Output: (doc_id, n_tokens, score_micro, keep) with
+    keep = score_micro > threshold. Exact int64 arithmetic ->
+    order-independent under any parallelism.
+    """
+    from rsgislib_ray.functions.hashing import polyhash_strings, splitmix64
+
+    weights = (
+        splitmix64(np.arange(n_buckets, dtype=np.uint64)) % 2001
+    ).astype(np.int64) - 1000
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent, n_tokens = _flat_words(batch[text_col])
+        s = np.zeros(len(n_tokens), dtype=np.int64)
+        if len(flat):
+            b = (polyhash_strings(flat) % n_buckets).astype(np.int64)
+            np.add.at(s, parent, weights[b])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": n_tokens,
+                "score_micro": s,
+                "keep": s > threshold,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_importance(
+    ds: ray.data.Dataset,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 200,
+) -> ray.data.Dataset:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023
+    arXiv:2302.03169) reduced to its deterministic core: score every
+    raw document by the log-likelihood ratio of a TARGET unigram LM
+    (docs where ``target_col == target_value``) against the RAW corpus
+    LM (add-one smoothing over the raw vocabulary), then keep the
+    top-k by ratio — "select raw data that looks like the target".
+
+    ONE counting pass emits per-batch (term, raw, tgt) partials ->
+    one narrow vocabulary groupby; the (term -> lambda_micro) map is
+    broadcast via block refs (never on the driver). lambda is the
+    DIFFERENCE of two floor'ed micro-nat logs, so every per-doc sum is
+    an exact int64 — order-independent — and the final top-k is a
+    Ray native sort + limit over the small (doc_id, score) table.
+
+    Output: (doc_id, n_tokens, logratio_micro), the top_k selected
+    docs, ties broken by doc_id ascending.
+    """
+    import math
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _counts = _flat_words(batch[text_col])
+        is_tgt = (
+            pa.compute.equal(batch[target_col], target_value)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        df = pd.DataFrame({"term": flat, "tgt": is_tgt[parent]})
+        g = df.groupby("term", sort=False)["tgt"].agg(["count", "sum"])
+        return pa.table(
+            {
+                "term": pa.array(g.index.to_numpy(dtype=object), pa.string()),
+                "raw": g["count"].to_numpy().astype(np.int64),
+                "tgt": g["sum"].to_numpy().astype(np.int64),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["raw", "tgt"])
+    )
+    vocab_blocks = vocab.to_arrow_refs()
+
+    def build_lam(tables: list) -> pd.Series:
+        good = [t for t in tables if t.num_rows]
+        if not good:
+            return pd.Series(dtype=np.int64)
+        t = pa.concat_tables(good)
+        raw = t["sum(raw)"].to_numpy().astype(np.int64)
+        tgt = t["sum(tgt)"].to_numpy().astype(np.int64)
+        v = len(raw)
+        n_raw = int(raw.sum())
+        n_tgt = int(tgt.sum())
+        lam = np.array(
+            [
+                math.floor(math.log((int(ct) + 1.0) / (n_tgt + v)) * 1e6)
+                - math.floor(math.log((int(cr) + 1.0) / (n_raw + v)) * 1e6)
+                for cr, ct in zip(raw, tgt)
+            ],
+            dtype=np.int64,
+        )
+        return pd.Series(lam, index=t["term"].to_numpy(zero_copy_only=False))
+
+    def score(batch: pa.Table, _blocks=None) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached_multi
+
+        lam = cached_multi(_blocks, build_lam)
+        flat, parent, n_tokens = _flat_words(batch[text_col])
+        sums = np.zeros(len(n_tokens), dtype=np.int64)
+        if len(flat):
+            np.add.at(sums, parent, lam[flat].to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": n_tokens,
+                "logratio_micro": sums,
+            }
+        )
+
+    scored = ds.map_batches(
+        score, fn_kwargs={"_blocks": vocab_blocks}, batch_format="pyarrow"
+    )
+    return scored.sort(
+        ["logratio_micro", id_col], descending=[True, False]
+    ).limit(top_k)
+
+
+def bpe_pair_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    top_k: int = 30,
+) -> ray.data.Dataset:
+    """Adjacent-symbol pair frequencies within words across the corpus
+    — the counting step of one BPE merge iteration (Sennrich et al.
+    2016, arXiv:1508.07909), i.e. what a distributed tokenizer trainer
+    computes per round. Returns the ``top_k`` pairs.
+
+    Each batch joins its docs into ONE byte buffer (space-separated,
+    so document junctions are pair-breaks like any other space) and
+    counts pair codes b[i]*256+b[i+1] where neither byte is a space —
+    a single vectorized bincount; the partial is at most the nonzero
+    pair codes (<= 65536 rows), so the per-pair groupby is narrow and
+    the global top-k is a native sort+limit over a tiny table. Zero
+    text bytes ever shuffle.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        docs = batch[text_col].to_numpy(zero_copy_only=False)
+        blob = np.frombuffer(" ".join(docs).encode("utf-8"), dtype=np.uint8)
+        if len(blob) < 2:
+            return pa.table(
+                {
+                    "pair_code": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        a, b = blob[:-1], blob[1:]
+        ok = (a != 32) & (b != 32)
+        codes = a[ok].astype(np.int64) * 256 + b[ok]
+        cnt = np.bincount(codes, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"pair_code": nz, "partial": cnt[nz]})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair_code")
+        .sum("partial")
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        code = batch["pair_code"].to_numpy()
+        pairs = [
+            bytes([c // 256, c % 256]).decode("utf-8") for c in code
+        ]
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "n_pairs": batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        counts.map_batches(decode, batch_format="pyarrow")
+        .sort(["n_pairs", "pair"], descending=[True, False])
+        .limit(top_k)
+    )

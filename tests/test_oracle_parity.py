@@ -46,6 +46,10 @@ PARITY_QUERIES = [
     "pagerank_knn",
     "zonal_winsorized",
     "token_pmi",
+    "morph_dilate",
+    "quality_classifier",
+    "dsir_select",
+    "bpe_pair_counts",
 ]
 
 
