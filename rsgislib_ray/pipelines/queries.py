@@ -5729,3 +5729,75 @@ def q_bpe_pair_counts(sf_dir: str):
     return bpe_pair_counts(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     )
+
+
+@register(
+    "paragraph_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' near sentinel' FROM documents
+      WHERE doc_id % 10 = 5
+    ),
+    d AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             string_split(text, ' ') AS ws
+      FROM corpus
+    ),
+    par AS (
+      SELECT doc_id, p.range AS para_idx,
+        array_to_string(
+          ws[CAST(p.range * 8 + 1 AS INT):CAST(p.range * 8 + 8 AS INT)],
+          ' ') AS para_text
+      FROM d CROSS JOIN range(0, 300) p
+      WHERE p.range * 8 < len(ws)
+    ),
+    win AS (
+      SELECT para_text, MIN(doc_id * 1048576 + para_idx) AS enc
+      FROM par GROUP BY para_text
+    ),
+    keep AS (
+      SELECT p.doc_id, p.para_idx, p.para_text
+      FROM par p JOIN win
+        ON win.para_text = p.para_text
+       AND p.doc_id * 1048576 + p.para_idx = win.enc
+    )
+    SELECT doc_id,
+           string_agg(para_text, ' ' ORDER BY para_idx) AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_paras
+    FROM keep GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup(sf_dir: str):
+    """Paragraph-level first-occurrence dedup with in-batch document
+    reassembly (RefinedWeb §3 shape) over the documents table plus
+    planted duplicates (exact copies of doc_id%10==0 — vanish
+    entirely; suffix-mutated copies of doc_id%10==5 — only the
+    changed tail paragraph survives). Narrow (hash, enc) groupby +
+    broadcast winner filter; paragraph text never shuffles."""
+    from rsgislib_ray.stages.dedup import paragraph_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].cast(pa.int64()).to_numpy()
+        txt = batch["text"].to_numpy(zero_copy_only=False)
+        m0 = did % 10 == 0
+        m5 = did % 10 == 5
+        return pa.table(
+            {
+                "doc_id": np.concatenate(
+                    [did, did[m0] + 1000000, did[m5] + 2000000]
+                ),
+                "text": np.concatenate(
+                    [txt, txt[m0], txt[m5] + " near sentinel"]
+                ),
+            }
+        )
+
+    return paragraph_dedup(ds.map_batches(plant, batch_format="pyarrow"))

@@ -971,3 +971,152 @@ def decontaminate(
         probe, fn_kwargs={"_ref": ref}, batch_format="pyarrow",
         batch_size=4096,
     )
+
+
+def _explode_paragraphs(
+    batch: pa.Table,
+    para_words: int,
+    text_col: str,
+    id_col: str,
+    with_text: bool,
+) -> tuple:
+    """Per-batch paragraph explode: split each doc's words into
+    consecutive ``para_words``-word paragraphs (last one truncated).
+    Returns (doc_ids_int, para_idx, enc, para_hash[, para_text_array]),
+    all vectorized — the paragraph strings are built with ONE
+    ``pc.binary_join`` over a ListArray, no per-paragraph Python."""
+    import pyarrow.compute as pc
+
+    from rsgislib_ray.stages.text import _flat_words
+
+    flat, parent, counts = _flat_words(batch[text_col])
+    did = batch[id_col].cast(pa.int64()).to_numpy()
+    n_words = len(flat)
+    if n_words == 0:
+        empty = np.empty(0, np.int64)
+        return (empty, empty, empty, empty, pa.array([], pa.string()))
+    doc_starts = np.cumsum(counts) - counts
+    pos_in_doc = np.arange(n_words, dtype=np.int64) - doc_starts[parent]
+    para = pos_in_doc // para_words
+    # paragraph runs are contiguous in (parent, para) order
+    new_run = np.empty(n_words, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (parent[1:] != parent[:-1]) | (para[1:] != para[:-1])
+    run_starts = np.flatnonzero(new_run)
+    offsets = np.concatenate([run_starts, [n_words]]).astype(np.int32)
+    texts = pc.binary_join(
+        pa.ListArray.from_arrays(offsets, pa.array(flat, pa.string())), " "
+    )
+    run_doc = parent[run_starts]
+    run_para = para[run_starts]
+    enc = did[run_doc] * np.int64(1 << 20) + run_para
+    ph = polyhash_strings(texts.to_numpy(zero_copy_only=False)).astype(
+        np.int64
+    )
+    return (did[run_doc], run_para, enc, ph, texts if with_text else None)
+
+
+def paragraph_dedup(
+    ds: ray.data.Dataset,
+    para_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Corpus-wide paragraph-level exact dedup with document
+    reassembly — the RefinedWeb/CCNet "remove duplicated paragraphs,
+    keep the first occurrence" stage (Penedo et al. 2023
+    arXiv:2306.01116 §3; reference's closest surface is
+    rm_feat_att_duplicates at
+    /root/reference/python/rsgislib/vectorutils/__init__.py:3443,
+    lifted from whole-row to within-document granularity). Paragraphs
+    here are consecutive ``para_words``-word windows (the synthetic
+    corpus has no newlines); first occurrence = minimum
+    (doc_id, para_idx).
+
+    Scale shape: pass 1 explodes NARROW (para_hash, enc) rows only
+    (16 B/paragraph — the text stays put) into a native
+    ``groupby(para_hash).min(enc)``; the winner table (one row per
+    DISTINCT paragraph) is broadcast via block refs and each batch of
+    pass 2 re-explodes its own docs locally, keeps winning paragraphs
+    with a vectorized searchsorted, and reassembles documents
+    IN-BATCH (paragraph rows never leave their batch, so no
+    reassembly shuffle exists at all). When the distinct-paragraph
+    table outgrows worker heaps, swap the broadcast for the
+    hash-partitioned ``Dataset.join`` winner filter exactly as in
+    :func:`exact_dedup` (strategy="join") plus a
+    ``sorted_user_apply`` reassembly — same trade documented there.
+
+    Output: (doc_id BIGINT, text, n_paras) — docs whose every
+    paragraph was seen earlier vanish (their text would be empty).
+    """
+    import pyarrow.compute as pc
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        _did, _pi, enc, ph, _t = _explode_paragraphs(
+            batch, para_words, text_col, id_col, False
+        )
+        return pa.table({"para_hash": ph, "enc": enc})
+
+    winners = (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("para_hash")
+        .min("enc")
+    )
+    blocks = winners.to_arrow_refs()
+
+    def build(tables: list) -> tuple:
+        good = [t for t in tables if t.num_rows]
+        if not good:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        t = pa.concat_tables(good)
+        h = t["para_hash"].to_numpy()
+        e = t["min(enc)"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        return h[order], e[order]
+
+    def rebuild(batch: pa.Table, _blocks=None) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached_multi
+
+        wh, we = cached_multi(_blocks, build)
+        did, pi, enc, ph, texts = _explode_paragraphs(
+            batch, para_words, text_col, id_col, True
+        )
+        if len(enc) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    text_col: pa.array([], pa.string()),
+                    "n_paras": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.searchsorted(wh, ph)
+        keep = we[pos] == enc  # this row IS the first global occurrence
+        did_k, texts_k = did[keep], texts.filter(pa.array(keep))
+        nk = len(did_k)
+        if nk == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    text_col: pa.array([], pa.string()),
+                    "n_paras": pa.array([], pa.int64()),
+                }
+            )
+        new_doc = np.empty(nk, dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = did_k[1:] != did_k[:-1]
+        starts = np.flatnonzero(new_doc)
+        offsets = np.concatenate([starts, [nk]]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, texts_k), " "
+        )
+        return pa.table(
+            {
+                id_col: did_k[starts],
+                text_col: joined,
+                "n_paras": np.diff(offsets).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(
+        rebuild, fn_kwargs={"_blocks": blocks}, batch_format="pyarrow"
+    )

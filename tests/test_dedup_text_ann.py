@@ -280,3 +280,67 @@ def test_minhash_dedup_returns_streaming_dataset(ray_session):
     assert out.count() == 100
     ex = exact_dedup(ds, ["text"])
     assert isinstance(ex, rd.Dataset)
+
+
+def test_paragraph_dedup_semantics(ray_session):
+    """First-occurrence paragraph dedup: unique corpus is identity
+    (modulo truncated-window re-join), an exact copy vanishes, a
+    suffix-mutated copy keeps only its changed tail paragraph, and
+    within-doc paragraph order is preserved."""
+    import ray.data
+
+    from rsgislib_ray.stages.dedup import paragraph_dedup
+
+    base = "w%d " * 8  # template
+    docs = {
+        1: " ".join(f"a{i}" for i in range(16)),       # 2 paragraphs
+        2: " ".join(f"b{i}" for i in range(20)),       # 2.5 paragraphs
+        3: " ".join(f"a{i}" for i in range(16)),       # exact copy of 1
+        4: " ".join(f"a{i}" for i in range(16)) + " tail0 tail1",
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in sorted(docs.items())]
+    ).repartition(3)
+    out = (
+        paragraph_dedup(ds, para_words=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 4]  # doc 3 vanished entirely
+    assert out.loc[1, "text"] == docs[1]
+    assert out.loc[1, "n_paras"] == 2
+    assert out.loc[2, "text"] == docs[2]  # unique -> identity
+    assert out.loc[2, "n_paras"] == 3
+    # doc 4 shares its two full paragraphs with doc 1; only the tail
+    # (a truncated 2-word window) survives
+    assert out.loc[4, "text"] == "tail0 tail1"
+    assert out.loc[4, "n_paras"] == 1
+
+
+def test_paragraph_dedup_partition_independence(ray_session):
+    """Same result at 1 block and 7 blocks (winner selection is a
+    global min, reassembly is in-batch)."""
+    import ray.data
+
+    from rsgislib_ray.stages.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab, rng.integers(8, 40))),
+        }
+        for i in range(60)
+    ]
+    outs = []
+    for nb in (1, 7):
+        ds = ray.data.from_items(rows).repartition(nb)
+        outs.append(
+            paragraph_dedup(ds, para_words=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])

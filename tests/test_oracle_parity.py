@@ -50,6 +50,7 @@ PARITY_QUERIES = [
     "quality_classifier",
     "dsir_select",
     "bpe_pair_counts",
+    "paragraph_dedup",
 ]
 
 
