@@ -5801,3 +5801,118 @@ def q_paragraph_dedup(sf_dir: str):
         )
 
     return paragraph_dedup(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+# ===========================================================================
+# Shepherd segmentation stage 3: small-clump elimination (SURVEY §3.3;
+# reference RSGISEliminateSmallClumps.cpp:566, shepherdseg.py:64)
+# ===========================================================================
+
+_SEG_N = 80  # raster side; blocks of 4x4, at most ONE singleton per block
+# (see stages/segmentation.py docstring: (31r+17c)%37==0 admits no two
+# cells within |dr|,|dc|<=3 of each other, so block components are
+# always size 15 or 16 and singletons are exactly the override cells)
+
+
+def _seg_raster() -> pa.Table:
+    n = _SEG_N
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    value = ((row // 4 + col // 4) % 5).astype(np.int64)
+    value[((row * 31 + col * 17) % 37) == 0] = 7
+    return pa.table(
+        {
+            "pixel_id": pid,
+            "row": row,
+            "col": col,
+            "value": value,
+            "band1": (pid * 37) % 100,
+            "band2": (pid * 61) % 100,
+        }
+    )
+
+
+@register(
+    "eliminate_singletons",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range * 37) % 100 AS BIGINT) AS band1,
+             CAST((p.range * 61) % 100 AS BIGINT) AS band2,
+             ((31 * (p.range // {_SEG_N}) + 17 * (p.range % {_SEG_N})) % 37 = 0)
+               AS is_single
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    lab AS (
+      SELECT pixel_id, rr, cc, band1, band2, is_single,
+        CASE WHEN is_single THEN pixel_id
+             ELSE MIN(CASE WHEN NOT is_single THEN pixel_id END)
+                  OVER (PARTITION BY rr // 4, cc // 4)
+        END AS lab
+      FROM px
+    ),
+    sz AS (
+      SELECT lab AS zl, COUNT(*) AS n,
+             SUM(band1) AS s1, SUM(band2) AS s2
+      FROM lab GROUP BY lab
+    ),
+    cand AS (
+      SELECT DISTINCT s.lab AS src, t.lab AS tgt,
+             s.band1 AS b1, s.band2 AS b2
+      FROM lab s JOIN lab t
+        ON abs(s.rr - t.rr) + abs(s.cc - t.cc) = 1
+      WHERE s.is_single AND t.lab != s.lab
+    ),
+    scored AS (
+      SELECT c.src, c.tgt, z.n AS nt,
+        (c.b1 * z.n - z.s1) * (c.b1 * z.n - z.s1)
+          + (c.b2 * z.n - z.s2) * (c.b2 * z.n - z.s2) AS num
+      FROM cand c JOIN sz z ON z.zl = c.tgt
+      WHERE z.n > 1
+    ),
+    pick AS (
+      SELECT src, tgt, num, nt,
+        ROW_NUMBER() OVER (
+          PARTITION BY src ORDER BY num * (57600 // (nt * nt)), tgt
+        ) AS rk
+      FROM scored
+    ),
+    mrg AS (
+      SELECT src, tgt FROM pick WHERE rk = 1 AND num < 900 * nt * nt
+    )
+    SELECT l.pixel_id, COALESCE(m.tgt, l.lab) AS elim_label
+    FROM lab l LEFT JOIN mrg m ON m.src = l.lab
+    """,
+)
+def q_eliminate_singletons(sf_dir: str):
+    """Single-sweep singleton elimination (the chain-free clump_area=1
+    sweep of stepwiseIterativeEliminateSmallClumps) with integer-exact
+    spectral-distance ordering; spec_threshold=30. The oracle mirrors
+    the min-pixel-id clump labels in closed form (one clump per 4x4
+    value block minus its at-most-one singleton override)."""
+    from rsgislib_ray.stages.polygonize import clump
+    from rsgislib_ray.stages.segmentation import eliminate_singletons
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    out = eliminate_singletons(
+        clump(ds, tile_size=32), ["band1", "band2"], 30, tile_size=32
+    )
+    return out.select_columns(["pixel_id", "elim_label"])
+
+
+@register("eliminate_small", None)
+def q_eliminate_small(sf_dir: str):
+    """Full stepwise iterative small-clump elimination (min size 6,
+    spec threshold 25) — data-dependent sweep count makes it
+    non-SQL-expressible; verified against a literal reference
+    simulation in tests/test_segmentation.py."""
+    from rsgislib_ray.stages.polygonize import clump
+    from rsgislib_ray.stages.segmentation import eliminate_small_clumps
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    out = eliminate_small_clumps(
+        clump(ds, tile_size=32), ["band1", "band2"], 6, 25.0, tile_size=32
+    )
+    return out.select_columns(["pixel_id", "elim_label"])
