@@ -5916,3 +5916,35 @@ def q_eliminate_small(sf_dir: str):
         clump(ds, tile_size=32), ["band1", "band2"], 6, 25.0, tile_size=32
     )
     return out.select_columns(["pixel_id", "elim_label"])
+
+
+@register(
+    "distance_transform",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CASE WHEN (31 * (p.range // {_SEG_N})
+                        + 17 * (p.range % {_SEG_N})) % 37 = 0 THEN 7
+                  ELSE ((p.range // {_SEG_N}) // 4
+                        + (p.range % {_SEG_N}) // 4) % 5 END AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    tgt AS (SELECT rr, cc FROM px WHERE val = 7)
+    SELECT p.pixel_id,
+      MIN((p.rr - t.rr) * (p.rr - t.rr)
+          + (p.cc - t.cc) * (p.cc - t.cc)) AS dist2
+    FROM px p CROSS JOIN tgt t
+    GROUP BY p.pixel_id
+    """,
+)
+def q_distance_transform(sf_dir: str):
+    """Exact squared EDT to the nearest value-7 pixel
+    (calc_dist_to_img_vals / GDAL ComputeProximity semantics) via the
+    two-phase separable transform; integer-exact so the brute-force SQL
+    min matches bit-for-bit."""
+    from rsgislib_ray.stages.distance import distance_transform
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    return distance_transform(ds, [7], row_band=32)
