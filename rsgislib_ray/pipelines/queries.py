@@ -5948,3 +5948,123 @@ def q_distance_transform(sf_dir: str):
 
     ds = ray.data.from_arrow(_seg_raster()).repartition(8)
     return distance_transform(ds, [7], row_band=32)
+
+
+_SQL_CHECKER_PIECES = f"""
+    zones AS ({{z}}),
+    tiles AS (
+      SELECT r.range * 8 + c.range AS tile_id,
+             c.range * 13.0 AS tx0, c.range * 13.0 + 13.0 AS tx1,
+             r.range * 13.0 AS ty0, r.range * 13.0 + 13.0 AS ty1
+      FROM range(0, 8) r, range(0, 8) c
+      WHERE (r.range + c.range) % 2 = 0
+    ),
+    pieces AS (
+      SELECT z.fid, t.tile_id,
+             greatest(z.xmin, t.tx0) AS x0, least(z.xmax, t.tx1) AS x1,
+             greatest(z.ymin, t.ty0) AS y0, least(z.ymax, t.ty1) AS y1
+      FROM zones z JOIN tiles t
+        ON least(z.xmax, t.tx1) > greatest(z.xmin, t.tx0)
+       AND least(z.ymax, t.ty1) > greatest(z.ymin, t.ty0)
+    ),
+    ident AS (
+      SELECT fid, tile_id, (x1 - x0) * (y1 - y0) AS piece_area FROM pieces
+    ),
+    resid_a AS (
+      SELECT z.fid, CAST(-1 AS BIGINT) AS tile_id,
+             (z.xmax - z.xmin) * (z.ymax - z.ymin)
+               - COALESCE(SUM(i.piece_area), 0) AS piece_area
+      FROM zones z LEFT JOIN ident i ON z.fid = i.fid
+      GROUP BY z.fid, z.xmin, z.xmax, z.ymin, z.ymax
+      HAVING (z.xmax - z.xmin) * (z.ymax - z.ymin)
+               - COALESCE(SUM(i.piece_area), 0) > 0
+    )
+"""
+
+
+@register(
+    "overlay_identity",
+    "WITH "
+    + _SQL_CHECKER_PIECES.format(z=td.SQL_ZONES)
+    + """
+    SELECT fid, tile_id, piece_area FROM ident
+    UNION ALL
+    SELECT fid, tile_id, piece_area FROM resid_a
+    """,
+)
+def q_overlay_identity(sf_dir: str):
+    """Geopandas-style IDENTITY overlay (vec_lyr_identity_gp,
+    /root/reference/python/rsgislib/vectorgeoms/__init__.py:1450) of
+    the zone layer against the engine's checkerboard tile layer: one
+    row per positive-area zone∩tile piece plus a tile_id=-1 residual
+    row per zone for the surface outside the overlay. Zone side streams
+    through map_batches with a CLOSED-FORM tile grid — zero shuffles,
+    zero broadcast."""
+    from rsgislib_ray.stages.overlay import overlay_identity
+
+    zones = td.zones_from_part(sf_dir).select(
+        ["fid", "xmin", "xmax", "ymin", "ymax"]
+    )
+    ds = ray.data.from_arrow(zones).repartition(8)
+    return overlay_identity(ds)
+
+
+@register(
+    "overlay_union",
+    "WITH "
+    + _SQL_CHECKER_PIECES.format(z=td.SQL_ZONES)
+    + """,
+    slab_edges AS (
+      SELECT DISTINCT tile_id, x FROM (
+        SELECT tile_id, x0 AS x FROM pieces
+        UNION ALL SELECT tile_id, x1 FROM pieces
+      )
+    ),
+    slabs AS (
+      SELECT tile_id, x AS sx0,
+             LEAD(x) OVER (PARTITION BY tile_id ORDER BY x) AS sx1
+      FROM slab_edges
+    ),
+    slab_int AS (
+      SELECT s.tile_id, s.sx0, s.sx1, p.y0, p.y1
+      FROM slabs s JOIN pieces p
+        ON p.tile_id = s.tile_id AND p.x0 <= s.sx0 AND p.x1 >= s.sx1
+      WHERE s.sx1 IS NOT NULL
+    ),
+    contrib AS (
+      SELECT tile_id, sx0, sx1,
+        GREATEST(y1 - GREATEST(y0,
+          COALESCE(MAX(y1) OVER (PARTITION BY tile_id, sx0 ORDER BY y0, y1
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1e18)),
+          0) AS seg
+      FROM slab_int
+    ),
+    cov AS (
+      SELECT tile_id, SUM(seg * (sx1 - sx0)) AS union_area
+      FROM contrib GROUP BY tile_id
+    ),
+    resid_b AS (
+      SELECT CAST(-1 AS BIGINT) AS fid, t.tile_id,
+             169.0 - COALESCE(c.union_area, 0) AS piece_area
+      FROM tiles t LEFT JOIN cov c ON t.tile_id = c.tile_id
+      WHERE 169.0 - COALESCE(c.union_area, 0) > 0
+    )
+    SELECT fid, tile_id, piece_area FROM ident
+    UNION ALL SELECT fid, tile_id, piece_area FROM resid_a
+    UNION ALL SELECT fid, tile_id, piece_area FROM resid_b
+    """,
+)
+def q_overlay_union(sf_dir: str):
+    """Geopandas-style UNION overlay (vec_lyr_union_gp, /root/reference/
+    python/rsgislib/vectorgeoms/__init__.py:1505): identity rows plus a
+    fid=-1 residual per checkerboard tile for the tile surface not
+    covered by any zone (exact union-of-rects area via per-tile slab
+    scanline inside groupby(tile_id).map_groups — the one exchange,
+    keyed on the engine's standard tile id)."""
+    from rsgislib_ray.stages.overlay import overlay_union
+
+    zones = td.zones_from_part(sf_dir).select(
+        ["fid", "xmin", "xmax", "ymin", "ymax"]
+    )
+    ds = ray.data.from_arrow(zones).repartition(8)
+    return overlay_union(ds)
