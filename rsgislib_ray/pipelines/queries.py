@@ -6068,3 +6068,290 @@ def q_overlay_union(sf_dir: str):
     )
     ds = ray.data.from_arrow(zones).repartition(8)
     return overlay_union(ds)
+
+
+# ===========================================================================
+# imagecalc statistical family: covariance/PCA, correlation, mutual
+# information, EMD, AUC (stages/imagestats.py)
+# ===========================================================================
+
+_SQL_BANDS = (
+    "SELECT l_orderkey * 10 + l_linenumber AS cell_key, "
+    "CAST(l_quantity AS BIGINT) AS qty, "
+    "CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c, "
+    "CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_c, "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) % 10000 AS pmod "
+    "FROM lineitem"
+)
+
+_BAND_COLS = ["qty", "disc_c", "tax_c", "pmod"]
+
+
+def _bands_ds(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_discount",
+            "l_tax",
+            "l_extendedprice",
+        ],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "cell_key": batch["l_orderkey"].to_numpy() * 10
+                + batch["l_linenumber"].to_numpy().astype(np.int64),
+                "qty": batch["l_quantity"].to_numpy().astype(np.int64),
+                "disc_c": np.rint(
+                    batch["l_discount"].to_numpy() * 100
+                ).astype(np.int64),
+                "tax_c": np.rint(batch["l_tax"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+                "pmod": cents % 10000,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_band_cov() -> str:
+    """Join-free covariance oracle: one small aggregate per band pair
+    (cell keys are NOT unique in the synthetic table, so a stacked
+    self-join would inflate the moments)."""
+    parts = []
+    for i, ci in enumerate(_BAND_COLS):
+        for j, cj in enumerate(_BAND_COLS[i:], start=i):
+            parts.append(
+                f"SELECT {i} AS i, {j} AS j, COUNT(*) AS n, "
+                f"SUM(CAST({ci} AS HUGEINT) * {cj}) AS sxy, "
+                f"SUM(CAST({ci} AS HUGEINT)) AS sx, "
+                f"SUM(CAST({cj} AS HUGEINT)) AS sy FROM b"
+            )
+    return (
+        f"WITH b AS ({_SQL_BANDS}), m AS ("
+        + " UNION ALL ".join(parts)
+        + ") SELECT i, j, CAST(sxy AS BIGINT) AS sxy, "
+        "CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) "
+        "/ CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS cov FROM m"
+    )
+
+
+@register("band_covariance", _sql_band_cov())
+def q_band_covariance(sf_dir: str):
+    """Cross-band sample covariance matrix (get_pca_eigen_vector's
+    input, /root/reference/python/rsgislib/imagecalc/__init__.py:628)
+    from exact distributed integer moments; each cov entry is one
+    float-cast integer expression (HUGEINT-parity with DuckDB)."""
+    from rsgislib_ray.stages.imagestats import (
+        band_cross_moments,
+        covariance_from_moments,
+    )
+
+    m = band_cross_moments(_bands_ds(sf_dir), _BAND_COLS)
+    cov = covariance_from_moments(m)
+    ii, jj = zip(*[(i, j) for i in range(4) for j in range(i, 4)])
+    return pa.table(
+        {
+            "i": np.array(ii, dtype=np.int64),
+            "j": np.array(jj, dtype=np.int64),
+            "sxy": np.array(
+                [m["q"][(i, j)] for i, j in zip(ii, jj)], dtype=np.int64
+            ),
+            "cov": np.array([cov[i, j] for i, j in zip(ii, jj)]),
+        }
+    )
+
+
+@register(
+    "img_correlation",
+    f"""
+    WITH b AS ({_SQL_BANDS}),
+    m AS (
+      SELECT COUNT(*) AS n,
+        SUM(CAST(qty AS HUGEINT)) AS sx, SUM(CAST(disc_c AS HUGEINT)) AS sy,
+        SUM(CAST(qty AS HUGEINT) * disc_c) AS sxy,
+        SUM(CAST(qty AS HUGEINT) * qty) AS sxx,
+        SUM(CAST(disc_c AS HUGEINT) * disc_c) AS syy
+      FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sum_x,
+      CAST(sy AS BIGINT) AS sum_y, CAST(sxy AS BIGINT) AS sum_xy,
+      CAST(sxx AS BIGINT) AS sum_xx, CAST(syy AS BIGINT) AS sum_yy,
+      CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)) AS corr
+    FROM m
+    """,
+)
+def q_img_correlation(sf_dir: str):
+    """Pearson correlation between two bands (calc_img_correlation,
+    imagecalc/__init__.py:2011) — integer moment decomposition plus the
+    fixed float expression for the coefficient."""
+    from rsgislib_ray.stages.imagestats import (
+        band_cross_moments,
+        correlation_from_moments,
+    )
+
+    m = band_cross_moments(_bands_ds(sf_dir), ["qty", "disc_c"])
+    n, s, q = m["n"], m["s"], m["q"]
+    return pa.table(
+        {
+            "n": [np.int64(n)],
+            "sum_x": [np.int64(s[0])],
+            "sum_y": [np.int64(s[1])],
+            "sum_xy": [np.int64(q[(0, 1)])],
+            "sum_xx": [np.int64(q[(0, 0)])],
+            "sum_yy": [np.int64(q[(1, 1)])],
+            "corr": [correlation_from_moments(m)],
+        }
+    )
+
+
+@register("image_pca", None)  # eigenvector basis — not SQL-expressible
+def q_image_pca(sf_dir: str):
+    """perform_image_pca (imagecalc/__init__.py:686): project every
+    cell onto the top-2 deterministically-signed principal components.
+    Moments are oracle-covered by band_covariance; the projection's
+    invariants (orthonormality, score variance == eigenvalues) are
+    pytest-verified (tests/test_imagestats.py)."""
+    from rsgislib_ray.stages.imagestats import image_pca
+
+    scores, _, _ = image_pca(_bands_ds(sf_dir), _BAND_COLS, k=2)
+    return scores
+
+
+@register(
+    "mutual_info_pmi",
+    f"""
+    WITH b AS ({_SQL_BANDS}),
+    joint AS (
+      SELECT qty AS val_a, disc_c AS val_b, COUNT(*) AS cnt
+      FROM b GROUP BY qty, disc_c
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM joint)
+    SELECT val_a, val_b, cnt,
+      CAST(FLOOR(1000000.0 * ln(
+        CAST(t.n * cnt AS DOUBLE)
+        / CAST(SUM(cnt) OVER (PARTITION BY val_a)
+               * SUM(cnt) OVER (PARTITION BY val_b) AS DOUBLE)
+      )) AS BIGINT) AS pmi_micro
+    FROM joint, tot t
+    """,
+)
+def q_mutual_info_pmi(sf_dir: str):
+    """Joint histogram + per-cell PMI in micro-nats
+    (calc_img_mutual_info, imagecalc/__init__.py:2113): distributed
+    2-D bincount partials; scalar-libm log over exact integer products
+    gives DuckDB-parity floats."""
+    from rsgislib_ray.stages.imagestats import joint_histogram_pmi
+
+    return joint_histogram_pmi(
+        _bands_ds(sf_dir), "qty", "disc_c", card_a=51, card_b=11
+    )
+
+
+@register(
+    "histogram_emd",
+    """
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS val,
+        COUNT(*) FILTER (WHERE l_returnflag = 'A') AS ca,
+        COUNT(*) FILTER (WHERE l_returnflag = 'N') AS cb
+      FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY val
+    ),
+    grid AS (SELECT g.range AS val FROM range(0, 51) g),
+    cum AS (
+      SELECT g.val,
+        SUM(COALESCE(h.ca, 0)) OVER (ORDER BY g.val) AS cum_a,
+        SUM(COALESCE(h.cb, 0)) OVER (ORDER BY g.val) AS cum_b
+      FROM grid g LEFT JOIN h ON g.val = h.val
+    ),
+    tot AS (SELECT MAX(cum_a) AS na, MAX(cum_b) AS nb FROM cum)
+    SELECT c.val, CAST(c.cum_a AS BIGINT) AS cum_a,
+      CAST(c.cum_b AS BIGINT) AS cum_b,
+      CAST(ABS(c.cum_a * t.nb - c.cum_b * t.na) AS BIGINT) AS diff_i
+    FROM cum c, tot t
+    """,
+)
+def q_histogram_emd(sf_dir: str):
+    """1-D earth-mover distance between the qty histograms of the A and
+    N return-flag populations (calc_img_earth_move_dist, imagecalc/
+    __init__.py:2230): integer cumulative-histogram decomposition —
+    EMD = Σ diff_i / (n_a·n_b) as a single float division."""
+    from rsgislib_ray.stages.imagestats import histogram_emd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "val": batch["l_quantity"].to_numpy().astype(np.int64),
+                "flag": batch["l_returnflag"],
+            }
+        )
+
+    table, _emd = histogram_emd(
+        ds.map_batches(f, batch_format="pyarrow"),
+        "val",
+        "flag",
+        "A",
+        "N",
+        card=51,
+    )
+    return table
+
+
+@register(
+    "curve_auc",
+    """
+    WITH p AS (
+      SELECT l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS x,
+        SUM(CAST(l_quantity AS BIGINT)) AS y
+      FROM lineitem GROUP BY ok, x
+    ),
+    seg AS (
+      SELECT ok, x, y,
+        LEAD(y) OVER (PARTITION BY ok ORDER BY x) AS y2,
+        LEAD(x) OVER (PARTITION BY ok ORDER BY x) AS x2
+      FROM p
+    )
+    SELECT ok AS key, CAST(SUM(y + y2) AS BIGINT) AS auc2
+    FROM seg WHERE x2 = x + 1 GROUP BY ok
+    """,
+)
+def q_curve_auc(sf_dir: str):
+    """Per-order trapezoid area under the (linenumber, Σquantity) curve
+    on the unit x grid (calc_area_under_curve, imagecalc/
+    __init__.py:3005) — the double-emit pair-slot trick: two narrow
+    integer groupbys, no per-group Python; duplicate samples fold in
+    and grid gaps drop out on both sides. 2·AUC stays integral."""
+    from rsgislib_ray.stages.imagestats import curve_auc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ok": batch["l_orderkey"].to_numpy(),
+                "x": batch["l_linenumber"].to_numpy().astype(np.int64),
+                "y": batch["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return curve_auc(
+        ds.map_batches(f, batch_format="pyarrow"), "ok", "x", "y", x_stride=16
+    )

@@ -1,0 +1,323 @@
+"""Whole-image statistical operators from the reference's ``imagecalc``
+family, re-expressed as distributed integer partial sums:
+
+- cross-band moments → covariance / correlation / PCA
+  (``get_pca_eigen_vector`` / ``perform_image_pca``,
+  /root/reference/python/rsgislib/imagecalc/__init__.py:628,686, and
+  ``calc_img_correlation`` :2011),
+- joint histogram → per-cell PMI / mutual information
+  (``calc_img_mutual_info`` :2113),
+- two-population histogram → 1-D earth-mover distance
+  (``calc_img_earth_move_dist`` :2230),
+- per-key trapezoid area under curve (``calc_area_under_curve`` :3005).
+
+Exactness contract (shared with this repo's other oracle-verified
+float ops): every reduction is carried in INTEGERS (int64 per batch,
+arbitrary-precision Python ints across batches), and each float output
+is produced by ONE fixed expression over exact integer inputs —
+float-cast, a single division, sqrt or scalar-libm log — so the
+distributed result is bit-identical to DuckDB evaluating the same
+expression, independent of partition order.
+
+Scale notes: moments/histogram partials are one tiny row per batch
+(O(blocks) driver state, same trade as ``zonal_stats``); the PCA
+projection broadcasts a d×k component matrix inside the map_batches
+closure; AUC uses the double-emit trapezoid trick (each sample feeds
+its left and right pair slot) so the whole op is two narrow
+integer-keyed groupbys with NO per-group Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# Cross-band moments
+# ---------------------------------------------------------------------------
+
+
+def _pair_names(d: int) -> list[tuple[int, int]]:
+    return [(i, j) for i in range(d) for j in range(i, d)]
+
+
+def band_cross_moments(
+    ds: ray.data.Dataset, cols: list[str], batch_size: int = 32768
+) -> dict:
+    """Exact integer moments ``n, Σx_i, Σx_i·x_j`` over int-valued band
+    columns. Per-batch int64 sums (batch_size bounds the int64 head-
+    room), cross-batch combine in Python ints — one partial row per
+    batch on the driver."""
+    d = len(cols)
+    pairs = _pair_names(d)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xs = [batch[c].to_numpy().astype(np.int64) for c in cols]
+        out: dict = {"n": np.array([len(xs[0])], dtype=np.int64)}
+        for i in range(d):
+            out[f"s{i}"] = np.array([int(xs[i].sum())], dtype=np.int64)
+        for i, j in pairs:
+            out[f"q{i}_{j}"] = np.array(
+                [int(np.dot(xs[i], xs[j]))], dtype=np.int64
+            )
+        return pa.table(out)
+
+    pdf = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    n = int(pdf["n"].sum())
+    s = [int(pdf[f"s{i}"].sum()) for i in range(d)]
+    q = {(i, j): int(pdf[f"q{i}_{j}"].sum()) for i, j in pairs}
+    return {"n": n, "s": s, "q": q, "d": d}
+
+
+def covariance_from_moments(m: dict) -> np.ndarray:
+    """Sample covariance, one fixed float expression per entry:
+    ``float(n·Σxy − Σx·Σy) / float(n·(n−1))`` (numerator exact in
+    Python ints, both casts round-to-nearest — DuckDB HUGEINT math
+    produces the identical double)."""
+    n, s, q, d = m["n"], m["s"], m["q"], m["d"]
+    den = float(n * (n - 1))
+    cov = np.empty((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            cov[i, j] = cov[j, i] = float(n * q[(i, j)] - s[i] * s[j]) / den
+    return cov
+
+
+def correlation_from_moments(m: dict, i: int = 0, j: int = 1) -> float:
+    """Pearson r via the integer decomposition (calc_img_correlation)."""
+    n, s, q = m["n"], m["s"], m["q"]
+    num = float(n * q[(i, j)] - s[i] * s[j])
+    vx = float(n * q[(i, i)] - s[i] * s[i])
+    vy = float(n * q[(j, j)] - s[j] * s[j])
+    return num / math.sqrt(vx * vy)
+
+
+def image_pca(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    k: int = 2,
+    key_col: str = "cell_key",
+) -> tuple[ray.data.Dataset, np.ndarray, np.ndarray]:
+    """perform_image_pca: eigendecompose the (tiny, driver-side)
+    covariance from exact distributed moments, fix each component's
+    sign (largest-|loading| entry positive) for determinism, then
+    project every cell in a second streaming pass. Returns
+    ``(scores_ds, components[k,d], eigenvalues[k])``."""
+    m = band_cross_moments(ds, cols)
+    cov = covariance_from_moments(m)
+    mean = np.array([si / m["n"] for si in m["s"]])
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T.copy()  # (k, d)
+    for r in range(k):
+        a = int(np.argmax(np.abs(comps[r])))
+        if comps[r, a] < 0:
+            comps[r] = -comps[r]
+    evals = w[order]
+
+    def project(batch: pa.Table) -> pa.Table:
+        x = np.stack(
+            [batch[c].to_numpy().astype(np.float64) for c in cols], axis=1
+        )
+        sc = (x - mean) @ comps.T
+        out = {key_col: batch[key_col]}
+        for r in range(k):
+            out[f"pc{r + 1}"] = sc[:, r]
+        return pa.table(out)
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", batch_size=65536),
+        comps,
+        evals,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joint histogram / PMI / mutual information
+# ---------------------------------------------------------------------------
+
+
+def joint_histogram_pmi(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    card_a: int,
+    card_b: int,
+) -> pa.Table:
+    """calc_img_mutual_info: distributed joint histogram (per-batch 2-D
+    bincount partials, one small row-set per batch) + per-cell PMI in
+    micro-nats: ``floor(1e6 · ln(float(n·c_ij) / float(r_i·c_j)))`` —
+    scalar-libm log over exact integer products, DuckDB-parity."""
+    nbins = card_a * card_b
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch[col_a].to_numpy().astype(np.int64)
+        b = batch[col_b].to_numpy().astype(np.int64)
+        c = np.bincount(a * card_b + b, minlength=nbins)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {"code": nz.astype(np.int64), "cnt": c[nz].astype(np.int64)}
+        )
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("code", as_index=False)["cnt"]
+        .sum()
+    )
+    code = pdf["code"].to_numpy()
+    cnt = pdf["cnt"].to_numpy()
+    va, vb = code // card_b, code % card_b
+    ra = np.bincount(va, weights=cnt, minlength=card_a).astype(np.int64)
+    cb = np.bincount(vb, weights=cnt, minlength=card_b).astype(np.int64)
+    n = int(cnt.sum())
+    pmi = np.empty(len(code), dtype=np.int64)
+    for t in range(len(code)):
+        arg = float(n * int(cnt[t])) / float(int(ra[va[t]]) * int(cb[vb[t]]))
+        pmi[t] = math.floor(1e6 * math.log(arg))
+    return pa.table(
+        {
+            "val_a": va.astype(np.int64),
+            "val_b": vb.astype(np.int64),
+            "cnt": cnt,
+            "pmi_micro": pmi,
+        }
+    )
+
+
+def mutual_information_nats(pmi_table: pa.Table) -> float:
+    """MI ≈ Σ (c_ij/n)·PMI_ij from the micro-nat table (test helper)."""
+    cnt = pmi_table["cnt"].to_numpy()
+    pmi = pmi_table["pmi_micro"].to_numpy()
+    return float((cnt * pmi).sum()) / (cnt.sum() * 1e6)
+
+
+# ---------------------------------------------------------------------------
+# Two-population histogram EMD
+# ---------------------------------------------------------------------------
+
+
+def histogram_emd(
+    ds: ray.data.Dataset,
+    value_col: str,
+    split_col: str,
+    group_a,
+    group_b,
+    card: int,
+) -> tuple[pa.Table, float]:
+    """calc_img_earth_move_dist for two unit-spaced integer histograms:
+    EMD(A,B) = Σ_v |CDF_A(v) − CDF_B(v)|. With counts kept integral the
+    per-bin term is ``|cum_a·n_b − cum_b·n_a|`` (exact), and the final
+    scalar is ONE float division ``Σterms / float(n_a·n_b)``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy().astype(np.int64)
+        s = batch[split_col].to_numpy(zero_copy_only=False)
+        rows = []
+        for grp, name in ((group_a, 0), (group_b, 1)):
+            c = np.bincount(v[s == grp], minlength=card)
+            nz = np.flatnonzero(c)
+            rows.append(
+                pa.table(
+                    {
+                        "which": np.full(len(nz), name, dtype=np.int64),
+                        "val": nz.astype(np.int64),
+                        "cnt": c[nz].astype(np.int64),
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby(["which", "val"], as_index=False)["cnt"]
+        .sum()
+    )
+    ca = np.zeros(card, dtype=np.int64)
+    cb = np.zeros(card, dtype=np.int64)
+    a_rows = pdf[pdf["which"] == 0]
+    b_rows = pdf[pdf["which"] == 1]
+    ca[a_rows["val"].to_numpy()] = a_rows["cnt"].to_numpy()
+    cb[b_rows["val"].to_numpy()] = b_rows["cnt"].to_numpy()
+    na, nb = int(ca.sum()), int(cb.sum())
+    cum_a = np.cumsum(ca)
+    cum_b = np.cumsum(cb)
+    diff = np.abs(cum_a * nb - cum_b * na)
+    table = pa.table(
+        {
+            "val": np.arange(card, dtype=np.int64),
+            "cum_a": cum_a,
+            "cum_b": cum_b,
+            "diff_i": diff,
+        }
+    )
+    emd = float(int(diff[:-1].sum())) / float(na * nb)
+    return table, emd
+
+
+# ---------------------------------------------------------------------------
+# Per-key trapezoid AUC
+# ---------------------------------------------------------------------------
+
+
+def curve_auc(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    x_stride: int = 16,
+) -> ray.data.Dataset:
+    """calc_area_under_curve per key on the unit x grid: 2·AUC = Σ over
+    consecutive samples (y_x + y_{x+1}). Double-emit: each sample lands
+    in pair slot x as the RIGHT end and slot x+1 as the LEFT end, with
+    per-side sums kept separate; a slot is a trapezoid iff BOTH sides
+    are present (grid gaps and curve endpoints drop out), and duplicate
+    (key, x) samples fold into the series value y = Σ duplicates
+    without a separate pre-aggregation shuffle. Two narrow int
+    groupbys, zero per-group Python. ``x_stride`` must exceed the max
+    x+1 (pair ids pack as key·stride + x)."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy().astype(np.int64)
+        x = batch[x_col].to_numpy().astype(np.int64)
+        y = batch[y_col].to_numpy().astype(np.int64)
+        zero = np.zeros(len(k), dtype=np.int64)
+        one = np.ones(len(k), dtype=np.int64)
+        return pa.table(
+            {
+                "slot": np.concatenate(
+                    [k * x_stride + x, k * x_stride + x + 1]
+                ),
+                "yr": np.concatenate([y, zero]),
+                "cr": np.concatenate([one, zero]),
+                "yl": np.concatenate([zero, y]),
+                "cl": np.concatenate([zero, one]),
+            }
+        )
+
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    slots = ds.map_batches(emit, batch_format="pyarrow", batch_size=65536)
+    pairs = segment_sum(slots, "slot", ["yr", "cr", "yl", "cl"])
+
+    def to_key(batch: pa.Table) -> pa.Table:
+        slot = batch["slot"].to_numpy()
+        full = (batch["cr"].to_numpy() > 0) & (batch["cl"].to_numpy() > 0)
+        y2 = (batch["yr"].to_numpy() + batch["yl"].to_numpy()).astype(np.int64)
+        return pa.table(
+            {"key": (slot[full] // x_stride).astype(np.int64), "area2": y2[full]}
+        )
+
+    keyed = pairs.map_batches(to_key, batch_format="pyarrow")
+    out = segment_sum(keyed, "key", ["area2"])
+    return out.map_batches(
+        lambda b: b.rename_columns(["key", "auc2"]), batch_format="pyarrow"
+    )

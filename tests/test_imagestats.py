@@ -1,0 +1,198 @@
+"""imagestats + segsum: moment exactness, PCA invariants, EMD/PMI
+helpers, AUC vs brute pandas, and the sort-based segment_sum vs
+pandas groupby on adversarial partitionings."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rsgislib_ray.stages.imagestats import (
+    band_cross_moments,
+    correlation_from_moments,
+    covariance_from_moments,
+    curve_auc,
+    histogram_emd,
+    image_pca,
+    joint_histogram_pmi,
+    mutual_information_nats,
+)
+from rsgislib_ray.stages.segsum import segment_sum
+
+
+def _rand_table(rng, n=5000):
+    return pa.table(
+        {
+            "cell_key": np.arange(n, dtype=np.int64),
+            "a": rng.integers(0, 50, n),
+            "b": rng.integers(0, 11, n),
+            "c": rng.integers(0, 9, n),
+        }
+    )
+
+
+def test_moments_match_numpy(ray_session):
+    import ray
+
+    rng = np.random.default_rng(3)
+    t = _rand_table(rng)
+    m = band_cross_moments(
+        ray.data.from_arrow(t).repartition(7), ["a", "b", "c"]
+    )
+    a = t["a"].to_numpy()
+    b = t["b"].to_numpy()
+    assert m["n"] == len(t)
+    assert m["s"][0] == int(a.sum())
+    assert m["q"][(0, 1)] == int(np.dot(a, b))
+    cov = covariance_from_moments(m)
+    ref = np.cov(np.stack([a, b, t["c"].to_numpy()]), ddof=1)
+    assert np.allclose(cov, ref, rtol=1e-12)
+    r = correlation_from_moments(m, 0, 1)
+    assert np.isclose(r, np.corrcoef(a, b)[0, 1], rtol=1e-12)
+
+
+def test_pca_invariants(ray_session):
+    import ray
+
+    rng = np.random.default_rng(5)
+    t = _rand_table(rng, n=3000)
+    ds = ray.data.from_arrow(t).repartition(4)
+    scores, comps, evals = image_pca(ds, ["a", "b", "c"], k=3)
+    # orthonormal, deterministic sign
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-10)
+    for r in range(3):
+        assert comps[r, np.argmax(np.abs(comps[r]))] > 0
+    sdf = scores.to_pandas()
+    # score variance equals the eigenvalues, scores uncorrelated
+    sc = sdf[["pc1", "pc2", "pc3"]].to_numpy()
+    got = np.cov(sc.T, ddof=1)
+    assert np.allclose(np.diag(got), evals, rtol=1e-8)
+    assert np.allclose(got - np.diag(np.diag(got)), 0, atol=1e-6)
+    # eigenvalue sum == total variance (trace conservation)
+    m = band_cross_moments(ds, ["a", "b", "c"])
+    assert np.isclose(
+        evals.sum(), np.trace(covariance_from_moments(m)), rtol=1e-12
+    )
+
+
+def test_pmi_and_mi(ray_session):
+    import ray
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    a = rng.integers(0, 4, n)
+    b = np.where(rng.random(n) < 0.7, a, rng.integers(0, 4, n))  # dependent
+    ds = ray.data.from_arrow(
+        pa.table({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+    ).repartition(5)
+    tbl = joint_histogram_pmi(ds, "a", "b", 4, 4)
+    assert int(tbl["cnt"].to_numpy().sum()) == n
+    mi = mutual_information_nats(tbl)
+    # dependent variables -> clearly positive MI
+    assert mi > 0.3
+    # diagonal cells over-represented -> positive PMI
+    df = tbl.to_pandas()
+    diag = df[df["val_a"] == df["val_b"]]["pmi_micro"]
+    assert (diag > 0).all()
+
+
+def test_emd_matches_scipy_style_brute(ray_session):
+    import ray
+
+    rng = np.random.default_rng(2)
+    v = np.concatenate([rng.integers(0, 10, 500), rng.integers(5, 20, 400)])
+    s = np.array(["A"] * 500 + ["N"] * 400)
+    ds = ray.data.from_arrow(pa.table({"val": v, "flag": s})).repartition(4)
+    tbl, emd = histogram_emd(ds, "val", "flag", "A", "N", card=21)
+    ca = np.bincount(v[:500], minlength=21)
+    cb = np.bincount(v[500:], minlength=21)
+    brute = np.abs(
+        np.cumsum(ca) / 500 - np.cumsum(cb) / 400
+    )[:-1].sum()
+    assert np.isclose(emd, brute, rtol=1e-12)
+    assert int(tbl["cum_a"].to_numpy()[-1]) == 500
+
+
+def test_curve_auc_matches_pandas(ray_session):
+    import ray
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 300, n).astype(np.int64),
+            "x": rng.integers(1, 8, n).astype(np.int64),
+            "y": rng.integers(0, 50, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = (
+        curve_auc(ds, "k", "x", "y", x_stride=16)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    # brute: aggregate duplicates, pair consecutive-x samples
+    agg = df.groupby(["k", "x"], as_index=False)["y"].sum()
+    rows = []
+    for k, g in agg.groupby("k"):
+        g = g.sort_values("x")
+        xs, ys = g["x"].to_numpy(), g["y"].to_numpy()
+        tot = 0
+        for i in range(len(xs) - 1):
+            if xs[i + 1] == xs[i] + 1:
+                tot += ys[i] + ys[i + 1]
+        if tot:
+            rows.append((k, tot))
+    ref = pd.DataFrame(rows, columns=["key", "auc2"]).sort_values(
+        "key"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@pytest.mark.parametrize("parts", [1, 3, 13])
+def test_segment_sum_matches_pandas(ray_session, parts):
+    import ray
+
+    rng = np.random.default_rng(parts)
+    n = 20000
+    t = pa.table(
+        {
+            "key": rng.integers(0, 15000, n),  # high cardinality
+            "v1": rng.integers(-5, 50, n),
+            "v2": rng.integers(0, 3, n),
+        }
+    )
+    got = (
+        segment_sum(
+            ray.data.from_arrow(t).repartition(parts), "key", ["v1", "v2"]
+        )
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    ref = (
+        t.to_pandas()
+        .groupby("key", as_index=False)[["v1", "v2"]]
+        .sum()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    # no duplicated keys leak through the edge stitch
+    assert got["key"].is_unique
+
+
+def test_segment_sum_single_giant_group(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "key": np.zeros(5000, dtype=np.int64),
+            "v1": np.ones(5000, dtype=np.int64),
+        }
+    )
+    got = segment_sum(
+        ray.data.from_arrow(t).repartition(11), "key", ["v1"]
+    ).to_pandas()
+    assert len(got) == 1 and int(got["v1"].iloc[0]) == 5000
