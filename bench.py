@@ -121,6 +121,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "raster_pyramid",
         "event_funnel",
         "pagerank_knn",
+        # round-2 continuation: distance/overlay/segment-reduce family
+        "distance_transform",
+        "overlay_union",
+        "eliminate_small",
+        "curve_auc",
+        "band_covariance",
+        "mutual_info_pmi",
         # shuffle-heavy strategies LAST: their sort/join stages leave a
         # large idle-worker pool behind that breaks the per-process
         # broadcast-cache locality of later broadcast-path queries

@@ -6355,3 +6355,100 @@ def q_curve_auc(sf_dir: str):
     return curve_auc(
         ds.map_batches(f, batch_format="pyarrow"), "ok", "x", "y", x_stride=16
     )
+
+
+@register(
+    "split_window_otsu",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range * 37) % 100 AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    hist AS (
+      SELECT (rr // 16) * 5 + (cc // 16) AS tile_id, val, COUNT(*) AS c
+      FROM px GROUP BY tile_id, val
+    ),
+    cum AS (
+      SELECT tile_id, val,
+        SUM(c) OVER (PARTITION BY tile_id ORDER BY val) AS w0,
+        SUM(c * val) OVER (PARTITION BY tile_id ORDER BY val) AS s0,
+        SUM(c) OVER (PARTITION BY tile_id) AS w,
+        SUM(c * val) OVER (PARTITION BY tile_id) AS s
+      FROM hist
+    ),
+    crit AS (
+      SELECT tile_id, val, w,
+        CAST((s0 * w - s * w0) * (s0 * w - s * w0) AS DOUBLE)
+          / CAST(w0 * (w - w0) AS DOUBLE) AS crit
+      FROM cum WHERE w0 > 0 AND w0 < w
+    ),
+    pick AS (
+      SELECT tile_id, val AS threshold, crit, w,
+        ROW_NUMBER() OVER (PARTITION BY tile_id
+                           ORDER BY crit DESC, val ASC) AS rn
+      FROM crit
+    )
+    SELECT tile_id, threshold, crit, CAST(w AS BIGINT) AS n_vals
+    FROM pick WHERE rn = 1
+    """,
+)
+def q_split_window_otsu(sf_dir: str):
+    """Split-window Otsu thresholds (calc_split_win_thresholds,
+    /root/reference/python/rsgislib/imagecalc/__init__.py:1783): one
+    between-class-variance-maximizing threshold per 16x16 window of the
+    seg raster's band1 — exact integer criterion, tie -> lowest value,
+    SQL-window-oracle parity."""
+    from rsgislib_ray.stages.imagestats import split_window_otsu
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy()
+        c = batch["col"].to_numpy()
+        return pa.table(
+            {
+                "tile_id": (r // 16) * 5 + (c // 16),
+                "val": batch["band1"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return split_window_otsu(
+        ds.map_batches(tag, batch_format="pyarrow"), "tile_id", "val", card=100
+    )
+
+
+@register(
+    "pixel_percentiles",
+    f"""
+    WITH b AS ({_SQL_BANDS})
+    SELECT cell_key AS pixel_id,
+      LEAST(qty, disc_c, tax_c, pmod) AS p0,
+      LEAST(GREATEST(qty, disc_c), GREATEST(qty, tax_c),
+            GREATEST(qty, pmod), GREATEST(disc_c, tax_c),
+            GREATEST(disc_c, pmod), GREATEST(tax_c, pmod)) AS p50,
+      GREATEST(LEAST(qty, disc_c), LEAST(qty, tax_c),
+               LEAST(qty, pmod), LEAST(disc_c, tax_c),
+               LEAST(disc_c, pmod), LEAST(tax_c, pmod)) AS p75,
+      GREATEST(qty, disc_c, tax_c, pmod) AS p100
+    FROM b
+    """,
+)
+def q_pixel_percentiles(sf_dir: str):
+    """Per-pixel percentiles across 4 co-registered images
+    (calc_imgs_pxl_percentiles, imagecalc/__init__.py:1161),
+    lower-interpolation rank select; the SQL mirror uses the
+    min-of-pair-maxes / max-of-pair-mins closed forms for the interior
+    ranks of k=4."""
+    from rsgislib_ray.stages.imagestats import pixel_percentiles
+
+    ds = _bands_ds(sf_dir).map_batches(
+        lambda b: b.rename_columns(
+            ["pixel_id", "qty", "disc_c", "tax_c", "pmod"]
+        ),
+        batch_format="pyarrow",
+    )
+    return pixel_percentiles(
+        ds, ["qty", "disc_c", "tax_c", "pmod"], [0, 50, 75, 100]
+    )

@@ -321,3 +321,103 @@ def curve_auc(
     return out.map_batches(
         lambda b: b.rename_columns(["key", "auc2"]), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-window Otsu thresholds
+# ---------------------------------------------------------------------------
+
+
+def split_window_otsu(
+    ds: ray.data.Dataset,
+    tile_col: str,
+    value_col: str,
+    card: int,
+    min_n_vals: int = 1,
+) -> pa.Table:
+    """calc_split_win_thresholds with THRES_METH_OTSU
+    (/root/reference/python/rsgislib/imagecalc/__init__.py:1783): one
+    Otsu threshold per window over integer pixel values in
+    ``[0, card)``. Per-batch (tile, value) bincount partials stream to
+    an O(tiles·card) driver histogram; the Otsu argmax is computed per
+    tile from EXACT integers — between-class criterion
+    ``float(N²) / float(W0·W1)`` with ``N = S0·W − S·W0`` — so the
+    threshold choice (ties → lowest value) is bit-identical to the SQL
+    window-function oracle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch[tile_col].to_numpy().astype(np.int64)
+        v = batch[value_col].to_numpy().astype(np.int64)
+        code = t * card + v
+        c = np.bincount(code)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {"code": nz.astype(np.int64), "cnt": c[nz].astype(np.int64)}
+        )
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("code", as_index=False)["cnt"]
+        .sum()
+    )
+    tiles = np.unique(pdf["code"].to_numpy() // card)
+    out_tile, out_thr, out_crit, out_n = [], [], [], []
+    for tid in tiles:
+        sel = pdf[pdf["code"] // card == tid]
+        hist = np.zeros(card, dtype=np.int64)
+        hist[sel["code"].to_numpy() % card] = sel["cnt"].to_numpy()
+        w = int(hist.sum())
+        if w < min_n_vals:
+            continue
+        s = int(np.dot(hist, np.arange(card)))
+        best_crit, best_t = -1.0, -1
+        w0 = s0 = 0
+        for t in range(card):
+            w0 += int(hist[t])
+            s0 += int(hist[t]) * t
+            if w0 == 0 or w0 == w:
+                continue
+            num = s0 * w - s * w0
+            crit = float(num * num) / float(w0 * (w - w0))
+            if crit > best_crit:  # strict: ties keep the LOWEST t
+                best_crit, best_t = crit, t
+        if best_t >= 0:
+            out_tile.append(int(tid))
+            out_thr.append(best_t)
+            out_crit.append(best_crit)
+            out_n.append(w)
+    return pa.table(
+        {
+            "tile_id": np.array(out_tile, dtype=np.int64),
+            "threshold": np.array(out_thr, dtype=np.int64),
+            "crit": np.array(out_crit, dtype=np.float64),
+            "n_vals": np.array(out_n, dtype=np.int64),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-pixel percentiles across images
+# ---------------------------------------------------------------------------
+
+
+def pixel_percentiles(
+    ds: ray.data.Dataset, cols: list[str], percentiles: list[float]
+) -> ray.data.Dataset:
+    """calc_imgs_pxl_percentiles (imagecalc/__init__.py:1161): per-pixel
+    rank-select across k co-registered images (the k band columns),
+    lower-interpolation — index ``floor(p/100 · (k−1))`` into the
+    row-sorted values. Pure row-wise map_batches, zero shuffles."""
+    k = len(cols)
+    idxs = [int(math.floor(p / 100.0 * (k - 1))) for p in percentiles]
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = np.stack([batch[c].to_numpy().astype(np.int64) for c in cols], 1)
+        x.sort(axis=1)
+        out = {"pixel_id": batch["pixel_id"]}
+        for p, i in zip(percentiles, idxs):
+            out[f"p{int(p)}"] = x[:, i]
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)

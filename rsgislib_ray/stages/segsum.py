@@ -33,12 +33,21 @@ import ray.data
 _EDGE = "__edge"
 
 
+_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+_PANDAS_AGG = {"sum": "sum", "min": "min", "max": "max"}
+
+
 def segment_sum(
-    ds: ray.data.Dataset, key_col: str, value_cols: list[str]
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_cols: list[str],
+    aggs: list[str] | None = None,
 ) -> ray.data.Dataset:
-    """Distributed ``SELECT key, SUM(v1), ... GROUP BY key`` (int64
-    values, exact) for arbitrarily high key cardinality. Output columns
-    keep their input names."""
+    """Distributed ``SELECT key, AGG(v1), ... GROUP BY key`` (int64
+    values, exact) for arbitrarily high key cardinality. ``aggs`` picks
+    per-column reducers from sum/min/max (default: all sum). Output
+    columns keep their input names."""
+    aggs = aggs or ["sum"] * len(value_cols)
 
     def block_reduce(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -51,9 +60,9 @@ def segment_sum(
         k = batch[key_col].to_numpy()
         starts = np.concatenate([[0], np.flatnonzero(np.diff(k)) + 1])
         out = {key_col: k[starts]}
-        for c in value_cols:
+        for c, a in zip(value_cols, aggs):
             v = batch[c].to_numpy().astype(np.int64)
-            out[c] = np.add.reduceat(v, starts)
+            out[c] = _UFUNC[a].reduceat(v, starts)
         edge = np.zeros(len(starts), dtype=np.int8)
         edge[0] = 1
         edge[-1] = 1
@@ -74,7 +83,9 @@ def segment_sum(
 
     edge_pdf = reduced.map_batches(edges, batch_format="pyarrow").to_pandas()
     fixed = (
-        edge_pdf.groupby(key_col, as_index=False)[value_cols].sum()
+        edge_pdf.groupby(key_col, as_index=False).agg(
+            {c: _PANDAS_AGG[a] for c, a in zip(value_cols, aggs)}
+        )
         if len(edge_pdf)
         else edge_pdf
     )

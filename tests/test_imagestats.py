@@ -183,6 +183,39 @@ def test_segment_sum_matches_pandas(ray_session, parts):
     assert got["key"].is_unique
 
 
+def test_segment_sum_min_max(ray_session):
+    import ray
+
+    rng = np.random.default_rng(42)
+    n = 8000
+    t = pa.table(
+        {
+            "key": rng.integers(0, 5000, n),
+            "lo": rng.integers(-100, 100, n),
+            "hi": rng.integers(-100, 100, n),
+        }
+    )
+    got = (
+        segment_sum(
+            ray.data.from_arrow(t).repartition(9),
+            "key",
+            ["lo", "hi"],
+            aggs=["min", "max"],
+        )
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    ref = (
+        t.to_pandas()
+        .groupby("key", as_index=False)
+        .agg({"lo": "min", "hi": "max"})
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
 def test_segment_sum_single_giant_group(ray_session):
     import ray
 
@@ -196,3 +229,57 @@ def test_segment_sum_single_giant_group(ray_session):
         ray.data.from_arrow(t).repartition(11), "key", ["v1"]
     ).to_pandas()
     assert len(got) == 1 and int(got["v1"].iloc[0]) == 5000
+
+
+def test_split_window_otsu_bimodal(ray_session):
+    import ray
+
+    from rsgislib_ray.stages.imagestats import split_window_otsu
+
+    rng = np.random.default_rng(8)
+    # tile 0: clean bimodal {2, 40}; tile 1: uniform
+    v0 = np.concatenate([np.full(200, 2), np.full(150, 40)])
+    v1 = rng.integers(0, 50, 300)
+    t = pa.table(
+        {
+            "tile_id": np.concatenate(
+                [np.zeros(350, dtype=np.int64), np.ones(300, dtype=np.int64)]
+            ),
+            "val": np.concatenate([v0, v1]).astype(np.int64),
+        }
+    )
+    out = split_window_otsu(
+        ray.data.from_arrow(t).repartition(4), "tile_id", "val", card=50
+    ).to_pandas()
+    assert len(out) == 2
+    thr0 = int(out[out["tile_id"] == 0]["threshold"].iloc[0])
+    # bimodal split lands strictly between the two modes
+    assert 2 <= thr0 < 40
+    assert int(out[out["tile_id"] == 0]["n_vals"].iloc[0]) == 350
+
+
+def test_pixel_percentiles_rank_select(ray_session):
+    import ray
+
+    from rsgislib_ray.stages.imagestats import pixel_percentiles
+
+    t = pa.table(
+        {
+            "pixel_id": np.arange(4, dtype=np.int64),
+            "a": np.array([9, 1, 5, 5], dtype=np.int64),
+            "b": np.array([3, 2, 5, 6], dtype=np.int64),
+            "c": np.array([7, 3, 5, 7], dtype=np.int64),
+            "d": np.array([1, 4, 5, 8], dtype=np.int64),
+        }
+    )
+    out = (
+        pixel_percentiles(
+            ray.data.from_arrow(t), ["a", "b", "c", "d"], [0, 50, 75, 100]
+        )
+        .to_pandas()
+        .sort_values("pixel_id")
+    )
+    assert out["p0"].tolist() == [1, 1, 5, 5]
+    assert out["p50"].tolist() == [3, 2, 5, 6]
+    assert out["p75"].tolist() == [7, 3, 5, 7]
+    assert out["p100"].tolist() == [9, 4, 5, 8]
