@@ -66,9 +66,9 @@ def exact_dedup(
     (rm_feat_att_duplicates semantics: keep the lowest-id row of each
     duplicate group). Returns the surviving rows.
 
-    Shape: per-batch partial (hash, min_id) pre-reduce -> NATIVE
-    distributed ``groupby("content_hash").min`` (the combine never runs
-    on the driver) -> winner filter:
+    Shape: per-batch partial (hash, min_id) pre-reduce -> distributed
+    ``segment_sum(min)`` winner selection (sort + reduceat; the combine
+    never runs on the driver) -> winner filter:
 
     - ``strategy="broadcast"``: the winner blocks stay in the object
       store (``to_arrow_refs``); each worker process fetches + sorts
@@ -90,11 +90,17 @@ def exact_dedup(
         starts = np.concatenate([[0], np.flatnonzero(np.diff(h2)) + 1])
         return pa.table({"content_hash": h2[starts], "min_id": i2[starts]})
 
-    winners = (
-        hashed.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("content_hash")
-        .min("min_id")
-    )  # columns: content_hash, min(min_id) — computed distributed
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    winners = segment_sum(
+        hashed.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "content_hash",
+        ["min_id"],
+        aggs=["min"],
+    )  # columns: content_hash, min_id — sort+reduceat distributed
+    # (Ray's native groupby.min runs its combine per group in Python;
+    # the segment reducer is ~100x faster at high hash cardinality —
+    # see stages/segsum.py.)
 
     if strategy == "join":
         from rsgislib_ray.stages.spatial_join import _default_join_partitions
@@ -103,7 +109,7 @@ def exact_dedup(
 
         def rename(b: pa.Table) -> pa.Table:
             return pa.table(
-                {"content_hash": b["content_hash"], "win_id": b["min(min_id)"]}
+                {"content_hash": b["content_hash"], "win_id": b["min_id"]}
             )
 
         w = winners.map_batches(rename, batch_format="pyarrow")
@@ -126,7 +132,7 @@ def exact_dedup(
             return np.empty(0, np.int64), np.empty(0, np.int64)
         t = pa.concat_tables(nonempty)
         wh = t["content_hash"].to_numpy()
-        wi = t["min(min_id)"].to_numpy()
+        wi = t["min_id"].to_numpy()
         order = np.argsort(wh, kind="stable")
         return wh[order], wi[order]
 
