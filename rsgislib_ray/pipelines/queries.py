@@ -6452,3 +6452,81 @@ def q_pixel_percentiles(sf_dir: str):
     return pixel_percentiles(
         ds, ["qty", "disc_c", "tax_c", "pmod"], [0, 50, 75, 100]
     )
+
+
+@register(
+    "noise_covariance",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pid,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range * 37) % 100 AS BIGINT) AS b1,
+             CAST((p.range * 61) % 100 AS BIGINT) AS b2
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    d AS (
+      SELECT b.b1 - a.b1 AS d0, b.b2 - a.b2 AS d1
+      FROM px a JOIN px b ON b.rr = a.rr AND b.cc = a.cc + 1
+    ),
+    m AS (
+      SELECT 0 AS i, 0 AS j, COUNT(*) AS n,
+        SUM(CAST(d0 AS HUGEINT) * d0) AS sxy,
+        SUM(CAST(d0 AS HUGEINT)) AS sx, SUM(CAST(d0 AS HUGEINT)) AS sy
+      FROM d
+      UNION ALL
+      SELECT 0, 1, COUNT(*),
+        SUM(CAST(d0 AS HUGEINT) * d1),
+        SUM(CAST(d0 AS HUGEINT)), SUM(CAST(d1 AS HUGEINT)) FROM d
+      UNION ALL
+      SELECT 1, 1, COUNT(*),
+        SUM(CAST(d1 AS HUGEINT) * d1),
+        SUM(CAST(d1 AS HUGEINT)), SUM(CAST(d1 AS HUGEINT)) FROM d
+    )
+    SELECT i, j, CAST(sxy AS BIGINT) AS sxy,
+      CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS cov
+    FROM m
+    """,
+)
+def q_noise_covariance(sf_dir: str):
+    """MNF noise covariance (perform_image_mnf, /root/reference/python/
+    rsgislib/imagecalc/__init__.py:746): horizontal neighbor differences
+    via pair-slot double-emit + segment_sum (no raster ordering assumed
+    across blocks), then exact integer cross-moments."""
+    from rsgislib_ray.stages.imagestats import (
+        band_cross_moments,
+        covariance_from_moments,
+        neighbor_differences,
+    )
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    diffs = neighbor_differences(
+        ds, ["band1", "band2"], width=_SEG_N
+    )
+    m = band_cross_moments(diffs, ["d0", "d1"])
+    cov = covariance_from_moments(m)
+    return pa.table(
+        {
+            "i": np.array([0, 0, 1], dtype=np.int64),
+            "j": np.array([0, 1, 1], dtype=np.int64),
+            "sxy": np.array(
+                [m["q"][(0, 0)], m["q"][(0, 1)], m["q"][(1, 1)]],
+                dtype=np.int64,
+            ),
+            "cov": np.array([cov[0, 0], cov[0, 1], cov[1, 1]]),
+        }
+    )
+
+
+@register("image_mnf", None)  # eigenvector basis — not SQL-expressible
+def q_image_mnf(sf_dir: str):
+    """perform_image_mnf projection to the top-2 noise-whitened
+    components over the seg raster bands; noise covariance is
+    oracle-covered by noise_covariance, projection invariants
+    (noise-whitening, SNR ordering) by tests/test_imagestats.py."""
+    from rsgislib_ray.stages.imagestats import image_mnf
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    scores, _, _ = image_mnf(ds, ["band1", "band2"], k=2, width=_SEG_N)
+    return scores

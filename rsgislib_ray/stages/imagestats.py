@@ -421,3 +421,122 @@ def pixel_percentiles(
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+# ---------------------------------------------------------------------------
+# Minimum Noise Fraction (noise-adjusted PCA)
+# ---------------------------------------------------------------------------
+
+
+def neighbor_differences(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    row_col: str = "row",
+    col_col: str = "col",
+    pixel_col: str = "pixel_id",
+    width: int | None = None,
+) -> ray.data.Dataset:
+    """Per-band horizontal first differences d(p) = x(r,c+1) − x(r,c)
+    — the MNF noise estimator's input (perform_image_mnf,
+    /root/reference/python/rsgislib/imagecalc/__init__.py:746).
+    Double-emit into pair slots keyed by the LEFT pixel id: the left
+    member contributes −x, the right member +x; slots with both sides
+    present sum to the exact difference. One ``segment_sum`` shuffle,
+    no raster-ordering assumption on the input blocks."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        p = batch[pixel_col].to_numpy().astype(np.int64)
+        c = batch[col_col].to_numpy().astype(np.int64)
+        if width is not None:
+            left_ok = c < width - 1
+        else:
+            left_ok = np.ones(len(c), dtype=bool)
+        right_ok = c > 0
+        cols_out = {
+            "slot": np.concatenate([p[left_ok], (p - 1)[right_ok]]),
+            "cl": np.concatenate(
+                [
+                    np.ones(int(left_ok.sum()), dtype=np.int64),
+                    np.zeros(int(right_ok.sum()), dtype=np.int64),
+                ]
+            ),
+            "cr": np.concatenate(
+                [
+                    np.zeros(int(left_ok.sum()), dtype=np.int64),
+                    np.ones(int(right_ok.sum()), dtype=np.int64),
+                ]
+            ),
+        }
+        for k, cname in enumerate(cols):
+            x = batch[cname].to_numpy().astype(np.int64)
+            cols_out[f"d{k}"] = np.concatenate([-x[left_ok], x[right_ok]])
+        return pa.table(cols_out)
+
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    dcols = [f"d{k}" for k in range(len(cols))] + ["cl", "cr"]
+    summed = segment_sum(
+        ds.map_batches(emit, batch_format="pyarrow", batch_size=65536),
+        "slot",
+        dcols,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ok = (batch["cl"].to_numpy() > 0) & (batch["cr"].to_numpy() > 0)
+        out = {"pixel_id": batch["slot"].to_numpy()[ok]}
+        for k in range(len(cols)):
+            out[f"d{k}"] = batch[f"d{k}"].to_numpy()[ok]
+        return pa.table(out)
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def image_mnf(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    k: int = 2,
+    key_col: str = "pixel_id",
+    col_col: str = "col",
+    width: int | None = None,
+) -> tuple[ray.data.Dataset, np.ndarray, np.ndarray]:
+    """perform_image_mnf (imagecalc/__init__.py:746): noise covariance
+    from horizontal neighbor differences, signal covariance from the
+    raw bands (both via exact distributed integer moments), then the
+    generalized eigenproblem Σ_S v = λ Σ_N v solved on the driver
+    (noise-whitening: eigh of N^{-1/2} Σ_S N^{-1/2}) and the projection
+    streamed over every pixel. Components are sign-fixed; returns
+    ``(scores_ds, components[k,d], snr_eigenvalues[k])``."""
+    d = len(cols)
+    diffs = neighbor_differences(
+        ds, cols, col_col=col_col, pixel_col=key_col, width=width
+    )
+    mn = band_cross_moments(diffs, [f"d{i}" for i in range(d)])
+    ms = band_cross_moments(ds, cols)
+    cov_n = covariance_from_moments(mn)
+    cov_s = covariance_from_moments(ms)
+    wn, vn = np.linalg.eigh(cov_n)
+    ihalf = vn @ np.diag(1.0 / np.sqrt(wn)) @ vn.T
+    w, v = np.linalg.eigh(ihalf @ cov_s @ ihalf)
+    order = np.argsort(w)[::-1][:k]
+    comps = (ihalf @ v[:, order]).T.copy()  # rows: MNF directions
+    for r in range(k):
+        a = int(np.argmax(np.abs(comps[r])))
+        if comps[r, a] < 0:
+            comps[r] = -comps[r]
+    mean = np.array([si / ms["n"] for si in ms["s"]])
+
+    def project(batch: pa.Table) -> pa.Table:
+        x = np.stack(
+            [batch[c].to_numpy().astype(np.float64) for c in cols], axis=1
+        )
+        sc = (x - mean) @ comps.T
+        out = {key_col: batch[key_col]}
+        for r in range(k):
+            out[f"mnf{r + 1}"] = sc[:, r]
+        return pa.table(out)
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", batch_size=65536),
+        comps,
+        w[order],
+    )

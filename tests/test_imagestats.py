@@ -283,3 +283,77 @@ def test_pixel_percentiles_rank_select(ray_session):
     assert out["p50"].tolist() == [3, 2, 5, 6]
     assert out["p75"].tolist() == [7, 3, 5, 7]
     assert out["p100"].tolist() == [9, 4, 5, 8]
+
+
+def test_neighbor_differences_match_brute(ray_session):
+    import ray
+
+    from rsgislib_ray.stages.imagestats import neighbor_differences
+
+    n = 32
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    b1 = (pid * 37) % 100
+    b2 = (pid * 61) % 100
+    t = pa.table(
+        {"pixel_id": pid, "row": row, "col": col, "band1": b1, "band2": b2}
+    )
+    got = (
+        neighbor_differences(
+            ray.data.from_arrow(t).repartition(7), ["band1", "band2"], width=n
+        )
+        .to_pandas()
+        .sort_values("pixel_id")
+        .reset_index(drop=True)
+    )
+    # brute: d(p) = x(r,c+1) - x(r,c) for c < n-1, keyed by left pixel
+    left = col < n - 1
+    assert got["pixel_id"].tolist() == pid[left].tolist()
+    assert got["d0"].to_numpy().tolist() == (
+        b1.reshape(n, n)[:, 1:] - b1.reshape(n, n)[:, :-1]
+    ).ravel().tolist()
+    assert got["d1"].to_numpy().tolist() == (
+        b2.reshape(n, n)[:, 1:] - b2.reshape(n, n)[:, :-1]
+    ).ravel().tolist()
+
+
+def test_image_mnf_invariants(ray_session):
+    import ray
+
+    from rsgislib_ray.stages.imagestats import (
+        band_cross_moments,
+        covariance_from_moments,
+        image_mnf,
+        neighbor_differences,
+    )
+
+    n = 48
+    rng = np.random.default_rng(42)
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    # signal: smooth row gradient in b1; noise: iid integer jitter
+    b1 = row * 3 + rng.integers(-2, 3, n * n)
+    b2 = rng.integers(0, 10, n * n) + col  # column gradient + noise
+    t = pa.table(
+        {"pixel_id": pid, "row": row, "col": col, "b1": b1, "b2": b2}
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    scores, comps, snr = image_mnf(
+        ds, ["b1", "b2"], k=2, width=n
+    )
+    # SNR eigenvalues sorted descending
+    assert snr[0] >= snr[1] > 0
+    # components noise-whiten: V Σ_N Vᵀ = I
+    diffs = neighbor_differences(ds, ["b1", "b2"], width=n)
+    cov_n = covariance_from_moments(
+        band_cross_moments(diffs, ["d0", "d1"])
+    )
+    eye = comps @ cov_n @ comps.T
+    assert np.allclose(eye, np.eye(2), atol=1e-8)
+    # projected scores have sample covariance diag(snr) in whitened units
+    sc = scores.to_pandas().sort_values("pixel_id")
+    x = sc[["mnf1", "mnf2"]].to_numpy()
+    cov_sc = np.cov(x, rowvar=False)
+    # scores covariance equals comps Σ_S compsᵀ = diag(snr)
+    assert np.allclose(np.diag(cov_sc), snr, rtol=1e-6)
+    assert abs(cov_sc[0, 1]) < 1e-6
