@@ -6530,3 +6530,75 @@ def q_image_mnf(sf_dir: str):
     ds = ray.data.from_arrow(_seg_raster()).repartition(8)
     scores, _, _ = image_mnf(ds, ["band1", "band2"], k=2, width=_SEG_N)
     return scores
+
+
+@register(
+    "grid_interp",
+    """
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pix_id,
+             (p.range % 100) * 200 + 100 AS cx,
+             (p.range // 100) * 200 + 100 AS cy
+      FROM range(0, 10000) p
+    ),
+    t AS (
+      SELECT s_suppkey AS tid,
+             CAST((s_suppkey * 4967 + 17) % 10000 AS BIGINT) * 2 + 1 AS ix,
+             CAST((s_suppkey * 6823 + 29) % 10000 AS BIGINT) * 2 + 1 AS iy,
+             CAST((s_suppkey * 73) % 1000 AS BIGINT) AS v
+      FROM supplier
+    ),
+    j AS (
+      SELECT p.pix_id, t.tid, t.v,
+             (p.cx - t.ix) * (p.cx - t.ix)
+               + (p.cy - t.iy) * (p.cy - t.iy) AS d2
+      FROM px p JOIN t
+        ON (p.cx - t.ix) * (p.cx - t.ix)
+             + (p.cy - t.iy) * (p.cy - t.iy) <= 2560000
+    ),
+    agg AS (
+      SELECT pix_id, COUNT(*) AS n_pts,
+             MIN(v) AS v_min, MAX(v) AS v_max, SUM(v) AS v_sum,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS v_avg,
+             SUM((v * 100000000) // d2) AS idw_num,
+             SUM(100000000 // d2) AS idw_den,
+             CAST(SUM((v * 100000000) // d2) AS DOUBLE)
+               / CAST(SUM(100000000 // d2) AS DOUBLE) AS idw
+      FROM j GROUP BY pix_id
+    ),
+    near AS (
+      SELECT pix_id, tid AS nearest_id, v AS nearest_val
+      FROM (SELECT pix_id, tid, v,
+              ROW_NUMBER() OVER (PARTITION BY pix_id ORDER BY d2, tid) AS rn
+            FROM j)
+      WHERE rn = 1
+    )
+    SELECT p.pix_id,
+           COALESCE(a.n_pts, 0) AS n_pts,
+           a.v_min, a.v_max,
+           CAST(COALESCE(a.v_sum, 0) AS BIGINT) AS v_sum, a.v_avg,
+           CAST(COALESCE(a.idw_num, 0) AS BIGINT) AS idw_num,
+           CAST(COALESCE(a.idw_den, 0) AS BIGINT) AS idw_den, a.idw,
+           n.nearest_id, n.nearest_val
+    FROM px p
+    LEFT JOIN agg a ON a.pix_id = p.pix_id
+    LEFT JOIN near n ON n.pix_id = p.pix_id
+    """,
+)
+def q_grid_interp(sf_dir: str):
+    """grid_scattered_pts (imageutils/__init__.py:5140): gdal_grid
+    nearest / invdist / average / min / max / count over the supplier
+    scatter onto a 100x100 raster, radius 8 — broadcast cell-bucket
+    gather, exact scaled-integer distances, micro-unit IDW sums."""
+    from rsgislib_ray.stages.interp import (
+        grid_scattered_points,
+        make_grid_centers,
+    )
+
+    t = td.targets_from_supplier(sf_dir)
+    k = t["target_id"].to_numpy()
+    t = t.append_column("val", pa.array((k * 73) % 1000, pa.int64()))
+    out = grid_scattered_points(
+        make_grid_centers(100), t, radius=8.0, value_col="val"
+    )
+    return out.drop_columns(["x", "y"])
