@@ -6602,3 +6602,173 @@ def q_grid_interp(sf_dir: str):
         make_grid_centers(100), t, radius=8.0, value_col="val"
     )
     return out.drop_columns(["x", "y"])
+
+
+@register(
+    "imgs_equal",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    b AS (
+      SELECT qty % 10 AS a1, (val_cents // 100) % 10 AS b1,
+             qty % 5 AS a2, qty % 5 AS b2
+      FROM cells
+    )
+    SELECT 1 AS band, COUNT(*) AS n_pixels,
+           CAST(SUM(CASE WHEN a1 != b1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_diff,
+           CAST(SUM(CASE WHEN a1 = b1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS prop_match,
+           CAST(SUM(CASE WHEN a1 != b1 THEN 1 ELSE 0 END) = 0 AS BIGINT)
+             AS is_equal
+    FROM b
+    UNION ALL
+    SELECT 2, COUNT(*),
+           CAST(SUM(CASE WHEN a2 != b2 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN a2 = b2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*),
+           CAST(SUM(CASE WHEN a2 != b2 THEN 1 ELSE 0 END) = 0 AS BIGINT)
+    FROM b
+    """,
+)
+def q_imgs_equal(sf_dir: str):
+    """are_imgs_equal / are_img_bands_equal (imagecalc/__init__.py):
+    per-band pixel-equality summary between two image layers — one
+    partial (n, n_diff) row per batch, tiny driver combine. Band 1
+    compares two genuinely different derived bands; band 2 compares a
+    band with itself (the is_equal=1 path)."""
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["qty"].to_numpy().astype(np.int64)
+        cents = batch["val_cents"].to_numpy().astype(np.int64)
+        a1, b1 = qty % 10, (cents // 100) % 10
+        a2 = qty % 5
+        return pa.table(
+            {
+                "n": np.array([len(qty)] * 2, dtype=np.int64),
+                "band": np.array([1, 2], dtype=np.int64),
+                "n_diff": np.array(
+                    [int((a1 != b1).sum()), int((a2 != a2).sum())],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    pdf = cells.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    g = pdf.groupby("band", as_index=False).agg(
+        n_pixels=("n", "sum"), n_diff=("n_diff", "sum")
+    )
+    n, d = g["n_pixels"].to_numpy(), g["n_diff"].to_numpy()
+    return pa.table(
+        {
+            "band": g["band"].to_numpy().astype(np.int64),
+            "n_pixels": n.astype(np.int64),
+            "n_diff": d.astype(np.int64),
+            "prop_match": (n - d).astype(np.float64) / n,
+            "is_equal": (d == 0).astype(np.int64),
+        }
+    )
+
+
+@register(
+    "masked_histograms",
+    f"""
+    WITH cells AS ({td.SQL_CELLS})
+    SELECT qty % 5 AS msk_val, qty AS val, COUNT(*) AS n
+    FROM cells GROUP BY msk_val, val
+    """,
+)
+def q_masked_histograms(sf_dir: str):
+    """calc_histograms_for_msk_vals (imagecalc/__init__.py): per-mask-
+    value histogram of a band — per-batch 2D bincount over the packed
+    (msk, val) key (both bounded), one tiny groupby on the packed key."""
+    cells = td.cells_from_lineitem(sf_dir)
+    SPAN = 64  # val is l_quantity in 1..50
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["qty"].to_numpy().astype(np.int64)
+        key = (qty % 5) * SPAN + qty
+        cnt = np.bincount(key, minlength=5 * SPAN)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"key": nz.astype(np.int64), "n_partial": cnt[nz]}
+        )
+
+    pdf = (
+        cells.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("key", as_index=False)["n_partial"]
+        .sum()
+    )
+    key = pdf["key"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "msk_val": key // SPAN,
+            "val": key % SPAN,
+            "n": pdf["n_partial"].to_numpy().astype(np.int64),
+        }
+    )
+
+
+@register(
+    "pixel_value_occur",
+    f"""
+    WITH cells AS ({td.SQL_CELLS})
+    SELECT cell_key,
+           (CASE WHEN qty % 7 = 3 THEN 1 ELSE 0 END
+            + CASE WHEN (val_cents // 100) % 7 = 3 THEN 1 ELSE 0 END
+            + CASE WHEN cell_key % 7 = 3 THEN 1 ELSE 0 END) AS n_occur
+    FROM cells
+    """,
+)
+def q_pixel_value_occur(sf_dir: str):
+    """count_imgs_int_val_occur (imagecalc/__init__.py): per pixel,
+    how many of N stacked images carry the target value — pure
+    vectorized rowwise sum, zero shuffles."""
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        qty = batch["qty"].to_numpy().astype(np.int64)
+        cents = batch["val_cents"].to_numpy().astype(np.int64)
+        ck = batch["cell_key"].to_numpy().astype(np.int64)
+        occ = (
+            (qty % 7 == 3).astype(np.int64)
+            + ((cents // 100) % 7 == 3)
+            + (ck % 7 == 3)
+        )
+        return pa.table({"cell_key": ck, "n_occur": occ})
+
+    return cells.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "categorize_band",
+    f"""
+    WITH cells AS ({td.SQL_CELLS})
+    SELECT cell_key,
+           CASE WHEN val_cents < 2500000 THEN 1
+                WHEN val_cents < 5000000 THEN 2
+                WHEN val_cents < 7500000 THEN 3
+                ELSE 4 END AS category
+    FROM cells
+    """,
+)
+def q_categorize_band(sf_dir: str):
+    """create_categories_sgl_band (imagecalc/__init__.py): bin a
+    continuous band into thematic categories by threshold edges
+    (np.digitize), vectorized per batch."""
+    cells = td.cells_from_lineitem(sf_dir)
+    edges = np.array([2500000, 5000000, 7500000], dtype=np.int64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch["val_cents"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "category": (np.digitize(v, edges) + 1).astype(np.int64),
+            }
+        )
+
+    return cells.map_batches(f, batch_format="pyarrow", batch_size=65536)
