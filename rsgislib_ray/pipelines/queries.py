@@ -6772,3 +6772,74 @@ def q_categorize_band(sf_dir: str):
         )
 
     return cells.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "semivariogram",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    p AS (
+      SELECT cell_key AS id, qty AS v,
+             CAST(ROUND(x * 200) AS BIGINT) AS ix,
+             CAST(ROUND(y * 200) AS BIGINT) AS iy
+      FROM cells
+    ),
+    j AS (
+      SELECT CASE WHEN d2 <= 10000 THEN 1
+                  WHEN d2 <= 40000 THEN 2
+                  WHEN d2 <= 90000 THEN 3
+                  ELSE 4 END AS lag_bin,
+             dv2
+      FROM (
+        SELECT (a.ix - b.ix) * (a.ix - b.ix)
+                 + (a.iy - b.iy) * (a.iy - b.iy) AS d2,
+               (a.v - b.v) * (a.v - b.v) AS dv2
+        FROM p a JOIN p b
+          ON b.id > a.id
+         AND b.ix BETWEEN a.ix - 400 AND a.ix + 400
+         AND b.iy BETWEEN a.iy - 400 AND a.iy + 400
+      )
+      WHERE d2 <= 160000
+    ),
+    agg AS (
+      SELECT lag_bin, COUNT(*) AS n_pairs,
+             CAST(SUM(dv2) AS BIGINT) AS sq_diff_sum
+      FROM j GROUP BY lag_bin
+    )
+    SELECT CAST(r.range AS BIGINT) AS lag_bin,
+           CAST(r.range AS DOUBLE) * 0.5 AS lag_upper,
+           COALESCE(a.n_pairs, 0) AS n_pairs,
+           COALESCE(a.sq_diff_sum, 0) AS sq_diff_sum,
+           CASE WHEN a.n_pairs > 0
+                THEN CAST(a.sq_diff_sum AS DOUBLE) / (2 * a.n_pairs)
+           END AS semivariance
+    FROM range(1, 5) r
+    LEFT JOIN agg a ON a.lag_bin = r.range
+    """,
+)
+def q_semivariogram(sf_dir: str):
+    """calc_semivariogram (tools/stats.py:1083, skgstat Matheron
+    estimator): per lag bin up to max_lag=2.0 (4 bins), pair count and
+    exact integer squared-difference sum over the lineitem cell layer;
+    broadcast cell-bucket pair gather, each unordered pair once."""
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.sources.testdata import BX, BY, CX, CY
+    from rsgislib_ray.stages.geostat import semivariogram
+
+    raw = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    ok = raw["l_orderkey"].to_numpy()
+    ln = raw["l_linenumber"].to_numpy().astype(np.int64)
+    tbl = pa.table(
+        {
+            "cell_key": ok * 10 + ln,
+            "x": ((ok * BX + ln * CX) % 10000) / 100.0 + 0.005,
+            "y": ((ok * BY + ln * CY) % 10000) / 100.0 + 0.005,
+            "val": raw["l_quantity"].to_numpy().astype(np.int64),
+        }
+    )
+    stream = ray.data.from_arrow(tbl).repartition(32)
+    return semivariogram(stream, tbl, max_lag=2.0, n_lags=4, value_col="val")
