@@ -6843,3 +6843,26 @@ def q_semivariogram(sf_dir: str):
     )
     stream = ray.data.from_arrow(tbl).repartition(32)
     return semivariogram(stream, tbl, max_lag=2.0, n_lags=4, value_col="val")
+
+
+@register("global_thresholds", None)  # iterative / libm float fits
+def q_global_thresholds(sf_dir: str):
+    """tools/stats.py threshold family (calc_otsu/yen/isodata/li_
+    threshold, calc_hist_cross_entropy): one exact distributed integer
+    histogram, deterministic driver math — rows-only (Li is an
+    iterative float fit; Yen/cross-entropy take libm logs); formula
+    parity vs raw-data reference runs in tests/test_imagestats.py."""
+    from rsgislib_ray.stages.imagestats import (
+        global_histogram,
+        histogram_thresholds,
+    )
+
+    cells = td.cells_from_lineitem(sf_dir)
+    hist = global_histogram(cells, "qty", 64)
+    th = histogram_thresholds(hist)
+    return pa.table(
+        {
+            "method": pa.array(list(th.keys()), pa.string()),
+            "threshold": pa.array(list(th.values()), pa.float64()),
+        }
+    )

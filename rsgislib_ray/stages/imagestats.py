@@ -540,3 +540,145 @@ def image_mnf(
         comps,
         w[order],
     )
+
+
+# ---------------------------------------------------------------------------
+# Global histogram thresholding (tools/stats.py family)
+# ---------------------------------------------------------------------------
+
+
+def global_histogram(
+    ds: ray.data.Dataset, col: str, card: int
+) -> np.ndarray:
+    """Exact global integer-value histogram of ``col`` (values in
+    [0, card)): per-batch bincount partials, tiny driver combine —
+    the shared input of the threshold family below."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy().astype(np.int64)
+        cnt = np.bincount(v, minlength=card)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"v": nz.astype(np.int64), "n_partial": cnt[nz]}
+        )
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("v")["n_partial"]
+        .sum()
+    )
+    hist = np.zeros(card, dtype=np.int64)
+    hist[pdf.index.to_numpy()] = pdf.to_numpy()
+    return hist
+
+
+def histogram_thresholds(hist: np.ndarray) -> dict:
+    """Thresholds from an exact integer-value histogram, mirroring the
+    reference's skimage-based formulas over OUR binning (one unit-width
+    bin per integer value between the observed min and max — the
+    reference bins with the Freedman-Diaconis rule, so thresholds agree
+    in semantics, not bit-for-bit with float32 binning):
+
+    - ``otsu``  — between-class-variance argmax
+      (tools/stats.py:calc_otsu_threshold), exact integer criterion
+      comparison, tie -> lowest value;
+    - ``yen``   — Yen (1995) criterion argmax (:684-720);
+    - ``isodata`` — Ridler-Calvard inter-means fixed point (:722-770),
+      vectorized fixed-point test, first qualifying bin;
+    - ``li``    — Li & Lee minimum-cross-entropy iteration (:839-905),
+      histogram-weighted means, tolerance = half the minimum gap
+      between observed values;
+    - ``li_cross_entropy`` — the Li-Lee objective at the Li threshold
+      (calc_hist_cross_entropy, :800-836).
+
+    Everything is deterministic driver math over the exact histogram,
+    so results are order- and partitioning-independent."""
+    nz = np.flatnonzero(hist)
+    vmin, vmax = int(nz[0]), int(nz[-1])
+    vals = np.arange(vmin, vmax + 1, dtype=np.int64)
+    h = hist[vmin : vmax + 1].astype(np.int64)
+    n = int(h.sum())
+    p = h / n
+
+    # --- otsu (exact integer between-class criterion) ---
+    w0 = np.cumsum(h)[:-1]
+    w1 = n - w0
+    s0 = np.cumsum(h * vals)[:-1]
+    s1 = int((h * vals).sum()) - s0
+    # maximize w1*s0 - w0*s1 squared over w0*w1 in exact ints
+    num = (w1 * s0 - w0 * s1).astype(object) ** 2
+    den = (w0 * w1).astype(object)
+    best, besti = None, 0
+    for i in range(len(num)):
+        if den[i] == 0:
+            continue
+        # compare num[i]/den[i] > best via cross-multiplication
+        if best is None or num[i] * best[1] > best[0] * den[i]:
+            best, besti = (num[i], den[i]), i
+    otsu = float(vals[besti])
+
+    # --- yen ---
+    p1 = np.cumsum(p)
+    p1_sq = np.cumsum(p**2)
+    p2_sq = np.cumsum(p[::-1] ** 2)[::-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        crit = np.log(
+            ((p1_sq[:-1] * p2_sq[1:]) ** -1) * (p1[:-1] * (1.0 - p1[:-1])) ** 2
+        )
+    yen = float(vals[int(np.nanargmax(crit))])
+
+    # --- isodata (vectorized fixed-point test, skimage semantics) ---
+    csuml = np.cumsum(p)
+    csumh = csuml[-1] - csuml
+    csum_intensity = np.cumsum(p * vals)
+    lower = csum_intensity[:-1] / csuml[:-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        higher = (csum_intensity[-1] - csum_intensity[:-1]) / csumh[:-1]
+    all_mean = (lower + higher) / 2.0
+    distances = all_mean - vals[:-1]
+    ok = (distances >= 0) & (distances < 1.0)
+    isodata = float(vals[:-1][np.flatnonzero(ok)[0]])
+
+    # --- li (minimum cross entropy, histogram-weighted means) ---
+    offset = 0.0
+    li_vals = vals.astype(np.float64)
+    if vmin < 1:
+        offset = abs(vmin) + 1.0
+        li_vals = li_vals + offset
+    gaps = np.diff(np.flatnonzero(h))
+    tolerance = (gaps.min() if len(gaps) else 1.0) / 2.0
+    t_next = float((h * li_vals).sum() / n)
+    t_curr = -2.0 * tolerance
+    cs_n = np.cumsum(h)
+    cs_s = np.cumsum(h * li_vals)
+    while abs(t_next - t_curr) > tolerance:
+        t_curr = t_next
+        # foreground = values > t_curr (searchsorted on the value axis)
+        k = int(np.searchsorted(li_vals, t_curr, side="right"))
+        n_back, s_back = int(cs_n[k - 1]) if k else 0, (
+            float(cs_s[k - 1]) if k else 0.0
+        )
+        n_fore = n - n_back
+        s_fore = float(cs_s[-1]) - s_back
+        mean_fore = s_fore / n_fore
+        mean_back = s_back / n_back
+        t_next = (mean_back - mean_fore) / (
+            np.log(mean_back) - np.log(mean_fore)
+        )
+    li = float(t_next - offset)
+
+    # --- cross-entropy objective at the li threshold (:800-836) ---
+    t = int(np.flatnonzero(li_vals > li + offset)[0])
+    m0a, m0b = p[:t].sum(), p[t:].sum()
+    m1a = float((p[:t] * li_vals[:t]).sum())
+    m1b = float((p[t:] * li_vals[t:]).sum())
+    nu = -m1a * np.log(m1a / m0a) - m1b * np.log(m1b / m0b)
+
+    return {
+        "otsu": otsu,
+        "yen": yen,
+        "isodata": isodata,
+        "li": li,
+        "li_cross_entropy": float(nu),
+    }

@@ -357,3 +357,63 @@ def test_image_mnf_invariants(ray_session):
     # scores covariance equals comps Σ_S compsᵀ = diag(snr)
     assert np.allclose(np.diag(cov_sc), snr, rtol=1e-6)
     assert abs(cov_sc[0, 1]) < 1e-6
+
+
+def test_histogram_thresholds_match_raw_data_reference(ray_session):
+    """histogram_thresholds vs the reference formulas run directly on
+    the raw array (li iterates raw-data means exactly as
+    tools/stats.py:894-905; isodata/yen/otsu brute over every cut)."""
+    import ray
+
+    from rsgislib_ray.stages.imagestats import (
+        global_histogram,
+        histogram_thresholds,
+    )
+
+    rng = np.random.default_rng(11)
+    d = np.concatenate(
+        [rng.integers(1, 15, 5000), rng.integers(28, 46, 3000)]
+    ).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": d})).repartition(6)
+    hist = global_histogram(ds, "v", 64)
+    assert hist.sum() == len(d)
+    got = histogram_thresholds(hist)
+
+    # li reference: raw-data iteration (stats.py:882-905)
+    tol = np.diff(np.unique(d)).min() / 2
+    t_next, t_curr = d.mean(), -2 * tol
+    while abs(t_next - t_curr) > tol:
+        t_curr = t_next
+        fore = d > t_curr
+        mf, mb = d[fore].mean(), d[~fore].mean()
+        t_next = (mb - mf) / (np.log(mb) - np.log(mf))
+    assert got["li"] == pytest.approx(t_next, abs=1e-9)
+
+    # otsu reference: float between-class variance brute over cuts
+    vals = np.arange(d.min(), d.max() + 1)
+    best, bt = -1.0, None
+    n = len(d)
+    for t in vals[:-1]:
+        lo, hi = d[d <= t], d[d > t]
+        if len(lo) == 0 or len(hi) == 0:
+            continue
+        bc = len(lo) / n * len(hi) / n * (lo.mean() - hi.mean()) ** 2
+        if bc > best + 1e-12:
+            best, bt = bc, t
+    assert got["otsu"] == bt
+
+    # isodata fixed point: t = (mean(<=t) + mean(>t)) / 2 within a bin
+    t = got["isodata"]
+    mids = (d[d <= t].mean() + d[d > t].mean()) / 2
+    assert 0 <= mids - t < 1.0
+
+    # yen: brute criterion over cuts (stats.py:699-720 with unit bins)
+    h = np.bincount(d - d.min(), minlength=len(vals)) / n
+    p1 = np.cumsum(h)
+    p1sq = np.cumsum(h**2)
+    p2sq = np.cumsum(h[::-1] ** 2)[::-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        crit = np.log(
+            ((p1sq[:-1] * p2sq[1:]) ** -1) * (p1[:-1] * (1 - p1[:-1])) ** 2
+        )
+    assert got["yen"] == vals[np.nanargmax(crit)]
