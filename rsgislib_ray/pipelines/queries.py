@@ -6866,3 +6866,200 @@ def q_global_thresholds(sf_dir: str):
             "threshold": pa.array(list(th.values()), pa.float64()),
         }
     )
+
+
+@register(
+    "pt_dist_angle",
+    f"""
+    WITH base AS ({td.SQL_BASE_PTS}),
+    c AS (
+      SELECT CAST(SUM(CAST(ROUND(x * 200) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 200.0 AS xc,
+             CAST(SUM(CAST(ROUND(y * 200) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 200.0 AS yc
+      FROM base
+    ),
+    d AS (
+      SELECT b.base_id,
+             SQRT((b.x - c.xc) * (b.x - c.xc)
+                  + (b.y - c.yc) * (b.y - c.yc)) AS dist,
+             ATAN2(b.y - c.yc, b.x - c.xc) * 57.29577951308232 AS ang
+      FROM base b, c
+    ),
+    n AS (
+      SELECT base_id, dist,
+        CASE WHEN ang >= 0 AND ang <= 90 THEN -(ang - 90.0)
+             WHEN ang > 90 THEN -(ang - 180.0) + 270.0
+             ELSE -ang + 90.0 END AS angle
+      FROM d
+    )
+    SELECT base_id, dist,
+           CAST(FLOOR(angle * 1000000.0) AS BIGINT) AS angle_udeg,
+           CAST(FLOOR(FMOD(FMOD(angle - 15.0 + 720.0, 360.0), 180.0)
+                / 45.0) AS BIGINT) + 1 AS angle_set
+    FROM n
+    """,
+)
+def q_pt_dist_angle(sf_dir: str):
+    """calc_vec_pt_dist_angle + create_angle_sets (vectorattrs/
+    __init__.py:1939,1386): distance and compass angle (0 = north,
+    clockwise) of every point from the layer's mean centre, then
+    mirrored angle sets (start 15 deg, width 45 -> 4 sets). Centre
+    means come from exact integer lattice sums (one float division);
+    sqrt/atan2 are scalar libm calls DuckDB mirrors bit-exactly."""
+    from rsgislib_ray.stages.imagestats import band_cross_moments
+
+    pts = td.base_points_from_customer(sf_dir)
+
+    def scaled(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ix": np.rint(batch["x"].to_numpy() * 200).astype(np.int64),
+                "iy": np.rint(batch["y"].to_numpy() * 200).astype(np.int64),
+            }
+        )
+
+    m = band_cross_moments(
+        pts.map_batches(scaled, batch_format="pyarrow"), ["ix", "iy"]
+    )
+    xc = m["s"][0] / m["n"] / 200.0
+    yc = m["s"][1] / m["n"] / 200.0
+    start_angle, width = 15.0, 45.0
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        dist = np.sqrt((x - xc) ** 2 + (y - yc) ** 2)
+        ang = np.arctan2(y - yc, x - xc) * 57.29577951308232
+        # reorient so 0 = north, clockwise (reference :2001-2010)
+        angle = np.where(
+            (ang >= 0) & (ang <= 90),
+            -(ang - 90.0),
+            np.where(ang > 90, -(ang - 180.0) + 270.0, -ang + 90.0),
+        )
+        aset = (
+            np.floor(np.fmod(np.fmod(angle - start_angle + 720.0, 360.0), 180.0) / width)
+        ).astype(np.int64) + 1
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "dist": dist,
+                # micro-degrees: DuckDB's ATAN2 differs from numpy's
+                # libm by 1 ULP on ~17% of inputs; the floor(x*1e6)
+                # integerization (the repo's micro-nat pattern) makes
+                # the column order- and engine-independent
+                "angle_udeg": np.floor(angle * 1000000.0).astype(np.int64),
+                "angle_set": aset,
+            }
+        )
+
+    return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "accuracy_scores",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    lab AS (
+      SELECT CASE WHEN qty > 25 THEN 1 ELSE 0 END AS yt,
+             CASE WHEN (val_cents // 100) % 50 > 23 THEN 1 ELSE 0 END AS yp
+      FROM cells
+    ),
+    cm AS (
+      SELECT
+        CAST(SUM(CASE WHEN yt = 1 AND yp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN yt = 0 AND yp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        CAST(SUM(CASE WHEN yt = 1 AND yp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN yt = 0 AND yp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fa,
+        COUNT(*) AS n
+      FROM lab
+    )
+    SELECT tp, ta, fp, fa,
+      CAST(tp + fp AS DOUBLE) / n AS prevalence,
+      CAST(ta + fa AS DOUBLE) / n AS odp,
+      CAST(tp + ta AS DOUBLE) / n AS ccr,
+      CAST(fp + fa AS DOUBLE) / n AS mr,
+      CAST(tp AS DOUBLE) / (tp + fp) AS sensitivity,
+      CAST(ta AS DOUBLE) / (ta + fa) AS specificity,
+      CAST(tp AS DOUBLE) / (tp + fa) AS ppp,
+      CAST(ta AS DOUBLE) / (ta + fp) AS app,
+      CAST((tp + fp) * ta + (ta + fa) * tp AS DOUBLE)
+        / (2 * (tp + fp) * (ta + fa)) AS balanced_accuracy,
+      CAST(2 * tp AS DOUBLE) / (2 * tp + fa + fp) AS f1_score,
+      CAST(tp * ta - fa * fp AS DOUBLE)
+        / SQRT(CAST((tp + fa) * (tp + fp) * (ta + fa) * (ta + fp)
+                    AS DOUBLE)) AS matthews,
+      CAST(n * (tp + ta) - ((tp + fa) * (tp + fp) + (ta + fa) * (ta + fp))
+           AS DOUBLE)
+        / (n * n - ((tp + fa) * (tp + fp) + (ta + fa) * (ta + fp)))
+        AS cohen_kappa,
+      CAST(tp * (ta + fa) - fp * (ta + fa) + ta * (tp + fp) - fa * (tp + fp)
+           AS DOUBLE) / CAST((tp + fp) * (ta + fa) AS DOUBLE) - 1.0
+        AS hanssen_kuiper
+    FROM cm
+    """,
+)
+def q_accuracy_scores(sf_dir: str):
+    """accuracy_scores_binary (tools/stats.py:457-560, Guisan et al.
+    2017 metric panel): binary-classification metrics from ONE
+    distributed confusion-count pass (4 int64 partials per batch).
+    Formulas are integer-exact numerators with a single float division
+    each (the reference's prevalence line :526 divides TP/FA — a typo;
+    we emit the standard n_presence/n as documented deviation).
+    Matthews/kappa/TSS reduced to exact-int numerator/denominator."""
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["qty"].to_numpy().astype(np.int64)
+        cents = batch["val_cents"].to_numpy().astype(np.int64)
+        yt = qty > 25
+        yp = (cents // 100) % 50 > 23
+        return pa.table(
+            {
+                "tp": np.array([int((yt & yp).sum())], dtype=np.int64),
+                "ta": np.array([int((~yt & ~yp).sum())], dtype=np.int64),
+                "fp": np.array([int((yt & ~yp).sum())], dtype=np.int64),
+                "fa": np.array([int((~yt & yp).sum())], dtype=np.int64),
+            }
+        )
+
+    pdf = cells.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    tp, ta = int(pdf["tp"].sum()), int(pdf["ta"].sum())
+    fp, fa = int(pdf["fp"].sum()), int(pdf["fa"].sum())
+    n = tp + ta + fp + fa
+    pe = (tp + fa) * (tp + fp) + (ta + fa) * (ta + fp)
+    return pa.table(
+        {
+            "tp": [tp], "ta": [ta], "fp": [fp], "fa": [fa],
+            "prevalence": [(tp + fp) / n],
+            "odp": [(ta + fa) / n],
+            "ccr": [(tp + ta) / n],
+            "mr": [(fp + fa) / n],
+            "sensitivity": [tp / (tp + fp)],
+            "specificity": [ta / (ta + fa)],
+            "ppp": [tp / (tp + fa)],
+            "app": [ta / (ta + fp)],
+            "balanced_accuracy": [
+                ((tp + fp) * ta + (ta + fa) * tp)
+                / (2 * (tp + fp) * (ta + fa))
+            ],
+            "f1_score": [2 * tp / (2 * tp + fa + fp)],
+            "matthews": [
+                (tp * ta - fa * fp)
+                / np.sqrt(
+                    float((tp + fa) * (tp + fp) * (ta + fa) * (ta + fp))
+                )
+            ],
+            "cohen_kappa": [
+                (n * (tp + ta) - pe) / (n * n - pe)
+            ],
+            "hanssen_kuiper": [
+                (tp * (ta + fa) - fp * (ta + fa) + ta * (tp + fp)
+                 - fa * (tp + fp))
+                / float((tp + fp) * (ta + fa))
+                - 1.0
+            ],
+        }
+    )
