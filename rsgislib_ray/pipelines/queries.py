@@ -7063,3 +7063,83 @@ def q_accuracy_scores(sf_dir: str):
             ],
         }
     )
+
+
+@register(
+    "points_along_lines",
+    """
+    WITH v AS (
+      SELECT l_orderkey AS line_id, l_linenumber AS seq,
+             ((l_orderkey * 131 + l_linenumber * 7919) % 10000) / 100.0
+               + 0.005 AS x,
+             ((l_orderkey * 521 + l_linenumber * 104729) % 10000) / 100.0
+               + 0.005 AS y,
+             CAST((l_orderkey * 131 + l_linenumber * 7919) % 10000
+                  AS BIGINT) * 2 + 1 AS ix,
+             CAST((l_orderkey * 521 + l_linenumber * 104729) % 10000
+                  AS BIGINT) * 2 + 1 AS iy
+      FROM lineitem
+    ),
+    seg AS (
+      SELECT line_id, seq, x AS x0, y AS y0, ix AS ix0, iy AS iy0,
+             LEAD(x) OVER w AS x1, LEAD(y) OVER w AS y1,
+             LEAD(ix) OVER w AS ix1, LEAD(iy) OVER w AS iy1
+      FROM v
+      WINDOW w AS (PARTITION BY line_id ORDER BY seq)
+    ),
+    seg2 AS (
+      SELECT *,
+        CAST(FLOOR(SQRT(CAST((ix1 - ix0) * (ix1 - ix0)
+                             + (iy1 - iy0) * (iy1 - iy0) AS DOUBLE))
+                   * 5000.0) AS BIGINT) AS ilen
+      FROM seg WHERE ix1 IS NOT NULL
+    ),
+    cum AS (
+      SELECT *,
+        CAST(SUM(ilen) OVER (PARTITION BY line_id ORDER BY seq
+                             ROWS UNBOUNDED PRECEDING) - ilen
+             AS BIGINT) AS cum0,
+        CAST(SUM(ilen) OVER (PARTITION BY line_id) AS BIGINT) AS total
+      FROM seg2
+    )
+    SELECT c.line_id, CAST(k.range AS BIGINT) AS pt_id,
+           c.x0 + ((k.range * 20000000 - c.cum0)
+                   / CAST(c.ilen AS DOUBLE)) * (c.x1 - c.x0) AS x,
+           c.y0 + ((k.range * 20000000 - c.cum0)
+                   / CAST(c.ilen AS DOUBLE)) * (c.y1 - c.y0) AS y,
+           CAST(k.range * 20000000 AS BIGINT) AS dist_micro
+    FROM cum c JOIN range(0, 64) k
+      ON k.range * 20000000 >= c.cum0
+     AND k.range * 20000000 < c.cum0 + c.ilen
+     AND k.range * 20000000 < c.total
+    """,
+)
+def q_points_along_lines(sf_dir: str):
+    """split_lines_to_reg_pts (vectorgeoms/__init__.py:431): regular
+    20-unit interval points along order polylines (lineitems ordered by
+    linenumber = convert_polys_to_lines vertex runs). One range sort,
+    vectorized across complete lines per block, micro-unit integer
+    cumulative lengths (order-independent), one float division per
+    interpolated point."""
+    from rsgislib_ray.stages.lines import points_along_lines
+
+    verts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy().astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "line_id": ok,
+                "seq": ln,
+                "x": ((ok * 131 + ln * 7919) % 10000) / 100.0 + 0.005,
+                "y": ((ok * 521 + ln * 104729) % 10000) / 100.0 + 0.005,
+            }
+        )
+
+    return points_along_lines(
+        verts.map_batches(derive, batch_format="pyarrow"), pt_step=20.0
+    )
