@@ -7143,3 +7143,95 @@ def q_points_along_lines(sf_dir: str):
     return points_along_lines(
         verts.map_batches(derive, batch_format="pyarrow"), pt_step=20.0
     )
+
+
+@register(
+    "line_intersections",
+    f"""
+    WITH b AS (
+      SELECT c_custkey AS uid,
+             ((c_custkey * 3571) % 10000) / 100.0 + 0.005 AS sx,
+             ((c_custkey * 9901) % 10000) / 100.0 + 0.005 AS sy,
+             ((c_custkey * 6151 + 43) % 10000) / 100.0 + 0.005 AS ex,
+             ((c_custkey * 2447 + 11) % 10000) / 100.0 + 0.005 AS ey,
+             CAST((c_custkey * 3571) % 10000 AS BIGINT) * 2 + 1 AS isx,
+             CAST((c_custkey * 9901) % 10000 AS BIGINT) * 2 + 1 AS isy,
+             CAST((c_custkey * 6151 + 43) % 10000 AS BIGINT) * 2 + 1 AS iex,
+             CAST((c_custkey * 2447 + 11) % 10000 AS BIGINT) * 2 + 1 AS iey
+      FROM customer
+    ),
+    t AS (
+      SELECT s_suppkey AS tid,
+             CAST((s_suppkey * 4967 + 17) % 10000 AS BIGINT) * 2 + 1 AS iax,
+             CAST((s_suppkey * 6823 + 29) % 10000 AS BIGINT) * 2 + 1 AS iay,
+             CAST((s_suppkey * 8311 + 5) % 10000 AS BIGINT) * 2 + 1 AS ibx,
+             CAST((s_suppkey * 1033 + 71) % 10000 AS BIGINT) * 2 + 1 AS iby
+      FROM supplier
+    ),
+    hits AS (
+      SELECT b.uid, t.tid, b.sx, b.sy, b.ex, b.ey,
+             CAST(tn AS DOUBLE) / den AS t
+      FROM b JOIN t ON TRUE,
+      LATERAL (
+        SELECT (b.iex - b.isx) * (t.iby - t.iay)
+                 - (b.iey - b.isy) * (t.ibx - t.iax) AS den,
+               (t.iax - b.isx) * (t.iby - t.iay)
+                 - (t.iay - b.isy) * (t.ibx - t.iax) AS tn,
+               (t.iax - b.isx) * (b.iey - b.isy)
+                 - (t.iay - b.isy) * (b.iex - b.isx) AS un
+      ) cp
+      WHERE den != 0
+        AND ((den > 0 AND tn > 0 AND tn < den AND un > 0 AND un < den)
+          OR (den < 0 AND tn < 0 AND tn > den AND un < 0 AND un > den))
+    )
+    SELECT uid, n_isect, t, x, y, t_max FROM (
+      SELECT uid, t,
+             sx + t * (ex - sx) AS x, sy + t * (ey - sy) AS y,
+             ROW_NUMBER() OVER (PARTITION BY uid ORDER BY t, tid) AS rn,
+             COUNT(*) OVER (PARTITION BY uid) AS n_isect,
+             MAX(t) OVER (PARTITION BY uid) AS t_max
+      FROM hits
+    ) WHERE rn = 1
+    """,
+)
+def q_line_intersections(sf_dir: str):
+    """closest_line_intersection / line_intersection_range (vectorgeoms
+    /__init__.py:587,699): customer segments vs broadcast supplier
+    segments — STRtree bbox candidates, exact integer cross-product
+    crossing tests, closest-to-start selection by (t, tid)."""
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.lines import closest_line_intersections
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).repartition(16)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "uid": k,
+                "sx": ((k * 3571) % 10000) / 100.0 + 0.005,
+                "sy": ((k * 9901) % 10000) / 100.0 + 0.005,
+                "ex": ((k * 6151 + 43) % 10000) / 100.0 + 0.005,
+                "ey": ((k * 2447 + 11) % 10000) / 100.0 + 0.005,
+            }
+        )
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    targ = pa.table(
+        {
+            "tid": sk,
+            "ax": ((sk * 4967 + 17) % 10000) / 100.0 + 0.005,
+            "ay": ((sk * 6823 + 29) % 10000) / 100.0 + 0.005,
+            "bx": ((sk * 8311 + 5) % 10000) / 100.0 + 0.005,
+            "by": ((sk * 1033 + 71) % 10000) / 100.0 + 0.005,
+        }
+    )
+    return closest_line_intersections(
+        cust.map_batches(derive, batch_format="pyarrow"), targ
+    )

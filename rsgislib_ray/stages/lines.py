@@ -155,3 +155,137 @@ def points_along_lines(
         vertices, block_fn, group_fn, user_col=line_col,
         sort_cols=(seq_col,),
     )
+
+
+def closest_line_intersections(
+    base: ray.data.Dataset,
+    targets_tbl: pa.Table,
+    uid_col: str = "uid",
+    base_cols: tuple = ("sx", "sy", "ex", "ey"),
+    target_cols: tuple = ("ax", "ay", "bx", "by"),
+    tid_col: str = "tid",
+    int_scale: int = 200,
+) -> ray.data.Dataset:
+    """closest_line_intersection + line_intersection_range
+    (/root/reference/python/rsgislib/vectorgeoms/__init__.py:587,699):
+    for each base segment (start s -> end e), find its PROPER crossings
+    (strict interior on both segments, collinear overlaps excluded)
+    with the broadcast target-segment layer and keep the one closest to
+    the start, plus the parametric range. Output per base segment with
+    >=1 crossing: ``uid, n_isect, t`` (closest crossing's parameter
+    along s->e), the crossing point ``x, y``, and ``t_max``.
+
+    Candidates come from an STRtree over target-segment bboxes (built
+    once per worker process from the broadcast table). Intersection
+    tests and parameters are exact integer cross products on the
+    ``int_scale`` lattice; selection orders by (float64 t, tid) — the
+    identical expression the SQL oracle sorts by. The crossing point is
+    one float division (t = t_num/den) and a multiply-add per axis."""
+    import ray as _ray
+
+    from rsgislib_ray.state.strtree import STRtree
+
+    tax = np.rint(targets_tbl[target_cols[0]].to_numpy() * int_scale)
+    tay = np.rint(targets_tbl[target_cols[1]].to_numpy() * int_scale)
+    tbx = np.rint(targets_tbl[target_cols[2]].to_numpy() * int_scale)
+    tby = np.rint(targets_tbl[target_cols[3]].to_numpy() * int_scale)
+    state = {
+        "tid": targets_tbl[tid_col].to_numpy().astype(np.int64),
+        "ax": tax.astype(np.int64),
+        "ay": tay.astype(np.int64),
+        "bx": tbx.astype(np.int64),
+        "by": tby.astype(np.int64),
+        "bounds": np.stack(
+            [
+                np.minimum(tax, tbx) / int_scale,
+                np.maximum(tax, tbx) / int_scale,
+                np.minimum(tay, tby) / int_scale,
+                np.maximum(tay, tby) / int_scale,
+            ],
+            axis=1,
+        ),
+    }
+    ref = _ray.put(state)
+    _trees: dict = {}
+
+    def isect_batch(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        st = cached(ref)
+        if id(st) not in _trees:
+            _trees[id(st)] = STRtree(st["bounds"])
+        tree = _trees[id(st)]
+
+        sx = batch[base_cols[0]].to_numpy().astype(np.float64)
+        sy = batch[base_cols[1]].to_numpy().astype(np.float64)
+        ex = batch[base_cols[2]].to_numpy().astype(np.float64)
+        ey = batch[base_cols[3]].to_numpy().astype(np.float64)
+        uid = batch[uid_col].to_numpy().astype(np.int64)
+        isx = np.rint(sx * int_scale).astype(np.int64)
+        isy = np.rint(sy * int_scale).astype(np.int64)
+        iex = np.rint(ex * int_scale).astype(np.int64)
+        iey = np.rint(ey * int_scale).astype(np.int64)
+
+        qb = np.stack(
+            [
+                np.minimum(isx, iex) / int_scale,
+                np.maximum(isx, iex) / int_scale,
+                np.minimum(isy, iey) / int_scale,
+                np.maximum(isy, iey) / int_scale,
+            ],
+            axis=1,
+        )
+        qi, ti = tree.query_bboxes(qb)
+        empty = pa.table(
+            {
+                "uid": np.empty(0, np.int64),
+                "n_isect": np.empty(0, np.int64),
+                "t": np.empty(0, np.float64),
+                "x": np.empty(0, np.float64),
+                "y": np.empty(0, np.float64),
+                "t_max": np.empty(0, np.float64),
+            }
+        )
+        if len(qi) == 0:
+            return empty
+        rx = iex[qi] - isx[qi]
+        ry = iey[qi] - isy[qi]
+        swx = st["bx"][ti] - st["ax"][ti]
+        swy = st["by"][ti] - st["ay"][ti]
+        den = rx * swy - ry * swx
+        qpx = st["ax"][ti] - isx[qi]
+        qpy = st["ay"][ti] - isy[qi]
+        t_num = qpx * swy - qpy * swx
+        u_num = qpx * ry - qpy * rx
+        pos = den > 0
+        ok = (den != 0) & np.where(
+            pos,
+            (t_num > 0) & (t_num < den) & (u_num > 0) & (u_num < den),
+            (t_num < 0) & (t_num > den) & (u_num < 0) & (u_num > den),
+        )
+        if not ok.any():
+            return empty
+        qi, ti = qi[ok], ti[ok]
+        t = t_num[ok].astype(np.float64) / den[ok].astype(np.float64)
+        tid = st["tid"][ti]
+        order = np.lexsort((tid, t, qi))
+        qs, ts_, tds = qi[order], t[order], tid[order]
+        firsts = np.concatenate([[True], qs[1:] != qs[:-1]])
+        fi = np.flatnonzero(firsts)
+        counts = np.diff(np.concatenate([fi, [len(qs)]]))
+        sel = order[fi]
+        t_max = np.maximum.reduceat(ts_, fi)
+        return pa.table(
+            {
+                "uid": uid[qi[sel]],
+                "n_isect": counts.astype(np.int64),
+                "t": t[sel],
+                "x": sx[qi[sel]] + t[sel] * (ex[qi[sel]] - sx[qi[sel]]),
+                "y": sy[qi[sel]] + t[sel] * (ey[qi[sel]] - sy[qi[sel]]),
+                "t_max": t_max,
+            }
+        )
+
+    return base.map_batches(
+        isect_batch, batch_format="pyarrow", batch_size=16384
+    )

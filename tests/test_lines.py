@@ -108,3 +108,74 @@ def test_points_along_lines_degenerate(ray_session):
     # line 3: duplicate start vertex then 30 units -> k = 0, 1, 2
     assert got["pt_id"].tolist() == [0, 1, 2]
     assert got["x"].tolist() == [0.005, 10.005, 20.005]
+
+
+@pytest.mark.parametrize("blocks", [1, 8])
+def test_closest_line_intersections_matches_brute(ray_session, blocks):
+    import ray
+
+    from rsgislib_ray.stages.lines import closest_line_intersections
+
+    rng = np.random.default_rng(17)
+
+    def seg_tbl(n, ids, prefix):
+        m = rng.integers(0, 10000, (n, 4))
+        c = m / 100.0 + 0.005
+        names = (
+            ["sx", "sy", "ex", "ey"] if prefix == "b" else
+            ["ax", "ay", "bx", "by"]
+        )
+        cols = {("uid" if prefix == "b" else "tid"): ids}
+        for j, nm in enumerate(names):
+            cols[nm] = c[:, j]
+        return pa.table(cols)
+
+    base = seg_tbl(200, np.arange(1, 201, dtype=np.int64), "b")
+    targ = seg_tbl(60, np.arange(1, 61, dtype=np.int64), "t")
+    got = (
+        closest_line_intersections(
+            ray.data.from_arrow(base).repartition(blocks), targ
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+
+    # brute: all pairs, integer cross products
+    S = 200
+    bs = {k: np.rint(base[k].to_numpy() * S).astype(np.int64)
+          for k in ["sx", "sy", "ex", "ey"]}
+    ts = {k: np.rint(targ[k].to_numpy() * S).astype(np.int64)
+          for k in ["ax", "ay", "bx", "by"]}
+    rows = []
+    for i in range(200):
+        hits = []
+        for j in range(60):
+            rx, ry = bs["ex"][i] - bs["sx"][i], bs["ey"][i] - bs["sy"][i]
+            wx, wy = ts["bx"][j] - ts["ax"][j], ts["by"][j] - ts["ay"][j]
+            den = rx * wy - ry * wx
+            if den == 0:
+                continue
+            qx, qy = ts["ax"][j] - bs["sx"][i], ts["ay"][j] - bs["sy"][i]
+            tn = qx * wy - qy * wx
+            un = qx * ry - qy * rx
+            if den > 0:
+                ok = 0 < tn < den and 0 < un < den
+            else:
+                ok = den < tn < 0 and den < un < 0
+            if ok:
+                hits.append((tn / den, j + 1))
+        if hits:
+            hits.sort()
+            t0 = hits[0][0]
+            rows.append((i + 1, len(hits), t0, max(h[0] for h in hits)))
+    assert got["uid"].tolist() == [r[0] for r in rows]
+    assert got["n_isect"].tolist() == [r[1] for r in rows]
+    assert got["t"].tolist() == [r[2] for r in rows]
+    assert got["t_max"].tolist() == [r[3] for r in rows]
+    # point = start + t * (end - start), bit-exact
+    bx = base["sx"].to_numpy()
+    ex = base["ex"].to_numpy()
+    for _, r in got.iterrows():
+        i = int(r["uid"]) - 1
+        assert r["x"] == bx[i] + r["t"] * (ex[i] - bx[i])
