@@ -7235,3 +7235,92 @@ def q_line_intersections(sf_dir: str):
     return closest_line_intersections(
         cust.map_batches(derive, batch_format="pyarrow"), targ
     )
+
+
+@register(
+    "orthogonal_lines",
+    """
+    WITH v AS (
+      SELECT l_orderkey AS line_id, l_linenumber AS seq,
+             ((l_orderkey * 131 + l_linenumber * 7919) % 10000) / 100.0
+               + 0.005 AS x,
+             ((l_orderkey * 521 + l_linenumber * 104729) % 10000) / 100.0
+               + 0.005 AS y,
+             CAST((l_orderkey * 131 + l_linenumber * 7919) % 10000
+                  AS BIGINT) * 2 + 1 AS ix,
+             CAST((l_orderkey * 521 + l_linenumber * 104729) % 10000
+                  AS BIGINT) * 2 + 1 AS iy
+      FROM lineitem
+    ),
+    seg AS (
+      SELECT line_id, seq, x AS x0, y AS y0, ix AS ix0, iy AS iy0,
+             LEAD(x) OVER w AS x1, LEAD(y) OVER w AS y1,
+             LEAD(ix) OVER w AS ix1, LEAD(iy) OVER w AS iy1
+      FROM v
+      WINDOW w AS (PARTITION BY line_id ORDER BY seq)
+    ),
+    seg2 AS (
+      SELECT *,
+        (ix1 - ix0) * (ix1 - ix0) + (iy1 - iy0) * (iy1 - iy0) AS d2,
+        CAST(FLOOR(SQRT(CAST((ix1 - ix0) * (ix1 - ix0)
+                             + (iy1 - iy0) * (iy1 - iy0) AS DOUBLE))
+                   * 5000.0) AS BIGINT) AS ilen
+      FROM seg WHERE ix1 IS NOT NULL
+    ),
+    cum AS (
+      SELECT *,
+        CAST(SUM(ilen) OVER (PARTITION BY line_id ORDER BY seq
+                             ROWS UNBOUNDED PRECEDING) - ilen
+             AS BIGINT) AS cum0,
+        CAST(SUM(ilen) OVER (PARTITION BY line_id) AS BIGINT) AS total
+      FROM seg2
+    ),
+    pts AS (
+      SELECT c.line_id, CAST(k.range AS BIGINT) AS pt_id,
+             c.x0 + ((k.range * 25000000 - c.cum0)
+                     / CAST(c.ilen AS DOUBLE)) * (c.x1 - c.x0) AS x,
+             c.y0 + ((k.range * 25000000 - c.cum0)
+                     / CAST(c.ilen AS DOUBLE)) * (c.y1 - c.y0) AS y,
+             CAST(c.ix1 - c.ix0 AS DOUBLE) / 200.0 AS dx_u,
+             CAST(c.iy1 - c.iy0 AS DOUBLE) / 200.0 AS dy_u,
+             SQRT(CAST(c.d2 AS DOUBLE)) / 200.0 AS len_u
+      FROM cum c JOIN range(0, 64) k
+        ON k.range * 25000000 >= c.cum0
+       AND k.range * 25000000 < c.cum0 + c.ilen
+       AND k.range * 25000000 < c.total
+    )
+    SELECT line_id, pt_id, x, y,
+           x + 5.0 * (dy_u / len_u) AS ox,
+           y + 5.0 * (-dx_u / len_u) AS oy
+    FROM pts
+    """,
+)
+def q_orthogonal_lines(sf_dir: str):
+    """create_orthg_lines (vectorgeoms/__init__.py:269): right-hand
+    orthogonal 5-unit lines every 25 units along the order polylines —
+    same sorted-run interval machinery as points_along_lines plus the
+    unit-normal construction."""
+    from rsgislib_ray.stages.lines import orthogonal_lines
+
+    verts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy().astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "line_id": ok,
+                "seq": ln,
+                "x": ((ok * 131 + ln * 7919) % 10000) / 100.0 + 0.005,
+                "y": ((ok * 521 + ln * 104729) % 10000) / 100.0 + 0.005,
+            }
+        )
+
+    return orthogonal_lines(
+        verts.map_batches(derive, batch_format="pyarrow"),
+        pt_step=25.0,
+        line_len=5.0,
+    )

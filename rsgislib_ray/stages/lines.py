@@ -47,9 +47,13 @@ def _points_core(
     y: np.ndarray,
     step_micro: int,
     int_scale: int,
+    emit_dir: bool = False,
 ) -> dict:
     """Vectorized points-at-intervals over (line, seq)-sorted vertex
-    arrays containing any number of complete lines."""
+    arrays containing any number of complete lines. With ``emit_dir``
+    also emits the containing segment's direction (dx_u, dy_u in
+    coordinate units) and float length len_u — the inputs of the
+    orthogonal-line construction."""
     m = len(line)
     empty = {
         "line_id": np.empty(0, np.int64),
@@ -58,6 +62,14 @@ def _points_core(
         "y": np.empty(0, np.float64),
         "dist_micro": np.empty(0, np.int64),
     }
+    if emit_dir:
+        empty.update(
+            {
+                "dx_u": np.empty(0, np.float64),
+                "dy_u": np.empty(0, np.float64),
+                "len_u": np.empty(0, np.float64),
+            }
+        )
     if m < 2:
         return empty
     seg = line[1:] == line[:-1]
@@ -95,13 +107,18 @@ def _points_core(
     frac = (g - cs[si]).astype(np.float64) / ilen[si].astype(np.float64)
     px = x[i0[si]] + frac * (x[i0[si] + 1] - x[i0[si]])
     py = y[i0[si]] + frac * (y[i0[si] + 1] - y[i0[si]])
-    return {
+    out = {
         "line_id": seg_line[starts][pt_line_idx],
         "pt_id": k.astype(np.int64),
         "x": px,
         "y": py,
         "dist_micro": d.astype(np.int64),
     }
+    if emit_dir:
+        out["dx_u"] = dxs[si].astype(np.float64) / int_scale
+        out["dy_u"] = dys[si].astype(np.float64) / int_scale
+        out["len_u"] = np.sqrt(d2[si].astype(np.float64)) / int_scale
+    return out
 
 
 def points_along_lines(
@@ -288,4 +305,74 @@ def closest_line_intersections(
 
     return base.map_batches(
         isect_batch, batch_format="pyarrow", batch_size=16384
+    )
+
+
+def orthogonal_lines(
+    vertices: ray.data.Dataset,
+    pt_step: float,
+    line_len: float,
+    left_hand: bool = False,
+    line_col: str = "line_id",
+    seq_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+    int_scale: int = 200,
+) -> ray.data.Dataset:
+    """create_orthg_lines / find_pt_to_side (vectorgeoms/__init__.py:
+    205-430): at every ``pt_step`` interval point P on each polyline,
+    emit the orthogonal line P -> P + line_len * n, where n is the unit
+    normal of the containing segment (right-hand side of travel by
+    default; the reference's atan/cos trig is algebraically this
+    normal-vector construction). Output: line_id, pt_id, x, y (= P),
+    ox, oy (the orthogonal end point)."""
+    step_micro = int(round(pt_step * MICRO))
+    sign = -1.0 if left_hand else 1.0
+
+    def finish(d: dict) -> pa.Table:
+        nx = sign * d["dy_u"] / d["len_u"]
+        ny = -sign * d["dx_u"] / d["len_u"]
+        return pa.table(
+            {
+                "line_id": d["line_id"],
+                "pt_id": d["pt_id"],
+                "x": d["x"],
+                "y": d["y"],
+                "ox": d["x"] + line_len * nx,
+                "oy": d["y"] + line_len * ny,
+            }
+        )
+
+    def block_fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return finish(
+                _points_core(
+                    np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, np.float64), step_micro, int_scale,
+                    emit_dir=True,
+                )
+            )
+        return finish(
+            _points_core(
+                batch[line_col].to_numpy().astype(np.int64),
+                batch[x_col].to_numpy().astype(np.float64),
+                batch[y_col].to_numpy().astype(np.float64),
+                step_micro, int_scale, emit_dir=True,
+            )
+        )
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(seq_col)
+        return finish(
+            _points_core(
+                g[line_col].to_numpy().astype(np.int64),
+                g[x_col].to_numpy().astype(np.float64),
+                g[y_col].to_numpy().astype(np.float64),
+                step_micro, int_scale, emit_dir=True,
+            )
+        ).to_pandas()
+
+    return sorted_user_apply(
+        vertices, block_fn, group_fn, user_col=line_col,
+        sort_cols=(seq_col,),
     )

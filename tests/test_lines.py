@@ -179,3 +179,37 @@ def test_closest_line_intersections_matches_brute(ray_session, blocks):
     for _, r in got.iterrows():
         i = int(r["uid"]) - 1
         assert r["x"] == bx[i] + r["t"] * (ex[i] - bx[i])
+
+
+def test_orthogonal_lines_invariants(ray_session):
+    import ray
+
+    from rsgislib_ray.stages.lines import orthogonal_lines
+
+    tbl = _verts(25, rng_seed=9)
+    got = orthogonal_lines(
+        ray.data.from_arrow(tbl).repartition(5), pt_step=25.0, line_len=3.0
+    ).to_pandas()
+    assert len(got) > 0
+    vx, vy = got["ox"] - got["x"], got["oy"] - got["y"]
+    # length == line_len
+    np.testing.assert_allclose(np.hypot(vx, vy), 3.0, rtol=1e-12)
+    # right-hand side: cross(dir, normal) < 0 for n=(dy,-dx)/len
+    # verify on the simple 2-vertex line case instead:
+    t2 = pa.table(
+        {
+            "line_id": np.array([1, 1], dtype=np.int64),
+            "seq": np.array([1, 2], dtype=np.int64),
+            "x": np.array([0.005, 50.005]),
+            "y": np.array([0.005, 0.005]),
+        }
+    )
+    g2 = orthogonal_lines(
+        ray.data.from_arrow(t2), pt_step=20.0, line_len=5.0
+    ).to_pandas()
+    # travel east -> right-hand normal points south (negative y)
+    assert (g2["oy"] < g2["y"]).all()
+    g3 = orthogonal_lines(
+        ray.data.from_arrow(t2), pt_step=20.0, line_len=5.0, left_hand=True
+    ).to_pandas()
+    assert (g3["oy"] > g3["y"]).all()
