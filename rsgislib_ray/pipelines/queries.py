@@ -7324,3 +7324,117 @@ def q_orthogonal_lines(sf_dir: str):
         pt_step=25.0,
         line_len=5.0,
     )
+
+
+@register(
+    "clump_neighbours",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             ((31 * (p.range // {_SEG_N}) + 17 * (p.range % {_SEG_N})) % 37 = 0)
+               AS is_single
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    lab AS (
+      SELECT pixel_id, rr, cc,
+        CASE WHEN is_single THEN pixel_id
+             ELSE MIN(CASE WHEN NOT is_single THEN pixel_id END)
+                  OVER (PARTITION BY rr // 4, cc // 4)
+        END AS lab
+      FROM px
+    )
+    SELECT DISTINCT LEAST(a.lab, b.lab) AS lab_a,
+           GREATEST(a.lab, b.lab) AS lab_b
+    FROM lab a JOIN lab b
+      ON (b.rr = a.rr AND b.cc = a.cc + 1)
+      OR (b.rr = a.rr + 1 AND b.cc = a.cc)
+    WHERE a.lab != b.lab
+    """,
+)
+def q_clump_neighbours(sf_dir: str):
+    """read_rat_neighbours (rastergis/__init__.py; RAT neighbours
+    built by the clumps pipeline): distinct 4-neighbour clump label
+    pairs — per-tile dense shift comparison + sorted frame pairing
+    (stages/segmentation.clump_adjacency), no halos, edges contracted
+    before the driver."""
+    from rsgislib_ray.stages.polygonize import clump
+    from rsgislib_ray.stages.segmentation import clump_adjacency
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    ea, eb = clump_adjacency(clump(ds, tile_size=32), "comp_label", 32)
+    return pa.table(
+        {
+            "lab_a": pa.array(ea, pa.int64()),
+            "lab_b": pa.array(eb, pa.int64()),
+        }
+    )
+
+
+@register(
+    "dist_to_class",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CASE WHEN (31 * (p.range // {_SEG_N})
+                        + 17 * (p.range % {_SEG_N})) % 37 = 0 THEN 7
+                  ELSE ((p.range // {_SEG_N}) // 4
+                        + (p.range % {_SEG_N}) // 4) % 5 END AS value,
+             ((31 * (p.range // {_SEG_N}) + 17 * (p.range % {_SEG_N})) % 37 = 0)
+               AS is_single
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    lab AS (
+      SELECT pixel_id, rr, cc, value,
+        CASE WHEN is_single THEN pixel_id
+             ELSE MIN(CASE WHEN NOT is_single THEN pixel_id END)
+                  OVER (PARTITION BY rr // 4, cc // 4)
+        END AS lab
+      FROM px
+    ),
+    d AS (
+      SELECT a.lab,
+             MIN((SELECT MIN((a.rr - t.rr) * (a.rr - t.rr)
+                             + (a.cc - t.cc) * (a.cc - t.cc))
+                  FROM px t WHERE t.value = 0)) AS min_dist2
+      FROM lab a GROUP BY a.lab
+    )
+    SELECT lab, CAST(min_dist2 AS BIGINT) AS min_dist2,
+           SQRT(CAST(min_dist2 AS DOUBLE)) AS dist
+    FROM d
+    """,
+)
+def q_dist_to_class(sf_dir: str):
+    """calc_dist_to_classes (rastergis/__init__.py): per clump, the
+    minimum distance from any of its pixels to the nearest pixel of
+    class 0 — the exact separable EDT (stages/distance) composed with
+    a segment_sum(min) zonal reduce; integer squared distances, one
+    sqrt per clump."""
+    from rsgislib_ray.stages.distance import distance_transform
+    from rsgislib_ray.stages.polygonize import clump
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    edt = distance_transform(ds, [0], value_col="value")
+    labeled = clump(ds, tile_size=32).select_columns(
+        ["pixel_id", "comp_label"]
+    )
+    joined = edt.select_columns(["pixel_id", "dist2"]).join(
+        labeled, join_type="inner", on=("pixel_id",), num_partitions=8
+    )
+    mins = segment_sum(joined, "comp_label", ["dist2"], aggs=["min"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d2 = batch["dist2"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "lab": batch["comp_label"].to_numpy().astype(np.int64),
+                "min_dist2": d2,
+                "dist": np.sqrt(d2.astype(np.float64)),
+            }
+        )
+
+    return mins.map_batches(finish, batch_format="pyarrow")
