@@ -7438,3 +7438,55 @@ def q_dist_to_class(sf_dir: str):
         )
 
     return mins.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "band_indices",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST((p.range * 37) % 100 AS BIGINT) + 1 AS red,
+             CAST((p.range * 61) % 100 AS BIGINT) + 1 AS nir,
+             CAST((p.range * 89) % 100 AS BIGINT) + 1 AS swir
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    )
+    SELECT pixel_id,
+      CAST(nir - red AS DOUBLE) / (nir + red) AS ndvi,
+      CAST(nir - swir AS DOUBLE) / (nir + swir) AS ndmi,
+      CAST(swir - red AS DOUBLE) / (swir + red) AS ndsi,
+      2.5e0 * (nir - red) / (nir + 2.4e0 * red + 1.0e0) AS evi2,
+      CAST(nir AS DOUBLE) / red AS ior,
+      SQRT(CAST(red * red + nir * nir + swir * swir AS DOUBLE) / 3.0)
+        AS brightness
+    FROM px
+    """,
+)
+def q_band_indices(sf_dir: str):
+    """imagecalc/calcindices.py family (calc_ndvi :18, calc_ndmi :793,
+    calc_ndsi :400, calc_evi2 :598, calc_ior :1028, calc_brightness
+    :293): normalized-difference / ratio / brightness indices as one
+    vectorized zero-shuffle pass; each index is integer arithmetic plus
+    the reference's single float expression."""
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+
+    def f(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        red = (pid * 37) % 100 + 1
+        nir = (pid * 61) % 100 + 1
+        swir = (pid * 89) % 100 + 1
+        return pa.table(
+            {
+                "pixel_id": pid,
+                "ndvi": (nir - red).astype(np.float64) / (nir + red),
+                "ndmi": (nir - swir).astype(np.float64) / (nir + swir),
+                "ndsi": (swir - red).astype(np.float64) / (swir + red),
+                "evi2": 2.5 * (nir - red) / (nir + 2.4 * red + 1.0),
+                "ior": nir.astype(np.float64) / red,
+                "brightness": np.sqrt(
+                    (red * red + nir * nir + swir * swir).astype(np.float64)
+                    / 3.0
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
