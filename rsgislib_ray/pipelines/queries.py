@@ -7490,3 +7490,51 @@ def q_band_indices(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _cost_raster() -> pa.Table:
+    """Cost surface over the seg raster: value+1 (1..8) keeps costs
+    positive; the deterministic singleton overrides act as obstacles."""
+    t = _seg_raster()
+    return pa.table(
+        {
+            "pixel_id": t["pixel_id"],
+            "row": t["row"],
+            "col": t["col"],
+            "cost": pc.add(t["value"], 1),
+        }
+    )
+
+
+@register("cost_distance", None)  # iterative shortest path
+def q_cost_distance(sf_dir: str):
+    """Accumulated 4-connected cost surface (leastcostpath.py:102 /
+    skimage MCP enter-cost model) from pixel 0 over the seg cost
+    raster: banded block-parallel Bellman-Ford, boundary-row delta
+    exchange — rows-only (verified vs heapq Dijkstra in
+    tests/test_costpath.py)."""
+    from rsgislib_ray.stages.costpath import cost_distance
+
+    ds, _, _ = cost_distance(
+        ray.data.from_arrow(_cost_raster()).repartition(8),
+        start_pixel=0,
+        width=_SEG_N,
+        row_band=16,
+    )
+    return ds
+
+
+@register("least_cost_path", None)  # iterative shortest path
+def q_least_cost_path(sf_dir: str):
+    """perform_least_cost_path_calc: least-cost path pixel sequence
+    from corner to corner of the seg cost raster (deterministic
+    lowest-id backtrace over the exact integer cost surface)."""
+    from rsgislib_ray.stages.costpath import least_cost_path
+
+    return least_cost_path(
+        ray.data.from_arrow(_cost_raster()).repartition(8),
+        0,
+        _SEG_N * _SEG_N - 1,
+        _SEG_N,
+        row_band=16,
+    )

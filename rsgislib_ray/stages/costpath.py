@@ -1,0 +1,251 @@
+"""Accumulated-cost surface + least-cost path over a cost raster.
+
+Reimplements ``imagecalc.leastcostpath.perform_least_cost_path_calc``
+(/root/reference/python/rsgislib/imagecalc/leastcostpath.py:102),
+which wraps ``skimage.graph.route_through_array``. Simplified,
+documented semantics (4-connected, ``fully_connected=False``
+enter-cost model): the accumulated cost of a pixel p is
+
+    D(p) = min over 4-connected paths start->p of sum(cost(q) for q
+           on the path, q != start) + cost(start)
+
+with integer costs, so every D is exact int64 and the result is
+order- and partitioning-independent. The path output backtraces
+stop -> start choosing at each step the lowest-pixel-id neighbour n
+with D(n) + cost(p) == D(p) (deterministic tie rule).
+
+Physical plan — the iterative-algorithm shape (like PageRank, but
+with spatial state): the raster is cut into ROW BANDS; each band is a
+dense (rows x width) int64 grid held in the object store. An outer
+driver loop runs band-local Bellman-Ford to a fixed point in parallel
+Ray tasks (vectorized directional min-plus sweeps, no per-pixel
+Python), then exchanges ONLY the bands' first/last rows. A band is
+re-relaxed only when an incoming boundary row improved (delta
+stepping at band granularity); the loop ends when no boundary
+improves. Worst-case outer iterations = number of times the optimal
+path re-enters earlier bands (snake mazes); typical terrain converges
+in O(1) + bands/2. Driver traffic per iteration is 2 rows per band —
+O(width) values — never the raster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+_INF = np.int64(2**62)
+
+
+def _relax_grid(cost: np.ndarray, dist: np.ndarray) -> bool:
+    """In-place 4-direction min-plus sweeps to a band-local fixed
+    point. Returns whether anything changed."""
+    changed_any = False
+    h, w = cost.shape
+    while True:
+        before = dist.copy()
+        # down / up: row-vector relaxation
+        for r in range(1, h):
+            np.minimum(dist[r], dist[r - 1] + cost[r], out=dist[r])
+        for r in range(h - 2, -1, -1):
+            np.minimum(dist[r], dist[r + 1] + cost[r], out=dist[r])
+        # right / left: column-vector relaxation
+        for c in range(1, w):
+            np.minimum(dist[:, c], dist[:, c - 1] + cost[:, c],
+                       out=dist[:, c])
+        for c in range(w - 2, -1, -1):
+            np.minimum(dist[:, c], dist[:, c + 1] + cost[:, c],
+                       out=dist[:, c])
+        if np.array_equal(before, dist):
+            break
+        changed_any = True
+    return changed_any
+
+
+@ray.remote
+def _relax_band(
+    cost: np.ndarray,
+    dist: np.ndarray,
+    top_in: np.ndarray | None,
+    bot_in: np.ndarray | None,
+):
+    """One outer step for a band: absorb neighbour boundary rows, run
+    to band-local fixed point; return (dist, first_row, last_row,
+    changed)."""
+    dist = dist.copy()
+    if top_in is not None:
+        np.minimum(dist[0], top_in + cost[0], out=dist[0])
+    if bot_in is not None:
+        np.minimum(dist[-1], bot_in + cost[-1], out=dist[-1])
+    changed = _relax_grid(cost, dist)
+    return dist, dist[0].copy(), dist[-1].copy(), changed
+
+
+def cost_distance(
+    raster: ray.data.Dataset,
+    start_pixel: int,
+    width: int,
+    cost_col: str = "cost",
+    row_band: int = 16,
+    max_iters: int = 10_000,
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Accumulated 4-connected cost surface from ``start_pixel`` over
+    a (pixel_id, row, col, cost) raster. Returns ``(dist_ds,
+    dist_grids, cost_grids)``: dist_ds has (pixel_id, cost_dist); the
+    per-band dense grids are the path-backtrace input (band rows,
+    never the raster, cross the driver)."""
+
+    def band_of(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy().astype(np.int64)
+        return batch.append_column("band", pa.array(r // row_band))
+
+    # assemble per-band dense cost grids (one small pandas group per
+    # band; the grids live in the object store from here on)
+    grids: dict[int, np.ndarray] = {}
+    for g in (
+        raster.map_batches(band_of, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(
+            lambda d: pa.table(
+                {
+                    "band": [int(d["band"].iloc[0])],
+                    "r0": [int(d["row"].min())],
+                    "rows": [int(d["row"].max() - d["row"].min() + 1)],
+                    "blob": [
+                        np.ascontiguousarray(
+                            _dense(d, width)
+                        ).tobytes()
+                    ],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .itertuples()
+    ):
+        grids[int(g.band)] = np.frombuffer(
+            g.blob, dtype=np.int64
+        ).reshape(g.rows, width)
+
+    bands = sorted(grids)
+    n_b = len(bands)
+    cost_refs = {b: ray.put(grids[b]) for b in bands}
+    r0s = {b: b * row_band for b in bands}
+
+    sr, sc = divmod(int(start_pixel), width)
+    dist = {}
+    for b in bands:
+        d = np.full(grids[b].shape, _INF, dtype=np.int64)
+        if r0s[b] <= sr < r0s[b] + grids[b].shape[0]:
+            d[sr - r0s[b], sc] = grids[b][sr - r0s[b], sc]
+        dist[b] = d
+    tops = {b: dist[b][0].copy() for b in bands}
+    bots = {b: dist[b][-1].copy() for b in bands}
+    dirty = set(bands)
+    iters = 0
+    while dirty and iters < max_iters:
+        iters += 1
+        work = sorted(dirty)
+        futs = {
+            b: _relax_band.remote(
+                cost_refs[b],
+                dist[b],
+                bots[bands[i - 1]] if i > 0 else None,
+                tops[bands[i + 1]] if i < n_b - 1 else None,
+            )
+            for i, b in enumerate(bands)
+            if b in dirty
+        }
+        dirty = set()
+        for b, f in futs.items():
+            nd, top, bot, changed = ray.get(f)
+            i = bands.index(b)
+            if changed or not np.array_equal(top, tops[b]):
+                if i > 0 and not np.array_equal(top, tops[b]):
+                    dirty.add(bands[i - 1])
+            if changed or not np.array_equal(bot, bots[b]):
+                if i < n_b - 1 and not np.array_equal(bot, bots[b]):
+                    dirty.add(bands[i + 1])
+            dist[b], tops[b], bots[b] = nd, top, bot
+        _ = work
+
+    tables = []
+    for b in bands:
+        h = dist[b].shape[0]
+        pid = (
+            (np.arange(h) + r0s[b])[:, None] * width + np.arange(width)
+        ).ravel()
+        tables.append(
+            pa.table(
+                {
+                    "pixel_id": pid.astype(np.int64),
+                    "cost_dist": dist[b].ravel(),
+                }
+            )
+        )
+    full = pa.concat_tables(tables)
+    return (
+        ray.data.from_arrow(full),
+        [dist[b] for b in bands],
+        [grids[b] for b in bands],
+    )
+
+
+def _dense(d, width: int) -> np.ndarray:
+    r = d["row"].to_numpy().astype(np.int64)
+    c = d["col"].to_numpy().astype(np.int64)
+    v = d["cost"].to_numpy().astype(np.int64)
+    r0 = r.min()
+    # nodata pixels get a large-but-bounded cost (2^30, effectively
+    # impassable) so INF dist + nodata cost can never wrap int64
+    g = np.full((int(r.max() - r0 + 1), width), 2**30, dtype=np.int64)
+    g[r - r0, c] = v
+    return g
+
+
+def least_cost_path(
+    raster: ray.data.Dataset,
+    start_pixel: int,
+    stop_pixel: int,
+    width: int,
+    cost_col: str = "cost",
+    row_band: int = 16,
+) -> pa.Table:
+    """perform_least_cost_path_calc: the stop->start backtrace over
+    the accumulated cost surface. Returns (step, pixel_id, cost_dist)
+    from start (step 0) to stop. Backtrace chooses the lowest-pixel-id
+    neighbour n with D(n) + cost(p) == D(p)."""
+    ds, dist_grids, cost_grids = cost_distance(
+        raster, start_pixel, width, cost_col, row_band
+    )
+    dist = np.vstack(dist_grids)
+    cost = np.vstack(cost_grids)
+    h, w = dist.shape
+    path = []
+    p = int(stop_pixel)
+    if dist[p // w, p % w] >= _INF:
+        raise ValueError("stop pixel unreachable")
+    while p != int(start_pixel):
+        path.append(p)
+        r, c = divmod(p, w)
+        best = None
+        for nr, nc in ((r - 1, c), (r, c - 1), (r, c + 1), (r + 1, c)):
+            if 0 <= nr < h and 0 <= nc < w:
+                if dist[nr, nc] + cost[r, c] == dist[r, c]:
+                    cand = nr * w + nc
+                    if best is None or cand < best:
+                        best = cand
+        assert best is not None, "broken backtrace"
+        p = best
+    path.append(int(start_pixel))
+    path = path[::-1]
+    return pa.table(
+        {
+            "step": np.arange(len(path), dtype=np.int64),
+            "pixel_id": np.array(path, dtype=np.int64),
+            "cost_dist": np.array(
+                [dist[q // w, q % w] for q in path], dtype=np.int64
+            ),
+        }
+    )

@@ -1,0 +1,90 @@
+"""cost_distance / least_cost_path vs a heapq Dijkstra oracle."""
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _raster(n=48, seed=2):
+    rng = np.random.default_rng(seed)
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    cost = rng.integers(1, 20, n * n).astype(np.int64)
+    # a cheap corridor that snakes between bands to force >1 outer
+    # iteration of the band exchange
+    grid = cost.reshape(n, n)
+    grid[5, :] = 1
+    grid[:, n - 3] = 1
+    grid[n - 5, :] = 1
+    grid[:, 2] = 1
+    return pa.table(
+        {"pixel_id": pid, "row": row, "col": col, "cost": grid.ravel()}
+    )
+
+
+def _dijkstra(cost2d, start):
+    h, w = cost2d.shape
+    dist = np.full((h, w), np.iinfo(np.int64).max, dtype=np.int64)
+    sr, sc = divmod(start, w)
+    dist[sr, sc] = cost2d[sr, sc]
+    pq = [(int(cost2d[sr, sc]), sr, sc)]
+    while pq:
+        d, r, c = heapq.heappop(pq)
+        if d > dist[r, c]:
+            continue
+        for nr, nc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+            if 0 <= nr < h and 0 <= nc < w:
+                nd = d + int(cost2d[nr, nc])
+                if nd < dist[nr, nc]:
+                    dist[nr, nc] = nd
+                    heapq.heappush(pq, (nd, nr, nc))
+    return dist
+
+
+@pytest.mark.parametrize("row_band", [8, 48])
+def test_cost_distance_matches_dijkstra(ray_session, row_band):
+    import ray
+
+    from rsgislib_ray.stages.costpath import cost_distance
+
+    n = 48
+    tbl = _raster(n)
+    ds, _, _ = cost_distance(
+        ray.data.from_arrow(tbl).repartition(6),
+        start_pixel=0,
+        width=n,
+        row_band=row_band,
+    )
+    got = ds.to_pandas().sort_values("pixel_id")["cost_dist"].to_numpy()
+    want = _dijkstra(
+        tbl["cost"].to_numpy().reshape(n, n), 0
+    ).ravel()
+    assert (got == want).all()
+
+
+def test_least_cost_path_valid(ray_session):
+    import ray
+
+    from rsgislib_ray.stages.costpath import least_cost_path
+
+    n = 48
+    tbl = _raster(n)
+    stop = n * n - 1
+    path = least_cost_path(
+        ray.data.from_arrow(tbl).repartition(4), 0, stop, n, row_band=8
+    ).to_pandas()
+    cost = tbl["cost"].to_numpy().reshape(n, n)
+    want = _dijkstra(cost, 0)
+    # ends anchored
+    assert path["pixel_id"].iloc[0] == 0
+    assert path["pixel_id"].iloc[-1] == stop
+    # optimal total cost
+    assert path["cost_dist"].iloc[-1] == want[n - 1, n - 1]
+    # contiguous 4-connected steps with correct incremental costs
+    pids = path["pixel_id"].to_numpy()
+    r, c = np.divmod(pids, n)
+    assert (np.abs(np.diff(r)) + np.abs(np.diff(c)) == 1).all()
+    d = path["cost_dist"].to_numpy()
+    assert (np.diff(d) == cost[r[1:], c[1:]]).all()
