@@ -7538,3 +7538,65 @@ def q_least_cost_path(sf_dir: str):
         _SEG_N,
         row_band=16,
     )
+
+
+@register(
+    "spectral_unmix",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST((p.range * 37) % 100 AS BIGINT) + 1 AS b1,
+             CAST((p.range * 61) % 100 AS BIGINT) + 1 AS b2,
+             CAST((p.range * 89) % 100 AS BIGINT) + 1 AS b3
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    )
+    -- endmembers E = [[10,80],[90,20],[30,40]]; N = E'E = [[9100,3800],
+    -- [3800,8400]]; det = 62000000; adj = [[8400,-3800],[-3800,9100]];
+    -- numerators adj @ E' x expanded to per-band integer coefficients
+    SELECT pixel_id,
+      (-220000) * b1 + 680000 * b2 + 100000 * b3 AS s1_num,
+      690000 * b1 + (-160000) * b2 + 250000 * b3 AS s2_num,
+      CAST(62000000 AS BIGINT) AS det,
+      CAST((-220000) * b1 + 680000 * b2 + 100000 * b3 AS DOUBLE)
+        / 62000000 AS abund1,
+      CAST(690000 * b1 + (-160000) * b2 + 250000 * b3 AS DOUBLE)
+        / 62000000 AS abund2
+    FROM px
+    """,
+)
+def q_spectral_unmix(sf_dir: str):
+    """spec_unmix_spts_ucls (imagecalc/specunmixing/__init__.py):
+    unconstrained least-squares abundance estimation per pixel for
+    integer endmember signatures — the UCLS pseudo-inverse
+    (E'E)^-1 E' is RATIONAL, so abundances are exact integer
+    numerators over det(E'E) with one float division each; the
+    per-batch kernel is a single integer matmul, zero shuffles."""
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    E = np.array([[10, 80], [90, 20], [30, 40]], dtype=np.int64)
+    N = E.T @ E
+    det = int(N[0, 0] * N[1, 1] - N[0, 1] * N[1, 0])
+    adj = np.array(
+        [[N[1, 1], -N[0, 1]], [-N[1, 0], N[0, 0]]], dtype=np.int64
+    )
+    coef = adj @ E.T  # (2 endmembers x 3 bands) integer numerator matrix
+
+    def f(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        x = np.stack(
+            [(pid * 37) % 100 + 1, (pid * 61) % 100 + 1,
+             (pid * 89) % 100 + 1],
+            axis=0,
+        )
+        num = coef @ x  # exact int64
+        return pa.table(
+            {
+                "pixel_id": pid,
+                "s1_num": num[0],
+                "s2_num": num[1],
+                "det": np.full(len(pid), det, dtype=np.int64),
+                "abund1": num[0].astype(np.float64) / det,
+                "abund2": num[1].astype(np.float64) / det,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
