@@ -7600,3 +7600,147 @@ def q_spectral_unmix(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "mask_outliers",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(val_cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(val_cents AS HUGEINT) * val_cents) AS DOUBLE)
+               AS sq_d,
+             CAST(SUM(val_cents) AS DOUBLE) AS s_d
+      FROM cells
+    )
+    SELECT c.cell_key,
+           CAST(c.val_cents > s_d / n
+                  + 2.0e0 * SQRT((sq_d - s_d * (s_d / n)) / (n - 1))
+                OR c.val_cents < s_d / n
+                  - 2.0e0 * SQRT((sq_d - s_d * (s_d / n)) / (n - 1))
+                AS BIGINT) AS is_outlier
+    FROM cells c, m
+    """,
+)
+def q_mask_outliers(sf_dir: str):
+    """mask_outliners_data_values (imageutils/__init__.py): flag
+    values beyond mean +/- 2 stddev — one exact distributed moment
+    pass, then a vectorized threshold map; the mean/stddev floats are
+    computed with the identical expression DuckDB evaluates."""
+    from rsgislib_ray.stages.imagestats import band_cross_moments
+
+    cells = td.cells_from_lineitem(sf_dir)
+    m = band_cross_moments(cells, ["val_cents"])
+    n, s, sq = m["n"], float(m["s"][0]), float(m["q"][(0, 0)])
+    mean = s / n
+    sd = np.sqrt((sq - s * mean) / (n - 1))
+    lo, hi = mean - 2.0 * sd, mean + 2.0 * sd
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch["val_cents"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "is_outlier": ((v > hi) | (v < lo)).astype(np.int64),
+            }
+        )
+
+    return cells.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "grouped_linear_fit",
+    """
+    WITH li AS (
+      SELECT l_suppkey AS key, CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT key, COUNT(*) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+        CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy
+      FROM li GROUP BY key
+    )
+    SELECT key, n,
+      CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      CAST(n * sxx - sx * sx AS BIGINT) AS den,
+      CAST(sxx * sy - sx * sxy AS BIGINT) AS icept_num,
+      CASE WHEN n * sxx - sx * sx != 0
+        THEN CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+      END AS slope,
+      CASE WHEN n * sxx - sx * sx != 0
+        THEN CAST(sxx * sy - sx * sxy AS DOUBLE) / (n * sxx - sx * sx)
+      END AS intercept
+    FROM m
+    """,
+)
+def q_grouped_linear_fit(sf_dir: str):
+    """Per-group OLS line fit (the polyfill_nan_data_values /
+    timeseries model-fit shape, imageutils/__init__.py): price vs
+    quantity per supplier — slope and intercept as EXACT integer
+    numerators over the normal-equation determinant (segment_sum
+    partials), one float division each; degenerate groups (all-equal
+    x) yield null."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_quantity", "l_extendedprice"],
+    ).repartition(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_suppkey"].to_numpy().astype(np.int64)
+        x = batch["l_quantity"].to_numpy().astype(np.int64)
+        y = np.rint(batch["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "key": k,
+                "n": np.ones(len(k), dtype=np.int64),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxy": x * y,
+            }
+        )
+
+    sums = segment_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "key",
+        ["n", "sx", "sy", "sxx", "sxy"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.int64)
+        sx = batch["sx"].to_numpy().astype(np.int64)
+        sy = batch["sy"].to_numpy().astype(np.int64)
+        sxx = batch["sxx"].to_numpy().astype(np.int64)
+        sxy = batch["sxy"].to_numpy().astype(np.int64)
+        slope_num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        icept_num = sxx * sy - sx * sxy
+        ok = den != 0
+        dend = np.where(ok, den, 1).astype(np.float64)
+        return pa.table(
+            {
+                "key": batch["key"],
+                "n": n,
+                "slope_num": slope_num,
+                "den": den,
+                "icept_num": icept_num,
+                "slope": pa.Array.from_pandas(
+                    np.where(ok, slope_num / dend, 0.0),
+                    mask=~ok, type=pa.float64(),
+                ),
+                "intercept": pa.Array.from_pandas(
+                    np.where(ok, icept_num / dend, 0.0),
+                    mask=~ok, type=pa.float64(),
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
