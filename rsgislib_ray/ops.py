@@ -112,4 +112,4 @@ def apply_aggregator(
     )
     combined = partials.groupby(agg.key_col).aggregate(*specs).to_pandas()
     combined = combined.rename(columns=renames)
-    return agg.final(pa.Table.from_pandas(combined, preserve_index=False))
+    return agg.final(pa.Table.from_pandas(combined, preserve_index=False).replace_schema_metadata(None))

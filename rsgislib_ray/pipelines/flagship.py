@@ -20,6 +20,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from rsgislib_ray.sources.testdata import read_parquet_clean as _read_clean
+
 from rsgislib_ray.functions.geom import rect_ring
 from rsgislib_ray.functions.grid import TileSpec
 from rsgislib_ray.sources.synth import synth_docs_dataset
@@ -67,7 +69,7 @@ def docs_from_documents_table(sf_dir: str) -> ray.data.Dataset:
     deterministic per doc_id, partition-independent."""
     from rsgislib_ray.sources.synth import synth_docs_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def gen(batch: pa.Table) -> pa.Table:
         return synth_docs_batch(batch["doc_id"].to_numpy().astype(np.uint64))

@@ -339,7 +339,7 @@ def q_grouped_stats_global(sf_dir: str):
     """Masked-region stats analog (calc_sum_stats_msk_vals,
     /root/reference/python/rsgislib/imagecalc/__init__.py:1019): group
     by a mask value over exact integer partial sums."""
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_extendedprice"],
     ).repartition(32)
@@ -359,7 +359,7 @@ def q_grouped_stats_global(sf_dir: str):
         g = df.groupby("l_returnflag", as_index=False).agg(
             n=("qty", "size"), sum_qty=("qty", "sum"), cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
 
@@ -373,8 +373,10 @@ def q_grouped_stats_global(sf_dir: str):
             }
         )
 
+    from rsgislib_ray.functions.arrowize import arrowize
+
     return partials.groupby("l_returnflag").map_groups(
-        combine, batch_format="pandas"
+        arrowize(combine), batch_format="pandas"
     )
 
 
@@ -542,7 +544,7 @@ def q_radius_count(sf_dir: str):
     "WHERE lang = 'en' AND n_chars > 200",
 )
 def q_attr_filter(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
     return ds.map_batches(
@@ -565,7 +567,7 @@ def q_attr_filter(sf_dir: str):
     """,
 )
 def q_sort_top50(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     top = ds.sort(
@@ -581,7 +583,7 @@ def q_sort_top50(sf_dir: str):
     "SELECT DISTINCT l_returnflag FROM lineitem",
 )
 def q_unique_values(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag"]
     )
     vals = sorted(ds.unique("l_returnflag"))
@@ -593,7 +595,7 @@ def q_unique_values(sf_dir: str):
     "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
 )
 def q_count_per_value(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
     )
 
@@ -632,7 +634,7 @@ def q_recode(sf_dir: str):
         "3-MEDIUM": 3,
         "4-NOT SPECIFIED": 4,
     }
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
 
@@ -659,7 +661,7 @@ def q_recode(sf_dir: str):
     """,
 )
 def q_band_math(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
     ).repartition(32)
@@ -688,7 +690,7 @@ def q_band_math(sf_dir: str):
     """,
 )
 def q_mask_apply(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
     ).repartition(32)
@@ -859,7 +861,7 @@ def q_event_windows(sf_dir: str):
     """Tumbling 1-hour windows per user over the events log — batch
     windowing via partial per-batch aggregation (no event-time engine in
     the reference either, SURVEY.md §2.12)."""
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     ).repartition(32)
 
@@ -878,7 +880,7 @@ def q_event_windows(sf_dir: str):
         g = df.groupby(["user_id", "window_id"], as_index=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     # partials are per-(batch, user, window) — small; combine on the
@@ -888,7 +890,7 @@ def q_event_windows(sf_dir: str):
     out = pdf.groupby(["user_id", "window_id"], as_index=False).agg(
         n=("n", "sum"), sum_cents=("sum_cents", "sum")
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 # ===========================================================================
@@ -907,7 +909,7 @@ def q_dedup_exact(sf_dir: str):
     from rsgislib_ray.stages.dedup import exact_dedup
 
     return exact_dedup(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), ["text"]
+        td.read_parquet_clean(f"{sf_dir}/documents.parquet"), ["text"]
     )
 
 
@@ -1050,7 +1052,7 @@ def q_dedup_minhash(sf_dir: str):
     bucket candidates, exact-Jaccard verify, min-id cluster labels."""
     from rsgislib_ray.stages.dedup import minhash_dedup
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -1149,7 +1151,7 @@ def q_dedup_simhash(sf_dir: str):
     signatures (polynomial token hash + splitmix64 + vote bits)."""
     from rsgislib_ray.stages.dedup import simhash_near_dup_pairs
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -1201,7 +1203,7 @@ def q_dedup_simhash(sf_dir: str):
 def q_ngram_jaccard(sf_dir: str):
     from rsgislib_ray.stages.dedup import ngram_jaccard_pairs
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )
@@ -1227,7 +1229,7 @@ def q_token_count(sf_dir: str):
     from rsgislib_ray.stages.text import add_token_count
 
     return add_token_count(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     ).select_columns(["doc_id", "n_tokens"])
@@ -1253,7 +1255,7 @@ def q_quality_stats(sf_dir: str):
     from rsgislib_ray.stages.text import add_quality_stats
 
     return add_quality_stats(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     ).select_columns(
@@ -1308,7 +1310,7 @@ def q_langid(sf_dir: str):
     from rsgislib_ray.stages.text import add_langid
 
     return add_langid(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     ).select_columns(["doc_id", "lang_pred", "lang_score"])
@@ -1395,7 +1397,7 @@ def q_fingerprint(sf_dir: str):
     from rsgislib_ray.stages.text import add_fingerprint
 
     return add_fingerprint(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     ).select_columns(["doc_id", "fingerprint"])
@@ -1422,7 +1424,7 @@ def q_ann_topk(sf_dir: str):
 
     from rsgislib_ray.stages.ann import ann_topk
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = td.read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     queries_tbl = tbl.filter(pc.less(tbl["vec_id"], 4))
     return ann_topk(emb, queries_tbl, k=10)
@@ -1495,7 +1497,7 @@ def q_ann_lsh(sf_dir: str):
 
     from rsgislib_ray.stages.ann import lsh_bucket_topk
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = td.read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     queries_tbl = tbl.filter(pc.less(tbl["vec_id"], 4))
     return lsh_bucket_topk(emb, queries_tbl, k=10, n_bits=6)
@@ -1898,7 +1900,7 @@ def q_zonal_cat_proportions(sf_dir: str):
     counts["prop"] = counts["n"].to_numpy().astype(np.float64) / tot.to_numpy().astype(
         np.float64
     )
-    return pa.Table.from_pandas(counts, preserve_index=False)
+    return pa.Table.from_pandas(counts, preserve_index=False).replace_schema_metadata(None)
 
 
 _PIXEL_IMGS_SQL = """
@@ -2015,7 +2017,7 @@ def q_name_col(sf_dir: str):
 )
 def q_date_col(sf_dir: str):
     """create_date_col (vectorattrs/__init__.py:1839) via Arrow strftime."""
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
     )
 
@@ -2466,7 +2468,7 @@ def q_event_lag(sf_dir: str):
     as sorted per-user groups."""
     from rsgislib_ray.stages.events import event_lag
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     ).repartition(32)
     # sorted-run implementation (stages/events.py): per-user Python runs
@@ -2498,7 +2500,7 @@ def q_event_sessions(sf_dir: str):
     session windows; the reference has none, SURVEY.md §2.12)."""
     from rsgislib_ray.stages.events import event_sessions
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     ).repartition(32)
     return event_sessions(ds)
@@ -2524,7 +2526,7 @@ def q_event_sliding_windows(sf_dir: str):
     """Sliding 2h windows, 1h step, per user: each event contributes to
     two windows (duplicate-and-tumble rewrite — the standard batch
     equivalent of a sliding window)."""
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     ).repartition(32)
 
@@ -2537,7 +2539,7 @@ def q_event_sliding_windows(sf_dir: str):
         df = pd.DataFrame({"user_id": user2, "window_start": win})
         g = df.groupby(["user_id", "window_start"], as_index=False).size()
         g = g.rename(columns={"size": "partial"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
     # NATIVE distributed combine: with 10^9 users the (user, window)
@@ -2551,7 +2553,7 @@ def q_event_sliding_windows(sf_dir: str):
         .to_pandas()
         .rename(columns={"sum(partial)": "n"})
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 @register(
@@ -2687,7 +2689,7 @@ def q_training_data_pipeline(sf_dir: str):
     from rsgislib_ray.stages.dedup import exact_dedup
     from rsgislib_ray.stages.text import add_langid, add_quality_stats, add_token_count
 
-    docs = ray.data.read_parquet(
+    docs = td.read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     scored = add_quality_stats(add_langid(docs))
@@ -2726,7 +2728,7 @@ def q_per_source_cap(sf_dir: str):
     from rsgislib_ray.functions.hashing import polyhash_strings
     from rsgislib_ray.stages.sampling import top_n_per_group
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
     )
 
@@ -2838,7 +2840,7 @@ def q_decontaminate(sf_dir: str):
     sel = tbl["doc_id"].to_numpy() % 50 == 7
     bench_texts = tbl.filter(pa.array(sel))["text"].to_pylist()
     return decontaminate(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ),
         bench_texts,
@@ -2881,7 +2883,7 @@ def q_tfidf_top_terms(sf_dir: str):
     from rsgislib_ray.stages.text import tfidf_top_terms
 
     return tfidf_top_terms(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ),
         top_k=3,
@@ -2931,7 +2933,7 @@ def q_kgram_cross_dup(sf_dir: str):
     collisions)."""
     from rsgislib_ray.stages.dedup import kgram_duplicate_pairs
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -2974,7 +2976,7 @@ def q_redact_terms(sf_dir: str):
     from rsgislib_ray.stages.text import add_redaction
 
     return add_redaction(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ),
         pattern=r"\b(key|hash|customer)\b",
@@ -3010,7 +3012,7 @@ def q_pack_sequences(sf_dir: str):
     from rsgislib_ray.stages.packing import assign_packed_bins
 
     return assign_packed_bins(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ),
         budget=512,
@@ -3385,7 +3387,7 @@ def q_knn_summarize(sf_dir: str):
         g = df.groupby("base_id", as_index=False).agg(
             s=("nn_id", "sum"), n=("nn_id", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     pdf = (
         nn.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -3505,7 +3507,7 @@ def q_ann_ivf(sf_dir: str):
 
     from rsgislib_ray.stages.ann import ivf_topk
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = td.read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     queries_tbl = tbl.filter(pc.less(tbl["vec_id"], 4))
     return ivf_topk(emb, queries_tbl, k=10, n_centroids=16, nprobe=4)
@@ -3574,7 +3576,7 @@ def q_flagship_zonal(sf_dir: str):
         g = df.groupby("zone_fid", as_index=False).agg(
             n_docs=("n_spans", "size"), total_spans=("n_spans", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     pdf = (
         joined.map_batches(partial, batch_format="pyarrow", batch_size=32768)
@@ -3582,7 +3584,7 @@ def q_flagship_zonal(sf_dir: str):
         .groupby("zone_fid", as_index=False)
         .agg(n_docs=("n_docs", "sum"), total_spans=("total_spans", "sum"))
     )
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    return pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None)
 
 
 @register("kmeans_clusters", None)  # iterative fit; deterministic but non-SQL
@@ -3607,7 +3609,7 @@ def q_kmeans_clusters(sf_dir: str):
         .sum()
         .rename(columns={"partial": "n_cells"})
     )
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    return pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None)
 
 
 # ===========================================================================
@@ -3933,7 +3935,7 @@ def q_isodata_clusters(sf_dir: str):
         .sum()
         .rename(columns={"partial": "n_cells"})
     )
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    return pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None)
 
 
 @register(
@@ -4034,7 +4036,7 @@ def q_dedup_embedding(sf_dir: str):
     from rsgislib_ray.stages.ann import embedding_near_dup
 
     return embedding_near_dup(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        td.read_parquet_clean(f"{sf_dir}/embeddings.parquet"),
         threshold=0.4,
     )
 
@@ -4339,7 +4341,7 @@ def q_token_count_bpe(sf_dir: str):
             {"doc_id": batch["doc_id"], "n_units": token_count_regex(col)}
         )
 
-    return ray.data.read_parquet(
+    return td.read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(f, batch_format="pyarrow")
 
@@ -4480,7 +4482,7 @@ def q_asof_join_rates(sf_dir: str):
     base_us = np.datetime64("2024-01-01", "us").astype(np.int64)
     v = np.arange(25, dtype=np.int64)
     ref_ts = base_us + v * 7 * 3_600_000_000
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
     ).repartition(16)
     out = asof_join_broadcast(
@@ -5103,7 +5105,7 @@ def q_repetition_stats(sf_dir: str):
     from rsgislib_ray.stages.text import repetition_stats
 
     return repetition_stats(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     )
@@ -5142,7 +5144,7 @@ def q_unigram_lm_score(sf_dir: str):
     from rsgislib_ray.stages.text import unigram_lm_score
 
     return unigram_lm_score(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     )
@@ -5174,7 +5176,7 @@ def q_chunk_documents(sf_dir: str):
     from rsgislib_ray.stages.text import chunk_documents
 
     return chunk_documents(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ),
         max_len=32,
@@ -5208,7 +5210,7 @@ def q_shuffle_shards(sf_dir: str):
     from rsgislib_ray.stages.packing import shuffle_shards
 
     return shuffle_shards(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id"]
         ),
         n_shards=8,
@@ -5264,7 +5266,7 @@ def q_semantic_dedup(sf_dir: str):
     from rsgislib_ray.stages.ann import semantic_dedup
 
     return semantic_dedup(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        td.read_parquet_clean(f"{sf_dir}/embeddings.parquet"),
         n_clusters=8,
         threshold=0.4,
     )
@@ -5391,7 +5393,7 @@ def q_class_change_matrix(sf_dir: str):
     df = pd.DataFrame({"class_a": ca, "class_b": cb, "n_cells": n})
     tot = df.groupby("class_a")["n_cells"].transform("sum").to_numpy()
     df["row_frac"] = df["n_cells"].to_numpy().astype(np.float64) / tot
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 @register(
@@ -5430,7 +5432,7 @@ def q_event_funnel(sf_dir: str):
     from rsgislib_ray.stages.events import event_funnel
 
     return event_funnel(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/events.parquet",
             columns=["user_id", "ts", "event_type"],
         )
@@ -5582,7 +5584,7 @@ def q_token_pmi(sf_dir: str):
     from rsgislib_ray.stages.text import token_pmi
 
     return token_pmi(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ),
         window=3,
@@ -5648,7 +5650,7 @@ def q_quality_classifier(sf_dir: str):
     from rsgislib_ray.stages.text import hashed_linear_score
 
     return hashed_linear_score(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     )
@@ -5697,7 +5699,7 @@ def q_dsir_select(sf_dir: str):
     from rsgislib_ray.stages.text import dsir_importance
 
     return dsir_importance(
-        ray.data.read_parquet(
+        td.read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
         )
     )
@@ -5727,7 +5729,7 @@ def q_bpe_pair_counts(sf_dir: str):
     from rsgislib_ray.stages.text import bpe_pair_counts
 
     return bpe_pair_counts(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        td.read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     )
 
 
@@ -5780,7 +5782,7 @@ def q_paragraph_dedup(sf_dir: str):
     broadcast winner filter; paragraph text never shuffles."""
     from rsgislib_ray.stages.dedup import paragraph_dedup
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -6088,7 +6090,7 @@ _BAND_COLS = ["qty", "disc_c", "tax_c", "pmod"]
 
 
 def _bands_ds(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_orderkey",
@@ -6288,7 +6290,7 @@ def q_histogram_emd(sf_dir: str):
     EMD = Σ diff_i / (n_a·n_b) as a single float division."""
     from rsgislib_ray.stages.imagestats import histogram_emd
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_returnflag"],
     ).repartition(32)
@@ -6338,7 +6340,7 @@ def q_curve_auc(sf_dir: str):
     and grid gaps drop out on both sides. 2·AUC stays integral."""
     from rsgislib_ray.stages.imagestats import curve_auc
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity"],
     ).repartition(32)
@@ -7123,7 +7125,7 @@ def q_points_along_lines(sf_dir: str):
     interpolated point."""
     from rsgislib_ray.stages.lines import points_along_lines
 
-    verts = ray.data.read_parquet(
+    verts = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber"],
     ).repartition(32)
@@ -7203,7 +7205,7 @@ def q_line_intersections(sf_dir: str):
 
     from rsgislib_ray.stages.lines import closest_line_intersections
 
-    cust = ray.data.read_parquet(
+    cust = td.read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).repartition(16)
 
@@ -7302,7 +7304,7 @@ def q_orthogonal_lines(sf_dir: str):
     unit-normal construction."""
     from rsgislib_ray.stages.lines import orthogonal_lines
 
-    verts = ray.data.read_parquet(
+    verts = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber"],
     ).repartition(32)
@@ -7686,7 +7688,7 @@ def q_grouped_linear_fit(sf_dir: str):
     x) yield null."""
     from rsgislib_ray.stages.segsum import segment_sum
 
-    ds = ray.data.read_parquet(
+    ds = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_quantity", "l_extendedprice"],
     ).repartition(32)

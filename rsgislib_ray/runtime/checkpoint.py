@@ -31,6 +31,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from rsgislib_ray.functions.arrowize import arrowize
+
 MANIFEST = "_MANIFEST.jsonl"
 
 
@@ -92,7 +94,7 @@ def checkpointed_write(
         pdir = os.path.join(out_dir, f"{partition_col}={key_py}")
         tmp = pdir + f".tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp, exist_ok=True)
-        tbl = pa.Table.from_pandas(g, preserve_index=False)
+        tbl = pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
         # span-sequence integrity fingerprint (north-rule invariant):
         # order-insensitive combine of the per-row span signatures, so a
         # reread partition can be checked against the manifest
@@ -124,7 +126,7 @@ def checkpointed_write(
 
     results = (
         ds.groupby(partition_col)
-        .map_groups(write_partition, batch_format="pandas")
+        .map_groups(arrowize(write_partition), batch_format="pandas")
         .to_pandas()
     )
     if len(results) == 0:

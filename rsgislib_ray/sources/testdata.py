@@ -36,6 +36,18 @@ import ray.data
 
 # Multipliers for the coordinate lattice. Shared verbatim with the SQL.
 AX, AY = 7919, 104729
+def read_parquet_clean(path, **kwargs) -> ray.data.Dataset:
+    """read_parquet with the parquet writer's ``pandas`` schema
+    metadata stripped at the read boundary (fused map, zero-copy).
+    That metadata makes pa.Schema unhashable (hash raises on the
+    embedded dict), defeating Ray Data's schema dedup — every
+    repartition/sort/union over raw read blocks logs a "Failed to
+    hash the schemas" warning and re-unifies schemas needlessly."""
+    return ray.data.read_parquet(path, **kwargs).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 BX, BY = 131, 521
 CX, CY = 7919, 104729
 
@@ -82,7 +94,7 @@ SQL_BASE_PTS = (
 
 def points_from_orders(sf_dir: str) -> ray.data.Dataset:
     """Point layer derived from orders (one point per order)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
     ).repartition(32)
 
@@ -134,7 +146,7 @@ def zones_from_part(sf_dir: str) -> pa.Table:
 def cells_from_lineitem(sf_dir: str) -> ray.data.Dataset:
     """Value-cell layer (raster stand-in) derived from lineitem: one
     weighted sample point per line item with exact integer value cols."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
         # the driver tables are single-file/single-row-group parquet, so
@@ -178,7 +190,7 @@ def targets_from_supplier(sf_dir: str) -> pa.Table:
 
 def base_points_from_customer(sf_dir: str) -> ray.data.Dataset:
     """kNN base point layer from customer."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).repartition(16)
 
@@ -198,7 +210,7 @@ def base_points_from_customer(sf_dir: str) -> ray.data.Dataset:
 def zones_dataset(sf_dir: str) -> ray.data.Dataset:
     """Streaming Dataset variant of :func:`zones_from_part` (no ring
     column) for per-zone geometry transforms (buffer/simplify)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey"]
     ).repartition(16)
 

@@ -21,6 +21,8 @@ import ray.data
 
 from rsgislib_ray.functions.hashing import splitmix64
 
+from rsgislib_ray.functions.arrowize import arrowize
+
 
 def _to_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -122,12 +124,12 @@ def ann_topk(
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "rank", "vec_id"]]
 
-    out = local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    out = local.groupby("query_id").map_groups(arrowize(merge), batch_format="pandas")
     return (
         out.to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
-        .pipe(pa.Table.from_pandas, preserve_index=False)
+        .pipe(pa.Table.from_pandas, preserve_index=False).replace_schema_metadata(None)
     )
 
 
@@ -211,12 +213,12 @@ def lsh_bucket_topk(
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "rank", "vec_id"]]
 
-    out = local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    out = local.groupby("query_id").map_groups(arrowize(merge), batch_format="pandas")
     return (
         out.to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
-        .pipe(pa.Table.from_pandas, preserve_index=False)
+        .pipe(pa.Table.from_pandas, preserve_index=False).replace_schema_metadata(None)
     )
 
 
@@ -307,12 +309,12 @@ def ivf_topk(
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "rank", "vec_id"]]
 
-    out = local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    out = local.groupby("query_id").map_groups(arrowize(merge), batch_format="pandas")
     return (
         out.to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
-        .pipe(pa.Table.from_pandas, preserve_index=False)
+        .pipe(pa.Table.from_pandas, preserve_index=False).replace_schema_metadata(None)
     )
 
 

@@ -36,6 +36,8 @@ from rsgislib_ray.functions.hashing import (
 )
 from rsgislib_ray.functions.textstats import word_shingles
 
+from rsgislib_ray.functions.arrowize import arrowize
+
 _U = np.uint64
 _MERSENNE = (1 << 61) - 1
 
@@ -347,7 +349,7 @@ def minhash_lsh_candidates(
             batch_format="pyarrow",
         )
         .groupby("bucket")
-        .map_groups(stitch, batch_format="pandas")
+        .map_groups(arrowize(stitch), batch_format="pandas")
     )
     return pairs_ds.union(extra)
 
@@ -474,7 +476,7 @@ def verify_pairs_jaccard(
 
     ver = (
         exploded.groupby("vb")
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(arrowize(verify), batch_format="pandas")
         .to_pandas()
     )
     if len(ver) == 0:
@@ -734,7 +736,7 @@ def simhash_near_dup_pairs(
     return pa.Table.from_pandas(
         pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         preserve_index=False,
-    )
+    ).replace_schema_metadata(None)
 
 
 def ngram_jaccard_pairs(
@@ -774,7 +776,7 @@ def ngram_jaccard_pairs(
 
     return ds.select_columns([id_col, text_col, block_col]).groupby(
         block_col
-    ).map_groups(emit, batch_format="pandas")
+    ).map_groups(arrowize(emit), batch_format="pandas")
 
 
 def kgram_duplicate_pairs(
@@ -884,7 +886,7 @@ def kgram_duplicate_pairs(
             batch_format="pyarrow",
         )
         .groupby("g")
-        .map_groups(stitch, batch_format="pandas")
+        .map_groups(arrowize(stitch), batch_format="pandas")
     )
     pairs = inner.union(extra)
 

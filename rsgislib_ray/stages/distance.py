@@ -37,6 +37,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from rsgislib_ray.functions.arrowize import arrowize
+
 _INF = np.int64(1) << 60
 _ENC = np.int64(1) << 32
 
@@ -161,7 +163,7 @@ def distance_transform(
         )
 
     tagged = raster.map_batches(tag_rows, batch_format="pyarrow")
-    p1 = tagged.groupby("row_band").map_groups(phase1, batch_format="pandas")
+    p1 = tagged.groupby("row_band").map_groups(arrowize(phase1), batch_format="pandas")
 
     # ---- phase 2: per-column envelope (one shuffle by col band)
     def tag_cols(t: pa.Table) -> pa.Table:
@@ -190,5 +192,5 @@ def distance_transform(
     return (
         p1.map_batches(tag_cols, batch_format="pyarrow")
         .groupby("col_band")
-        .map_groups(phase2, batch_format="pandas")
+        .map_groups(arrowize(phase2), batch_format="pandas")
     )

@@ -51,7 +51,16 @@ def sorted_user_apply(
     bnd = (
         both.map_batches(edge, batch_format="pyarrow")
         .groupby(user_col)
-        .map_groups(group_fn, batch_format="pandas")
+        # emit arrow blocks: pandas blocks carry an unhashable
+        # PandasBlockSchema that defeats Ray's schema dedup (benign
+        # "Failed to hash the schemas" warnings) and cost a conversion
+        # in every downstream union/reduce
+        .map_groups(
+            lambda g: pa.Table.from_pandas(
+                group_fn(g), preserve_index=False
+            ).replace_schema_metadata(None),
+            batch_format="pandas",
+        )
     )
     return done.union(bnd)
 

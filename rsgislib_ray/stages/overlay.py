@@ -236,4 +236,10 @@ def overlay_union(
             )
         return out
 
-    return pieces.union(phantom).groupby("tile_id").map_groups(per_tile)
+    from rsgislib_ray.functions.arrowize import arrowize
+
+    return (
+        pieces.union(phantom)
+        .groupby("tile_id")
+        .map_groups(arrowize(per_tile), batch_format="pandas")
+    )

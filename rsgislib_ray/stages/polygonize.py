@@ -38,6 +38,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from rsgislib_ray.functions.arrowize import arrowize
+
 
 def _local_cc_unionfind(
     rows, cols, values, pixel_ids, eight_conn: bool
@@ -174,7 +176,7 @@ def clump(
         )
         return g
 
-    labeled = tiled.groupby("tile_id").map_groups(local, batch_format="pandas")
+    labeled = tiled.groupby("tile_id").map_groups(arrowize(local), batch_format="pandas")
     labeled = labeled.materialize()
 
     # ---- contracted cross-tile merge: DISTRIBUTED edge extraction ---
@@ -360,7 +362,7 @@ def components_summary(clumped: ray.data.Dataset, value_col: str = "value") -> p
             "max_col": agg["max(max_c)"],
         }
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 # left-turn preference at pinch vertices: for incoming direction d the
@@ -507,9 +509,9 @@ def component_rings(
     out = (
         clumped.map_batches(bucket, batch_format="pyarrow")
         .groupby("_rb")
-        .map_groups(trace_bucket, batch_format="pandas")
+        .map_groups(arrowize(trace_bucket), batch_format="pandas")
         .to_pandas()
         .sort_values(["comp_label", "ring_id"])
         .reset_index(drop=True)
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)

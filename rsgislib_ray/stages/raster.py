@@ -32,6 +32,8 @@ import ray.data
 
 from rsgislib_ray.stages.spatial_join import ZoneSet, broadcast_zones
 
+from rsgislib_ray.functions.arrowize import arrowize
+
 
 @dataclass(frozen=True)
 class RasterGrid:
@@ -323,7 +325,7 @@ def tiled_filter(
             }
         )
 
-    return tiled.groupby("tile_id").map_groups(filt, batch_format="pandas")
+    return tiled.groupby("tile_id").map_groups(arrowize(filt), batch_format="pandas")
 
 
 def images_equal(

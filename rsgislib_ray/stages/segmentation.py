@@ -61,6 +61,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from rsgislib_ray.functions.arrowize import arrowize
+
 
 def clump_sums(
     clumped: ray.data.Dataset,
@@ -185,7 +187,7 @@ def clump_adjacency(
 
     rows = (
         tiled.groupby("tile_id")
-        .map_groups(local_edges, batch_format="pandas")
+        .map_groups(arrowize(local_edges), batch_format="pandas")
         .to_pandas()
     )
     edges = rows[rows["kind"] == 0]

@@ -41,6 +41,8 @@ from rsgislib_ray.functions import cells as cellmod
 from rsgislib_ray.functions.geom import pip_pairs
 from rsgislib_ray.state.strtree import STRtree
 
+from rsgislib_ray.functions.arrowize import arrowize
+
 
 class ZoneSet:
     """Packed polygon side-table: numpy arrays + attr columns.
@@ -425,7 +427,7 @@ def count_points_per_zone(
     base = pd.DataFrame({"fid": zones_tbl["fid"].to_numpy()})
     merged = base.merge(agg, on="fid", how="left")
     merged[out_col] = merged[out_col].fillna(0).astype(np.int64)
-    return pa.Table.from_pandas(merged, preserve_index=False)
+    return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
 
 # ---------------------------------------------------------------------------
@@ -533,7 +535,7 @@ def spatial_join_points_partitioned(
             )
         ztbl = pa.Table.from_pandas(
             zrows[["fid", "ring_xy"]], preserve_index=False
-        )
+        ).replace_schema_metadata(None)
         zs = ZoneSet.from_table(ztbl)
         tree = zs.build_tree()
         px = prows[x_col].to_numpy(dtype=np.float64)
@@ -546,7 +548,7 @@ def spatial_join_points_partitioned(
             }
         )
 
-    return both.groupby("cell").map_groups(local_join, batch_format="pandas")
+    return both.groupby("cell").map_groups(arrowize(local_join), batch_format="pandas")
 
 
 def spatial_join_points_hashjoin(
@@ -1185,7 +1187,7 @@ def spatial_join_points_sortmerge(
     bnd_pairs = (
         both.map_batches(extract_boundary, batch_format="pyarrow")
         .groupby("cell")
-        .map_groups(bnd_join, batch_format="pandas")
+        .map_groups(arrowize(bnd_join), batch_format="pandas")
     )
     out = pairs.union(bnd_pairs)
     return out.map_batches(

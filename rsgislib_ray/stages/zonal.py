@@ -390,7 +390,7 @@ def zonal_stats(
         base["count"] = base["count"].astype(np.int64)
     return pa.Table.from_pandas(
         base.sort_values("fid").reset_index(drop=True), preserve_index=False
-    )
+    ).replace_schema_metadata(None)
 
 
 # ---------------------------------------------------------------------------
@@ -775,4 +775,4 @@ def zonal_winsorized_mean(
     out["wins_mean"] = out["wins_mean"].fillna(out_no_data)
     return pa.Table.from_pandas(
         out.sort_values("fid").reset_index(drop=True), preserve_index=False
-    )
+    ).replace_schema_metadata(None)
