@@ -7746,3 +7746,103 @@ def q_grouped_linear_fit(sf_dir: str):
         )
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "wgs84_pixel_size",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             (CAST(p.range // {_SEG_N} AS DOUBLE) * 0.9e0 - 36.0e0) AS lat
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    f AS (
+      SELECT pixel_id, lat,
+             POWER(6378137.0e0 * COS(lat * 0.017453292519943295e0), 2.0e0)
+               + POWER(6356752.314245e0
+                       * SIN(lat * 0.017453292519943295e0), 2.0e0) AS rsq,
+             COS(lat * 0.017453292519943295e0) AS coslat
+      FROM px
+    )
+    SELECT pixel_id,
+      CAST(FLOOR(0.017453292519943295e0 * coslat
+                 * (POWER(6378137.0e0, 2.0e0) / SQRT(rsq)) * 0.01e0
+                 * 1000000.0e0) AS BIGINT) AS x_size_um,
+      CAST(FLOOR(0.017453292519943295e0
+                 * (POWER(6378137.0e0 * 6356752.314245e0, 2.0e0)
+                    / POWER(rsq, 1.5e0)) * 0.01e0
+                 * 1000000.0e0) AS BIGINT) AS y_size_um
+    FROM f
+    """,
+)
+def q_wgs84_pixel_size(sf_dir: str):
+    """calc_wsg84_pixel_size / calc_wgs84_pixel_area (imageutils/
+    __init__.py:4720,3033 via tools/projection.degrees_to_metres:66):
+    per-pixel WGS84 ellipsoidal x/y size in metres for a 0.01-degree
+    pixel at each row's latitude — vectorized zero-shuffle; outputs
+    are micro-metre integer floors (the micro-nat pattern) because
+    cos/sin/pow may differ from DuckDB's libm by 1 ULP."""
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    A, B = 6378137.0, 6356752.314245
+    D2R = 0.017453292519943295
+
+    def f(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        lat = (pid // _SEG_N).astype(np.float64) * 0.9 - 36.0
+        radlat = lat * D2R
+        rsq = (A * np.cos(radlat)) ** 2.0 + (B * np.sin(radlat)) ** 2.0
+        nlon = A**2.0 / np.sqrt(rsq)
+        mlat = (A * B) ** 2.0 / rsq**1.5
+        x_sz = D2R * np.cos(radlat) * nlon * 0.01
+        y_sz = D2R * mlat * 0.01
+        return pa.table(
+            {
+                "pixel_id": pid,
+                "x_size_um": np.floor(x_sz * 1e6).astype(np.int64),
+                "y_size_um": np.floor(y_sz * 1e6).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register("vif_scores", None)  # matrix inverse — not SQL-expressible
+def q_vif_scores(sf_dir: str):
+    """calc_pandas_vif (tools/stats.py): variance inflation factor per
+    feature — exact distributed integer moments -> correlation matrix
+    -> VIF_j = diag(R^-1)_jj on the driver; invariant VIF >= 1 and
+    equality with the 1/(1-R2_j) OLS definition is pytest-verified."""
+    from rsgislib_ray.stages.imagestats import band_cross_moments
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        q = batch["qty"].to_numpy().astype(np.int64)
+        c = batch["val_cents"].to_numpy().astype(np.int64)
+        k = batch["cell_key"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "f1": q,
+                "f2": q * 3 + (c % 17),  # strongly collinear with f1
+                "f3": k % 23,
+            }
+        )
+
+    m = band_cross_moments(
+        cells.map_batches(derive, batch_format="pyarrow"), ["f1", "f2", "f3"]
+    )
+    n, s, qm, d = m["n"], m["s"], m["q"], m["d"]
+    cov = np.empty((d, d))
+    for i in range(d):
+        for j in range(d):
+            key = (min(i, j), max(i, j))
+            cov[i, j] = float(n * qm[key] - s[i] * s[j])
+    sd = np.sqrt(np.diag(cov))
+    corr = cov / np.outer(sd, sd)
+    vif = np.diag(np.linalg.inv(corr))
+    return pa.table(
+        {
+            "feature": pa.array(["f1", "f2", "f3"], pa.string()),
+            "vif": pa.array(vif, pa.float64()),
+        }
+    )

@@ -417,3 +417,39 @@ def test_histogram_thresholds_match_raw_data_reference(ray_session):
             ((p1sq[:-1] * p2sq[1:]) ** -1) * (p1[:-1] * (1 - p1[:-1])) ** 2
         )
     assert got["yen"] == vals[np.nanargmax(crit)]
+
+
+def test_vif_matches_ols_definition(ray_session):
+    """VIF via correlation-inverse == 1/(1-R2) from per-feature OLS."""
+    import ray
+
+    from rsgislib_ray.stages.imagestats import band_cross_moments
+
+    rng = np.random.default_rng(21)
+    f1 = rng.integers(0, 50, 4000)
+    f2 = f1 * 3 + rng.integers(0, 17, 4000)
+    f3 = rng.integers(0, 23, 4000)
+    t = pa.table({"f1": f1, "f2": f2, "f3": f3})
+    m = band_cross_moments(
+        ray.data.from_arrow(t).repartition(5), ["f1", "f2", "f3"]
+    )
+    n, s, q, d = m["n"], m["s"], m["q"], m["d"]
+    cov = np.empty((d, d))
+    for i in range(d):
+        for j in range(d):
+            key = (min(i, j), max(i, j))
+            cov[i, j] = float(n * q[key] - s[i] * s[j])
+    sd = np.sqrt(np.diag(cov))
+    corr = cov / np.outer(sd, sd)
+    vif = np.diag(np.linalg.inv(corr))
+
+    X = np.stack([f1, f2, f3], axis=1).astype(np.float64)
+    for j in range(3):
+        others = np.delete(X, j, axis=1)
+        A = np.column_stack([np.ones(len(X)), others])
+        beta, *_ = np.linalg.lstsq(A, X[:, j], rcond=None)
+        resid = X[:, j] - A @ beta
+        r2 = 1 - resid.var() / X[:, j].var()
+        assert vif[j] == pytest.approx(1.0 / (1.0 - r2), rel=1e-9)
+    assert (vif >= 1.0 - 1e-12).all()
+    assert vif[0] > 5 and vif[1] > 5  # collinear pair inflated
