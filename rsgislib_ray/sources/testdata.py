@@ -36,16 +36,32 @@ import ray.data
 
 # Multipliers for the coordinate lattice. Shared verbatim with the SQL.
 AX, AY = 7919, 104729
-def read_parquet_clean(path, **kwargs) -> ray.data.Dataset:
+def read_parquet_clean(path, columns=None, **kwargs) -> ray.data.Dataset:
     """read_parquet with the parquet writer's ``pandas`` schema
-    metadata stripped at the read boundary (fused map, zero-copy).
-    That metadata makes pa.Schema unhashable (hash raises on the
-    embedded dict), defeating Ray Data's schema dedup — every
+    metadata stripped AT THE SOURCE (an explicit stripped ``schema=``
+    is passed to the reader, so even the fused
+    ReadParquet->SplitBlocks operator emits clean blocks). That
+    metadata makes pa.Schema unhashable (hash raises on the embedded
+    dict), defeating Ray Data's schema dedup — every
     repartition/sort/union over raw read blocks logs a "Failed to
     hash the schemas" warning and re-unifies schemas needlessly."""
-    return ray.data.read_parquet(path, **kwargs).map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+    if "schema" not in kwargs:
+        try:
+            import pyarrow.dataset as pds
+
+            sch = pds.dataset(path).schema.remove_metadata()
+            if columns is not None:
+                sch = pa.schema([sch.field(c) for c in columns])
+            kwargs["schema"] = sch
+        except Exception:
+            # unknown layout: fall back to a zero-copy strip map
+            return ray.data.read_parquet(
+                path, columns=columns, **kwargs
+            ).map_batches(
+                lambda t: t.replace_schema_metadata(None),
+                batch_format="pyarrow",
+            )
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
 BX, BY = 131, 521
