@@ -7846,3 +7846,115 @@ def q_vif_scores(sf_dir: str):
             "vif": pa.array(vif, pa.float64()),
         }
     )
+
+
+@register(
+    "point_window_stats",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range * 37) % 100 AS BIGINT) AS v
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    pt AS (
+      SELECT s_suppkey AS point_id,
+             CAST((s_suppkey * 13) % {_SEG_N} AS BIGINT) AS pr,
+             CAST((s_suppkey * 29) % {_SEG_N} AS BIGINT) AS pc
+      FROM supplier
+    )
+    SELECT pt.point_id, COUNT(*) AS n_pxls,
+           CAST(SUM(px.v) AS BIGINT) AS v_sum,
+           MIN(px.v) AS v_min, MAX(px.v) AS v_max,
+           CAST(SUM(px.v) AS DOUBLE) / COUNT(*) AS v_mean
+    FROM pt JOIN px
+      ON abs(px.rr - pt.pr) <= 2 AND abs(px.cc - pt.pc) <= 2
+    GROUP BY pt.point_id
+    """,
+)
+def q_point_window_stats(sf_dir: str):
+    """calc_pt_smpl_img_vals (imagecalc/calc_pt_win_smpls.py:89): per
+    vector point, summary statistics of the 5x5 image window around it
+    (the RSGISCalcSumVals plug-in shape). Inverted dataflow for scale:
+    the RASTER streams, the point layer is broadcast; each batch folds
+    its pixels into dense per-point partials (no per-point Python) and
+    one segment_sum groupby combines. Window edges clip at the image
+    frame like the reference's window reads."""
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    state = ray.put(
+        {
+            "pid": sk,
+            "pr": (sk * 13) % _SEG_N,
+            "pc": (sk * 29) % _SEG_N,
+        }
+    )
+    W = 2
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        st = cached(state)
+        npts = len(st["pid"])
+        r = batch["row"].to_numpy().astype(np.int64)
+        c = batch["col"].to_numpy().astype(np.int64)
+        v = batch["band1"].to_numpy().astype(np.int64)
+        # pixels x points window membership (point layer is small by
+        # contract; the cell-bucket index is the >10^5-points path)
+        hit = (
+            (np.abs(r[:, None] - st["pr"][None, :]) <= W)
+            & (np.abs(c[:, None] - st["pc"][None, :]) <= W)
+        )
+        pi, pj = np.nonzero(hit)
+        if len(pi) == 0:
+            return pa.table(
+                {
+                    "point_id": np.empty(0, np.int64),
+                    "n_pxls": np.empty(0, np.int64),
+                    "v_sum": np.empty(0, np.int64),
+                    "v_min": np.empty(0, np.int64),
+                    "v_max": np.empty(0, np.int64),
+                }
+            )
+        n = np.zeros(npts, dtype=np.int64)
+        s = np.zeros(npts, dtype=np.int64)
+        mn = np.full(npts, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(npts, np.iinfo(np.int64).min, dtype=np.int64)
+        np.add.at(n, pj, 1)
+        np.add.at(s, pj, v[pi])
+        np.minimum.at(mn, pj, v[pi])
+        np.maximum.at(mx, pj, v[pi])
+        nz = n > 0
+        return pa.table(
+            {
+                "point_id": st["pid"][nz],
+                "n_pxls": n[nz],
+                "v_sum": s[nz],
+                "v_min": mn[nz],
+                "v_max": mx[nz],
+            }
+        )
+
+    sums = segment_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "point_id",
+        ["n_pxls", "v_sum", "v_min", "v_max"],
+        aggs=["sum", "sum", "min", "max"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_pxls"].to_numpy().astype(np.int64)
+        s = batch["v_sum"].to_numpy().astype(np.int64)
+        return batch.append_column(
+            "v_mean", pa.array(s.astype(np.float64) / n)
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
