@@ -7958,3 +7958,88 @@ def q_point_window_stats(sf_dir: str):
         )
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "extract_chips",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range * 37) % 100 AS BIGINT) AS v
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    pt AS (
+      SELECT s_suppkey AS point_id,
+             CAST((s_suppkey * 13) % {_SEG_N} AS BIGINT) AS pr,
+             CAST((s_suppkey * 29) % {_SEG_N} AS BIGINT) AS pc
+      FROM supplier
+      WHERE (s_suppkey * 13) % {_SEG_N} BETWEEN 2 AND {_SEG_N - 3}
+        AND (s_suppkey * 29) % {_SEG_N} BETWEEN 2 AND {_SEG_N - 3}
+    )
+    SELECT pt.point_id,
+           px.rr - pt.pr AS rel_r, px.cc - pt.pc AS rel_c, px.v,
+           CASE WHEN CAST((CAST((pt.point_id * 2654435761) % 4294967296
+                                 AS HUGEINT) * 2654435761) % 4294967296
+                          AS BIGINT) < 3435973836
+                THEN 'train' ELSE 'test' END AS split
+    FROM pt JOIN px
+      ON px.rr BETWEEN pt.pr - 2 AND pt.pr + 2
+     AND px.cc BETWEEN pt.pc - 2 AND pt.pc + 2
+    """,
+)
+def q_extract_chips(sf_dir: str):
+    """extract_chip_zone_image_band_values_to_hdf +
+    split_sample_chip_hdf5_file + merge_extracted_hdf5_chip_data
+    (zonalstats/__init__.py): per sample point, the full 5x5 image
+    chip in long form (point_id, rel_r, rel_c, v) with a deterministic
+    80/20 train/test split label — edge-clipped points dropped (full
+    chips only, the reference's fixed chip-size contract). Raster
+    streams; point layer broadcast; pure emission, zero shuffles."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    pr = (sk * 13) % _SEG_N
+    pc = (sk * 29) % _SEG_N
+    W = 2
+    ok = (pr >= W) & (pr <= _SEG_N - 1 - W) & (pc >= W) & (pc <= _SEG_N - 1 - W)
+    # double-Knuth hash split (matches the SQL mirror): < 0.8 * 2^32
+    h = (((sk * 2654435761) % (1 << 32)) * 2654435761) % (1 << 32)
+    state = ray.put(
+        {
+            "pid": sk[ok],
+            "pr": pr[ok],
+            "pc": pc[ok],
+            "train": (h < 3435973836)[ok],
+        }
+    )
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        st = cached(state)
+        r = batch["row"].to_numpy().astype(np.int64)
+        c = batch["col"].to_numpy().astype(np.int64)
+        v = batch["band1"].to_numpy().astype(np.int64)
+        hit = (
+            (np.abs(r[:, None] - st["pr"][None, :]) <= W)
+            & (np.abs(c[:, None] - st["pc"][None, :]) <= W)
+        )
+        pi, pj = np.nonzero(hit)
+        return pa.table(
+            {
+                "point_id": st["pid"][pj],
+                "rel_r": r[pi] - st["pr"][pj],
+                "rel_c": c[pi] - st["pc"][pj],
+                "v": v[pi],
+                "split": pa.array(
+                    np.where(st["train"][pj], "train", "test"), pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow", batch_size=65536)
