@@ -8043,3 +8043,134 @@ def q_extract_chips(sf_dir: str):
         )
 
     return ds.map_batches(emit, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "mean_image",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range * 37) % 100 AS BIGINT) AS band1,
+             CAST((p.range * 61) % 100 AS BIGINT) AS band2,
+             ((31 * (p.range // {_SEG_N}) + 17 * (p.range % {_SEG_N})) % 37 = 0)
+               AS is_single
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    lab AS (
+      SELECT pixel_id, band1, band2,
+        CASE WHEN is_single THEN pixel_id
+             ELSE MIN(CASE WHEN NOT is_single THEN pixel_id END)
+                  OVER (PARTITION BY rr // 4, cc // 4)
+        END AS lab
+      FROM px
+    )
+    SELECT pixel_id,
+      CAST(SUM(band1) OVER w AS DOUBLE) / COUNT(*) OVER w AS mean1,
+      CAST(SUM(band2) OVER w AS DOUBLE) / COUNT(*) OVER w AS mean2
+    FROM lab
+    WINDOW w AS (PARTITION BY lab)
+    """,
+)
+def q_mean_image(sf_dir: str):
+    """segmentation.mean_image (shepherdseg.py stage 4): replace every
+    pixel's bands with its clump's band means — segment_sum clump sums
+    (exact ints), broadcast of the tiny (lab -> n, sums) map, one
+    vectorized lookup pass; mean = ONE float division."""
+    from rsgislib_ray.stages.polygonize import clump
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    labeled = clump(ds, tile_size=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lab": batch["comp_label"],
+                "n": np.ones(len(batch), dtype=np.int64),
+                "s1": batch["band1"],
+                "s2": batch["band2"],
+            }
+        )
+
+    sums = segment_sum(
+        labeled.map_batches(partial, batch_format="pyarrow"),
+        "lab",
+        ["n", "s1", "s2"],
+    ).to_pandas()
+    state = ray.put(
+        {
+            "lab": np.sort(sums["lab"].to_numpy()),
+            "n": sums.sort_values("lab")["n"].to_numpy().astype(np.int64),
+            "s1": sums.sort_values("lab")["s1"].to_numpy().astype(np.int64),
+            "s2": sums.sort_values("lab")["s2"].to_numpy().astype(np.int64),
+        }
+    )
+
+    def paint(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        st = cached(state)
+        idx = np.searchsorted(st["lab"], batch["comp_label"].to_numpy())
+        n = st["n"][idx].astype(np.float64)
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "mean1": st["s1"][idx].astype(np.float64) / n,
+                "mean2": st["s2"][idx].astype(np.float64) / n,
+            }
+        )
+
+    return labeled.map_batches(paint, batch_format="pyarrow")
+
+
+@register(
+    "label_from_centres",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST((p.range * 37) % 100 AS BIGINT) AS band1,
+             CAST((p.range * 61) % 100 AS BIGINT) AS band2
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    ctr AS (
+      SELECT CAST(c.range AS BIGINT) AS cid,
+             CAST((c.range * 23 + 7) % 100 AS BIGINT) AS c1,
+             CAST((c.range * 53 + 11) % 100 AS BIGINT) AS c2
+      FROM range(0, 6) c
+    )
+    SELECT pixel_id, cid AS centre_id FROM (
+      SELECT p.pixel_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.pixel_id
+               ORDER BY (p.band1 - c.c1) * (p.band1 - c.c1)
+                        + (p.band2 - c.c2) * (p.band2 - c.c2), c.cid
+             ) AS rn
+      FROM px p CROSS JOIN ctr c
+    ) WHERE rn = 1
+    """,
+)
+def q_label_from_centres(sf_dir: str):
+    """segmentation.label_pixels_from_cluster_centres (shepherdseg.py
+    stage 2): assign every pixel to its nearest spectral cluster
+    centre — broadcast centre matrix, exact integer distance argmin
+    per batch, ties to the lowest centre id."""
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    cid = np.arange(6, dtype=np.int64)
+    c1 = (cid * 23 + 7) % 100
+    c2 = (cid * 53 + 11) % 100
+
+    def f(batch: pa.Table) -> pa.Table:
+        b1 = batch["band1"].to_numpy().astype(np.int64)
+        b2 = batch["band2"].to_numpy().astype(np.int64)
+        d = (b1[:, None] - c1[None, :]) ** 2 + (b2[:, None] - c2[None, :]) ** 2
+        # argmin returns the first (lowest-cid) minimum — the tie rule
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "centre_id": np.argmin(d, axis=1).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
