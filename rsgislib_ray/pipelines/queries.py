@@ -8174,3 +8174,88 @@ def q_label_from_centres(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "reproject_utm",
+    f"""
+    WITH base AS ({td.SQL_BASE_PTS}),
+    ll AS (
+      SELECT base_id, 50.0e0 + y * 0.02e0 AS lat, -5.9e0 + x * 0.05e0 AS lon
+      FROM base
+    ),
+    t1 AS (
+      SELECT base_id, lat, lon,
+        lat * 0.017453292519943295e0 AS lat_rad,
+        lon * 0.017453292519943295e0 AS lon_rad,
+        SIN(lat * 0.017453292519943295e0) AS ls,
+        COS(lat * 0.017453292519943295e0) AS lc,
+        CAST(FLOOR((lon + 180.0e0) / 6.0e0) + 1 AS BIGINT) AS zn
+      FROM ll
+    ),
+    t2 AS (
+      SELECT *,
+        ls / lc AS lt,
+        (ls / lc) * (ls / lc) AS lt2,
+        6378137.0e0 / SQRT(1.0e0 - 0.00669438e0 * (ls * ls)) AS n,
+        0.006739496752268451e0 * (lc * lc) AS c,
+        lc * (lon_rad - CAST((zn - 1) * 6 - 177 AS DOUBLE)
+                        * 0.017453292519943295e0) AS a,
+        6378137.0e0 * (0.9983242984503243e0 * lat_rad
+          - 0.002514607064228144e0 * SIN(2.0e0 * lat_rad)
+          + 2.6390466021299826e-06 * SIN(4.0e0 * lat_rad)
+          - 3.418046101696858e-09 * SIN(6.0e0 * lat_rad)) AS m
+      FROM t1
+    ),
+    t3 AS (
+      SELECT base_id, zn, lat,
+        (0.9996e0 * n) * (a
+          + (a * a * a) / 6.0e0 * (1.0e0 - lt2 + c)
+          + (a * a * a * a * a) / 120.0e0
+            * (5.0e0 - 18.0e0 * lt2 + lt2 * lt2 + 72.0e0 * c
+               - 58.0e0 * 0.006739496752268451e0)) + 500000.0e0 AS easting,
+        0.9996e0 * (m + (n * lt) * ((a * a) / 2.0e0
+          + (a * a * a * a) / 24.0e0
+            * (5.0e0 - lt2 + 9.0e0 * c + 4.0e0 * (c * c))
+          + (a * a * a * a * a * a) / 720.0e0
+            * (61.0e0 - 58.0e0 * lt2 + lt2 * lt2 + 600.0e0 * c
+               - 330.0e0 * 0.006739496752268451e0))) AS northing
+      FROM t2
+    )
+    SELECT base_id, zn AS zone,
+      SUBSTRING('CDEFGHJKLMNPQRSTUVWXX',
+                CAST(CAST(FLOOR(lat + 80.0e0) AS BIGINT) // 8 AS INTEGER)
+                  + 1, 1) AS zone_letter,
+      CAST(FLOOR(easting * 10000.0e0) AS BIGINT) AS easting_tmm,
+      CAST(FLOOR(northing * 10000.0e0) AS BIGINT) AS northing_tmm
+    FROM t3
+    """,
+)
+def q_reproject_utm(sf_dir: str):
+    """reproj_wgs84_vec_to_utm (vectorutils/__init__.py) via the
+    Krueger series of tools/utm.py:285-381: per-point WGS84 -> UTM
+    easting/northing/zone/letter, vectorized, zero shuffles. Outputs
+    are tenth-millimetre integer floors (libm sin/cos may differ from
+    DuckDB by 1 ULP; the 1e-11 m propagated error is absorbed)."""
+    from rsgislib_ray.functions.utm import ZONE_LETTERS, utm_from_latlon
+
+    pts = td.base_points_from_customer(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        lat = 50.0 + y * 0.02
+        lon = -5.9 + x * 0.05
+        e, n, zn, li = utm_from_latlon(lat, lon)
+        letters = np.array(list(ZONE_LETTERS))
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "zone": zn,
+                "zone_letter": pa.array(letters[li], pa.string()),
+                "easting_tmm": np.floor(e * 10000.0).astype(np.int64),
+                "northing_tmm": np.floor(n * 10000.0).astype(np.int64),
+            }
+        )
+
+    return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)

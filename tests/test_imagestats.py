@@ -453,3 +453,23 @@ def test_vif_matches_ols_definition(ray_session):
         assert vif[j] == pytest.approx(1.0 / (1.0 - r2), rel=1e-9)
     assert (vif >= 1.0 - 1e-12).all()
     assert vif[0] > 5 and vif[1] > 5  # collinear pair inflated
+
+
+def test_utm_forward_invariants():
+    from rsgislib_ray.functions.utm import utm_from_latlon, zone_number
+
+    # central meridian of zone 30 is -3 deg -> easting exactly 500000
+    e, n, zn, li = utm_from_latlon(
+        np.array([51.0, 0.000001]), np.array([-3.0, -3.0])
+    )
+    assert zn.tolist() == [30, 30]
+    assert e[0] == 500000.0 and e[1] == 500000.0
+    # equator -> northing ~ 0; 51N -> ~5.65e6 m (sanity window)
+    assert abs(n[1]) < 0.2
+    assert 5.6e6 < n[0] < 5.7e6
+    # easting grows monotonically with longitude within the zone
+    lons = np.linspace(-5.9, -0.1, 20)
+    e2, *_ = utm_from_latlon(np.full(20, 51.0), lons)
+    assert (np.diff(e2) > 0).all()
+    # Norway exception: (60, 5) is zone 32, not 31
+    assert zone_number(np.array([60.0]), np.array([5.0]))[0] == 32
