@@ -8259,3 +8259,131 @@ def q_reproject_utm(sf_dir: str):
         )
 
     return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "per_group_quantile_filter",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    th AS (
+      SELECT lang, n_chars AS thr FROM (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM d
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM d JOIN th ON th.lang = d.lang
+    WHERE d.n_chars >= th.thr
+    """,
+)
+def q_per_group_quantile_filter(sf_dir: str):
+    """FineWeb-style per-domain quality gating: keep documents at or
+    above their LANGUAGE's median length — one exact per-group integer
+    histogram pass (bounded value domain), broadcast of the tiny
+    (group -> threshold) map, then a stateless filter. The median is
+    the lower-median rank statistic rn = (n+1)//2, computed exactly
+    from cumulative histogram counts (no float quantiles)."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    docs = td.read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).repartition(16)
+
+    # per-(lang, n_chars) exact counts — tiny (langs x value domain)
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": batch["lang"].to_numpy(),
+                    "n_chars": batch["n_chars"].to_numpy().astype(np.int64),
+                }
+            )
+            .groupby(["lang", "n_chars"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].to_numpy(), pa.string()),
+                "n_chars": g["n_chars"].to_numpy(),
+                "cnt": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby(["lang", "n_chars"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["lang", "n_chars"])
+    )
+    thr = {}
+    for lang, g in hist.groupby("lang"):
+        n = int(g["cnt"].sum())
+        rank = (n + 1) // 2
+        cum = g["cnt"].cumsum().to_numpy()
+        thr[lang] = int(
+            g["n_chars"].to_numpy()[int(np.searchsorted(cum, rank))]
+        )
+    state = ray.put(thr)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        t = cached(state)
+        lang = batch["lang"].to_numpy()
+        nch = batch["n_chars"].to_numpy().astype(np.int64)
+        keep = nch >= np.array([t[la] for la in np.unique(lang)])[
+            np.searchsorted(np.unique(lang), lang)
+        ]
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(filt, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "buffer_raster",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CASE WHEN (31 * (p.range // {_SEG_N})
+                        + 17 * (p.range % {_SEG_N})) % 37 = 0 THEN 7
+                  ELSE ((p.range // {_SEG_N}) // 4
+                        + (p.range % {_SEG_N}) // 4) % 5 END AS value
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    )
+    SELECT a.pixel_id,
+      CAST((SELECT MIN((a.rr - t.rr) * (a.rr - t.rr)
+                       + (a.cc - t.cc) * (a.cc - t.cc))
+            FROM px t WHERE t.value = 7) <= 9 AS BIGINT) AS in_buffer
+    FROM px a
+    """,
+)
+def q_buffer_raster(sf_dir: str):
+    """buffer_img_pxl_vals (imagecalc/__init__.py): binary buffer of
+    radius 3 pixels around every target-valued pixel — the exact
+    separable EDT composed with ONE integer threshold (dist2 <= r^2);
+    morphological dilation by a disc without any window scan."""
+    from rsgislib_ray.stages.distance import distance_transform
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    edt = distance_transform(ds, [7], value_col="value")
+
+    def f(batch: pa.Table) -> pa.Table:
+        d2 = batch["dist2"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "in_buffer": (d2 <= 9).astype(np.int64),
+            }
+        )
+
+    return edt.map_batches(f, batch_format="pyarrow")
