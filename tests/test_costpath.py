@@ -88,3 +88,35 @@ def test_least_cost_path_valid(ray_session):
     assert (np.abs(np.diff(r)) + np.abs(np.diff(c)) == 1).all()
     d = path["cost_dist"].to_numpy()
     assert (np.diff(d) == cost[r[1:], c[1:]]).all()
+
+
+def test_cost_distance_large_maze(ray_session):
+    """256x256 raster with concentric cheap corridors (16 bands) —
+    converges and matches Dijkstra."""
+    import ray
+
+    from rsgislib_ray.stages.costpath import cost_distance
+
+    n = 256
+    rng = np.random.default_rng(7)
+    cost = rng.integers(5, 60, (n, n)).astype(np.int64)
+    # cheap ring corridors force repeated band re-entry
+    for k in range(8, n // 2, 24):
+        cost[k, k : n - k] = 1
+        cost[n - k - 1, k : n - k] = 1
+        cost[k : n - k, k] = 1
+        cost[k : n - k, n - k - 1] = 1
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    tbl = pa.table(
+        {"pixel_id": pid, "row": row, "col": col, "cost": cost.ravel()}
+    )
+    ds, _, _ = cost_distance(
+        ray.data.from_arrow(tbl).repartition(16),
+        start_pixel=0,
+        width=n,
+        row_band=16,
+    )
+    got = ds.to_pandas().sort_values("pixel_id")["cost_dist"].to_numpy()
+    want = _dijkstra(cost, 0).ravel()
+    assert (got == want).all()
