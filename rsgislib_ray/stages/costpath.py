@@ -71,15 +71,33 @@ def _relax_band(
     bot_in: np.ndarray | None,
 ):
     """One outer step for a band: absorb neighbour boundary rows, run
-    to band-local fixed point; return (dist, first_row, last_row,
-    changed)."""
+    to band-local fixed point; return (dist_REF, first_row, last_row,
+    changed) — the dense grid is ray.put inside the task so the driver
+    only ever receives the two boundary rows."""
     dist = dist.copy()
     if top_in is not None:
         np.minimum(dist[0], top_in + cost[0], out=dist[0])
     if bot_in is not None:
         np.minimum(dist[-1], bot_in + cost[-1], out=dist[-1])
     changed = _relax_grid(cost, dist)
-    return dist, dist[0].copy(), dist[-1].copy(), changed
+    return ray.put(dist), dist[0].copy(), dist[-1].copy(), changed
+
+
+@ray.remote
+def _init_band(shape, r_local: int, sc: int, start_cost: int):
+    d = np.full(shape, _INF, dtype=np.int64)
+    if r_local >= 0:
+        d[r_local, sc] = start_cost
+    return d
+
+
+@ray.remote
+def _band_table(dist: np.ndarray, r0: int, width: int) -> pa.Table:
+    h = dist.shape[0]
+    pid = ((np.arange(h) + r0)[:, None] * width + np.arange(width)).ravel()
+    return pa.table(
+        {"pixel_id": pid.astype(np.int64), "cost_dist": dist.ravel()}
+    )
 
 
 def cost_distance(
@@ -92,18 +110,23 @@ def cost_distance(
 ) -> tuple[ray.data.Dataset, np.ndarray]:
     """Accumulated 4-connected cost surface from ``start_pixel`` over
     a (pixel_id, row, col, cost) raster. Returns ``(dist_ds,
-    dist_grids, cost_grids)``: dist_ds has (pixel_id, cost_dist); the
-    per-band dense grids are the path-backtrace input (band rows,
-    never the raster, cross the driver)."""
+    dist_refs, cost_refs)``: dist_ds has (pixel_id, cost_dist); the
+    per-band dense grids stay in the OBJECT STORE (the driver holds
+    refs and two boundary rows per band — at most one transient band
+    during assembly — never the raster)."""
 
     def band_of(batch: pa.Table) -> pa.Table:
         r = batch["row"].to_numpy().astype(np.int64)
         return batch.append_column("band", pa.array(r // row_band))
 
-    # assemble per-band dense cost grids (one small pandas group per
-    # band; the grids live in the object store from here on)
-    grids: dict[int, np.ndarray] = {}
-    for g in (
+    # assemble per-band dense cost grids: STREAM the grouped blobs and
+    # ray.put each band as it arrives — the driver transiently holds
+    # ONE band, then keeps only (band, shape, cost_ref)
+    sr, sc = divmod(int(start_pixel), width)
+    cost_refs: dict = {}
+    shapes: dict = {}
+    start_cost = 0
+    grouped = (
         raster.map_batches(band_of, batch_format="pyarrow")
         .groupby("band")
         .map_groups(
@@ -121,74 +144,70 @@ def cost_distance(
             ),
             batch_format="pandas",
         )
-        .to_pandas()
-        .itertuples()
-    ):
-        grids[int(g.band)] = np.frombuffer(
-            g.blob, dtype=np.int64
-        ).reshape(g.rows, width)
+    )
+    for batch in grouped.iter_batches(batch_size=1, batch_format="pyarrow"):
+        b = int(batch["band"][0].as_py())
+        rows = int(batch["rows"][0].as_py())
+        grid = np.frombuffer(
+            batch["blob"][0].as_py(), dtype=np.int64
+        ).reshape(rows, width)
+        r0 = b * row_band
+        if r0 <= sr < r0 + rows:
+            start_cost = int(grid[sr - r0, sc])
+        cost_refs[b] = ray.put(grid)
+        shapes[b] = (rows, width)
 
-    bands = sorted(grids)
+    bands = sorted(cost_refs)
     n_b = len(bands)
-    cost_refs = {b: ray.put(grids[b]) for b in bands}
+    pos = {b: i for i, b in enumerate(bands)}
     r0s = {b: b * row_band for b in bands}
 
-    sr, sc = divmod(int(start_pixel), width)
-    dist = {}
+    # per-band dist state lives in the OBJECT STORE; the driver holds
+    # refs plus the two boundary rows per band
+    dist_ref: dict = {}
+    tops: dict = {}
+    bots: dict = {}
     for b in bands:
-        d = np.full(grids[b].shape, _INF, dtype=np.int64)
-        if r0s[b] <= sr < r0s[b] + grids[b].shape[0]:
-            d[sr - r0s[b], sc] = grids[b][sr - r0s[b], sc]
-        dist[b] = d
-    tops = {b: dist[b][0].copy() for b in bands}
-    bots = {b: dist[b][-1].copy() for b in bands}
+        rows = shapes[b][0]
+        local = sr - r0s[b] if r0s[b] <= sr < r0s[b] + rows else -1
+        dist_ref[b] = _init_band.remote(shapes[b], local, sc, start_cost)
+        t = np.full(width, _INF, dtype=np.int64)
+        bo = np.full(width, _INF, dtype=np.int64)
+        if local == 0:
+            t[sc] = start_cost
+        if local == rows - 1:
+            bo[sc] = start_cost
+        tops[b], bots[b] = t, bo
     dirty = set(bands)
     iters = 0
     while dirty and iters < max_iters:
         iters += 1
-        work = sorted(dirty)
         futs = {
             b: _relax_band.remote(
                 cost_refs[b],
-                dist[b],
-                bots[bands[i - 1]] if i > 0 else None,
-                tops[bands[i + 1]] if i < n_b - 1 else None,
+                dist_ref[b],
+                bots[bands[pos[b] - 1]] if pos[b] > 0 else None,
+                tops[bands[pos[b] + 1]] if pos[b] < n_b - 1 else None,
             )
-            for i, b in enumerate(bands)
-            if b in dirty
+            for b in sorted(dirty)
         }
         dirty = set()
         for b, f in futs.items():
-            nd, top, bot, changed = ray.get(f)
-            i = bands.index(b)
-            if changed or not np.array_equal(top, tops[b]):
-                if i > 0 and not np.array_equal(top, tops[b]):
-                    dirty.add(bands[i - 1])
-            if changed or not np.array_equal(bot, bots[b]):
-                if i < n_b - 1 and not np.array_equal(bot, bots[b]):
-                    dirty.add(bands[i + 1])
-            dist[b], tops[b], bots[b] = nd, top, bot
-        _ = work
+            nd_ref, top, bot, changed = ray.get(f)
+            i = pos[b]
+            if i > 0 and not np.array_equal(top, tops[b]):
+                dirty.add(bands[i - 1])
+            if i < n_b - 1 and not np.array_equal(bot, bots[b]):
+                dirty.add(bands[i + 1])
+            dist_ref[b], tops[b], bots[b] = nd_ref, top, bot
 
-    tables = []
-    for b in bands:
-        h = dist[b].shape[0]
-        pid = (
-            (np.arange(h) + r0s[b])[:, None] * width + np.arange(width)
-        ).ravel()
-        tables.append(
-            pa.table(
-                {
-                    "pixel_id": pid.astype(np.int64),
-                    "cost_dist": dist[b].ravel(),
-                }
-            )
-        )
-    full = pa.concat_tables(tables)
+    table_refs = [
+        _band_table.remote(dist_ref[b], r0s[b], width) for b in bands
+    ]
     return (
-        ray.data.from_arrow(full),
-        [dist[b] for b in bands],
-        [grids[b] for b in bands],
+        ray.data.from_arrow_refs(table_refs),
+        [dist_ref[b] for b in bands],
+        [cost_refs[b] for b in bands],
     )
 
 
@@ -216,11 +235,14 @@ def least_cost_path(
     the accumulated cost surface. Returns (step, pixel_id, cost_dist)
     from start (step 0) to stop. Backtrace chooses the lowest-pixel-id
     neighbour n with D(n) + cost(p) == D(p)."""
-    ds, dist_grids, cost_grids = cost_distance(
+    ds, dist_refs, cost_refs = cost_distance(
         raster, start_pixel, width, cost_col, row_band
     )
-    dist = np.vstack(dist_grids)
-    cost = np.vstack(cost_grids)
+    # the backtrace is a driver-side walk by design (path output is
+    # tiny); at raster scales beyond driver memory, walk band-by-band
+    # fetching only the two bands around the current position
+    dist = np.vstack(ray.get(list(dist_refs)))
+    cost = np.vstack(ray.get(list(cost_refs)))
     h, w = dist.shape
     path = []
     p = int(stop_pixel)
