@@ -8076,8 +8076,11 @@ def q_extract_chips(sf_dir: str):
 def q_mean_image(sf_dir: str):
     """segmentation.mean_image (shepherdseg.py stage 4): replace every
     pixel's bands with its clump's band means — segment_sum clump sums
-    (exact ints), broadcast of the tiny (lab -> n, sums) map, one
-    vectorized lookup pass; mean = ONE float division."""
+    (exact ints), broadcast of the (lab -> n, sums) map, one vectorized
+    lookup pass; mean = ONE float division. The broadcast is right
+    while the clump table fits a worker (10^7 clumps ~ 300 MB); past
+    that, swap the lookup for ``Dataset.join(labeled, sums, on=lab)``
+    — identical results, one extra shuffle."""
     from rsgislib_ray.stages.polygonize import clump
     from rsgislib_ray.stages.segsum import segment_sum
 
