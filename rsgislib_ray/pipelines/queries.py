@@ -7889,11 +7889,15 @@ def q_point_window_stats(sf_dir: str):
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
     )
     sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    pr = (sk * 13) % _SEG_N
+    order = np.argsort(pr, kind="stable")
     state = ray.put(
         {
             "pid": sk,
-            "pr": (sk * 13) % _SEG_N,
+            "pr": pr,
             "pc": (sk * 29) % _SEG_N,
+            "pr_sorted": pr[order],
+            "order": order,
         }
     )
     W = 2
@@ -7907,13 +7911,13 @@ def q_point_window_stats(sf_dir: str):
         r = batch["row"].to_numpy().astype(np.int64)
         c = batch["col"].to_numpy().astype(np.int64)
         v = batch["band1"].to_numpy().astype(np.int64)
-        # pixels x points window membership (point layer is small by
-        # contract; the cell-bucket index is the >10^5-points path)
-        hit = (
-            (np.abs(r[:, None] - st["pr"][None, :]) <= W)
-            & (np.abs(c[:, None] - st["pc"][None, :]) <= W)
-        )
-        pi, pj = np.nonzero(hit)
+        # row-bucket pruned candidates (O(B log P + candidates), not
+        # the dense B x P matrix), then the column filter
+        from rsgislib_ray.stages.interp import row_window_pairs
+
+        pi, pj = row_window_pairs(r, st["pr_sorted"], st["order"], W)
+        keep = np.abs(c[pi] - st["pc"][pj]) <= W
+        pi, pj = pi[keep], pj[keep]
         if len(pi) == 0:
             return pa.table(
                 {
@@ -8008,12 +8012,16 @@ def q_extract_chips(sf_dir: str):
     ok = (pr >= W) & (pr <= _SEG_N - 1 - W) & (pc >= W) & (pc <= _SEG_N - 1 - W)
     # double-Knuth hash split (matches the SQL mirror): < 0.8 * 2^32
     h = (((sk * 2654435761) % (1 << 32)) * 2654435761) % (1 << 32)
+    pr_k = pr[ok]
+    order = np.argsort(pr_k, kind="stable")
     state = ray.put(
         {
             "pid": sk[ok],
-            "pr": pr[ok],
+            "pr": pr_k,
             "pc": pc[ok],
             "train": (h < 3435973836)[ok],
+            "pr_sorted": pr_k[order],
+            "order": order,
         }
     )
     ds = ray.data.from_arrow(_seg_raster()).repartition(8)
@@ -8025,11 +8033,11 @@ def q_extract_chips(sf_dir: str):
         r = batch["row"].to_numpy().astype(np.int64)
         c = batch["col"].to_numpy().astype(np.int64)
         v = batch["band1"].to_numpy().astype(np.int64)
-        hit = (
-            (np.abs(r[:, None] - st["pr"][None, :]) <= W)
-            & (np.abs(c[:, None] - st["pc"][None, :]) <= W)
-        )
-        pi, pj = np.nonzero(hit)
+        from rsgislib_ray.stages.interp import row_window_pairs
+
+        pi, pj = row_window_pairs(r, st["pr_sorted"], st["order"], W)
+        keep = np.abs(c[pi] - st["pc"][pj]) <= W
+        pi, pj = pi[keep], pj[keep]
         return pa.table(
             {
                 "point_id": st["pid"][pj],

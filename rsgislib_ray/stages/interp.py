@@ -242,3 +242,28 @@ def grid_scattered_points(
     return pixels.map_batches(
         grid_batch, batch_format="pyarrow", batch_size=16384
     )
+
+
+def row_window_pairs(
+    r: np.ndarray, pr_sorted: np.ndarray, order: np.ndarray, w: int
+):
+    """Candidate (pixel_idx, point_row) pairs for Chebyshev-window
+    gathers: points sorted by row; per pixel a searchsorted window
+    bounds the row distance, so work is O(B log P + candidates)
+    instead of the dense B x P matrix. ``order`` maps sorted positions
+    back to point rows. Callers still filter by column distance."""
+    lo = np.searchsorted(pr_sorted, r - w, side="left")
+    hi = np.searchsorted(pr_sorted, r + w, side="right")
+    cnt = hi - lo
+    nz = cnt > 0
+    if not nz.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pi_sel = np.flatnonzero(nz)
+    lo, cnt = lo[nz], cnt[nz]
+    total = int(cnt.sum())
+    pi = np.repeat(pi_sel, cnt)
+    base = np.repeat(lo, cnt)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt
+    )
+    return pi, order[base + within]
