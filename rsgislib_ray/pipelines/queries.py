@@ -8398,3 +8398,152 @@ def q_buffer_raster(sf_dir: str):
         )
 
     return edt.map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "masked_percentile",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    msk AS (SELECT qty FROM cells WHERE val_cents % 3 = 0),
+    r AS (
+      SELECT qty,
+             ROW_NUMBER() OVER (ORDER BY qty) AS rn,
+             COUNT(*) OVER () AS n
+      FROM msk
+    )
+    SELECT CAST(25 AS BIGINT) AS pct,
+           CAST(MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN qty END)
+                AS BIGINT) AS value
+    FROM r
+    UNION ALL
+    SELECT 50, CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN qty END)
+               AS BIGINT) FROM r
+    UNION ALL
+    SELECT 90, CAST(MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN qty END)
+               AS BIGINT) FROM r
+    """,
+)
+def q_masked_percentile(sf_dir: str):
+    """calc_band_percentile_msk (imagecalc/__init__.py): exact P25/P50/
+    P90 of the band restricted to the mask — one masked histogram pass
+    (bounded card), thresholds by the ceil-rank statistic
+    rank = ceil(n*p/100) from cumulative counts; no float quantiles."""
+    from rsgislib_ray.stages.imagestats import global_histogram
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def masked(batch: pa.Table) -> pa.Table:
+        keep = batch["val_cents"].to_numpy() % 3 == 0
+        return batch.filter(pa.array(keep)).select(["qty"])
+
+    hist = global_histogram(
+        cells.map_batches(masked, batch_format="pyarrow"), "qty", 64
+    )
+    n = int(hist.sum())
+    cum = np.cumsum(hist)
+    out_p, out_v = [], []
+    for p in (25, 50, 90):
+        rank = (n * p + 99) // 100
+        out_p.append(p)
+        out_v.append(int(np.searchsorted(cum, rank)))
+    return pa.table(
+        {
+            "pct": np.array(out_p, dtype=np.int64),
+            "value": np.array(out_v, dtype=np.int64),
+        }
+    )
+
+
+@register(
+    "combine_masks",
+    f"""
+    WITH cells AS ({td.SQL_CELLS})
+    SELECT cell_key,
+      CAST(qty % 2 = 0 OR val_cents % 5 = 0 AS BIGINT) AS any_mask,
+      CAST(qty % 2 = 0 AND val_cents % 5 = 0 AS BIGINT) AS all_mask,
+      CAST(qty % 2 = 0 AS BIGINT) + CAST(val_cents % 5 = 0 AS BIGINT)
+        + CAST(cell_key % 7 = 0 AS BIGINT) AS n_set
+    FROM cells
+    """,
+)
+def q_combine_masks(sf_dir: str):
+    """combine_binary_masks (imageutils/__init__.py): OR / AND /
+    set-count combination of stacked binary masks — pure vectorized
+    boolean kernels, zero shuffles."""
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        q = batch["qty"].to_numpy().astype(np.int64)
+        c = batch["val_cents"].to_numpy().astype(np.int64)
+        k = batch["cell_key"].to_numpy().astype(np.int64)
+        m1, m2, m3 = q % 2 == 0, c % 5 == 0, k % 7 == 0
+        return pa.table(
+            {
+                "cell_key": k,
+                "any_mask": (m1 | m2).astype(np.int64),
+                "all_mask": (m1 & m2).astype(np.int64),
+                "n_set": (
+                    m1.astype(np.int64) + m2.astype(np.int64)
+                    + m3.astype(np.int64)
+                ),
+            }
+        )
+
+    return cells.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "stretch_percent",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    r AS (
+      SELECT val_cents // 1000 AS v,
+             ROW_NUMBER() OVER (ORDER BY val_cents // 1000) AS rn,
+             COUNT(*) OVER () AS n
+      FROM cells
+    ),
+    th AS (
+      SELECT MAX(CASE WHEN rn = (n * 2 + 99) // 100 THEN v END) AS lo,
+             MAX(CASE WHEN rn = (n * 98 + 99) // 100 THEN v END) AS hi
+      FROM r
+    )
+    SELECT c.cell_key,
+      CAST(LEAST(GREATEST(c.val_cents // 1000, th.lo), th.hi) - th.lo
+           AS DOUBLE) * 255.0e0 / (th.hi - th.lo) AS stretched
+    FROM cells c, th
+    """,
+)
+def q_stretch_percent(sf_dir: str):
+    """imageutils.stretch_img linear-percent stretch (2-98%): exact
+    ceil-rank cut points from one distributed histogram, then the
+    clip-and-scale map with a single float expression per pixel."""
+    from rsgislib_ray.stages.imagestats import global_histogram
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def kv(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": batch["val_cents"].to_numpy().astype(np.int64) // 1000}
+        )
+
+    hist = global_histogram(
+        cells.map_batches(kv, batch_format="pyarrow"), "v", 110000
+    )
+    n = int(hist.sum())
+    cum = np.cumsum(hist)
+    lo = int(np.searchsorted(cum, (n * 2 + 99) // 100))
+    hi = int(np.searchsorted(cum, (n * 98 + 99) // 100))
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch["val_cents"].to_numpy().astype(np.int64) // 1000
+        clipped = np.clip(v, lo, hi)
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "stretched": (clipped - lo).astype(np.float64)
+                * 255.0
+                / (hi - lo),
+            }
+        )
+
+    return cells.map_batches(f, batch_format="pyarrow", batch_size=65536)
