@@ -8,7 +8,7 @@ import pyarrow as pa
 from hypothesis import given, settings, strategies as st
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(
     n=st.integers(10, 400),
     blocks=st.integers(1, 12),
@@ -41,7 +41,7 @@ def test_segment_sum_partition_independent(ray_session, n, blocks, seed):
     assert got["v"].tolist() == want["v"].tolist()
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=5, deadline=None)
 @given(
     n_lines=st.integers(1, 25),
     blocks=st.integers(1, 8),
@@ -83,7 +83,7 @@ def test_points_along_lines_partition_independent(
     pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=5, deadline=None)
 @given(blocks=st.integers(1, 10), seed=st.integers(0, 2**16))
 def test_exact_dedup_partition_independent(ray_session, blocks, seed):
     import ray
