@@ -120,3 +120,22 @@ def test_grid_nearest_tie_lowest_id(ray_session):
     got = grid_scattered_points(px, tbl, 15.0, "val").to_pandas()
     assert int(got["nearest_id"].iloc[0]) == 4
     assert int(got["nearest_val"].iloc[0]) == 222
+
+
+def test_extract_chips_complete(ray_session):
+    """Every emitted chip has exactly 25 pixels and consistent splits."""
+    from rsgislib_ray.pipelines.queries import queries
+
+    got = (
+        queries()["extract_chips"]("/root/testdata/sf0.001")
+        .to_pandas()
+    )
+    sizes = got.groupby("point_id").size()
+    assert (sizes == 25).all()
+    # one split label per point
+    assert (got.groupby("point_id")["split"].nunique() == 1).all()
+    # rel coords cover the full 5x5 window
+    g0 = got[got["point_id"] == got["point_id"].iloc[0]]
+    assert sorted(zip(g0["rel_r"], g0["rel_c"])) == [
+        (r, c) for r in range(-2, 3) for c in range(-2, 3)
+    ]
