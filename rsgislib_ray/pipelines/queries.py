@@ -8547,3 +8547,97 @@ def q_stretch_percent(sf_dir: str):
         )
 
     return cells.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _kmeans_exact_sql(k: int = 4, iters: int = 4) -> str:
+    """Unrolled-iteration SQL mirror of kmeans_cluster_exact (the
+    pagerank-oracle pattern): seeds from exact ceil-rank order
+    statistics, per-iteration argmin assignment + integer-sum center
+    updates, one CTE pair per iteration."""
+    seeds = ", ".join(
+        f"""(SELECT f{j} FROM (
+            SELECT f{j}, ROW_NUMBER() OVER (ORDER BY f{j}) AS rn,
+                   COUNT(*) OVER () AS n FROM px)
+          WHERE rn = (n * (k.range + 1) + {k}) // {k + 1}) AS x{j}"""
+        for j in range(2)
+    )
+    sql = f"""
+    WITH px AS (
+      -- cell_key is NOT unique in the synthetic lineitem: partition
+      -- the per-row argmin by a synthetic row id
+      SELECT ROW_NUMBER() OVER () AS rid, cell_key,
+             CAST(ROUND(x * 200) AS BIGINT) AS f0,
+             CAST(ROUND(y * 200) AS BIGINT) AS f1
+      FROM ({td.SQL_CELLS})
+    ),
+    c0 AS (
+      SELECT CAST(k.range AS BIGINT) AS cid, {seeds}
+      FROM range(0, {k}) k
+    )"""
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sql += f""",
+    a{t} AS (
+      SELECT rid, cell_key, f0, f1, cid AS cluster FROM (
+        SELECT p.rid, p.cell_key, p.f0, p.f1, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.rid ORDER BY
+            (p.f0 - c.x0) * (p.f0 - c.x0)
+              + (p.f1 - c.x1) * (p.f1 - c.x1), c.cid) AS rn
+        FROM px p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    c{t} AS (
+      SELECT c.cid,
+        CASE WHEN s.n > 0
+          THEN CAST(CAST(s.s0 AS BIGINT) AS DOUBLE) / s.n
+          ELSE c.x0 END AS x0,
+        CASE WHEN s.n > 0
+          THEN CAST(CAST(s.s1 AS BIGINT) AS DOUBLE) / s.n
+          ELSE c.x1 END AS x1
+      FROM {prev} c LEFT JOIN (
+        SELECT cluster, COUNT(*) AS n, SUM(f0) AS s0, SUM(f1) AS s1
+        FROM a{t} GROUP BY cluster
+      ) s ON s.cluster = c.cid
+    )"""
+        prev = f"c{t}"
+    sql += f"""
+    SELECT cell_key, cid AS cluster FROM (
+      SELECT p.rid, p.cell_key, c.cid,
+        ROW_NUMBER() OVER (PARTITION BY p.rid ORDER BY
+          (p.f0 - c.x0) * (p.f0 - c.x0)
+            + (p.f1 - c.x1) * (p.f1 - c.x1), c.cid) AS rn
+      FROM px p CROSS JOIN {prev} c
+    ) WHERE rn = 1
+    """
+    return sql
+
+
+@register("kmeans_exact", _kmeans_exact_sql())
+def q_kmeans_exact(sf_dir: str):
+    """Bit-exact distributed Lloyd's k-means (k=4, 4 iterations) over
+    the scaled-integer cell coordinates: exact-rank quantile seeds,
+    integer-sum center updates, lowest-id argmin ties — the FULL
+    iterative fit driver-verified against an unrolled-iteration SQL
+    oracle (the float-feature kmeans_clusters stays as the
+    reference-analog rows-only variant)."""
+    from rsgislib_ray.stages.zonal import kmeans_cluster_exact
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "f0": np.rint(batch["x"].to_numpy() * 200).astype(np.int64),
+                "f1": np.rint(batch["y"].to_numpy() * 200).astype(np.int64),
+            }
+        )
+
+    labeled, _, _ = kmeans_cluster_exact(
+        cells.map_batches(scale, batch_format="pyarrow"),
+        ["f0", "f1"],
+        n_clusters=4,
+        iters=4,
+        card=20001,
+    )
+    return labeled.select_columns(["cell_key", "cluster"])

@@ -776,3 +776,113 @@ def zonal_winsorized_mean(
     return pa.Table.from_pandas(
         out.sort_values("fid").reset_index(drop=True), preserve_index=False
     ).replace_schema_metadata(None)
+
+
+def kmeans_cluster_exact(
+    cells: ray.data.Dataset,
+    int_cols: list[str],
+    n_clusters: int,
+    iters: int,
+    card: int,
+) -> tuple[ray.data.Dataset, np.ndarray, np.ndarray]:
+    """Bit-exact distributed Lloyd's k-means over INTEGER feature
+    columns (values in [0, card)) — every quantity either an exact
+    int64 sum or ONE float division, so any partition layout and a SQL
+    mirror produce identical results:
+
+    - seeds: exact ceil-rank quantiles ``rank_j = ceil(n (j+1)/(k+1))``
+      of each feature from one distributed histogram (not a driver
+      sample — the float-features variant's sample seed is layout-
+      dependent; this one is not);
+    - assign: argmin of ``(x - cx)^2 + (y - cy)^2`` with float centers
+      (identical doubles both sides), ties to the LOWEST cluster id;
+    - update: per-cluster exact int64 sums / counts -> ``sum / n``;
+      empty clusters keep their previous center.
+
+    Returns ``(labeled_ds, centers[k, d], sizes[k])``.
+    """
+    import ray as _ray
+
+    d = len(int_cols)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        out = {}
+        for j, c in enumerate(int_cols):
+            v = batch[c].to_numpy().astype(np.int64)
+            cnt = np.bincount(v, minlength=card)
+            out[f"h{j}"] = cnt
+        out["v"] = np.arange(card, dtype=np.int64)
+        return pa.table(out)
+
+    pdf = (
+        cells.map_batches(hist_partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("v")
+        .sum()
+        .sort_index()
+    )
+    n_total = int(pdf["h0"].sum())
+    C = np.empty((n_clusters, d), dtype=np.float64)
+    for j in range(d):
+        cum = pdf[f"h{j}"].cumsum().to_numpy()
+        for kk in range(n_clusters):
+            rank = (n_total * (kk + 1) + n_clusters) // (n_clusters + 1)
+            C[kk, j] = float(np.searchsorted(cum, rank))
+
+    sizes = np.zeros(n_clusters, dtype=np.int64)
+    for _ in range(iters):
+        ref = _ray.put(C)
+
+        def part(batch: pa.Table) -> pa.Table:
+            from rsgislib_ray.state.broadcast import cached
+
+            cc = cached(ref)
+            M = np.column_stack(
+                [batch[c].to_numpy().astype(np.int64) for c in int_cols]
+            )
+            dd = ((M[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+            a = dd.argmin(axis=1)  # first minimum = lowest cluster id
+            cols = {
+                "cluster": np.arange(n_clusters, dtype=np.int64),
+                "n": np.bincount(a, minlength=n_clusters),
+            }
+            for j in range(d):
+                s = np.zeros(n_clusters, dtype=np.int64)
+                np.add.at(s, a, M[:, j])
+                cols[f"s{j}"] = s
+            return pa.table(cols)
+
+        agg = (
+            cells.map_batches(part, batch_format="pyarrow", batch_size=65536)
+            .to_pandas()
+            .groupby("cluster")
+            .sum()
+            .sort_index()
+        )
+        sizes = agg["n"].to_numpy().astype(np.int64)
+        for kk in range(n_clusters):
+            if sizes[kk] > 0:
+                for j in range(d):
+                    C[kk, j] = float(int(agg[f"s{j}"].iloc[kk])) / float(
+                        sizes[kk]
+                    )
+
+    ref = _ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        cc = cached(ref)
+        M = np.column_stack(
+            [batch[c].to_numpy().astype(np.int64) for c in int_cols]
+        )
+        dd = ((M[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "cluster", pa.array(dd.argmin(axis=1).astype(np.int64))
+        )
+
+    return (
+        cells.map_batches(assign, batch_format="pyarrow", batch_size=65536),
+        C,
+        sizes,
+    )
