@@ -8641,3 +8641,138 @@ def q_kmeans_exact(sf_dir: str):
         card=20001,
     )
     return labeled.select_columns(["cell_key", "cluster"])
+
+
+@register(
+    "closed_thresholds",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    hh AS (SELECT qty AS v, COUNT(*) AS cnt FROM cells GROUP BY qty),
+    rng AS (
+      -- l_quantity domain is 1..50 (TPC-H); DuckDB 1.0 range() needs
+      -- constants, and clipping to the observed min/max happens below
+      SELECT CAST(r.range AS BIGINT) AS v FROM range(1, 51) r
+      WHERE r.range BETWEEN (SELECT MIN(v) FROM hh)
+                        AND (SELECT MAX(v) FROM hh)
+    ),
+    g AS (
+      SELECT rng.v, CAST(COALESCE(hh.cnt, 0) AS BIGINT) AS cnt
+      FROM rng LEFT JOIN hh ON hh.v = rng.v
+    ),
+    c AS (
+      SELECT v,
+        CAST(SUM(cnt) OVER w AS BIGINT) AS cum,
+        CAST(SUM(cnt * v) OVER w AS BIGINT) AS cumv,
+        CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS ch2
+      FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * v) AS BIGINT) AS totv,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS toth2,
+             MAX(v) AS vmax
+      FROM g
+    ),
+    body AS (SELECT c.*, t.* FROM c, t WHERE c.v < t.vmax),
+    otsu AS (
+      SELECT v FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY
+          CAST(CAST((n - cum) AS HUGEINT) * cum *
+               (CAST((n - cum) * cumv - cum * (totv - cumv) AS HUGEINT)
+                * CAST((n - cum) * cumv - cum * (totv - cumv) AS HUGEINT))
+               / (CAST(cum AS HUGEINT) * (n - cum)
+                  * CAST(cum AS HUGEINT) * (n - cum)) AS DOUBLE)
+          DESC, v ASC) AS rn
+        FROM body WHERE cum > 0 AND cum < n
+      ) WHERE rn = 1
+    ),
+    yen AS (
+      SELECT v FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY
+          LN(1.0e0 / ((CAST(ch2 AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+                      * (CAST(toth2 - ch2 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n)))
+             * (((CAST(cum AS DOUBLE) / n)
+                 * (1.0e0 - CAST(cum AS DOUBLE) / n))
+                * ((CAST(cum AS DOUBLE) / n)
+                   * (1.0e0 - CAST(cum AS DOUBLE) / n))))
+          DESC, v ASC) AS rn
+        FROM body WHERE ch2 > 0 AND toth2 - ch2 > 0
+      ) WHERE rn = 1
+    ),
+    iso AS (
+      SELECT MIN(v) AS v FROM body
+      WHERE cum > 0 AND n - cum > 0
+        AND (CAST(cumv AS DOUBLE) / cum
+             + CAST(totv - cumv AS DOUBLE) / (n - cum)) / 2.0e0 - v >= 0
+        AND (CAST(cumv AS DOUBLE) / cum
+             + CAST(totv - cumv AS DOUBLE) / (n - cum)) / 2.0e0 - v < 1.0e0
+    )
+    SELECT 'otsu' AS method, CAST((SELECT v FROM otsu) AS BIGINT) AS threshold
+    UNION ALL
+    SELECT 'yen', CAST((SELECT v FROM yen) AS BIGINT)
+    UNION ALL
+    SELECT 'isodata', CAST((SELECT v FROM iso) AS BIGINT)
+    """,
+)
+def q_closed_thresholds(sf_dir: str):
+    """Closed-form members of the threshold family driver-verified:
+    Otsu / Yen / Ridler-Calvard from INTEGER cumulatives only (counts,
+    sum(h*v), sum(h^2)) — every intermediate double is a ratio of exact
+    int64 (or HUGEINT) sums, argmax ordered by (criterion DESC, value
+    ASC) on both sides. Li stays in the rows-only global_thresholds
+    (data-dependent iteration count)."""
+    from rsgislib_ray.stages.imagestats import global_histogram
+
+    cells = td.cells_from_lineitem(sf_dir)
+    hist = global_histogram(cells, "qty", 64)
+    nz = np.flatnonzero(hist)
+    vmin, vmax = int(nz[0]), int(nz[-1])
+    vals = np.arange(vmin, vmax + 1, dtype=np.int64)
+    h = hist[vmin : vmax + 1]
+    n = int(h.sum())
+    cum = np.cumsum(h)[:-1]
+    cumv = np.cumsum(h * vals)[:-1]
+    ch2 = np.cumsum(h * h)[:-1]
+    totv = int((h * vals).sum())
+    toth2 = int((h * h).sum())
+    v = vals[:-1]
+
+    # otsu: float ratio of HUGEINT-exact numerator/denominator (the
+    # SQL ORDER BY mirror); ties -> lowest v
+    okb = (cum > 0) & (cum < n)
+    crit_o = np.full(len(v), -np.inf)
+    for i in np.flatnonzero(okb):
+        num = int(n - cum[i]) * int(cum[i]) * (
+            int((n - cum[i]) * cumv[i] - cum[i] * (totv - cumv[i])) ** 2
+        )
+        den = (int(cum[i]) * int(n - cum[i])) ** 2
+        crit_o[i] = float(num) / float(den)
+    otsu = int(v[int(np.argmax(crit_o))])
+
+    nd = float(n) * n
+    p1 = cum.astype(np.float64) / n
+    p1sq = ch2.astype(np.float64) / nd
+    p2sq = (toth2 - ch2).astype(np.float64) / nd
+    oky = (ch2 > 0) & (toth2 - ch2 > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        crit_y = np.log(
+            1.0 / (p1sq * p2sq) * ((p1 * (1.0 - p1)) * (p1 * (1.0 - p1)))
+        )
+    crit_y = np.where(oky, crit_y, -np.inf)
+    yen = int(v[int(np.argmax(crit_y))])
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        am = (
+            cumv.astype(np.float64) / cum
+            + (totv - cumv).astype(np.float64) / (n - cum)
+        ) / 2.0
+    oki = (cum > 0) & (n - cum > 0) & (am - v >= 0) & (am - v < 1.0)
+    isodata = int(v[np.flatnonzero(oki)[0]])
+
+    return pa.table(
+        {
+            "method": pa.array(["otsu", "yen", "isodata"], pa.string()),
+            "threshold": np.array([otsu, yen, isodata], dtype=np.int64),
+        }
+    )
