@@ -8776,3 +8776,111 @@ def q_closed_thresholds(sf_dir: str):
             "threshold": np.array([otsu, yen, isodata], dtype=np.int64),
         }
     )
+
+
+@register(
+    "pca_project_2d",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST((p.range * 37) % 100 AS BIGINT) AS b1,
+             CAST((p.range * 61) % 100 AS BIGINT) AS b2
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(b1) AS BIGINT) AS s0, CAST(SUM(b2) AS BIGINT) AS s1,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b1) AS BIGINT) AS q00,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b2) AS BIGINT) AS q01,
+        CAST(SUM(CAST(b2 AS HUGEINT) * b2) AS BIGINT) AS q11
+      FROM px
+    ),
+    cov AS (
+      SELECT n, s0, s1,
+        CAST(n * q00 - s0 * s0 AS DOUBLE)
+          / CAST(n * (n - 1) AS DOUBLE) AS a,
+        CAST(n * q01 - s0 * s1 AS DOUBLE)
+          / CAST(n * (n - 1) AS DOUBLE) AS b,
+        CAST(n * q11 - s1 * s1 AS DOUBLE)
+          / CAST(n * (n - 1) AS DOUBLE) AS c
+      FROM m
+    ),
+    eig AS (
+      SELECT n, s0, s1, a, b, c,
+        (a + c) / 2.0e0
+          + SQRT(((a - c) / 2.0e0) * ((a - c) / 2.0e0) + b * b) AS l1,
+        (a + c) / 2.0e0
+          - SQRT(((a - c) / 2.0e0) * ((a - c) / 2.0e0) + b * b) AS l2
+      FROM cov
+    ),
+    vec AS (
+      SELECT n, s0, s1, l1, l2,
+        b / SQRT(b * b + (l1 - a) * (l1 - a)) AS u0,
+        (l1 - a) / SQRT(b * b + (l1 - a) * (l1 - a)) AS u1
+      FROM eig
+    ),
+    fixed AS (
+      SELECT n, s0, s1, l1, l2,
+        CASE WHEN (CASE WHEN ABS(u0) >= ABS(u1) THEN u0 ELSE u1 END) < 0
+             THEN -u0 ELSE u0 END AS v0,
+        CASE WHEN (CASE WHEN ABS(u0) >= ABS(u1) THEN u0 ELSE u1 END) < 0
+             THEN -u1 ELSE u1 END AS v1
+      FROM vec
+    ),
+    fixed2 AS (
+      SELECT *,
+        CASE WHEN (CASE WHEN ABS(-v1) >= ABS(v0) THEN -v1 ELSE v0 END) < 0
+             THEN v1 ELSE -v1 END AS w0,
+        CASE WHEN (CASE WHEN ABS(-v1) >= ABS(v0) THEN -v1 ELSE v0 END) < 0
+             THEN -v0 ELSE v0 END AS w1
+      FROM fixed
+    )
+    SELECT p.pixel_id,
+      (p.b1 - CAST(f.s0 AS DOUBLE) / f.n) * f.v0
+        + (p.b2 - CAST(f.s1 AS DOUBLE) / f.n) * f.v1 AS pc1,
+      (p.b1 - CAST(f.s0 AS DOUBLE) / f.n) * f.w0
+        + (p.b2 - CAST(f.s1 AS DOUBLE) / f.n) * f.w1 AS pc2
+    FROM px p, fixed2 f
+    """,
+)
+def q_pca_project_2d(sf_dir: str):
+    """perform_image_pca for the 2-band case, DRIVER-VERIFIED: the
+    2x2 symmetric eigendecomposition has a closed form (lambda =
+    (a+c)/2 +- sqrt(((a-c)/2)^2 + b^2); eigvec (b, lambda1-a)), so the
+    full projection — exact-moment covariance, eigenvalues, sign-fixed
+    principal axes, per-pixel scores — mirrors bit-exactly in SQL.
+    The general-d eigh variant stays as the rows-only image_pca.
+    Requires b != 0 (correlated bands; holds for the fixture)."""
+    from rsgislib_ray.stages.imagestats import band_cross_moments
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    m = band_cross_moments(ds, ["band1", "band2"])
+    n, s = m["n"], m["s"]
+    den = float(n * (n - 1))
+    a = float(n * m["q"][(0, 0)] - s[0] * s[0]) / den
+    b = float(n * m["q"][(0, 1)] - s[0] * s[1]) / den
+    c = float(n * m["q"][(1, 1)] - s[1] * s[1]) / den
+    if b == 0.0:
+        raise ValueError("closed-form 2x2 PCA requires correlated bands")
+    root = np.sqrt(((a - c) / 2.0) * ((a - c) / 2.0) + b * b)
+    l1 = (a + c) / 2.0 + root
+    L = np.sqrt(b * b + (l1 - a) * (l1 - a))
+    u0, u1 = b / L, (l1 - a) / L
+    dom = u0 if abs(u0) >= abs(u1) else u1
+    v0, v1 = (-u0, -u1) if dom < 0 else (u0, u1)
+    dom2 = -v1 if abs(-v1) >= abs(v0) else v0
+    w0, w1 = (v1, -v0) if dom2 < 0 else (-v1, v0)
+    mu0, mu1 = float(s[0]) / n, float(s[1]) / n
+
+    def project(batch: pa.Table) -> pa.Table:
+        b1 = batch["band1"].to_numpy().astype(np.float64)
+        b2 = batch["band2"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "pc1": (b1 - mu0) * v0 + (b2 - mu1) * v1,
+                "pc2": (b1 - mu0) * w0 + (b2 - mu1) * w1,
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=65536)
