@@ -8884,3 +8884,158 @@ def q_pca_project_2d(sf_dir: str):
         )
 
     return ds.map_batches(project, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "mnf_project_2d",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pid,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range * 37) % 100 AS BIGINT) AS b1,
+             CAST((p.range * 61) % 100 AS BIGINT) AS b2
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    dm AS (
+      SELECT COUNT(*) AS m,
+        CAST(SUM(d0) AS BIGINT) AS t0, CAST(SUM(d1) AS BIGINT) AS t1,
+        CAST(SUM(CAST(d0 AS HUGEINT) * d0) AS BIGINT) AS r00,
+        CAST(SUM(CAST(d0 AS HUGEINT) * d1) AS BIGINT) AS r01,
+        CAST(SUM(CAST(d1 AS HUGEINT) * d1) AS BIGINT) AS r11
+      FROM (
+        SELECT b.b1 - a.b1 AS d0, b.b2 - a.b2 AS d1
+        FROM px a JOIN px b ON b.rr = a.rr AND b.cc = a.cc + 1
+      )
+    ),
+    sm AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(b1) AS BIGINT) AS s0, CAST(SUM(b2) AS BIGINT) AS s1,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b1) AS BIGINT) AS q00,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b2) AS BIGINT) AS q01,
+        CAST(SUM(CAST(b2 AS HUGEINT) * b2) AS BIGINT) AS q11
+      FROM px
+    ),
+    covs AS (
+      SELECT n, s0, s1,
+        CAST(n * q00 - s0 * s0 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS cs00,
+        CAST(n * q01 - s0 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS cs01,
+        CAST(n * q11 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS cs11,
+        CAST(m * r00 - t0 * t0 AS DOUBLE) / CAST(m * (m - 1) AS DOUBLE) AS cn00,
+        CAST(m * r01 - t0 * t1 AS DOUBLE) / CAST(m * (m - 1) AS DOUBLE) AS cn01,
+        CAST(m * r11 - t1 * t1 AS DOUBLE) / CAST(m * (m - 1) AS DOUBLE) AS cn11
+      FROM sm, dm
+    ),
+    lam AS (
+      SELECT *,
+        cn00 * cn11 - cn01 * cn01 AS aa,
+        cs00 * cn11 + cs11 * cn00 - 2.0e0 * cs01 * cn01 AS bb,
+        cs00 * cs11 - cs01 * cs01 AS cc2
+      FROM covs
+    ),
+    lam2 AS (
+      SELECT *,
+        (bb + SQRT(bb * bb - 4.0e0 * aa * cc2)) / (2.0e0 * aa) AS l1,
+        (bb - SQRT(bb * bb - 4.0e0 * aa * cc2)) / (2.0e0 * aa) AS l2
+      FROM lam
+    ),
+    raw AS (
+      SELECT *,
+        cs01 - l1 * cn01 AS u10, -(cs00 - l1 * cn00) AS u11,
+        cs01 - l2 * cn01 AS u20, -(cs00 - l2 * cn00) AS u21
+      FROM lam2
+    ),
+    nrm AS (
+      SELECT *,
+        u10 / SQRT((u10 * u10) * cn00 + 2.0e0 * (u10 * u11) * cn01
+                   + (u11 * u11) * cn11) AS p10,
+        u11 / SQRT((u10 * u10) * cn00 + 2.0e0 * (u10 * u11) * cn01
+                   + (u11 * u11) * cn11) AS p11,
+        u20 / SQRT((u20 * u20) * cn00 + 2.0e0 * (u20 * u21) * cn01
+                   + (u21 * u21) * cn11) AS p20,
+        u21 / SQRT((u20 * u20) * cn00 + 2.0e0 * (u20 * u21) * cn01
+                   + (u21 * u21) * cn11) AS p21
+      FROM raw
+    ),
+    fx AS (
+      SELECT n, s0, s1,
+        CASE WHEN (CASE WHEN ABS(p10) >= ABS(p11) THEN p10 ELSE p11 END) < 0
+             THEN -p10 ELSE p10 END AS v10,
+        CASE WHEN (CASE WHEN ABS(p10) >= ABS(p11) THEN p10 ELSE p11 END) < 0
+             THEN -p11 ELSE p11 END AS v11,
+        CASE WHEN (CASE WHEN ABS(p20) >= ABS(p21) THEN p20 ELSE p21 END) < 0
+             THEN -p20 ELSE p20 END AS v20,
+        CASE WHEN (CASE WHEN ABS(p20) >= ABS(p21) THEN p20 ELSE p21 END) < 0
+             THEN -p21 ELSE p21 END AS v21
+      FROM nrm
+    )
+    SELECT p.pid AS pixel_id,
+      (p.b1 - CAST(f.s0 AS DOUBLE) / f.n) * f.v10
+        + (p.b2 - CAST(f.s1 AS DOUBLE) / f.n) * f.v11 AS mnf1,
+      (p.b1 - CAST(f.s0 AS DOUBLE) / f.n) * f.v20
+        + (p.b2 - CAST(f.s1 AS DOUBLE) / f.n) * f.v21 AS mnf2
+    FROM px p, fx f
+    """,
+)
+def q_mnf_project_2d(sf_dir: str):
+    """perform_image_mnf for the 2-band case, DRIVER-VERIFIED: the
+    generalized eigenproblem Sigma_S v = lambda Sigma_N v is a
+    quadratic for d=2 (lambda = (B +- sqrt(B^2-4AC)) / 2A with
+    A=det(N), B=s00 n11 + s11 n00 - 2 s01 n01, C=det(S)); eigenvectors
+    from the first row of (S - lambda N), noise-normalized v'Nv=1,
+    sign-fixed — every double a chain from exact-integer moment ratios,
+    mirrored in SQL. Noise moments reuse the neighbor-difference
+    machinery of noise_covariance. The general-d whitened-eigh variant
+    stays rows-only as image_mnf."""
+    from rsgislib_ray.stages.imagestats import (
+        band_cross_moments,
+        neighbor_differences,
+    )
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    ms = band_cross_moments(ds, ["band1", "band2"])
+    diffs = neighbor_differences(ds, ["band1", "band2"], width=_SEG_N)
+    mn = band_cross_moments(diffs, ["d0", "d1"])
+
+    def cov(mm):
+        n, s, q = mm["n"], mm["s"], mm["q"]
+        den = float(n * (n - 1))
+        return (
+            float(n * q[(0, 0)] - s[0] * s[0]) / den,
+            float(n * q[(0, 1)] - s[0] * s[1]) / den,
+            float(n * q[(1, 1)] - s[1] * s[1]) / den,
+        )
+
+    cs00, cs01, cs11 = cov(ms)
+    cn00, cn01, cn11 = cov(mn)
+    aa = cn00 * cn11 - cn01 * cn01
+    bb = cs00 * cn11 + cs11 * cn00 - 2.0 * cs01 * cn01
+    cc2 = cs00 * cs11 - cs01 * cs01
+    disc = np.sqrt(bb * bb - 4.0 * aa * cc2)
+    lams = ((bb + disc) / (2.0 * aa), (bb - disc) / (2.0 * aa))
+    vs = []
+    for lk in lams:
+        u0 = cs01 - lk * cn01
+        u1 = -(cs00 - lk * cn00)
+        L = np.sqrt(
+            (u0 * u0) * cn00 + 2.0 * (u0 * u1) * cn01 + (u1 * u1) * cn11
+        )
+        p0, p1 = u0 / L, u1 / L
+        dom = p0 if abs(p0) >= abs(p1) else p1
+        vs.append((-p0, -p1) if dom < 0 else (p0, p1))
+    (v10, v11), (v20, v21) = vs
+    mu0 = float(ms["s"][0]) / ms["n"]
+    mu1 = float(ms["s"][1]) / ms["n"]
+
+    def project(batch: pa.Table) -> pa.Table:
+        b1 = batch["band1"].to_numpy().astype(np.float64)
+        b2 = batch["band2"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "mnf1": (b1 - mu0) * v10 + (b2 - mu1) * v11,
+                "mnf2": (b1 - mu0) * v20 + (b2 - mu1) * v21,
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=65536)

@@ -473,3 +473,30 @@ def test_utm_forward_invariants():
     assert (np.diff(e2) > 0).all()
     # Norway exception: (60, 5) is zone 32, not 31
     assert zone_number(np.array([60.0]), np.array([5.0]))[0] == 32
+
+
+def test_mnf_closed_form_matches_eigh(ray_session):
+    """The 2x2 closed-form MNF projection (queries.mnf_project_2d)
+    agrees with the whitened-eigh image_mnf up to float tolerance."""
+    import ray
+
+    from rsgislib_ray.pipelines.queries import _seg_raster, queries
+    from rsgislib_ray.stages.imagestats import image_mnf
+
+    closed = (
+        queries()["mnf_project_2d"]("unused")
+        .to_pandas()
+        .sort_values("pixel_id")
+        .reset_index(drop=True)
+    )
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    scores, comps, snr = image_mnf(ds, ["band1", "band2"], k=2, width=80)
+    eigh = (
+        scores.to_pandas().sort_values("pixel_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        closed["mnf1"].to_numpy(), eigh["mnf1"].to_numpy(), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        closed["mnf2"].to_numpy(), eigh["mnf2"].to_numpy(), atol=1e-8
+    )
