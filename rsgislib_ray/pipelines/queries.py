@@ -7806,12 +7806,59 @@ def q_wgs84_pixel_size(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
 
 
-@register("vif_scores", None)  # matrix inverse — not SQL-expressible
+@register(
+    "vif_scores",
+    f"""
+    WITH f AS (
+      SELECT qty AS f1,
+             qty * 3 + (val_cents % 17) AS f2,
+             cell_key % 23 AS f3
+      FROM ({td.SQL_CELLS})
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
+        CAST(SUM(f3) AS BIGINT) AS s3,
+        CAST(SUM(CAST(f1 AS HUGEINT) * f1) AS BIGINT) AS q11,
+        CAST(SUM(CAST(f1 AS HUGEINT) * f2) AS BIGINT) AS q12,
+        CAST(SUM(CAST(f1 AS HUGEINT) * f3) AS BIGINT) AS q13,
+        CAST(SUM(CAST(f2 AS HUGEINT) * f2) AS BIGINT) AS q22,
+        CAST(SUM(CAST(f2 AS HUGEINT) * f3) AS BIGINT) AS q23,
+        CAST(SUM(CAST(f3 AS HUGEINT) * f3) AS BIGINT) AS q33
+      FROM f
+    ),
+    r AS (
+      SELECT
+        CAST(n * q12 - s1 * s2 AS DOUBLE)
+          / SQRT(CAST(n * q11 - s1 * s1 AS DOUBLE)
+                 * CAST(n * q22 - s2 * s2 AS DOUBLE)) AS a,
+        CAST(n * q13 - s1 * s3 AS DOUBLE)
+          / SQRT(CAST(n * q11 - s1 * s1 AS DOUBLE)
+                 * CAST(n * q33 - s3 * s3 AS DOUBLE)) AS b,
+        CAST(n * q23 - s2 * s3 AS DOUBLE)
+          / SQRT(CAST(n * q22 - s2 * s2 AS DOUBLE)
+                 * CAST(n * q33 - s3 * s3 AS DOUBLE)) AS c
+      FROM m
+    ),
+    d AS (
+      SELECT a, b, c,
+        1.0e0 + 2.0e0 * (a * b * c) - a * a - b * b - c * c AS det
+      FROM r
+    )
+    SELECT 'f1' AS feature, (1.0e0 - c * c) / det AS vif FROM d
+    UNION ALL
+    SELECT 'f2', (1.0e0 - b * b) / det FROM d
+    UNION ALL
+    SELECT 'f3', (1.0e0 - a * a) / det FROM d
+    """,
+)
 def q_vif_scores(sf_dir: str):
-    """calc_pandas_vif (tools/stats.py): variance inflation factor per
-    feature — exact distributed integer moments -> correlation matrix
-    -> VIF_j = diag(R^-1)_jj on the driver; invariant VIF >= 1 and
-    equality with the 1/(1-R2_j) OLS definition is pytest-verified."""
+    """calc_pandas_vif (tools/stats.py), DRIVER-VERIFIED: for three
+    features the correlation-matrix inverse is closed-form (unit-diag
+    R = [[1,a,b],[a,1,c],[b,c,1]]; det = 1 + 2abc - a^2 - b^2 - c^2;
+    diag(R^-1) = (1-c^2, 1-b^2, 1-a^2)/det), every double a chain from
+    exact integer moment ratios — mirrored bit-exactly in SQL.
+    Equality with the 1/(1-R2) OLS definition is pytest-verified."""
     from rsgislib_ray.stages.imagestats import band_cross_moments
 
     cells = td.cells_from_lineitem(sf_dir)
@@ -7831,19 +7878,28 @@ def q_vif_scores(sf_dir: str):
     m = band_cross_moments(
         cells.map_batches(derive, batch_format="pyarrow"), ["f1", "f2", "f3"]
     )
-    n, s, qm, d = m["n"], m["s"], m["q"], m["d"]
-    cov = np.empty((d, d))
-    for i in range(d):
-        for j in range(d):
-            key = (min(i, j), max(i, j))
-            cov[i, j] = float(n * qm[key] - s[i] * s[j])
-    sd = np.sqrt(np.diag(cov))
-    corr = cov / np.outer(sd, sd)
-    vif = np.diag(np.linalg.inv(corr))
+    n, s, qm = m["n"], m["s"], m["q"]
+
+    def corr(i, j):
+        num = float(n * qm[(i, j)] - s[i] * s[j])
+        return num / np.sqrt(
+            float(n * qm[(i, i)] - s[i] * s[i])
+            * float(n * qm[(j, j)] - s[j] * s[j])
+        )
+
+    a, b, c = corr(0, 1), corr(0, 2), corr(1, 2)
+    det = 1.0 + 2.0 * (a * b * c) - a * a - b * b - c * c
     return pa.table(
         {
             "feature": pa.array(["f1", "f2", "f3"], pa.string()),
-            "vif": pa.array(vif, pa.float64()),
+            "vif": pa.array(
+                [
+                    (1.0 - c * c) / det,
+                    (1.0 - b * b) / det,
+                    (1.0 - a * a) / det,
+                ],
+                pa.float64(),
+            ),
         }
     )
 
