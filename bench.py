@@ -130,6 +130,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "mutual_info_pmi",
         "grid_interp",
         "semivariogram",
+        "kmeans_exact",
+        "reproject_utm",
         # shuffle-heavy strategies LAST: their sort/join stages leave a
         # large idle-worker pool behind that breaks the per-process
         # broadcast-cache locality of later broadcast-path queries

@@ -804,27 +804,43 @@ def kmeans_cluster_exact(
     import ray as _ray
 
     d = len(int_cols)
+    # the fit re-reads the input once per iteration plus the seed and
+    # final-assign passes; pin the (narrow) feature table in the object
+    # store so iterations scan blocks instead of re-running the read
+    cells = cells.materialize()
 
     def hist_partial(batch: pa.Table) -> pa.Table:
-        out = {}
+        # long-form NONZERO bins only (a dense card-length emission per
+        # batch made the seed pass the dominant cost)
+        fs, vs, cs = [], [], []
         for j, c in enumerate(int_cols):
             v = batch[c].to_numpy().astype(np.int64)
             cnt = np.bincount(v, minlength=card)
-            out[f"h{j}"] = cnt
-        out["v"] = np.arange(card, dtype=np.int64)
-        return pa.table(out)
+            nz = np.flatnonzero(cnt)
+            fs.append(np.full(len(nz), j, dtype=np.int64))
+            vs.append(nz.astype(np.int64))
+            cs.append(cnt[nz])
+        return pa.table(
+            {
+                "f": np.concatenate(fs),
+                "v": np.concatenate(vs),
+                "cnt": np.concatenate(cs),
+            }
+        )
 
     pdf = (
         cells.map_batches(hist_partial, batch_format="pyarrow", batch_size=65536)
         .to_pandas()
-        .groupby("v")
+        .groupby(["f", "v"], as_index=False)["cnt"]
         .sum()
-        .sort_index()
     )
-    n_total = int(pdf["h0"].sum())
+    n_total = int(pdf[pdf["f"] == 0]["cnt"].sum())
     C = np.empty((n_clusters, d), dtype=np.float64)
     for j in range(d):
-        cum = pdf[f"h{j}"].cumsum().to_numpy()
+        g = pdf[pdf["f"] == j].sort_values("v")
+        hist_j = np.zeros(card, dtype=np.int64)
+        hist_j[g["v"].to_numpy()] = g["cnt"].to_numpy()
+        cum = np.cumsum(hist_j)
         for kk in range(n_clusters):
             rank = (n_total * (kk + 1) + n_clusters) // (n_clusters + 1)
             C[kk, j] = float(np.searchsorted(cum, rank))
