@@ -9095,3 +9095,58 @@ def q_mnf_project_2d(sf_dir: str):
         )
 
     return ds.map_batches(project, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "random_points",
+    f"""
+    WITH ex AS (
+      SELECT CAST(i.range // 2 AS BIGINT) AS pt_id,
+             CAST(i.range % 2 AS BIGINT) AS slot,
+             CAST(i.range AS UBIGINT) AS x
+      FROM range(0, 10000) i
+    ),
+    {_sm64_chain("pt_id, slot")},
+    pts AS (
+      SELECT pt_id,
+        MAX(CASE WHEN slot = 0 THEN CAST(z % 16000 AS BIGINT) END) AS ix,
+        MAX(CASE WHEN slot = 1 THEN CAST(z % 16000 AS BIGINT) END) AS iy
+      FROM s6 GROUP BY pt_id
+    )
+    SELECT pt_id,
+           10.0e0 + CAST(ix AS DOUBLE) / 200.0e0 AS x,
+           10.0e0 + CAST(iy AS DOUBLE) / 200.0e0 AS y,
+           CAST((ix - 8000) * (ix - 8000) + (iy - 8000) * (iy - 8000)
+                <= 36000000 AS BIGINT) AS in_circle
+    FROM pts
+    """,
+)
+def q_random_points(sf_dir: str):
+    """create_random_pts_in_bbox / create_random_pts_in_radius
+    (vectorutils/createvectors.py:1679,1403): deterministic
+    counter-based point generation (splitmix64 streams — the repo's
+    seeded-random convention; the reference uses numpy.random) into
+    the bbox [10,90)^2 on the exact 1/200 lattice, with the
+    in-radius-30-of-centre flag as an exact integer test. Generation
+    is partition-independent and fully mirrored in HUGEINT SQL."""
+    from rsgislib_ray.functions.hashing import splitmix64
+
+    def gen(batch) -> pa.Table:
+        i = batch["id"].to_numpy().astype(np.int64)
+        ix = (splitmix64((i * 2).astype(np.uint64)) % 16000).astype(np.int64)
+        iy = (
+            splitmix64((i * 2 + 1).astype(np.uint64)) % 16000
+        ).astype(np.int64)
+        d2 = (ix - 8000) ** 2 + (iy - 8000) ** 2
+        return pa.table(
+            {
+                "pt_id": i,
+                "x": 10.0 + ix.astype(np.float64) / 200.0,
+                "y": 10.0 + iy.astype(np.float64) / 200.0,
+                "in_circle": (d2 <= 36000000).astype(np.int64),
+            }
+        )
+
+    return ray.data.range(5000, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow", batch_size=65536
+    )
