@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-TABLES = ["documents", "embeddings", "lineitem", "part", "events", "customer"]
+TABLES = ["documents", "embeddings", "lineitem", "part", "events", "customer", "supplier"]
 
 # Queries whose engine output and DuckDB oracle must agree exactly.
 PARITY_QUERIES = [
@@ -51,6 +51,24 @@ PARITY_QUERIES = [
     "dsir_select",
     "bpe_pair_counts",
     "paragraph_dedup",
+    # round-2 continuation: geostat / lines / closed-form fits
+    "grid_interp",
+    "semivariogram",
+    "points_along_lines",
+    "orthogonal_lines",
+    "line_intersections",
+    "pt_dist_angle",
+    "accuracy_scores",
+    "reproject_utm",
+    "kmeans_exact",
+    "closed_thresholds",
+    "pca_project_2d",
+    "mnf_project_2d",
+    "vif_scores",
+    "random_points",
+    "noise_covariance",
+    "spectral_unmix",
+    "grouped_linear_fit",
 ]
 
 
