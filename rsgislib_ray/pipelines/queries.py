@@ -9150,3 +9150,156 @@ def q_random_points(sf_dir: str):
     return ray.data.range(5000, override_num_blocks=8).map_batches(
         gen, batch_format="pyarrow", batch_size=65536
     )
+
+
+def _pca3_vec_sql(k: int) -> str:
+    """One eigenvector of the 3x3 covariance for eigenvalue l{k}:
+    cross product of the first two rows of (A - lambda I), sign from
+    the largest-|component| (first-max precedence), normalized."""
+    l = f"l{k}"
+    vx = f"(d * f - e * (b - {l}))"
+    vy = f"(e * d - (a - {l}) * f)"
+    vz = f"((a - {l}) * (b - {l}) - d * d)"
+    L = f"SQRT({vx} * {vx} + {vy} * {vy} + {vz} * {vz})"
+    dom = (
+        f"(CASE WHEN ABS({vx}) >= ABS({vy}) AND ABS({vx}) >= ABS({vz})"
+        f" THEN {vx} WHEN ABS({vy}) >= ABS({vz}) THEN {vy}"
+        f" ELSE {vz} END)"
+    )
+    return ", ".join(
+        f"(CASE WHEN {dom} < 0 THEN -{c} ELSE {c} END) / {L} AS v{k}{i}"
+        for i, c in enumerate((vx, vy, vz))
+    )
+
+
+@register(
+    "pca_project_3d",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST((p.range * 37) % 100 AS BIGINT) + 1 AS b1,
+             CAST((p.range * 61) % 100 AS BIGINT) + 1 AS b2,
+             CAST((p.range * 89) % 100 AS BIGINT) + 1 AS b3
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(b1) AS BIGINT) AS s1, CAST(SUM(b2) AS BIGINT) AS s2,
+        CAST(SUM(b3) AS BIGINT) AS s3,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b1) AS BIGINT) AS q11,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b2) AS BIGINT) AS q12,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b3) AS BIGINT) AS q13,
+        CAST(SUM(CAST(b2 AS HUGEINT) * b2) AS BIGINT) AS q22,
+        CAST(SUM(CAST(b2 AS HUGEINT) * b3) AS BIGINT) AS q23,
+        CAST(SUM(CAST(b3 AS HUGEINT) * b3) AS BIGINT) AS q33
+      FROM px
+    ),
+    cov AS (
+      SELECT n, s1, s2, s3,
+        CAST(n * q11 - s1 * s1 AS DOUBLE) / CAST(n * (n-1) AS DOUBLE) AS a,
+        CAST(n * q22 - s2 * s2 AS DOUBLE) / CAST(n * (n-1) AS DOUBLE) AS b,
+        CAST(n * q33 - s3 * s3 AS DOUBLE) / CAST(n * (n-1) AS DOUBLE) AS c,
+        CAST(n * q12 - s1 * s2 AS DOUBLE) / CAST(n * (n-1) AS DOUBLE) AS d,
+        CAST(n * q13 - s1 * s3 AS DOUBLE) / CAST(n * (n-1) AS DOUBLE) AS e,
+        CAST(n * q23 - s2 * s3 AS DOUBLE) / CAST(n * (n-1) AS DOUBLE) AS f
+      FROM m
+    ),
+    tri AS (
+      SELECT *, (a + b + c) / 3.0e0 AS q3,
+        SQRT(((a - (a + b + c) / 3.0e0) * (a - (a + b + c) / 3.0e0)
+              + (b - (a + b + c) / 3.0e0) * (b - (a + b + c) / 3.0e0)
+              + (c - (a + b + c) / 3.0e0) * (c - (a + b + c) / 3.0e0)
+              + 2.0e0 * (d * d + e * e + f * f)) / 6.0e0) AS pp
+      FROM cov
+    ),
+    tri2 AS (
+      SELECT *,
+        ACOS(LEAST(1.0e0, GREATEST(-1.0e0,
+          (((a - q3) / pp) * (((b - q3) / pp) * ((c - q3) / pp)
+                              - (f / pp) * (f / pp))
+           - (d / pp) * ((d / pp) * ((c - q3) / pp)
+                         - (f / pp) * (e / pp))
+           + (e / pp) * ((d / pp) * (f / pp)
+                         - ((b - q3) / pp) * (e / pp))) / 2.0e0
+        ))) / 3.0e0 AS phi
+      FROM tri
+    ),
+    lam AS (
+      SELECT *,
+        q3 + 2.0e0 * pp * COS(phi) AS l1,
+        3.0e0 * q3 - (q3 + 2.0e0 * pp * COS(phi))
+          - (q3 + 2.0e0 * pp * COS(phi + 2.0943951023931953e0)) AS l2,
+        q3 + 2.0e0 * pp * COS(phi + 2.0943951023931953e0) AS l3
+      FROM tri2
+    ),
+    vec AS (
+      SELECT n, s1, s2, s3,
+        {_pca3_vec_sql(1)},
+        {_pca3_vec_sql(2)},
+        {_pca3_vec_sql(3)}
+      FROM lam
+    )
+    SELECT p.pixel_id,
+      CAST(FLOOR(((p.b1 - CAST(v.s1 AS DOUBLE) / v.n) * v.v10
+                  + (p.b2 - CAST(v.s2 AS DOUBLE) / v.n) * v.v11
+                  + (p.b3 - CAST(v.s3 AS DOUBLE) / v.n) * v.v12)
+                 * 1000000.0e0) AS BIGINT) AS pc1_u,
+      CAST(FLOOR(((p.b1 - CAST(v.s1 AS DOUBLE) / v.n) * v.v20
+                  + (p.b2 - CAST(v.s2 AS DOUBLE) / v.n) * v.v21
+                  + (p.b3 - CAST(v.s3 AS DOUBLE) / v.n) * v.v22)
+                 * 1000000.0e0) AS BIGINT) AS pc2_u,
+      CAST(FLOOR(((p.b1 - CAST(v.s1 AS DOUBLE) / v.n) * v.v30
+                  + (p.b2 - CAST(v.s2 AS DOUBLE) / v.n) * v.v31
+                  + (p.b3 - CAST(v.s3 AS DOUBLE) / v.n) * v.v32)
+                 * 1000000.0e0) AS BIGINT) AS pc3_u
+    FROM px p, vec v
+    """,
+)
+def q_pca_project_3d(sf_dir: str):
+    """perform_image_pca for THREE bands, driver-verified: symmetric
+    3x3 eigendecomposition via the trigonometric closed form (Smith
+    1961 — p/q/det(B)/acos chain), eigenvectors from row cross
+    products, sign-fixed; scores micro-floored (ACOS/COS may differ
+    from DuckDB's libm by 1 ULP). Closed form vs np.linalg.eigh parity
+    is pytest-pinned (tests/test_imagestats.py)."""
+    from rsgislib_ray.stages.imagestats import (
+        band_cross_moments,
+        covariance_from_moments,
+        sym3_eig_closed,
+    )
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "pixel_id": pid,
+                "b1": (pid * 37) % 100 + 1,
+                "b2": (pid * 61) % 100 + 1,
+                "b3": (pid * 89) % 100 + 1,
+            }
+        )
+
+    bands = ds.map_batches(derive, batch_format="pyarrow")
+    m = band_cross_moments(bands, ["b1", "b2", "b3"])
+    A = covariance_from_moments(m)
+    _, vecs = sym3_eig_closed(A)
+    mu = np.array([float(si) / m["n"] for si in m["s"]])
+
+    def project(batch: pa.Table) -> pa.Table:
+        X = np.stack(
+            [batch[c].to_numpy().astype(np.float64) for c in ("b1", "b2", "b3")],
+            axis=1,
+        )
+        out = {"pixel_id": batch["pixel_id"]}
+        for k in range(3):
+            sc = (
+                (X[:, 0] - mu[0]) * vecs[k, 0]
+                + (X[:, 1] - mu[1]) * vecs[k, 1]
+                + (X[:, 2] - mu[2]) * vecs[k, 2]
+            )
+            out[f"pc{k + 1}_u"] = np.floor(sc * 1000000.0).astype(np.int64)
+        return pa.table(out)
+
+    return bands.map_batches(project, batch_format="pyarrow", batch_size=65536)

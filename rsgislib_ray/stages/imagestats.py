@@ -741,3 +741,51 @@ def closed_form_thresholds(hist: np.ndarray) -> dict:
     isodata = int(vals[:-1][np.flatnonzero(okb)[0]])
 
     return {"otsu": otsu, "yen": yen, "isodata": isodata}
+
+
+def sym3_eig_closed(A: np.ndarray):
+    """Eigenvalues (descending) and eigenvectors of a symmetric 3x3
+    via the trigonometric closed form (Smith 1961): the same scalar
+    expression chain a SQL mirror can evaluate. Eigenvectors come from
+    the cross product of the first two rows of (A - lambda I)
+    (requires those rows independent — generic for covariance
+    matrices), normalized and sign-fixed (largest |component|
+    positive). Returns (lams[3], vecs[3,3] rows)."""
+    a, b, c = A[0, 0], A[1, 1], A[2, 2]
+    d, e, f = A[0, 1], A[0, 2], A[1, 2]
+    p1 = d * d + e * e + f * f
+    q = (a + b + c) / 3.0
+    p2 = (a - q) * (a - q) + (b - q) * (b - q) + (c - q) * (c - q) + 2.0 * p1
+    p = np.sqrt(p2 / 6.0)
+    b00, b11, b22 = (a - q) / p, (b - q) / p, (c - q) / p
+    b01, b02, b12 = d / p, e / p, f / p
+    detB = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = detB / 2.0
+    r = min(1.0, max(-1.0, r))
+    phi = np.arccos(r) / 3.0
+    l1 = q + 2.0 * p * np.cos(phi)
+    l3 = q + 2.0 * p * np.cos(phi + 2.0943951023931953)  # + 2*pi/3
+    l2 = 3.0 * q - l1 - l3
+    lams = [l1, l2, l3]
+    vecs = []
+    for lk in lams:
+        r0 = np.array([a - lk, d, e])
+        r1 = np.array([d, b - lk, f])
+        v = np.array(
+            [
+                r0[1] * r1[2] - r0[2] * r1[1],
+                r0[2] * r1[0] - r0[0] * r1[2],
+                r0[0] * r1[1] - r0[1] * r1[0],
+            ]
+        )
+        L = np.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+        v = v / L
+        dom = v[int(np.argmax(np.abs(v)))]
+        if dom < 0:
+            v = -v
+        vecs.append(v)
+    return np.array(lams), np.vstack(vecs)

@@ -500,3 +500,20 @@ def test_mnf_closed_form_matches_eigh(ray_session):
     np.testing.assert_allclose(
         closed["mnf2"].to_numpy(), eigh["mnf2"].to_numpy(), atol=1e-8
     )
+
+
+def test_sym3_closed_form_matches_eigh():
+    from rsgislib_ray.stages.imagestats import sym3_eig_closed
+
+    rng = np.random.default_rng(13)
+    for _ in range(25):
+        M = rng.normal(size=(3, 3))
+        A = M @ M.T + np.eye(3)
+        lams, vecs = sym3_eig_closed(A)
+        w, v = np.linalg.eigh(A)
+        np.testing.assert_allclose(lams, w[::-1], rtol=1e-10)
+        for k in range(3):
+            ref = v[:, 2 - k]
+            if ref[int(np.argmax(np.abs(ref)))] < 0:
+                ref = -ref
+            np.testing.assert_allclose(vecs[k], ref, atol=1e-8)
