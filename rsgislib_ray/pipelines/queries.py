@@ -9303,3 +9303,249 @@ def q_pca_project_3d(sf_dir: str):
         return pa.table(out)
 
     return bands.map_batches(project, batch_format="pyarrow", batch_size=65536)
+
+
+def _mnf3_sql() -> str:
+    """SQL mirror of the closed-form 3-band MNF (stages/imagestats.
+    mnf3_closed): signal + horizontal-neighbor-difference noise
+    moments, closed-form Cholesky whitening, trigonometric symmetric
+    3x3 eigen, back-transform, original-space sign fix, micro-floored
+    scores."""
+
+    def vecu(k: int) -> str:
+        l = f"l{k}"
+        ux = f"(sd * sf2 - se * (sb - {l}))"
+        uy = f"(se * sd - (sa - {l}) * sf2)"
+        uz = f"((sa - {l}) * (sb - {l}) - sd * sd)"
+        L = f"SQRT({ux} * {ux} + {uy} * {uy} + {uz} * {uz})"
+        return ", ".join(
+            f"{c} / {L} AS u{k}{i}" for i, c in enumerate((ux, uy, uz))
+        )
+
+    def comps(k: int) -> str:
+        return (
+            f"u{k}0 * w00 + u{k}1 * w10 + u{k}2 * w20 AS c{k}0, "
+            f"u{k}1 * w11 + u{k}2 * w21 AS c{k}1, "
+            f"u{k}2 * w22 AS c{k}2"
+        )
+
+    def fixed(k: int) -> str:
+        dom = (
+            f"(CASE WHEN ABS(c{k}0) >= ABS(c{k}1)"
+            f" AND ABS(c{k}0) >= ABS(c{k}2) THEN c{k}0"
+            f" WHEN ABS(c{k}1) >= ABS(c{k}2) THEN c{k}1"
+            f" ELSE c{k}2 END)"
+        )
+        return ", ".join(
+            f"CASE WHEN {dom} < 0 THEN -c{k}{i} ELSE c{k}{i} END AS v{k}{i}"
+            for i in range(3)
+        )
+
+    return f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pid,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range * 37) % 100 AS BIGINT) + 1 AS b1,
+             CAST((p.range * 61) % 100 AS BIGINT) + 1 AS b2,
+             CAST((p.range * 89) % 100 AS BIGINT) + 1 AS b3
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    dm AS (
+      SELECT COUNT(*) AS m,
+        CAST(SUM(d0) AS BIGINT) AS t0, CAST(SUM(d1) AS BIGINT) AS t1,
+        CAST(SUM(d2) AS BIGINT) AS t2,
+        CAST(SUM(CAST(d0 AS HUGEINT) * d0) AS BIGINT) AS r00,
+        CAST(SUM(CAST(d0 AS HUGEINT) * d1) AS BIGINT) AS r01,
+        CAST(SUM(CAST(d0 AS HUGEINT) * d2) AS BIGINT) AS r02,
+        CAST(SUM(CAST(d1 AS HUGEINT) * d1) AS BIGINT) AS r11,
+        CAST(SUM(CAST(d1 AS HUGEINT) * d2) AS BIGINT) AS r12,
+        CAST(SUM(CAST(d2 AS HUGEINT) * d2) AS BIGINT) AS r22
+      FROM (
+        SELECT y.b1 - x.b1 AS d0, y.b2 - x.b2 AS d1, y.b3 - x.b3 AS d2
+        FROM px x JOIN px y ON y.rr = x.rr AND y.cc = x.cc + 1
+      )
+    ),
+    sm AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(b1) AS BIGINT) AS s1, CAST(SUM(b2) AS BIGINT) AS s2,
+        CAST(SUM(b3) AS BIGINT) AS s3,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b1) AS BIGINT) AS q11,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b2) AS BIGINT) AS q12,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b3) AS BIGINT) AS q13,
+        CAST(SUM(CAST(b2 AS HUGEINT) * b2) AS BIGINT) AS q22,
+        CAST(SUM(CAST(b2 AS HUGEINT) * b3) AS BIGINT) AS q23,
+        CAST(SUM(CAST(b3 AS HUGEINT) * b3) AS BIGINT) AS q33
+      FROM px
+    ),
+    covs AS (
+      SELECT n, s1, s2, s3,
+        CAST(n*q11 - s1*s1 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS ss00,
+        CAST(n*q12 - s1*s2 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS ss01,
+        CAST(n*q13 - s1*s3 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS ss02,
+        CAST(n*q22 - s2*s2 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS ss11,
+        CAST(n*q23 - s2*s3 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS ss12,
+        CAST(n*q33 - s3*s3 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS ss22,
+        CAST(m*r00 - t0*t0 AS DOUBLE)/CAST(m*(m-1) AS DOUBLE) AS nn00,
+        CAST(m*r01 - t0*t1 AS DOUBLE)/CAST(m*(m-1) AS DOUBLE) AS nn01,
+        CAST(m*r02 - t0*t2 AS DOUBLE)/CAST(m*(m-1) AS DOUBLE) AS nn02,
+        CAST(m*r11 - t1*t1 AS DOUBLE)/CAST(m*(m-1) AS DOUBLE) AS nn11,
+        CAST(m*r12 - t1*t2 AS DOUBLE)/CAST(m*(m-1) AS DOUBLE) AS nn12,
+        CAST(m*r22 - t2*t2 AS DOUBLE)/CAST(m*(m-1) AS DOUBLE) AS nn22
+      FROM sm, dm
+    ),
+    chol AS (
+      SELECT *,
+        SQRT(nn00) AS l00,
+        nn01 / SQRT(nn00) AS l10,
+        nn02 / SQRT(nn00) AS l20
+      FROM covs
+    ),
+    chol2 AS (
+      SELECT *, SQRT(nn11 - l10 * l10) AS l11 FROM chol
+    ),
+    chol3 AS (
+      SELECT *, (nn12 - l20 * l10) / l11 AS l21 FROM chol2
+    ),
+    chol4 AS (
+      SELECT *, SQRT(nn22 - l20 * l20 - l21 * l21) AS l22 FROM chol3
+    ),
+    wmat AS (
+      SELECT *,
+        1.0e0 / l00 AS w00, 1.0e0 / l11 AS w11, 1.0e0 / l22 AS w22,
+        -l10 / (l00 * l11) AS w10,
+        -l21 / (l11 * l22) AS w21,
+        (l10 * l21 - l20 * l11) / (l00 * l11 * l22) AS w20
+      FROM chol4
+    ),
+    tmat AS (
+      SELECT *,
+        w00 * ss00 + 0.0e0 * ss01 + 0.0e0 * ss02 AS t00,
+        w00 * ss01 + 0.0e0 * ss11 + 0.0e0 * ss12 AS t01,
+        w00 * ss02 + 0.0e0 * ss12 + 0.0e0 * ss22 AS t02,
+        w10 * ss00 + w11 * ss01 + 0.0e0 * ss02 AS t10,
+        w10 * ss01 + w11 * ss11 + 0.0e0 * ss12 AS t11,
+        w10 * ss02 + w11 * ss12 + 0.0e0 * ss22 AS t12,
+        w20 * ss00 + w21 * ss01 + w22 * ss02 AS t20,
+        w20 * ss01 + w21 * ss11 + w22 * ss12 AS t21,
+        w20 * ss02 + w21 * ss12 + w22 * ss22 AS t22
+      FROM wmat
+    ),
+    sp AS (
+      SELECT *,
+        t00 * w00 AS sa,
+        t00 * w10 + t01 * w11 AS sd,
+        t00 * w20 + t01 * w21 + t02 * w22 AS se,
+        t10 * w10 + t11 * w11 AS sb,
+        t10 * w20 + t11 * w21 + t12 * w22 AS sf2,
+        t20 * w20 + t21 * w21 + t22 * w22 AS sc
+      FROM tmat
+    ),
+    tri AS (
+      SELECT *, (sa + sb + sc) / 3.0e0 AS q3,
+        SQRT(((sa - (sa + sb + sc) / 3.0e0) * (sa - (sa + sb + sc) / 3.0e0)
+              + (sb - (sa + sb + sc) / 3.0e0) * (sb - (sa + sb + sc) / 3.0e0)
+              + (sc - (sa + sb + sc) / 3.0e0) * (sc - (sa + sb + sc) / 3.0e0)
+              + 2.0e0 * (sd * sd + se * se + sf2 * sf2)) / 6.0e0) AS pp
+      FROM sp
+    ),
+    tri2 AS (
+      SELECT *,
+        ACOS(LEAST(1.0e0, GREATEST(-1.0e0,
+          (((sa - q3) / pp) * (((sb - q3) / pp) * ((sc - q3) / pp)
+                               - (sf2 / pp) * (sf2 / pp))
+           - (sd / pp) * ((sd / pp) * ((sc - q3) / pp)
+                          - (sf2 / pp) * (se / pp))
+           + (se / pp) * ((sd / pp) * (sf2 / pp)
+                          - ((sb - q3) / pp) * (se / pp))) / 2.0e0
+        ))) / 3.0e0 AS phi
+      FROM tri
+    ),
+    lam AS (
+      SELECT *,
+        q3 + 2.0e0 * pp * COS(phi) AS l1,
+        3.0e0 * q3 - (q3 + 2.0e0 * pp * COS(phi))
+          - (q3 + 2.0e0 * pp * COS(phi + 2.0943951023931953e0)) AS l2,
+        q3 + 2.0e0 * pp * COS(phi + 2.0943951023931953e0) AS l3
+      FROM tri2
+    ),
+    uvec AS (
+      SELECT *, {vecu(1)}, {vecu(2)}, {vecu(3)} FROM lam
+    ),
+    cmat AS (
+      SELECT *, {comps(1)}, {comps(2)}, {comps(3)} FROM uvec
+    ),
+    fx AS (
+      SELECT n, s1, s2, s3, {fixed(1)}, {fixed(2)}, {fixed(3)} FROM cmat
+    )
+    SELECT p.pid AS pixel_id,
+      CAST(FLOOR(((p.b1 - CAST(f.s1 AS DOUBLE) / f.n) * f.v10
+                  + (p.b2 - CAST(f.s2 AS DOUBLE) / f.n) * f.v11
+                  + (p.b3 - CAST(f.s3 AS DOUBLE) / f.n) * f.v12)
+                 * 1000000.0e0) AS BIGINT) AS mnf1_u,
+      CAST(FLOOR(((p.b1 - CAST(f.s1 AS DOUBLE) / f.n) * f.v20
+                  + (p.b2 - CAST(f.s2 AS DOUBLE) / f.n) * f.v21
+                  + (p.b3 - CAST(f.s3 AS DOUBLE) / f.n) * f.v22)
+                 * 1000000.0e0) AS BIGINT) AS mnf2_u,
+      CAST(FLOOR(((p.b1 - CAST(f.s1 AS DOUBLE) / f.n) * f.v30
+                  + (p.b2 - CAST(f.s2 AS DOUBLE) / f.n) * f.v31
+                  + (p.b3 - CAST(f.s3 AS DOUBLE) / f.n) * f.v32)
+                 * 1000000.0e0) AS BIGINT) AS mnf3_u
+    FROM px p, fx f
+    """
+
+
+@register("mnf_project_3d", _mnf3_sql())
+def q_mnf_project_3d(sf_dir: str):
+    """perform_image_mnf for THREE bands, driver-verified: closed-form
+    Cholesky noise whitening + trigonometric symmetric 3x3 eigen +
+    back-transform, sign-fixed in the original space; scores
+    micro-floored (ACOS/COS libm skew). Closed form vs whitened-eigh
+    parity is pytest-pinned."""
+    from rsgislib_ray.stages.imagestats import (
+        band_cross_moments,
+        covariance_from_moments,
+        mnf3_closed,
+        neighbor_differences,
+    )
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "pixel_id": pid,
+                "row": batch["row"],
+                "col": batch["col"],
+                "b1": (pid * 37) % 100 + 1,
+                "b2": (pid * 61) % 100 + 1,
+                "b3": (pid * 89) % 100 + 1,
+            }
+        )
+
+    bands = ds.map_batches(derive, batch_format="pyarrow")
+    ms = band_cross_moments(bands, ["b1", "b2", "b3"])
+    diffs = neighbor_differences(bands, ["b1", "b2", "b3"], width=_SEG_N)
+    mn = band_cross_moments(diffs, ["d0", "d1", "d2"])
+    S = covariance_from_moments(ms)
+    N = covariance_from_moments(mn)
+    _, comps = mnf3_closed(S, N)
+    mu = np.array([float(si) / ms["n"] for si in ms["s"]])
+
+    def project(batch: pa.Table) -> pa.Table:
+        X = np.stack(
+            [batch[c].to_numpy().astype(np.float64) for c in ("b1", "b2", "b3")],
+            axis=1,
+        )
+        out = {"pixel_id": batch["pixel_id"]}
+        for k in range(3):
+            sc = (
+                (X[:, 0] - mu[0]) * comps[k, 0]
+                + (X[:, 1] - mu[1]) * comps[k, 1]
+                + (X[:, 2] - mu[2]) * comps[k, 2]
+            )
+            out[f"mnf{k + 1}_u"] = np.floor(sc * 1000000.0).astype(np.int64)
+        return pa.table(out)
+
+    return bands.map_batches(project, batch_format="pyarrow", batch_size=65536)

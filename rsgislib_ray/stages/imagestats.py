@@ -789,3 +789,46 @@ def sym3_eig_closed(A: np.ndarray):
             v = -v
         vecs.append(v)
     return np.array(lams), np.vstack(vecs)
+
+
+def mnf3_closed(S: np.ndarray, N: np.ndarray):
+    """Closed-form 3-band MNF directions: Cholesky-whiten the noise
+    (closed-form 3x3 L and L^-1), closed-form symmetric eigen of the
+    whitened signal (sym3_eig_closed), back-transform comps = W^T u,
+    sign-fix in the original space. Every operation is a scalar
+    expression chain a SQL mirror can evaluate. Returns
+    (snr_eigenvalues[3] desc, comps[3,3] rows, noise-normalized
+    v' N v = 1)."""
+    n00, n11, n22 = N[0, 0], N[1, 1], N[2, 2]
+    n01, n02, n12 = N[0, 1], N[0, 2], N[1, 2]
+    l00 = np.sqrt(n00)
+    l10 = n01 / l00
+    l20 = n02 / l00
+    l11 = np.sqrt(n11 - l10 * l10)
+    l21 = (n12 - l20 * l10) / l11
+    l22 = np.sqrt(n22 - l20 * l20 - l21 * l21)
+    w00 = 1.0 / l00
+    w11 = 1.0 / l11
+    w22 = 1.0 / l22
+    w10 = -l10 / (l00 * l11)
+    w21 = -l21 / (l11 * l22)
+    w20 = (l10 * l21 - l20 * l11) / (l00 * l11 * l22)
+    W = np.array([[w00, 0.0, 0.0], [w10, w11, 0.0], [w20, w21, w22]])
+    T = W @ S
+    Sp = T @ W.T
+    # exact symmetrization: T W^T is symmetric analytically; enforce it
+    # so sym3_eig_closed sees identical off-diagonals on both sides
+    Sp = np.array(
+        [
+            [Sp[0, 0], Sp[0, 1], Sp[0, 2]],
+            [Sp[0, 1], Sp[1, 1], Sp[1, 2]],
+            [Sp[0, 2], Sp[1, 2], Sp[2, 2]],
+        ]
+    )
+    lams, U = sym3_eig_closed(Sp)
+    comps = U @ W  # rows: comps_k = W^T u_k
+    for k in range(3):
+        dom = comps[k, int(np.argmax(np.abs(comps[k])))]
+        if dom < 0:
+            comps[k] = -comps[k]
+    return lams, comps

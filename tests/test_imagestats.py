@@ -517,3 +517,28 @@ def test_sym3_closed_form_matches_eigh():
             if ref[int(np.argmax(np.abs(ref)))] < 0:
                 ref = -ref
             np.testing.assert_allclose(vecs[k], ref, atol=1e-8)
+
+
+def test_mnf3_closed_form_matches_whitened_eigh():
+    from rsgislib_ray.stages.imagestats import mnf3_closed
+
+    rng = np.random.default_rng(31)
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        A = rng.normal(size=(3, 3))
+        S = A @ A.T + np.eye(3) * 2
+        B = rng.normal(size=(3, 3))
+        N = B @ B.T + np.eye(3)
+        lams, comps = mnf3_closed(S, N)
+        wn, vn = np.linalg.eigh(N)
+        ihalf = vn @ np.diag(1.0 / np.sqrt(wn)) @ vn.T
+        w, v = np.linalg.eigh(ihalf @ S @ ihalf)
+        order = np.argsort(w)[::-1]
+        ref = (ihalf @ v[:, order]).T
+        np.testing.assert_allclose(lams, w[order], rtol=1e-9)
+        for k in range(3):
+            r = ref[k]
+            if r[int(np.argmax(np.abs(r)))] < 0:
+                r = -r
+            np.testing.assert_allclose(comps[k], r, atol=1e-8)
+            np.testing.assert_allclose(comps[k] @ N @ comps[k], 1.0, atol=1e-9)
