@@ -111,6 +111,11 @@ def semivariogram(
         r2max = int(edges_sq[-1])
         for dc in range(-rc, rc + 1):
             for dr in range(-rc, rc + 1):
+                # canonical half-plane: each cross-cell pair is seen
+                # once (from its lexicographically-lower cell); the
+                # same-cell offset keeps the id> filter below
+                if dr < 0 or (dr == 0 and dc < 0):
+                    continue
                 # minimal possible distance between a point in the base
                 # cell and one in the (dc, dr)-offset cell
                 min_d = np.hypot(
@@ -139,11 +144,12 @@ def semivariogram(
                     np.cumsum(cnt) - cnt, cnt
                 )
                 tt = idx.order[base + within]
-                # each unordered pair once: target id strictly greater
-                keep = idx.ids[tt] > bid[pp]
-                if not keep.any():
-                    continue
-                pp, tt = pp[keep], tt[keep]
+                if dc == 0 and dr == 0:
+                    # same cell: order by id so each pair counts once
+                    keep = idx.ids[tt] > bid[pp]
+                    if not keep.any():
+                        continue
+                    pp, tt = pp[keep], tt[keep]
                 dx = ibx[pp] - itx[tt]
                 dy = iby[pp] - ity[tt]
                 d2 = dx * dx + dy * dy
