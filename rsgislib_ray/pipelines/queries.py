@@ -5501,10 +5501,34 @@ def q_pagerank_knn(sf_dir: str):
       SELECT z.fid, c.qty FROM zones z JOIN cells c
         ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
     ),
+    r AS (
+      SELECT fid, qty,
+             ROW_NUMBER() OVER (PARTITION BY fid ORDER BY qty) AS rn,
+             COUNT(*) OVER (PARTITION BY fid) AS n
+      FROM j
+    ),
+    -- mirror the engine's exact-histogram interpolation (lo_v +
+    -- (hi_v - lo_v) * frac at pos = (n-1)q) instead of quantile_cont:
+    -- DuckDB's internal interpolation differs by 1 ULP on some zones
+    qk AS (
+      SELECT fid, ANY_VALUE(n) AS n,
+        MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.05e0) AS BIGINT) + 1
+                 THEN qty END) AS lo_a,
+        MAX(CASE WHEN rn = CAST(CEIL((n - 1) * 0.05e0) AS BIGINT) + 1
+                 THEN qty END) AS lo_b,
+        MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.95e0) AS BIGINT) + 1
+                 THEN qty END) AS hi_a,
+        MAX(CASE WHEN rn = CAST(CEIL((n - 1) * 0.95e0) AS BIGINT) + 1
+                 THEN qty END) AS hi_b
+      FROM r GROUP BY fid
+    ),
     q AS (
-      SELECT fid, quantile_cont(qty, 0.05) AS lo,
-                  quantile_cont(qty, 0.95) AS hi
-      FROM j GROUP BY fid
+      SELECT fid,
+        lo_a + (lo_b - lo_a)
+          * ((n - 1) * 0.05e0 - FLOOR((n - 1) * 0.05e0)) AS lo,
+        hi_a + (hi_b - hi_a)
+          * ((n - 1) * 0.95e0 - FLOOR((n - 1) * 0.95e0)) AS hi
+      FROM qk
     ),
     agg AS (
       SELECT j.fid,
