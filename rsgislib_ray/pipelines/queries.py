@@ -304,7 +304,24 @@ def q_zonal_stats(sf_dir: str):
         row_number() OVER (PARTITION BY fid ORDER BY n DESC, val ASC) AS rn
       FROM vc
     ),
-    med AS (SELECT fid, median(qty) AS m FROM j GROUP BY fid)
+    mr AS (
+      SELECT fid, qty,
+             ROW_NUMBER() OVER (PARTITION BY fid ORDER BY qty) AS rn,
+             COUNT(*) OVER (PARTITION BY fid) AS n
+      FROM j
+    ),
+    -- explicit middle-rank median (mirrors the engine's
+    -- (kth(n//2) + kth(n//2+1))/2 for even n; DuckDB median()'s
+    -- internal interpolation can differ by 1 ULP)
+    med AS (
+      SELECT fid,
+        CASE WHEN ANY_VALUE(n) % 2 = 1
+          THEN MAX(CASE WHEN rn = n // 2 + 1 THEN qty END)
+          ELSE (MAX(CASE WHEN rn = GREATEST(n // 2, 1) THEN qty END)
+                + MAX(CASE WHEN rn = n // 2 + 1 THEN qty END)) / 2.0e0
+        END AS m
+      FROM mr GROUP BY fid
+    )
     SELECT z.fid,
       COALESCE(CAST(mo.val AS DOUBLE), -9999.0) AS mode,
       COALESCE(CAST(med.m AS DOUBLE), -9999.0) AS median
@@ -2122,14 +2139,33 @@ def q_value_histogram(sf_dir: str):
       SELECT z.fid, c.qty FROM zones z JOIN cells c
         ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
     ),
+    r AS (
+      SELECT fid, qty,
+             ROW_NUMBER() OVER (PARTITION BY fid ORDER BY qty) AS rn,
+             COUNT(*) OVER (PARTITION BY fid) AS n
+      FROM j
+    ),
+    -- explicit numpy-linear rank interpolation (mirrors the engine;
+    -- quantile_cont's internal interpolation can differ by 1 ULP)
     agg AS (
-      SELECT fid, quantile_cont(qty, 0.25) AS p25,
-                  quantile_cont(qty, 0.75) AS p75
-      FROM j GROUP BY fid
+      SELECT fid, ANY_VALUE(n) AS n,
+        MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.25e0) AS BIGINT) + 1
+                 THEN qty END) AS a25,
+        MAX(CASE WHEN rn = CAST(CEIL((n - 1) * 0.25e0) AS BIGINT) + 1
+                 THEN qty END) AS b25,
+        MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.75e0) AS BIGINT) + 1
+                 THEN qty END) AS a75,
+        MAX(CASE WHEN rn = CAST(CEIL((n - 1) * 0.75e0) AS BIGINT) + 1
+                 THEN qty END) AS b75
+      FROM r GROUP BY fid
     )
     SELECT z.fid,
-      COALESCE(CAST(a.p25 AS DOUBLE), -9999.0) AS p25,
-      COALESCE(CAST(a.p75 AS DOUBLE), -9999.0) AS p75
+      COALESCE(a.a25 + (a.b25 - a.a25)
+               * ((a.n - 1) * 0.25e0 - FLOOR((a.n - 1) * 0.25e0)),
+               -9999.0) AS p25,
+      COALESCE(a.a75 + (a.b75 - a.a75)
+               * ((a.n - 1) * 0.75e0 - FLOOR((a.n - 1) * 0.75e0)),
+               -9999.0) AS p75
     FROM zones z LEFT JOIN agg a ON z.fid = a.fid
     """,
 )
