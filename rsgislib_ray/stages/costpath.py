@@ -114,6 +114,28 @@ def cost_distance(
     per-band dense grids stay in the OBJECT STORE (the driver holds
     refs and two boundary rows per band — at most one transient band
     during assembly — never the raster)."""
+    ds, dist_refs, cost_refs, _, _ = _cost_distance_meta(
+        raster, start_pixel, width, cost_col, row_band, max_iters
+    )
+    return ds, dist_refs, cost_refs
+
+
+def _cost_distance_meta(
+    raster: ray.data.Dataset,
+    start_pixel: int,
+    width: int,
+    cost_col: str = "cost",
+    row_band: int = 16,
+    max_iters: int = 10_000,
+):
+    """cost_distance plus per-band placement metadata (r0s, shapes).
+
+    Each band's grid is anchored at the band's REAL first row (the r0
+    the map_groups stage emits, which ``_dense`` used to build the
+    grid) — NOT ``b * row_band``: a band whose leading rows are
+    entirely absent from the raster starts later, and boundary rows
+    are exchanged between two bands only when they are actually
+    row-adjacent (a gap of absent rows is impassable)."""
 
     def band_of(batch: pa.Table) -> pa.Table:
         r = batch["row"].to_numpy().astype(np.int64)
@@ -125,6 +147,7 @@ def cost_distance(
     sr, sc = divmod(int(start_pixel), width)
     cost_refs: dict = {}
     shapes: dict = {}
+    r0s: dict = {}
     start_cost = 0
     grouped = (
         raster.map_batches(band_of, batch_format="pyarrow")
@@ -148,19 +171,26 @@ def cost_distance(
     for batch in grouped.iter_batches(batch_size=1, batch_format="pyarrow"):
         b = int(batch["band"][0].as_py())
         rows = int(batch["rows"][0].as_py())
+        r0 = int(batch["r0"][0].as_py())  # REAL first row of the band
         grid = np.frombuffer(
             batch["blob"][0].as_py(), dtype=np.int64
         ).reshape(rows, width)
-        r0 = b * row_band
         if r0 <= sr < r0 + rows:
             start_cost = int(grid[sr - r0, sc])
         cost_refs[b] = ray.put(grid)
         shapes[b] = (rows, width)
+        r0s[b] = r0
 
     bands = sorted(cost_refs)
     n_b = len(bands)
     pos = {b: i for i, b in enumerate(bands)}
-    r0s = {b: b * row_band for b in bands}
+    # two consecutive bands exchange boundary rows only if row-adjacent
+    # (absent rows between them are impassable nodata)
+    adj_prev = {
+        b: pos[b] > 0
+        and r0s[bands[pos[b] - 1]] + shapes[bands[pos[b] - 1]][0] == r0s[b]
+        for b in bands
+    }
 
     # per-band dist state lives in the OBJECT STORE; the driver holds
     # refs plus the two boundary rows per band
@@ -186,8 +216,10 @@ def cost_distance(
             b: _relax_band.remote(
                 cost_refs[b],
                 dist_ref[b],
-                bots[bands[pos[b] - 1]] if pos[b] > 0 else None,
-                tops[bands[pos[b] + 1]] if pos[b] < n_b - 1 else None,
+                bots[bands[pos[b] - 1]] if adj_prev[b] else None,
+                tops[bands[pos[b] + 1]]
+                if pos[b] < n_b - 1 and adj_prev[bands[pos[b] + 1]]
+                else None,
             )
             for b in sorted(dirty)
         }
@@ -195,9 +227,13 @@ def cost_distance(
         for b, f in futs.items():
             nd_ref, top, bot, changed = ray.get(f)
             i = pos[b]
-            if i > 0 and not np.array_equal(top, tops[b]):
+            if adj_prev[b] and not np.array_equal(top, tops[b]):
                 dirty.add(bands[i - 1])
-            if i < n_b - 1 and not np.array_equal(bot, bots[b]):
+            if (
+                i < n_b - 1
+                and adj_prev[bands[i + 1]]
+                and not np.array_equal(bot, bots[b])
+            ):
                 dirty.add(bands[i + 1])
             dist_ref[b], tops[b], bots[b] = nd_ref, top, bot
 
@@ -208,6 +244,8 @@ def cost_distance(
         ray.data.from_arrow_refs(table_refs),
         [dist_ref[b] for b in bands],
         [cost_refs[b] for b in bands],
+        [r0s[b] for b in bands],
+        [shapes[b] for b in bands],
     )
 
 
@@ -235,15 +273,20 @@ def least_cost_path(
     the accumulated cost surface. Returns (step, pixel_id, cost_dist)
     from start (step 0) to stop. Backtrace chooses the lowest-pixel-id
     neighbour n with D(n) + cost(p) == D(p)."""
-    ds, dist_refs, cost_refs = cost_distance(
+    ds, dist_refs, cost_refs, r0s, shapes = _cost_distance_meta(
         raster, start_pixel, width, cost_col, row_band
     )
     # the backtrace is a driver-side walk by design (path output is
     # tiny); at raster scales beyond driver memory, walk band-by-band
-    # fetching only the two bands around the current position
-    dist = np.vstack(ray.get(list(dist_refs)))
-    cost = np.vstack(ray.get(list(cost_refs)))
-    h, w = dist.shape
+    # fetching only the two bands around the current position. Bands
+    # are placed at their REAL r0; wholly-absent rows stay impassable.
+    h = max(r0 + sh[0] for r0, sh in zip(r0s, shapes))
+    w = width
+    dist = np.full((h, w), _INF, dtype=np.int64)
+    cost = np.full((h, w), 2**30, dtype=np.int64)
+    for r0, sh, dref, cref in zip(r0s, shapes, dist_refs, cost_refs):
+        dist[r0 : r0 + sh[0]] = ray.get(dref)
+        cost[r0 : r0 + sh[0]] = ray.get(cref)
     path = []
     p = int(stop_pixel)
     if dist[p // w, p % w] >= _INF:

@@ -1017,6 +1017,19 @@ def _explode_paragraphs(
     )
     run_doc = parent[run_starts]
     run_para = para[run_starts]
+    # enc packs (doc_id, para_idx) into one int64 — guard the bounds
+    # the packing relies on so overflow never silently corrupts the
+    # min(enc) winner selection
+    if run_para.size and int(run_para.max()) >= 1 << 20:
+        raise ValueError(
+            "paragraph_dedup: a document has >= 2^20 paragraphs; "
+            "widen enc to a two-column (doc_id, para_idx) min"
+        )
+    if did.size and (int(did.max()) >= 1 << 43 or int(did.min()) < 0):
+        raise ValueError(
+            "paragraph_dedup: doc ids must be in [0, 2^43) for the "
+            "packed (doc_id, para_idx) encoding"
+        )
     enc = did[run_doc] * np.int64(1 << 20) + run_para
     ph = polyhash_strings(texts.to_numpy(zero_copy_only=False)).astype(
         np.int64

@@ -756,6 +756,15 @@ def sym3_eig_closed(A: np.ndarray):
     p1 = d * d + e * e + f * f
     q = (a + b + c) / 3.0
     p2 = (a - q) * (a - q) + (b - q) * (b - q) + (c - q) * (c - q) + 2.0 * p1
+    if p2 == 0.0:
+        # exactly isotropic (A = q*I, e.g. constant or perfectly
+        # uncorrelated equal-variance bands): every direction is an
+        # eigenvector; return the diagonal and identity axes instead
+        # of dividing by p=0 and poisoning PCA/MNF scores with NaNs
+        return (
+            np.array([q, q, q], dtype=np.float64),
+            np.eye(3, dtype=np.float64),
+        )
     p = np.sqrt(p2 / 6.0)
     b00, b11, b22 = (a - q) / p, (b - q) / p, (c - q) / p
     b01, b02, b12 = d / p, e / p, f / p

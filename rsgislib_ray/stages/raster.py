@@ -385,6 +385,19 @@ def build_pyramid(
     def partial(batch: pa.Table) -> pa.Table:
         px0 = np.floor(batch[x_col].to_numpy()).astype(np.int64)
         py0 = np.floor(batch[y_col].to_numpy()).astype(np.int64)
+        # the OR-packed key needs 0 <= px,py < 2^20 — negative coords
+        # (floor of x<0) or larger grids would silently aggregate
+        # under wrong pixels, so enforce the documented bound
+        if len(px0) and (
+            int(px0.min()) < 0
+            or int(py0.min()) < 0
+            or int(px0.max()) >= 1 << 20
+            or int(py0.max()) >= 1 << 20
+        ):
+            raise ValueError(
+                "build_pyramid: pixel coords must be in [0, 2^20) for "
+                "the packed (level, px, py) key; shift/rescale inputs"
+            )
         v = batch[value_col].to_numpy().astype(np.int64)
         frames = []
         for lvl in range(levels):

@@ -90,6 +90,61 @@ def test_least_cost_path_valid(ray_session):
     assert (np.diff(d) == cost[r[1:], c[1:]]).all()
 
 
+def test_cost_distance_absent_leading_rows(ray_session):
+    """A band whose leading rows are entirely absent anchors at its
+    REAL first row (r0 = row.min()), not band*row_band: pixel ids are
+    unshifted, the start-cost lookup is right even when the start sits
+    below the gap, and a row gap between bands is impassable."""
+    import ray
+
+    from rsgislib_ray.stages.costpath import cost_distance
+
+    n = 32
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    cost = ((pid % 7) + 1).astype(np.int64)
+    keep = (row < 8) | (row >= 12)  # band 1 (rows 8..15) loses 8..11
+    tbl = pa.table(
+        {
+            "pixel_id": pid[keep],
+            "row": row[keep],
+            "col": col[keep],
+            "cost": cost[keep],
+        }
+    )
+    ds, _, _ = cost_distance(
+        ray.data.from_arrow(tbl).repartition(5),
+        start_pixel=0,
+        width=n,
+        row_band=8,
+    )
+    got = ds.to_pandas().sort_values("pixel_id")
+    # pixel ids are exactly the surviving ids — no shift
+    assert (got["pixel_id"].to_numpy() == pid[keep]).all()
+    d = dict(zip(got["pixel_id"], got["cost_dist"]))
+    # top block matches Dijkstra on its own 8-row grid
+    top = _dijkstra(cost[row < 8].reshape(8, n), 0)
+    for r in range(8):
+        for c in range(0, n, 5):
+            assert d[r * n + c] == top[r, c]
+    # everything below the gap is unreachable
+    assert all(d[p] >= 2**62 for p in pid[row >= 12][:: n // 2])
+
+    # start BELOW the gap: start-cost must come from the right cell
+    start = 20 * n + 3
+    ds2, _, _ = cost_distance(
+        ray.data.from_arrow(tbl).repartition(5),
+        start_pixel=start,
+        width=n,
+        row_band=8,
+    )
+    got2 = ds2.to_pandas().sort_values("pixel_id")
+    d2 = dict(zip(got2["pixel_id"], got2["cost_dist"]))
+    assert d2[start] == cost[start]
+    # top block is unreachable from below the gap
+    assert all(d2[p] >= 2**62 for p in pid[row < 8][:: n // 2])
+
+
 def test_cost_distance_large_maze(ray_session):
     """256x256 raster with concentric cheap corridors (16 bands) —
     converges and matches Dijkstra."""

@@ -282,6 +282,30 @@ def test_minhash_dedup_returns_streaming_dataset(ray_session):
     assert isinstance(ex, rd.Dataset)
 
 
+def test_paragraph_enc_bounds_guarded():
+    """The packed (doc_id, para_idx) int64 encoding raises loudly on
+    out-of-range doc ids instead of silently colliding winners."""
+    from rsgislib_ray.stages.dedup import _explode_paragraphs
+
+    bad = pa.table({"doc_id": [1 << 43], "text": ["a b c d"]})
+    with pytest.raises(ValueError, match="doc ids"):
+        _explode_paragraphs(bad, 2, "text", "doc_id", False)
+    ok = pa.table({"doc_id": [(1 << 43) - 1], "text": ["a b c d"]})
+    _explode_paragraphs(ok, 2, "text", "doc_id", False)
+
+
+def test_build_pyramid_coord_bounds_guarded(ray_session):
+    """Negative pixel coords must raise (the OR-packed key would
+    silently aggregate them under wrong pixels)."""
+    from rsgislib_ray.stages.raster import build_pyramid
+
+    ds = ray.data.from_items(
+        [{"x": -1.5, "y": 2.0, "val_cents": 10}]
+    )
+    with pytest.raises(Exception, match="pixel coords"):
+        build_pyramid(ds, levels=2).materialize()
+
+
 def test_paragraph_dedup_semantics(ray_session):
     """First-occurrence paragraph dedup: unique corpus is identity
     (modulo truncated-window re-join), an exact copy vanishes, a

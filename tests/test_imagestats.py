@@ -519,6 +519,17 @@ def test_sym3_closed_form_matches_eigh():
             np.testing.assert_allclose(vecs[k], ref, atol=1e-8)
 
 
+def test_sym3_isotropic_degenerate():
+    """Exactly isotropic A = q*I (p2 == 0) must not produce NaNs —
+    eigenvalues are the diagonal, eigenvectors the identity axes."""
+    from rsgislib_ray.stages.imagestats import sym3_eig_closed
+
+    lams, vecs = sym3_eig_closed(np.eye(3) * 2.5)
+    assert np.isfinite(lams).all() and np.isfinite(vecs).all()
+    np.testing.assert_allclose(lams, [2.5, 2.5, 2.5])
+    np.testing.assert_allclose(vecs, np.eye(3))
+
+
 def test_mnf3_closed_form_matches_whitened_eigh():
     from rsgislib_ray.stages.imagestats import mnf3_closed
 
