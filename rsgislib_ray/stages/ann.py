@@ -367,6 +367,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    labels: str = "auto",
 ) -> ray.data.Dataset:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): quantize the embedding space into clusters, find
@@ -383,9 +384,12 @@ def semantic_dedup(
     Scale shape mirrors :func:`embedding_near_dup` + minhash_dedup's
     labeling: the normalized matrix + cluster assignment are built once
     per worker from block refs (never on the driver), pair emission is
-    a blocked same-cluster masked matmul, only the CONTRACTED verified
-    pair list reaches the driver for union-find, and the final label
-    sweep is a broadcast-map over the corpus.
+    a blocked same-cluster masked matmul, and component labeling runs
+    through :mod:`rsgislib_ray.stages.components` — per-worker
+    vectorized union-find over object-store pair blocks
+    (``labels="driver"``) or fully distributed min-label propagation
+    (``labels="native"``); ``"auto"`` picks by pair count. No pair row
+    ever lands on the driver either way.
 
     Returns (vec_id, cluster, rep_id, keep).
     """
@@ -418,52 +422,115 @@ def semantic_dedup(
             }
         )
 
-    pdf = (
-        embeddings.map_batches(pairs, batch_format="pyarrow", batch_size=4096)
-        .to_pandas()
-        .drop_duplicates()
+    from rsgislib_ray.stages.components import (
+        DRIVER_MAX_EDGES,
+        build_root_arrays,
+        components_native_labels,
+        lookup_roots,
+        root_map_blocks,
     )
 
-    parent: dict = {}
+    pairs_ds = embeddings.map_batches(
+        pairs, batch_format="pyarrow", batch_size=4096
+    ).materialize()
+    strategy = labels
+    if strategy == "auto":
+        strategy = (
+            "driver" if pairs_ds.count() <= DRIVER_MAX_EDGES else "native"
+        )
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    if strategy == "driver":
+        # verified-pair blocks stay in the object store; each worker
+        # builds the union-find root map once (vectorized — see
+        # stages/components.py); nothing lands on the driver
+        pair_refs = root_map_blocks(pairs_ds, "u", "v")
 
-    for u, v in zip(pdf["u"], pdf["v"]):
-        ru, rv = find(int(u)), find(int(v))
-        if ru != rv:
-            lo, hi = (ru, rv) if ru <= rv else (rv, ru)
-            parent[hi] = lo
+        def label(batch: pa.Table) -> pa.Table:
+            from rsgislib_ray.state.broadcast import cached_multi
 
-    keys = np.array(sorted(parent.keys()), dtype=np.int64)
-    vals = np.array([find(int(k)) for k in keys], dtype=np.int64)
-    root_ref = ray.put((keys, vals))
+            _ids_all, _Mn, _cl_all, C, cent_ids = cached_multi(
+                refs, build_state
+            )
+            kk, vv = cached_multi(
+                pair_refs, lambda ts: build_root_arrays(ts, "u", "v")
+            )
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            B = _normalize(_to_matrix(batch[vec_col]))
+            bcl = cent_ids[np.argmax(B @ C.T, axis=1)]
+            rep = lookup_roots(ids, kk, vv)
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "cluster": pa.array(bcl),
+                    "rep_id": pa.array(rep),
+                    "keep": pa.array(rep == ids),
+                }
+            )
 
-    def label(batch: pa.Table) -> pa.Table:
-        from rsgislib_ray.state.broadcast import cached, cached_multi
+        return embeddings.map_batches(
+            label, batch_format="pyarrow", batch_size=4096
+        )
+
+    if strategy != "native":
+        raise ValueError(f"unknown labels strategy {labels!r}")
+
+    # 100 TB path: distributed min-label propagation, then a
+    # hash-partitioned left join attaches roots to the base sweep
+    from rsgislib_ray.stages.components import drop_empty_blocks
+    from rsgislib_ray.stages.spatial_join import _default_join_partitions
+
+    roots = drop_empty_blocks(
+        components_native_labels(pairs_ds, "u", "v").map_batches(
+            lambda t: pa.table({id_col: t["node"], "__root": t["root"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+    def base(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached_multi
 
         _ids_all, _Mn, _cl_all, C, cent_ids = cached_multi(refs, build_state)
-        kk, vv = cached(root_ref)
         ids = batch[id_col].to_numpy().astype(np.int64)
         B = _normalize(_to_matrix(batch[vec_col]))
         bcl = cent_ids[np.argmax(B @ C.T, axis=1)]
-        rep = ids.copy()
-        if len(kk):
-            pos = np.minimum(np.searchsorted(kk, ids), len(kk) - 1)
-            hit = kk[pos] == ids
-            rep[hit] = vv[pos[hit]]
+        return pa.table({id_col: pa.array(ids), "cluster": pa.array(bcl)})
+
+    based = embeddings.map_batches(
+        base, batch_format="pyarrow", batch_size=4096
+    )
+    if roots is None:  # no components: every vector is its own rep
+
+        def selfrep(t: pa.Table) -> pa.Table:
+            ids = t[id_col].cast(pa.int64())
+            return pa.table(
+                {
+                    id_col: ids,
+                    "cluster": t["cluster"],
+                    "rep_id": ids,
+                    "keep": pa.array(np.ones(len(t), dtype=bool)),
+                }
+            )
+
+        return based.map_batches(selfrep, batch_format="pyarrow")
+    joined = based.join(
+        roots,
+        join_type="left_outer",
+        num_partitions=_default_join_partitions(None),
+        on=(id_col,),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t[id_col].cast(pa.int64())
+        rep = pc.coalesce(t["__root"].cast(pa.int64()), ids)
         return pa.table(
             {
-                id_col: pa.array(ids),
-                "cluster": pa.array(bcl),
-                "rep_id": pa.array(rep),
-                "keep": pa.array(rep == ids),
+                id_col: ids,
+                "cluster": t["cluster"],
+                "rep_id": rep,
+                "keep": pc.equal(rep, ids),
             }
         )
 
-    return embeddings.map_batches(
-        label, batch_format="pyarrow", batch_size=4096
-    )
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -378,20 +378,43 @@ def verify_pairs_jaccard(
     text_col: str = "text",
     num_buckets: int = 32,
 ) -> pd.DataFrame:
-    """Exact-Jaccard verification of candidate pairs, DISTRIBUTED:
-    the (tiny, contracted) pair adjacency is broadcast; the corpus
-    streams through a map_batches that emits one row per (pair, side)
-    with that doc's sorted shingle-hash array; rows co-partition by
-    ``pair_id % num_buckets`` and each bucket verifies its pairs with
-    vectorized sorted-array intersection (np.intersect1d). No document
-    text ever lands on the driver. Shingle sets are compared by 64-bit
-    hash — collision probability is negligible and deterministic.
-
-    Returns the surviving (doc_a, doc_b, jaccard) rows (small)."""
+    """Pandas-pairs convenience wrapper over
+    :func:`verify_pairs_jaccard_ds` (small, driver-resident pair lists
+    — tests and notebooks)."""
     if len(pairs) == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    a = pairs["doc_a"].to_numpy()
-    b = pairs["doc_b"].to_numpy()
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pairs["doc_a"].to_numpy().astype(np.int64),
+                "doc_b": pairs["doc_b"].to_numpy().astype(np.int64),
+            }
+        )
+    )
+    return verify_pairs_jaccard_ds(
+        docs, pairs_ds, threshold, shingle_k, id_col, text_col, num_buckets
+    ).to_pandas()
+
+
+def _build_pair_adjacency(tables: list) -> tuple:
+    """``cached_multi`` build fn over the MATERIALIZED candidate-pair
+    blocks: dedup pairs deterministically (lexsort on (a, b)) and lay
+    out the (sorted doc_id -> (pair_id, side)) adjacency arrays for the
+    explode stage plus the (a, b) pair arrays the verify stage uses to
+    emit surviving rows. Built once per worker process from block refs
+    — the pair list never lands on the driver."""
+    e8 = np.empty(0, np.int8)
+    e = np.empty(0, np.int64)
+    nonempty = [t for t in tables if t.num_rows]
+    if not nonempty:
+        return e, e, e, e, e8
+    t = pa.concat_tables(nonempty)
+    a = t["doc_a"].to_numpy().astype(np.int64)
+    b = t["doc_b"].to_numpy().astype(np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    a, b = a[keep], b[keep]
     n = len(a)
     pid = np.arange(n, dtype=np.int64)
     doc_ids = np.concatenate([a, b])
@@ -399,13 +422,48 @@ def verify_pairs_jaccard(
     side2 = np.concatenate(
         [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
     )
-    order = np.argsort(doc_ids, kind="stable")
-    adj_ref = ray.put((doc_ids[order], pid2[order], side2[order]))
+    o = np.argsort(doc_ids, kind="stable")
+    return a, b, doc_ids[o], pid2[o], side2[o]
+
+
+def verify_pairs_jaccard_ds(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    threshold: float,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate pairs, DISTRIBUTED end
+    to end: the (contracted) pair blocks are materialized to the
+    OBJECT STORE and each worker builds the dedup-sorted adjacency once
+    (``cached_multi`` — the driver only ever holds block refs); the
+    corpus streams through a map_batches that emits one row per
+    (pair, side) with that doc's sorted shingle-hash array; rows
+    co-partition by ``pair_id % num_buckets`` and each bucket verifies
+    its pairs with vectorized sorted-array intersection
+    (np.intersect1d). No document text OR PAIR ROW ever lands on the
+    driver. Shingle sets are compared by 64-bit hash — collision
+    probability is negligible and deterministic.
+
+    Returns a streaming Dataset of surviving (doc_a, doc_b, jaccard)."""
+    _empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    mat = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    if mat.count() == 0:
+        return ray.data.from_arrow(_empty)
+    refs = mat.to_arrow_refs()
 
     def explode(batch: pa.Table) -> pa.Table:
-        from rsgislib_ray.state.broadcast import cached
+        from rsgislib_ray.state.broadcast import cached_multi
 
-        dsrt, psrt, ssrt = cached(adj_ref)
+        _a, _b, dsrt, psrt, ssrt = cached_multi(refs, _build_pair_adjacency)
         ids = batch[id_col].to_numpy()
         lo = np.searchsorted(dsrt, ids, side="left")
         hi = np.searchsorted(dsrt, ids, side="right")
@@ -451,6 +509,9 @@ def verify_pairs_jaccard(
     exploded = docs.map_batches(explode, batch_format="pyarrow", batch_size=4096)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        from rsgislib_ray.state.broadcast import cached_multi
+
+        a_arr, b_arr, _d, _p, _s = cached_multi(refs, _build_pair_adjacency)
         got: dict = {}
         ok_pids = []
         sims = []
@@ -467,23 +528,18 @@ def verify_pairs_jaccard(
             if sim >= threshold:
                 ok_pids.append(key)
                 sims.append(sim)
+        ok = np.array(ok_pids, dtype=np.int64)
         return pd.DataFrame(
             {
-                "pair_id": pd.Series(ok_pids, dtype="int64"),
+                "doc_a": pd.Series(a_arr[ok], dtype="int64"),
+                "doc_b": pd.Series(b_arr[ok], dtype="int64"),
                 "jaccard": pd.Series(sims, dtype="float64"),
             }
         )
 
-    ver = (
+    return (
         exploded.groupby("vb")
         .map_groups(arrowize(verify), batch_format="pandas")
-        .to_pandas()
-    )
-    if len(ver) == 0:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    keep = ver["pair_id"].to_numpy()
-    return pd.DataFrame(
-        {"doc_a": a[keep], "doc_b": b[keep], "jaccard": ver["jaccard"].to_numpy()}
     )
 
 
@@ -495,66 +551,38 @@ def minhash_dedup(
     n_perm: int = 128,
     n_bands: int = 16,
     shingle_k: int = 3,
+    labels: str = "auto",
 ) -> ray.data.Dataset:
     """Near-dup clustering: LSH candidates -> distributed exact-Jaccard
-    verify -> union-find over the contracted verified pairs (driver,
-    tiny) -> broadcast labeling sweep over the corpus.
+    verify -> connected components over the contracted verified-pair
+    graph -> label sweep over the corpus.
 
-    Returns a Dataset of (doc_id, cluster_id, keep). Only CONTRACTED
-    state (candidate pairs, the non-trivial union-find map) ever lands
-    on the driver; document texts and the id sweep stay distributed.
+    Returns a Dataset of (doc_id, cluster_id, keep). NOTHING lands on
+    the driver at any stage: candidate and verified pair blocks live in
+    the object store (workers build the adjacency / union-find state
+    once per process from block refs), and labeling is either a
+    broadcast searchsorted sweep (``labels="driver"`` — the misnomer
+    means "one worker heap holds the root map") or fully distributed
+    min-label propagation (``labels="native"``, the 100 TB path);
+    ``"auto"`` picks by verified-edge count. See
+    :mod:`rsgislib_ray.stages.components`.
     """
     texts_needed = ds.select_columns([id_col, text_col])
     pairs_ds = minhash_lsh_candidates(
         texts_needed, text_col, id_col, n_perm, n_bands, shingle_k
     )
-    # contracted pair list (bounded by band collisions) -> driver
-    pdf = pairs_ds.to_pandas().drop_duplicates()
-    verified = verify_pairs_jaccard(
-        texts_needed, pdf, threshold, shingle_k, id_col, text_col
+    verified = verify_pairs_jaccard_ds(
+        texts_needed, pairs_ds, threshold, shingle_k, id_col, text_col
     )
+    from rsgislib_ray.stages.components import components_label_ids
 
-    # Union-find over verified pairs (contracted graph).
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for pa_, pb_ in zip(verified["doc_a"], verified["doc_b"]):
-        ra, rb = find(pa_), find(pb_)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-            parent[hi] = lo
-
-    # broadcast the (tiny) non-self root map; label the corpus in a
-    # vectorized map_batches — no corpus-wide driver pull
-    keys = np.array(sorted(parent.keys()), dtype=np.int64)
-    vals = np.array([find(k) for k in keys], dtype=np.int64)
-    root_ref = ray.put((keys, vals))
-
-    def label(batch: pa.Table) -> pa.Table:
-        from rsgislib_ray.state.broadcast import cached
-
-        kk, vv = cached(root_ref)
-        i = batch[id_col].to_numpy().astype(np.int64)
-        cluster = i.copy()
-        if len(kk):
-            pos = np.minimum(np.searchsorted(kk, i), len(kk) - 1)
-            hit = kk[pos] == i
-            cluster[hit] = vv[pos[hit]]
-        return pa.table(
-            {
-                id_col: pa.array(i),
-                "cluster_id": pa.array(cluster),
-                "keep": pa.array(cluster == i),
-            }
-        )
-
-    return texts_needed.select_columns([id_col]).map_batches(
-        label, batch_format="pyarrow"
+    return components_label_ids(
+        texts_needed.select_columns([id_col]),
+        id_col,
+        verified,
+        u_col="doc_a",
+        v_col="doc_b",
+        strategy=labels,
     )
 
 
@@ -609,10 +637,14 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: 4 x 16-bit band buckets guarantee any
     pair within Hamming distance 3 shares >= 1 band (pigeonhole), then
-    exact Hamming verification per bucket."""
+    exact Hamming verification per bucket. Fully distributed: interior
+    bucket runs pair in-block, boundary runs stitch in a grouped pass,
+    cross-band repeats dedup in a two-key groupby — no pair or member
+    row ever lands on the driver. Returns a streaming Dataset of
+    (doc_a, doc_b, hamming)."""
     with_sig = add_simhash(ds.select_columns([id_col, text_col]), text_col)
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -712,31 +744,69 @@ def simhash_near_dup_pairs(
             }
         )
 
-    both = sorted_bands.map_batches(emit, batch_format="pyarrow").to_pandas()
-    pairs = both[both["hamming"] >= 0][["doc_a", "doc_b", "hamming"]]
-    bnd = both[both["hamming"] < 0]
-    extra = []
-    for _bucket, g in bnd.groupby("bucket"):
+    both = sorted_bands.map_batches(emit, batch_format="pyarrow").materialize()
+    pairs_ds = both.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["hamming"], 0)).select(
+            ["doc_a", "doc_b", "hamming"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    # boundary runs (O(#blocks) buckets): pair them in a DISTRIBUTED
+    # grouped pass keyed by bucket — the same stitch discipline as
+    # minhash_lsh_candidates; no boundary member row lands on the driver
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=["doc_a"]).sort_values("doc_a")
         ids = g["doc_a"].to_numpy()
         sg = g["sig"].to_numpy().astype(np.uint64)
         if len(ids) < 2:
-            continue
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
         ii, jj = np.triu_indices(len(ids), k=1)
         hd = hamming64(sg[ii], sg[jj])
         ok = hd <= max_hamming
-        extra.append(
-            pd.DataFrame(
-                {"doc_a": ids[ii[ok]], "doc_b": ids[jj[ok]], "hamming": hd[ok]}
-            )
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(ids[ii[ok]], dtype="int64"),
+                "doc_b": pd.Series(ids[jj[ok]], dtype="int64"),
+                "hamming": pd.Series(hd[ok], dtype="int64"),
+            }
         )
-    if extra:
-        pairs = pd.concat([pairs] + extra, ignore_index=True)
-    pdf = pairs.drop_duplicates(subset=["doc_a", "doc_b"])
-    return pa.Table.from_pandas(
-        pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
-        preserve_index=False,
-    ).replace_schema_metadata(None)
+
+    extra = (
+        both.map_batches(
+            lambda t: t.filter(pa.compute.less(t["hamming"], 0)).select(
+                ["doc_a", "bucket", "sig"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(arrowize(stitch), batch_format="pandas")
+    )
+
+    # a pair can surface from up to 4 bands — dedup DISTRIBUTED with a
+    # two-key groupby (hamming is a pure function of the pair, so min
+    # is just "pick one"); pair volume is contracted, never O(n^2)
+    deduped = (
+        pairs_ds.union(extra)
+        .groupby(["doc_a", "doc_b"])
+        .min("hamming")
+    )
+    return deduped.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "hamming": t["min(hamming)"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def ngram_jaccard_pairs(

@@ -39,6 +39,9 @@ import ray
 import ray.data
 
 from rsgislib_ray.functions.arrowize import arrowize
+from rsgislib_ray.stages.components import (
+    edge_components_minlabel as _edge_components_minlabel,
+)
 
 
 def _local_cc_unionfind(
@@ -76,55 +79,18 @@ def _local_cc_unionfind(
     ea = np.concatenate(ea) if ea else np.empty(0, dtype=np.int64)
     eb = np.concatenate(eb) if eb else np.empty(0, dtype=np.int64)
 
-    parent = np.arange(len(rows), dtype=np.int64)
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(ea.tolist(), eb.tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    # resolve to roots, then map root position -> min pixel_id
-    roots = np.array([find(i) for i in range(len(rows))], dtype=np.int64)
-    order = np.argsort(roots, kind="stable")
-    sr = roots[order]
+    # vectorized min-hooking union-find over the local edge list (node
+    # INDICES play the label role); isolated nodes stay self-rooted
+    keys, roots = _edge_components_minlabel(ea, eb)
+    roots_all = np.arange(len(rows), dtype=np.int64)
+    roots_all[keys] = roots
+    # map each component (identified by min index) -> min pixel_id
+    order = np.argsort(roots_all, kind="stable")
+    sr = roots_all[order]
     starts = np.concatenate([[0], np.flatnonzero(np.diff(sr)) + 1])
     min_pid = np.minimum.reduceat(pixel_ids[order], starts)
-    root_min = dict(zip(sr[starts].tolist(), min_pid.tolist()))
-    return np.array([root_min[r] for r in roots], dtype=np.int64)
-
-
-def _edge_components_minlabel(ea: np.ndarray, eb: np.ndarray):
-    """Vectorized union-find (min-hooking + pointer jumping) over an
-    edge list of int64 labels. Returns (labels, root_label) arrays where
-    root_label is the component's MINIMUM label — O(E log V) numpy, no
-    per-edge Python loop."""
-    if len(ea) == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    labels = np.unique(np.concatenate([ea, eb]))
-    ia = np.searchsorted(labels, ea)
-    ib = np.searchsorted(labels, eb)
-    parent = np.arange(len(labels), dtype=np.int64)
-    while True:
-        while True:  # full path compression by pointer jumping
-            gp = parent[parent]
-            if np.array_equal(gp, parent):
-                break
-            parent = gp
-        ra, rb = parent[ia], parent[ib]
-        if np.all(ra == rb):
-            break
-        lo = np.minimum(ra, rb)
-        hi = np.maximum(ra, rb)
-        np.minimum.at(parent, hi, lo)
-    return labels, labels[parent]
+    comp_of = np.searchsorted(sr[starts], roots_all)
+    return min_pid[comp_of]
 
 
 def clump(
@@ -290,7 +256,9 @@ def clump(
     ref = ray.put((keys, vals))
 
     def relabel(batch: pa.Table) -> pa.Table:
-        k, v = ray.get(ref) if hasattr(ref, "hex") else ref
+        from rsgislib_ray.state.broadcast import cached
+
+        k, v = cached(ref)
         lab = batch["local_label"].to_numpy()
         if len(k) == 0:
             mapped = lab
