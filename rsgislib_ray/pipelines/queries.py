@@ -875,39 +875,16 @@ def q_layer_union(sf_dir: str):
     """,
 )
 def q_event_windows(sf_dir: str):
-    """Tumbling 1-hour windows per user over the events log — batch
-    windowing via partial per-batch aggregation (no event-time engine in
-    the reference either, SURVEY.md §2.12)."""
+    """Tumbling 1-hour windows per user over the events log
+    (stages/events.py:tumbling_windows — ``combine="driver"`` here;
+    the ``"native"`` distributed combine is pytest-verified identical
+    and is the 10^9-user path)."""
+    from rsgislib_ray.stages.events import tumbling_windows
+
     ds = td.read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     ).repartition(32)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        win = ts // 3_600_000_000
-        df = pd.DataFrame(
-            {
-                "user_id": batch["user_id"].to_numpy(),
-                "window_id": win,
-                "cents": np.rint(batch["value"].to_numpy() * 100).astype(
-                    np.int64
-                ),
-            }
-        )
-        g = df.groupby(["user_id", "window_id"], as_index=False).agg(
-            n=("cents", "size"), sum_cents=("cents", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    # partials are per-(batch, user, window) — small; combine on the
-    # driver (exact integer sums). At true event-log scale swap for the
-    # native groupby().aggregate(Sum, Sum) — identical semantics.
-    pdf = partials.to_pandas()
-    out = pdf.groupby(["user_id", "window_id"], as_index=False).agg(
-        n=("n", "sum"), sum_cents=("sum_cents", "sum")
-    )
-    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+    return tumbling_windows(ds)
 
 
 # ===========================================================================

@@ -17,6 +17,85 @@ import pyarrow as pa
 import ray.data
 
 
+def tumbling_windows(
+    ds: ray.data.Dataset,
+    window_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    slide: int = 1,
+    combine: str = "driver",
+) -> pa.Table | ray.data.Dataset:
+    """Tumbling (``slide=1``) or sliding (``slide=k``: each event lands
+    in k consecutive windows — the duplicate-and-tumble rewrite)
+    per-user windowed COUNT + exact integer SUM(round(value*100)).
+
+    ``combine`` selects where the per-(batch, user, window) partials
+    reduce — the same switch :func:`rsgislib_ray.stages.zonal
+    .zonal_stats` has:
+
+    - ``"driver"``: one pandas groupby over the pre-reduced partials —
+      fastest while active (user, window) cardinality is modest; this
+      is what a dashboard query wants.
+    - ``"native"``: distributed ``groupby([user, window]).aggregate
+      (Sum, Sum)`` — the 10^9-user event-log path: the driver never
+      sees a partial row, identical values since partials are exact
+      integers. Returns a streaming Dataset.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        win = ts // window_us
+        uid = batch[user_col].to_numpy()
+        cents = np.rint(batch[value_col].to_numpy() * 100).astype(np.int64)
+        if slide > 1:
+            uid = np.tile(uid, slide)
+            cents = np.tile(cents, slide)
+            win = np.concatenate([win - k for k in range(slide)])
+        df = pd.DataFrame(
+            {"user_id": uid, "window_id": win, "cents": cents}
+        )
+        g = df.groupby(["user_id", "window_id"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    if combine == "native":
+        from ray.data.aggregate import Sum
+
+        agg = partials.groupby(["user_id", "window_id"]).aggregate(
+            Sum("n"), Sum("sum_cents")
+        )
+
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "window_id": t["window_id"],
+                    "n": t["sum(n)"],
+                    "sum_cents": t["sum(sum_cents)"],
+                }
+            )
+
+        return agg.map_batches(rename, batch_format="pyarrow")
+    if combine != "driver":
+        raise ValueError(f"unknown combine {combine!r}")
+    pdf = partials.to_pandas()
+    out = pdf.groupby(["user_id", "window_id"], as_index=False).agg(
+        n=("n", "sum"), sum_cents=("sum_cents", "sum")
+    )
+    return pa.Table.from_pandas(
+        out, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
 def sorted_user_apply(
     ds: ray.data.Dataset,
     block_fn,

@@ -148,6 +148,33 @@ def test_sortmerge_and_events_partition_independent(ray_session, sf_dir):
     np.testing.assert_array_equal(sess_at(2), sess_at(11))
 
 
+def test_tumbling_windows_native_combine_identical(ray_session, sf_dir):
+    """VERDICT r2 #2: the event-window family's combine="native" path
+    (distributed groupby aggregate — the 10^9-user shape) is
+    bit-identical to the default driver combine, for tumbling (slide=1)
+    and sliding (slide=2) windows."""
+    from rsgislib_ray.sources import testdata as td
+    from rsgislib_ray.stages.events import tumbling_windows
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).repartition(8)
+    for slide in (1, 2):
+        drv = (
+            tumbling_windows(ds, slide=slide, combine="driver")
+            .to_pandas()
+            .sort_values(["user_id", "window_id"])
+            .reset_index(drop=True)
+        )
+        nat = (
+            tumbling_windows(ds, slide=slide, combine="native")
+            .to_pandas()
+            .sort_values(["user_id", "window_id"])
+            .reset_index(drop=True)[drv.columns]
+        )
+        assert (drv.to_numpy() == nat.to_numpy()).all(), slide
+
+
 def test_stratified_sample_partition_independent(ray_session):
     import numpy as np
     import pyarrow as pa
