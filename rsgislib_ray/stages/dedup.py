@@ -90,16 +90,23 @@ def exact_dedup(
         order = np.lexsort((i, h))
         h2, i2 = h[order], i[order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(h2)) + 1])
-        return pa.table({"content_hash": h2[starts], "min_id": i2[starts]})
+        ends = np.concatenate([starts[1:], [len(h2)]])
+        return pa.table(
+            {
+                "content_hash": h2[starts],
+                "min_id": i2[starts],
+                "cnt": (ends - starts).astype(np.int64),
+            }
+        )
 
     from rsgislib_ray.stages.segsum import segment_sum
 
     winners = segment_sum(
         hashed.map_batches(partial, batch_format="pyarrow", batch_size=65536),
         "content_hash",
-        ["min_id"],
-        aggs=["min"],
-    )  # columns: content_hash, min_id — sort+reduceat distributed
+        ["min_id", "cnt"],
+        aggs=["min", "sum"],
+    )  # columns: content_hash, min_id, cnt — sort+reduceat distributed
     # (Ray's native groupby.min runs its combine per group in Python;
     # the segment reducer is ~100x faster at high hash cardinality —
     # see stages/segsum.py.)
@@ -109,19 +116,39 @@ def exact_dedup(
 
         num_partitions = _default_join_partitions(num_partitions)
 
+        # only hashes seen >= 2 times need adjudication — a unique
+        # hash's single row is its own winner. Filtering the right side
+        # to DUP GROUPS (the rare case on a real crawl) shrinks the
+        # join's build side from |distinct| to |dup groups|; the
+        # left_outer join keeps unique rows (null win_id) untouched.
         def rename(b: pa.Table) -> pa.Table:
+            dup = pa.compute.greater_equal(b["cnt"], 2)
+            b = b.filter(dup)
             return pa.table(
                 {"content_hash": b["content_hash"], "win_id": b["min_id"]}
             )
 
         w = winners.map_batches(rename, batch_format="pyarrow")
+        from rsgislib_ray.stages.components import drop_empty_blocks
+
+        w = drop_empty_blocks(w)
+        if w is None:  # no duplicate hashes at all
+
+            def strip(b: pa.Table) -> pa.Table:
+                return b.drop_columns(["content_hash"])
+
+            return hashed.map_batches(strip, batch_format="pyarrow")
         joined = hashed.join(
-            w, join_type="inner", num_partitions=num_partitions,
+            w, join_type="left_outer", num_partitions=num_partitions,
             on=("content_hash",),
         )
 
         def keep_join(b: pa.Table) -> pa.Table:
-            ok = pa.compute.equal(b[id_col], b["win_id"])
+            import pyarrow.compute as pc
+
+            ok = pc.or_kleene(
+                pc.is_null(b["win_id"]), pc.equal(b[id_col], b["win_id"])
+            )
             return b.filter(ok).drop_columns(["content_hash", "win_id"])
 
         return joined.map_batches(keep_join, batch_format="pyarrow")
@@ -133,8 +160,12 @@ def exact_dedup(
         if not nonempty:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         t = pa.concat_tables(nonempty)
-        wh = t["content_hash"].to_numpy()
-        wi = t["min_id"].to_numpy()
+        # broadcast only the DUP-GROUP winners (cnt >= 2): unique
+        # hashes pass the filter implicitly, so the broadcast table
+        # shrinks from |distinct| to |dup groups|
+        dup = t["cnt"].to_numpy() >= 2
+        wh = t["content_hash"].to_numpy()[dup]
+        wi = t["min_id"].to_numpy()[dup]
         order = np.argsort(wh, kind="stable")
         return wh[order], wi[order]
 
@@ -142,12 +173,15 @@ def exact_dedup(
         from rsgislib_ray.state.broadcast import cached_multi
 
         kh, ki = cached_multi(_blocks, build_winner_arrays)
-        if len(batch) == 0 or len(kh) == 0:
-            return batch.slice(0, 0).drop_columns(["content_hash"])
+        if len(batch) == 0:
+            return batch.drop_columns(["content_hash"])
+        if len(kh) == 0:  # no duplicate hashes: everything survives
+            return batch.drop_columns(["content_hash"])
         h = batch["content_hash"].to_numpy()
         i = batch[id_col].to_numpy()
         pos = np.minimum(np.searchsorted(kh, h), len(kh) - 1)
-        ok = (kh[pos] == h) & (ki[pos] == i)
+        present = kh[pos] == h
+        ok = ~present | (ki[pos] == i)
         return batch.filter(pa.array(ok)).drop_columns(["content_hash"])
 
     return hashed.map_batches(

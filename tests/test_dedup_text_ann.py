@@ -219,6 +219,25 @@ def test_exact_dedup_join_strategy_matches_broadcast(ray_session, sf_dir):
     pd.testing.assert_frame_equal(a, b[a.columns])
 
 
+def test_exact_dedup_planted_dups_both_strategies(ray_session):
+    """With real duplicate groups present, the dup-only winner filter
+    (cnt >= 2) keeps exactly the min-id row of each group in both the
+    broadcast and join strategies."""
+    texts = [f"unique doc {i}" for i in range(40)] + ["dup body"] * 5 + [
+        "other dup"
+    ] * 3
+    ids = np.arange(len(texts), dtype=np.int64)
+    rng = np.random.default_rng(4)
+    perm = rng.permutation(len(ids))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids[perm], "text": np.array(texts)[perm]})
+    ).repartition(4)
+    want = set(range(40)) | {40, 45}
+    for strat in ("broadcast", "join"):
+        got = exact_dedup(ds, ["text"], strategy=strat).to_pandas()
+        assert set(got["doc_id"]) == want, strat
+
+
 def test_lsh_all_pairs_per_bucket(ray_session):
     """3 identical docs share every band bucket: candidates must
     contain ALL 3 pairs, not just star pairs to the bucket minimum
