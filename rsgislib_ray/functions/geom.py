@@ -463,6 +463,42 @@ def triangulate_ring(ring: np.ndarray) -> list:
     return [t for t in tris if abs(ring_area(t)) > 1e-12]
 
 
+def polygon_intersection(a: np.ndarray, b: np.ndarray) -> list:
+    """``a ∩ b`` for ARBITRARY simple rings as disjoint piece polygons:
+    triangulate both, clip every CCW a-triangle against every CCW
+    b-triangle (both convex -> Sutherland-Hodgman is exact). Pieces are
+    disjoint up to shared edges (a-triangles disjoint; b-triangles
+    disjoint within each), and their union is a ∩ b — the general
+    concave x concave overlay the reference gets from geopandas
+    (/root/reference/python/rsgislib/vectorgeoms/__init__.py:
+    1292-1505)."""
+    tbs = triangulate_ring(b)
+    out = []
+    for ta in triangulate_ring(a):
+        for tb in tbs:
+            p = clip_polygon_convex(ta, tb)
+            if len(p) >= 6 and abs(ring_area(p)) > 1e-12:
+                out.append(p)
+    return out
+
+
+def polygon_symdiff_pieces(a: np.ndarray, b: np.ndarray) -> list:
+    """Symmetric difference of two ARBITRARY simple rings as disjoint
+    pieces ((a − b) ∪ (b − a); each side via
+    :func:`polygon_difference`)."""
+    return polygon_difference(a, b) + polygon_difference(b, a)
+
+
+def polygon_union_pieces(a: np.ndarray, b: np.ndarray) -> list:
+    """Union of two ARBITRARY simple rings as disjoint pieces
+    ((a ∩ b) ∪ (a − b) ∪ (b − a))."""
+    return (
+        polygon_intersection(a, b)
+        + polygon_difference(a, b)
+        + polygon_difference(b, a)
+    )
+
+
 def polygon_difference(subject: np.ndarray, clip: np.ndarray) -> list:
     """``subject`` minus an ARBITRARY simple ``clip`` ring: triangulate
     the clip and fold :func:`convex_difference` over the triangles

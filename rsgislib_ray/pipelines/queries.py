@@ -8365,6 +8365,83 @@ def q_reproject_utm(sf_dir: str):
     return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
 
 
+def _conic_sql(kind: str) -> str:
+    from rsgislib_ray.functions.conic import (
+        ALBERS_CONUS,
+        LCC_FR,
+        albers_oracle_sql_chain,
+        lcc_oracle_sql_chain,
+    )
+
+    if kind == "lcc":
+        lat, lon = "43.0e0 + y * 0.07e0", "-4.0e0 + x * 0.11e0"
+        e_sql, n_sql = lcc_oracle_sql_chain(LCC_FR, lat, lon)
+    else:
+        lat, lon = "25.0e0 + y * 0.2e0", "-120.0e0 + x * 0.5e0"
+        e_sql, n_sql = albers_oracle_sql_chain(ALBERS_CONUS, lat, lon)
+    return f"""
+    WITH base AS ({td.SQL_BASE_PTS})
+    SELECT base_id,
+      CAST(FLOOR({e_sql} * 10000.0e0) AS BIGINT) AS easting_tmm,
+      CAST(FLOOR({n_sql} * 10000.0e0) AS BIGINT) AS northing_tmm
+    FROM base
+    """
+
+
+@register("reproject_lcc", _conic_sql("lcc"))
+def q_reproject_lcc(sf_dir: str):
+    """reproj_vec_lyr to a Lambert conformal conic CRS (the reference
+    routes any EPSG pair through osgeo.osr,
+    vectorutils/__init__.py:804; no proj database exists here, so the
+    engine implements the published Snyder 15-1..15-10 closed form on
+    WGS84 — functions/conic.py). Lambert-93-shaped parameterization;
+    outputs tenth-millimetre integer floors (constants inlined as
+    literals in BOTH the engine and the SQL mirror, so only the
+    per-point libm chain can diverge by 1 ULP)."""
+    from rsgislib_ray.functions.conic import LCC_FR, lcc_forward
+
+    pts = td.base_points_from_customer(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        e, n = lcc_forward(43.0 + y * 0.07, -4.0 + x * 0.11, LCC_FR)
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "easting_tmm": np.floor(e * 10000.0).astype(np.int64),
+                "northing_tmm": np.floor(n * 10000.0).astype(np.int64),
+            }
+        )
+
+    return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register("reproject_albers", _conic_sql("albers"))
+def q_reproject_albers(sf_dir: str):
+    """reproj_vec_lyr to an Albers equal-area conic CRS (CONUS
+    EPSG:5070-shaped parameterization on WGS84; Snyder 14-1..14-6 —
+    functions/conic.py). Same literal-constants + tenth-millimetre
+    floor discipline as reproject_lcc."""
+    from rsgislib_ray.functions.conic import ALBERS_CONUS, albers_forward
+
+    pts = td.base_points_from_customer(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        e, n = albers_forward(25.0 + y * 0.2, -120.0 + x * 0.5, ALBERS_CONUS)
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "easting_tmm": np.floor(e * 10000.0).astype(np.int64),
+                "northing_tmm": np.floor(n * 10000.0).astype(np.int64),
+            }
+        )
+
+    return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
 @register(
     "per_group_quantile_filter",
     """
