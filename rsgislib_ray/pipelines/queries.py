@@ -4331,6 +4331,102 @@ def q_overlay_difference_concave(sf_dir: str):
 
 
 @register(
+    "overlay_pieces_concave",
+    f"""
+    WITH zones AS ({td.SQL_ZONES}),
+    z AS (
+      SELECT fid, xmin, ymin, xmax, ymax,
+        (xmin + xmax) / 2.0e0 AS xm, (ymin + ymax) / 2.0e0 AS ym
+      FROM zones
+    ),
+    ar AS (
+      SELECT fid, xmin AS rx0, ymin AS ry0, xmax AS rx1, ym AS ry1 FROM z
+      UNION ALL
+      SELECT fid, xmin, ym, xm, ymax FROM z
+    ),
+    br(bx0, by0, bx1, by1) AS (VALUES
+      (0.0e0, 0.0e0, 40.0e0, 20.0e0), (0.0e0, 20.0e0, 20.0e0, 40.0e0)),
+    inter AS (
+      SELECT fid, SUM(
+        GREATEST(LEAST(rx1, bx1) - GREATEST(rx0, bx0), 0.0e0)
+        * GREATEST(LEAST(ry1, by1) - GREATEST(ry0, by0), 0.0e0)
+      ) AS ia
+      FROM ar CROSS JOIN br GROUP BY fid
+    ),
+    areas AS (
+      SELECT fid,
+        (xmax - xmin) * (ym - ymin) + (xm - xmin) * (ymax - ym) AS aa
+      FROM z
+    )
+    SELECT a.fid,
+      CAST(FLOOR(i.ia * 1000000.0e0 + 0.5e0) AS BIGINT) AS inter_micro,
+      CAST(FLOOR((a.aa + 1200.0e0 - i.ia) * 1000000.0e0 + 0.5e0)
+           AS BIGINT) AS union_micro,
+      CAST(FLOOR((a.aa + 1200.0e0 - 2.0e0 * i.ia) * 1000000.0e0 + 0.5e0)
+           AS BIGINT) AS symdiff_micro
+    FROM areas a JOIN inter i ON a.fid = i.fid
+    """,
+)
+def q_overlay_pieces_concave(sf_dir: str):
+    """General CONCAVE x CONCAVE overlay emitting piece geometries
+    (reference geopandas overlay family, vectorgeoms/__init__.py:
+    1292-1505): each zone is concavified into an L (its rect minus the
+    top-right quadrant) and overlaid against a fixed L-shaped layer
+    polygon via dual-triangulation piece clipping
+    (functions/geom.polygon_intersection / polygon_difference /
+    polygon_union_pieces — arbitrary simple rings, disjoint output
+    pieces). The query reports per-zone exact piece-area totals for
+    intersection / union / symmetric difference; both L-shapes
+    decompose into two disjoint rects for the closed-form oracle.
+    Half-micro rounding absorbs the ulp noise of diagonal
+    (triangulation hypotenuse) clip points."""
+    from rsgislib_ray.functions.geom import (
+        polygon_difference,
+        polygon_intersection,
+        ring_area,
+    )
+
+    B = np.array(
+        [0.0, 0.0, 40.0, 0.0, 40.0, 20.0, 20.0, 20.0, 20.0, 40.0, 0.0, 40.0]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        xmin = batch["xmin"].to_numpy()
+        xmax = batch["xmax"].to_numpy()
+        ymin = batch["ymin"].to_numpy()
+        ymax = batch["ymax"].to_numpy()
+        n = len(batch)
+        inter = np.empty(n, dtype=np.int64)
+        union = np.empty(n, dtype=np.int64)
+        symd = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            xm = (xmin[i] + xmax[i]) / 2.0
+            ym = (ymin[i] + ymax[i]) / 2.0
+            A = np.array(
+                [
+                    xmin[i], ymin[i], xmax[i], ymin[i], xmax[i], ym,
+                    xm, ym, xm, ymax[i], xmin[i], ymax[i],
+                ]
+            )
+            ia = sum(ring_area(p) for p in polygon_intersection(A, B))
+            da = sum(ring_area(p) for p in polygon_difference(A, B))
+            db = sum(ring_area(p) for p in polygon_difference(B, A))
+            inter[i] = np.int64(np.floor(ia * 1e6 + 0.5))
+            union[i] = np.int64(np.floor((ia + da + db) * 1e6 + 0.5))
+            symd[i] = np.int64(np.floor((da + db) * 1e6 + 0.5))
+        return pa.table(
+            {
+                "fid": batch["fid"],
+                "inter_micro": inter,
+                "union_micro": union,
+                "symdiff_micro": symd,
+            }
+        )
+
+    return td.zones_dataset(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
     "token_count_bpe",
     """
     SELECT doc_id,

@@ -108,6 +108,56 @@ def _clips(t, tid):
     return x0[keep], x1[keep], y0[keep], y1[keep]
 
 
+def _pieces_cover(pieces, px, py):
+    """Membership count of each sample point across pieces (> 1 means
+    overlap, 0 means hole)."""
+    from rsgislib_ray.functions import geom as G
+
+    cnt = np.zeros(len(px), dtype=np.int64)
+    for p in pieces:
+        cnt += G.points_in_ring(px, py, p).astype(np.int64)
+    return cnt
+
+
+def test_concave_concave_pieces_monte_carlo():
+    """polygon_intersection / union / symdiff pieces over two genuinely
+    concave, non-axis-aligned simple polygons: the pieces tile the
+    boolean region exactly — every interior sample point is covered by
+    EXACTLY ONE piece, every exterior point by none, and total area
+    matches the even-odd brute within float noise."""
+    from rsgislib_ray.functions import geom as G
+
+    # a 4-point star (concave octagon) and a concave dart, both with
+    # non-axis-aligned edges
+    star = np.array(
+        [0.0, 0.0, 8.0, 3.0, 16.0, 0.0, 12.0, 8.0, 16.0, 16.0,
+         8.0, 12.0, 0.0, 16.0, 4.0, 8.0]
+    )
+    arrow = np.array([2.0, -1.0, 18.0, 8.0, 2.0, 17.0, 7.0, 8.0])
+    rng = np.random.default_rng(17)
+    px = rng.uniform(-3, 21, 4000)
+    py = rng.uniform(-3, 21, 4000)
+    in_a = G.points_in_ring(px, py, star)
+    in_b = G.points_in_ring(px, py, arrow)
+    cases = {
+        "inter": (G.polygon_intersection(star, arrow), in_a & in_b),
+        "union": (G.polygon_union_pieces(star, arrow), in_a | in_b),
+        "symdiff": (G.polygon_symdiff_pieces(star, arrow), in_a ^ in_b),
+    }
+    for name, (pieces, want) in cases.items():
+        cnt = _pieces_cover(pieces, px, py)
+        # boundary-adjacent samples can land on shared piece edges;
+        # tolerate a tiny fraction of edge hits, none with cnt > 1
+        # deep inside
+        agree = (cnt == want.astype(np.int64)).mean()
+        assert agree > 0.995, (name, agree)
+        assert (cnt <= 1).mean() > 0.999, name  # disjointness
+        area = sum(G.ring_area(p) for p in pieces)
+        # brute area estimate from the sample (24x24 box)
+        est = want.mean() * 24.0 * 24.0
+        assert abs(area - est) < 0.05 * 24 * 24, (name, area, est)
+
+
 def test_union_partition_independent(ray_session):
     import ray
 
