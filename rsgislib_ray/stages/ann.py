@@ -368,6 +368,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     labels: str = "auto",
+    state: str = "full",
 ) -> ray.data.Dataset:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): quantize the embedding space into clusters, find
@@ -391,8 +392,27 @@ def semantic_dedup(
     (``labels="native"``); ``"auto"`` picks by pair count. No pair row
     ever lands on the driver either way.
 
+    ``state`` selects where the normalized-matrix state lives:
+
+    - ``"full"``: each worker holds the whole normalized matrix
+      (built once per process from block refs) and every batch runs a
+      masked matmul against it — fastest while the corpus fits a
+      worker heap, zero shuffles.
+    - ``"cluster"``: the 100 TB path — only the tiny centroid table is
+      broadcast; vectors shuffle ONCE by cluster id
+      (``groupby(cluster).map_groups``) and each group holds one
+      cluster's matrix, so worker heap scales with the LARGEST
+      CLUSTER, never the corpus. Bit-identical output (same dot
+      products, same threshold tests — pytest-verified).
+
     Returns (vec_id, cluster, rep_id, keep).
     """
+    if state == "cluster":
+        return _semantic_dedup_cluster(
+            embeddings, n_clusters, threshold, vec_col, id_col, labels
+        )
+    if state != "full":
+        raise ValueError(f"unknown state {state!r}")
     refs = embeddings.select_columns([id_col, vec_col]).to_arrow_refs()
 
     def build_state(tables: list):
@@ -513,6 +533,175 @@ def semantic_dedup(
 
         return based.map_batches(selfrep, batch_format="pyarrow")
     joined = based.join(
+        roots,
+        join_type="left_outer",
+        num_partitions=_default_join_partitions(None),
+        on=(id_col,),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t[id_col].cast(pa.int64())
+        rep = pc.coalesce(t["__root"].cast(pa.int64()), ids)
+        return pa.table(
+            {
+                id_col: ids,
+                "cluster": t["cluster"],
+                "rep_id": rep,
+                "keep": pc.equal(rep, ids),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _semantic_dedup_cluster(
+    embeddings: ray.data.Dataset,
+    n_clusters: int,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    labels: str,
+) -> ray.data.Dataset:
+    """semantic_dedup with CLUSTER-PARTITIONED state (the 100 TB path;
+    see :func:`semantic_dedup` ``state="cluster"``): broadcast only the
+    centroid table, shuffle vectors once by cluster id, emit pairs per
+    cluster group with a blocked in-group matmul. Worker heap holds one
+    cluster, never the corpus. Output is bit-identical to the full
+    path: the same per-row normalization, the same argmax assignment
+    expression, the same pairwise dot products and threshold tests."""
+    narrow = embeddings.select_columns([id_col, vec_col])
+
+    # centroid candidates: per-batch n_clusters smallest ids -> a tiny
+    # (blocks x k) table in the object store; workers pick the global
+    # k smallest and normalize (identical rows to the full path's
+    # argsort(ids)[:k] selection)
+    def topk_small(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")[:n_clusters]
+        return batch.take(pa.array(order, pa.int64()))
+
+    from rsgislib_ray.stages.components import drop_empty_blocks
+
+    small = drop_empty_blocks(
+        narrow.map_batches(topk_small, batch_format="pyarrow")
+    )
+    if small is None:
+        raise ValueError("semantic_dedup: empty embedding dataset")
+    srefs = small.to_arrow_refs()
+
+    def build_centroids(tables: list):
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        ids = t[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")[:n_clusters]
+        cent_ids = ids[order]
+        C = _normalize(_to_matrix(t[vec_col]))[order]
+        return C, cent_ids
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached_multi
+
+        C, cent_ids = cached_multi(srefs, build_centroids)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        B = _normalize(_to_matrix(batch[vec_col]))
+        bcl = cent_ids[np.argmax(B @ C.T, axis=1)]
+        return batch.append_column("cluster", pa.array(bcl, pa.int64()))
+
+    tagged = narrow.map_batches(tag, batch_format="pyarrow", batch_size=4096)
+
+    # ONE exchange: vectors co-partition by cluster; each group holds
+    # one cluster's matrix and emits its verified pairs
+    def cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        M = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        us, vs = [], []
+        step = 1024  # blocked: step x cluster_size sims at a time
+        for cs in range(0, len(ids), step):
+            ce = min(len(ids), cs + step)
+            sims = M[cs:ce] @ M.T
+            bi, ai = np.nonzero(sims >= threshold)
+            keep = ids[cs:ce][bi] < ids[ai]
+            us.append(ids[cs:ce][bi[keep]])
+            vs.append(ids[ai[keep]])
+        u = np.concatenate(us) if us else np.empty(0, np.int64)
+        v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        return pd.DataFrame(
+            {
+                "u": pd.Series(u, dtype="int64"),
+                "v": pd.Series(v, dtype="int64"),
+            }
+        )
+
+    pairs_ds = (
+        tagged.groupby("cluster")
+        .map_groups(arrowize(cluster_pairs), batch_format="pandas")
+        .materialize()
+    )
+
+    from rsgislib_ray.stages.components import (
+        DRIVER_MAX_EDGES,
+        build_root_arrays,
+        components_native_labels,
+        lookup_roots,
+        root_map_blocks,
+    )
+
+    strategy = labels
+    if strategy == "auto":
+        strategy = (
+            "driver" if pairs_ds.count() <= DRIVER_MAX_EDGES else "native"
+        )
+
+    base = tagged.select_columns([id_col, "cluster"])
+    if strategy == "driver":
+        pair_refs = root_map_blocks(pairs_ds, "u", "v")
+
+        def label(batch: pa.Table) -> pa.Table:
+            from rsgislib_ray.state.broadcast import cached_multi
+
+            kk, vv = cached_multi(
+                pair_refs, lambda ts: build_root_arrays(ts, "u", "v")
+            )
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            rep = lookup_roots(ids, kk, vv)
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "cluster": batch["cluster"],
+                    "rep_id": pa.array(rep),
+                    "keep": pa.array(rep == ids),
+                }
+            )
+
+        return base.map_batches(label, batch_format="pyarrow")
+
+    if strategy != "native":
+        raise ValueError(f"unknown labels strategy {labels!r}")
+
+    from rsgislib_ray.stages.spatial_join import _default_join_partitions
+
+    roots = drop_empty_blocks(
+        components_native_labels(pairs_ds, "u", "v").map_batches(
+            lambda t: pa.table({id_col: t["node"], "__root": t["root"]}),
+            batch_format="pyarrow",
+        )
+    )
+    if roots is None:
+
+        def selfrep(t: pa.Table) -> pa.Table:
+            ids = t[id_col].cast(pa.int64())
+            return pa.table(
+                {
+                    id_col: ids,
+                    "cluster": t["cluster"],
+                    "rep_id": ids,
+                    "keep": pa.array(np.ones(len(t), dtype=bool)),
+                }
+            )
+
+        return base.map_batches(selfrep, batch_format="pyarrow")
+    joined = base.join(
         roots,
         join_type="left_outer",
         num_partitions=_default_join_partitions(None),
