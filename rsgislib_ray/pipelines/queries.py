@@ -6070,6 +6070,85 @@ def q_eliminate_singletons(sf_dir: str):
     return out.select_columns(["pixel_id", "elim_label"])
 
 
+@register(
+    "focal_stats",
+    f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST(CASE WHEN (31 * (p.range // {_SEG_N})
+                             + 17 * (p.range % {_SEG_N})) % 37 = 0 THEN 7
+                  ELSE ((p.range // {_SEG_N}) // 4
+                        + (p.range % {_SEG_N}) // 4) % 5 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    w AS MATERIALIZED (
+      SELECT a.pixel_id, a.val AS ctr, b.val AS v
+      FROM px a JOIN px b
+        ON abs(a.rr - b.rr) <= 1 AND abs(a.cc - b.cc) <= 1
+    ),
+    agg AS (
+      SELECT pixel_id, ANY_VALUE(ctr) AS ctr,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(v) AS BIGINT) AS s,
+        CAST(SUM(v * v) AS BIGINT) AS s2,
+        CAST(MIN(v) AS BIGINT) AS mn,
+        CAST(MAX(v) AS BIGINT) AS mx,
+        CAST(SUM(ABS(ctr - v)) AS BIGINT) AS tdabs
+      FROM w GROUP BY pixel_id
+    ),
+    med AS (
+      SELECT pixel_id,
+        (MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+         + MAX(CASE WHEN rn = n // 2 + 1 THEN v END)) / 2.0e0 AS f_median
+      FROM (
+        SELECT pixel_id, v,
+          ROW_NUMBER() OVER (PARTITION BY pixel_id ORDER BY v) AS rn,
+          COUNT(*) OVER (PARTITION BY pixel_id) AS n
+        FROM w
+      ) GROUP BY pixel_id
+    ),
+    md AS (
+      SELECT pixel_id, v AS f_mode FROM (
+        SELECT pixel_id, v, ROW_NUMBER() OVER (PARTITION BY pixel_id
+          ORDER BY COUNT(*) DESC, v ASC) AS rn
+        FROM w GROUP BY pixel_id, v
+      ) WHERE rn = 1
+    )
+    SELECT a.pixel_id,
+      a.mn AS f_min, a.mx AS f_max, a.mx - a.mn AS f_range,
+      a.s AS f_total, med.f_median, md.f_mode,
+      SQRT(GREATEST(CAST(a.s2 AS DOUBLE) / a.n
+           - (CAST(a.s AS DOUBLE) / a.n) * (CAST(a.s AS DOUBLE) / a.n),
+           0.0e0)) AS f_stddev,
+      CAST(a.ctr AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n AS f_mean_diff,
+      ABS(CAST(a.ctr AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n)
+        AS f_mean_diff_abs,
+      a.n * a.ctr - a.s AS f_total_diff,
+      a.tdabs AS f_total_diff_abs,
+      CASE WHEN CAST(a.s AS DOUBLE) / a.n > 0
+        THEN SQRT(GREATEST(CAST(a.s2 AS DOUBLE) / a.n
+             - (CAST(a.s AS DOUBLE) / a.n) * (CAST(a.s AS DOUBLE) / a.n),
+             0.0e0)) / (CAST(a.s AS DOUBLE) / a.n)
+        ELSE -1.0e0 END AS f_coeff_var
+    FROM agg a JOIN med USING (pixel_id) JOIN md USING (pixel_id)
+    """,
+)
+def q_focal_stats(sf_dir: str):
+    """The reference's focal-filter family (median/mode/stddev/range/
+    mean-diff[-abs]/total-diff[-abs]/coeff-of-var/total,
+    imagefilter/__init__.py:38-445) in one halo-duplicated tiled pass
+    (stages/raster.py:focal_stats). All integer statistics exact; the
+    float chains (mean/var/std/coeff) are literal IEEE expression
+    mirrors, bit-equal to DuckDB (division and sqrt are correctly
+    rounded)."""
+    from rsgislib_ray.stages.raster import focal_stats
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    return focal_stats(ds, kernel_size=3, tile_size=32)
+
+
 @register("eliminate_small", None)
 def q_eliminate_small(sf_dir: str):
     """Full stepwise iterative small-clump elimination (min size 6,

@@ -855,26 +855,47 @@ def ngram_jaccard_pairs(
     LSH bucket) — the verify-everything variant for modest blocks."""
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
-        texts = g[text_col].to_numpy()
-        sets = [set(word_shingles(t.split(" "), shingle_k)) for t in texts]
-        rows_a, rows_b, sims = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                if inter == 0:
-                    continue
-                sim = inter / len(sets[i] | sets[j])
-                if sim >= threshold:
-                    rows_a.append(ids[i])
-                    rows_b.append(ids[j])
-                    sims.append(sim)
+        m = len(ids)
+        if m < 2:
+            return empty
+        # sorted-hash co-occurrence counting instead of O(m^2) Python
+        # set intersections: explode (shingle_hash, doc) rows, sort by
+        # hash, emit doc pairs per shared-hash run, count per pair
+        sets = _shingle_hash_arrays(np.asarray(g[text_col]), shingle_k)
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        flat = np.concatenate(sets)
+        dix = np.repeat(np.arange(m, dtype=np.int64), lens)
+        order = np.argsort(flat, kind="stable")  # ties keep doc order
+        fh, fd = flat[order], dix[order]
+        starts = np.concatenate([[0], np.flatnonzero(fh[1:] != fh[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(fh)]])
+        L = ends - starts
+        shared = np.flatnonzero(L >= 2)
+        if len(shared) == 0:
+            return empty
+        packed = []
+        for ri in shared:
+            d = fd[starts[ri] : ends[ri]]
+            ii, jj = np.triu_indices(len(d), k=1)
+            packed.append(d[ii] * m + d[jj])  # d ascending -> a < b
+        upairs, inter = np.unique(np.concatenate(packed), return_counts=True)
+        a, b = upairs // m, upairs % m
+        sim = inter / (lens[a] + lens[b] - inter)
+        ok = sim >= threshold
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(rows_a, dtype=ids.dtype),
-                "doc_b": pd.Series(rows_b, dtype=ids.dtype),
-                "jaccard": pd.Series(sims, dtype="float64"),
+                "doc_a": pd.Series(ids[a[ok]], dtype="int64"),
+                "doc_b": pd.Series(ids[b[ok]], dtype="int64"),
+                "jaccard": pd.Series(sim[ok], dtype="float64"),
             }
         )
 

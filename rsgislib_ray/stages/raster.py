@@ -328,6 +328,143 @@ def tiled_filter(
     return tiled.groupby("tile_id").map_groups(arrowize(filt), batch_format="pandas")
 
 
+def focal_stats(
+    raster: ray.data.Dataset,
+    kernel_size: int = 3,
+    value_col: str = "value",
+    tile_size: int = 64,
+) -> ray.data.Dataset:
+    """The reference's full focal-statistics filter family in ONE
+    halo-duplicated tiled pass (imagefilter/__init__.py:
+    apply_median_filter:38, apply_mode_filter:162,
+    apply_stddev_filter:193, apply_range_filter:224,
+    apply_mean_diff[_abs]_filter:255/286,
+    apply_total_diff[_abs]_filter:319/350,
+    apply_coeff_of_var_filter:383, apply_total_filter:414 — the
+    reference runs one C++ kernel per output file; here every window
+    statistic comes from the same k^2 shifted-stack pass).
+
+    Exactness contract (drives the SQL oracle): counts/sums/sumsq/
+    min/max/total_diff[_abs] are exact integers; mean/var chains are
+    the literal expressions ``mean = s/n``, ``var = max(s2/n -
+    mean*mean, 0)``, ``std = sqrt(var)`` (IEEE division and sqrt are
+    correctly rounded, so DuckDB reproduces them bit-for-bit);
+    median = average of the two middle ranks (numpy semantics);
+    mode tie -> LOWEST value; coeff_of_var = std/mean with a -1.0
+    sentinel when mean == 0. Truncated (present-only) windows at
+    edges. Returns one row per pixel with every statistic."""
+    import pandas as pd
+
+    halo = kernel_size // 2
+
+    def dup(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy()
+        c = batch["col"].to_numpy()
+        tr = r // tile_size
+        tc = c // tile_size
+        outs = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                tr2 = tr + dr
+                tc2 = tc + dc
+                ok = (
+                    (r >= tr2 * tile_size - halo)
+                    & (r < (tr2 + 1) * tile_size + halo)
+                    & (c >= tc2 * tile_size - halo)
+                    & (c < (tc2 + 1) * tile_size + halo)
+                    & (tr2 >= 0)
+                    & (tc2 >= 0)
+                )
+                if not ok.any():
+                    continue
+                sel = batch.filter(pa.array(ok))
+                tid = (tr2[ok] * np.int64(2**20) + tc2[ok]).astype(np.int64)
+                outs.append(sel.append_column("tile_id", pa.array(tid)))
+        return pa.concat_tables(outs)
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["tile_id"].iloc[0])
+        tr, tc = tid // 2**20, tid % 2**20
+        r = g["row"].to_numpy()
+        c = g["col"].to_numpy()
+        v = g[value_col].to_numpy().astype(np.float64)
+        r0 = tr * tile_size - halo
+        c0 = tc * tile_size - halo
+        h = tile_size + 2 * halo
+        dense = np.full((h, h), np.nan)
+        dense[r - r0, c - c0] = v
+        k = kernel_size
+        padded = np.full((h + 2 * halo, h + 2 * halo), np.nan)
+        padded[halo : halo + h, halo : halo + h] = dense
+        layers = np.stack(
+            [
+                padded[dr : dr + h, dc : dc + h]
+                for dr in range(k)
+                for dc in range(k)
+            ]
+        )
+        present = ~np.isnan(layers)
+        cnt = present.sum(axis=0).astype(np.float64)
+        zl = np.where(present, layers, 0.0)
+        s = zl.sum(axis=0)
+        s2 = (zl * zl).sum(axis=0)
+        mn = np.nanmin(layers, axis=0)
+        mx = np.nanmax(layers, axis=0)
+        med = np.nanmedian(layers, axis=0)
+        # mode over the small integer domain, tie -> lowest value
+        dom = np.unique(v).astype(np.int64)
+        best_cnt = np.zeros((h, h), dtype=np.int64)
+        best_val = np.zeros((h, h), dtype=np.int64)
+        for val in dom:  # ascending: strict > keeps the LOWEST tie
+            cvt = (present & (layers == float(val))).sum(axis=0)
+            better = cvt > best_cnt
+            best_cnt = np.where(better, cvt, best_cnt)
+            best_val = np.where(better, val, best_val)
+        core = (
+            (r >= tr * tile_size)
+            & (r < (tr + 1) * tile_size)
+            & (c >= tc * tile_size)
+            & (c < (tc + 1) * tile_size)
+        )
+        rr, cc = r[core] - r0, c[core] - c0
+        ctr = v[core]
+        n_w = cnt[rr, cc]
+        s_w = s[rr, cc]
+        s2_w = s2[rr, cc]
+        mean = s_w / n_w
+        var = np.maximum(s2_w / n_w - mean * mean, 0.0)
+        std = np.sqrt(var)
+        # abs-diff totals need the per-layer values at the core pixels
+        lay_core = layers[:, rr, cc]
+        pres_core = present[:, rr, cc]
+        tdabs = np.where(
+            pres_core, np.abs(ctr[None, :] - lay_core), 0.0
+        ).sum(axis=0)
+        return pd.DataFrame(
+            {
+                "pixel_id": g["pixel_id"].to_numpy()[core],
+                "f_min": mn[rr, cc].astype(np.int64),
+                "f_max": mx[rr, cc].astype(np.int64),
+                "f_range": (mx[rr, cc] - mn[rr, cc]).astype(np.int64),
+                "f_total": s_w.astype(np.int64),
+                "f_median": med[rr, cc],
+                "f_mode": best_val[rr, cc],
+                "f_stddev": std,
+                "f_mean_diff": ctr - mean,
+                "f_mean_diff_abs": np.abs(ctr - mean),
+                "f_total_diff": (n_w * ctr - s_w).astype(np.int64),
+                "f_total_diff_abs": tdabs.astype(np.int64),
+                "f_coeff_var": np.where(mean > 0, std / mean, -1.0),
+            }
+        )
+
+    return (
+        raster.map_batches(dup, batch_format="pyarrow")
+        .groupby("tile_id")
+        .map_groups(arrowize(filt), batch_format="pandas")
+    )
+
+
 def images_equal(
     a: ray.data.Dataset,
     b: ray.data.Dataset,
