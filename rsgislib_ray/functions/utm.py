@@ -99,3 +99,78 @@ def utm_from_latlon(lat: np.ndarray, lon: np.ndarray):
         )
     )
     return easting, northing, zn, zone_letter_index(lat)
+
+
+# --- inverse (to_latlon) series constants (tools/utm.py:12-36) ---
+import math as _math
+
+SQRT_E = _math.sqrt(1.0 - E)
+_EI = (1.0 - SQRT_E) / (1.0 + SQRT_E)
+_EI2 = _EI * _EI
+_EI3 = _EI2 * _EI
+_EI4 = _EI3 * _EI
+_EI5 = _EI4 * _EI
+P2 = 3.0 / 2 * _EI - 27.0 / 32 * _EI3 + 269.0 / 512 * _EI5
+P3 = 21.0 / 16 * _EI2 - 55.0 / 32 * _EI4
+P4 = 151.0 / 96 * _EI3 - 417.0 / 128 * _EI5
+P5 = 1097.0 / 512 * _EI4
+RAD2DEG = 57.29577951308232
+
+
+def utm_to_latlon(
+    easting: np.ndarray,
+    northing: np.ndarray,
+    zone: np.ndarray,
+    northern: bool = True,
+):
+    """``to_latlon`` (/root/reference/python/rsgislib/tools/utm.py:
+    185-283), vectorized: the published Krueger inverse series, term
+    for term — including the reference's own placement of the d6
+    latitude term outside the (tan/r) factor (harmless at ~1e-9 rad;
+    parity beats Snyder here). Returns (lat_deg, lon_deg)."""
+    x = easting - 500000.0
+    y = np.asarray(northing, dtype=np.float64)
+    if not northern:
+        y = y - 10000000.0
+    m = y / K0
+    mu = m / (R * M1)
+    p_rad = (
+        mu
+        + P2 * np.sin(2 * mu)
+        + P3 * np.sin(4 * mu)
+        + P4 * np.sin(6 * mu)
+        + P5 * np.sin(8 * mu)
+    )
+    p_sin = np.sin(p_rad)
+    p_sin2 = p_sin * p_sin
+    p_cos = np.cos(p_rad)
+    p_tan = p_sin / p_cos
+    p_tan2 = p_tan * p_tan
+    p_tan4 = p_tan2 * p_tan2
+    ep_sin = 1 - E * p_sin2
+    ep_sin_sqrt = np.sqrt(1 - E * p_sin2)
+    n = R / ep_sin_sqrt
+    r = (1 - E) / ep_sin
+    c = _EI * p_cos**2
+    c2 = c * c
+    d = x / (n * K0)
+    d2 = d * d
+    d3 = d2 * d
+    d4 = d3 * d
+    d5 = d4 * d
+    d6 = d5 * d
+    latitude = (
+        p_rad
+        - (p_tan / r)
+        * (d2 / 2 - d4 / 24 * (5 + 3 * p_tan2 + 10 * c - 4 * c2 - 9 * E_P2))
+        + d6 / 720 * (61 + 90 * p_tan2 + 298 * c + 45 * p_tan4
+                      - 252 * E_P2 - 3 * c2)
+    )
+    longitude = (
+        d
+        - d3 / 6 * (1 + 2 * p_tan2 + c)
+        + d5 / 120 * (5 - 2 * c + 28 * p_tan2 - 3 * c2 + 8 * E_P2
+                      + 24 * p_tan4)
+    ) / p_cos
+    lon0 = (zone.astype(np.float64) - 1.0) * 6.0 - 180.0 + 3.0
+    return latitude * RAD2DEG, longitude * RAD2DEG + lon0

@@ -8803,6 +8803,153 @@ def q_reproject_utm(sf_dir: str):
     return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
 
 
+def _dlit(x: float) -> str:
+    """DuckDB DOUBLE literal: repr already carries an exponent for
+    small/large magnitudes; otherwise append e0 so the parser reads a
+    DOUBLE, never a DECIMAL (memory: decimal literals change DuckDB
+    arithmetic)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def _utm_inverse_sql() -> str:
+    from rsgislib_ray.functions import utm as U
+
+    E, EP2, K0, R = U.E, U.E_P2, U.K0, float(U.R)
+    EI = U._EI
+    rm1 = R * U.M1
+    return f"""
+    WITH base AS ({td.SQL_BASE_PTS}),
+    ll AS (
+      SELECT base_id, 50.0e0 + y * 0.02e0 AS lat, -5.9e0 + x * 0.05e0 AS lon
+      FROM base
+    ),
+    t1 AS (
+      SELECT base_id, lat, lon,
+        lat * 0.017453292519943295e0 AS lat_rad,
+        lon * 0.017453292519943295e0 AS lon_rad,
+        SIN(lat * 0.017453292519943295e0) AS ls,
+        COS(lat * 0.017453292519943295e0) AS lc,
+        CAST(FLOOR((lon + 180.0e0) / 6.0e0) + 1 AS BIGINT) AS zn
+      FROM ll
+    ),
+    t2 AS (
+      SELECT *,
+        ls / lc AS lt,
+        (ls / lc) * (ls / lc) AS lt2,
+        {_dlit(R)} / SQRT(1.0e0 - {_dlit(E)} * (ls * ls)) AS n,
+        {_dlit(EP2)} * (lc * lc) AS c,
+        lc * (lon_rad - CAST((zn - 1) * 6 - 177 AS DOUBLE)
+                        * 0.017453292519943295e0) AS a,
+        {_dlit(R)} * ({_dlit(U.M1)} * lat_rad
+          - {_dlit(U.M2)} * SIN(2.0e0 * lat_rad)
+          + {_dlit(U.M3)} * SIN(4.0e0 * lat_rad)
+          - {_dlit(U.M4)} * SIN(6.0e0 * lat_rad)) AS m
+      FROM t1
+    ),
+    t3 AS MATERIALIZED (
+      SELECT base_id, zn,
+        ({_dlit(K0)} * n) * (a
+          + (a * a * a) / 6.0e0 * (1.0e0 - lt2 + c)
+          + (a * a * a * a * a) / 120.0e0
+            * (5.0e0 - 18.0e0 * lt2 + lt2 * lt2 + 72.0e0 * c
+               - 58.0e0 * {_dlit(EP2)})) + 500000.0e0 AS easting,
+        {_dlit(K0)} * (m + (n * lt) * ((a * a) / 2.0e0
+          + (a * a * a * a) / 24.0e0
+            * (5.0e0 - lt2 + 9.0e0 * c + 4.0e0 * (c * c))
+          + (a * a * a * a * a * a) / 720.0e0
+            * (61.0e0 - 58.0e0 * lt2 + lt2 * lt2 + 600.0e0 * c
+               - 330.0e0 * {_dlit(EP2)}))) AS northing
+      FROM t2
+    ),
+    i1 AS (
+      SELECT base_id, zn, easting - 500000.0e0 AS x,
+        (northing / {_dlit(K0)}) / {_dlit(rm1)} AS mu
+      FROM t3
+    ),
+    i2 AS (
+      SELECT *,
+        mu + {_dlit(U.P2)} * SIN(2.0e0 * mu) + {_dlit(U.P3)} * SIN(4.0e0 * mu)
+           + {_dlit(U.P4)} * SIN(6.0e0 * mu) + {_dlit(U.P5)} * SIN(8.0e0 * mu)
+          AS p_rad
+      FROM i1
+    ),
+    i3 AS (
+      SELECT *, SIN(p_rad) AS ps, COS(p_rad) AS pc FROM i2
+    ),
+    i4 AS (
+      SELECT *,
+        ps / pc AS pt,
+        (ps / pc) * (ps / pc) AS pt2,
+        1.0e0 - {_dlit(E)} * (ps * ps) AS eps,
+        {_dlit(R)} / SQRT(1.0e0 - {_dlit(E)} * (ps * ps)) AS n,
+        {_dlit(EI)} * (pc * pc) AS c
+      FROM i3
+    ),
+    i5 AS (
+      SELECT *,
+        (1.0e0 - {_dlit(E)}) / eps AS r,
+        x / (n * {_dlit(K0)}) AS d,
+        c * c AS c2,
+        pt2 * pt2 AS pt4
+      FROM i4
+    ),
+    i6 AS (
+      SELECT base_id, zn,
+        (p_rad
+          - (pt / r) * ((d * d) / 2.0e0
+            - (d * d * d * d) / 24.0e0
+              * (5.0e0 + 3.0e0 * pt2 + 10.0e0 * c - 4.0e0 * c2
+                 - 9.0e0 * {_dlit(EP2)}))
+          + (d * d * d * d * d * d) / 720.0e0
+            * (61.0e0 + 90.0e0 * pt2 + 298.0e0 * c + 45.0e0 * pt4
+               - 252.0e0 * {_dlit(EP2)} - 3.0e0 * c2)) AS lat_rad2,
+        ((d
+          - (d * d * d) / 6.0e0 * (1.0e0 + 2.0e0 * pt2 + c)
+          + (d * d * d * d * d) / 120.0e0
+            * (5.0e0 - 2.0e0 * c + 28.0e0 * pt2 - 3.0e0 * c2
+               + 8.0e0 * {_dlit(EP2)} + 24.0e0 * pt4)) / pc) AS lon_rad2
+      FROM i5
+    )
+    SELECT base_id,
+      CAST(FLOOR(lat_rad2 * {_dlit(U.RAD2DEG)} * 1000000.0e0 + 0.5e0)
+           AS BIGINT) AS lat_micro,
+      CAST(FLOOR((lon_rad2 * {_dlit(U.RAD2DEG)}
+                  + CAST((zn - 1) * 6 - 177 AS DOUBLE)) * 1000000.0e0
+                 + 0.5e0) AS BIGINT) AS lon_micro
+    FROM i6
+    """
+
+
+@register("reproject_utm_inverse", _utm_inverse_sql())
+def q_reproject_utm_inverse(sf_dir: str):
+    """UTM -> WGS84 inverse (``to_latlon``, reference tools/utm.py:
+    185-283): forward-project the base points, invert the full
+    Krueger inverse series, report half-up micro-degree integers.
+    The SQL oracle chains forward + inverse with every series
+    constant inlined as the identical full-precision literal."""
+    from rsgislib_ray.functions.utm import utm_from_latlon, utm_to_latlon
+
+    pts = td.base_points_from_customer(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        lat = 50.0 + y * 0.02
+        lon = -5.9 + x * 0.05
+        e, n, zn, _li = utm_from_latlon(lat, lon)
+        la2, lo2 = utm_to_latlon(e, n, zn)
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "lat_micro": np.floor(la2 * 1e6 + 0.5).astype(np.int64),
+                "lon_micro": np.floor(lo2 * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
 def _conic_sql(kind: str) -> str:
     from rsgislib_ray.functions.conic import (
         ALBERS_CONUS,
