@@ -5293,6 +5293,54 @@ def q_unigram_lm_score(sf_dir: str):
 
 
 @register(
+    "bigram_lm_score",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS MATERIALIZED (
+      SELECT doc_id, ws[CAST(i.range + 1 AS INT)] AS w1,
+             ws[CAST(i.range + 2 AS INT)] AS w2
+      FROM w CROSS JOIN range(0, 400) i
+      WHERE i.range < len(ws) - 1
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    pc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    lp AS (
+      SELECT bc.w1, bc.w2,
+        CAST(floor(ln(CAST(bc.c AS DOUBLE) / CAST(pc.c1 AS DOUBLE))
+                   * 1000000) AS BIGINT) AS lp
+      FROM bc JOIN pc ON pc.w1 = bc.w1
+    ),
+    s AS (
+      SELECT bg.doc_id, CAST(SUM(lp.lp) AS BIGINT) AS lm_sum_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM bg JOIN lp ON lp.w1 = bg.w1 AND lp.w2 = bg.w2
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+      COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      COALESCE(s.lm_sum_micro, 0) AS lm_sum_micro,
+      CASE WHEN s.n_bigrams > 0
+           THEN CAST(s.lm_sum_micro AS DOUBLE) / s.n_bigrams
+           ELSE 0.0e0 END AS lm_mean_micro
+    FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    """,
+)
+def q_bigram_lm_score(sf_dir: str):
+    """Order-2 LM quality score (conditional bigram, self-trained) —
+    see stages/text.py:bigram_lm_score; micro-nat integer sums keep
+    the distributed reduction exact under any parallelism."""
+    from rsgislib_ray.stages.text import bigram_lm_score
+
+    return bigram_lm_score(
+        td.read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
+@register(
     "chunk_documents",
     """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -6147,6 +6195,75 @@ def q_focal_stats(sf_dir: str):
 
     ds = ray.data.from_arrow(_seg_raster()).repartition(8)
     return focal_stats(ds, kernel_size=3, tile_size=32)
+
+
+def _conv_kernels() -> dict:
+    """Shared kernel set for focal_convolve: standard Sobel X/Y and
+    4-neighbour Laplacian (integer), plus a 2^20-quantized sigma=1
+    Gaussian so the smoothing sum is exact-integer on both sides."""
+    g = np.array(
+        [
+            [np.exp(-(dr * dr + dc * dc) / 2.0) for dc in (-1, 0, 1)]
+            for dr in (-1, 0, 1)
+        ]
+    )
+    gq = np.rint(g / g.sum() * (1 << 20)).astype(np.int64)
+    return {
+        "sobel_x": np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.int64),
+        "sobel_y": np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.int64),
+        "laplacian": np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], np.int64),
+        "gauss_q20": gq,
+    }
+
+
+def _conv_sql() -> str:
+    cases = []
+    for name, K in _conv_kernels().items():
+        whens = " ".join(
+            f"WHEN dr = {dr - 1} AND dc = {dc - 1} THEN {int(K[dr, dc])}"
+            for dr in range(3)
+            for dc in range(3)
+            if int(K[dr, dc]) != 0
+        )
+        cases.append(
+            f"CAST(SUM(val * CASE {whens} ELSE 0 END) AS BIGINT) AS {name}"
+        )
+    sel = ",\n      ".join(cases)
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST(CASE WHEN (31 * (p.range // {_SEG_N})
+                             + 17 * (p.range % {_SEG_N})) % 37 = 0 THEN 7
+                  ELSE ((p.range // {_SEG_N}) // 4
+                        + (p.range % {_SEG_N}) // 4) % 5 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    w AS (
+      SELECT a.pixel_id, b.val,
+             b.rr - a.rr AS dr, b.cc - a.cc AS dc
+      FROM px a JOIN px b
+        ON abs(a.rr - b.rr) <= 1 AND abs(a.cc - b.cc) <= 1
+    )
+    SELECT pixel_id,
+      {sel}
+    FROM w GROUP BY pixel_id
+    """
+
+
+@register("focal_convolve", _conv_sql())
+def q_focal_convolve(sf_dir: str):
+    """Derivative/smoothing convolution filters (reference
+    imagefilter/__init__.py: apply_sobel_x/y_filter:629/656,
+    apply_laplacian_filter:915, apply_gaussian_smooth_filter:764 with
+    an integer-quantized kernel): one halo-tiled pass, zero-fill
+    borders, exact int64 outputs mirrored by a neighbour-join oracle
+    with the identical kernel literals."""
+    from rsgislib_ray.stages.raster import focal_convolve
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    return focal_convolve(ds, _conv_kernels(), tile_size=32)
 
 
 @register("eliminate_small", None)

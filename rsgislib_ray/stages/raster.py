@@ -328,6 +328,91 @@ def tiled_filter(
     return tiled.groupby("tile_id").map_groups(arrowize(filt), batch_format="pandas")
 
 
+def focal_convolve(
+    raster: ray.data.Dataset,
+    kernels: dict,
+    tile_size: int = 64,
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Integer-kernel focal convolutions in one halo-tiled pass — the
+    derivative/smoothing half of the reference's filter bank
+    (imagefilter/__init__.py: apply_sobel[_x/_y]_filter:602-682,
+    apply_laplacian_filter:915, apply_gaussian_smooth_filter:764 via an
+    integer-QUANTIZED kernel so the distributed sum stays exact).
+
+    ``kernels`` maps output column -> (k x k) int64 numpy array.
+    Absent pixels contribute zero (zero-fill), every output is an
+    exact int64 — partitioning-independent and SQL-mirrorable."""
+    import pandas as pd
+
+    ksz = max(k.shape[0] for k in kernels.values())
+    halo = ksz // 2
+
+    def dup(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy()
+        c = batch["col"].to_numpy()
+        tr = r // tile_size
+        tc = c // tile_size
+        outs = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                tr2, tc2 = tr + dr, tc + dc
+                ok = (
+                    (r >= tr2 * tile_size - halo)
+                    & (r < (tr2 + 1) * tile_size + halo)
+                    & (c >= tc2 * tile_size - halo)
+                    & (c < (tc2 + 1) * tile_size + halo)
+                    & (tr2 >= 0)
+                    & (tc2 >= 0)
+                )
+                if not ok.any():
+                    continue
+                sel = batch.filter(pa.array(ok))
+                tid = (tr2[ok] * np.int64(2**20) + tc2[ok]).astype(np.int64)
+                outs.append(sel.append_column("tile_id", pa.array(tid)))
+        return pa.concat_tables(outs)
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["tile_id"].iloc[0])
+        tr, tc = tid // 2**20, tid % 2**20
+        r = g["row"].to_numpy()
+        c = g["col"].to_numpy()
+        v = g[value_col].to_numpy().astype(np.int64)
+        r0 = tr * tile_size - halo
+        c0 = tc * tile_size - halo
+        h = tile_size + 2 * halo
+        dense = np.zeros((h + 2 * halo, h + 2 * halo), dtype=np.int64)
+        dense[r - r0 + halo, c - c0 + halo] = v
+        core = (
+            (r >= tr * tile_size)
+            & (r < (tr + 1) * tile_size)
+            & (c >= tc * tile_size)
+            & (c < (tc + 1) * tile_size)
+        )
+        rr, cc = r[core] - r0, c[core] - c0
+        out = {"pixel_id": g["pixel_id"].to_numpy()[core]}
+        for name, K in kernels.items():
+            acc = np.zeros((h, h), dtype=np.int64)
+            kh = K.shape[0] // 2
+            for dr in range(K.shape[0]):
+                for dc in range(K.shape[1]):
+                    w = int(K[dr, dc])
+                    if w == 0:
+                        continue
+                    acc += w * dense[
+                        halo - kh + dr : halo - kh + dr + h,
+                        halo - kh + dc : halo - kh + dc + h,
+                    ]
+            out[name] = acc[rr, cc]
+        return pd.DataFrame(out)
+
+    return (
+        raster.map_batches(dup, batch_format="pyarrow")
+        .groupby("tile_id")
+        .map_groups(arrowize(filt), batch_format="pandas")
+    )
+
+
 def focal_stats(
     raster: ray.data.Dataset,
     kernel_size: int = 3,

@@ -424,6 +424,99 @@ def unigram_lm_score(
     )
 
 
+def bigram_lm_score(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Self-trained conditional BIGRAM language-model score per doc —
+    the order-2 companion of :func:`unigram_lm_score` (same
+    CCNet/KenLM quality-filter shape, same exactness discipline):
+    per-bigram log-prob ``ln(c(w1,w2) / c(w1,*))`` quantized to int64
+    micro-nats with scalar libm ln, summed per document as exact
+    integers. Distributed bigram counts (per-batch partials + one
+    narrow groupby), broadcast (bigram -> lp) map from block refs.
+
+    Output: (doc_id, n_bigrams, lm_sum_micro, lm_mean_micro)."""
+    import math
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _counts = _flat_words(batch[text_col])
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "bg": pa.array([], pa.string()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        same = parent[1:] == parent[:-1]
+        w1 = pd.Series(np.asarray(flat, dtype=object)[:-1][same])
+        w2 = pd.Series(np.asarray(flat, dtype=object)[1:][same])
+        cnt = (w1 + " " + w2).value_counts()
+        return pa.table(
+            {
+                "bg": pa.array(cnt.index.to_numpy(dtype=object), pa.string()),
+                "partial": cnt.to_numpy().astype(np.int64),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bg")
+        .sum("partial")
+    )
+    blocks = counts.to_arrow_refs()
+
+    def build_lp(tables: list) -> pd.Series:
+        good = [t for t in tables if t.num_rows]
+        if not good:
+            return pd.Series(dtype=np.int64)
+        t = pa.concat_tables(good)
+        keys = pd.Series(t["bg"].to_numpy(zero_copy_only=False))
+        c = t["sum(partial)"].to_numpy().astype(np.int64)
+        w1 = keys.str.split(" ").str[0]
+        c1 = pd.Series(c).groupby(w1.to_numpy()).transform("sum").to_numpy()
+        lp = np.array(
+            [
+                math.floor(math.log(int(ci) / int(c1i)) * 1e6)
+                for ci, c1i in zip(c, c1)
+            ],
+            dtype=np.int64,
+        )
+        return pd.Series(lp, index=keys.to_numpy())
+
+    def score(batch: pa.Table, _blocks=None) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached_multi
+
+        lp = cached_multi(_blocks, build_lp)
+        flat, parent, n_tokens = _flat_words(batch[text_col])
+        n_bg = np.maximum(n_tokens - 1, 0).astype(np.int64)
+        sums = np.zeros(len(n_tokens), dtype=np.int64)
+        if len(flat) >= 2:
+            same = parent[1:] == parent[:-1]
+            w1 = pd.Series(np.asarray(flat, dtype=object)[:-1][same])
+            w2 = pd.Series(np.asarray(flat, dtype=object)[1:][same])
+            keys = (w1 + " " + w2).to_numpy()
+            docidx = parent[:-1][same]
+            np.add.at(sums, docidx, lp[keys].to_numpy().astype(np.int64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(
+                n_bg > 0, sums.astype(np.float64) / n_bg, 0.0
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": n_bg,
+                "lm_sum_micro": sums,
+                "lm_mean_micro": mean,
+            }
+        )
+
+    return ds.map_batches(
+        score, fn_kwargs={"_blocks": blocks}, batch_format="pyarrow"
+    )
+
+
 def chunk_documents(
     ds: ray.data.Dataset,
     max_len: int = 32,
