@@ -5293,6 +5293,34 @@ def q_unigram_lm_score(sf_dir: str):
 
 
 @register(
+    "event_retention",
+    """
+    WITH up AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(d) AS d0 FROM up GROUP BY user_id)
+    SELECT f.d0 AS cohort_period, up.d - f.d0 AS period_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM up JOIN f ON up.user_id = f.user_id
+    GROUP BY cohort_period, period_offset
+    """,
+)
+def q_event_retention(sf_dir: str):
+    """Daily cohort-retention matrix over the events log
+    (stages/events.py:event_retention): distinct (user, day) pairs via
+    packed-key segment dedup, per-user first day via a narrow segment
+    min, hash-join cohort attach, pre-reduced counts — the 10^9-user
+    shape (no broadcast of the user table anywhere)."""
+    from rsgislib_ray.stages.events import event_retention
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).repartition(16)
+    return event_retention(ds)
+
+
+@register(
     "bigram_lm_score",
     """
     WITH w AS (
@@ -6264,6 +6292,60 @@ def q_focal_convolve(sf_dir: str):
 
     ds = ray.data.from_arrow(_seg_raster()).repartition(8)
     return focal_convolve(ds, _conv_kernels(), tile_size=32)
+
+
+@register(
+    "focal_kuwahara",
+    f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST(CASE WHEN (31 * (p.range // {_SEG_N})
+                             + 17 * (p.range % {_SEG_N})) % 37 = 0 THEN 7
+                  ELSE ((p.range // {_SEG_N}) // 4
+                        + (p.range % {_SEG_N}) // 4) % 5 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    qo(q, dr, dc) AS (VALUES
+      (0,-1,-1),(0,-1,0),(0,0,-1),(0,0,0),
+      (1,-1,0),(1,-1,1),(1,0,0),(1,0,1),
+      (2,0,-1),(2,0,0),(2,1,-1),(2,1,0),
+      (3,0,0),(3,0,1),(3,1,0),(3,1,1)),
+    w AS MATERIALIZED (
+      SELECT a.pixel_id, qo.q, b.val
+      FROM px a CROSS JOIN qo
+      JOIN px b ON b.rr = a.rr + qo.dr AND b.cc = a.cc + qo.dc
+    ),
+    agg AS (
+      SELECT pixel_id, q, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(val) AS BIGINT) AS s,
+        CAST(SUM(val * val) AS BIGINT) AS s2
+      FROM w GROUP BY pixel_id, q
+    ),
+    crit AS (
+      SELECT pixel_id, q,
+        CAST(s AS DOUBLE) / n AS mean,
+        CAST(s2 AS DOUBLE) / n
+          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var
+      FROM agg
+    )
+    SELECT pixel_id, mean AS kuwahara FROM (
+      SELECT pixel_id, mean, ROW_NUMBER() OVER (
+        PARTITION BY pixel_id ORDER BY var ASC, q ASC) AS rn
+      FROM crit
+    ) WHERE rn = 1
+    """,
+)
+def q_focal_kuwahara(sf_dir: str):
+    """Kuwahara edge-preserving filter (apply_kuwahara_filter,
+    imagefilter/__init__.py:571) — see stages/raster.py:focal_kuwahara;
+    minimum-variance quadrant mean with the NW<NE<SW<SE tie rule,
+    bit-exact float chains both sides."""
+    from rsgislib_ray.stages.raster import focal_kuwahara
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    return focal_kuwahara(ds, tile_size=32)
 
 
 @register("eliminate_small", None)

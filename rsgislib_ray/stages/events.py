@@ -96,6 +96,142 @@ def tumbling_windows(
     ).replace_schema_metadata(None)
 
 
+def event_retention(
+    ds: ray.data.Dataset,
+    period_us: int = 86_400_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cohort retention table over the event log: every user joins the
+    cohort of their FIRST active period; output one row per
+    (cohort_period, period_offset) with the distinct-user count — the
+    classic product-analytics retention matrix, shaped for 10^9 users:
+
+    1. distinct (user, period) pairs via in-batch dedup + one
+       :func:`segment_sum` over a packed key (no row-level shuffle of
+       raw events);
+    2. per-user first period via a second narrow segment min;
+    3. a hash-partitioned ``Dataset.join`` attaches cohorts (the
+       broadcast alternative breaks at 10^9 users, so the join is the
+       default), then pre-reduced partial counts finish in a tiny
+       native groupby.
+
+    Returns (cohort_period, period_offset, n_users)."""
+    from rsgislib_ray.stages.components import drop_empty_blocks
+    from rsgislib_ray.stages.segsum import segment_sum
+    from rsgislib_ray.stages.spatial_join import _default_join_partitions
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        per = us // period_us
+        uid = batch[user_col].to_numpy().astype(np.int64)
+        if len(uid) and (
+            int(uid.min()) < 0
+            or int(uid.max()) >= 1 << 41
+            or int(per.min()) < 0
+            or int(per.max()) >= 1 << 22
+        ):
+            raise ValueError(
+                "event_retention: packed key needs 0 <= user < 2^41 and "
+                "0 <= period < 2^22"
+            )
+        key = np.unique(uid * np.int64(1 << 22) + per)
+        return pa.table({"key": key, "one": np.ones(len(key), np.int64)})
+
+    distinct = segment_sum(
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=65536),
+        "key",
+        ["one"],
+        aggs=["min"],
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy()
+        return pa.table(
+            {
+                "user_id": k >> np.int64(22),
+                "per": k & np.int64((1 << 22) - 1),
+            }
+        )
+
+    pairs = drop_empty_blocks(
+        distinct.map_batches(unpack, batch_format="pyarrow")
+    )
+    if pairs is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "cohort_period": pa.array([], pa.int64()),
+                    "period_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        )
+    pairs = pairs.materialize()
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        p = t["per"].to_numpy()
+        order = np.lexsort((p, u))
+        u2, p2 = u[order], p[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(u2)) + 1])
+        return pa.table({"user_id": u2[starts], "cohort": p2[starts]})
+
+    first = drop_empty_blocks(
+        segment_sum(
+            pairs.map_batches(first_partial, batch_format="pyarrow"),
+            "user_id",
+            ["cohort"],
+            aggs=["min"],
+        )
+    )
+    joined = pairs.join(
+        first,
+        join_type="inner",
+        num_partitions=_default_join_partitions(num_partitions),
+        on=("user_id",),
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        co = t["cohort"].to_numpy()
+        off = t["per"].to_numpy() - co
+        g = (
+            pd.DataFrame({"cohort_period": co, "period_offset": off})
+            .groupby(["cohort_period", "period_offset"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "cohort_period": g["cohort_period"].to_numpy(),
+                "period_offset": g["period_offset"].to_numpy(),
+                "partial": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["cohort_period", "period_offset"])
+        .aggregate(Sum("partial"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "cohort_period": t["cohort_period"],
+                "period_offset": t["period_offset"],
+                "n_users": t["sum(partial)"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def sorted_user_apply(
     ds: ray.data.Dataset,
     block_fn,

@@ -413,6 +413,113 @@ def focal_convolve(
     )
 
 
+def focal_kuwahara(
+    raster: ray.data.Dataset,
+    tile_size: int = 64,
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Kuwahara edge-preserving filter, 3x3 window (reference
+    apply_kuwahara_filter, imagefilter/__init__.py:571): four
+    overlapping 2x2 quadrant windows per pixel; output = mean of the
+    quadrant with the LOWEST variance, ties -> lowest quadrant index
+    (NW < NE < SW < SE — the deterministic tie rule this engine pins,
+    mirrored in the SQL oracle).
+
+    Exactness: per-quadrant (n, s, s2) are exact integers over PRESENT
+    pixels; the variance criterion and the output mean are the literal
+    float chains ``var = s2/n - (s/n)*(s/n)``, ``mean = s/n`` —
+    bit-reproducible in DuckDB. Returns (pixel_id, kuwahara)."""
+    import pandas as pd
+
+    halo = 1
+
+    def dup(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy()
+        c = batch["col"].to_numpy()
+        tr = r // tile_size
+        tc = c // tile_size
+        outs = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                tr2, tc2 = tr + dr, tc + dc
+                ok = (
+                    (r >= tr2 * tile_size - halo)
+                    & (r < (tr2 + 1) * tile_size + halo)
+                    & (c >= tc2 * tile_size - halo)
+                    & (c < (tc2 + 1) * tile_size + halo)
+                    & (tr2 >= 0)
+                    & (tc2 >= 0)
+                )
+                if not ok.any():
+                    continue
+                sel = batch.filter(pa.array(ok))
+                tid = (tr2[ok] * np.int64(2**20) + tc2[ok]).astype(np.int64)
+                outs.append(sel.append_column("tile_id", pa.array(tid)))
+        return pa.concat_tables(outs)
+
+    # quadrant q -> the set of (dr, dc) offsets of its 2x2 window
+    quads = [
+        [(-1, -1), (-1, 0), (0, -1), (0, 0)],  # NW
+        [(-1, 0), (-1, 1), (0, 0), (0, 1)],    # NE
+        [(0, -1), (0, 0), (1, -1), (1, 0)],    # SW
+        [(0, 0), (0, 1), (1, 0), (1, 1)],      # SE
+    ]
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["tile_id"].iloc[0])
+        tr, tc = tid // 2**20, tid % 2**20
+        r = g["row"].to_numpy()
+        c = g["col"].to_numpy()
+        v = g[value_col].to_numpy().astype(np.int64)
+        r0 = tr * tile_size - halo
+        c0 = tc * tile_size - halo
+        h = tile_size + 2 * halo
+        dense = np.zeros((h + 2, h + 2), dtype=np.int64)
+        pres = np.zeros((h + 2, h + 2), dtype=np.int64)
+        dense[r - r0 + 1, c - c0 + 1] = v
+        pres[r - r0 + 1, c - c0 + 1] = 1
+        core = (
+            (r >= tr * tile_size)
+            & (r < (tr + 1) * tile_size)
+            & (c >= tc * tile_size)
+            & (c < (tc + 1) * tile_size)
+        )
+        rr, cc = r[core] - r0, c[core] - c0
+        best_var = np.full(len(rr), np.inf)
+        best_mean = np.zeros(len(rr))
+        for offs in quads:
+            n = np.zeros(len(rr), dtype=np.int64)
+            s = np.zeros(len(rr), dtype=np.int64)
+            s2 = np.zeros(len(rr), dtype=np.int64)
+            for dr, dc in offs:
+                pr, pc_ = rr + 1 + dr, cc + 1 + dc
+                p = pres[pr, pc_]
+                vv = dense[pr, pc_]
+                n += p
+                s += vv * p
+                s2 += vv * vv * p
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = s / n
+                var = s2 / n - mean * mean
+            # strict < keeps the LOWEST quadrant index on ties; empty
+            # quadrants (n=0 -> nan) never win
+            better = var < best_var
+            best_var = np.where(better, var, best_var)
+            best_mean = np.where(better, mean, best_mean)
+        return pd.DataFrame(
+            {
+                "pixel_id": g["pixel_id"].to_numpy()[core],
+                "kuwahara": best_mean,
+            }
+        )
+
+    return (
+        raster.map_batches(dup, batch_format="pyarrow")
+        .groupby("tile_id")
+        .map_groups(arrowize(filt), batch_format="pandas")
+    )
+
+
 def focal_stats(
     raster: ray.data.Dataset,
     kernel_size: int = 3,
