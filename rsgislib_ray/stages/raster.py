@@ -199,6 +199,53 @@ def vectorise_pixels_to_points(
     return raster.map_batches(conv, batch_format="pyarrow")
 
 
+
+def _halo_dup_fn(tile_size: int, halo: int):
+    """Shared halo-duplication kernel for the focal family: each pixel
+    row is copied into every tile whose halo-extended frame contains
+    it, tagged with the packed tile id. Guards the (tr, tc) < 2^20
+    bound the OR-packed tile id relies on (same hazard class as
+    build_pyramid's coordinate packing)."""
+
+    def dup(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy()
+        c = batch["col"].to_numpy()
+        tr = r // tile_size
+        tc = c // tile_size
+        if len(r) and (
+            int(r.min()) < 0
+            or int(c.min()) < 0
+            or int(tr.max()) >= 1 << 20
+            or int(tc.max()) >= 1 << 20
+        ):
+            raise ValueError(
+                "focal filters: tile coords must satisfy 0 <= row/col "
+                "and row//tile, col//tile < 2^20 (packed tile id)"
+            )
+        outs = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                # does this row fall in the halo of tile (tr+dr, tc+dc)?
+                tr2 = tr + dr
+                tc2 = tc + dc
+                ok = (
+                    (r >= tr2 * tile_size - halo)
+                    & (r < (tr2 + 1) * tile_size + halo)
+                    & (c >= tc2 * tile_size - halo)
+                    & (c < (tc2 + 1) * tile_size + halo)
+                    & (tr2 >= 0)
+                    & (tc2 >= 0)
+                )
+                if not ok.any():
+                    continue
+                sel = batch.filter(pa.array(ok))
+                tid = (tr2[ok] * np.int64(2**20) + tc2[ok]).astype(np.int64)
+                outs.append(sel.append_column("tile_id", pa.array(tid)))
+        return pa.concat_tables(outs)
+
+    return dup
+
+
 def tiled_filter(
     raster: ray.data.Dataset,
     grid: RasterGrid,
@@ -234,31 +281,7 @@ def tiled_filter(
 
     halo = kernel_size // 2
 
-    def dup(batch: pa.Table) -> pa.Table:
-        r = batch["row"].to_numpy()
-        c = batch["col"].to_numpy()
-        tr = r // tile_size
-        tc = c // tile_size
-        outs = []
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                # does this row fall in the halo of neighbor (tr+dr, tc+dc)?
-                tr2 = tr + dr
-                tc2 = tc + dc
-                lo_r = tr2 * tile_size - halo
-                hi_r = (tr2 + 1) * tile_size + halo
-                lo_c = tc2 * tile_size - halo
-                hi_c = (tc2 + 1) * tile_size + halo
-                ok = (
-                    (r >= lo_r) & (r < hi_r) & (c >= lo_c) & (c < hi_c)
-                    & (tr2 >= 0) & (tc2 >= 0)
-                )
-                if not ok.any():
-                    continue
-                sel = batch.filter(pa.array(ok))
-                tid = (tr2[ok] * np.int64(2**20) + tc2[ok]).astype(np.int64)
-                outs.append(sel.append_column("tile_id", pa.array(tid)))
-        return pa.concat_tables(outs)
+    dup = _halo_dup_fn(tile_size, halo)
 
     tiled = raster.map_batches(dup, batch_format="pyarrow")
 
@@ -348,29 +371,7 @@ def focal_convolve(
     ksz = max(k.shape[0] for k in kernels.values())
     halo = ksz // 2
 
-    def dup(batch: pa.Table) -> pa.Table:
-        r = batch["row"].to_numpy()
-        c = batch["col"].to_numpy()
-        tr = r // tile_size
-        tc = c // tile_size
-        outs = []
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                tr2, tc2 = tr + dr, tc + dc
-                ok = (
-                    (r >= tr2 * tile_size - halo)
-                    & (r < (tr2 + 1) * tile_size + halo)
-                    & (c >= tc2 * tile_size - halo)
-                    & (c < (tc2 + 1) * tile_size + halo)
-                    & (tr2 >= 0)
-                    & (tc2 >= 0)
-                )
-                if not ok.any():
-                    continue
-                sel = batch.filter(pa.array(ok))
-                tid = (tr2[ok] * np.int64(2**20) + tc2[ok]).astype(np.int64)
-                outs.append(sel.append_column("tile_id", pa.array(tid)))
-        return pa.concat_tables(outs)
+    dup = _halo_dup_fn(tile_size, halo)
 
     def filt(g: pd.DataFrame) -> pd.DataFrame:
         tid = int(g["tile_id"].iloc[0])
@@ -433,29 +434,7 @@ def focal_kuwahara(
 
     halo = 1
 
-    def dup(batch: pa.Table) -> pa.Table:
-        r = batch["row"].to_numpy()
-        c = batch["col"].to_numpy()
-        tr = r // tile_size
-        tc = c // tile_size
-        outs = []
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                tr2, tc2 = tr + dr, tc + dc
-                ok = (
-                    (r >= tr2 * tile_size - halo)
-                    & (r < (tr2 + 1) * tile_size + halo)
-                    & (c >= tc2 * tile_size - halo)
-                    & (c < (tc2 + 1) * tile_size + halo)
-                    & (tr2 >= 0)
-                    & (tc2 >= 0)
-                )
-                if not ok.any():
-                    continue
-                sel = batch.filter(pa.array(ok))
-                tid = (tr2[ok] * np.int64(2**20) + tc2[ok]).astype(np.int64)
-                outs.append(sel.append_column("tile_id", pa.array(tid)))
-        return pa.concat_tables(outs)
+    dup = _halo_dup_fn(tile_size, halo)
 
     # quadrant q -> the set of (dr, dc) offsets of its 2x2 window
     quads = [
@@ -549,30 +528,7 @@ def focal_stats(
 
     halo = kernel_size // 2
 
-    def dup(batch: pa.Table) -> pa.Table:
-        r = batch["row"].to_numpy()
-        c = batch["col"].to_numpy()
-        tr = r // tile_size
-        tc = c // tile_size
-        outs = []
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                tr2 = tr + dr
-                tc2 = tc + dc
-                ok = (
-                    (r >= tr2 * tile_size - halo)
-                    & (r < (tr2 + 1) * tile_size + halo)
-                    & (c >= tc2 * tile_size - halo)
-                    & (c < (tc2 + 1) * tile_size + halo)
-                    & (tr2 >= 0)
-                    & (tc2 >= 0)
-                )
-                if not ok.any():
-                    continue
-                sel = batch.filter(pa.array(ok))
-                tid = (tr2[ok] * np.int64(2**20) + tc2[ok]).astype(np.int64)
-                outs.append(sel.append_column("tile_id", pa.array(tid)))
-        return pa.concat_tables(outs)
+    dup = _halo_dup_fn(tile_size, halo)
 
     def filt(g: pd.DataFrame) -> pd.DataFrame:
         tid = int(g["tile_id"].iloc[0])
