@@ -10393,6 +10393,159 @@ def _mnf3_sql() -> str:
     """
 
 
+def _whiten3_sql() -> str:
+    """SQL mirror of the 3-band ZCA whitening (reference
+    imageutils.whiten_image:4464 — Aw = V S^-1/2 V^T over the sample
+    covariance, applied to the UNcentered data): the same moments +
+    trigonometric 3x3 eigen chain as _mnf3_sql, finishing in the
+    symmetric inverse square root."""
+
+    def vecu(k: int) -> str:
+        l = f"l{k}"
+        ux = f"(sd * sf2 - se * (sb - {l}))"
+        uy = f"(se * sd - (sa - {l}) * sf2)"
+        uz = f"((sa - {l}) * (sb - {l}) - sd * sd)"
+        L = f"SQRT({ux} * {ux} + {uy} * {uy} + {uz} * {uz})"
+        return ", ".join(
+            f"{c} / {L} AS u{k}{i}" for i, c in enumerate((ux, uy, uz))
+        )
+
+    def aij(i: int, j: int) -> str:
+        return (
+            f"u1{i} * u1{j} / SQRT(l1) + u2{i} * u2{j} / SQRT(l2)"
+            f" + u3{i} * u3{j} / SQRT(l3) AS a{i}{j}"
+        )
+
+    a_terms = ", ".join(
+        aij(i, j) for i in range(3) for j in range(3) if j >= i
+    )
+    return f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pid,
+             CAST((p.range * 37) % 100 AS BIGINT) + 1 AS b1,
+             CAST((p.range * 61) % 100 AS BIGINT) + 1 AS b2,
+             CAST((p.range * 89) % 100 AS BIGINT) + 1 AS b3
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    sm AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(b1) AS BIGINT) AS s1, CAST(SUM(b2) AS BIGINT) AS s2,
+        CAST(SUM(b3) AS BIGINT) AS s3,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b1) AS BIGINT) AS q11,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b2) AS BIGINT) AS q12,
+        CAST(SUM(CAST(b1 AS HUGEINT) * b3) AS BIGINT) AS q13,
+        CAST(SUM(CAST(b2 AS HUGEINT) * b2) AS BIGINT) AS q22,
+        CAST(SUM(CAST(b2 AS HUGEINT) * b3) AS BIGINT) AS q23,
+        CAST(SUM(CAST(b3 AS HUGEINT) * b3) AS BIGINT) AS q33
+      FROM px
+    ),
+    covs AS (
+      SELECT
+        CAST(n*q11 - s1*s1 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS sa,
+        CAST(n*q12 - s1*s2 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS sd,
+        CAST(n*q13 - s1*s3 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS se,
+        CAST(n*q22 - s2*s2 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS sb,
+        CAST(n*q23 - s2*s3 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS sf2,
+        CAST(n*q33 - s3*s3 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE) AS sc
+      FROM sm
+    ),
+    tri AS (
+      SELECT *, (sa + sb + sc) / 3.0e0 AS q3,
+        SQRT(((sa - (sa + sb + sc) / 3.0e0) * (sa - (sa + sb + sc) / 3.0e0)
+              + (sb - (sa + sb + sc) / 3.0e0) * (sb - (sa + sb + sc) / 3.0e0)
+              + (sc - (sa + sb + sc) / 3.0e0) * (sc - (sa + sb + sc) / 3.0e0)
+              + 2.0e0 * (sd * sd + se * se + sf2 * sf2)) / 6.0e0) AS pp
+      FROM covs
+    ),
+    tri2 AS (
+      SELECT *,
+        ACOS(LEAST(1.0e0, GREATEST(-1.0e0,
+          (((sa - q3) / pp) * (((sb - q3) / pp) * ((sc - q3) / pp)
+                               - (sf2 / pp) * (sf2 / pp))
+           - (sd / pp) * ((sd / pp) * ((sc - q3) / pp)
+                          - (sf2 / pp) * (se / pp))
+           + (se / pp) * ((sd / pp) * (sf2 / pp)
+                          - ((sb - q3) / pp) * (se / pp))) / 2.0e0
+        ))) / 3.0e0 AS phi
+      FROM tri
+    ),
+    lam AS (
+      SELECT *,
+        q3 + 2.0e0 * pp * COS(phi) AS l1,
+        3.0e0 * q3 - (q3 + 2.0e0 * pp * COS(phi))
+          - (q3 + 2.0e0 * pp * COS(phi + 2.0943951023931953e0)) AS l2,
+        q3 + 2.0e0 * pp * COS(phi + 2.0943951023931953e0) AS l3
+      FROM tri2
+    ),
+    uvec AS (
+      SELECT *, {vecu(1)}, {vecu(2)}, {vecu(3)} FROM lam
+    ),
+    amat AS (
+      SELECT {a_terms} FROM uvec
+    )
+    SELECT p.pid AS pixel_id,
+      CAST(FLOOR((p.b1 * a.a00 + p.b2 * a.a01 + p.b3 * a.a02)
+                 * 1000000.0e0) AS BIGINT) AS wb1_u,
+      CAST(FLOOR((p.b1 * a.a01 + p.b2 * a.a11 + p.b3 * a.a12)
+                 * 1000000.0e0) AS BIGINT) AS wb2_u,
+      CAST(FLOOR((p.b1 * a.a02 + p.b2 * a.a12 + p.b3 * a.a22)
+                 * 1000000.0e0) AS BIGINT) AS wb3_u
+    FROM px p, amat a
+    """
+
+
+@register("whiten_image", _whiten3_sql())
+def q_whiten_image(sf_dir: str):
+    """imageutils.whiten_image (:4464) for three bands: ZCA whitening
+    Aw = V S^-1/2 V^T over the sample covariance (Krizhevsky 2009
+    App. A, as the reference cites), applied to the uncentered data —
+    closed-form trigonometric 3x3 eigen, inverse-sqrt reconstruction,
+    micro-floored outputs mirrored term for term in SQL."""
+    from rsgislib_ray.stages.imagestats import (
+        band_cross_moments,
+        covariance_from_moments,
+        sym3_eig_closed,
+    )
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "pixel_id": pid,
+                "b1": (pid * 37) % 100 + 1,
+                "b2": (pid * 61) % 100 + 1,
+                "b3": (pid * 89) % 100 + 1,
+            }
+        )
+
+    bands = ds.map_batches(derive, batch_format="pyarrow")
+    S = covariance_from_moments(band_cross_moments(bands, ["b1", "b2", "b3"]))
+    lams, vecs = sym3_eig_closed(S)
+    # A = sum_k v_k v_k^T / sqrt(l_k), k-major add order (SQL mirror)
+    A = [[0.0] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            A[i][j] = (
+                vecs[0, i] * vecs[0, j] / np.sqrt(lams[0])
+                + vecs[1, i] * vecs[1, j] / np.sqrt(lams[1])
+                + vecs[2, i] * vecs[2, j] / np.sqrt(lams[2])
+            )
+
+    def project(batch: pa.Table) -> pa.Table:
+        x1 = batch["b1"].to_numpy().astype(np.float64)
+        x2 = batch["b2"].to_numpy().astype(np.float64)
+        x3 = batch["b3"].to_numpy().astype(np.float64)
+        out = {"pixel_id": batch["pixel_id"]}
+        for j, name in enumerate(("wb1_u", "wb2_u", "wb3_u")):
+            w = x1 * A[0][j] + x2 * A[1][j] + x3 * A[2][j]
+            out[name] = np.floor(w * 1e6).astype(np.int64)
+        return pa.table(out)
+
+    return bands.map_batches(project, batch_format="pyarrow")
+
+
 @register("mnf_project_3d", _mnf3_sql())
 def q_mnf_project_3d(sf_dir: str):
     """perform_image_mnf for THREE bands, driver-verified: closed-form
