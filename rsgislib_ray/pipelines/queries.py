@@ -10494,6 +10494,151 @@ def _whiten3_sql() -> str:
     """
 
 
+@register(
+    "change_vector_analysis",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+        CAST((p.range * 37) % 100 AS BIGINT) + 1 AS b1,
+        CAST((p.range * 61) % 100 AS BIGINT) + 1 AS b2,
+        CAST((p.range * 41) % 100 AS BIGINT) + 1 AS c1,
+        CAST((p.range * 53) % 100 AS BIGINT) + 1 AS c2
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    d AS (SELECT pixel_id, c1 - b1 AS d1, c2 - b2 AS d2 FROM px)
+    SELECT pixel_id,
+      CAST(FLOOR(SQRT(CAST(d1 * d1 + d2 * d2 AS DOUBLE)) * 1000000.0e0)
+           AS BIGINT) AS mag_u,
+      CAST(CASE WHEN d1 >= 0 AND d2 >= 0 THEN 0
+                WHEN d1 < 0 AND d2 >= 0 THEN 1
+                WHEN d1 < 0 AND d2 < 0 THEN 2
+                ELSE 3 END AS BIGINT) AS sector
+    FROM d
+    """,
+)
+def q_change_vector_analysis(sf_dir: str):
+    """changedetect.imgchngmthds.change_vector_analysis (:339 — bonus
+    coverage beyond SURVEY §2.13): per-pixel change-vector magnitude
+    (exact integer radicand, correctly-rounded sqrt both sides) and
+    direction SECTOR by exact integer signs (the CVA change-class
+    quadrant; raw atan2 angles would carry the 1-ULP libm skew, the
+    sector classification is exact). Two epochs synthesized
+    deterministically from the pixel id."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        d1 = (pid * 41) % 100 - (pid * 37) % 100
+        d2 = (pid * 53) % 100 - (pid * 61) % 100
+        mag = np.sqrt((d1 * d1 + d2 * d2).astype(np.float64))
+        sector = np.where(
+            (d1 >= 0) & (d2 >= 0),
+            0,
+            np.where((d1 < 0) & (d2 >= 0), 1, np.where((d1 < 0) & (d2 < 0), 2, 3)),
+        )
+        return pa.table(
+            {
+                "pixel_id": pid,
+                "mag_u": np.floor(mag * 1e6).astype(np.int64),
+                "sector": sector.astype(np.int64),
+            }
+        )
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "image_difference_change",
+    f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+        ABS((CAST((p.range * 41) % 100 AS BIGINT) + 1)
+            - (CAST((p.range * 37) % 100 AS BIGINT) + 1)) AS ad
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    g AS (SELECT ad AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM px GROUP BY ad),
+    c AS (
+      SELECT v,
+        CAST(SUM(cnt) OVER w AS BIGINT) AS cum,
+        CAST(SUM(cnt * v) OVER w AS BIGINT) AS cumv
+      FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * v) AS BIGINT) AS totv, MAX(v) AS vmax
+      FROM g
+    ),
+    body AS (SELECT c.*, t.* FROM c, t WHERE c.v < t.vmax),
+    otsu AS MATERIALIZED (
+      SELECT v FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY
+          CAST(CAST((n - cum) AS HUGEINT) * cum *
+               (CAST((n - cum) * cumv - cum * (totv - cumv) AS HUGEINT)
+                * CAST((n - cum) * cumv - cum * (totv - cumv) AS HUGEINT))
+               / (CAST(cum AS HUGEINT) * (n - cum)
+                  * CAST(cum AS HUGEINT) * (n - cum)) AS DOUBLE)
+          DESC, v ASC) AS rn
+        FROM body WHERE cum > 0 AND cum < n
+      ) WHERE rn = 1
+    )
+    SELECT pixel_id, ad AS abs_diff,
+      CAST(ad > (SELECT v FROM otsu) AS BOOLEAN) AS changed
+    FROM px
+    """,
+)
+def q_image_difference_change(sf_dir: str):
+    """changedetect.imgchngmthds.image_difference (:46 — bonus
+    coverage): absolute band difference between two epochs + the
+    Otsu-thresholded binary change map (the reference's
+    _get_binary_change_map k-means thresholder is replaced by the
+    engine's exact integer-cumulative Otsu — deterministic and
+    driver-checkable; the reference's own docstring describes the
+    threshold as separating change/no-change intensity classes)."""
+    from rsgislib_ray.stages.imagestats import global_histogram
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        ad = np.abs((pid * 41) % 100 - (pid * 37) % 100)
+        return pa.table({"pixel_id": pid, "ad": ad})
+
+    diffs = ds.map_batches(derive, batch_format="pyarrow")
+    hist = global_histogram(diffs, "ad", 128)
+    # exact integer-cumulative Otsu over the |diff| histogram
+    nz = np.flatnonzero(hist)
+    vmin, vmax = int(nz[0]), int(nz[-1])
+    vals = np.arange(vmin, vmax + 1, dtype=np.int64)
+    h = hist[vmin : vmax + 1].astype(np.int64)
+    n = int(h.sum())
+    cum = np.cumsum(h)[:-1]
+    cumv = np.cumsum(h * vals)[:-1]
+    totv = int((h * vals).sum())
+    v = vals[:-1]
+    okb = (cum > 0) & (cum < n)
+    crit = np.full(len(v), -np.inf)
+    for i in np.flatnonzero(okb):
+        num = int(n - cum[i]) * int(cum[i]) * (
+            int((n - cum[i]) * cumv[i] - cum[i] * (totv - cumv[i])) ** 2
+        )
+        den = (int(cum[i]) * int(n - cum[i])) ** 2
+        crit[i] = float(num) / float(den)
+    thr = int(v[int(np.argmax(crit))])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ad = batch["ad"].to_numpy()
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "abs_diff": ad,
+                "changed": ad > thr,
+            }
+        )
+
+    return diffs.map_batches(flag, batch_format="pyarrow")
+
+
 @register("whiten_image", _whiten3_sql())
 def q_whiten_image(sf_dir: str):
     """imageutils.whiten_image (:4464) for three bands: ZCA whitening
