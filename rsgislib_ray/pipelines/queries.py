@@ -10639,6 +10639,155 @@ def q_image_difference_change(sf_dir: str):
     return diffs.map_batches(flag, batch_format="pyarrow")
 
 
+def _dem_sql() -> str:
+    import math
+
+    r2d = 57.29577951308232
+    zen = 45.0 * math.pi / 180.0
+    az = 315.0 * math.pi / 180.0
+    sinzen = math.sin(zen)
+    coszen = math.cos(zen)
+    azoff = az - math.pi / 2.0
+    gx = (
+        "CAST(SUM(b.val * CASE"
+        " WHEN b.cc - a.cc = 1 AND b.rr - a.rr = 0 THEN 2"
+        " WHEN b.cc - a.cc = 1 THEN 1"
+        " WHEN b.cc - a.cc = -1 AND b.rr - a.rr = 0 THEN -2"
+        " WHEN b.cc - a.cc = -1 THEN -1 ELSE 0 END) AS BIGINT)"
+    )
+    gy = (
+        "CAST(SUM(b.val * CASE"
+        " WHEN b.rr - a.rr = 1 AND b.cc - a.cc = 0 THEN 2"
+        " WHEN b.rr - a.rr = 1 THEN 1"
+        " WHEN b.rr - a.rr = -1 AND b.cc - a.cc = 0 THEN -2"
+        " WHEN b.rr - a.rr = -1 THEN -1 ELSE 0 END) AS BIGINT)"
+    )
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range // {_SEG_N} + p.range % {_SEG_N}) // 4
+               + CASE WHEN (31 * (p.range // {_SEG_N})
+                            + 17 * (p.range % {_SEG_N})) % 37 = 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    g AS (
+      SELECT a.pixel_id, {gx} AS gx, {gy} AS gy
+      FROM (SELECT * FROM px
+            WHERE rr BETWEEN 1 AND {_SEG_N - 2}
+              AND cc BETWEEN 1 AND {_SEG_N - 2}) a
+      JOIN px b ON abs(a.rr - b.rr) <= 1 AND abs(a.cc - b.cc) <= 1
+      GROUP BY a.pixel_id
+    ),
+    f AS (
+      SELECT pixel_id,
+        ATAN(SQRT(CAST(gx * gx + gy * gy AS DOUBLE)) / 8.0e0)
+          * {r2d!r} AS slope_deg,
+        CASE WHEN gx = 0 AND gy = 0 THEN -1.0e0
+             ELSE CASE
+               WHEN ATAN2(CAST(-gx AS DOUBLE), CAST(gy AS DOUBLE))
+                    * {r2d!r} < 0
+               THEN ATAN2(CAST(-gx AS DOUBLE), CAST(gy AS DOUBLE))
+                    * {r2d!r} + 360.0e0
+               ELSE ATAN2(CAST(-gx AS DOUBLE), CAST(gy AS DOUBLE))
+                    * {r2d!r} END
+        END AS aspect_deg,
+        CAST(gx AS DOUBLE) / 8.0e0 AS dxh,
+        CAST(-gy AS DOUBLE) / 8.0e0 AS dyh
+      FROM g
+    ),
+    h AS (
+      SELECT pixel_id, slope_deg, aspect_deg,
+        ({sinzen!r} - {coszen!r} * SQRT(dxh * dxh + dyh * dyh)
+           * SIN(ATAN2(dyh, dxh) - {azoff!r}))
+          / SQRT(1.0e0 + (dxh * dxh + dyh * dyh)) AS cang
+      FROM f
+    )
+    SELECT pixel_id,
+      CAST(FLOOR(slope_deg * 1000000.0e0 + 0.5e0) AS BIGINT) AS slope_u,
+      CAST(FLOOR(aspect_deg * 1000000.0e0 + 0.5e0) AS BIGINT) AS aspect_u,
+      CAST(FLOOR((CASE WHEN cang <= 0.0e0 THEN 1.0e0
+                       ELSE 1.0e0 + 254.0e0 * cang END)
+                 * 1000000.0e0 + 0.5e0) AS BIGINT) AS hillshade_u
+    FROM h
+    """
+
+
+@register("dem_slope_aspect_hillshade", _dem_sql())
+def q_dem_slope_aspect_hillshade(sf_dir: str):
+    """DEM terrain derivatives — the reference elevation module's
+    slope / aspect / hillshade kernels (Horn windows, calibration/
+    RSGISDEMTools.cpp:87-95 slope, :263-291 aspect incl. the <0 +360
+    normalization and the flat -> sentinel rule, :hillshade cang chain
+    with the cang<=0 clamp and 1+254*cang scaling; sun az 315 zen 45,
+    constants inlined as literals). Computed over interior pixels of
+    a smooth integer DEM via the halo-tiled convolution stage
+    (gradient kernels are exact integers; atan/atan2/sin chains carry
+    <= a few ULPs, absorbed by half-up micro-units — the smooth
+    fixture keeps cang >= 0.4 so the clamp branch never sits on the
+    boundary)."""
+    import math
+
+    from rsgislib_ray.stages.raster import focal_convolve
+
+    r2d = 57.29577951308232
+    zen = 45.0 * math.pi / 180.0
+    az = 315.0 * math.pi / 180.0
+    sinzen, coszen = math.sin(zen), math.cos(zen)
+    azoff = az - math.pi / 2.0
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        z = (rr + cc) // 4 + ((31 * rr + 17 * cc) % 37 == 0).astype(np.int64)
+        return pa.table({"pixel_id": pid, "row": rr, "col": cc, "value": z})
+
+    dem = ray.data.from_arrow(_seg_raster()).repartition(8).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    conv = focal_convolve(
+        dem,
+        {
+            "gx": np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.int64),
+            "gy": np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.int64),
+        },
+        tile_size=32,
+    )
+
+    def terrain(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        interior = (rr >= 1) & (rr <= _SEG_N - 2) & (cc >= 1) & (
+            cc <= _SEG_N - 2
+        )
+        gx = batch["gx"].to_numpy()[interior].astype(np.float64)
+        gy = batch["gy"].to_numpy()[interior].astype(np.float64)
+        slope = np.arctan(np.sqrt(gx * gx + gy * gy) / 8.0) * r2d
+        asp = np.arctan2(-gx, gy) * r2d
+        asp = np.where(asp < 0, asp + 360.0, asp)
+        asp = np.where((gx == 0) & (gy == 0), -1.0, asp)
+        dxh = gx / 8.0
+        dyh = -gy / 8.0
+        xx_yy = dxh * dxh + dyh * dyh
+        cang = (
+            sinzen
+            - coszen * np.sqrt(xx_yy) * np.sin(np.arctan2(dyh, dxh) - azoff)
+        ) / np.sqrt(1.0 + xx_yy)
+        out = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+        return pa.table(
+            {
+                "pixel_id": pid[interior],
+                "slope_u": np.floor(slope * 1e6 + 0.5).astype(np.int64),
+                "aspect_u": np.floor(asp * 1e6 + 0.5).astype(np.int64),
+                "hillshade_u": np.floor(out * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    return conv.map_batches(terrain, batch_format="pyarrow")
+
+
 @register("whiten_image", _whiten3_sql())
 def q_whiten_image(sf_dir: str):
     """imageutils.whiten_image (:4464) for three bands: ZCA whitening
