@@ -10788,6 +10788,150 @@ def q_dem_slope_aspect_hillshade(sf_dir: str):
     return conv.map_batches(terrain, batch_format="pyarrow")
 
 
+def _rough_sql() -> str:
+    """SQL mirror of q_roughness_profiles: per interior pixel, the 5
+    center-row (x) and center-column (y) window values via MAX(CASE)
+    over the neighbor join, then the literal RA/RR/RQ chains."""
+    sel = []
+    for k in range(5):
+        sel.append(
+            f"MAX(CASE WHEN b.rr - a.rr = 0 AND b.cc - a.cc = {k - 2}"
+            f" THEN b.val END) AS x{k}"
+        )
+        sel.append(
+            f"MAX(CASE WHEN b.cc - a.cc = 0 AND b.rr - a.rr = {k - 2}"
+            f" THEN b.val END) AS y{k}"
+        )
+
+    def chains(p: str) -> str:
+        m = f"(({p}0 + {p}1 + {p}2 + {p}3 + {p}4) / 5.0e0)"
+        ra = (
+            f"((ABS({p}0 - {m}) + ABS({p}1 - {m}) + ABS({p}2 - {m})"
+            f" + ABS({p}3 - {m}) + ABS({p}4 - {m})) / 5.0e0)"
+        )
+        rr = (
+            f"SQRT((({p}0 - {m}) * ({p}0 - {m}) + ({p}1 - {m}) * ({p}1 - {m})"
+            f" + ({p}2 - {m}) * ({p}2 - {m}) + ({p}3 - {m}) * ({p}3 - {m})"
+            f" + ({p}4 - {m}) * ({p}4 - {m})) / 5.0e0)"
+        )
+        rq = (
+            f"(ABS({p}1 - {p}0) + ABS({p}2 - {p}1) + ABS({p}3 - {p}2)"
+            f" + ABS({p}4 - {p}3))"
+        )
+        return ra, rr, rq
+
+    xra, xrr, xrq = chains("x")
+    yra, yrr, yrq = chains("y")
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range // {_SEG_N} + p.range % {_SEG_N}) // 4
+               + CASE WHEN (31 * (p.range // {_SEG_N})
+                            + 17 * (p.range % {_SEG_N})) % 37 = 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    g AS (
+      SELECT a.pixel_id, {", ".join(sel)}
+      FROM (SELECT * FROM px
+            WHERE rr BETWEEN 2 AND {_SEG_N - 3}
+              AND cc BETWEEN 2 AND {_SEG_N - 3}) a
+      JOIN px b ON abs(a.rr - b.rr) <= 2 AND abs(a.cc - b.cc) <= 2
+      GROUP BY a.pixel_id
+    )
+    SELECT pixel_id,
+      CAST(FLOOR({xra} * 1000000.0e0 + 0.5e0) AS BIGINT) AS x_ra_u,
+      CAST(FLOOR({yra} * 1000000.0e0 + 0.5e0) AS BIGINT) AS y_ra_u,
+      CAST(FLOOR({xrr} * 1000000.0e0 + 0.5e0) AS BIGINT) AS x_rr_u,
+      CAST(FLOOR({yrr} * 1000000.0e0 + 0.5e0) AS BIGINT) AS y_rr_u,
+      CAST({xrq} AS BIGINT) AS x_rq,
+      CAST({yrq} AS BIGINT) AS y_rq
+    FROM g
+    """
+
+
+@register("roughness_profiles", _rough_sql())
+def q_roughness_profiles(sf_dir: str):
+    """Surface-roughness profile metrics (elevation/roughness.py:
+    calc_simple_roughness_profile_metrics:661, window profile
+    formulas :120-175, detrend off): per interior pixel of the DEM
+    fixture, the 5-sample center-row (x) and center-column (y)
+    profiles yield RA (mean |deviation|), RR/RQ (root-mean-square
+    deviation — computed as the literal sqrt(sum sq/n) chain; the
+    reference's np.std re-centers by mean(dev) which is analytically
+    zero) and RM (sum of |consecutive elevation changes|, exact
+    integers). Profile samples are gathered by single-offset selector
+    kernels through the halo-tiled convolution stage."""
+    from rsgislib_ray.stages.raster import focal_convolve
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        z = (rr + cc) // 4 + ((31 * rr + 17 * cc) % 37 == 0).astype(np.int64)
+        return pa.table({"pixel_id": pid, "row": rr, "col": cc, "value": z})
+
+    dem = ray.data.from_arrow(_seg_raster()).repartition(8).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    kernels = {}
+    for k in range(5):
+        kx = np.zeros((5, 5), np.int64)
+        kx[2, k] = 1
+        kernels[f"x{k}"] = kx
+        ky = np.zeros((5, 5), np.int64)
+        ky[k, 2] = 1
+        kernels[f"y{k}"] = ky
+    conv = focal_convolve(dem, kernels, tile_size=32)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        ok = (rr >= 2) & (rr <= _SEG_N - 3) & (cc >= 2) & (cc <= _SEG_N - 3)
+        out = {"pixel_id": pid[ok]}
+        for p in ("x", "y"):
+            v = [
+                batch[f"{p}{k}"].to_numpy()[ok].astype(np.float64)
+                for k in range(5)
+            ]
+            m = (v[0] + v[1] + v[2] + v[3] + v[4]) / 5.0
+            ra = (
+                np.abs(v[0] - m) + np.abs(v[1] - m) + np.abs(v[2] - m)
+                + np.abs(v[3] - m) + np.abs(v[4] - m)
+            ) / 5.0
+            rr_ = np.sqrt(
+                (
+                    (v[0] - m) * (v[0] - m)
+                    + (v[1] - m) * (v[1] - m)
+                    + (v[2] - m) * (v[2] - m)
+                    + (v[3] - m) * (v[3] - m)
+                    + (v[4] - m) * (v[4] - m)
+                )
+                / 5.0
+            )
+            rq = (
+                np.abs(v[1] - v[0]) + np.abs(v[2] - v[1])
+                + np.abs(v[3] - v[2]) + np.abs(v[4] - v[3])
+            )
+            out[f"{p}_ra_u"] = np.floor(ra * 1e6 + 0.5).astype(np.int64)
+            out[f"{p}_rr_u"] = np.floor(rr_ * 1e6 + 0.5).astype(np.int64)
+            out[f"{p}_rq"] = rq.astype(np.int64)
+        return pa.table(
+            {
+                "pixel_id": out["pixel_id"],
+                "x_ra_u": out["x_ra_u"],
+                "y_ra_u": out["y_ra_u"],
+                "x_rr_u": out["x_rr_u"],
+                "y_rr_u": out["y_rr_u"],
+                "x_rq": out["x_rq"],
+                "y_rq": out["y_rq"],
+            }
+        )
+
+    return conv.map_batches(metrics, batch_format="pyarrow")
+
+
 @register("whiten_image", _whiten3_sql())
 def q_whiten_image(sf_dir: str):
     """imageutils.whiten_image (:4464) for three bands: ZCA whitening
