@@ -293,14 +293,15 @@ def test_minhash_planted_dup_stress(ray_session):
     ds = ray.data.from_arrow(
         pa.table({"doc_id": ids, "text": texts})
     ).repartition(8)
-    out = (
-        minhash_dedup(ds, threshold=0.9, n_perm=32)
-        .to_pandas()
-        .set_index("doc_id")["cluster_id"]
-    )
-    assert len(out) == len(texts)
-    for i, s in enumerate(dup_src):
-        assert out[n_base + i] == out[s] == s
-    # non-dup docs keep themselves (sanity on a sample)
-    uniq = [i for i in range(50, 200)]
-    assert all(out[i] == i for i in uniq)
+    for strat in ("driver", "native"):
+        out = (
+            minhash_dedup(ds, threshold=0.9, n_perm=32, labels=strat)
+            .to_pandas()
+            .set_index("doc_id")["cluster_id"]
+        )
+        assert len(out) == len(texts), strat
+        for i, s in enumerate(dup_src):
+            assert out[n_base + i] == out[s] == s, strat
+        # non-dup docs keep themselves (sanity on a sample)
+        uniq = [i for i in range(50, 200)]
+        assert all(out[i] == i for i in uniq), strat
