@@ -10932,6 +10932,147 @@ def q_roughness_profiles(sf_dir: str):
     return conv.map_batches(metrics, batch_format="pyarrow")
 
 
+@register(
+    "regression_stats",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    d AS (
+      SELECT CAST(qty AS BIGINT) AS y,
+             CAST(qty + (cell_key * 7) % 21 - 10 AS BIGINT) AS p
+      FROM cells
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy,
+        CAST(SUM(p - y) AS BIGINT) AS sd,
+        CAST(SUM(CAST(p - y AS HUGEINT) * (p - y)) AS BIGINT) AS sdd,
+        CAST(SUM(ABS(p - y)) AS BIGINT) AS sad
+      FROM d
+    ),
+    med AS (
+      SELECT (MAX(CASE WHEN rn = (n + 1) // 2 THEN ad END)
+              + MAX(CASE WHEN rn = n // 2 + 1 THEN ad END)) / 2.0e0 AS mae_med
+      FROM (
+        SELECT ABS(p - y) AS ad,
+          ROW_NUMBER() OVER (ORDER BY ABS(p - y)) AS rn,
+          COUNT(*) OVER () AS n
+        FROM d
+      )
+    )
+    SELECT
+      CAST(FLOOR((1.0e0 - CAST(m.n AS DOUBLE) * m.sdd
+                  / (CAST(m.n AS DOUBLE) * m.syy
+                     - CAST(m.sy AS DOUBLE) * m.sy))
+                 * 1000000.0e0 + 0.5e0) AS BIGINT) AS r2_u,
+      CAST(FLOOR((1.0e0 - (CAST(m.n AS DOUBLE) * m.sdd
+                           - CAST(m.sd AS DOUBLE) * m.sd)
+                  / (CAST(m.n AS DOUBLE) * m.syy
+                     - CAST(m.sy AS DOUBLE) * m.sy))
+                 * 1000000.0e0 + 0.5e0) AS BIGINT) AS evs_u,
+      CAST(FLOOR(med.mae_med * 1000000.0e0 + 0.5e0) AS BIGINT)
+        AS median_ae_u,
+      CAST(FLOOR(CAST(m.sad AS DOUBLE) / m.n * 1000000.0e0 + 0.5e0)
+           AS BIGINT) AS mae_u,
+      CAST(FLOOR(CAST(m.sdd AS DOUBLE) / m.n * 1000000.0e0 + 0.5e0)
+           AS BIGINT) AS mse_u,
+      CAST(FLOOR(SQRT(CAST(m.sdd AS DOUBLE) / m.n) * 1000000.0e0 + 0.5e0)
+           AS BIGINT) AS rmse_u,
+      CAST(FLOOR(100.0e0 * (SQRT(CAST(m.sdd AS DOUBLE) / m.n)
+                            / (CAST(m.sy AS DOUBLE) / m.n))
+                 * 1000000.0e0 + 0.5e0) AS BIGINT) AS nrmse_u
+    FROM m, med
+    """,
+)
+def q_regression_stats(sf_dir: str):
+    """regression.get_regression_stats (:10 — r2, explained variance,
+    median/mean absolute error, MSE, RMSE, normalised RMSE) over a
+    deterministic (reference, prediction) pair derived from the cell
+    values: ONE distributed exact-integer moment pass (n, sums,
+    squares, |diff| histogram for the median rank statistic), every
+    float metric a literal mirrored expression chain (divisions and
+    sqrt correctly rounded)."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch["qty"].to_numpy().astype(np.int64)
+        ck = batch["cell_key"].to_numpy().astype(np.int64)
+        p = y + (ck * 7) % 21 - 10
+        d = p - y
+        ad = np.abs(d)
+        vals, cnts = np.unique(ad, return_counts=True)
+        hist = pa.table(
+            {
+                "k": vals + 1_000_000,  # |d| histogram keys, offset
+                "v": cnts.astype(np.int64),
+            }
+        )
+        moments = pa.table(
+            {
+                "k": np.arange(6, dtype=np.int64),
+                "v": np.array(
+                    [
+                        len(y),
+                        int(y.sum()),
+                        int((y * y).sum()),
+                        int(d.sum()),
+                        int((d * d).sum()),
+                        int(ad.sum()),
+                    ],
+                    dtype=np.int64,
+                ),
+            }
+        )
+        return pa.concat_tables([moments, hist])
+
+    agg = segment_sum(
+        cells.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "k",
+        ["v"],
+    ).to_pandas()
+    mom = dict(zip(agg["k"], agg["v"]))
+    n = int(mom[0])
+    sy, syy, sd, sdd, sad = (
+        int(mom[1]),
+        int(mom[2]),
+        int(mom[3]),
+        int(mom[4]),
+        int(mom[5]),
+    )
+    hk = agg[agg["k"] >= 1_000_000].sort_values("k")
+    hv = hk["v"].to_numpy().astype(np.int64)
+    hvals = (hk["k"].to_numpy() - 1_000_000).astype(np.int64)
+    cum = np.cumsum(hv)
+    lo_rank, hi_rank = (n + 1) // 2, n // 2 + 1
+    lo = hvals[np.searchsorted(cum, lo_rank)]
+    hi = hvals[np.searchsorted(cum, hi_rank)]
+    mae_med = (float(lo) + float(hi)) / 2.0
+    denom = float(n) * syy - float(sy) * sy
+    r2 = 1.0 - float(n) * sdd / denom
+    evs = 1.0 - (float(n) * sdd - float(sd) * sd) / denom
+    mae = float(sad) / n
+    mse = float(sdd) / n
+    rmse = np.sqrt(float(sdd) / n)
+    nrmse = 100.0 * (np.sqrt(float(sdd) / n) / (float(sy) / n))
+
+    def u(x: float) -> int:
+        return int(np.floor(x * 1e6 + 0.5))
+
+    return pa.table(
+        {
+            "r2_u": pa.array([u(r2)], pa.int64()),
+            "evs_u": pa.array([u(evs)], pa.int64()),
+            "median_ae_u": pa.array([u(mae_med)], pa.int64()),
+            "mae_u": pa.array([u(mae)], pa.int64()),
+            "mse_u": pa.array([u(mse)], pa.int64()),
+            "rmse_u": pa.array([u(rmse)], pa.int64()),
+            "nrmse_u": pa.array([u(nrmse)], pa.int64()),
+        }
+    )
+
+
 @register("whiten_image", _whiten3_sql())
 def q_whiten_image(sf_dir: str):
     """imageutils.whiten_image (:4464) for three bands: ZCA whitening
