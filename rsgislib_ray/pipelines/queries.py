@@ -5614,9 +5614,7 @@ def q_class_change_matrix(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
-@register(
-    "event_funnel",
-    """
+_FUNNEL_SQL = """
     WITH v AS (
       SELECT user_id, MIN(ts) AS t_view FROM events
       WHERE event_type = 'view' GROUP BY user_id
@@ -5640,8 +5638,10 @@ def q_class_change_matrix(sf_dir: str):
     LEFT JOIN v ON v.user_id = u.user_id
     LEFT JOIN c ON c.user_id = u.user_id
     LEFT JOIN p ON p.user_id = u.user_id
-    """,
-)
+    """
+
+
+@register("event_funnel", _FUNNEL_SQL)
 def q_event_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel per user, strictly
     increasing timestamps: vectorized iterative min-aggregation (one
@@ -5654,6 +5654,24 @@ def q_event_funnel(sf_dir: str):
             f"{sf_dir}/events.parquet",
             columns=["user_id", "ts", "event_type"],
         )
+    )
+
+
+@register("event_funnel_native", _FUNNEL_SQL)
+def q_event_funnel_native(sf_dir: str):
+    """The funnel's fully distributed path (``combine="native"``): per
+    step, distinct (user, t) candidates hash-join the previous step's
+    per-user minima and reduce through the distributed segment-min; the
+    result matrix assembles via left-outer joins — no per-user row ever
+    reaches the driver (the 10^9-user shape)."""
+    from rsgislib_ray.stages.events import event_funnel
+
+    return event_funnel(
+        td.read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        ),
+        combine="native",
     )
 
 

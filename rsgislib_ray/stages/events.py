@@ -468,23 +468,41 @@ def event_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-) -> "pa.Table":
+    combine: str = "driver",
+    num_partitions: int | None = None,
+) -> "pa.Table | ray.data.Dataset":
     """Ordered funnel: per user, the earliest time of step 1, the
     earliest step-2 event STRICTLY after it, the earliest step-3 event
     strictly after that, and the number of steps completed.
 
-    Zero shuffles: each step is one streaming ``map_batches`` pass that
-    pre-reduces to per-(user) partial minima (filtered against the
-    broadcast previous-step map); the CONTRACTED partials (<= blocks x
-    users rows — the same size class as the broadcast map itself) are
-    combined with one exact pandas min and re-broadcast for the next
-    step. The per-user result table is assembled once at the end. For
-    user counts beyond broadcast range, swap each combine for
-    ``groupby(user).min`` — the partial stages are unchanged.
+    ``combine`` picks the reduction site — the same switch
+    :func:`tumbling_windows` has:
+
+    - ``"driver"``: each step is one streaming ``map_batches`` pass
+      pre-reducing to per-user partial minima (filtered against the
+      broadcast previous-step map); partials are combined with one
+      exact pandas min and re-broadcast for the next step. Fast while
+      the active-user count fits a broadcast map; returns a
+      ``pa.Table``.
+    - ``"native"``: the 10^9-user shape — no per-user row ever lands
+      on the driver. Each step's distinct (user, t) candidates
+      hash-join against the previous step's per-user minima
+      (``Dataset.join``), filter strictly-after, and reduce through
+      the distributed :func:`segment_sum` min; the result matrix is
+      assembled with left-outer hash joins (the
+      :func:`event_retention` pattern). Returns a streaming Dataset
+      with identical values.
     """
     import pyarrow.compute as pc
 
     import ray as _ray
+
+    if combine == "native":
+        return _event_funnel_native(
+            events, steps, user_col, ts_col, type_col, num_partitions
+        )
+    if combine != "driver":
+        raise ValueError(f"unknown combine {combine!r}")
 
     maps: list = []
     prev_ref = None
@@ -567,3 +585,157 @@ def event_funnel(
         ).cast(pa.timestamp("us"))
     cols["steps_completed"] = pa.array(done)
     return pa.table(cols)
+
+
+def _event_funnel_native(
+    events: ray.data.Dataset,
+    steps: tuple,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    num_partitions: int | None,
+) -> ray.data.Dataset:
+    """Fully distributed funnel (see :func:`event_funnel`,
+    ``combine="native"``). Per step: distinct (user, t) candidates
+    pre-deduped per batch, an inner hash join attaches the previous
+    step's per-user minimum, strictly-after filter, then a distributed
+    :func:`segment_sum` min. Assembly is a chain of left-outer joins
+    off the distinct-user set — exactly the shape the SQL oracle uses,
+    so values are bit-identical to the driver path (all integer
+    microsecond timestamps)."""
+    from rsgislib_ray.stages.components import drop_empty_blocks
+    from rsgislib_ray.stages.segsum import segment_sum
+    from rsgislib_ray.stages.spatial_join import _default_join_partitions
+
+    import pyarrow.compute as pc
+
+    nparts = _default_join_partitions(num_partitions)
+
+    def _empty(cols: dict) -> ray.data.Dataset:
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([], t) for c, t in cols.items()})
+        )
+
+    def users_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch[user_col].to_numpy().astype(np.int64))
+        return pa.table({user_col: u, "one": np.ones(len(u), np.int64)})
+
+    users = drop_empty_blocks(
+        segment_sum(
+            events.map_batches(
+                users_partial, batch_format="pyarrow", batch_size=65536
+            ),
+            user_col,
+            ["one"],
+            aggs=["min"],
+        ).drop_columns(["one"])
+    )
+    if users is None:
+        out = {user_col: pa.int64()}
+        for s in steps:
+            out[f"t_{s}"] = pa.timestamp("us")
+        out["steps_completed"] = pa.int64()
+        return _empty(out)
+    users = users.materialize()
+
+    prev: ray.data.Dataset | None = None  # (user, "t") minima, or empty
+    first_step = True
+    step_mins: list = []  # (user, __t_{step}) joinable datasets
+    for step in steps:
+
+        def candidates(batch: pa.Table, _step=step, _first=first_step) -> pa.Table:
+            sub = batch.filter(pc.equal(batch[type_col], _step))
+            u = sub[user_col].to_numpy().astype(np.int64)
+            t = sub[ts_col].cast(pa.int64()).to_numpy()
+            order = np.lexsort((t, u))
+            u, t = u[order], t[order]
+            if _first:
+                # step 1 needs no strictly-after filter: per-batch
+                # per-user min is a valid partial
+                keep = np.concatenate(
+                    [[True], u[1:] != u[:-1]]
+                ) if len(u) else np.zeros(0, bool)
+            else:
+                # later steps: keep distinct (user, t) pairs — the min
+                # can only be taken AFTER the prev-step join filter
+                keep = np.concatenate(
+                    [[True], (u[1:] != u[:-1]) | (t[1:] != t[:-1])]
+                ) if len(u) else np.zeros(0, bool)
+            return pa.table({user_col: u[keep], "t": t[keep]})
+
+        parts = events.map_batches(
+            candidates, batch_format="pyarrow", batch_size=65536
+        )
+        first_step = False
+        if prev is not None:
+            left = drop_empty_blocks(parts)
+            if left is None or prev.count() == 0:
+                parts = None
+            else:
+                joined = left.join(
+                    prev.map_batches(
+                        lambda tb: pa.table(
+                            {user_col: tb[user_col], "prev_t": tb["t"]}
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    join_type="inner",
+                    num_partitions=nparts,
+                    on=(user_col,),
+                )
+
+                def after(tb: pa.Table) -> pa.Table:
+                    keep = pc.greater(tb["t"], tb["prev_t"])
+                    sub = tb.filter(keep)
+                    return pa.table({user_col: sub[user_col], "t": sub["t"]})
+
+                parts = drop_empty_blocks(
+                    joined.map_batches(after, batch_format="pyarrow")
+                )
+        if parts is not None:
+            cur = drop_empty_blocks(
+                segment_sum(parts, user_col, ["t"], aggs=["min"])
+            )
+        else:
+            cur = None
+        if cur is None:
+            prev = _empty({user_col: pa.int64(), "t": pa.int64()})
+            step_mins.append(
+                _empty({user_col: pa.int64(), f"__t_{step}": pa.int64()})
+            )
+        else:
+            cur = cur.materialize()
+            prev = cur
+            step_mins.append(
+                cur.map_batches(
+                    lambda tb, _s=step: pa.table(
+                        {user_col: tb[user_col], f"__t_{_s}": tb["t"]}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+
+    acc = users
+    for cur in step_mins:
+        acc = acc.join(
+            cur,
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=(user_col,),
+        )
+        dropped = drop_empty_blocks(acc)
+        if dropped is not None:
+            acc = dropped
+
+    def finish(tb: pa.Table) -> pa.Table:
+        cols: dict = {user_col: tb[user_col]}
+        done = np.zeros(len(tb), dtype=np.int64)
+        for s in steps:
+            col = tb[f"__t_{s}"]
+            ok = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            done += ok.astype(np.int64)
+            cols[f"t_{s}"] = col.cast(pa.int64()).cast(pa.timestamp("us"))
+        cols["steps_completed"] = pa.array(done)
+        return pa.table(cols)
+
+    return acc.map_batches(finish, batch_format="pyarrow")

@@ -175,6 +175,32 @@ def test_tumbling_windows_native_combine_identical(ray_session, sf_dir):
         assert (drv.to_numpy() == nat.to_numpy()).all(), slide
 
 
+def test_event_funnel_native_combine_identical(ray_session, sf_dir):
+    """VERDICT r3 #1: the funnel's combine="native" path (hash-join
+    per-step minima + distributed segment-min — the 10^9-user shape)
+    is bit-identical to the default driver combine."""
+    from rsgislib_ray.sources import testdata as td
+    from rsgislib_ray.stages.events import event_funnel
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).repartition(8)
+    drv = (
+        event_funnel(ds)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    nat = (
+        event_funnel(ds, combine="native")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)[drv.columns]
+    )
+    assert list(drv.columns) == list(nat.columns)
+    assert (drv.fillna(-1).to_numpy() == nat.fillna(-1).to_numpy()).all()
+
+
 def test_stratified_sample_partition_independent(ray_session):
     import numpy as np
     import pyarrow as pa
