@@ -7238,9 +7238,7 @@ def q_categorize_band(sf_dir: str):
     return cells.map_batches(f, batch_format="pyarrow", batch_size=65536)
 
 
-@register(
-    "semivariogram",
-    f"""
+_SEMIVAR_SQL = f"""
     WITH cells AS ({td.SQL_CELLS}),
     p AS (
       SELECT cell_key AS id, qty AS v,
@@ -7279,34 +7277,68 @@ def q_categorize_band(sf_dir: str):
            END AS semivariance
     FROM range(1, 5) r
     LEFT JOIN agg a ON a.lag_bin = r.range
-    """,
-)
+    """
+
+
+def _semivariogram_points(sf_dir: str) -> ray.data.Dataset:
+    """Streaming point layer for the semivariogram queries: lineitem
+    read through read_parquet_clean, derivation vectorized per batch —
+    nothing materializes on the driver."""
+    from rsgislib_ray.sources.testdata import BX, BY, CX, CY
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).repartition(32)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "cell_key": ok * 10 + ln,
+                "x": ((ok * BX + ln * CX) % 10000) / 100.0 + 0.005,
+                "y": ((ok * BY + ln * CY) % 10000) / 100.0 + 0.005,
+                "val": batch["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+@register("semivariogram", _SEMIVAR_SQL)
 def q_semivariogram(sf_dir: str):
     """calc_semivariogram (tools/stats.py:1083, skgstat Matheron
     estimator): per lag bin up to max_lag=2.0 (4 bins), pair count and
-    exact integer squared-difference sum over the lineitem cell layer;
-    broadcast cell-bucket pair gather, each unordered pair once."""
-    import pyarrow.parquet as pq
+    exact integer squared-difference sum over the lineitem cell layer —
+    the co-partitioned path (home + lower-ring cell fan-out, one
+    groupby(cell_id) shuffle, vectorized local pairing): no broadcast
+    layer, no driver-side table, the 100-TB shape."""
+    from rsgislib_ray.stages.geostat import semivariogram_copart
 
-    from rsgislib_ray.sources.testdata import BX, BY, CX, CY
+    return semivariogram_copart(
+        _semivariogram_points(sf_dir), max_lag=2.0, n_lags=4, value_col="val"
+    )
+
+
+@register("semivariogram_broadcast", _SEMIVAR_SQL)
+def q_semivariogram_broadcast(sf_dir: str):
+    """The semivariogram's broadcast variant (cell-bucket _TargetIndex
+    gather) — right while the point layer fits a worker heap;
+    bit-identical to the co-partitioned path (pytest-enforced)."""
     from rsgislib_ray.stages.geostat import semivariogram
 
-    raw = pq.read_table(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    pts = _semivariogram_points(sf_dir)
+    tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in pts.to_arrow_refs()) if t.num_rows]
     )
-    ok = raw["l_orderkey"].to_numpy()
-    ln = raw["l_linenumber"].to_numpy().astype(np.int64)
-    tbl = pa.table(
-        {
-            "cell_key": ok * 10 + ln,
-            "x": ((ok * BX + ln * CX) % 10000) / 100.0 + 0.005,
-            "y": ((ok * BY + ln * CY) % 10000) / 100.0 + 0.005,
-            "val": raw["l_quantity"].to_numpy().astype(np.int64),
-        }
+    return semivariogram(
+        ray.data.from_arrow(tbl).repartition(32),
+        tbl,
+        max_lag=2.0,
+        n_lags=4,
+        value_col="val",
     )
-    stream = ray.data.from_arrow(tbl).repartition(32)
-    return semivariogram(stream, tbl, max_lag=2.0, n_lags=4, value_col="val")
 
 
 def _li_chain_sql(iters: int = 8) -> str:

@@ -25,10 +25,13 @@ coincident-point pairs land in bin 1, matching skgstat's right-closed
 first bin).
 
 At true 100 TB point counts the broadcast side no longer fits; the
-documented scale path is cell co-partitioning (duplicate each point
-into its home cell plus the ring of cells within max_lag, one
-``groupby(cell_id)`` shuffle, pair locally) — same reducers, same
-results.
+scale path is :func:`semivariogram_copart` — cell co-partitioning:
+each point is duplicated into its home cell plus the (at most 4)
+LOWER-keyed ring cells within max_lag, ONE ``groupby(cell_id)``
+shuffle co-locates every qualifying pair, pairing runs vectorized
+per cell, and the per-cell (lag_bin, count, sq_sum) partials reduce
+through a tiny native groupby. Same exact int64 reducers — the two
+paths are bit-identical (pytest-enforced).
 """
 
 from __future__ import annotations
@@ -179,10 +182,17 @@ def semivariogram(
     )
     n_pairs = pdf["n_partial"].to_numpy().astype(np.int64)
     sq = pdf["sq_partial"].to_numpy().astype(np.int64)
+    return _finish(n_pairs, sq, max_lag, n_lags)
+
+
+def _finish(
+    n_pairs: np.ndarray, sq: np.ndarray, max_lag: float, n_lags: int
+) -> pa.Table:
+    """Shared final assembly: one float division per bin."""
     has = n_pairs > 0
     return pa.table(
         {
-            "lag_bin": pdf["lag_bin"].to_numpy().astype(np.int64),
+            "lag_bin": np.arange(1, n_lags + 1, dtype=np.int64),
             "lag_upper": np.arange(1, n_lags + 1) * (max_lag / n_lags),
             "n_pairs": n_pairs,
             "sq_diff_sum": sq,
@@ -193,3 +203,132 @@ def semivariogram(
             ),
         }
     )
+
+
+def semivariogram_copart(
+    points: ray.data.Dataset,
+    max_lag: float,
+    n_lags: int,
+    value_col: str,
+    id_col: str = "cell_key",
+    x_col: str = "x",
+    y_col: str = "y",
+    int_scale: int = 200,
+) -> pa.Table:
+    """Co-partitioned semivariogram — the 100-TB path: no broadcast
+    layer, no driver-side table. Cells are ``max_lag`` wide, so any
+    pair within ``max_lag`` spans at most one cell step per axis. Each
+    point fans out to its home cell (``is_base=1``) plus the <= 4
+    LOWER-keyed ring cells whose rectangle lies within ``max_lag``
+    (``is_base=0`` ghosts); one ``groupby(cell_id)`` shuffle then
+    co-locates every qualifying pair exactly once under the canonical
+    rule *count (b, t) iff t.home > b.home, or same home and
+    t.id > b.id* (ghosts only ever come from higher-keyed homes, bases
+    share the home, so the rule is local). Pairing is chunked numpy;
+    reducers are the same exact int64 as :func:`semivariogram`, so the
+    result is bit-identical."""
+    fr = DEFAULT_FRAME
+    cw = float(max_lag)
+    n = max(int(np.ceil(fr.width / cw)), 1)
+    sc = float(int_scale)
+    edges_sq = np.array(
+        [
+            int(round(max_lag * int_scale * (b + 1) / n_lags)) ** 2
+            for b in range(n_lags)
+        ],
+        dtype=np.int64,
+    )
+    r2max = int(edges_sq[-1])
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy().astype(np.float64)
+        y = batch[y_col].to_numpy().astype(np.float64)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        val = batch[value_col].to_numpy().astype(np.int64)
+        ix = np.rint(x * sc).astype(np.int64)
+        iy = np.rint(y * sc).astype(np.int64)
+        col = np.clip(np.floor((x - fr.x0) / cw), 0, n - 1).astype(np.int64)
+        row = np.clip(np.floor((y - fr.y0) / cw), 0, n - 1).astype(np.int64)
+        home = row * n + col
+        cells = [home]
+        base = [np.ones(len(home), np.int8)]
+        sel = [np.arange(len(home))]
+        # ghosts into the 4 lower-keyed ring cells, pruned by the
+        # point-to-cell-rectangle distance (slack keeps boundary pairs)
+        for dr, dc in ((-1, -1), (-1, 0), (-1, 1), (0, -1)):
+            r2, c2 = row + dr, col + dc
+            ok = (r2 >= 0) & (r2 < n) & (c2 >= 0) & (c2 < n)
+            gx0, gy0 = fr.x0 + c2 * cw, fr.y0 + r2 * cw
+            ddx = np.maximum(np.maximum(gx0 - x, x - (gx0 + cw)), 0.0)
+            ddy = np.maximum(np.maximum(gy0 - y, y - (gy0 + cw)), 0.0)
+            ok &= np.hypot(ddx, ddy) <= max_lag + 1e-9
+            idx = np.flatnonzero(ok)
+            if len(idx):
+                cells.append(r2[idx] * n + c2[idx])
+                base.append(np.zeros(len(idx), np.int8))
+                sel.append(idx)
+        take = np.concatenate(sel)
+        return pa.table(
+            {
+                "cell_id": np.concatenate(cells),
+                "is_base": np.concatenate(base),
+                "home": np.concatenate([home[s] for s in sel]),
+                "pid": ids[take],
+                "ix": ix[take],
+                "iy": iy[take],
+                "v": val[take],
+            }
+        )
+
+    def pair_group(g: pa.Table) -> pa.Table:
+        isb = g["is_base"].to_numpy().astype(bool)
+        home = g["home"].to_numpy()
+        pid = g["pid"].to_numpy()
+        ix = g["ix"].to_numpy()
+        iy = g["iy"].to_numpy()
+        v = g["v"].to_numpy()
+        bsel = np.flatnonzero(isb)
+        n_pairs = np.zeros(n_lags, dtype=np.int64)
+        sq_sum = np.zeros(n_lags, dtype=np.int64)
+        for s in range(0, len(bsel), 512):
+            bb = bsel[s : s + 512]
+            dx = ix[bb, None] - ix[None, :]
+            dy = iy[bb, None] - iy[None, :]
+            d2 = dx * dx + dy * dy
+            canon = (home[None, :] > home[bb, None]) | (
+                (home[None, :] == home[bb, None])
+                & (pid[None, :] > pid[bb, None])
+            )
+            hit = canon & (d2 <= r2max)
+            if not hit.any():
+                continue
+            bi, ti = np.nonzero(hit)
+            b = np.searchsorted(edges_sq, d2[bi, ti], side="left")
+            dv = v[bb[bi]] - v[ti]
+            n_pairs += np.bincount(b, minlength=n_lags)
+            np.add.at(sq_sum, b, dv * dv)
+        return pa.table(
+            {
+                "lag_bin": np.arange(1, n_lags + 1, dtype=np.int64),
+                "n_partial": n_pairs,
+                "sq_partial": sq_sum,
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        points.map_batches(fanout, batch_format="pyarrow", batch_size=16384)
+        .groupby("cell_id")
+        .map_groups(pair_group, batch_format="pyarrow")
+        .groupby("lag_bin")
+        .aggregate(Sum("n_partial"), Sum("sq_partial"))
+        .to_pandas()
+        .sort_values("lag_bin")
+    )
+    n_pairs = np.zeros(n_lags, dtype=np.int64)
+    sq = np.zeros(n_lags, dtype=np.int64)
+    bi = agg["lag_bin"].to_numpy().astype(np.int64) - 1
+    n_pairs[bi] = agg["sum(n_partial)"].to_numpy().astype(np.int64)
+    sq[bi] = agg["sum(sq_partial)"].to_numpy().astype(np.int64)
+    return _finish(n_pairs, sq, max_lag, n_lags)
