@@ -3514,10 +3514,11 @@ def q_overlay_doc_polys(sf_dir: str):
 @register(
     "ann_ivf",
     """
-    SELECT CAST(q.range AS BIGINT) AS query_id,
+    SELECT CAST(e.vec_id AS BIGINT) AS query_id,
            true AS recall_ok,
-           CAST(10 AS BIGINT) AS n_results
-    FROM range(0, 4) q
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings))
+                AS BIGINT) AS n_results
+    FROM embeddings e WHERE e.vec_id < 4
     """,
 )
 def q_ann_ivf(sf_dir: str):

@@ -289,7 +289,11 @@ def least_cost_path(
         cost[r0 : r0 + sh[0]] = ray.get(cref)
     path = []
     p = int(stop_pixel)
-    if dist[p // w, p % w] >= _INF:
+    # pixels in wholly-absent trailing rows are outside the dense grid
+    # (ADVICE r3): treat them as unreachable, not IndexError
+    if int(start_pixel) // w >= h or int(start_pixel) < 0:
+        raise ValueError("start pixel outside the raster")
+    if p // w >= h or p < 0 or dist[p // w, p % w] >= _INF:
         raise ValueError("stop pixel unreachable")
     while p != int(start_pixel):
         path.append(p)

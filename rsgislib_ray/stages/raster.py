@@ -536,6 +536,17 @@ def focal_stats(
         r = g["row"].to_numpy()
         c = g["col"].to_numpy()
         v = g[value_col].to_numpy().astype(np.float64)
+        # exactness contract (ADVICE r3): the integer-moment reducers
+        # (mode domain, f_min/max/total int64 casts) require an
+        # integer-valued raster within exact-float range
+        if len(v) and (
+            np.any(v != np.rint(v)) or np.any(np.abs(v) >= 2.0**53)
+        ):
+            raise ValueError(
+                "focal_stats requires an integer-valued value_col with "
+                "|v| < 2^53 (exact int64 moment contract); rescale or "
+                "quantize float rasters first"
+            )
         r0 = tr * tile_size - halo
         c0 = tc * tile_size - halo
         h = tile_size + 2 * halo

@@ -175,3 +175,25 @@ def test_cost_distance_large_maze(ray_session):
     got = ds.to_pandas().sort_values("pixel_id")["cost_dist"].to_numpy()
     want = _dijkstra(cost, 0).ravel()
     assert (got == want).all()
+
+
+def test_least_cost_path_out_of_grid_stop(ray_session):
+    """ADVICE r3: a stop pixel in a wholly-absent trailing row is
+    unreachable (ValueError), not an IndexError."""
+    import ray
+
+    from rsgislib_ray.stages.costpath import least_cost_path
+
+    n = 8
+    tbl = _raster(n)
+    # keep only the first 4 rows: trailing rows wholly absent
+    keep = tbl["pixel_id"].to_numpy() < 4 * n
+    sub = tbl.filter(pa.array(keep))
+    with pytest.raises(ValueError, match="unreachable"):
+        least_cost_path(
+            ray.data.from_arrow(sub), 0, n * n - 1, n, row_band=4
+        )
+    with pytest.raises(ValueError, match="outside"):
+        least_cost_path(
+            ray.data.from_arrow(sub), n * n - 1, 0, n, row_band=4
+        )

@@ -118,3 +118,21 @@ def test_focal_tile_coord_guard(ray_session):
     )
     with pytest.raises(Exception, match="tile coords"):
         focal_stats(ray.data.from_arrow(bad), tile_size=8).materialize()
+
+
+def test_focal_stats_float_raster_raises(ray_session):
+    """ADVICE r3: float-valued rasters violate the exact int64 moment
+    contract (mode domain, min/max/total casts) and must raise, not
+    silently truncate."""
+    from rsgislib_ray.stages.raster import focal_stats
+
+    bad = pa.table(
+        {
+            "pixel_id": np.arange(4, dtype=np.int64),
+            "row": np.array([0, 0, 1, 1], np.int64),
+            "col": np.array([0, 1, 0, 1], np.int64),
+            "value": np.array([1.0, 2.5, 3.0, 4.0]),
+        }
+    )
+    with pytest.raises(Exception, match="integer-valued"):
+        focal_stats(ray.data.from_arrow(bad), tile_size=8).materialize()
