@@ -24,7 +24,7 @@ def tumbling_windows(
     user_col: str = "user_id",
     value_col: str = "value",
     slide: int = 1,
-    combine: str = "driver",
+    combine: str = "auto",
 ) -> pa.Table | ray.data.Dataset:
     """Tumbling (``slide=1``) or sliding (``slide=k``: each event lands
     in k consecutive windows — the duplicate-and-tumble rewrite)
@@ -41,7 +41,10 @@ def tumbling_windows(
       (Sum, Sum)`` — the 10^9-user event-log path: the driver never
       sees a partial row, identical values since partials are exact
       integers. Returns a streaming Dataset.
+    - ``"auto"`` (default): pick by the MEASURED partial row count
+      (:func:`rsgislib_ray.stages.segsum.resolve_combine`).
     """
+    from rsgislib_ray.stages.segsum import resolve_combine
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = (
@@ -67,6 +70,7 @@ def tumbling_windows(
     partials = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=65536
     )
+    partials, combine = resolve_combine(partials, combine)
     if combine == "native":
         from ray.data.aggregate import Sum
 

@@ -99,6 +99,33 @@ def segment_sum(
     return inner.union(ray.data.from_arrow(ftbl))
 
 
+#: combine="auto" routes native above this many pre-reduced partial
+#: rows — below it, one driver pandas groupby beats a full sort-shuffle
+#: (measured on this host); above it, the driver pull is the 100x cap.
+AUTO_NATIVE_ROWS = 2_000_000
+
+
+def resolve_combine(
+    partials: ray.data.Dataset,
+    combine: str,
+    threshold: int | None = None,
+) -> tuple[ray.data.Dataset, str]:
+    """Resolve a ``combine="auto"`` switch by MEASURED partial size
+    (VERDICT r3 #5): materialize the pre-reduced partials (they are the
+    contracted rows the downstream combine consumes anyway — count is
+    metadata-only, no driver data pull) and route ``"native"`` above
+    ``threshold`` rows, ``"driver"`` below. Explicit ``"driver"`` /
+    ``"native"`` pass through untouched."""
+    if combine != "auto":
+        if combine not in ("driver", "native"):
+            raise ValueError(f"unknown combine {combine!r}")
+        return partials, combine
+    if threshold is None:
+        threshold = AUTO_NATIVE_ROWS  # read at call time: patchable
+    mat = partials.materialize()
+    return mat, ("native" if mat.count() > threshold else "driver")
+
+
 def segment_sum_table(
     ds: ray.data.Dataset, key_col: str, value_cols: list[str]
 ) -> pd.DataFrame:

@@ -377,7 +377,7 @@ def count_points_per_zone(
     x_col: str = "x",
     y_col: str = "y",
     out_col: str = "n_points",
-    combine: str = "driver",
+    combine: str = "auto",
 ) -> pa.Table:
     """Per-polygon point count, zero-count zones included — the
     reference's ``count_pt_intersects``
@@ -405,6 +405,11 @@ def count_points_per_zone(
         count_partial, batch_format="pyarrow", batch_size=65536
     )
     import pandas as pd
+
+    from rsgislib_ray.stages.segsum import resolve_combine
+
+    # default "auto": route by the measured partial row count
+    partials, combine = resolve_combine(partials, combine)
 
     if combine == "native":
         # distributed combine: the driver only sees one row per zone —

@@ -201,7 +201,7 @@ def zonal_stats(
     y_col: str = "y",
     value_scale: float = 1.0,
     concurrency=(1, 8),
-    combine: str = "driver",
+    combine: str = "auto",
 ) -> pa.Table:
     """Per-zone stats table (one row per zone fid, empty zones filled
     with ``out_no_data``). ``value_scale`` divides sums/means back to
@@ -213,7 +213,11 @@ def zonal_stats(
     zone counts, no shuffle) or ``"native"`` (Ray
     ``groupby().aggregate(Sum/Min/Max)`` — the 10^8-zones path: the
     driver only ever sees the FINAL one-row-per-zone result, identical
-    values since all partials are exact integers)."""
+    values since all partials are exact integers). Default ``"auto"``
+    picks by the MEASURED partial row count
+    (:func:`rsgislib_ray.stages.segsum.resolve_combine`), so the
+    100x-safe path never relies on the caller knowing the flag."""
+    from rsgislib_ray.stages.segsum import resolve_combine
     want_moments = [s for s in stats if s in MOMENT_STATS]
     # order stats: mode / median / pNN percentiles (numpy-linear
     # interpolation over the exact per-zone histogram — the reference's
@@ -242,8 +246,9 @@ def zonal_stats(
             batch_format="pyarrow",
             batch_size=65536,
         )
+        partials, m_combine = resolve_combine(partials, combine)
 
-        if combine == "native":
+        if m_combine == "native":
             from ray.data.aggregate import Max, Min, Sum
 
             agg = (
@@ -314,7 +319,8 @@ def zonal_stats(
         # (fid, val) histograms are pre-reduced per batch; combine on
         # the driver (exact counts) or natively, then finalize with one
         # pandas pass over the contracted per-zone histograms.
-        if combine == "native":
+        partials, o_combine = resolve_combine(partials, combine)
+        if o_combine == "native":
             from ray.data.aggregate import Sum
 
             vc = (
