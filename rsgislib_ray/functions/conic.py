@@ -107,6 +107,59 @@ def albers_forward(lat: np.ndarray, lon: np.ndarray, c: dict):
     return x, y
 
 
+#: fixed inverse-iteration counts — identical in the engine and the
+#: unrolled SQL oracle, so both sides compute the SAME float chain
+#: (the kmeans_exact unrolled-iteration discipline); 8 rounds of the
+#: linearly-converging (rate ~e^2/2) fixpoints is far past double
+#: precision for |lat| <= 80
+LCC_INV_ITERS = 8
+ALBERS_INV_ITERS = 8
+
+
+def lcc_inverse(x: np.ndarray, y: np.ndarray, c: dict):
+    """LCC 2SP inverse (Snyder 15-14..15-17 + the eq. 7-9 latitude
+    fixpoint, FIXED ``LCC_INV_ITERS`` rounds). Requires ``n > 0``
+    (northern-parallel parameterizations — both shipped constants).
+    Returns (lat_deg, lon_deg)."""
+    if not c["n"] > 0:
+        raise ValueError("lcc_inverse implements the n > 0 branch only")
+    xp = x - c["fe"]
+    yp = c["rho0"] - (y - c["fn"])
+    rho = np.sqrt(xp * xp + yp * yp)
+    t = (rho / (A * c["F"])) ** (1.0 / c["n"])
+    th = np.arctan2(xp, yp)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(LCC_INV_ITERS):
+        s = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - E * s) / (1.0 + E * s)) ** (E / 2.0)
+        )
+    return phi / D2R, th / c["n"] / D2R + c["lon0"]
+
+
+def albers_inverse(x: np.ndarray, y: np.ndarray, c: dict):
+    """Albers equal-area inverse (Snyder 14-19..14-21 + the eq. 3-16
+    latitude fixpoint, FIXED ``ALBERS_INV_ITERS`` rounds, ``n > 0``).
+    Returns (lat_deg, lon_deg)."""
+    if not c["n"] > 0:
+        raise ValueError("albers_inverse implements the n > 0 branch only")
+    xp = x - c["fe"]
+    yp = c["rho0"] - (y - c["fn"])
+    rho = np.sqrt(xp * xp + yp * yp)
+    th = np.arctan2(xp, yp)
+    q = (c["C"] - (rho * c["n"] / A) ** 2) / c["n"]
+    phi = np.arcsin(q / 2.0)
+    for _ in range(ALBERS_INV_ITERS):
+        s = np.sin(phi)
+        e2s = 1.0 - E2 * s * s
+        phi = phi + (e2s * e2s) / (2.0 * np.cos(phi)) * (
+            q / (1.0 - E2)
+            - s / e2s
+            + (1.0 / (2.0 * E)) * np.log((1.0 - E * s) / (1.0 + E * s))
+        )
+    return phi / D2R, th / c["n"] / D2R + c["lon0"]
+
+
 #: Lambert-93-shaped parameterization (RGF93 layout on the WGS84
 #: ellipsoid — standard parallels 44/49, origin 46.5N 3E, the French
 #: national grid's false origin)

@@ -9200,6 +9200,182 @@ def q_reproject_utm_inverse(sf_dir: str):
     return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
 
 
+def _tmerc_sql(inverse: bool) -> str:
+    from rsgislib_ray.functions import utm as U
+
+    c = U.TMERC_GB
+    E, EP2, R = U.E, U.E_P2, float(U.R)
+    k0, fe, fn, m0, lon0 = c["k0"], c["fe"], c["fn"], c["m0"], c["lon0"]
+    lon0_rad = f"({_dlit(lon0)} * 0.017453292519943295e0)"
+    fwd = f"""
+    WITH base AS ({td.SQL_BASE_PTS}),
+    ll AS (
+      SELECT base_id, 49.5e0 + y * 0.09e0 AS lat, -6.0e0 + x * 0.055e0 AS lon
+      FROM base
+    ),
+    t1 AS (
+      SELECT base_id, lat, lon,
+        lat * 0.017453292519943295e0 AS lat_rad,
+        lon * 0.017453292519943295e0 AS lon_rad,
+        SIN(lat * 0.017453292519943295e0) AS ls,
+        COS(lat * 0.017453292519943295e0) AS lc
+      FROM ll
+    ),
+    t2 AS (
+      SELECT *,
+        ls / lc AS lt,
+        (ls / lc) * (ls / lc) AS lt2,
+        {_dlit(R)} / SQRT(1.0e0 - {_dlit(E)} * (ls * ls)) AS n,
+        {_dlit(EP2)} * (lc * lc) AS c,
+        lc * (lon_rad - {lon0_rad}) AS a,
+        {_dlit(R)} * ({_dlit(U.M1)} * lat_rad
+          - {_dlit(U.M2)} * SIN(2.0e0 * lat_rad)
+          + {_dlit(U.M3)} * SIN(4.0e0 * lat_rad)
+          - {_dlit(U.M4)} * SIN(6.0e0 * lat_rad)) AS m
+      FROM t1
+    ),
+    t3 AS MATERIALIZED (
+      SELECT base_id,
+        ({_dlit(k0)} * n) * (a
+          + (a * a * a) / 6.0e0 * (1.0e0 - lt2 + c)
+          + (a * a * a * a * a) / 120.0e0
+            * (5.0e0 - 18.0e0 * lt2 + lt2 * lt2 + 72.0e0 * c
+               - 58.0e0 * {_dlit(EP2)})) + {_dlit(fe)} AS easting,
+        {_dlit(k0)} * (m - {_dlit(m0)} + (n * lt) * ((a * a) / 2.0e0
+          + (a * a * a * a) / 24.0e0
+            * (5.0e0 - lt2 + 9.0e0 * c + 4.0e0 * (c * c))
+          + (a * a * a * a * a * a) / 720.0e0
+            * (61.0e0 - 58.0e0 * lt2 + lt2 * lt2 + 600.0e0 * c
+               - 330.0e0 * {_dlit(EP2)}))) + {_dlit(fn)} AS northing
+      FROM t2
+    )"""
+    if not inverse:
+        return f"""{fwd}
+    SELECT base_id,
+      CAST(FLOOR(easting * 10000.0e0) AS BIGINT) AS easting_tmm,
+      CAST(FLOOR(northing * 10000.0e0) AS BIGINT) AS northing_tmm
+    FROM t3
+    """
+    rm1 = R * U.M1
+    EI = U._EI
+    return f"""{fwd},
+    i1 AS (
+      SELECT base_id, easting - {_dlit(fe)} AS x,
+        (((northing - {_dlit(fn)}) / {_dlit(k0)} + {_dlit(m0)})
+         / {_dlit(rm1)}) AS mu
+      FROM t3
+    ),
+    i2 AS (
+      SELECT *,
+        mu + {_dlit(U.P2)} * SIN(2.0e0 * mu) + {_dlit(U.P3)} * SIN(4.0e0 * mu)
+           + {_dlit(U.P4)} * SIN(6.0e0 * mu) + {_dlit(U.P5)} * SIN(8.0e0 * mu)
+          AS p_rad
+      FROM i1
+    ),
+    i3 AS (
+      SELECT *, SIN(p_rad) AS ps, COS(p_rad) AS pc FROM i2
+    ),
+    i4 AS (
+      SELECT *,
+        ps / pc AS pt,
+        (ps / pc) * (ps / pc) AS pt2,
+        1.0e0 - {_dlit(E)} * (ps * ps) AS eps,
+        {_dlit(R)} / SQRT(1.0e0 - {_dlit(E)} * (ps * ps)) AS n,
+        {_dlit(EI)} * (pc * pc) AS c
+      FROM i3
+    ),
+    i5 AS (
+      SELECT *,
+        (1.0e0 - {_dlit(E)}) / eps AS r,
+        x / (n * {_dlit(k0)}) AS d,
+        c * c AS c2,
+        pt2 * pt2 AS pt4
+      FROM i4
+    ),
+    i6 AS (
+      SELECT base_id,
+        (p_rad
+          - (pt / r) * ((d * d) / 2.0e0
+            - (d * d * d * d) / 24.0e0
+              * (5.0e0 + 3.0e0 * pt2 + 10.0e0 * c - 4.0e0 * c2
+                 - 9.0e0 * {_dlit(EP2)}))
+          + (d * d * d * d * d * d) / 720.0e0
+            * (61.0e0 + 90.0e0 * pt2 + 298.0e0 * c + 45.0e0 * pt4
+               - 252.0e0 * {_dlit(EP2)} - 3.0e0 * c2)) AS lat_rad2,
+        ((d
+          - (d * d * d) / 6.0e0 * (1.0e0 + 2.0e0 * pt2 + c)
+          + (d * d * d * d * d) / 120.0e0
+            * (5.0e0 - 2.0e0 * c + 28.0e0 * pt2 - 3.0e0 * c2
+               + 8.0e0 * {_dlit(EP2)} + 24.0e0 * pt4)) / pc) AS lon_rad2
+      FROM i5
+    )
+    SELECT base_id,
+      CAST(FLOOR(lat_rad2 * {_dlit(U.RAD2DEG)} * 1000000.0e0 + 0.5e0)
+           AS BIGINT) AS lat_micro,
+      CAST(FLOOR((lon_rad2 * {_dlit(U.RAD2DEG)} + {_dlit(lon0)})
+                 * 1000000.0e0 + 0.5e0) AS BIGINT) AS lon_micro
+    FROM i6
+    """
+
+
+@register("reproject_tmerc", _tmerc_sql(inverse=False))
+def q_reproject_tmerc(sf_dir: str):
+    """Non-UTM transverse Mercator forward (British-national-grid-
+    shaped parameterization on WGS84: natural origin 49N 2W,
+    k0 = 0.9996012717, false origin 400km/-100km — the Krueger series
+    generalized to arbitrary constants, functions/utm.py
+    tmerc_forward). Tenth-millimetre integer floors; closes the
+    VERDICT r3 #4 non-UTM TM slice (reference surface:
+    vectorutils/__init__.py:804)."""
+    from rsgislib_ray.functions.utm import TMERC_GB, tmerc_forward
+
+    pts = td.base_points_from_customer(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        e, n = tmerc_forward(49.5 + y * 0.09, -6.0 + x * 0.055, TMERC_GB)
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "easting_tmm": np.floor(e * 10000.0).astype(np.int64),
+                "northing_tmm": np.floor(n * 10000.0).astype(np.int64),
+            }
+        )
+
+    return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register("reproject_tmerc_inverse", _tmerc_sql(inverse=True))
+def q_reproject_tmerc_inverse(sf_dir: str):
+    """Non-UTM transverse Mercator round-trip: forward with the GB
+    parameterization, then the generalized Krueger inverse
+    (tmerc_inverse) — half-up micro-degree integers, SQL oracle chains
+    the identical forward + inverse series."""
+    from rsgislib_ray.functions.utm import (
+        TMERC_GB,
+        tmerc_forward,
+        tmerc_inverse,
+    )
+
+    pts = td.base_points_from_customer(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        e, n = tmerc_forward(49.5 + y * 0.09, -6.0 + x * 0.055, TMERC_GB)
+        la, lo = tmerc_inverse(e, n, TMERC_GB)
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "lat_micro": np.floor(la * 1e6 + 0.5).astype(np.int64),
+                "lon_micro": np.floor(lo * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
 def _conic_sql(kind: str) -> str:
     from rsgislib_ray.functions.conic import (
         ALBERS_CONUS,
@@ -9271,6 +9447,178 @@ def q_reproject_albers(sf_dir: str):
                 "base_id": batch["base_id"],
                 "easting_tmm": np.floor(e * 10000.0).astype(np.int64),
                 "northing_tmm": np.floor(n * 10000.0).astype(np.int64),
+            }
+        )
+
+    return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _lcc_inverse_sql() -> str:
+    from rsgislib_ray.functions.conic import (
+        A,
+        D2R,
+        E,
+        LCC_FR,
+        LCC_INV_ITERS,
+        lcc_oracle_sql_chain,
+    )
+
+    c = LCC_FR
+    e_sql, n_sql = lcc_oracle_sql_chain(
+        c, "43.0e0 + y * 0.07e0", "-4.0e0 + x * 0.11e0"
+    )
+    ctes = f"""
+    f AS MATERIALIZED (
+      SELECT base_id, {e_sql} AS xx, {n_sql} AS yy FROM base
+    ),
+    i0 AS (
+      SELECT base_id, (xx - {_dlit(c['fe'])}) AS xp,
+             ({_dlit(c['rho0'])} - (yy - {_dlit(c['fn'])})) AS yp
+      FROM f
+    ),
+    i1 AS (
+      SELECT base_id, ATAN2(xp, yp) AS th,
+             POWER(SQRT(xp * xp + yp * yp) / {_dlit(A * c['F'])},
+                   {_dlit(1.0 / c['n'])}) AS t
+      FROM i0
+    ),
+    p0 AS (
+      SELECT base_id, th, t,
+             (1.5707963267948966e0 - 2.0e0 * ATAN(t)) AS phi
+      FROM i1
+    )"""
+    for k in range(1, LCC_INV_ITERS + 1):
+        ctes += f""",
+    p{k} AS (
+      SELECT base_id, th, t,
+        (1.5707963267948966e0 - 2.0e0 * ATAN(t
+          * POWER((1.0e0 - {_dlit(E)} * SIN(phi))
+                  / (1.0e0 + {_dlit(E)} * SIN(phi)),
+                  {_dlit(E / 2.0)}))) AS phi
+      FROM p{k - 1}
+    )"""
+    return f"""
+    WITH base AS ({td.SQL_BASE_PTS}),{ctes}
+    SELECT base_id,
+      CAST(FLOOR(phi / {_dlit(D2R)} * 1000000.0e0 + 0.5e0) AS BIGINT)
+        AS lat_micro,
+      CAST(FLOOR((th / {_dlit(c['n'])} / {_dlit(D2R)} + {_dlit(c['lon0'])})
+                 * 1000000.0e0 + 0.5e0) AS BIGINT) AS lon_micro
+    FROM p{LCC_INV_ITERS}
+    """
+
+
+@register("reproject_lcc_inverse", _lcc_inverse_sql())
+def q_reproject_lcc_inverse(sf_dir: str):
+    """LCC 2SP -> WGS84 inverse (Snyder 15-14..15-17 + the eq. 7-9
+    latitude fixpoint at a FIXED unrolled iteration count — both sides
+    run the identical float chain): forward-project the base points,
+    invert, report half-up micro-degrees. Closes VERDICT r3 #4 —
+    rasters reprojected OUT of conic CRSs (reference surface:
+    vectorutils/__init__.py:804 handles both directions via osr)."""
+    from rsgislib_ray.functions.conic import LCC_FR, lcc_forward, lcc_inverse
+
+    pts = td.base_points_from_customer(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        e, n = lcc_forward(43.0 + y * 0.07, -4.0 + x * 0.11, LCC_FR)
+        la, lo = lcc_inverse(e, n, LCC_FR)
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "lat_micro": np.floor(la * 1e6 + 0.5).astype(np.int64),
+                "lon_micro": np.floor(lo * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _albers_inverse_sql() -> str:
+    from rsgislib_ray.functions.conic import (
+        A,
+        ALBERS_CONUS,
+        ALBERS_INV_ITERS,
+        D2R,
+        E,
+        E2,
+        albers_oracle_sql_chain,
+    )
+
+    c = ALBERS_CONUS
+    e_sql, n_sql = albers_oracle_sql_chain(
+        c, "25.0e0 + y * 0.2e0", "-120.0e0 + x * 0.5e0"
+    )
+    ctes = f"""
+    f AS MATERIALIZED (
+      SELECT base_id, {e_sql} AS xx, {n_sql} AS yy FROM base
+    ),
+    i0 AS (
+      SELECT base_id, (xx - {_dlit(c['fe'])}) AS xp,
+             ({_dlit(c['rho0'])} - (yy - {_dlit(c['fn'])})) AS yp
+      FROM f
+    ),
+    i1 AS (
+      SELECT base_id, ATAN2(xp, yp) AS th,
+             (SQRT(xp * xp + yp * yp) * {_dlit(c['n'])} / {_dlit(A)}) AS aa
+      FROM i0
+    ),
+    p0 AS (
+      SELECT base_id, th,
+             (({_dlit(c['C'])} - aa * aa) / {_dlit(c['n'])}) AS q,
+             ASIN((({_dlit(c['C'])} - aa * aa) / {_dlit(c['n'])}) / 2.0e0)
+               AS phi
+      FROM i1
+    )"""
+    for k in range(1, ALBERS_INV_ITERS + 1):
+        s = "SIN(phi)"
+        e2s = f"(1.0e0 - {_dlit(E2)} * {s} * {s})"
+        ctes += f""",
+    p{k} AS (
+      SELECT base_id, th, q,
+        (phi + ({e2s} * {e2s}) / (2.0e0 * COS(phi))
+          * (q / {_dlit(1.0 - E2)} - {s} / {e2s}
+             + {_dlit(1.0 / (2.0 * E))}
+               * LN((1.0e0 - {_dlit(E)} * {s})
+                    / (1.0e0 + {_dlit(E)} * {s})))) AS phi
+      FROM p{k - 1}
+    )"""
+    return f"""
+    WITH base AS ({td.SQL_BASE_PTS}),{ctes}
+    SELECT base_id,
+      CAST(FLOOR(phi / {_dlit(D2R)} * 1000000.0e0 + 0.5e0) AS BIGINT)
+        AS lat_micro,
+      CAST(FLOOR((th / {_dlit(c['n'])} / {_dlit(D2R)} + {_dlit(c['lon0'])})
+                 * 1000000.0e0 + 0.5e0) AS BIGINT) AS lon_micro
+    FROM p{ALBERS_INV_ITERS}
+    """
+
+
+@register("reproject_albers_inverse", _albers_inverse_sql())
+def q_reproject_albers_inverse(sf_dir: str):
+    """Albers equal-area -> WGS84 inverse (Snyder 14-19..14-21 + the
+    eq. 3-16 latitude fixpoint, FIXED unrolled iterations): round-trip
+    the base points, report half-up micro-degrees."""
+    from rsgislib_ray.functions.conic import (
+        ALBERS_CONUS,
+        albers_forward,
+        albers_inverse,
+    )
+
+    pts = td.base_points_from_customer(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        e, n = albers_forward(25.0 + y * 0.2, -120.0 + x * 0.5, ALBERS_CONUS)
+        la, lo = albers_inverse(e, n, ALBERS_CONUS)
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "lat_micro": np.floor(la * 1e6 + 0.5).astype(np.int64),
+                "lon_micro": np.floor(lo * 1e6 + 0.5).astype(np.int64),
             }
         )
 
