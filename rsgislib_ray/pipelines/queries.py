@@ -47,6 +47,15 @@ def oracle_sql() -> dict:
     }
 
 
+def _dlit(x: float) -> str:
+    """DuckDB DOUBLE literal: repr already carries an exponent for
+    small/large magnitudes; otherwise append e0 so the parser reads a
+    DOUBLE, never a DECIMAL (memory: decimal literals change DuckDB
+    arithmetic)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
 def _sm64_chain(cols: str, src: str = "ex", prefix: str = "s") -> str:
     """splitmix64 as a DuckDB CTE chain: reads UBIGINT column ``x``
     from CTE ``src``, emits ``z`` in CTE ``{prefix}6``, carrying
@@ -3634,16 +3643,113 @@ def q_flagship_zonal(sf_dir: str):
     return pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None)
 
 
-@register("kmeans_clusters", None)  # iterative fit; deterministic but non-SQL
+#: literal seed centers for the float-variant kmeans/isodata oracles
+#: (layout-independent, inlined verbatim into engine AND SQL)
+_KMF_SEEDS = [
+    (2000.0, 18000.0),
+    (6000.0, 14000.0),
+    (10000.0, 10000.0),
+    (14000.0, 6000.0),
+    (18000.0, 2000.0),
+]
+_KMF_ITERS = 6
+
+
+def _kmeans_float_sql(seeds=_KMF_SEEDS, iters=_KMF_ITERS) -> str:
+    """Unrolled SQL mirror of the FLOAT-variant kmeans_cluster fit with
+    the allclose(atol=1e-12) early-stop carried as a done flag (the Li
+    chain trick): once |cand - prev| <= atol everywhere, centers
+    freeze, so any unroll count >= the engine's break point reproduces
+    its while-loop exactly. Features are integer-valued doubles
+    (round(x*200)), so every float sum is exact and order-independent
+    — engine and DuckDB compute identical doubles."""
+    rows = ", ".join(
+        f"({i}, {_dlit(x)}, {_dlit(y)})" for i, (x, y) in enumerate(seeds)
+    )
+    sql = f"""
+    WITH px AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER () AS rid,
+             CAST(ROUND(x * 200) AS DOUBLE) AS f0,
+             CAST(ROUND(y * 200) AS DOUBLE) AS f1
+      FROM ({td.SQL_CELLS})
+    ),
+    c0 AS (SELECT * FROM (VALUES {rows}) t(cid, x0, x1)),
+    d0 AS (SELECT false AS done)"""
+    for t in range(1, iters + 1):
+        p = t - 1
+        sql += f""",
+    a{t} AS (
+      SELECT rid, f0, f1, cid AS cluster FROM (
+        SELECT p.rid, p.f0, p.f1, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.rid ORDER BY
+            (p.f0 - c.x0) * (p.f0 - c.x0)
+              + (p.f1 - c.x1) * (p.f1 - c.x1), c.cid) AS rn
+        FROM px p CROSS JOIN c{p} c
+      ) WHERE rn = 1
+    ),
+    n{t} AS MATERIALIZED (
+      SELECT c.cid,
+        CASE WHEN s.n > 0 THEN s.s0 / CAST(s.n AS DOUBLE)
+             ELSE c.x0 END AS x0,
+        CASE WHEN s.n > 0 THEN s.s1 / CAST(s.n AS DOUBLE)
+             ELSE c.x1 END AS x1
+      FROM c{p} c LEFT JOIN (
+        SELECT cluster, COUNT(*) AS n, SUM(f0) AS s0, SUM(f1) AS s1
+        FROM a{t} GROUP BY cluster
+      ) s ON s.cluster = c.cid
+    ),
+    d{t} AS MATERIALIZED (
+      SELECT (SELECT done FROM d{p}) OR (
+        SELECT MAX(GREATEST(ABS(nn.x0 - c.x0), ABS(nn.x1 - c.x1)))
+               <= 1.0e-12
+        FROM n{t} nn JOIN c{p} c ON c.cid = nn.cid
+      ) AS done
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT c.cid,
+        CASE WHEN (SELECT done FROM d{p}) THEN c.x0 ELSE nn.x0 END AS x0,
+        CASE WHEN (SELECT done FROM d{p}) THEN c.x1 ELSE nn.x1 END AS x1
+      FROM c{p} c JOIN n{t} nn ON nn.cid = c.cid
+    )"""
+    return f"""{sql}
+    SELECT cluster, COUNT(*) AS n_cells FROM (
+      SELECT p.rid, c.cid AS cluster,
+        ROW_NUMBER() OVER (PARTITION BY p.rid ORDER BY
+          (p.f0 - c.x0) * (p.f0 - c.x0)
+            + (p.f1 - c.x1) * (p.f1 - c.x1), c.cid) AS rn
+      FROM px p CROSS JOIN c{iters} c
+    ) WHERE rn = 1
+    GROUP BY cluster
+    """
+
+
+@register("kmeans_clusters", _kmeans_float_sql())
 def q_kmeans_clusters(sf_dir: str):
-    """imagecalc.kmeans_clustering analog (imagecalc.cpp:1889):
-    deterministic quantile-seeded Lloyd fit over distributed partial
-    sums, then a cluster-assignment stage. Output: per-cell cluster +
-    per-cluster sizes for the stability check."""
+    """imagecalc.kmeans_clustering analog (imagecalc.cpp:1889): the
+    FLOAT-variant Lloyd fit (kmeans_cluster) over distributed partial
+    sums — seeded at literal centers and fed integer-valued doubles
+    (round(x*200)), so every float sum is exact/order-independent and
+    the fit mirrors bit-for-bit against an unrolled-iteration SQL
+    oracle with the allclose early-stop carried as a done flag
+    (VERDICT r3 #6: was rows-only). Output: per-cluster sizes."""
     from rsgislib_ray.stages.zonal import kmeans_cluster
 
     cells = td.cells_from_lineitem(sf_dir)
-    labeled = kmeans_cluster(cells, ["x", "y"], n_clusters=8, iters=8)
+
+    def feat(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "f0": np.rint(batch["x"].to_numpy() * 200),
+                "f1": np.rint(batch["y"].to_numpy() * 200),
+            }
+        )
+
+    labeled = kmeans_cluster(
+        cells.map_batches(feat, batch_format="pyarrow"),
+        ["f0", "f1"],
+        iters=_KMF_ITERS,
+        init_centers=_KMF_SEEDS,
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         u, c = np.unique(batch["cluster"].to_numpy(), return_counts=True)
@@ -3958,17 +4064,216 @@ def q_hex_polys(sf_dir: str):
     )
 
 
-@register("isodata_clusters", None)  # iterative split/merge fit; non-SQL
+#: isodata float-variant oracle parameterization: literal seeds chosen
+#: so all three ISODATA rules fire on the fixture (one discard — the
+#: out-of-frame seed; one greedy merge — the close pair; two splits)
+_ISO_SEEDS = [
+    (2000.0, 18000.0),
+    (6000.0, 14000.0),
+    (9950.0, 10050.0),
+    (10050.0, 9950.0),
+    (18000.0, 2000.0),
+    (29000.0, 29000.0),
+]
+_ISO_ITERS = 6
+_ISO_K = 6
+_ISO_FRAC = 0.005
+_ISO_SPLIT = 3600.0
+_ISO_MERGE = 4200.0
+
+
+def _isodata_sql(
+    seeds=_ISO_SEEDS,
+    iters=_ISO_ITERS,
+    n_clusters=_ISO_K,
+    min_frac=_ISO_FRAC,
+    split_std=_ISO_SPLIT,
+    merge_dist=_ISO_MERGE,
+) -> str:
+    """Unrolled SQL mirror of the FULL float-variant ISODATA fit
+    (VERDICT r3 #6 — was rows-only): per Lloyd iteration, the
+    assign/update CTE pair plus the three deterministic rules mirrored
+    term for term —
+
+    - discard (``n >= frac * total``, with the engine's all-empty
+      fallback);
+    - GREEDY pairwise merge: the engine's sequential loop (lowest index
+      first, each cluster merges at most once, first eligible partner)
+      unrolled as one CTE pair per cluster slot (<= 2k slots);
+    - split with the sequential capacity cap reduced to its closed
+      form: acceptance is a prefix of the eligible clusters, so
+      ``split = elig AND (K + pos + rank_among_elig - 1 < 2k)``.
+
+    Integer-valued double features make every SUM exact, so engine and
+    DuckDB compute identical doubles throughout."""
+    maxc = 2 * n_clusters
+    rows = ", ".join(
+        f"({i}, {_dlit(x)}, {_dlit(y)})" for i, (x, y) in enumerate(seeds)
+    )
+    thr = f"({_dlit(min_frac)} * (SELECT t FROM tot))"
+    sql = f"""
+    WITH px AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER () AS rid,
+             CAST(ROUND(x * 200) AS DOUBLE) AS f0,
+             CAST(ROUND(y * 200) AS DOUBLE) AS f1
+      FROM ({td.SQL_CELLS})
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM px),
+    c0 AS (SELECT * FROM (VALUES {rows}) t(pos, x0, x1))"""
+    for t in range(1, iters + 1):
+        p = t - 1
+        sql += f""",
+    ia{t} AS (
+      SELECT rid, f0, f1, pos AS cluster FROM (
+        SELECT p.rid, p.f0, p.f1, c.pos,
+          ROW_NUMBER() OVER (PARTITION BY p.rid ORDER BY
+            (p.f0 - c.x0) * (p.f0 - c.x0)
+              + (p.f1 - c.x1) * (p.f1 - c.x1), c.pos) AS rn
+        FROM px p CROSS JOIN c{p} c
+      ) WHERE rn = 1
+    ),
+    is{t} AS MATERIALIZED (
+      SELECT c.pos, c.x0, c.x1,
+        COALESCE(s.n, 0.0e0) AS n,
+        COALESCE(s.s0, 0.0e0) AS s0, COALESCE(s.s1, 0.0e0) AS s1,
+        COALESCE(s.q0, 0.0e0) AS q0, COALESCE(s.q1, 0.0e0) AS q1
+      FROM c{p} c LEFT JOIN (
+        SELECT cluster, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(f0) AS s0, SUM(f1) AS s1,
+               SUM(f0 * f0) AS q0, SUM(f1 * f1) AS q1
+        FROM ia{t} GROUP BY cluster
+      ) s ON s.cluster = c.pos
+    ),
+    ie{t} AS (
+      SELECT pos, n, q0, q1,
+        CASE WHEN n > 0 THEN s0 / GREATEST(n, 1.0e0) ELSE x0 END AS m0,
+        CASE WHEN n > 0 THEN s1 / GREATEST(n, 1.0e0) ELSE x1 END AS m1
+      FROM is{t}
+    ),
+    im{t} AS MATERIALIZED (
+      SELECT pos, n, m0, m1,
+        GREATEST(q0 / GREATEST(n, 1.0e0) - m0 * m0, 0.0e0) AS v0,
+        GREATEST(q1 / GREATEST(n, 1.0e0) - m1 * m1, 0.0e0) AS v1
+      FROM ie{t}
+    ),
+    id{t} AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY pos) - 1 AS pos,
+             true AS alive, n, m0, m1, v0, v1
+      FROM im{t}
+      WHERE CASE WHEN (SELECT COUNT(*) FROM im{t} WHERE n >= {thr}) > 0
+                 THEN n >= {thr} ELSE n > 0 END
+    )"""
+        prev = f"id{t}"
+        for i in range(maxc):
+            g = f"mg{t}_{i}"
+            pj = f"pj{t}_{i}"
+            sql += f""",
+    {pj} AS MATERIALIZED (
+      SELECT MIN(j.pos) AS pj
+      FROM {prev} j
+      WHERE j.alive AND j.pos > {i}
+        AND COALESCE((SELECT alive FROM {prev} WHERE pos = {i}), false)
+        AND SQRT((j.m0 - (SELECT m0 FROM {prev} WHERE pos = {i}))
+                   * (j.m0 - (SELECT m0 FROM {prev} WHERE pos = {i}))
+                 + (j.m1 - (SELECT m1 FROM {prev} WHERE pos = {i}))
+                   * (j.m1 - (SELECT m1 FROM {prev} WHERE pos = {i})))
+            < {_dlit(merge_dist)}
+    ),
+    {g} AS MATERIALIZED (
+      SELECT g.pos,
+        g.alive AND (q.pj IS NULL OR g.pos <> q.pj) AS alive,
+        CASE WHEN g.pos = {i} AND q.pj IS NOT NULL
+             THEN g.n + j.n ELSE g.n END AS n,
+        CASE WHEN g.pos = {i} AND q.pj IS NOT NULL
+             THEN (g.m0 * g.n + j.m0 * j.n) / (g.n + j.n)
+             ELSE g.m0 END AS m0,
+        CASE WHEN g.pos = {i} AND q.pj IS NOT NULL
+             THEN (g.m1 * g.n + j.m1 * j.n) / (g.n + j.n)
+             ELSE g.m1 END AS m1,
+        g.v0, g.v1
+      FROM {prev} g
+      CROSS JOIN {pj} q
+      LEFT JOIN {prev} j ON j.pos = q.pj
+    )"""
+            prev = g
+        sql += f""",
+    mc{t} AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY pos) - 1 AS pos, m0, m1, v0, v1
+      FROM {prev} WHERE alive
+    ),
+    se{t} AS (
+      SELECT pos, m0, m1, SQRT(v0) AS sd0, SQRT(v1) AS sd1,
+        CASE WHEN SQRT(v0) >= SQRT(v1) THEN 0 ELSE 1 END AS jmax,
+        GREATEST(SQRT(v0), SQRT(v1)) AS sdmax
+      FROM mc{t}
+    ),
+    sf{t} AS MATERIALIZED (
+      SELECT *,
+        (sdmax > {_dlit(split_std)}) AND
+        ((SELECT COUNT(*) FROM se{t}) + pos
+          + COUNT(*) FILTER (WHERE sdmax > {_dlit(split_std)})
+              OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING)
+          - 1 < {maxc}) AS do_split
+      FROM se{t}
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY pos, part) - 1 AS pos, x0, x1
+      FROM (
+        SELECT pos, 0 AS part,
+          CASE WHEN do_split AND jmax = 0
+               THEN m0 - 0.5e0 * sd0 ELSE m0 END AS x0,
+          CASE WHEN do_split AND jmax = 1
+               THEN m1 - 0.5e0 * sd1 ELSE m1 END AS x1
+        FROM sf{t}
+        UNION ALL
+        SELECT pos, 1,
+          CASE WHEN jmax = 0 THEN m0 + 0.5e0 * sd0 ELSE m0 END,
+          CASE WHEN jmax = 1 THEN m1 + 0.5e0 * sd1 ELSE m1 END
+        FROM sf{t} WHERE do_split
+      )
+    )"""
+    return f"""{sql}
+    SELECT cluster, COUNT(*) AS n_cells FROM (
+      SELECT p.rid, c.pos AS cluster,
+        ROW_NUMBER() OVER (PARTITION BY p.rid ORDER BY
+          (p.f0 - c.x0) * (p.f0 - c.x0)
+            + (p.f1 - c.x1) * (p.f1 - c.x1), c.pos) AS rn
+      FROM px p CROSS JOIN c{iters} c
+    ) WHERE rn = 1
+    GROUP BY cluster
+    """
+
+
+@register("isodata_clusters", _isodata_sql())
 def q_isodata_clusters(sf_dir: str):
     """ISODATA clustering (imagecalc.cpp:1916 executeISODataClustering):
     Lloyd + deterministic discard/merge/split rounds over distributed
-    partials; output per-cluster sizes for the stability check."""
+    partials — literal seeds + integer-valued double features make the
+    full fit (greedy merge unrolled per cluster slot, split cap in
+    closed prefix form) bit-exact against the unrolled SQL oracle; the
+    fixture parameterization fires all three rules. Output:
+    per-cluster sizes."""
     from rsgislib_ray.stages.zonal import isodata_cluster
 
     cells = td.cells_from_lineitem(sf_dir)
+
+    def feat(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "f0": np.rint(batch["x"].to_numpy() * 200),
+                "f1": np.rint(batch["y"].to_numpy() * 200),
+            }
+        )
+
     labeled = isodata_cluster(
-        cells, ["x", "y"], n_clusters=6, iters=6,
-        min_cluster_frac=0.005, split_std=18.0, merge_dist=2.0,
+        cells.map_batches(feat, batch_format="pyarrow"),
+        ["f0", "f1"],
+        n_clusters=_ISO_K,
+        iters=_ISO_ITERS,
+        min_cluster_frac=_ISO_FRAC,
+        split_std=_ISO_SPLIT,
+        merge_dist=_ISO_MERGE,
+        init_centers=_ISO_SEEDS,
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -9051,15 +9356,6 @@ def q_reproject_utm(sf_dir: str):
         )
 
     return pts.map_batches(f, batch_format="pyarrow", batch_size=65536)
-
-
-def _dlit(x: float) -> str:
-    """DuckDB DOUBLE literal: repr already carries an exponent for
-    small/large magnitudes; otherwise append e0 so the parser reads a
-    DOUBLE, never a DECIMAL (memory: decimal literals change DuckDB
-    arithmetic)."""
-    r = repr(float(x))
-    return r if ("e" in r or "E" in r) else r + "e0"
 
 
 def _utm_inverse_sql() -> str:

@@ -411,23 +411,32 @@ def kmeans_cluster(
     n_clusters: int = 8,
     iters: int = 10,
     sample_rows: int = 65536,
+    init_centers=None,
 ) -> ray.data.Dataset:
     """Euclidean Lloyd's k-means over cell feature columns.
 
     Deterministic: centers initialize at evenly-spaced quantiles of a
-    driver-side sample (no RNG), a fixed iteration count runs over
-    DISTRIBUTED partial sums (per-batch assign + sum/count partials ->
-    exact combine -> new centers), then a final assign stage labels
-    every cell. The fit loop is the two-phase map/reduce the reference
-    does in C++ single-threaded."""
+    driver-side sample (no RNG; or at explicit ``init_centers``, which
+    additionally makes the fit layout-independent and SQL-mirrorable
+    when the features are integer-valued), a fixed iteration count runs
+    over DISTRIBUTED partial sums (per-batch assign + sum/count
+    partials -> exact combine -> new centers), then a final assign
+    stage labels every cell. The fit loop is the two-phase map/reduce
+    the reference does in C++ single-threaded."""
     import ray as _ray
 
-    sample = cells.limit(sample_rows).to_pandas()
-    X = np.column_stack([sample[c].to_numpy().astype(np.float64) for c in feature_cols])
-    qs = np.linspace(0, 100, n_clusters + 2)[1:-1]
-    C = np.column_stack(
-        [np.percentile(X[:, j], qs) for j in range(X.shape[1])]
-    )
+    if init_centers is not None:
+        C = np.asarray(init_centers, dtype=np.float64)
+        n_clusters = len(C)
+    else:
+        sample = cells.limit(sample_rows).to_pandas()
+        X = np.column_stack(
+            [sample[c].to_numpy().astype(np.float64) for c in feature_cols]
+        )
+        qs = np.linspace(0, 100, n_clusters + 2)[1:-1]
+        C = np.column_stack(
+            [np.percentile(X[:, j], qs) for j in range(X.shape[1])]
+        )
 
     for _ in range(iters):
         ref = _ray.put(C)
@@ -557,6 +566,7 @@ def isodata_cluster(
     split_std: float = 10.0,
     merge_dist: float = 1.0,
     sample_rows: int = 65536,
+    init_centers=None,
 ) -> ray.data.Dataset:
     """ISODATA clustering: Lloyd iterations with deterministic SPLIT /
     MERGE / DISCARD rounds between them (reference
@@ -573,12 +583,18 @@ def isodata_cluster(
     the fit is deterministic under any partitioning."""
     import ray as _ray
 
-    sample = cells.limit(sample_rows).to_pandas()
-    X = np.column_stack(
-        [sample[c].to_numpy().astype(np.float64) for c in feature_cols]
-    )
-    qs = np.linspace(0, 100, n_clusters + 2)[1:-1]
-    C = np.column_stack([np.percentile(X[:, j], qs) for j in range(X.shape[1])])
+    if init_centers is not None:
+        C = np.asarray(init_centers, dtype=np.float64)
+        n_clusters = max(n_clusters, len(C))
+    else:
+        sample = cells.limit(sample_rows).to_pandas()
+        X = np.column_stack(
+            [sample[c].to_numpy().astype(np.float64) for c in feature_cols]
+        )
+        qs = np.linspace(0, 100, n_clusters + 2)[1:-1]
+        C = np.column_stack(
+            [np.percentile(X[:, j], qs) for j in range(X.shape[1])]
+        )
 
     total = None
     for _ in range(iters):
@@ -615,7 +631,7 @@ def isodata_cluster(
         n = pdf["n"].to_numpy().astype(np.float64)
         if total is None:
             total = float(n.sum())
-        dmn = X.shape[1]
+        dmn = C.shape[1]
         mean = np.column_stack(
             [
                 np.where(n > 0, pdf[f"s{j}"].to_numpy() / np.maximum(n, 1), C[:, j])
