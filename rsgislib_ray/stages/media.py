@@ -45,15 +45,25 @@ class DecodeImages:
     """Actor stage: media_ref column -> fixed-shape uint8 tensor column
     (``image``: FixedShapeTensor-compatible FixedSizeList layout) +
     basic per-image features. ``strict=True`` raises NotImplementedError
-    where a real codec would run."""
+    where a real codec would run.
 
-    def __init__(self, strict: bool = False):
-        if strict:
+    ``decoder_factory`` is the codec adapter seam (VERDICT r3 #8): a
+    zero-arg callable returning an object with
+    ``decode(refs: np.ndarray) -> uint8[n, side, side, 3]``, built ONCE
+    per actor here in ``__init__`` (a real Pillow/ffmpeg wrapper plugs
+    in without touching any pipeline code). Default: the deterministic
+    stub."""
+
+    def __init__(self, strict: bool = False, decoder_factory=None):
+        if decoder_factory is not None:
+            self.decoder = decoder_factory()
+        elif strict:
             raise NotImplementedError(
-                "no image codec available in this environment; install a "
-                "decoder and replace FakeImageDecoder"
+                "no image codec available in this environment; inject a "
+                "decoder via decoder_factory (e.g. a Pillow wrapper)"
             )
-        self.decoder = FakeImageDecoder()
+        else:
+            self.decoder = FakeImageDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_numpy(zero_copy_only=False)
@@ -101,15 +111,20 @@ def decode_media(
     strict: bool = False,
     concurrency=(1, 4),
     batch_size: int = 256,  # wide binary rows -> small batches
+    decoder_factory=None,
 ) -> ray.data.Dataset:
     """Full media path: explode refs -> actor-pool decode -> tensor +
     feature columns. Batch size is deliberately small so
     batch x concurrency of decoded tensors fits worker heaps (the
-    binary-payload sizing rule)."""
+    binary-payload sizing rule). ``decoder_factory`` injects a real
+    codec (see :class:`DecodeImages`)."""
     refs = extract_media_refs(docs)
     return refs.map_batches(
         DecodeImages,
-        fn_constructor_kwargs={"strict": strict},
+        fn_constructor_kwargs={
+            "strict": strict,
+            "decoder_factory": decoder_factory,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -164,15 +179,21 @@ def sample_frames(
     n_sample: int = 4,
     ref_col: str = "media_ref",
     concurrency=(1, 4),
+    probe_factory=None,
 ) -> ray.data.Dataset:
     """Video frame-sampling stage: one output row per (ref, sampled
     frame index), uniform stride over the probed frame count — the
     standard decode-k-frames layout for video training data. Probe
-    state builds once per actor; emission is vectorized."""
+    state builds once per actor; emission is vectorized.
+    ``probe_factory`` injects a real container probe (object with
+    ``n_frames(refs) -> int64[n]``)."""
 
     class Sample:
         def __init__(self):
-            self.probe = FakeVideoProbe()
+            self.probe = (
+                probe_factory() if probe_factory is not None
+                else FakeVideoProbe()
+            )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             refs = batch[ref_col].to_numpy(zero_copy_only=False)
@@ -211,14 +232,19 @@ def audio_features(
     ref_col: str = "media_ref",
     n_samples: int = 256,
     concurrency=(1, 4),
+    decoder_factory=None,
 ) -> ray.data.Dataset:
     """Audio feature-extraction stage: decode (stubbed) -> REAL
     vectorized features (RMS energy, zero-crossing rate, peak) — the
-    audio member of the multimodal family."""
+    audio member of the multimodal family. ``decoder_factory`` injects
+    a real codec (object with ``decode(refs, n_samples) -> int16``)."""
 
     class Extract:
         def __init__(self):
-            self.decoder = FakeAudioDecoder()
+            self.decoder = (
+                decoder_factory() if decoder_factory is not None
+                else FakeAudioDecoder()
+            )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             refs = batch[ref_col].to_numpy(zero_copy_only=False)
