@@ -1085,6 +1085,46 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
+@register("dedup_minhash_native", _minhash_oracle_sql())
+def q_dedup_minhash_native(sf_dir: str):
+    """dedup_minhash through the fully distributed label path
+    (``labels="native"``: min-label propagation, no per-worker
+    union-find state) — the 100-TB component-labeling route, tracked in
+    BENCH so regressions on the scale path get caught (VERDICT r3 #7).
+    Same planted-dup corpus and SQL oracle as dedup_minhash."""
+    from rsgislib_ray.stages.dedup import minhash_dedup
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        txt = batch["text"].to_numpy(zero_copy_only=False)
+        m0 = did % 10 == 0
+        m5 = did % 10 == 5
+        m20 = did % 20 == 0
+        return pa.table(
+            {
+                "doc_id": np.concatenate(
+                    [did, did[m0] + 1000000, did[m5] + 2000000,
+                     did[m20] + 3000000]
+                ),
+                "text": np.concatenate(
+                    [txt, txt[m0], txt[m5] + " near sentinel", txt[m20]]
+                ),
+            }
+        )
+
+    return minhash_dedup(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        threshold=0.7,
+        n_perm=32,
+        n_bands=16,
+        labels="native",
+    )
+
+
 @register(
     "dedup_simhash",
     f"""
@@ -4528,6 +4568,61 @@ def q_spatial_join_sortmerge(sf_dir: str):
 
 
 @register(
+    "spatial_join_skew",
+    f"""
+    WITH base AS ({td.SQL_PTS}),
+    pts AS (
+      SELECT pt_id,
+        CASE WHEN pt_id % 10 < 3
+             THEN 50.0e0 + (x - FLOOR(x)) ELSE x END AS x,
+        CASE WHEN pt_id % 10 < 3
+             THEN 50.0e0 + (y - FLOOR(y)) ELSE y END AS y
+      FROM base
+    ),
+    zones AS ({td.SQL_ZONES})
+    SELECT p.pt_id, z.fid FROM pts p JOIN zones z ON {_JOIN_ON}
+    """,
+)
+def q_spatial_join_skew(sf_dir: str):
+    """Skew-stress join (VERDICT r3 #9): ~30% of the point corpus
+    collapses into one [50,51)^2 hot cell; the sort-merge strategy runs
+    with HOT-CELL SALTING (salt_threshold=2000 — the probe finds the
+    hot cell, its points spread over hashed salts and its zone rows
+    replicate per salt), producing rows identical to the unskewed
+    strategies' semantics. Tracked in BENCH so the adaptive-split path
+    has numbers."""
+    from rsgislib_ray.stages.spatial_join import spatial_join_points_sortmerge
+
+    def skew(batch: pa.Table) -> pa.Table:
+        pid = batch["pt_id"].to_numpy()
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        hotm = pid % 10 < 3
+        return pa.table(
+            {
+                "pt_row": pid,
+                "x": np.where(hotm, 50.0 + (x - np.floor(x)), x),
+                "y": np.where(hotm, 50.0 + (y - np.floor(y)), y),
+            }
+        )
+
+    pts = td.points_from_orders(sf_dir).map_batches(
+        skew, batch_format="pyarrow"
+    )
+    out = spatial_join_points_sortmerge(
+        pts,
+        td.zones_from_part(sf_dir),
+        level=6,
+        key_col="pt_row",
+        salt_threshold=2000,
+    )
+    return out.map_batches(
+        lambda t: pa.table({"pt_id": t["pt_row"], "fid": t["fid"]}),
+        batch_format="pyarrow",
+    )
+
+
+@register(
     "distance_to_ring",
     f"""
     WITH pts AS ({td.SQL_PTS})
@@ -5741,9 +5836,7 @@ def q_shuffle_shards(sf_dir: str):
     )
 
 
-@register(
-    "semantic_dedup",
-    """
+_SEMDEDUP_SQL = """
     WITH RECURSIVE c AS (
       SELECT vec_id AS cid, embedding FROM embeddings
       ORDER BY vec_id LIMIT 8
@@ -5779,8 +5872,10 @@ def q_shuffle_shards(sf_dir: str):
     SELECT a.vec_id, a.cluster, l.rep_id,
            (l.rep_id = a.vec_id) AS keep
     FROM asg a JOIN lbl l ON l.vec_id = a.vec_id
-    """,
-)
+    """
+
+
+@register("semantic_dedup", _SEMDEDUP_SQL)
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-shaped semantic dedup over the embeddings table:
     deterministic 8-way quantizer (lowest-id centroids), within-cluster
@@ -5793,6 +5888,24 @@ def q_semantic_dedup(sf_dir: str):
         td.read_parquet_clean(f"{sf_dir}/embeddings.parquet"),
         n_clusters=8,
         threshold=0.4,
+    )
+
+
+@register("semantic_dedup_cluster", _SEMDEDUP_SQL)
+def q_semantic_dedup_cluster(sf_dir: str):
+    """semantic_dedup through the 100-TB path: ``state="cluster"``
+    (the normalized matrix shards by cluster id — worker heap bound =
+    largest cluster, not the corpus) + ``labels="native"`` distributed
+    min-label propagation. Same oracle as semantic_dedup; tracked in
+    BENCH so the scale path has numbers (VERDICT r3 #7)."""
+    from rsgislib_ray.stages.ann import semantic_dedup
+
+    return semantic_dedup(
+        td.read_parquet_clean(f"{sf_dir}/embeddings.parquet"),
+        n_clusters=8,
+        threshold=0.4,
+        state="cluster",
+        labels="native",
     )
 
 

@@ -925,6 +925,8 @@ def spatial_join_points_sortmerge(
     y_col: str = "y",
     key_col: str = "pt_row",
     how: str = "inner",
+    salt_threshold: int | None = None,
+    max_salt: int = 64,
 ) -> ray.data.Dataset:
     """Both-sides-large spatial join, SORT-MERGE strategy.
 
@@ -940,14 +942,83 @@ def spatial_join_points_sortmerge(
     ``"left"`` adds unmatched points with fid=-1; ``"semi"`` /
     ``"anti"`` emit one (key_col, fid=-1) row per matched / unmatched
     point. Inner rows identical to the other strategies (tested).
+
+    ``salt_threshold`` enables HOT-CELL SALTING (VERDICT r3 #9 — the
+    skew path): a cheap pre-reduced count pass finds cells holding more
+    than ``salt_threshold`` points; each hot cell's points spread over
+    ``ceil(n/threshold)`` (capped ``max_salt``) salted sub-keys by
+    point-key hash, and the hot cell's ZONE rows replicate onto every
+    salt — so a cell holding 30% of the corpus becomes s balanced sort
+    keys instead of one giant boundary group, with identical output
+    pairs (each point keeps exactly one salt; its zone copies are
+    unique per salt).
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     if isinstance(zones, pa.Table):
         zones = ray.data.from_arrow(zones)
 
+    _SALT_SHIFT = np.int64(20)
+    salt_ref = None
+    if salt_threshold is not None:
+        from ray.data.aggregate import Sum
+
+        def cnt_partial(batch: pa.Table) -> pa.Table:
+            cell = cellmod.cells_from_xy(
+                batch[x_col].to_numpy(), batch[y_col].to_numpy(), level
+            )
+            u, c = np.unique(cell[cell != -1], return_counts=True)
+            return pa.table({"cell": u, "partial": c.astype(np.int64)})
+
+        cnts = (
+            points.map_batches(
+                cnt_partial, batch_format="pyarrow", batch_size=65536
+            )
+            .groupby("cell")
+            .aggregate(Sum("partial", alias_name="n"))
+            .to_pandas()
+        )
+        hot = cnts[cnts["n"] > salt_threshold]
+        if len(hot):
+            order = np.argsort(hot["cell"].to_numpy())
+            hcells = hot["cell"].to_numpy().astype(np.int64)[order]
+            nhot = hot["n"].to_numpy().astype(np.int64)[order]
+            s = np.minimum(
+                -(-nhot // int(salt_threshold)), max_salt
+            ).astype(np.int64)
+            import ray as _ray
+
+            salt_ref = _ray.put((hcells, s))
+
+    def _hot_lookup(cell: np.ndarray):
+        from rsgislib_ray.state.broadcast import cached
+
+        hc, s = cached(salt_ref)
+        pos = np.searchsorted(hc, cell)
+        safe = np.minimum(pos, len(hc) - 1)
+        ishot = (pos < len(hc)) & (hc[safe] == cell)
+        return ishot, s[safe]
+
     def prep_zones(t: pa.Table) -> pa.Table:
         out = _zones_to_cells(t, level).select(["fid", "ring_xy", "cell"])
+        if salt_ref is not None:
+            # replicate each hot cell's zone rows onto every salt
+            zc = out["cell"].to_numpy()
+            ishot, s_at = _hot_lookup(zc)
+            per = np.where(ishot, s_at, 1)
+            rep = np.repeat(np.arange(len(zc), dtype=np.int64), per)
+            total = int(per.sum())
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(per) - per, per
+            )
+            salted = np.where(
+                zc[rep] >= 0, (zc[rep] << _SALT_SHIFT) | within, zc[rep]
+            )
+            out = out.take(pa.array(rep)).set_column(
+                out.schema.get_field_index("cell"),
+                "cell",
+                pa.array(salted, pa.int64()),
+            )
         zsub = ZoneSet.from_table(out)
         n = len(out)
         keep_ring = ~zsub.is_rect
@@ -988,6 +1059,17 @@ def spatial_join_points_sortmerge(
         cell = cellmod.cells_from_xy(
             batch[x_col].to_numpy(), batch[y_col].to_numpy(), level
         )
+        if salt_ref is not None:
+            from rsgislib_ray.functions.hashing import splitmix64
+
+            ishot, s_at = _hot_lookup(cell)
+            keys64 = batch[key_col].to_numpy().astype(np.uint64)
+            salt = np.zeros(len(cell), dtype=np.int64)
+            if ishot.any():
+                salt[ishot] = (
+                    splitmix64(keys64[ishot]) % s_at[ishot].astype(np.uint64)
+                ).astype(np.int64)
+            cell = np.where(cell >= 0, (cell << _SALT_SHIFT) | salt, cell)
         # out-of-frame points (cell -1) stay in the stream for
         # left/anti semantics: no zone ever maps to cell -1, so they
         # flow through as unmatched; inner emits nothing for them

@@ -311,3 +311,52 @@ def test_sortmerge_with_attrs_matches_broadcast(ray_session, sf_dir):
     pairs = spatial_join_points_sortmerge(pts, zones, key_col="pt_row")
     got = attach_zone_attrs(pairs, zones, ["category"]).to_pandas()
     assert sorted(zip(got["pt_row"], got["fid"], got["zone_category"])) == want
+
+
+def test_sortmerge_hot_cell_salting(ray_session, sf_dir):
+    """VERDICT r3 #9: a pathological corpus (one cell holding ~30% of
+    points) through the sort-merge strategy with hot-cell salting —
+    pair set identical to the unsalted path and to the broadcast join,
+    for inner and left."""
+    import ray.data
+
+    from rsgislib_ray.stages.spatial_join import (
+        spatial_join_points,
+        spatial_join_points_sortmerge,
+    )
+
+    pts = td.points_from_orders(sf_dir).to_pandas()
+    x = pts["x"].to_numpy().copy()
+    y = pts["y"].to_numpy().copy()
+    pid = pts["pt_id"].to_numpy()
+    hotm = pid % 10 < 3  # ~30% of points collapse into [50, 51)^2
+    x[hotm] = 50.0 + (x[hotm] - np.floor(x[hotm]))
+    y[hotm] = 50.0 + (y[hotm] - np.floor(y[hotm]))
+    skew = pa.table({"pt_row": pid, "x": x, "y": y})
+    zones = td.zones_from_part(sf_dir)
+
+    def pairs(how, salt):
+        ds = ray.data.from_arrow(skew).repartition(8)
+        out = spatial_join_points_sortmerge(
+            ds, zones, level=6, key_col="pt_row", how=how,
+            salt_threshold=salt,
+        ).to_pandas()
+        return sorted(zip(out["pt_row"], out["fid"]))
+
+    for how in ("inner", "left"):
+        unsalted = pairs(how, None)
+        salted = pairs(how, 200)  # hot cell >> 200 rows -> salting engages
+        assert salted == unsalted, how
+
+    # broadcast reference for inner
+    bro = spatial_join_points(
+        ray.data.from_arrow(skew).repartition(8), zones
+    ).to_pandas()
+    assert sorted(zip(bro["pt_row"], bro["fid"])) == pairs("inner", None)
+
+    # the skew probe really sees a hot cell at this threshold
+    from rsgislib_ray.functions.cells import cells_from_xy
+
+    cell = cells_from_xy(x, y, 6)
+    _, counts = np.unique(cell[cell != -1], return_counts=True)
+    assert counts.max() > 200
