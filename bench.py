@@ -115,6 +115,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "event_windows",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_minhash_native",
         "token_count",
         "ann_topk",
         "clump_components",
@@ -124,6 +125,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "chunk_documents",
         "shuffle_shards",
         "semantic_dedup",
+        "semantic_dedup_cluster",
         "raster_pyramid",
         "event_funnel",
         "pagerank_knn",
@@ -144,6 +146,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # (measured: pip_count 3.1s -> 11.8s when run after these)
         "spatial_join_hash",
         "spatial_join_sortmerge",
+        "spatial_join_skew",
     ]
     out = {}
     import pandas as pd
