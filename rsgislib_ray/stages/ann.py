@@ -494,12 +494,14 @@ def semantic_dedup(
     if strategy != "native":
         raise ValueError(f"unknown labels strategy {labels!r}")
 
-    # 100 TB path: distributed min-label propagation, then a
-    # hash-partitioned left join attaches roots to the base sweep
-    from rsgislib_ray.stages.components import drop_empty_blocks
-    from rsgislib_ray.stages.spatial_join import _default_join_partitions
+    # 100 TB path: distributed min-label propagation, then roots attach
+    # to the base sweep via attach_roots (measured broadcast/join auto)
+    from rsgislib_ray.stages.components import (
+        attach_roots,
+        drop_empty_blocks_counted,
+    )
 
-    roots = drop_empty_blocks(
+    roots, n_roots = drop_empty_blocks_counted(
         components_native_labels(pairs_ds, "u", "v").map_batches(
             lambda t: pa.table({id_col: t["node"], "__root": t["root"]}),
             batch_format="pyarrow",
@@ -518,32 +520,13 @@ def semantic_dedup(
     based = embeddings.map_batches(
         base, batch_format="pyarrow", batch_size=4096
     )
-    if roots is None:  # no components: every vector is its own rep
-
-        def selfrep(t: pa.Table) -> pa.Table:
-            ids = t[id_col].cast(pa.int64())
-            return pa.table(
-                {
-                    id_col: ids,
-                    "cluster": t["cluster"],
-                    "rep_id": ids,
-                    "keep": pa.array(np.ones(len(t), dtype=bool)),
-                }
-            )
-
-        return based.map_batches(selfrep, batch_format="pyarrow")
-    joined = based.join(
-        roots,
-        join_type="left_outer",
-        num_partitions=_default_join_partitions(None),
-        on=(id_col,),
-    )
+    attached = attach_roots(based, id_col, roots, roots_rows=n_roots)
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         ids = t[id_col].cast(pa.int64())
-        rep = pc.coalesce(t["__root"].cast(pa.int64()), ids)
+        rep = t["__rep"]
         return pa.table(
             {
                 id_col: ids,
@@ -553,7 +536,7 @@ def semantic_dedup(
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return attached.map_batches(finish, batch_format="pyarrow")
 
 
 def _semantic_dedup_cluster(
@@ -566,11 +549,19 @@ def _semantic_dedup_cluster(
 ) -> ray.data.Dataset:
     """semantic_dedup with CLUSTER-PARTITIONED state (the 100 TB path;
     see :func:`semantic_dedup` ``state="cluster"``): broadcast only the
-    centroid table, shuffle vectors once by cluster id, emit pairs per
-    cluster group with a blocked in-group matmul. Worker heap holds one
-    cluster, never the corpus. Output is bit-identical to the full
-    path: the same per-row normalization, the same argmax assignment
-    expression, the same pairwise dot products and threshold tests."""
+    centroid table, shuffle vectors once by cluster id, and finish each
+    cluster ENTIRELY in its group — blocked in-group matmul for the
+    near-dup pairs, then the vectorized union-find over those pairs
+    emits the final (vec_id, cluster, rep_id, keep) rows directly.
+    SemDeDup pairs connect same-cluster vectors only, so components
+    never cross groups and in-group labeling is exact: no pair Dataset,
+    no global propagation, no root-attach join — the one cluster
+    exchange is the path's ONLY shuffle (``labels`` is accepted for
+    signature symmetry but moot here). Worker heap holds one cluster,
+    never the corpus. Output is bit-identical to the full path: the
+    same per-row normalization, the same argmax assignment expression,
+    the same pairwise dot products and threshold tests, the same min-id
+    components."""
     narrow = embeddings.select_columns([id_col, vec_col])
 
     # centroid candidates: per-batch n_clusters smallest ids -> a tiny
@@ -610,10 +601,18 @@ def _semantic_dedup_cluster(
 
     tagged = narrow.map_batches(tag, batch_format="pyarrow", batch_size=4096)
 
+    from rsgislib_ray.stages.components import (
+        edge_components_minlabel,
+        lookup_roots,
+    )
+
     # ONE exchange: vectors co-partition by cluster; each group holds
-    # one cluster's matrix and emits its verified pairs
-    def cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # one cluster's matrix, finds its verified pairs with a blocked
+    # matmul and labels its own components (exact — pairs never cross
+    # clusters), emitting the final rows with no further shuffle
+    def cluster_label(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy().astype(np.int64)
+        cl = g["cluster"].to_numpy().astype(np.int64)
         M = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
         us, vs = [], []
         step = 1024  # blocked: step x cluster_size sims at a time
@@ -626,100 +625,18 @@ def _semantic_dedup_cluster(
             vs.append(ids[ai[keep]])
         u = np.concatenate(us) if us else np.empty(0, np.int64)
         v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        keys, roots = edge_components_minlabel(u, v)
+        hit = keys != roots
+        rep = lookup_roots(ids, keys[hit], roots[hit])
         return pd.DataFrame(
             {
-                "u": pd.Series(u, dtype="int64"),
-                "v": pd.Series(v, dtype="int64"),
+                id_col: pd.Series(ids, dtype="int64"),
+                "cluster": pd.Series(cl, dtype="int64"),
+                "rep_id": pd.Series(rep, dtype="int64"),
+                "keep": pd.Series(rep == ids, dtype="bool"),
             }
         )
 
-    pairs_ds = (
-        tagged.groupby("cluster")
-        .map_groups(arrowize(cluster_pairs), batch_format="pandas")
-        .materialize()
+    return tagged.groupby("cluster").map_groups(
+        arrowize(cluster_label), batch_format="pandas"
     )
-
-    from rsgislib_ray.stages.components import (
-        DRIVER_MAX_EDGES,
-        build_root_arrays,
-        components_native_labels,
-        lookup_roots,
-        root_map_blocks,
-    )
-
-    strategy = labels
-    if strategy == "auto":
-        strategy = (
-            "driver" if pairs_ds.count() <= DRIVER_MAX_EDGES else "native"
-        )
-
-    base = tagged.select_columns([id_col, "cluster"])
-    if strategy == "driver":
-        pair_refs = root_map_blocks(pairs_ds, "u", "v")
-
-        def label(batch: pa.Table) -> pa.Table:
-            from rsgislib_ray.state.broadcast import cached_multi
-
-            kk, vv = cached_multi(
-                pair_refs, lambda ts: build_root_arrays(ts, "u", "v")
-            )
-            ids = batch[id_col].to_numpy().astype(np.int64)
-            rep = lookup_roots(ids, kk, vv)
-            return pa.table(
-                {
-                    id_col: pa.array(ids),
-                    "cluster": batch["cluster"],
-                    "rep_id": pa.array(rep),
-                    "keep": pa.array(rep == ids),
-                }
-            )
-
-        return base.map_batches(label, batch_format="pyarrow")
-
-    if strategy != "native":
-        raise ValueError(f"unknown labels strategy {labels!r}")
-
-    from rsgislib_ray.stages.spatial_join import _default_join_partitions
-
-    roots = drop_empty_blocks(
-        components_native_labels(pairs_ds, "u", "v").map_batches(
-            lambda t: pa.table({id_col: t["node"], "__root": t["root"]}),
-            batch_format="pyarrow",
-        )
-    )
-    if roots is None:
-
-        def selfrep(t: pa.Table) -> pa.Table:
-            ids = t[id_col].cast(pa.int64())
-            return pa.table(
-                {
-                    id_col: ids,
-                    "cluster": t["cluster"],
-                    "rep_id": ids,
-                    "keep": pa.array(np.ones(len(t), dtype=bool)),
-                }
-            )
-
-        return base.map_batches(selfrep, batch_format="pyarrow")
-    joined = base.join(
-        roots,
-        join_type="left_outer",
-        num_partitions=_default_join_partitions(None),
-        on=(id_col,),
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = t[id_col].cast(pa.int64())
-        rep = pc.coalesce(t["__root"].cast(pa.int64()), ids)
-        return pa.table(
-            {
-                id_col: ids,
-                "cluster": t["cluster"],
-                "rep_id": rep,
-                "keep": pc.equal(rep, ids),
-            }
-        )
-
-    return joined.map_batches(finish, batch_format="pyarrow")

@@ -43,6 +43,35 @@ import ray.data
 #: per-worker union-find to distributed label propagation
 DRIVER_MAX_EDGES = 5_000_000
 
+#: propagation-join sizing: one hash partition per this many symmetric
+#: edges (measured: a CPU-count-wide join on a few-thousand-edge
+#: contracted graph spends seconds on aggregator-actor startup alone)
+PROP_EDGES_PER_PARTITION = 2_000_000
+
+#: below this many root rows, ``attach_roots(finish="auto")`` broadcasts
+#: the materialized root map (one object-store read per worker process)
+#: instead of hash-joining the whole corpus against it — |roots| =
+#: |non-self dup nodes|, usually tiny next to the corpus
+ROOTS_BROADCAST_MAX = 5_000_000
+
+
+def drop_empty_blocks_counted(
+    ds: ray.data.Dataset,
+) -> tuple[ray.data.Dataset | None, int]:
+    """:func:`drop_empty_blocks` that also returns the total row count
+    (free — it comes from the same block metadata sweep), so callers can
+    make size-based routing decisions without a count() job."""
+    mat = ds.materialize()
+    refs, rows = [], 0
+    for rb in mat.iter_internal_ref_bundles():
+        for ref, meta in zip(rb.block_refs, rb.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+                rows += meta.num_rows
+    if not refs:
+        return None, 0
+    return ray.data.from_arrow_refs(refs), rows
+
 
 def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset | None:
     """Materialize and drop empty blocks. Ray's sort/groupby emit
@@ -51,15 +80,8 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset | None:
     passes them through untouched, so they must be dropped at the block
     level. Metadata-only — no block data is fetched. Returns None when
     every block is empty."""
-    mat = ds.materialize()
-    refs = []
-    for rb in mat.iter_internal_ref_bundles():
-        for ref, meta in zip(rb.block_refs, rb.metadata):
-            if meta.num_rows:
-                refs.append(ref)
-    if not refs:
-        return None
-    return ray.data.from_arrow_refs(refs)
+    out, _ = drop_empty_blocks_counted(ds)
+    return out
 
 
 def edge_components_minlabel(ea: np.ndarray, eb: np.ndarray):
@@ -145,6 +167,56 @@ def _prereduce_min(node_col: str, lbl_col: str):
     return fn
 
 
+#: per-batch union-find bundling bound for the propagation pre-reduce:
+#: 4M (node,label) rows ~ 64 MB of int64 — far under a worker heap, yet
+#: wide enough that a small contracted graph collapses in ONE batch
+UF_BATCH_ROWS = 4_000_000
+
+
+def _prereduce_uf(node_col: str, lbl_col: str):
+    """In-batch pre-reduction that runs the VECTORIZED UNION-FIND over
+    the batch's (node, label) rows treated as graph edges. Sound
+    because every label is by invariant the id of a node in the same
+    true component (labels start as min(n, m) over an edge and every
+    update propagates a member id along edges), so (node, label) IS an
+    edge of that component. Strictly stronger than the plain per-batch
+    min: a component wholly inside one batch converges immediately, so
+    the fixpoint loop's round count drops to the number of CROSS-batch
+    stitches (usually one confirm round). Output is one (node -> root)
+    row per distinct id in the batch."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    node_col: pa.array([], pa.int64()),
+                    lbl_col: pa.array([], pa.int64()),
+                }
+            )
+        n = batch[node_col].to_numpy().astype(np.int64)
+        l = batch[lbl_col].to_numpy().astype(np.int64)
+        keys, roots = edge_components_minlabel(n, l)
+        return pa.table({node_col: keys, lbl_col: roots})
+
+    return fn
+
+
+@ray.remote(num_cpus=0.5)
+def _cksum_block(blk) -> tuple[int, int, int]:
+    """Per-block label-checksum partials: three 22-bit slice sums (each
+    < 2^62 even at 10^12 nodes) returned as plain ints — the driver
+    recombines in Python big-int. A bare task per materialized block is
+    ~10x cheaper than spinning a Ray Data aggregate job per round."""
+    if blk.num_rows == 0 or "lbl" not in blk.column_names:
+        return 0, 0, 0  # sort/groupby emit zero-COLUMN empty blocks
+    lv = blk["lbl"].to_numpy()
+    return (
+        int((lv >> 44).sum()),
+        int(((lv >> 22) & 0x3FFFFF).sum()),
+        int((lv & 0x3FFFFF).sum()),
+    )
+
+
 def components_native_labels(
     pairs: ray.data.Dataset,
     u_col: str = "doc_a",
@@ -159,8 +231,6 @@ def components_native_labels(
     from rsgislib_ray.stages.segsum import segment_sum
     from rsgislib_ray.stages.spatial_join import _default_join_partitions
 
-    num_partitions = _default_join_partitions(num_partitions)
-
     def sym(t: pa.Table) -> pa.Table:
         u = t[u_col].to_numpy().astype(np.int64)
         v = t[v_col].to_numpy().astype(np.int64)
@@ -171,13 +241,24 @@ def components_native_labels(
     _empty_labels = pa.table(
         {"node": pa.array([], pa.int64()), "root": pa.array([], pa.int64())}
     )
-    edges = drop_empty_blocks(
+    edges, n_edges = drop_empty_blocks_counted(
         pairs.select_columns([u_col, v_col]).map_batches(
             sym, batch_format="pyarrow"
         )
     )
     if edges is None:
         return ray.data.from_arrow(_empty_labels)
+    if num_partitions is None:
+        # size the per-round hash join by MEASURED edge count (free:
+        # counted during the empty-block sweep) — partitions scale up
+        # with the graph, but a contracted few-thousand-edge graph
+        # doesn't pay CPU-count-wide aggregator startup every round
+        cap = _default_join_partitions(None)
+        num_partitions = max(
+            2, min(cap, -(-n_edges // PROP_EDGES_PER_PARTITION))
+        )
+    else:
+        num_partitions = _default_join_partitions(num_partitions)
 
     def init_partial(t: pa.Table) -> pa.Table:
         n = t["n"].to_numpy()
@@ -186,36 +267,24 @@ def components_native_labels(
 
     def _lbl_checksum(lab: ray.data.Dataset) -> int:
         """Exact total label sum, overflow-proof (ADVICE r3): each
-        block pre-sums three 22-bit slices (each partial < 2^62 even
-        at 10^12 nodes), the three int64 aggregates recombine in
+        materialized block pre-sums three 22-bit slices via a bare
+        remote task (:func:`_cksum_block`), the partials recombine in
         Python arbitrary-precision. Labels only decrease, so an
-        unchanged exact sum IS the fixpoint — no 2^64 wrap window."""
-        from ray.data.aggregate import Sum
-
-        def parts(t: pa.Table) -> pa.Table:
-            lv = t["lbl"].to_numpy()
-            return pa.table(
-                {
-                    "hi": pa.array([int((lv >> 44).sum())], pa.int64()),
-                    "mid": pa.array(
-                        [int(((lv >> 22) & 0x3FFFFF).sum())], pa.int64()
-                    ),
-                    "lo": pa.array([int((lv & 0x3FFFFF).sum())], pa.int64()),
-                }
-            )
-
-        agg = lab.map_batches(parts, batch_format="pyarrow").aggregate(
-            Sum("hi"), Sum("mid"), Sum("lo")
+        unchanged exact sum IS the fixpoint — no 2^64 wrap window, no
+        driver data pull (tasks return three ints per block)."""
+        outs = ray.get(
+            [_cksum_block.remote(r) for r in lab.to_arrow_refs()]
         )
-        return (
-            (int(agg["sum(hi)"]) << 44)
-            + (int(agg["sum(mid)"]) << 22)
-            + int(agg["sum(lo)"])
-        )
+        hi = sum(o[0] for o in outs)
+        mid = sum(o[1] for o in outs)
+        lo = sum(o[2] for o in outs)
+        return (hi << 44) + (mid << 22) + lo
 
     labels = segment_sum(
         edges.map_batches(init_partial, batch_format="pyarrow").map_batches(
-            _prereduce_min("node", "lbl"), batch_format="pyarrow"
+            _prereduce_uf("node", "lbl"),
+            batch_format="pyarrow",
+            batch_size=UF_BATCH_ROWS,
         ),
         "node",
         ["lbl"],
@@ -242,7 +311,9 @@ def components_native_labels(
         )
         labels = segment_sum(
             prop.union(labels).map_batches(
-                _prereduce_min("node", "lbl"), batch_format="pyarrow"
+                _prereduce_uf("node", "lbl"),
+                batch_format="pyarrow",
+                batch_size=UF_BATCH_ROWS,
             ),
             "node",
             ["lbl"],
@@ -263,6 +334,101 @@ def components_native_labels(
         )
 
     return labels.map_batches(nonself, batch_format="pyarrow")
+
+
+def attach_roots(
+    base: ray.data.Dataset,
+    id_col: str,
+    roots: ray.data.Dataset | None,
+    roots_rows: int | None = None,
+    root_col: str = "__root",
+    out_col: str = "__rep",
+    finish: str = "auto",
+    broadcast_max_rows: int | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Append ``out_col`` = this row's component root (its own id when
+    it is not a non-self component member) to ``base``. ``roots`` must
+    be a MATERIALIZED two-int64-column ``(id_col, root_col)`` Dataset
+    (or None = no components). Physical routing:
+
+    - ``"broadcast"``: workers build the sorted (key, root) arrays once
+      per process from the roots block refs (``cached_multi``) and
+      label via searchsorted — zero shuffle. The root map holds only
+      the NON-SELF dup nodes, not the corpus, so this is the right
+      default whenever the dup fraction is sane.
+    - ``"join"``: hash-partitioned ``left_outer`` join — the
+      unconditional-scale fallback when even the dup-node root map
+      outgrows a worker heap.
+    - ``"auto"``: measured routing — ``roots_rows`` (free from
+      :func:`drop_empty_blocks_counted`) vs ``ROOTS_BROADCAST_MAX``.
+    """
+
+    def selfcol(t: pa.Table) -> pa.Table:
+        ids = t[id_col].cast(pa.int64())
+        return t.append_column(out_col, ids)
+
+    if roots is None:
+        return base.map_batches(selfcol, batch_format="pyarrow")
+
+    if finish == "auto":
+        if roots_rows is None:
+            roots, roots_rows = drop_empty_blocks_counted(roots)
+            if roots is None:
+                return base.map_batches(selfcol, batch_format="pyarrow")
+        bmax = (
+            ROOTS_BROADCAST_MAX
+            if broadcast_max_rows is None
+            else broadcast_max_rows
+        )
+        finish = "broadcast" if roots_rows <= bmax else "join"
+
+    if finish == "broadcast":
+        refs = roots.to_arrow_refs()
+
+        def build(tables: list):
+            ne = [
+                t
+                for t in tables
+                if t.num_rows and root_col in t.column_names
+            ]
+            if not ne:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            t = pa.concat_tables(ne)
+            k = t[id_col].to_numpy().astype(np.int64)
+            v = t[root_col].to_numpy().astype(np.int64)
+            o = np.argsort(k, kind="stable")
+            return k[o], v[o]
+
+        def label(batch: pa.Table) -> pa.Table:
+            from rsgislib_ray.state.broadcast import cached_multi
+
+            keys, vals = cached_multi(refs, build)
+            ids = batch[id_col].cast(pa.int64()).to_numpy()
+            rep = lookup_roots(ids, keys, vals)
+            return batch.append_column(out_col, pa.array(rep, pa.int64()))
+
+        return base.map_batches(label, batch_format="pyarrow")
+
+    if finish != "join":
+        raise ValueError(f"unknown finish {finish!r}")
+    from rsgislib_ray.stages.spatial_join import _default_join_partitions
+
+    joined = base.join(
+        roots,
+        join_type="left_outer",
+        num_partitions=_default_join_partitions(num_partitions),
+        on=(id_col,),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t[id_col].cast(pa.int64())
+        rep = pc.coalesce(t[root_col].cast(pa.int64()), ids)
+        return t.drop_columns([root_col]).append_column(out_col, rep)
+
+    return joined.map_batches(fin, batch_format="pyarrow")
 
 
 def components_label_ids(
@@ -307,7 +473,7 @@ def components_label_ids(
 
     if strategy != "native":
         raise ValueError(f"unknown components strategy {strategy!r}")
-    labels = drop_empty_blocks(
+    labels, n_labels = drop_empty_blocks_counted(
         components_native_labels(
             pairs, u_col, v_col, num_partitions=num_partitions
         ).map_batches(
@@ -315,35 +481,19 @@ def components_label_ids(
             batch_format="pyarrow",
         )
     )
-    if labels is None:  # no components: everything is its own cluster
-
-        def selflab(t: pa.Table) -> pa.Table:
-            i = t[id_col].cast(pa.int64())
-            return pa.table(
-                {
-                    id_col: i,
-                    "cluster_id": i,
-                    "keep": pa.array(np.ones(len(t), dtype=bool)),
-                }
-            )
-
-        return ids_ds.select_columns([id_col]).map_batches(
-            selflab, batch_format="pyarrow"
-        )
-    from rsgislib_ray.stages.spatial_join import _default_join_partitions
-
-    joined = ids_ds.select_columns([id_col]).join(
+    attached = attach_roots(
+        ids_ds.select_columns([id_col]),
+        id_col,
         labels,
-        join_type="left_outer",
-        num_partitions=_default_join_partitions(num_partitions),
-        on=(id_col,),
+        roots_rows=n_labels,
+        num_partitions=num_partitions,
     )
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         i = t[id_col].cast(pa.int64())
-        cluster = pc.coalesce(t["__root"].cast(pa.int64()), i)
+        cluster = t["__rep"]
         return pa.table(
             {
                 id_col: i,
@@ -352,4 +502,4 @@ def components_label_ids(
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return attached.map_batches(finish, batch_format="pyarrow")
