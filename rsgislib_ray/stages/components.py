@@ -55,6 +55,24 @@ PROP_EDGES_PER_PARTITION = 2_000_000
 ROOTS_BROADCAST_MAX = 5_000_000
 
 
+def measured_join_partitions(
+    rows: int,
+    requested: int | None = None,
+    rows_per_partition: int = PROP_EDGES_PER_PARTITION,
+) -> int:
+    """Hash-join partition count sized by MEASURED row count (of the
+    larger side), clamped to [2, cluster CPU cap]: partitions scale up
+    with the data, but a small side doesn't pay CPU-count-wide
+    aggregator-actor startup. An explicit ``requested`` only gets the
+    CPU clamp."""
+    from rsgislib_ray.stages.spatial_join import _default_join_partitions
+
+    if requested is not None:
+        return _default_join_partitions(requested)
+    cap = _default_join_partitions(None)
+    return max(2, min(cap, -(-rows // rows_per_partition)))
+
+
 def drop_empty_blocks_counted(
     ds: ray.data.Dataset,
 ) -> tuple[ray.data.Dataset | None, int]:
@@ -229,7 +247,6 @@ def components_native_labels(
     pair row or label row ever lands on the driver (the driver sees one
     int64 sum per round)."""
     from rsgislib_ray.stages.segsum import segment_sum
-    from rsgislib_ray.stages.spatial_join import _default_join_partitions
 
     def sym(t: pa.Table) -> pa.Table:
         u = t[u_col].to_numpy().astype(np.int64)
@@ -248,17 +265,11 @@ def components_native_labels(
     )
     if edges is None:
         return ray.data.from_arrow(_empty_labels)
-    if num_partitions is None:
-        # size the per-round hash join by MEASURED edge count (free:
-        # counted during the empty-block sweep) — partitions scale up
-        # with the graph, but a contracted few-thousand-edge graph
-        # doesn't pay CPU-count-wide aggregator startup every round
-        cap = _default_join_partitions(None)
-        num_partitions = max(
-            2, min(cap, -(-n_edges // PROP_EDGES_PER_PARTITION))
-        )
-    else:
-        num_partitions = _default_join_partitions(num_partitions)
+    # size the per-round hash join by MEASURED edge count (free:
+    # counted during the empty-block sweep) — partitions scale up
+    # with the graph, but a contracted few-thousand-edge graph
+    # doesn't pay CPU-count-wide aggregator startup every round
+    num_partitions = measured_join_partitions(n_edges, num_partitions)
 
     def init_partial(t: pa.Table) -> pa.Table:
         n = t["n"].to_numpy()

@@ -472,7 +472,7 @@ def event_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-    combine: str = "driver",
+    combine: str = "auto",
     num_partitions: int | None = None,
 ) -> "pa.Table | ray.data.Dataset":
     """Ordered funnel: per user, the earliest time of step 1, the
@@ -496,25 +496,19 @@ def event_funnel(
       assembled with left-outer hash joins (the
       :func:`event_retention` pattern). Returns a streaming Dataset
       with identical values.
+    - ``"auto"`` (default): route by the MEASURED step-1 partial row
+      count (:func:`rsgislib_ray.stages.segsum.resolve_combine` —
+      step 1's per-batch per-user minima bound every later step's
+      combined size, since each step only filters users forward); the
+      materialized probe is reused as the driver path's step-1
+      partials, so routing costs no extra pass when driver wins.
     """
     import pyarrow.compute as pc
 
     import ray as _ray
 
-    if combine == "native":
-        return _event_funnel_native(
-            events, steps, user_col, ts_col, type_col, num_partitions
-        )
-    if combine != "driver":
-        raise ValueError(f"unknown combine {combine!r}")
-
-    maps: list = []
-    prev_ref = None
-    for step in steps:
-
-        def partial(
-            batch: pa.Table, _step=step, _prev=prev_ref
-        ) -> pa.Table:
+    def make_partial(_step, _prev):
+        def partial(batch: pa.Table) -> pa.Table:
             from rsgislib_ray.state.broadcast import cached
 
             m = pc.equal(batch[type_col], _step)
@@ -540,15 +534,38 @@ def event_funnel(
                 }
             )
 
+        return partial
+
+    probe_mat = None
+    if combine == "auto":
+        from rsgislib_ray.stages.segsum import resolve_combine
+
+        probe_mat, combine = resolve_combine(
+            events.map_batches(
+                make_partial(steps[0], None), batch_format="pyarrow"
+            ),
+            "auto",
+        )
+    if combine == "native":
+        return _event_funnel_native(
+            events, steps, user_col, ts_col, type_col, num_partitions
+        )
+    if combine != "driver":
+        raise ValueError(f"unknown combine {combine!r}")
+
+    maps: list = []
+    prev_ref = None
+    for si, step in enumerate(steps):
+        step_parts = (
+            probe_mat
+            if si == 0 and probe_mat is not None
+            else events.map_batches(
+                make_partial(step, prev_ref), batch_format="pyarrow"
+            )
+        )
         parts = [
             t
-            for t in _ray.get(
-                list(
-                    events.map_batches(
-                        partial, batch_format="pyarrow"
-                    ).to_arrow_refs()
-                )
-            )
+            for t in _ray.get(list(step_parts.to_arrow_refs()))
             if t.num_rows
         ]
         if parts:

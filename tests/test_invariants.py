@@ -201,6 +201,38 @@ def test_event_funnel_native_combine_identical(ray_session, sf_dir):
     assert (drv.fillna(-1).to_numpy() == nat.fillna(-1).to_numpy()).all()
 
 
+def test_event_funnel_auto_routes_native(ray_session, sf_dir, monkeypatch):
+    """combine="auto" (now the funnel default) routes by the MEASURED
+    step-1 partial row count: a 1-row threshold must flip the default
+    onto the native path (Dataset, not pa.Table) with identical
+    values — so the 100x-scale route doesn't rely on the caller
+    knowing the flag (VERDICT r3 #5 pattern)."""
+    import ray
+
+    from rsgislib_ray.sources import testdata as td
+    from rsgislib_ray.stages import segsum
+    from rsgislib_ray.stages.events import event_funnel
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).repartition(8)
+    drv = (
+        event_funnel(ds, combine="driver")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(segsum, "AUTO_NATIVE_ROWS", 1)
+    auto = event_funnel(ds, combine="auto")
+    assert isinstance(auto, ray.data.Dataset)  # proves native routing
+    auto = (
+        auto.to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)[drv.columns]
+    )
+    assert (drv.fillna(-1).to_numpy() == auto.fillna(-1).to_numpy()).all()
+
+
 def test_stratified_sample_partition_independent(ray_session):
     import numpy as np
     import pyarrow as pa
