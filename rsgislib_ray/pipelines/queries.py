@@ -11987,3 +11987,595 @@ def q_mnf_project_3d(sf_dir: str):
         return pa.table(out)
 
     return bands.map_batches(project, batch_format="pyarrow", batch_size=65536)
+
+
+# ===========================================================================
+# Radiometric calibration (stages/calibration.py — the closed-form
+# per-pixel slice of the reference's imagecalibration module,
+# src/calibration/*.cpp + python/rsgislib/imagecalibration). The DN
+# "image" fixture derives four integer bands + an elevation column
+# from lineitem, with an all-band-zero border stripe (cell_key % 41)
+# to exercise the reference's nodata semantics and a DEM-nodata
+# stripe (cell_key % 37). All calibration parameters are defined ONCE
+# below and expanded into BOTH the Ray closures and the SQL literal
+# chains, so the float expressions are bit-identical.
+# ===========================================================================
+
+import math as _math
+
+from rsgislib_ray.stages import calibration as _cal
+
+_SQL_DN = (
+    "SELECT cell_key, "
+    "CASE WHEN cell_key % 41 = 0 THEN 0 ELSE qty END AS dn1, "
+    "CASE WHEN cell_key % 41 = 0 THEN 0 ELSE disc_c END AS dn2, "
+    "CASE WHEN cell_key % 41 = 0 THEN 0 ELSE tax_c END AS dn3, "
+    "CASE WHEN cell_key % 41 = 0 THEN 0 ELSE pmod % 256 END AS dn4, "
+    "CASE WHEN cell_key % 37 = 0 THEN -32768.0e0 "
+    "ELSE CAST(cell_key % 1000 AS DOUBLE) END AS elev "
+    f"FROM ({_SQL_BANDS})"
+)
+
+
+def _dn_ds(sf_dir: str):
+    """Synthetic multi-band DN raster: mirrors ``_SQL_DN``."""
+    ds = _bands_ds(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = batch["cell_key"].to_numpy().astype(np.int64)
+        live = ck % 41 != 0
+        elev = np.where(
+            ck % 37 == 0, -32768.0, (ck % 1000).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "cell_key": ck,
+                "dn1": np.where(
+                    live, batch["qty"].to_numpy().astype(np.int64), 0
+                ),
+                "dn2": np.where(
+                    live, batch["disc_c"].to_numpy().astype(np.int64), 0
+                ),
+                "dn3": np.where(
+                    live, batch["tax_c"].to_numpy().astype(np.int64), 0
+                ),
+                "dn4": np.where(
+                    live,
+                    batch["pmod"].to_numpy().astype(np.int64) % 256,
+                    0,
+                ),
+                "elev": elev,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+# Landsat-5-TM-shaped calibration constants (public USGS handbook
+# values for bands 1-4; the exact numbers only need to be shared
+# between engine and oracle).
+_CAL_GAINOFF = {
+    "rad1": _cal.LandsatRadGainOffs("dn1", -1.52, 193.0, 1.0, 255.0),
+    "rad2": _cal.LandsatRadGainOffs("dn2", -2.84, 365.0, 1.0, 255.0),
+    "rad3": _cal.LandsatRadGainOffs("dn3", -1.17, 264.0, 1.0, 255.0),
+    "rad4": _cal.LandsatRadGainOffs("dn4", -1.51, 221.0, 1.0, 255.0),
+}
+_CAL_MULTADD = {
+    "rad1": ("dn1", 0.7656, -2.29),
+    "rad2": ("dn2", 1.4482, -4.29),
+    "rad3": ("dn3", 1.044, -2.21),
+    "rad4": ("dn4", 0.876, -2.39),
+}
+_CAL_ESUN = {"rad1": 1957.0, "rad2": 1826.0, "rad3": 1554.0, "rad4": 1036.0}
+_CAL_ZEN = 35.0
+_CAL_SCALE = 1000.0
+_CAL_JD = _cal.julian_day(2011, 7, 1)
+_CAL_D = _cal.solar_distance(_CAL_JD)
+_CAL_CZ = _math.cos(_math.radians(_CAL_ZEN))
+_CAL_THERMAL = ("dn2", 0.055376, 1.18, 607.76, 1260.56, 10.0)
+_CAL_SREF = {
+    "sr1": ("rad1", 0.0045, 0.21, 0.17),
+    "sr2": ("rad2", 0.0052, 0.23, 0.19),
+    "sr3": ("rad3", 0.0061, 0.20, 0.18),
+    "sr4": ("rad4", 0.0100, 0.24, 0.16),
+}
+_CAL_LUT = [
+    (0.0, {"sr1": ("rad1", 0.0050, 0.20, 0.16),
+           "sr2": ("rad2", 0.0048, 0.19, 0.15)}),
+    (400.0, {"sr1": ("rad1", 0.0053, 0.21, 0.17),
+             "sr2": ("rad2", 0.0051, 0.20, 0.16)}),
+    (800.0, {"sr1": ("rad1", 0.0056, 0.22, 0.18),
+             "sr2": ("rad2", 0.0054, 0.21, 0.17)}),
+]
+
+_CAL_NODATA = "dn1 = 0 AND dn2 = 0 AND dn3 = 0 AND dn4 = 0"
+
+
+def _sql_cal_rad_multiadd_cols() -> str:
+    return ", ".join(
+        f"CASE WHEN {_CAL_NODATA} THEN 0.0e0 "
+        f"ELSE {_dlit(m)} * CAST({c} AS DOUBLE) + {_dlit(a)} END AS {o}"
+        for o, (c, m, a) in _CAL_MULTADD.items()
+    )
+
+
+@register(
+    "calib_radiance",
+    f"WITH dn AS ({_SQL_DN}) SELECT cell_key, "
+    + ", ".join(
+        f"CASE WHEN {_CAL_NODATA} THEN 0.0e0 ELSE "
+        f"{_dlit((s.l_max - s.l_min) / (s.q_cal_max - s.q_cal_min))}"
+        f" * (CAST({s.band} AS DOUBLE) - {_dlit(s.q_cal_min)})"
+        f" + {_dlit(s.l_min)} END AS {o}"
+        for o, s in _CAL_GAINOFF.items()
+    )
+    + " FROM dn",
+)
+def q_calib_radiance(sf_dir: str):
+    """DN -> radiance, (Lmax-Lmin)/(Qmax-Qmin) gain form
+    (RSGISStandardDN2RadianceCalibration.cpp:28; all-zero border
+    pixels emit 0 in every band)."""
+    return _cal.landsat_to_radiance(
+        _dn_ds(sf_dir), _CAL_GAINOFF, keep_cols=["cell_key"]
+    )
+
+
+@register(
+    "calib_radiance_multiadd",
+    f"WITH dn AS ({_SQL_DN}) SELECT cell_key, "
+    f"{_sql_cal_rad_multiadd_cols()} FROM dn",
+)
+def q_calib_radiance_multiadd(sf_dir: str):
+    """DN -> radiance, gain*DN + offset form
+    (RSGISStandardDN2RadianceCalibration.cpp:66)."""
+    return _cal.landsat_to_radiance_multi_add(
+        _dn_ds(sf_dir), _CAL_MULTADD, keep_cols=["cell_key"]
+    )
+
+
+def _sql_cal_toa_cols() -> str:
+    d2 = _CAL_D * _CAL_D
+    return ", ".join(
+        f"((pi() * {o} * {_dlit(d2)}) / {_dlit(esun * _CAL_CZ)})"
+        f" * {_dlit(_CAL_SCALE)} AS toa{i}"
+        for i, (o, esun) in enumerate(_CAL_ESUN.items(), start=1)
+    )
+
+
+@register(
+    "calib_toa_refl",
+    f"WITH dn AS ({_SQL_DN}), "
+    f"rad AS (SELECT cell_key, {_sql_cal_rad_multiadd_cols()} FROM dn) "
+    f"SELECT cell_key, {_sql_cal_toa_cols()} FROM rad",
+)
+def q_calib_toa_refl(sf_dir: str):
+    """Radiance -> TOA reflectance, rho = pi*L*d^2/(ESUN*cos(theta))
+    with the USNO earth-sun distance for 2011-07-01
+    (RSGISCalculateTopOfAtmosphereReflectance.cpp:37-48, h:55)."""
+    rad = _cal.landsat_to_radiance_multi_add(
+        _dn_ds(sf_dir), _CAL_MULTADD, keep_cols=["cell_key"]
+    )
+    specs = {
+        f"toa{i}": (o, esun)
+        for i, (o, esun) in enumerate(_CAL_ESUN.items(), start=1)
+    }
+    return _cal.radiance_to_toa_refl(
+        rad, specs, _CAL_ZEN, _CAL_SCALE, jd=_CAL_JD,
+        keep_cols=["cell_key"],
+    )
+
+
+@register(
+    "calib_toa_inverse",
+    f"WITH dn AS ({_SQL_DN}), "
+    f"rad AS (SELECT cell_key, {_sql_cal_rad_multiadd_cols()} FROM dn), "
+    f"toa AS (SELECT cell_key, {_sql_cal_toa_cols()} FROM rad) "
+    "SELECT cell_key, "
+    + ", ".join(
+        f"(((toa{i} / {_dlit(_CAL_SCALE)}) * {_dlit(esun)})"
+        f" * {_dlit(_CAL_CZ)}) / {_dlit(_math.pi * (1.0 / _CAL_D))}"
+        f" AS inv{i}"
+        for i, esun in enumerate(_CAL_ESUN.values(), start=1)
+    )
+    + " FROM toa",
+)
+def q_calib_toa_inverse(sf_dir: str):
+    """TOA -> radiance mirroring the reference's distSq = 1/distance
+    quirk (RSGISCalculateTopOfAtmosphereReflectance.cpp:104): the
+    result is NOT the forward op's algebraic inverse, and the oracle
+    pins the faithful behavior."""
+    rad = _cal.landsat_to_radiance_multi_add(
+        _dn_ds(sf_dir), _CAL_MULTADD, keep_cols=["cell_key"]
+    )
+    toa_specs = {
+        f"toa{i}": (o, esun)
+        for i, (o, esun) in enumerate(_CAL_ESUN.items(), start=1)
+    }
+    toa = _cal.radiance_to_toa_refl(
+        rad, toa_specs, _CAL_ZEN, _CAL_SCALE, jd=_CAL_JD,
+        keep_cols=["cell_key"],
+    )
+    inv_specs = {
+        f"inv{i}": (f"toa{i}", esun)
+        for i, esun in enumerate(_CAL_ESUN.values(), start=1)
+    }
+    return _cal.toa_refl_to_radiance(
+        toa, inv_specs, _CAL_ZEN, _CAL_D, _CAL_SCALE,
+        keep_cols=["cell_key"],
+    )
+
+
+@register(
+    "calib_thermal",
+    f"WITH dn AS ({_SQL_DN}), therm AS (SELECT cell_key, "
+    f"CASE WHEN {_CAL_NODATA} THEN 0.0e0 "
+    f"ELSE {_dlit(_CAL_THERMAL[1])} * CAST({_CAL_THERMAL[0]} AS DOUBLE)"
+    f" + {_dlit(_CAL_THERMAL[2])} END AS lt FROM dn) "
+    "SELECT cell_key, CAST(FLOOR((CASE WHEN lt = 0.0e0 THEN 0.0e0 ELSE "
+    f"({_dlit(_CAL_THERMAL[4])} / ln(({_dlit(_CAL_THERMAL[3])} / lt)"
+    f" + 1.0e0) - 273.15e0) * {_dlit(_CAL_THERMAL[5])} END)"
+    " * 1000000.0e0 + 0.5e0) AS BIGINT) AS bt_micro "
+    "FROM therm",
+)
+def q_calib_thermal(sf_dir: str):
+    """Thermal radiance -> brightness temperature in scaled Celsius,
+    T = K2/ln(K1/L + 1) - 273.15, zero-radiance pixels pass through
+    (RSGISCalculateTopOfAtmosphereReflectance.cpp:64-86)."""
+    c, mult, add, k1, k2, scale = _CAL_THERMAL
+    lt = _cal.landsat_to_radiance_multi_add(
+        _dn_ds(sf_dir), {"lt": (c, mult, add)}, keep_cols=["cell_key"],
+        probe_cols=["dn1", "dn2", "dn3", "dn4"],
+    )
+    bt = _cal.thermal_brightness(
+        lt, {"bt": ("lt", k1, k2)}, scale, keep_cols=["cell_key"]
+    )
+
+    def micro(batch: pa.Table) -> pa.Table:
+        # half-up micro-unit integers: np.log and DuckDB ln disagree
+        # by 1 ulp on some arguments (measured), so the float chain is
+        # quantized where the ~3e-13 discrepancy cannot flip a bin
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "bt_micro": np.floor(
+                    batch["bt"].to_numpy() * 1000000.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    return bt.map_batches(micro, batch_format="pyarrow")
+
+
+_CAL_SAT = {"sat1": ("dn1", 50.0), "sat2": ("dn2", 10.0),
+            "sat3": ("dn3", 8.0), "sat4": ("dn4", 255.0)}
+
+
+@register(
+    "calib_saturation",
+    f"WITH dn AS ({_SQL_DN}) SELECT cell_key, "
+    + ", ".join(
+        f"CAST(CASE WHEN CAST({c} AS DOUBLE) = {_dlit(sat)} THEN 1"
+        f" ELSE 0 END AS BIGINT) AS {o}"
+        for o, (c, sat) in _CAL_SAT.items()
+    )
+    + " FROM dn",
+)
+def q_calib_saturation(sf_dir: str):
+    """Saturated-pixel masks, DN == satVal -> 1
+    (RSGISStandardDN2RadianceCalibration.cpp:187)."""
+    return _cal.saturation_mask(
+        _dn_ds(sf_dir), _CAL_SAT, keep_cols=["cell_key"]
+    )
+
+
+def _sql_cal_dos() -> str:
+    offs = []
+    for i in range(1, 5):
+        offs.append(
+            f"o{i} AS MATERIALIZED (SELECT CAST(MAX(CASE WHEN rn = "
+            f"GREATEST((n + 99) // 100, 1) THEN v END) AS DOUBLE)"
+            f" AS off{i} FROM (SELECT dn{i} AS v, "
+            f"ROW_NUMBER() OVER (ORDER BY dn{i}) AS rn, "
+            f"COUNT(*) OVER () AS n FROM dn WHERE dn{i} <> 0))"
+        )
+    cols = ", ".join(
+        f"CASE WHEN dn{i} = 0 THEN 0.0e0 "
+        f"WHEN (CAST(dn{i} AS DOUBLE) - off{i}) + 0.0e0 <= 0.0e0"
+        f" THEN 1.0e0 "
+        f"ELSE (CAST(dn{i} AS DOUBLE) - off{i}) + 0.0e0 END AS dos{i}"
+        for i in range(1, 5)
+    )
+    return (
+        f"WITH dn AS MATERIALIZED ({_SQL_DN}), "
+        + ", ".join(offs)
+        + f" SELECT cell_key, {cols} FROM dn, o1, o2, o3, o4"
+    )
+
+
+@register("calib_dos", _sql_cal_dos())
+def q_calib_dos(sf_dir: str):
+    """Dark-object subtraction composite (perform_dos_calc,
+    imagecalibration/__init__.py:74): per-band 1% ceil-rank dark
+    percentiles over nodata-masked values (one histogram pass), then
+    the subtract/clamp chain of RSGISApplySubtractOffsets.cpp:98."""
+    ds, _offs = _cal.perform_dos_calc(
+        _dn_ds(sf_dir),
+        {f"dos{i}": f"dn{i}" for i in range(1, 5)},
+        dark_obj_percentile=0.01,
+        keep_cols=["cell_key"],
+    )
+    return ds
+
+
+def _sql_cal_sref() -> str:
+    t_cols = ", ".join(
+        f"({_dlit(ax)} * {c} - {_dlit(bx)}) AS t{i}"
+        for i, (_o, (c, ax, bx, _cx)) in enumerate(
+            _CAL_SREF.items(), start=1
+        )
+    )
+    nod = " AND ".join(f"rad{i} = 0.0e0" for i in range(1, 5))
+    r_cols = ", ".join(
+        f"((t{i} / (1.0e0 + {_dlit(cx)} * t{i}))"
+        f" * {_dlit(_CAL_SCALE)}) AS r{i}"
+        for i, (_o, (_c, _ax, _bx, cx)) in enumerate(
+            _CAL_SREF.items(), start=1
+        )
+    )
+    p_cols = ", ".join(
+        f"CASE WHEN r{i} < 1.0e0 THEN 1.0e0 ELSE r{i} + 1.0e0 END AS p{i}"
+        for i in range(1, 5)
+    )
+    out_cols = ", ".join(
+        f"CASE WHEN nod THEN 0.0e0 WHEN p{i} > {_dlit(_CAL_SCALE)}"
+        f" THEN {_dlit(_CAL_SCALE)} ELSE p{i} END AS {o}"
+        for i, o in enumerate(_CAL_SREF, start=1)
+    )
+    return (
+        f"WITH dn AS ({_SQL_DN}), "
+        f"rad AS (SELECT cell_key, {_sql_cal_rad_multiadd_cols()} FROM dn), "
+        f"t AS (SELECT cell_key, ({nod}) AS nod, {t_cols} FROM rad), "
+        f"r AS (SELECT cell_key, nod, {r_cols} FROM t), "
+        f"p AS (SELECT cell_key, nod, {p_cols} FROM r) "
+        f"SELECT cell_key, {out_cols} FROM p"
+    )
+
+
+@register("calib_sref_6s", _sql_cal_sref())
+def q_calib_sref_6s(sf_dir: str):
+    """Radiance -> surface reflectance with single 6S coefficient
+    sets (executeRad2SREFSingle6sParams ->
+    RSGISApply6SCoefficientsSingleParam, RSGISApply6SCoefficients.cpp)
+    including the nodata==0 +1-shift and the scale-factor clamp."""
+    rad = _cal.landsat_to_radiance_multi_add(
+        _dn_ds(sf_dir), _CAL_MULTADD, keep_cols=["cell_key"]
+    )
+    return _cal.apply_6s_coefficients(
+        rad, _CAL_SREF, _CAL_SCALE, use_no_data=True, no_data_val=0.0,
+        keep_cols=["cell_key"],
+    )
+
+
+def _sql_cal_elev_lut() -> str:
+    """SQL mirror of :func:`apply_6s_elev_lut` for the 3-entry LUT:
+    nearest entry by squared elevation distance with the C++
+    strict-less first-wins scan, bracketing neighbour, linear
+    proportion interpolation, scale clamp."""
+    e0, e1, e2 = (_dlit(e) for e, _s in _CAL_LUT)
+
+    def e_at(col: str) -> str:
+        return (
+            f"CASE WHEN {col} = 0 THEN {e0} WHEN {col} = 1 THEN {e1}"
+            f" ELSE {e2} END"
+        )
+
+    def coef_at(col: str, band: str, k: int) -> str:
+        v0, v1, v2 = (_dlit(s[band][k]) for _e, s in _CAL_LUT)
+        return (
+            f"CASE WHEN {col} = 0 THEN {v0} WHEN {col} = 1 THEN {v1}"
+            f" ELSE {v2} END"
+        )
+
+    d_cols = ", ".join(
+        f"(({el} - ev) * ({el} - ev)) AS d{k}"
+        for k, el in enumerate((e0, e1, e2))
+    )
+    i1 = (
+        "CASE WHEN d1 < d0 THEN (CASE WHEN d2 < d1 THEN 2 ELSE 1 END) "
+        "ELSE (CASE WHEN d2 < d0 THEN 2 ELSE 0 END) END"
+    )
+    i2 = (
+        "CASE WHEN i1 = 0 THEN 1 WHEN i1 = 2 THEN 1 "
+        f"WHEN (ev - {e_at('i1')}) < 0.0e0 THEN i1 - 1 ELSE i1 + 1 END"
+    )
+    bands = list(_CAL_LUT[0][1].keys())
+    rad_of = {b: _CAL_LUT[0][1][b][0] for b in bands}
+    t_cols, r_cols, out_cols = [], [], []
+    for bi, b in enumerate(bands, start=1):
+        rc = rad_of[b]
+        t_cols.append(
+            f"({coef_at('i1', b, 1)} * {rc} - {coef_at('i1', b, 2)})"
+            f" AS ta{bi}, "
+            f"({coef_at('i2', b, 1)} * {rc} - {coef_at('i2', b, 2)})"
+            f" AS tb{bi}"
+        )
+        r_cols.append(
+            f"((ta{bi} / (1.0e0 + {coef_at('i1', b, 3)} * ta{bi}))"
+            f" * {_dlit(_CAL_SCALE)}) * p1"
+            f" + ((tb{bi} / (1.0e0 + {coef_at('i2', b, 3)} * tb{bi}))"
+            f" * {_dlit(_CAL_SCALE)}) * p2 AS rr{bi}"
+        )
+        out_cols.append(
+            f"CASE WHEN rr{bi} > {_dlit(_CAL_SCALE)}"
+            f" THEN {_dlit(_CAL_SCALE)} ELSE rr{bi} END AS {b}"
+        )
+    return (
+        f"WITH dn AS ({_SQL_DN}), "
+        f"rad AS (SELECT cell_key, elev, {_sql_cal_rad_multiadd_cols()}"
+        " FROM dn), "
+        "ee AS (SELECT *, CASE WHEN elev = -32768.0e0 THEN "
+        f"{e0} ELSE elev END AS ev FROM rad), "
+        f"dd AS (SELECT *, {d_cols} FROM ee), "
+        f"ii AS (SELECT *, {i1} AS i1 FROM dd), "
+        f"jj AS (SELECT *, {i2} AS i2 FROM ii), "
+        "pp AS (SELECT *, "
+        f"1.0e0 - ABS(ev - {e_at('i1')}) / ABS({e_at('i1')} - {e_at('i2')})"
+        " AS p1, "
+        f"1.0e0 - ABS(ev - {e_at('i2')}) / ABS({e_at('i1')} - {e_at('i2')})"
+        " AS p2 FROM jj), "
+        f"tt AS (SELECT *, {', '.join(t_cols)} FROM pp), "
+        f"rr AS (SELECT *, {', '.join(r_cols)} FROM tt) "
+        f"SELECT cell_key, {', '.join(out_cols)} FROM rr"
+    )
+
+
+@register("calib_sref_elev_lut", _sql_cal_elev_lut())
+def q_calib_sref_elev_lut(sf_dir: str):
+    """Elevation-LUT 6S surface reflectance: nearest + bracketing LUT
+    entries interpolated by elevation proportion, DEM-nodata pixels
+    falling back to the lowest LUT elevation
+    (RSGISApply6SCoefficientsElevLUTParam::calcImageValue,
+    RSGISApply6SCoefficients.cpp:145-270)."""
+    rad = _cal.landsat_to_radiance_multi_add(
+        _dn_ds(sf_dir), _CAL_MULTADD, keep_cols=["cell_key", "elev"]
+    )
+    return _cal.apply_6s_elev_lut(
+        rad, "elev", _CAL_LUT, _CAL_SCALE,
+        dem_no_data_val=-32768.0, keep_cols=["cell_key"],
+    )
+
+
+_CAL_JD_UT = _CAL_JD + 0.25  # integer JDN is noon UT -> 18:00 UT
+_CAL_SOLAR = _cal.solar_geometry_constants(_CAL_JD_UT)
+_D2R = _math.pi / 180.0
+
+
+def _sql_solar_angles() -> str:
+    sind = _dlit(_CAL_SOLAR["sin_dec"])
+    cosd = _dlit(_CAL_SOLAR["cos_dec"])
+    ha0 = _dlit(_CAL_SOLAR["gmst_deg"] - _CAL_SOLAR["ra_deg"])
+    d2r = _dlit(_D2R)
+    return f"""
+    WITH base AS ({td.SQL_BASE_PTS}),
+    g AS (SELECT base_id, (50.0e0 + y * 0.02e0) AS lat,
+                 (-5.9e0 + x * 0.05e0) AS lon FROM base),
+    t AS (SELECT base_id, lat * {d2r} AS phi,
+                 ({ha0} + lon) * {d2r} AS h FROM g),
+    u AS (SELECT base_id, SIN(phi) AS sp, COS(phi) AS cp,
+                 COS(h) AS ch, SIN(h) AS sh FROM t),
+    v AS (SELECT base_id, {sind} * sp + {cosd} * cp * ch AS cz,
+                 sh, sp, cp, ch FROM u),
+    w AS (SELECT base_id,
+            ACOS(GREATEST(LEAST(cz, 1.0e0), -1.0e0)) / {d2r} AS zen,
+            ATAN2((-sh) * {cosd},
+                  {sind} * cp - {cosd} * sp * ch) / {d2r} AS az0
+          FROM v)
+    SELECT base_id,
+      CAST(FLOOR(zen * 1000000.0e0 + 0.5e0) AS BIGINT) AS zen_micro,
+      CAST(FLOOR(((az0 + 360.0e0) % 360.0e0) * 1000000.0e0 + 0.5e0)
+           AS BIGINT) AS az_micro
+    FROM w
+    """
+
+
+@register("calib_solar_angles", _sql_solar_angles())
+def q_calib_solar_angles(sf_dir: str):
+    """Per-pixel solar zenith/azimuth at 2011-07-01 18:00 UT over the
+    customer-derived WGS84 points (the reference wraps Pysolar,
+    imagecalibration/solarangles.py:99; ours is the USNO approximate
+    position — scene terms once on the driver, vectorized hour-angle
+    trig per batch), half-up micro-degree integers."""
+    pts = td.base_points_from_customer(sf_dir)
+
+    def latlon(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "lat": 50.0 + y * 0.02,
+                "lon": -5.9 + x * 0.05,
+            }
+        )
+
+    ang = _cal.solar_azimuth_zenith(
+        pts.map_batches(latlon, batch_format="pyarrow"),
+        _CAL_JD_UT,
+        keep_cols=["base_id"],
+    )
+
+    def micro(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "zen_micro": np.floor(
+                    batch["solar_zenith"].to_numpy() * 1000000.0 + 0.5
+                ).astype(np.int64),
+                "az_micro": np.floor(
+                    batch["solar_azimuth"].to_numpy() * 1000000.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    return ang.map_batches(micro, batch_format="pyarrow")
+
+
+@register(
+    "calib_solar_terms",
+    f"""
+    WITH d AS (SELECT DISTINCT o_orderdate AS od FROM orders),
+    y AS (SELECT od, CAST(EXTRACT(YEAR FROM od) AS BIGINT) AS yy,
+                 CAST(EXTRACT(MONTH FROM od) AS BIGINT) AS mm,
+                 CAST(EXTRACT(DAY FROM od) AS BIGINT) AS dd FROM d),
+    a AS (SELECT *, (14 - mm) // 12 AS aa FROM y),
+    b AS (SELECT *, yy + 4800 - aa AS y2, mm + 12 * aa - 3 AS m2
+          FROM a),
+    j AS (SELECT od, mm, dd + (153 * m2 + 2) // 5 + 365 * y2
+                 + y2 // 4 - y2 // 100 + y2 // 400 - 32045 AS jd
+          FROM b),
+    g AS (SELECT od, mm, jd,
+            (357.529e0 + 0.98560028e0
+             * (CAST(jd AS DOUBLE) - 2451545.0e0)) * {_dlit(_D2R)} AS gg
+          FROM j),
+    e AS (SELECT od, mm, jd,
+            1.00014e0 - 0.01671e0 * COS(gg)
+            - 0.00014e0 * COS(2.0e0 * gg) AS esd FROM g)
+    SELECT od, jd, esd,
+      ((pi() * 50.0e0 * (esd * esd)) / 0.3e0) / {_dlit(_CAL_CZ)} AS esun,
+      (3.9449e0 / CAST(mm AS DOUBLE)) + 0.08498e0 AS aot
+    FROM e
+    """,
+)
+def q_calib_solar_terms(sf_dir: str):
+    """Per-date solar terms over the distinct order dates: Fliegel &
+    Van Flandern Julian day (matching the reference's boost
+    julian_day, RSGISCmdImageCalibration.cpp:1767), USNO earth-sun
+    distance (RSGISCalculateTopOfAtmosphereReflectance.h:55), the
+    ESUN inversion for a known radiance/reflectance pair
+    (get_esun_value, imagecalibration/__init__.py:394) and
+    visibility->AOT with vis = month
+    (imagecalibration/__init__.py:421)."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"]
+        yy = pc.year(od).to_numpy().astype(np.int64)
+        mm = pc.month(od).to_numpy().astype(np.int64)
+        dd = pc.day(od).to_numpy().astype(np.int64)
+        jd = _cal.julian_day_np(yy, mm, dd)
+        gg = (357.529 + 0.98560028 * (jd.astype(np.float64) - 2451545.0)) * _D2R
+        esd = 1.00014 - 0.01671 * np.cos(gg) - 0.00014 * np.cos(2.0 * gg)
+        esun = ((np.pi * 50.0 * (esd * esd)) / 0.3) / _CAL_CZ
+        aot = (3.9449 / mm.astype(np.float64)) + 0.08498
+        return pa.table(
+            {"od": od, "jd": jd, "esd": esd, "esun": esun, "aot": aot}
+        )
+
+    uniq = (
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=65536)
+        .groupby("od")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+    return uniq
