@@ -12579,3 +12579,248 @@ def q_calib_solar_terms(sf_dir: str):
         .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
     )
     return uniq
+
+
+# ===========================================================================
+# Timeseries model fitting (stages/timeseries.py — reference
+# timeseries/modelfitting.py season-trend OLS + tmask.py robust
+# outliers). The oracle replays the engine's exact-integer-moment +
+# fixed-order-Cholesky chain: integer Gram sums are order-independent
+# (bit-exact under DuckDB GROUP BY), and the solve is a pure
+# +,-,*,/,sqrt chain (IEEE correctly rounded), mirrored op for op
+# from chol_solve_np — the parity contract documented there.
+# ===========================================================================
+
+from rsgislib_ray.stages import timeseries as _ts
+
+_ST_SRC = (
+    "SELECT l_orderkey // 3 AS pix, "
+    "CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000 AS t, "
+    "CAST(l_quantity AS BIGINT) AS y FROM lineitem"
+)
+_ST_LAT = float(_ts.LATTICE)
+
+
+def _sql_st_moments() -> str:
+    """Shared CTE chain: source -> per-pixel t0 -> quantized basis ->
+    integer moments for the simple (k=4) tier, pixels with 12-17
+    observations."""
+    w1 = _dlit(_ts.W1)
+    return f"""
+    src AS ({_ST_SRC}),
+    t0s AS (SELECT pix, MIN(t) AS t0 FROM src GROUP BY pix),
+    bb AS (SELECT s.pix, s.t - t.t0 AS tr, s.y
+           FROM src s JOIN t0s t ON s.pix = t.pix),
+    qq AS (SELECT pix, tr, y,
+      CAST(FLOOR(COS({w1} * CAST(tr AS DOUBLE)) * {_dlit(_ST_LAT)}
+                 + 0.5e0) AS BIGINT) AS c1,
+      CAST(FLOOR(SIN({w1} * CAST(tr AS DOUBLE)) * {_dlit(_ST_LAT)}
+                 + 0.5e0) AS BIGINT) AS s1 FROM bb),
+    mm AS (SELECT pix,
+      CAST(COUNT(*) AS BIGINT) AS n_obs,
+      CAST(SUM(tr) AS BIGINT) AS g01,
+      CAST(SUM(c1) AS BIGINT) AS g02,
+      CAST(SUM(s1) AS BIGINT) AS g03,
+      CAST(SUM(tr * tr) AS BIGINT) AS g11,
+      CAST(SUM(tr * c1) AS BIGINT) AS g12,
+      CAST(SUM(tr * s1) AS BIGINT) AS g13,
+      CAST(SUM(c1 * c1) AS BIGINT) AS g22,
+      CAST(SUM(c1 * s1) AS BIGINT) AS g23,
+      CAST(SUM(s1 * s1) AS BIGINT) AS g33,
+      CAST(SUM(y) AS BIGINT) AS xy0,
+      CAST(SUM(tr * y) AS BIGINT) AS xy1,
+      CAST(SUM(c1 * y) AS BIGINT) AS xy2,
+      CAST(SUM(s1 * y) AS BIGINT) AS xy3,
+      CAST(SUM(y * y) AS BIGINT) AS yy
+      FROM qq GROUP BY pix
+      HAVING COUNT(*) BETWEEN {_ts.TIER_MIN_OBS}
+             AND {_ts.TIER_ADVANCED - 1})
+    """
+
+
+def _sql_st_solve() -> str:
+    """The k=4 fixed-order Cholesky + RSS chain, CTE stage per
+    dependency level, mirroring chol_solve_np literally. Scale
+    factors: columns 0 (const) and 1 (trend) are unscaled, columns 2+
+    descale by the lattice."""
+    L = _ST_LAT
+    sc = [1.0, 1.0, L, L]
+
+    def g(i: int, j: int) -> str:
+        a, b = (i, j) if i <= j else (j, i)
+        nm = f"g{a}{b}" if not (a == 0 and b == 0) else "n_obs"
+        return f"(CAST({nm} AS DOUBLE) / {_dlit(sc[i] * sc[j])})"
+
+    def xb(i: int) -> str:
+        return f"(CAST(xy{i} AS DOUBLE) / {_dlit(sc[i])})"
+
+    return (f"""
+    f1 AS (SELECT *, SQRT({g(0, 0)}) AS l00 FROM mm),
+    f2 AS (SELECT *, {g(1, 0)} / l00 AS l10, {g(2, 0)} / l00 AS l20,
+                  {g(3, 0)} / l00 AS l30 FROM f1),
+    f3 AS (SELECT *, SQRT({g(1, 1)} - l10 * l10) AS l11 FROM f2),
+    f4 AS (SELECT *, ({g(2, 1)} - l20 * l10) / l11 AS l21,
+                  ({g(3, 1)} - l30 * l10) / l11 AS l31 FROM f3),
+    f5 AS (SELECT *, SQRT(({g(2, 2)} - l20 * l20) - l21 * l21) AS l22
+           FROM f4),
+    f6 AS (SELECT *, (({g(3, 2)} - l30 * l20) - l31 * l21) / l22 AS l32
+           FROM f5),
+    f7 AS (SELECT *, SQRT((({g(3, 3)} - l30 * l30) - l31 * l31)
+                          - l32 * l32) AS l33 FROM f6),
+    f8 AS (SELECT *, {xb(0)} / l00 AS z0 FROM f7),
+    f9 AS (SELECT *, ({xb(1)} - l10 * z0) / l11 AS z1 FROM f8),
+    fa AS (SELECT *, (({xb(2)} - l20 * z0) - l21 * z1) / l22 AS z2
+           FROM f9),
+    fb AS (SELECT *, ((({xb(3)} - l30 * z0) - l31 * z1) - l32 * z2)
+                     / l33 AS z3 FROM fa),
+    fc AS (SELECT *, z3 / l33 AS x3 FROM fb),
+    fd AS (SELECT *, (z2 - l32 * x3) / l22 AS x2 FROM fc),
+    fe AS (SELECT *, ((z1 - l21 * x2) - l31 * x3) / l11 AS x1 FROM fd),
+    ff AS (SELECT *, (((z0 - l10 * x1) - l20 * x2) - l30 * x3) / l00
+                     AS x0 FROM fe),
+    fr AS (SELECT *, """
+        + _sql_st_rss()
+        + """ AS rss FROM ff)
+    """)
+
+
+def _sql_st_rss() -> str:
+    """Flat left-associative RSS chain mirroring the finisher's
+    sequential accumulation: yy, minus 2*x_i*b_i for i=0..3, plus
+    x_i*x_j*G_ij in i-major j-inner order."""
+    L = _ST_LAT
+    sc = [1.0, 1.0, L, L]
+
+    def g(i: int, j: int) -> str:
+        a, b = (i, j) if i <= j else (j, i)
+        nm = f"g{a}{b}" if not (a == 0 and b == 0) else "n_obs"
+        return f"(CAST({nm} AS DOUBLE) / {_dlit(sc[i] * sc[j])})"
+
+    expr = "CAST(yy AS DOUBLE)"
+    for i in range(4):
+        expr = (f"({expr} - 2.0e0 * x{i} * "
+                f"(CAST(xy{i} AS DOUBLE) / {_dlit(sc[i])}))")
+    for i in range(4):
+        for j in range(4):
+            expr = f"({expr} + x{i} * x{j} * {g(i, j)})"
+    return expr
+
+
+@register(
+    "st_model_fit",
+    f"WITH {_sql_st_moments()}, {_sql_st_solve()} "
+    "SELECT pix, n_obs, x0 AS coef0, x1 AS coef1, x2 AS coef2, "
+    "x3 AS coef3, "
+    "SQRT(GREATEST(rss, 0.0e0) / CAST(n_obs AS DOUBLE)) AS rmse "
+    "FROM fr",
+)
+def q_st_model_fit(sf_dir: str):
+    """Season-trend harmonic fit, simple tier (MakeSeasonTrendModel +
+    fit_ols_model, timeseries/modelfitting.py:57-166): distributed
+    exact-integer moments over the lattice-quantized basis + the
+    fixed-order Cholesky finisher. Pixels (= order triples) with
+    12-17 shipdate observations."""
+
+    def src(batch: pa.Table) -> pa.Table:
+        us = batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+        return pa.table(
+            {
+                "pix": batch["l_orderkey"].to_numpy() // 3,
+                "t": us.astype(np.int64) // 86400000000,
+                "y": batch["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_shipdate"],
+    ).map_batches(src, batch_format="pyarrow", batch_size=65536)
+    models, _t0 = _ts.season_trend_fit(ds, "pix", "t", "y")
+
+    def trim(batch: pa.Table) -> pa.Table:
+        n = batch["n_obs"].to_numpy()
+        keep = n < _ts.TIER_ADVANCED
+        t = batch.filter(pa.array(keep))
+        return t.select(
+            ["pix", "n_obs", "coef0", "coef1", "coef2", "coef3"]
+        ).append_column("rmse", t["rmse"])
+
+    return models.map_batches(trim, batch_format="pyarrow")
+
+
+@register(
+    "st_model_predict",
+    f"WITH {_sql_st_moments()}, {_sql_st_solve()}, "
+    "pd AS (SELECT f.*, t.t0, 10000 - t.t0 AS trd FROM fr f "
+    "JOIN t0s t ON f.pix = t.pix), "
+    "pq AS (SELECT *, "
+    f"CAST(FLOOR(COS({_dlit(_ts.W1)} * CAST(trd AS DOUBLE))"
+    f" * {_dlit(_ST_LAT)} + 0.5e0) AS BIGINT) AS c1p, "
+    f"CAST(FLOOR(SIN({_dlit(_ts.W1)} * CAST(trd AS DOUBLE))"
+    f" * {_dlit(_ST_LAT)} + 0.5e0) AS BIGINT) AS s1p FROM pd) "
+    "SELECT pix, "
+    "((x0 + x1 * CAST(trd AS DOUBLE))"
+    f" + x2 * (CAST(c1p AS DOUBLE) / {_dlit(_ST_LAT)}))"
+    f" + x3 * (CAST(s1p AS DOUBLE) / {_dlit(_ST_LAT)}) AS predicted "
+    "FROM pq",
+)
+def q_st_model_predict(sf_dir: str):
+    """Model prediction at absolute day 10000 (predict_for_date,
+    modelfitting.py:454): the fitted simple-tier models evaluated on
+    the same quantization lattice."""
+
+    def src(batch: pa.Table) -> pa.Table:
+        us = batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+        return pa.table(
+            {
+                "pix": batch["l_orderkey"].to_numpy() // 3,
+                "t": us.astype(np.int64) // 86400000000,
+                "y": batch["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_shipdate"],
+    ).map_batches(src, batch_format="pyarrow", batch_size=65536)
+    models, t0 = _ts.season_trend_fit(ds, "pix", "t", "y")
+
+    def trim(batch: pa.Table) -> pa.Table:
+        keep = batch["n_obs"].to_numpy() < _ts.TIER_ADVANCED
+        return batch.filter(pa.array(keep))
+
+    simple = models.map_batches(trim, batch_format="pyarrow")
+    return _ts.predict_for_day(simple, t0, 10000, "pix")
+
+
+@register("tmask_outliers", None)
+def q_tmask_outliers(sf_dir: str):
+    """TMask robust outlier flags (tmask.py:50-141): Tukey-biweight
+    IRLS is a data-dependent fixpoint with per-iteration medians —
+    genuinely non-SQL-expressible, so this is a rows-only entry; the
+    bit-level oracle is the scalar IRLS transcription pytest
+    (tests/test_timeseries.py::test_tmask_outliers)."""
+
+    def src(batch: pa.Table) -> pa.Table:
+        us = batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+        pm = np.rint(batch["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "pix": batch["l_orderkey"].to_numpy() % 97,
+                "t": us.astype(np.int64) // 86400000000,
+                "green": batch["l_quantity"].to_numpy().astype(np.int64),
+                "nir": pm % 3000,
+                "swir": pm % 2000,
+            }
+        )
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                 "l_shipdate"],
+    ).map_batches(src, batch_format="pyarrow", batch_size=65536)
+    return _ts.tmask_outliers(
+        ds, "pix", "t", "green", "nir", "swir", threshold=25.0
+    )

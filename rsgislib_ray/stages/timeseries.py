@@ -1,0 +1,514 @@
+"""Dense time-series model fitting: per-pixel season-trend harmonic
+regression, model prediction, and TMask-style robust outlier masking.
+
+Reimplements the reference's timeseries module
+(/root/reference/python/rsgislib/timeseries/modelfitting.py:57-166 —
+the Zhu et al. 2015 season-trend OLS with 1/2/3 harmonic pairs tiered
+by observation count; robustfitoutliners.py:24-58 + tmask.py:50-141 —
+Tukey-biweight IRLS over a 5-column harmonic design and the TMask
+green/NIR/SWIR outlier rule) Ray-Data-first:
+
+- The reference fits each pixel inside a RIOS block callback (a
+  Python loop over pixels). Ours never ships a raw time series
+  through a shuffle: per-batch partial INTEGER moment matrices
+  (the harmonic basis is evaluated on a ``1/lattice`` quantization
+  lattice so Gram/right-hand-side sums are exact int64 — order
+  independent, so distributed summation is deterministic), one small
+  ``groupby(pixel).sum`` over ~46 moment columns, then a vectorized
+  finisher solving the normal equations with a FIXED-ORDER unrolled
+  Cholesky — every float op in the finisher is IEEE
+  correctly-rounded (+,-,*,/,sqrt), so an oracle that replays the
+  identical chain is bit-exact.
+- Per-pixel start dates (the reference rescales each pixel's dates
+  to start at 0) come from one tiny ``groupby.min`` pass attached
+  back by broadcast or hash join (measured routing at scale).
+- The TMask IRLS keeps the reference's per-pixel iteration (it is a
+  fixpoint over one pixel's ~50-200 observations) but runs it
+  vectorized inside ``groupby(pixel).map_groups`` — state never
+  leaves the worker, and the output is one mask row per observation.
+
+Moment-magnitude bound: with ``lattice`` L (default 2^20), rescaled
+day offsets T and values |y| <= Y over n observations per pixel, the
+largest Gram entry is ~n*max(T^2, L^2, T*L); int64 is safe through
+n ~ 10^6 observations per pixel at T ~ 10^4, L = 2^20.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+T_DAYS = 365.25
+W1 = (2.0 * math.pi) / T_DAYS
+W2 = (4.0 * math.pi) / T_DAYS
+W3 = (6.0 * math.pi) / T_DAYS
+LATTICE = 1 << 20
+
+#: observation-count tiers (modelfitting.py:88-126): >= 12 simple
+#: (4 coefficients), >= 18 advanced (6), >= 24 full (8)
+TIER_MIN_OBS = 12
+TIER_ADVANCED = 18
+TIER_FULL = 24
+_K_OF_TIER = {1: 4, 2: 6, 3: 8}
+
+
+def _quant_cols(tr: np.ndarray, lattice: int) -> list[np.ndarray]:
+    """Integer harmonic basis columns [1, t, c1,s1, c2,s2, c3,s3]:
+    trig values snapped to the 1/lattice grid (half-up) so moment
+    sums are exact integers."""
+    L = float(lattice)
+    out = [np.ones(len(tr), dtype=np.int64), tr.astype(np.int64)]
+    for w in (W1, W2, W3):
+        out.append(
+            np.floor(np.cos(w * tr.astype(np.float64)) * L + 0.5).astype(
+                np.int64
+            )
+        )
+        out.append(
+            np.floor(np.sin(w * tr.astype(np.float64)) * L + 0.5).astype(
+                np.int64
+            )
+        )
+    return out
+
+
+def _scale_of(i: int, lattice: int) -> float:
+    """Descale factor per basis column: 1 for the constant and trend
+    columns, ``lattice`` for quantized trig columns."""
+    return 1.0 if i < 2 else float(lattice)
+
+
+def moment_cols(k: int = 8) -> list[str]:
+    """Column names of the packed moment table: upper-tri Gram
+    g_{ij}, right-hand side xy_i, y'y and n."""
+    names = [f"g{i}{j}" for i in range(k) for j in range(i, k)]
+    names += [f"xy{i}" for i in range(k)]
+    names += ["yy", "n_obs"]
+    return names
+
+
+def chol_solve_np(G: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Solve G x = b per row via a FIXED-ORDER Cholesky: G is
+    (p, k, k) symmetric positive definite, b is (p, k). The exact
+    operation sequence (outer-product subtraction chains left to
+    right, then forward/back substitution) is the parity contract
+    with the SQL oracle generator — change one side only with the
+    other."""
+    p, k, _ = G.shape
+    L = np.zeros_like(G)
+    for j in range(k):
+        s = G[:, j, j].copy()
+        for m in range(j):
+            s = s - L[:, j, m] * L[:, j, m]
+        L[:, j, j] = np.sqrt(s)
+        for i in range(j + 1, k):
+            s = G[:, i, j].copy()
+            for m in range(j):
+                s = s - L[:, i, m] * L[:, j, m]
+            L[:, i, j] = s / L[:, j, j]
+    # forward substitution L z = b
+    z = np.zeros_like(b)
+    for i in range(k):
+        s = b[:, i].copy()
+        for m in range(i):
+            s = s - L[:, i, m] * z[:, m]
+        z[:, i] = s / L[:, i, i]
+    # back substitution L' x = z
+    x = np.zeros_like(b)
+    for i in range(k - 1, -1, -1):
+        s = z[:, i].copy()
+        for m in range(i + 1, k):
+            s = s - L[:, m, i] * x[:, m]
+        x[:, i] = s / L[:, i, i]
+    return x
+
+
+def pixel_start_dates(
+    ds: ray.data.Dataset, pixel_col: str, t_col: str
+) -> ray.data.Dataset:
+    """Per-pixel earliest day (modelfitting.py:82 rescales each
+    pixel's dates to start at 0): one pre-reduced min pass."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pix = batch[pixel_col].to_numpy().astype(np.int64)
+        t = batch[t_col].to_numpy().astype(np.int64)
+        order = np.argsort(pix, kind="stable")
+        pix, t = pix[order], t[order]
+        first = np.concatenate(([True], pix[1:] != pix[:-1]))
+        mins = np.minimum.reduceat(t, np.flatnonzero(first))
+        return pa.table({pixel_col: pix[first], "t0_partial": mins})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(pixel_col)
+        .min("t0_partial")
+    )
+
+
+def season_trend_moments(
+    ds: ray.data.Dataset,
+    pixel_col: str,
+    t_col: str,
+    value_col: str,
+    lattice: int = LATTICE,
+    t0_attach: str = "broadcast",
+) -> "tuple[ray.data.Dataset, ray.data.Dataset]":
+    """Distributed exact-integer moment pass: per-batch per-pixel
+    partial Gram/RHS sums over the full 8-column basis, reduced by
+    one small ``groupby(pixel).sum``. ``t0_attach`` routes the
+    per-pixel start-date lookup: ``"broadcast"`` ships the (pixel,
+    t0) table once per worker via the object store — right while the
+    pixel count fits a worker heap; ``"join"`` hash-joins it instead
+    (the 10^9-pixel shape)."""
+    t0 = pixel_start_dates(ds, pixel_col, t_col)
+    k = 8
+    mcols = moment_cols(k)
+
+    def partials_from(batch: pa.Table, t0_map) -> pa.Table:
+        pix = batch[pixel_col].to_numpy().astype(np.int64)
+        t = batch[t_col].to_numpy().astype(np.int64)
+        y = batch[value_col].to_numpy().astype(np.int64)
+        tr = t - t0_map
+        cols = _quant_cols(tr, lattice)
+        upix, inv = np.unique(pix, return_inverse=True)
+        out: dict = {pixel_col: upix}
+
+        # int64 segment sums via add.at (bincount weights would go
+        # through float64 and lose exactness)
+        def seg(prod: np.ndarray) -> np.ndarray:
+            a = np.zeros(len(upix), dtype=np.int64)
+            np.add.at(a, inv, prod)
+            return a
+
+        idx = 0
+        for i in range(k):
+            for j in range(i, k):
+                out[mcols[idx]] = seg(cols[i] * cols[j])
+                idx += 1
+        for i in range(k):
+            out[mcols[idx]] = seg(cols[i] * y)
+            idx += 1
+        out["yy"] = seg(y * y)
+        out["n_obs"] = seg(np.ones(len(pix), dtype=np.int64))
+        return pa.table(out)
+
+    if t0_attach == "broadcast":
+        from rsgislib_ray.state.broadcast import cached
+
+        t0_tbl = t0.to_pandas()
+        ref = ray.put(
+            (
+                t0_tbl[pixel_col].to_numpy().astype(np.int64),
+                t0_tbl["min(t0_partial)"].to_numpy().astype(np.int64),
+            )
+        )
+
+        def f(batch: pa.Table) -> pa.Table:
+            keys, vals = cached(ref)
+            pix = batch[pixel_col].to_numpy().astype(np.int64)
+            pos = np.searchsorted(keys, pix)
+            return partials_from(batch, vals[pos])
+
+        parts = ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+    elif t0_attach == "join":
+        from rsgislib_ray.stages.components import (
+            drop_empty_blocks,
+            measured_join_partitions,
+        )
+
+        joined = drop_empty_blocks(
+            ds.join(
+                t0,
+                join_type="inner",
+                on=(pixel_col,),
+                num_partitions=measured_join_partitions(ds.count()),
+            )
+        )
+
+        def g(batch: pa.Table) -> pa.Table:
+            return partials_from(
+                batch, batch["min(t0_partial)"].to_numpy().astype(np.int64)
+            )
+
+        parts = joined.map_batches(
+            g, batch_format="pyarrow", batch_size=65536
+        )
+    else:
+        raise ValueError(f"unknown t0_attach {t0_attach!r}")
+
+    agg = parts.groupby(pixel_col).sum(mcols)
+    # groupby.sum prefixes names with sum( ) — restore flat names
+    ren = {f"sum({c})": c for c in mcols}
+
+    def flat(batch: pa.Table) -> pa.Table:
+        cols = {pixel_col: batch[pixel_col]}
+        for src, dst in ren.items():
+            cols[dst] = batch[src]
+        return pa.table(cols)
+
+    moments = agg.map_batches(flat, batch_format="pyarrow")
+    # attach t0 for reporting (tiny join against the same table)
+    return moments, t0
+
+
+def season_trend_finish(
+    moments: ray.data.Dataset,
+    pixel_col: str,
+    lattice: int = LATTICE,
+    tier: str = "auto",
+) -> ray.data.Dataset:
+    """Solve the per-pixel normal equations from the packed integer
+    moments: tier by observation count (simple/advanced/full =
+    4/6/8 coefficients; pixels under 12 observations are dropped,
+    modelfitting.py:88), descale the quantized trig columns, run the
+    fixed-order Cholesky, and emit coefficients + RMSE. All float
+    arithmetic is a deterministic chain over the exact integer
+    moments — the parity contract with the SQL oracle."""
+    kfull = 8
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_obs"].to_numpy().astype(np.int64)
+        if tier == "auto":
+            kv = np.where(
+                n >= TIER_FULL,
+                8,
+                np.where(n >= TIER_ADVANCED, 6, 4),
+            )
+            kv = np.where(n >= TIER_MIN_OBS, kv, 0)
+        else:
+            kv = np.full(len(n), _K_OF_TIER[{"simple": 1,
+                                             "advanced": 2,
+                                             "full": 3}[tier]])
+            kv = np.where(n >= TIER_MIN_OBS, kv, 0)
+        out_pix, out_n, out_k = [], [], []
+        out_coef = [[] for _ in range(kfull)]
+        out_rmse = []
+        pix = batch[pixel_col].to_numpy().astype(np.int64)
+        for k in (4, 6, 8):
+            sel = np.flatnonzero(kv == k)
+            if not len(sel):
+                continue
+            p = len(sel)
+            G = np.zeros((p, k, k))
+            idx = 0
+            for i in range(kfull):
+                for j in range(i, kfull):
+                    name = f"g{i}{j}"
+                    if i < k and j < k:
+                        v = batch[name].to_numpy()[sel].astype(
+                            np.float64
+                        ) / (_scale_of(i, lattice) * _scale_of(j, lattice))
+                        G[:, i, j] = v
+                        G[:, j, i] = v
+            b = np.zeros((p, k))
+            for i in range(k):
+                b[:, i] = batch[f"xy{i}"].to_numpy()[sel].astype(
+                    np.float64
+                ) / _scale_of(i, lattice)
+            coef = chol_solve_np(G, b)
+            # rss = yy - 2 b'xy + b' G b, fixed accumulation order
+            yy = batch["yy"].to_numpy()[sel].astype(np.float64)
+            rss = yy.copy()
+            for i in range(k):
+                rss = rss - 2.0 * coef[:, i] * b[:, i]
+            for i in range(k):
+                for j in range(k):
+                    rss = rss + coef[:, i] * coef[:, j] * G[:, i, j]
+            nn = n[sel].astype(np.float64)
+            rmse = np.sqrt(np.maximum(rss, 0.0) / nn)
+            out_pix.append(pix[sel])
+            out_n.append(n[sel])
+            out_k.append(np.full(p, k, dtype=np.int64))
+            for i in range(kfull):
+                out_coef[i].append(
+                    coef[:, i] if i < k else np.zeros(p)
+                )
+            out_rmse.append(rmse)
+        if not out_pix:
+            sch = {pixel_col: pa.array([], pa.int64()),
+                   "n_obs": pa.array([], pa.int64()),
+                   "k": pa.array([], pa.int64())}
+            for i in range(kfull):
+                sch[f"coef{i}"] = pa.array([], pa.float64())
+            sch["rmse"] = pa.array([], pa.float64())
+            return pa.table(sch)
+        cols = {
+            pixel_col: np.concatenate(out_pix),
+            "n_obs": np.concatenate(out_n),
+            "k": np.concatenate(out_k),
+        }
+        for i in range(kfull):
+            cols[f"coef{i}"] = np.concatenate(out_coef[i])
+        cols["rmse"] = np.concatenate(out_rmse)
+        return pa.table(cols)
+
+    return moments.map_batches(
+        finish, batch_format="pyarrow", batch_size=65536
+    )
+
+
+def season_trend_fit(
+    ds: ray.data.Dataset,
+    pixel_col: str,
+    t_col: str,
+    value_col: str,
+    lattice: int = LATTICE,
+    tier: str = "auto",
+    t0_attach: str = "broadcast",
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """End-to-end season-trend fit (get_ST_model_coeffs,
+    modelfitting.py:269): returns (models, start_dates) — one model
+    row per pixel with >= 12 observations."""
+    moments, t0 = season_trend_moments(
+        ds, pixel_col, t_col, value_col, lattice, t0_attach
+    )
+    return season_trend_finish(moments, pixel_col, lattice, tier), t0
+
+
+def predict_for_day(
+    models: ray.data.Dataset,
+    t0: ray.data.Dataset,
+    day: int,
+    pixel_col: str,
+    lattice: int = LATTICE,
+) -> ray.data.Dataset:
+    """Predict each pixel's value at an absolute day
+    (predict_for_date, modelfitting.py:454): evaluate the fitted
+    basis at ``day - t0``. The trig basis is evaluated on the SAME
+    quantization lattice as the fit, keeping the whole chain
+    deterministic. Models with k < 8 have zero high-order
+    coefficients, so the full basis dot product is tier-safe."""
+    from rsgislib_ray.state.broadcast import cached
+
+    t0_tbl = t0.to_pandas()
+    ref = ray.put(
+        (
+            t0_tbl[pixel_col].to_numpy().astype(np.int64),
+            t0_tbl["min(t0_partial)"].to_numpy().astype(np.int64),
+        )
+    )
+    L = float(lattice)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys, vals = cached(ref)
+        pix = batch[pixel_col].to_numpy().astype(np.int64)
+        tr = (day - vals[np.searchsorted(keys, pix)]).astype(np.int64)
+        cols = _quant_cols(tr, lattice)
+        pred = batch["coef0"].to_numpy().copy()
+        pred = pred + batch["coef1"].to_numpy() * tr.astype(np.float64)
+        for i in range(2, 8):
+            pred = pred + batch[f"coef{i}"].to_numpy() * (
+                cols[i].astype(np.float64) / L
+            )
+        return pa.table({pixel_col: pix, "predicted": pred})
+
+    return models.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+# ---------------------------------------------------------------------------
+# TMask robust outlier masking
+# ---------------------------------------------------------------------------
+
+
+def _tmask_basis(tr: np.ndarray, num_years: float) -> np.ndarray:
+    """5-column TMask design (tmask.py:106-115 /
+    robustfitoutliners.py:47-58): constant, annual harmonic pair,
+    full-span harmonic pair."""
+    w1 = (2.0 * math.pi) / T_DAYS
+    w2 = (2.0 * math.pi) / (num_years * T_DAYS)
+    t = tr.astype(np.float64)
+    return np.stack(
+        [
+            np.ones(len(tr)),
+            np.cos(w1 * t),
+            np.sin(w1 * t),
+            np.cos(w2 * t),
+            np.sin(w2 * t),
+        ],
+        axis=1,
+    )
+
+
+def tukey_irls(
+    x: np.ndarray,
+    y: np.ndarray,
+    c: float = 0.4685,
+    max_iter: int = 5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tukey-biweight IRLS (the reference delegates to statsmodels
+    RLM, tmask.py:117-121; this is the standard public algorithm:
+    OLS start, scale = MAD/0.6745, biweight reweighting, ``max_iter``
+    WLS refits). Returns (coefficients, residuals)."""
+    beta, *_ = np.linalg.lstsq(x, y, rcond=None)
+    for _ in range(max_iter):
+        r = y - x @ beta
+        med = np.median(r)
+        scale = np.median(np.abs(r - med)) / 0.6745
+        if scale <= 0:
+            break
+        u = r / (c * scale)
+        w = np.where(np.abs(u) < 1.0, (1.0 - u * u) ** 2, 0.0)
+        if w.sum() <= x.shape[1]:
+            break
+        xw = x * w[:, None]
+        beta_new, *_ = np.linalg.lstsq(xw.T @ x, xw.T @ y, rcond=None)
+        beta = beta_new
+    return beta, y - x @ beta
+
+
+def tmask_outliers(
+    ds: ray.data.Dataset,
+    pixel_col: str,
+    t_col: str,
+    green_col: str,
+    nir_col: str,
+    swir_col: str,
+    threshold: float = 40.0,
+    num_years: float | None = None,
+    max_iter: int = 5,
+) -> ray.data.Dataset:
+    """TMask cloud/shadow/snow outlier flags (RLMRemoveOutliers,
+    tmask.py:50-141): per pixel, robust-fit green/NIR/SWIR against
+    the 5-column design and flag observations where green residual
+    >= threshold AND NIR residual <= -threshold AND SWIR residual
+    <= -threshold (i.e. NOT the reference's keep rule). One
+    ``groupby(pixel)`` co-locates each pixel's series; the IRLS runs
+    vectorized inside the group and emits (pixel, t, outlier)."""
+
+    def per_pixel(g: pa.Table) -> pa.Table:
+        t = g[t_col].to_numpy().astype(np.int64)
+        order = np.argsort(t, kind="stable")
+        t = t[order]
+        tr = t - t.min()
+        ny = (
+            num_years
+            if num_years is not None
+            else max(float(tr.max()) / T_DAYS, 1.0)
+        )
+        x = _tmask_basis(tr, ny)
+        deltas = {}
+        for col in (green_col, nir_col, swir_col):
+            y = g[col].to_numpy().astype(np.float64)[order]
+            if len(y) <= x.shape[1]:
+                deltas[col] = np.zeros(len(y))
+                continue
+            _beta, resid = tukey_irls(x, y)
+            deltas[col] = resid
+        keep = (deltas[green_col] < threshold) & (
+            (deltas[nir_col] > -threshold)
+            | (deltas[swir_col] > -threshold)
+        )
+        return pa.table(
+            {
+                pixel_col: g[pixel_col].to_numpy()[order],
+                t_col: t,
+                "outlier": (~keep).astype(np.int64),
+            }
+        )
+
+    return ds.groupby(pixel_col).map_groups(
+        per_pixel, batch_format="pyarrow"
+    )

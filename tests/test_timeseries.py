@@ -1,0 +1,199 @@
+"""Timeseries stage invariants: the moment-based distributed
+season-trend fit matches a per-pixel np.linalg.lstsq reference in all
+three observation tiers and is partition/attach-path independent;
+TMask outlier flags match a scalar transcription."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rsgislib_ray.stages import timeseries as ts
+
+
+def _series(rng, n_pix, obs_range, t_span=2000):
+    rows = []
+    for p in range(n_pix):
+        n = rng.integers(*obs_range)
+        t = np.sort(rng.choice(np.arange(100, 100 + t_span), n, replace=False))
+        y = (
+            500
+            + 0.05 * (t - t[0])
+            + 120 * np.cos(ts.W1 * (t - t[0]) + rng.uniform(0, 2 * np.pi))
+            + rng.normal(0, 15, n)
+        )
+        for ti, yi in zip(t, np.rint(y).astype(np.int64)):
+            rows.append((p, int(ti), int(yi)))
+    rng.shuffle(rows)
+    a = np.array(rows, dtype=np.int64)
+    return pa.table(
+        {"pix": a[:, 0], "t": a[:, 1], "y": a[:, 2]}
+    )
+
+
+def _reference_fit(tbl, lattice=ts.LATTICE):
+    """Per-pixel lstsq on the SAME quantized basis — the semantics the
+    distributed moments implement."""
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    out = {}
+    for p, g in df.groupby("pix"):
+        t = g["t"].to_numpy()
+        y = g["y"].to_numpy().astype(np.float64)
+        n = len(t)
+        if n < ts.TIER_MIN_OBS:
+            continue
+        k = 8 if n >= ts.TIER_FULL else (6 if n >= ts.TIER_ADVANCED else 4)
+        tr = t - t.min()
+        cols = ts._quant_cols(tr, lattice)
+        X = np.stack(
+            [
+                cols[i].astype(np.float64) / ts._scale_of(i, lattice)
+                for i in range(k)
+            ],
+            axis=1,
+        )
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        rmse = math.sqrt(np.mean((y - X @ beta) ** 2))
+        out[p] = (k, beta, rmse)
+    return out
+
+
+@pytest.mark.parametrize("attach", ["broadcast", "join"])
+def test_season_trend_fit_vs_lstsq(ray_session, attach):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    tbl = _series(rng, 12, (10, 40))  # spans all tiers + sub-minimum
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    models, _t0 = ts.season_trend_fit(
+        ds, "pix", "t", "y", t0_attach=attach
+    )
+    got = models.to_pandas().set_index("pix").sort_index()
+    want = _reference_fit(tbl)
+    assert set(got.index) == set(want)
+    for p, (k, beta, rmse) in want.items():
+        row = got.loc[p]
+        assert int(row["k"]) == k
+        for i in range(k):
+            assert row[f"coef{i}"] == pytest.approx(
+                beta[i], rel=1e-6, abs=1e-8
+            )
+        for i in range(k, 8):
+            assert row[f"coef{i}"] == 0.0
+        assert row["rmse"] == pytest.approx(rmse, rel=1e-6)
+
+
+def test_attach_paths_bit_identical(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    tbl = _series(rng, 8, (12, 30))
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    a, _ = ts.season_trend_fit(ds, "pix", "t", "y", t0_attach="broadcast")
+    b, _ = ts.season_trend_fit(ds, "pix", "t", "y", t0_attach="join")
+    pa_df = a.to_pandas().sort_values("pix").reset_index(drop=True)
+    pb_df = b.to_pandas().sort_values("pix").reset_index(drop=True)
+    assert (pa_df.to_numpy() == pb_df.to_numpy()).all()
+
+
+def test_partition_independent_bits(ray_session):
+    """Integer moments make the whole chain deterministic: different
+    partitionings give BIT-identical coefficients."""
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    tbl = _series(rng, 6, (12, 30))
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        m, _ = ts.season_trend_fit(ds, "pix", "t", "y")
+        outs.append(
+            m.to_pandas().sort_values("pix").reset_index(drop=True)
+        )
+    assert (outs[0].to_numpy() == outs[1].to_numpy()).all()
+
+
+def test_predict_for_day(ray_session):
+    """Prediction at an observed day of a noise-free series matches
+    the observation closely."""
+    import ray.data
+
+    t = np.arange(200, 200 + 16 * 30, 30)
+    y = np.rint(
+        1000 + 0.1 * (t - t[0]) + 200 * np.cos(ts.W1 * (t - t[0]))
+    ).astype(np.int64)
+    tbl = pa.table(
+        {
+            "pix": np.zeros(len(t), dtype=np.int64),
+            "t": t.astype(np.int64),
+            "y": y,
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    models, t0 = ts.season_trend_fit(ds, "pix", "t", "y")
+    pred = ts.predict_for_day(models, t0, int(t[5]), "pix").to_pandas()
+    assert pred["predicted"][0] == pytest.approx(float(y[5]), abs=2.0)
+
+
+def _tmask_scalar(t, g, n, s, threshold):
+    tr = t - t.min()
+    ny = max(float(tr.max()) / ts.T_DAYS, 1.0)
+    x = ts._tmask_basis(tr, ny)
+    d = {}
+    for name, y in (("g", g), ("n", n), ("s", s)):
+        _b, r = ts.tukey_irls(x, y.astype(np.float64))
+        d[name] = r
+    keep = (d["g"] < threshold) & (
+        (d["n"] > -threshold) | (d["s"] > -threshold)
+    )
+    return (~keep).astype(np.int64)
+
+
+def test_tmask_outliers(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    rows = []
+    want = {}
+    for p in range(4):
+        n = 60
+        t = np.sort(rng.choice(np.arange(0, 2200), n, replace=False))
+        base = 300 + 80 * np.cos(ts.W1 * (t - t[0]))
+        g = base + rng.normal(0, 10, n)
+        nir = 2500 + 300 * np.cos(ts.W1 * (t - t[0])) + rng.normal(0, 30, n)
+        sw = 1500 + 200 * np.cos(ts.W1 * (t - t[0])) + rng.normal(0, 25, n)
+        # plant clouds: bright green, dark nir+swir
+        cloud = rng.choice(n, 5, replace=False)
+        g[cloud] += 800
+        nir[cloud] -= 1500
+        sw[cloud] -= 1000
+        g, nir, sw = (np.rint(v).astype(np.int64) for v in (g, nir, sw))
+        want[p] = (t, _tmask_scalar(t, g, nir, sw, 40.0), cloud)
+        for i in range(n):
+            rows.append((p, int(t[i]), int(g[i]), int(nir[i]), int(sw[i])))
+    a = np.array(rows, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "pix": a[:, 0],
+            "t": a[:, 1],
+            "green": a[:, 2],
+            "nir": a[:, 3],
+            "swir": a[:, 4],
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = (
+        ts.tmask_outliers(ds, "pix", "t", "green", "nir", "swir", 40.0)
+        .to_pandas()
+        .sort_values(["pix", "t"])
+    )
+    for p, (t, flags, cloud) in want.items():
+        rows_p = got[got["pix"] == p].sort_values("t")
+        assert rows_p["outlier"].to_numpy().tolist() == flags.tolist()
+        # every planted cloud is caught
+        cloud_t = set(t[cloud])
+        flagged_t = set(rows_p[rows_p["outlier"] == 1]["t"])
+        assert cloud_t <= flagged_t
