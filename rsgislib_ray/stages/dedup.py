@@ -882,12 +882,23 @@ def ngram_jaccard_pairs(
         shared = np.flatnonzero(L >= 2)
         if len(shared) == 0:
             return empty
-        packed = []
-        for ri in shared:
-            d = fd[starts[ri] : ends[ri]]
-            ii, jj = np.triu_indices(len(d), k=1)
-            packed.append(d[ii] * m + d[jj])  # d ascending -> a < b
-        upairs, inter = np.unique(np.concatenate(packed), return_counts=True)
+        # fully vectorized within-run pair enumeration (no Python
+        # loop over runs): docs within a run are ascending (stable
+        # sort over per-doc-unique hashes), so position pairs
+        # (gi < gj) give doc_a < doc_b directly
+        Lr, sr = L[shared], starts[shared]
+        M = Lr - 1  # "left" slots per run
+        run_of_i = np.repeat(np.arange(len(Lr)), M)
+        local_i = np.arange(int(M.sum())) - np.repeat(
+            np.cumsum(M) - M, M
+        )
+        cnt = Lr[run_of_i] - 1 - local_i  # partners right of slot i
+        tot_pairs = int(cnt.sum())
+        slot_of_pair = np.repeat(np.arange(len(cnt)), cnt)
+        off = np.arange(tot_pairs) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        gi = sr[run_of_i][slot_of_pair] + local_i[slot_of_pair]
+        gj = gi + 1 + off
+        upairs, inter = np.unique(fd[gi] * m + fd[gj], return_counts=True)
         a, b = upairs // m, upairs % m
         sim = inter / (lens[a] + lens[b] - inter)
         ok = sim >= threshold

@@ -661,7 +661,7 @@ def build_pyramid(
     value_col: str = "val_cents",
     x_col: str = "x",
     y_col: str = "y",
-    combine: str = "driver",
+    combine: str = "auto",
 ) -> ray.data.Dataset:
     """Image pyramid / overview levels (reference
     imageutils.gen_overviews + pop_img_stats shape,
@@ -720,6 +720,13 @@ def build_pyramid(
     partials = cells.map_batches(
         partial, batch_format="pyarrow", batch_size=65536
     )
+    if combine == "auto":
+        # route by the MEASURED pre-reduced partial row count
+        # (metadata-only materialize; the scale-safe path no longer
+        # relies on the caller knowing the flag)
+        from rsgislib_ray.stages.segsum import resolve_combine
+
+        partials, combine = resolve_combine(partials, combine)
     if combine == "native":
         # the 10^10-pixel path: finish with the all-to-all aggregate
         agg = partials.groupby("k").sum(["n_partial", "s_partial"])
