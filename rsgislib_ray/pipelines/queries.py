@@ -12824,3 +12824,182 @@ def q_tmask_outliers(sf_dir: str):
     return _ts.tmask_outliers(
         ds, "pix", "t", "green", "nir", "swir", threshold=25.0
     )
+
+
+# ===========================================================================
+# Image registration (stages/registration.py — reference
+# src/registration/ basic tie-point search + similarity metrics).
+# Fixture: the reference "image" is the per-int-cell qty sum of the
+# lineitem cell layer; the floating image is the SAME grid sampled at
+# (row+2, col-1), built by the one-shuffle coregister fan-out — so
+# every tie point's true best shift is (-2, +1) wherever data exists.
+# ===========================================================================
+
+_REG_DY, _REG_DX = 2, -1
+_REG_H = _REG_W = 100
+_REG_GAP, _REG_WIN, _REG_SEARCH = 24, 2, 3
+
+
+def _reg_points(sf_dir: str):
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "row": np.floor(batch["y"].to_numpy()).astype(np.int64),
+                "col": np.floor(batch["x"].to_numpy()).astype(np.int64),
+                "v": batch["qty"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return cells.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_reg(metric: str) -> str:
+    S, W = _REG_SEARCH, _REG_WIN
+    nsp = 2 * S + 1
+    if metric == "sqdiff":
+        msum = "CAST(SUM((a - b) * (a - b)) AS BIGINT) AS ss"
+        mexpr = "CAST(b.ss AS DOUBLE) / CAST(b.n AS DOUBLE)"
+        order = "ASC"
+    else:  # correlation
+        msum = (
+            "CAST(SUM(a * b) AS BIGINT) AS srf, "
+            "CAST(SUM(a) AS BIGINT) AS sr, "
+            "CAST(SUM(b) AS BIGINT) AS sf, "
+            "CAST(SUM(a * a) AS BIGINT) AS srr, "
+            "CAST(SUM(b * b) AS BIGINT) AS sff"
+        )
+        mexpr = (
+            "((CAST(b.n AS DOUBLE) * CAST(b.srf AS DOUBLE))"
+            " - (CAST(b.sr AS DOUBLE) * CAST(b.sf AS DOUBLE)))"
+            " / SQRT(((CAST(b.n AS DOUBLE) * CAST(b.srr AS DOUBLE))"
+            " - (CAST(b.sr AS DOUBLE) * CAST(b.sr AS DOUBLE)))"
+            " * ((CAST(b.n AS DOUBLE) * CAST(b.sff AS DOUBLE))"
+            " - (CAST(b.sf AS DOUBLE) * CAST(b.sf AS DOUBLE))))"
+        )
+        order = "DESC"
+    # zero-variance windows have no defined correlation: exclude such
+    # shifts as candidates (mirrors the engine's denom2 > 0 mask)
+    mfilter = ""
+    if metric == "correlation":
+        mfilter = (
+            "WHERE ((CAST(m.n AS DOUBLE) * CAST(m.srr AS DOUBLE))"
+            " - (CAST(m.sr AS DOUBLE) * CAST(m.sr AS DOUBLE)))"
+            " * ((CAST(m.n AS DOUBLE) * CAST(m.sff AS DOUBLE))"
+            " - (CAST(m.sf AS DOUBLE) * CAST(m.sf AS DOUBLE)))"
+            " > 0.0e0"
+        )
+
+    def std(tbl: str, vc: str, nc: str) -> str:
+        return (
+            f"SELECT t.trow, t.tcol, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(g.{vc}) AS BIGINT) AS s1, "
+            f"CAST(SUM(g.{vc} * g.{vc}) AS BIGINT) AS s2 "
+            f"FROM ties t CROSS JOIN win w JOIN co g "
+            f"ON g.r = t.trow + w.wy AND g.c = t.tcol + w.wx "
+            f"AND g.{nc} > 0 GROUP BY t.trow, t.tcol"
+        )
+
+    def std_expr(al: str) -> str:
+        mean = f"(CAST({al}.s1 AS DOUBLE) / CAST({al}.n AS DOUBLE))"
+        return (
+            f"SQRT(GREATEST(CAST({al}.s2 AS DOUBLE)"
+            f" / CAST({al}.n AS DOUBLE) - {mean} * {mean}, 0.0e0))"
+        )
+
+    start = (_REG_W - (_REG_W // _REG_GAP - 1) * _REG_GAP) // 2
+    return f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    pts AS (SELECT CAST(FLOOR(y) AS BIGINT) AS r,
+                   CAST(FLOOR(x) AS BIGINT) AS c, qty AS v FROM cells),
+    legs AS (
+      SELECT r, c, v AS rv_p, 0 AS fv_p, 1 AS nr_p, 0 AS nf_p FROM pts
+      WHERE r >= 0 AND r < {_REG_H} AND c >= 0 AND c < {_REG_W}
+      UNION ALL
+      SELECT r - {_REG_DY}, c - {_REG_DX}, 0, v, 0, 1 FROM pts
+      WHERE r - {_REG_DY} >= 0 AND r - {_REG_DY} < {_REG_H}
+        AND c - {_REG_DX} >= 0 AND c - {_REG_DX} < {_REG_W}
+    ),
+    co AS MATERIALIZED (SELECT r, c,
+        CAST(SUM(rv_p) AS BIGINT) AS rv, CAST(SUM(fv_p) AS BIGINT) AS fv,
+        CAST(SUM(nr_p) AS BIGINT) AS nr, CAST(SUM(nf_p) AS BIGINT) AS nf
+      FROM legs GROUP BY r, c),
+    ties AS (SELECT {start} + {_REG_GAP} * i AS trow,
+                    {start} + {_REG_GAP} * j AS tcol
+             FROM generate_series(0, {_REG_W // _REG_GAP - 1}) t1(i),
+                  generate_series(0, {_REG_W // _REG_GAP - 1}) t2(j)),
+    shifts AS (SELECT sy, sx, (sy + {S}) * {nsp} + (sx + {S}) AS sidx
+               FROM generate_series(-{S}, {S}) a(sy),
+                    generate_series(-{S}, {S}) b(sx)),
+    win AS (SELECT wy, wx FROM generate_series(-{W}, {W}) c1(wy),
+            generate_series(-{W}, {W}) c2(wx)),
+    m AS (SELECT t.trow, t.tcol, s.sy, s.sx, s.sidx,
+            CAST(COUNT(*) AS BIGINT) AS n, {msum.replace('a', 'rr.rv').replace('b', 'ff.fv')}
+          FROM ties t CROSS JOIN shifts s CROSS JOIN win w
+          JOIN co rr ON rr.r = t.trow + w.wy AND rr.c = t.tcol + w.wx
+                    AND rr.nr > 0
+          JOIN co ff ON ff.r = t.trow + w.wy + s.sy
+                    AND ff.c = t.tcol + w.wx + s.sx AND ff.nf > 0
+          GROUP BY t.trow, t.tcol, s.sy, s.sx, s.sidx),
+    sdr AS ({std('co', 'rv', 'nr')}),
+    sdf AS ({std('co', 'fv', 'nf')}),
+    best AS (SELECT m.*, ROW_NUMBER() OVER (PARTITION BY trow, tcol
+             ORDER BY {mexpr.replace('b.', 'm.')} {order}, sidx ASC)
+             AS rn FROM m {mfilter})
+    SELECT b.trow AS tie_row, b.tcol AS tie_col, b.sy, b.sx,
+      {mexpr} AS metric, b.n AS n_pairs,
+      {std_expr('r2')} AS std_ref, {std_expr('f2')} AS std_flt
+    FROM best b
+    JOIN sdr r2 ON r2.trow = b.trow AND r2.tcol = b.tcol
+    JOIN sdf f2 ON f2.trow = b.trow AND f2.tcol = b.tcol
+    WHERE b.rn = 1
+    """
+
+
+def _q_reg(sf_dir: str, metric: str):
+    from rsgislib_ray.stages.registration import (
+        coregister_shifted,
+        find_tie_points,
+    )
+
+    co = coregister_shifted(
+        _reg_points(sf_dir), _REG_DY, _REG_DX, _REG_H, _REG_W
+    )
+    return find_tie_points(
+        co, _REG_H, _REG_W, _REG_GAP, _REG_WIN, _REG_SEARCH,
+        metric=metric,
+    )
+
+
+@register("reg_tie_points", _sql_reg("sqdiff"))
+def q_reg_tie_points(sf_dir: str):
+    """Basic image-to-image registration tie points, squared-diff
+    metric (RSGISBasicImageRegistration + findTiePointLocation,
+    src/registration/): exhaustive shift scan, first-wins scan-order
+    tie rule, exact-integer window sums via halo-tiled prefix sums."""
+    return _q_reg(sf_dir, "sqdiff")
+
+
+@register("reg_tie_points_corr", _sql_reg("correlation"))
+def q_reg_tie_points_corr(sf_dir: str):
+    """Tie-point search under the Pearson correlation metric
+    (RSGISCorrelationSimilarityMetric,
+    RSGISStandardImageSimilarityMetrics.cpp:93 — maximize)."""
+    return _q_reg(sf_dir, "correlation")
+
+
+@register(
+    "reg_apply_offset",
+    f"SELECT cell_key, x + 1.25e0 AS x, y + -0.75e0 AS y "
+    f"FROM ({td.SQL_CELLS})",
+)
+def q_reg_apply_offset(sf_dir: str):
+    """Constant-offset image shift (executeApplyOffset2Image,
+    RSGISCmdImageRegistration.h:73)."""
+    from rsgislib_ray.stages.registration import apply_offset_to_image
+
+    cells = td.cells_from_lineitem(sf_dir).select_columns(
+        ["cell_key", "x", "y"]
+    )
+    return apply_offset_to_image(cells, 1.25, -0.75)
