@@ -13003,3 +13003,231 @@ def q_reg_apply_offset(sf_dir: str):
         ["cell_key", "x", "y"]
     )
     return apply_offset_to_image(cells, 1.25, -0.75)
+
+
+# ===========================================================================
+# Classification accuracy (stages/classaccuracy.py — reference
+# classification/classaccuracymetrics.py). The distributed part is
+# the (ref, pred) confusion groupby; every metric is a fixed-order
+# float chain over the k x k integer counts, generated below for the
+# SQL side with the SAME loop order as the engine finishers.
+# ===========================================================================
+
+_CA_K = 4
+_CA_AREA = [400.0, 300.0, 200.0, 100.0]
+
+_SQL_CA_LABELS = (
+    "SELECT ck, (ck * 7) % 4 + 1 AS ref, "
+    "CASE WHEN ck % 5 = 0 THEN ((ck * 7) % 4 + 1) % 4 + 1 "
+    "ELSE (ck * 7) % 4 + 1 END AS pred "
+    "FROM (SELECT l_orderkey * 10 + l_linenumber AS ck FROM lineitem)"
+)
+
+
+def _ca_labels_ds(sf_dir: str):
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        ref = (ck * 7) % 4 + 1
+        pred = np.where(ck % 5 == 0, ref % 4 + 1, ref)
+        return pa.table({"ref": ref, "pred": pred})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+@register(
+    "class_confusion",
+    f"SELECT ref, pred, CAST(COUNT(*) AS BIGINT) AS n "
+    f"FROM ({_SQL_CA_LABELS}) GROUP BY ref, pred",
+)
+def q_class_confusion(sf_dir: str):
+    """Distributed confusion matrix (the input of every metric in
+    classaccuracymetrics.py)."""
+    from rsgislib_ray.stages.classaccuracy import confusion_dataset
+
+    return confusion_dataset(_ca_labels_ds(sf_dir), "ref", "pred")
+
+
+def _sql_ca_pivot() -> str:
+    """Single-row pivot of the confusion matrix: c{i}{j} = count of
+    (ref = class i, pred = class j), 1-based."""
+    cells = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN ref = {i} AND pred = {j} "
+        f"THEN 1 END), 0) AS BIGINT) AS c{i}{j}"
+        for i in range(1, _CA_K + 1)
+        for j in range(1, _CA_K + 1)
+    )
+    return f"SELECT {cells} FROM ({_SQL_CA_LABELS})"
+
+
+def _ca_sup(i: int) -> str:
+    return "(" + " + ".join(f"c{i}{j}" for j in range(1, _CA_K + 1)) + ")"
+
+
+def _ca_pt(j: int) -> str:
+    return "(" + " + ".join(f"c{i}{j}" for i in range(1, _CA_K + 1)) + ")"
+
+
+def _sql_ca_perclass() -> str:
+    rows = []
+    for i in range(1, _CA_K + 1):
+        sup, pt, dg = _ca_sup(i), _ca_pt(i), f"c{i}{i}"
+        prec = (
+            f"CASE WHEN {pt} > 0 THEN CAST({dg} AS DOUBLE)"
+            f" / CAST({pt} AS DOUBLE) ELSE 0.0e0 END"
+        )
+        rec = (
+            f"CASE WHEN {sup} > 0 THEN CAST({dg} AS DOUBLE)"
+            f" / CAST({sup} AS DOUBLE) ELSE 0.0e0 END"
+        )
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS cls, "
+            f"CAST({sup} AS BIGINT) AS support, "
+            f"{prec} AS precision, {rec} AS recall, "
+            f"CASE WHEN ({prec}) + ({rec}) > 0.0e0 THEN "
+            f"(2.0e0 * ({prec}) * ({rec})) / (({prec}) + ({rec})) "
+            f"ELSE 0.0e0 END AS f1, "
+            f"CASE WHEN {pt} > 0 THEN (CAST({dg} AS DOUBLE)"
+            f" / CAST({pt} AS DOUBLE)) * 100.0e0 ELSE 0.0e0 END"
+            " AS user_acc_pct, "
+            f"CASE WHEN {sup} > 0 THEN (CAST({dg} AS DOUBLE)"
+            f" / CAST({sup} AS DOUBLE)) * 100.0e0 ELSE 0.0e0 END"
+            " AS producer_acc_pct FROM cmx"
+        )
+    return (
+        f"WITH cmx AS MATERIALIZED ({_sql_ca_pivot()}) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register("class_accuracy_perclass", _sql_ca_perclass())
+def q_class_accuracy_perclass(sf_dir: str):
+    """Per-class precision/recall/f1/support + user & producer
+    accuracies (calc_class_accuracy_metrics,
+    classaccuracymetrics.py:120-248)."""
+    from rsgislib_ray.stages.classaccuracy import (
+        confusion_counts,
+        per_class_metrics,
+    )
+
+    counts = confusion_counts(_ca_labels_ds(sf_dir), "ref", "pred")
+    return per_class_metrics(counts, [1, 2, 3, 4])
+
+
+def _sql_ca_global() -> str:
+    K = _CA_K
+    dg = "(" + " + ".join(f"c{i}{i}" for i in range(1, K + 1)) + ")"
+    tot = (
+        "("
+        + " + ".join(
+            f"c{i}{j}" for i in range(1, K + 1) for j in range(1, K + 1)
+        )
+        + ")"
+    )
+    tf = f"CAST({tot} AS DOUBLE)"
+    overall = f"(CAST({dg} AS DOUBLE) / {tf})"
+    pe_num = (
+        "("
+        + " + ".join(f"{_ca_sup(i)} * {_ca_pt(i)}" for i in range(1, K + 1))
+        + ")"
+    )
+    pe = f"(CAST({pe_num} AS DOUBLE) / ({tf} * {tf}))"
+    # balanced accuracy: left-assoc recall accumulation over classes
+    bal = "0.0e0"
+    for i in range(1, K + 1):
+        r = (
+            f"CASE WHEN {_ca_sup(i)} > 0 THEN CAST(c{i}{i} AS DOUBLE)"
+            f" / CAST({_ca_sup(i)} AS DOUBLE) ELSE 0.0e0 END"
+        )
+        bal = f"({bal} + {r})"
+    bal = f"({bal} / {_dlit(float(K))})"
+    pp = (
+        "("
+        + " + ".join(f"{_ca_pt(i)} * {_ca_pt(i)}" for i in range(1, K + 1))
+        + ")"
+    )
+    tt = (
+        "("
+        + " + ".join(
+            f"{_ca_sup(i)} * {_ca_sup(i)}" for i in range(1, K + 1)
+        )
+        + ")"
+    )
+    mcc = (
+        f"((CAST({dg} AS DOUBLE) * {tf} - CAST({pe_num} AS DOUBLE))"
+        f" / SQRT(({tf} * {tf} - CAST({pp} AS DOUBLE))"
+        f" * ({tf} * {tf} - CAST({tt} AS DOUBLE))))"
+    )
+    # Pontius: prop_i precomputed in python with the engine's chain
+    area_sum = 0.0
+    for a in _CA_AREA:
+        area_sum = area_sum + float(a)
+    prop = [float(a) / area_sum for a in _CA_AREA]
+
+    def norm(i: int, j: int) -> str:
+        # norm[i][j] = (cm[j][i] / predtot_i) * prop_i  (0-based i,j)
+        return (
+            f"((CAST(c{j + 1}{i + 1} AS DOUBLE)"
+            f" / CAST({_ca_pt(i + 1)} AS DOUBLE)) * {_dlit(prop[i])})"
+        )
+
+    comp, reft = [], []
+    for i in range(K):
+        e = "0.0e0"
+        for j in range(K):
+            e = f"({e} + {norm(i, j)})"
+        comp.append(e)
+    for j in range(K):
+        e = "0.0e0"
+        for i in range(K):
+            e = f"({e} + {norm(i, j)})"
+        reft.append(e)
+    q = "0.0e0"
+    for j in range(K):
+        q = f"({q} + ABS({reft[j]} - {comp[j]}))"
+    q = f"({q} / 2.0e0)"
+    a_dis = "0.0e0"
+    for i in range(K):
+        a_dis = (
+            f"({a_dis} + 2.0e0 * LEAST({comp[i]} - {norm(i, i)},"
+            f" {reft[i]} - {norm(i, i)}))"
+        )
+    a_dis = f"({a_dis} / 2.0e0)"
+    nsum = "0.0e0"
+    dnorm = "0.0e0"
+    for i in range(K):
+        for j in range(K):
+            nsum = f"({nsum} + {norm(i, j)})"
+        dnorm = f"({dnorm} + {norm(i, i)})"
+    return (
+        f"WITH cmx AS MATERIALIZED ({_sql_ca_pivot()}) "
+        f"SELECT CAST({tot} AS BIGINT) AS total, {overall} AS overall_acc, "
+        f"(({overall} - {pe}) / (1.0e0 - {pe})) AS cohen_kappa, "
+        f"{bal} AS balanced_acc, {mcc} AS matthews, "
+        f"(CAST({tot} - {dg} AS DOUBLE) / {tf}) AS hamming_loss, "
+        f"{q} AS quantity_dis, {a_dis} AS allocation_dis, "
+        f"(({dnorm}) / ({nsum})) AS prop_correct, "
+        f"(({q}) + ({a_dis})) AS total_dis FROM cmx"
+    )
+
+
+@register("class_accuracy_global", _sql_ca_global())
+def q_class_accuracy_global(sf_dir: str):
+    """Global accuracy panel: overall/kappa/balanced/Matthews/hamming
+    (classaccuracymetrics.py:152-176) + the Pontius & Millones
+    quantity/allocation disagreement with proportional class areas
+    (cls_quantity_accuracy, :47-119)."""
+    from rsgislib_ray.stages.classaccuracy import (
+        confusion_counts,
+        global_metrics,
+    )
+
+    counts = confusion_counts(_ca_labels_ds(sf_dir), "ref", "pred")
+    return global_metrics(counts, [1, 2, 3, 4], _CA_AREA)
