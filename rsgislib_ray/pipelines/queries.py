@@ -13231,3 +13231,120 @@ def q_class_accuracy_global(sf_dir: str):
 
     counts = confusion_counts(_ca_labels_ds(sf_dir), "ref", "pred")
     return global_metrics(counts, [1, 2, 3, 4], _CA_AREA)
+
+
+# ===========================================================================
+# Drone survey utilities (reference droneutils/__init__.py): photo
+# time-gap clustering and flightline vector generation over the
+# events table (user = drone, event = photo/GPS fix).
+# ===========================================================================
+
+
+@register(
+    "drone_photo_clusters",
+    """
+    WITH l AS (SELECT user_id, ts, event_id,
+        CAST(epoch_us(ts) AS BIGINT) AS us,
+        LAG(CAST(epoch_us(ts) AS BIGINT)) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+      FROM events),
+    s AS (SELECT user_id, us,
+        CAST(SUM(CASE WHEN pus IS NULL OR us - pus > 60000000
+                 THEN 1 ELSE 0 END) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM l)
+    SELECT user_id, session_id,
+      CAST(MIN(us) AS BIGINT) AS start_us,
+      CAST(MAX(us) AS BIGINT) AS end_us,
+      CAST(COUNT(*) AS BIGINT) AS n_photos
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_drone_photo_clusters(sf_dir: str):
+    """split_photos_by_time (droneutils/__init__.py:96): photos
+    within 60s cluster together; one output row per cluster with its
+    start time (the reference's output-directory name), end time and
+    photo count. Gap clustering is :func:`event_sessions`; the
+    per-cluster reduce is a pre-reduced groupby."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from rsgislib_ray.stages.events import event_sessions
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+    ).repartition(32)
+
+    def add_us(batch: pa.Table) -> pa.Table:
+        us = (
+            batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return batch.append_column("us", pa.array(us, pa.int64()))
+
+    sess = event_sessions(
+        ds.map_batches(add_us, batch_format="pyarrow"),
+        gap_us=60_000_000,
+        keep_cols=("us",),
+    )
+    agg = sess.groupby(["user_id", "session_id"]).aggregate(
+        Min("us"), Max("us"), Count()
+    )
+
+    def flat(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_id": batch["session_id"],
+                "start_us": batch["min(us)"],
+                "end_us": batch["max(us)"],
+                "n_photos": batch["count()"],
+            }
+        )
+
+    return agg.map_batches(flat, batch_format="pyarrow")
+
+
+@register(
+    "drone_flightlines",
+    """
+    WITH e AS (SELECT event_id, ts, user_id,
+        (event_id * 6151) % 2000 AS x,
+        (event_id * 911) % 2000 AS y FROM events),
+    s AS (SELECT user_id, x, y,
+        LAG(x) OVER w AS px, LAG(y) OVER w AS py,
+        CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS seg_idx
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, seg_idx, px AS x1, py AS y1, x AS x2, y AS y2,
+      SQRT(CAST((x - px) * (x - px) + (y - py) * (y - py) AS DOUBLE))
+        AS length
+    FROM s WHERE seg_idx >= 1
+    """,
+)
+def q_drone_flightlines(sf_dir: str):
+    """create_flightline_vec (droneutils/__init__.py:204): each
+    drone's ordered GPS fixes become line segments (seg_idx,
+    endpoints, exact-int squared length -> one sqrt) via the
+    sorted-run :func:`sequence_segments` operator."""
+    from rsgislib_ray.stages.events import sequence_segments
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+    ).repartition(32)
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "user_id": batch["user_id"],
+                "x": (eid * 6151) % 2000,
+                "y": (eid * 911) % 2000,
+            }
+        )
+
+    return sequence_segments(
+        ds.map_batches(coords, batch_format="pyarrow")
+    )

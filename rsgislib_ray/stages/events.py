@@ -332,22 +332,29 @@ def event_sessions(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Gap-based sessionization: session_id = running count of gaps >
-    ``gap_us`` within each user's (ts, id) order (1-based)."""
+    ``gap_us`` within each user's (ts, id) order (1-based).
+    ``keep_cols`` pass through to the output (e.g. the timestamp for
+    per-session aggregation). This is also the engine op behind the
+    drone photo-time clustering query (reference
+    droneutils/__init__.py:96 ``split_photos_by_time`` clusters by
+    the same time-gap rule)."""
 
     def block_fn(batch: pa.Table) -> pa.Table:
         u = batch[user_col].to_numpy()
         us = batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         n = len(u)
         if n == 0:
-            return pa.table(
-                {
-                    id_col: batch[id_col],
-                    user_col: batch[user_col],
-                    "session_id": pa.array([], pa.int64()),
-                }
-            )
+            cols = {
+                id_col: batch[id_col],
+                user_col: batch[user_col],
+                "session_id": pa.array([], pa.int64()),
+            }
+            for c in keep_cols:
+                cols[c] = batch[c]
+            return pa.table(cols)
         new = np.ones(n, dtype=np.int64)
         same = u[1:] == u[:-1]
         new[1:] = np.where(same & (us[1:] - us[:-1] <= gap_us), 0, 1)
@@ -356,26 +363,28 @@ def event_sessions(
         starts = np.concatenate([[0], np.flatnonzero(u[1:] != u[:-1]) + 1])
         run_id = np.cumsum(np.concatenate([[0], (u[1:] != u[:-1]).astype(np.int64)]))
         base = (cs[starts] - new[starts])[run_id]
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                user_col: batch[user_col],
-                "session_id": pa.array(cs - base, pa.int64()),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            user_col: batch[user_col],
+            "session_id": pa.array(cs - base, pa.int64()),
+        }
+        for c in keep_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     def group_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, id_col]).reset_index(drop=True)
         us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         gap = np.diff(us, prepend=us[0] - 10**18)
         new = (gap > gap_us).astype(np.int64)
-        return pd.DataFrame(
-            {
-                id_col: g[id_col],
-                user_col: g[user_col],
-                "session_id": np.cumsum(new),
-            }
-        )
+        out = {
+            id_col: g[id_col],
+            user_col: g[user_col],
+            "session_id": np.cumsum(new),
+        }
+        for c in keep_cols:
+            out[c] = g[c]
+        return pd.DataFrame(out)
 
     return sorted_user_apply(ds, block_fn, group_fn, user_col, (ts_col, id_col))
 
@@ -760,3 +769,103 @@ def _event_funnel_native(
         return pa.table(cols)
 
     return acc.map_batches(finish, batch_format="pyarrow")
+
+
+def sequence_segments(
+    ds: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Ordered point sequences -> line segments: per user (drone /
+    flight), consecutive points in (ts, id) order become one segment
+    row (seg_idx 1-based, endpoints, exact-integer squared length ->
+    one float sqrt). The engine op behind create_flightline_vec
+    (reference droneutils/__init__.py:204), which walks a sorted
+    photo list on the driver; here the sorted-run machinery emits
+    segments block-wise with boundary users grouped."""
+
+    def _segs(u, xs, ys, seg_idx_base=None):
+        same = u[1:] == u[:-1]
+        dx = xs[1:] - xs[:-1]
+        dy = ys[1:] - ys[:-1]
+        d2 = dx * dx + dy * dy
+        return same, d2
+
+    def block_fn(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy()
+        xs = batch[x_col].to_numpy().astype(np.int64)
+        ys = batch[y_col].to_numpy().astype(np.int64)
+        n = len(u)
+        empty = pa.table(
+            {
+                user_col: pa.array([], pa.int64()),
+                "seg_idx": pa.array([], pa.int64()),
+                "x1": pa.array([], pa.int64()),
+                "y1": pa.array([], pa.int64()),
+                "x2": pa.array([], pa.int64()),
+                "y2": pa.array([], pa.int64()),
+                "length": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        same, d2 = _segs(u, xs, ys)
+        sel = np.flatnonzero(same)
+        if not len(sel):
+            return empty
+        # per-user running segment index: position within user run
+        starts = np.concatenate(
+            [[0], np.flatnonzero(u[1:] != u[:-1]) + 1]
+        )
+        run_id = np.cumsum(
+            np.concatenate([[0], (u[1:] != u[:-1]).astype(np.int64)])
+        )
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        return pa.table(
+            {
+                user_col: u[sel],
+                "seg_idx": pos[sel] + 1,
+                "x1": xs[sel],
+                "y1": ys[sel],
+                "x2": xs[sel + 1],
+                "y2": ys[sel + 1],
+                "length": np.sqrt(d2[sel].astype(np.float64)),
+            }
+        )
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col]).reset_index(drop=True)
+        xs = g[x_col].to_numpy().astype(np.int64)
+        ys = g[y_col].to_numpy().astype(np.int64)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series([], dtype="int64"),
+                    "seg_idx": pd.Series([], dtype="int64"),
+                    "x1": pd.Series([], dtype="int64"),
+                    "y1": pd.Series([], dtype="int64"),
+                    "x2": pd.Series([], dtype="int64"),
+                    "y2": pd.Series([], dtype="int64"),
+                    "length": pd.Series([], dtype="float64"),
+                }
+            )
+        dx = xs[1:] - xs[:-1]
+        dy = ys[1:] - ys[:-1]
+        d2 = dx * dx + dy * dy
+        return pd.DataFrame(
+            {
+                user_col: g[user_col].to_numpy()[:-1],
+                "seg_idx": np.arange(1, n, dtype=np.int64),
+                "x1": xs[:-1],
+                "y1": ys[:-1],
+                "x2": xs[1:],
+                "y2": ys[1:],
+                "length": np.sqrt(d2.astype(np.float64)),
+            }
+        )
+
+    return sorted_user_apply(ds, block_fn, group_fn, user_col, (ts_col, id_col))
