@@ -13348,3 +13348,325 @@ def q_drone_flightlines(sf_dir: str):
     return sequence_segments(
         ds.map_batches(coords, batch_format="pyarrow")
     )
+
+
+# ===========================================================================
+# Binary / probabilistic scoring panels (stages/scores.py — reference
+# tools/stats.py accuracy_scores_binary / bin_accuracy_scores_prob /
+# bias_score + decompose_bias_variance). SQL chains are generated by
+# the same loops as the engine finishers (left-associative, same
+# guards), over a pivoted confusion / lattice-histogram CTE.
+# ===========================================================================
+
+_SQL_BIN_LABELS = (
+    "SELECT ck, CASE WHEN ck % 4 = 0 THEN 1 ELSE 0 END AS y, "
+    "CASE WHEN ck % 7 = 0 THEN 1 - (CASE WHEN ck % 4 = 0 THEN 1 ELSE 0 END) "
+    "ELSE (CASE WHEN ck % 4 = 0 THEN 1 ELSE 0 END) END AS pred "
+    "FROM (SELECT l_orderkey * 10 + l_linenumber AS ck FROM lineitem)"
+)
+
+
+def _bin_labels_ds(sf_dir: str):
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        y = (ck % 4 == 0).astype(np.int64)
+        pred = np.where(ck % 7 == 0, 1 - y, y)
+        return pa.table({"ck": ck, "y": y, "pred": pred})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_scores_binary() -> str:
+    import math as m
+
+    piv = (
+        "SELECT "
+        "CAST(COALESCE(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 END), 0)"
+        " AS DOUBLE) AS tp, "
+        "CAST(COALESCE(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 END), 0)"
+        " AS DOUBLE) AS ta, "
+        "CAST(COALESCE(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 END), 0)"
+        " AS DOUBLE) AS fp, "
+        "CAST(COALESCE(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 END), 0)"
+        " AS DOUBLE) AS fa "
+        f"FROM ({_SQL_BIN_LABELS})"
+    )
+    n = "(tp + ta + fp + fa)"
+    npres = "(tp + fp)"
+    nabs = "(ta + fa)"
+    prevalence = f"((tp / fa) / {n})"
+    sens = f"(tp / {npres})"
+    spec = f"(ta / {nabs})"
+    acc = f"((tp + ta) / ({npres} + {nabs}))"
+    pe = (
+        f"((({npres} * (tp + fa)) + ({nabs} * (ta + fp)))"
+        f" / ({n} * {n}))"
+    )
+    # NMI chains in the engine's cell order, with cnt > 0 guards
+    cells = [
+        ("ta", nabs, "(ta + fp)"),
+        ("fa", nabs, "(tp + fa)"),
+        ("fp", npres, "(ta + fp)"),
+        ("tp", npres, "(tp + fa)"),
+    ]
+    mi = "0.0e0"
+    for cnt, a_i, b_j in cells:
+        mi = (
+            f"({mi} + CASE WHEN {cnt} > 0.0e0 THEN ({cnt} / {n})"
+            f" * LN(({n} * {cnt}) / ({a_i} * {b_j})) ELSE 0.0e0 END)"
+        )
+    hu = "0.0e0"
+    for a_i in (nabs, npres):
+        hu = (
+            f"({hu} - CASE WHEN {a_i} > 0.0e0 THEN ({a_i} / {n})"
+            f" * LN({a_i} / {n}) ELSE 0.0e0 END)"
+        )
+    hv = "0.0e0"
+    for b_j in ("(ta + fp)", "(tp + fa)"):
+        hv = (
+            f"({hv} - CASE WHEN {b_j} > 0.0e0 THEN ({b_j} / {n})"
+            f" * LN({b_j} / {n}) ELSE 0.0e0 END)"
+        )
+    metrics = [
+        ("Prevalence", prevalence),
+        ("Overall Diagnostic Power", f"(1.0e0 - {prevalence})"),
+        ("Correct Classification Rate", f"((tp + ta) / {n})"),
+        ("Misclassification Rate", f"((fp + fa) / {n})"),
+        ("Presence Predictive Power", "(tp / (tp + fp))"),
+        ("Absence Predictive Power", "(ta / (ta + fa))"),
+        ("Accuracy", acc),
+        ("Balanced Accuracy", f"(((tp / {npres}) + (ta / {nabs})) / 2.0e0)"),
+        ("Sensitivity", sens),
+        ("Specificity", spec),
+        ("Precision", "(tp / (tp + fp))"),
+        ("F1 Score", "(2.0e0 * tp / ((2.0e0 * tp) + fp + fa))"),
+        (
+            "Matthews Correlation",
+            "(((tp * ta) - (fp * fa)) / POWER((tp + fp) * (tp + fa)"
+            " * (ta + fp) * (ta + fa), 0.5e0))",
+        ),
+        ("Cohen Kappa", f"(({acc} - {pe}) / (1.0e0 - {pe}))"),
+        (
+            "Normalised Mutual Information",
+            f"({mi} / (({hu} + {hv}) / 2.0e0))",
+        ),
+        ("Hanssen-Kuiper skill", f"({sens} + {spec} - 1.0e0)"),
+    ]
+    rows = " UNION ALL ".join(
+        f"SELECT '{nm}' AS metric, CAST(FLOOR(({expr}) * 1000000000.0e0"
+        " + 0.5e0) AS BIGINT) AS score_nano FROM cmb"
+        for nm, expr in metrics
+    )
+    return f"WITH cmb AS MATERIALIZED ({piv}) {rows}"
+
+
+@register("binary_score_panel", _sql_scores_binary())
+def q_binary_score_panel(sf_dir: str):
+    """accuracy_scores_binary (tools/stats.py:457-609): the 16-metric
+    Guisan et al. habitat panel from one distributed 2x2 confusion
+    pass, faithful to the reference's quirks (TP/FA naming swap,
+    the (TP/FA)/n prevalence formula)."""
+    from rsgislib_ray.stages.scores import (
+        accuracy_scores_binary,
+        binary_confusion,
+    )
+
+    counts = binary_confusion(_bin_labels_ds(sf_dir), "y", "pred")
+    return accuracy_scores_binary(counts)
+
+
+_PROB_S = 20
+
+_SQL_PROB_LABELS = (
+    "SELECT ck, CASE WHEN ck % 4 = 0 THEN 1 ELSE 0 END AS y, "
+    "(ck * 7) % 16 + (CASE WHEN ck % 4 = 0 THEN 1 ELSE 0 END) * 5 AS s "
+    "FROM (SELECT l_orderkey * 10 + l_linenumber AS ck FROM lineitem)"
+)
+
+
+def _prob_labels_ds(sf_dir: str):
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        y = (ck % 4 == 0).astype(np.int64)
+        return pa.table({"y": y, "s": (ck * 7) % 16 + y * 5})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_prob_panel() -> str:
+    import math as m
+
+    S = _PROB_S
+    piv_cols = []
+    for s in range(S + 1):
+        piv_cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN s = {s} AND y = 1 THEN 1 END),"
+            f" 0) AS BIGINT) AS p{s}"
+        )
+        piv_cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN s = {s} AND y = 0 THEN 1 END),"
+            f" 0) AS BIGINT) AS g{s}"
+        )
+    piv = f"SELECT {', '.join(piv_cols)} FROM ({_SQL_PROB_LABELS})"
+    P = "(" + " + ".join(f"p{s}" for s in range(S + 1)) + ")"
+    N = "(" + " + ".join(f"g{s}" for s in range(S + 1)) + ")"
+    n = f"({P} + {N})"
+    # AUC numerator*2: integer chain, cneg = negatives strictly below
+    terms = []
+    for s in range(S + 1):
+        cneg = (
+            "(" + " + ".join(f"g{t}" for t in range(s)) + ")"
+            if s
+            else "0"
+        )
+        terms.append(f"(2 * p{s} * {cneg} + p{s} * g{s})")
+    num2 = "(" + " + ".join(terms) + ")"
+    auc = (
+        f"(CAST({num2} AS DOUBLE) / (2.0e0 * CAST({P} AS DOUBLE)"
+        f" * CAST({N} AS DOUBLE)))"
+    )
+    ss = "(" + " + ".join(f"{s} * (p{s} + g{s})" for s in range(S + 1)) + ")"
+    sss = (
+        "("
+        + " + ".join(f"{s * s} * (p{s} + g{s})" for s in range(S + 1))
+        + ")"
+    )
+    ssy = "(" + " + ".join(f"{s} * p{s}" for s in range(S + 1)) + ")"
+    pbr = (
+        f"(CAST({n} * {ssy} - {ss} * {P} AS DOUBLE)"
+        f" / SQRT(CAST({n} * {sss} - {ss} * {ss} AS DOUBLE)"
+        f" * CAST({n} * {P} - {P} * {P} AS DOUBLE)))"
+    )
+    # average precision: descending-threshold guarded chain
+    ap = "0.0e0"
+    for s in range(S, -1, -1):
+        tp = "(" + " + ".join(f"p{t}" for t in range(S, s - 1, -1)) + ")"
+        fp = "(" + " + ".join(f"g{t}" for t in range(S, s - 1, -1)) + ")"
+        ap = (
+            f"({ap} + CASE WHEN (p{s} + g{s}) > 0 THEN "
+            f"(CAST(p{s} AS DOUBLE) / CAST({P} AS DOUBLE))"
+            f" * (CAST({tp} AS DOUBLE) / CAST({tp} + {fp} AS DOUBLE))"
+            f" ELSE 0.0e0 END)"
+        )
+    bnum = (
+        "("
+        + " + ".join(
+            f"{(s - S) * (s - S)} * p{s} + {s * s} * g{s}"
+            for s in range(S + 1)
+        )
+        + ")"
+    )
+    brier = (
+        f"(CAST({bnum} AS DOUBLE) / (CAST({n} AS DOUBLE)"
+        f" * {_dlit(float(S * S))}))"
+    )
+    from rsgislib_ray.stages.scores import LOG_EPS
+
+    ll = "0.0e0"
+    for s in range(S + 1):
+        p = s / float(S)
+        pc = min(max(p, LOG_EPS), 1.0 - LOG_EPS)
+        ll = (
+            f"({ll} - CASE WHEN p{s} > 0 THEN CAST(p{s} AS DOUBLE)"
+            f" * LN({_dlit(pc)}) ELSE 0.0e0 END)"
+        )
+        ll = (
+            f"({ll} - CASE WHEN g{s} > 0 THEN CAST(g{s} AS DOUBLE)"
+            f" * LN({_dlit(1.0 - pc)}) ELSE 0.0e0 END)"
+        )
+    ll = f"({ll} / CAST({n} AS DOUBLE))"
+    return (
+        f"WITH hist AS MATERIALIZED ({piv}) "
+        f"SELECT {auc} AS auc, {pbr} AS point_biserial, "
+        f"{ap} AS avg_precision, {brier} AS brier, "
+        f"CAST(FLOOR(({ll}) * 1000000000.0e0 + 0.5e0) AS BIGINT)"
+        " AS log_loss_nano FROM hist"
+    )
+
+
+@register("prob_score_panel", _sql_prob_panel())
+def q_prob_score_panel(sf_dir: str):
+    """bin_accuracy_scores_prob (tools/stats.py:381-455): ROC AUC /
+    point-biserial / average precision / Brier / log loss over a
+    0..20 lattice of probability scores — one distributed histogram
+    pass + fixed-order chains."""
+    from rsgislib_ray.stages.scores import (
+        bin_accuracy_scores_prob,
+        prob_score_histogram,
+    )
+
+    hist = prob_score_histogram(_prob_labels_ds(sf_dir), "y", "s", _PROB_S)
+    return bin_accuracy_scores_prob(hist, _PROB_S)
+
+
+@register(
+    "bias_variance_panel",
+    """
+    WITH src AS (SELECT CAST(l_quantity AS BIGINT) AS t,
+        CAST(l_quantity AS BIGINT)
+          + (l_orderkey * 10 + l_linenumber) % 5 - 2 AS p
+      FROM lineitem),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(p - t) AS BIGINT) AS sd,
+        CAST(SUM((p - t) * (p - t)) AS BIGINT) AS sdd,
+        CAST(SUM(t) AS BIGINT) AS st FROM src)
+    SELECT (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS bias,
+      (((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) * 100.0e0)
+        AS norm_bias,
+      (CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)) AS mse,
+      ((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))) AS bias_sq,
+      (CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)
+       - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))) AS variance,
+      GREATEST(CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)
+        - ((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+           + (CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)))),
+        0.0e0) AS noise
+    FROM mm
+    """,
+)
+def q_bias_variance_panel(sf_dir: str):
+    """bias_score + decompose_bias_variance (tools/stats.py:1023):
+    exact integer difference moments -> float chains; predictions are
+    the true qty plus a deterministic -2..+2 perturbation."""
+    from rsgislib_ray.stages.scores import bias_variance_panel
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        t = batch["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table({"t": t, "p": t + ck % 5 - 2})
+
+    return bias_variance_panel(
+        ds.map_batches(f, batch_format="pyarrow", batch_size=65536),
+        "t",
+        "p",
+    )
