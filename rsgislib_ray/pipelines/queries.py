@@ -13670,3 +13670,104 @@ def q_bias_variance_panel(sf_dir: str):
         "t",
         "p",
     )
+
+
+# ===========================================================================
+# Soille-Gratin DEM depression fill (stages/demfill.py — reference
+# src/calibration/RSGISHydroDEMFillSoilleGratin94.cpp). Fixture: a
+# 40x40 noisy bowl DEM with scattered nodata holes; oracle is the
+# iteration-indexed recursive-CTE fixpoint in the (min, max)
+# semiring, same template as cost_distance.
+# ===========================================================================
+
+_FILL_N = 40
+_FILL_K = 100  # > grid diameter; extra rounds are identity
+
+
+def _fill_raster() -> pa.Table:
+    pid = np.arange(_FILL_N * _FILL_N, dtype=np.int64)
+    row, col = np.divmod(pid, _FILL_N)
+    dem = ((row * 31 + col * 17) % 23) + (
+        (row - 20) * (row - 20) + (col - 20) * (col - 20)
+    ) // 40
+    present = (row * 7 + col * 11) % 53 != 0
+    return pa.table(
+        {
+            "pixel_id": pid[present],
+            "row": row[present],
+            "col": col[present],
+            "dem": dem[present].astype(np.int64),
+        }
+    )
+
+
+@register(
+    "dem_fill",
+    f"""
+    WITH RECURSIVE px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_FILL_N} AS BIGINT) AS r,
+             CAST(p.range % {_FILL_N} AS BIGINT) AS c,
+             CAST(((p.range // {_FILL_N}) * 31
+                   + (p.range % {_FILL_N}) * 17) % 23
+                  + ((p.range // {_FILL_N} - 20)
+                     * (p.range // {_FILL_N} - 20)
+                     + (p.range % {_FILL_N} - 20)
+                     * (p.range % {_FILL_N} - 20)) // 40
+                  AS BIGINT) AS dem
+      FROM range(0, {_FILL_N * _FILL_N}) p
+      WHERE ((p.range // {_FILL_N}) * 7
+             + (p.range % {_FILL_N}) * 11) % 53 <> 0
+    ),
+    e AS MATERIALIZED (
+      SELECT a.pixel_id AS u, b.pixel_id AS v, b.dem AS dem_v
+      FROM px a JOIN px b
+        ON (a.r = b.r AND abs(a.c - b.c) = 1)
+        OR (a.c = b.c AND abs(a.r - b.r) = 1)
+    ),
+    brd AS MATERIALIZED (
+      SELECT p.pixel_id FROM px p
+      WHERE p.r = 0 OR p.r = {_FILL_N - 1}
+         OR p.c = 0 OR p.c = {_FILL_N - 1}
+         OR (p.r > 0 AND NOT EXISTS (SELECT 1 FROM px q
+             WHERE q.r = p.r - 1 AND q.c = p.c))
+         OR (p.r < {_FILL_N - 1} AND NOT EXISTS (SELECT 1 FROM px q
+             WHERE q.r = p.r + 1 AND q.c = p.c))
+         OR (p.c > 0 AND NOT EXISTS (SELECT 1 FROM px q
+             WHERE q.r = p.r AND q.c = p.c - 1))
+         OR (p.c < {_FILL_N - 1} AND NOT EXISTS (SELECT 1 FROM px q
+             WHERE q.r = p.r AND q.c = p.c + 1))
+    ),
+    ff(it, pixel_id, f) AS (
+      SELECT 0, px.pixel_id,
+        CASE WHEN px.pixel_id IN (SELECT pixel_id FROM brd)
+             THEN px.dem
+             ELSE CAST(4611686018427387904 AS BIGINT) END
+      FROM px
+      UNION ALL
+      SELECT it + 1, pixel_id, MIN(f) FROM (
+        SELECT ff.it AS it, e.v AS pixel_id,
+               GREATEST(e.dem_v, ff.f) AS f
+        FROM ff JOIN e ON e.u = ff.pixel_id WHERE ff.it < {_FILL_K}
+        UNION ALL
+        SELECT it, pixel_id, f FROM ff WHERE it < {_FILL_K}
+      ) GROUP BY it, pixel_id
+    )
+    SELECT pixel_id, f AS fill FROM ff WHERE it = {_FILL_K}
+    """,
+)
+def q_dem_fill(sf_dir: str):
+    """Soille & Gratin 1994 depression fill
+    (RSGISHydroDEMFillSoilleGratin94::performSoilleGratin94Fill):
+    banded block-parallel (min, max) relaxation with boundary-row
+    delta exchange; holes seed interior borders. Oracle: the
+    iteration-indexed recursive-CTE fixpoint ({_FILL_K} rounds >
+    the 40x40 grid diameter) — exact integers both sides."""
+    from rsgislib_ray.stages.demfill import dem_fill
+
+    return dem_fill(
+        ray.data.from_arrow(_fill_raster()).repartition(8),
+        _FILL_N,
+        _FILL_N,
+        row_band=8,
+    )
