@@ -13771,3 +13771,282 @@ def q_dem_fill(sf_dir: str):
         _FILL_N,
         row_band=8,
     )
+
+
+# ===========================================================================
+# DEM tool extras (stages/demtools.py — reference
+# src/calibration/RSGISDEMTools.cpp: RSGISRecodeAspect,
+# RSGISCalcRayIncidentAngle, RSGISDetreadDEMUsingPlaneFit).
+# ===========================================================================
+
+_DEMX_GXY = """
+    g AS (
+      SELECT a.pixel_id,
+        CAST(SUM(b.val * CASE
+          WHEN b.cc - a.cc = 1 AND b.rr - a.rr = 0 THEN 2
+          WHEN b.cc - a.cc = 1 THEN 1
+          WHEN b.cc - a.cc = -1 AND b.rr - a.rr = 0 THEN -2
+          WHEN b.cc - a.cc = -1 THEN -1 ELSE 0 END) AS BIGINT) AS gx,
+        CAST(SUM(b.val * CASE
+          WHEN b.rr - a.rr = 1 AND b.cc - a.cc = 0 THEN 2
+          WHEN b.rr - a.rr = 1 THEN 1
+          WHEN b.rr - a.rr = -1 AND b.cc - a.cc = 0 THEN -2
+          WHEN b.rr - a.rr = -1 THEN -1 ELSE 0 END) AS BIGINT) AS gy
+      FROM (SELECT * FROM px
+            WHERE rr BETWEEN 1 AND {n2} AND cc BETWEEN 1 AND {n2}) a
+      JOIN px b ON abs(a.rr - b.rr) <= 1 AND abs(a.cc - b.cc) <= 1
+      GROUP BY a.pixel_id
+    )
+"""
+
+_DEMX_PX = f"""
+    px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range // {_SEG_N} + p.range % {_SEG_N}) // 4
+               + CASE WHEN (31 * (p.range // {_SEG_N})
+                            + 17 * (p.range % {_SEG_N})) % 37 = 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    )
+"""
+
+
+def _demx_grad_ds():
+    """Shared engine gradient derivation (same DEM + Horn kernels as
+    q_dem_slope_aspect_hillshade)."""
+    from rsgislib_ray.stages.raster import focal_convolve
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        z = (rr + cc) // 4 + ((31 * rr + 17 * cc) % 37 == 0).astype(
+            np.int64
+        )
+        return pa.table(
+            {"pixel_id": pid, "row": rr, "col": cc, "value": z}
+        )
+
+    dem = (
+        ray.data.from_arrow(_seg_raster())
+        .repartition(8)
+        .map_batches(derive, batch_format="pyarrow")
+    )
+    return focal_convolve(
+        dem,
+        {
+            "gx": np.array(
+                [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.int64
+            ),
+            "gy": np.array(
+                [[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.int64
+            ),
+        },
+        tile_size=32,
+    )
+
+
+_R2D = 57.29577951308232
+
+
+@register(
+    "dem_aspect_recode",
+    f"""
+    WITH {_DEMX_PX},
+    {_DEMX_GXY.format(n2=_SEG_N - 2)},
+    f AS (
+      SELECT pixel_id, gx, gy,
+        CASE WHEN ATAN2(CAST(-gx AS DOUBLE), CAST(gy AS DOUBLE))
+                  * {_R2D!r} < 0
+             THEN ATAN2(CAST(-gx AS DOUBLE), CAST(gy AS DOUBLE))
+                  * {_R2D!r} + 360.0e0
+             ELSE ATAN2(CAST(-gx AS DOUBLE), CAST(gy AS DOUBLE))
+                  * {_R2D!r} END AS a
+      FROM g
+    )
+    SELECT pixel_id,
+      CASE WHEN gx = 0 AND gy = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(LEAST(FLOOR(a / 45.0e0) + 1, 8) AS BIGINT)
+      END AS sector
+    FROM f
+    """,
+)
+def q_dem_aspect_recode(sf_dir: str):
+    """Aspect -> 8 compass sectors (RSGISRecodeAspect,
+    RSGISDEMTools.cpp; flat pixels -> 0) over the Horn aspect of the
+    interior DEM pixels."""
+    from rsgislib_ray.stages.demtools import recode_aspect_np
+
+    conv = _demx_grad_ds()
+
+    def f(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        interior = (
+            (rr >= 1) & (rr <= _SEG_N - 2) & (cc >= 1) & (cc <= _SEG_N - 2)
+        )
+        gx = batch["gx"].to_numpy()[interior].astype(np.float64)
+        gy = batch["gy"].to_numpy()[interior].astype(np.float64)
+        asp = np.arctan2(-gx, gy) * _R2D
+        asp = np.where(asp < 0, asp + 360.0, asp)
+        asp = np.where((gx == 0) & (gy == 0), -1.0, asp)
+        return pa.table(
+            {
+                "pixel_id": pid[interior],
+                "sector": recode_aspect_np(asp),
+            }
+        )
+
+    return conv.map_batches(f, batch_format="pyarrow")
+
+
+_INC_AZ, _INC_ZEN = 135.0, 50.0
+
+
+def _sql_dem_incidence() -> str:
+    import math as m
+
+    d2r = m.pi / 180.0
+    sz, sa = _INC_ZEN * d2r, _INC_AZ * d2r
+    ra, rb, rc = (
+        m.sin(sz) * m.cos(sa),
+        m.sin(sz) * m.sin(sa),
+        m.cos(sz),
+    )
+    asp = (
+        f"(ATAN2(CAST(-gx AS DOUBLE), CAST(gy AS DOUBLE)) * {_R2D!r})"
+    )
+    return f"""
+    WITH {_DEMX_PX},
+    {_DEMX_GXY.format(n2=_SEG_N - 2)},
+    f AS (
+      SELECT pixel_id, gx, gy,
+        ATAN(SQRT(CAST(gx * gx + gy * gy AS DOUBLE)) / 8.0e0) AS s,
+        CASE WHEN {asp} < 0.0e0 THEN {asp} + 360.0e0
+             ELSE {asp} END AS a0
+      FROM g
+    ),
+    h AS (
+      SELECT pixel_id, gx, gy, s,
+        (CASE WHEN a0 = 360.0e0 THEN 0.0e0 ELSE a0 END)
+          * {_dlit(_math.pi / 180.0)} AS arad
+      FROM f
+    )
+    SELECT pixel_id,
+      CAST(FLOOR((CASE WHEN gx = 0 AND gy = 0 THEN {_dlit(_INC_ZEN)}
+        ELSE ACOS(GREATEST(LEAST(
+          (SIN(s) * COS(arad) * {_dlit(ra)})
+          + (SIN(s) * SIN(arad) * {_dlit(rb)})
+          + (COS(s) * {_dlit(rc)}), 1.0e0), -1.0e0)) * {_R2D!r}
+        END) * 1000000.0e0 + 0.5e0) AS BIGINT) AS incidence_u
+    FROM h
+    """
+
+
+@register("dem_incidence_angle", _sql_dem_incidence())
+def q_dem_incidence_angle(sf_dir: str):
+    """Solar incidence angle (RSGISCalcRayIncidentAngle,
+    RSGISDEMTools.cpp): surface normal from Horn slope/aspect dotted
+    with the sun unit vector (az 135, zen 50), flat pixels fall back
+    to the zenith; half-up micro-degrees."""
+    from rsgislib_ray.stages.demtools import incidence_angle_np
+
+    conv = _demx_grad_ds()
+
+    def f(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        interior = (
+            (rr >= 1) & (rr <= _SEG_N - 2) & (cc >= 1) & (cc <= _SEG_N - 2)
+        )
+        gx = batch["gx"].to_numpy()[interior]
+        gy = batch["gy"].to_numpy()[interior]
+        inc = incidence_angle_np(gx, gy, _INC_AZ, _INC_ZEN)
+        return pa.table(
+            {
+                "pixel_id": pid[interior],
+                "incidence_u": np.floor(inc * 1e6 + 0.5).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return conv.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_dem_detrend() -> str:
+    mom = (
+        "SELECT a.pixel_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(b.cc - a.cc) AS BIGINT) AS sx, "
+        "CAST(SUM(b.rr - a.rr) AS BIGINT) AS sy, "
+        "CAST(SUM((b.cc - a.cc) * (b.cc - a.cc)) AS BIGINT) AS sxx, "
+        "CAST(SUM((b.cc - a.cc) * (b.rr - a.rr)) AS BIGINT) AS sxy, "
+        "CAST(SUM((b.rr - a.rr) * (b.rr - a.rr)) AS BIGINT) AS syy, "
+        "CAST(SUM(b.val) AS BIGINT) AS sz, "
+        "CAST(SUM((b.cc - a.cc) * b.val) AS BIGINT) AS sxz, "
+        "CAST(SUM((b.rr - a.rr) * b.val) AS BIGINT) AS syz "
+        "FROM px a JOIN px b ON abs(a.rr - b.rr) <= 1 "
+        "AND abs(a.cc - b.cc) <= 1 GROUP BY a.pixel_id"
+    )
+    holes = f"""
+    px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range // {_SEG_N} + p.range % {_SEG_N}) // 4
+               + CASE WHEN (31 * (p.range // {_SEG_N})
+                            + 17 * (p.range % {_SEG_N})) % 37 = 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+      WHERE (31 * (p.range // {_SEG_N})
+             + 17 * (p.range % {_SEG_N})) % 41 <> 0
+    )
+    """
+    return f"""
+    WITH {holes},
+    mm AS ({mom}),
+    f1 AS (SELECT *, SQRT(CAST(sxx AS DOUBLE)) AS l00 FROM mm),
+    f2 AS (SELECT *, CAST(sxy AS DOUBLE) / l00 AS l10,
+                  CAST(sx AS DOUBLE) / l00 AS l20 FROM f1),
+    f3 AS (SELECT *, SQRT(CAST(syy AS DOUBLE) - l10 * l10) AS l11
+           FROM f2),
+    f4 AS (SELECT *, (CAST(sy AS DOUBLE) - l20 * l10) / l11 AS l21
+           FROM f3),
+    f5 AS (SELECT *, SQRT((CAST(n AS DOUBLE) - l20 * l20)
+                          - l21 * l21) AS l22 FROM f4),
+    f6 AS (SELECT *, CAST(sxz AS DOUBLE) / l00 AS z0 FROM f5),
+    f7 AS (SELECT *, (CAST(syz AS DOUBLE) - l10 * z0) / l11 AS z1
+           FROM f6),
+    f8 AS (SELECT *, ((CAST(sz AS DOUBLE) - l20 * z0) - l21 * z1)
+                     / l22 AS z2 FROM f7)
+    SELECT pixel_id, z2 / l22 AS plane_c FROM f8
+    """
+
+
+@register("dem_detrend_plane", _sql_dem_detrend())
+def q_dem_detrend_plane(sf_dir: str):
+    """Least-squares plane height at each pixel over its present 3x3
+    neighbourhood (RSGISDetreadDEMUsingPlaneFit, RSGISDEMTools.cpp)
+    on a DEM with scattered nodata holes: exact integer window
+    moments + the fixed-order 3x3 Cholesky — bit-exact float output
+    both sides."""
+    from rsgislib_ray.stages.demtools import detrend_plane
+
+    pid = np.arange(_SEG_N * _SEG_N, dtype=np.int64)
+    row, col = np.divmod(pid, _SEG_N)
+    keep = (31 * row + 17 * col) % 41 != 0
+    z = (row + col) // 4 + ((31 * row + 17 * col) % 37 == 0).astype(
+        np.int64
+    )
+    t = pa.table(
+        {
+            "pixel_id": pid[keep],
+            "row": row[keep],
+            "col": col[keep],
+            "value": z[keep],
+        }
+    )
+    return detrend_plane(
+        ray.data.from_arrow(t).repartition(8), _SEG_N, tile_size=32
+    )
