@@ -14050,3 +14050,128 @@ def q_dem_detrend_plane(sf_dir: str):
     return detrend_plane(
         ray.data.from_arrow(t).repartition(8), _SEG_N, tile_size=32
     )
+
+
+# ===========================================================================
+# Quartile-based feature statistics (stages/imagestats.py additions —
+# reference tools/stats.py cqv_threshold:87 /
+# get_nbins_histogram:609): numpy-lerp percentiles from exact
+# integer histograms.
+# ===========================================================================
+
+
+def _sql_lerp_q(col: str, p: str, alias: str) -> str:
+    """Per-column numpy-lerp quartile CTE chain fragment: needs CTEs
+    b (bands source) and produces scalar-select expressions over
+    r_{alias}."""
+    return f"""
+    r{alias} AS MATERIALIZED (
+      SELECT {col} AS v, ROW_NUMBER() OVER (ORDER BY {col}) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM b),
+    q{alias} AS (
+      SELECT
+        (SELECT CAST(v AS DOUBLE) FROM r{alias}
+         WHERE rn = CAST(FLOOR(CAST((SELECT MAX(n) FROM r{alias}) - 1
+                     AS DOUBLE) * {p}) AS BIGINT)) AS vk,
+        (SELECT CAST(v AS DOUBLE) FROM r{alias}
+         WHERE rn = LEAST(CAST(FLOOR(CAST((SELECT MAX(n) FROM r{alias})
+                     - 1 AS DOUBLE) * {p}) AS BIGINT) + 1,
+                   (SELECT MAX(n) FROM r{alias}) - 1)) AS vk1,
+        CAST((SELECT MAX(n) FROM r{alias}) - 1 AS DOUBLE) * {p}
+          - FLOOR(CAST((SELECT MAX(n) FROM r{alias}) - 1 AS DOUBLE)
+                  * {p}) AS frac)
+    """
+
+
+def _sql_cqv() -> str:
+    cols = ["qty", "disc_c", "tax_c", "pmod"]
+    parts = [f"b AS MATERIALIZED (SELECT qty, disc_c, tax_c, "
+             f"pmod % 256 AS pmod FROM ({_SQL_BANDS}))"]
+    rows = []
+    for c in cols:
+        parts.append(_sql_lerp_q(c, "0.25e0", f"{c}1").strip().rstrip())
+        parts.append(_sql_lerp_q(c, "0.75e0", f"{c}3").strip().rstrip())
+        q1 = f"(SELECT vk + (vk1 - vk) * frac FROM q{c}1)"
+        q3 = f"(SELECT vk + (vk1 - vk) * frac FROM q{c}3)"
+        cqv = f"(({q3} - {q1}) / ({q3} + {q1}))"
+        rows.append(
+            f"SELECT '{c}' AS col, {cqv} AS cqv, "
+            f"({cqv} >= 0.25e0 AND {cqv} <= 0.75e0) AS keep"
+        )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(rows)
+
+
+@register("cqv_threshold", _sql_cqv())
+def q_cqv_threshold(sf_dir: str):
+    """Quartile coefficient of variation feature filter
+    (cqv_threshold, tools/stats.py:87): numpy-lerp quartiles from one
+    shared exact-histogram pass per band; keep = 0.25 <= cqv <=
+    0.75."""
+    from rsgislib_ray.stages.imagestats import cqv_from_hists
+
+    ds = _bands_ds(sf_dir)
+
+    def pmod256(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qty": batch["qty"],
+                "disc_c": batch["disc_c"],
+                "tax_c": batch["tax_c"],
+                "pmod": pa.array(
+                    batch["pmod"].to_numpy() % 256, pa.int64()
+                ),
+            }
+        )
+
+    bands = ds.map_batches(pmod256, batch_format="pyarrow")
+    from rsgislib_ray.stages.imagestats import global_histogram
+
+    hists = {
+        c: global_histogram(bands, c, 256)
+        for c in ("qty", "disc_c", "tax_c", "pmod")
+    }
+    return cqv_from_hists(hists)
+
+
+def _sql_nbins() -> str:
+    parts = [
+        f"b AS MATERIALIZED (SELECT qty FROM ({_SQL_BANDS}))",
+        _sql_lerp_q("qty", "0.25e0", "a").strip(),
+        _sql_lerp_q("qty", "0.75e0", "c").strip(),
+    ]
+    q1 = "(SELECT vk + (vk1 - vk) * frac FROM qa)"
+    q3 = "(SELECT vk + (vk1 - vk) * frac FROM qc)"
+    n = "(SELECT MAX(n) FROM ra)"
+    width = (
+        f"(2.0e0 * ({q3} - {q1}) * POWER(CAST({n} AS DOUBLE),"
+        f" {_dlit(-1.0 / 3.0)}))"
+    )
+    rng_ = (
+        "(CAST((SELECT MAX(qty) FROM b) AS DOUBLE)"
+        " - CAST((SELECT MIN(qty) FROM b) AS DOUBLE))"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT CAST(TRUNC({rng_} / {width}) AS BIGINT) + 2"
+        f" AS n_bins, {width} AS bin_width"
+    )
+
+
+@register("hist_nbins", _sql_nbins())
+def q_hist_nbins(sf_dir: str):
+    """Freedman-Diaconis histogram sizing (get_nbins_histogram,
+    tools/stats.py:609) for the qty band."""
+    from rsgislib_ray.stages.imagestats import (
+        freedman_diaconis_bins,
+        global_histogram,
+    )
+
+    hist = global_histogram(_bands_ds(sf_dir), "qty", 64)
+    n_bins, width = freedman_diaconis_bins(hist)
+    return pa.table(
+        {
+            "n_bins": pa.array([n_bins], pa.int64()),
+            "bin_width": pa.array([width], pa.float64()),
+        }
+    )

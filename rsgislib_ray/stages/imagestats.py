@@ -841,3 +841,66 @@ def mnf3_closed(S: np.ndarray, N: np.ndarray):
         if dom < 0:
             comps[k] = -comps[k]
     return lams, comps
+
+
+def percentile_linear_from_hist(
+    hist: np.ndarray, p: float
+) -> float:
+    """numpy-default linear-interpolation percentile from an exact
+    integer-value histogram (reference tools/stats.py uses
+    numpy.percentile throughout — cqv_threshold:87,
+    get_nbins_histogram:609): h = (n-1)*p/100, lerp between the
+    floor(h)-th and (floor(h)+1)-th order statistics. The chain
+    (one multiply for h, one lerp) is the SQL parity contract."""
+    n = int(hist.sum())
+    if n == 0:
+        raise ValueError("empty histogram")
+    h = (n - 1) * (p / 100.0)
+    k = int(np.floor(h))
+    frac = h - np.floor(h)
+    cum = np.cumsum(hist)
+    vk = float(np.searchsorted(cum, k + 1))
+    vk1 = float(np.searchsorted(cum, min(k + 2, n)))
+    return vk + (vk1 - vk) * frac
+
+
+def cqv_from_hists(
+    hists: dict[str, np.ndarray],
+    low: float = 0.25,
+    high: float = 0.75,
+) -> "pa.Table":
+    """Quartile coefficient of variation per column
+    (tools/stats.py:87 cqv_threshold): cqv = (q3-q1)/(q3+q1) with
+    numpy-lerp quartiles; keep = low <= cqv <= high. One row per
+    column, insertion order."""
+    cols, cqvs, keeps = [], [], []
+    for c, hist in hists.items():
+        q1 = percentile_linear_from_hist(hist, 25.0)
+        q3 = percentile_linear_from_hist(hist, 75.0)
+        cqv = (q3 - q1) / (q3 + q1)
+        cols.append(c)
+        cqvs.append(cqv)
+        keeps.append(bool((cqv >= low) & (cqv <= high)))
+    return pa.table(
+        {
+            "col": pa.array(cols, pa.string()),
+            "cqv": pa.array(cqvs, pa.float64()),
+            "keep": pa.array(keeps, pa.bool_()),
+        }
+    )
+
+
+def freedman_diaconis_bins(
+    hist: np.ndarray,
+) -> tuple[int, float]:
+    """Histogram bin count + width (tools/stats.py:609
+    get_nbins_histogram): bin_width = 2*IQR*n^(-1/3) with numpy-lerp
+    quartiles; n_bins = int((max-min)/width) + 2."""
+    n = int(hist.sum())
+    q1 = percentile_linear_from_hist(hist, 25.0)
+    q3 = percentile_linear_from_hist(hist, 75.0)
+    iqr = q3 - q1
+    width = 2.0 * iqr * float(n) ** (-1.0 / 3.0)
+    nz = np.flatnonzero(hist)
+    vmin, vmax = float(nz[0]), float(nz[-1])
+    return int((vmax - vmin) / width) + 2, float(width)
