@@ -14175,3 +14175,128 @@ def q_hist_nbins(sf_dir: str):
             "bin_width": pa.array([width], pa.float64()),
         }
     )
+
+
+# ===========================================================================
+# Breusch-Pagan heteroskedasticity test (stages/scores.py — reference
+# tools/stats.py:318). The SQL oracle replays the engine's exact
+# chain: integer global moments, OLS a/b, per-x residual-moment
+# decomposition over the bounded x domain (absent-x terms are exact
+# float zeros, so the full-domain unroll is a bitwise no-op for
+# them), ascending-x left-associative accumulation.
+# ===========================================================================
+
+_BP_XD = range(1, 51)
+
+_SQL_BP_SRC = (
+    "SELECT CAST(l_quantity AS BIGINT) AS x, "
+    "2 * CAST(l_quantity AS BIGINT) "
+    "+ (l_orderkey * 10 + l_linenumber) % 7 AS y FROM lineitem"
+)
+
+
+def _sql_breusch_pagan() -> str:
+    xs = list(_BP_XD)
+    piv_cols = []
+    for x in xs:
+        piv_cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN x = {x} THEN 1 END), 0)"
+            f" AS BIGINT) AS c{x}"
+        )
+        for k in range(1, 5):
+            piv_cols.append(
+                f"CAST(COALESCE(SUM(CASE WHEN x = {x} THEN "
+                + " * ".join(["y"] * k)
+                + f" END), 0) AS BIGINT) AS s{k}_{x}"
+            )
+    piv = (
+        f"SELECT {', '.join(piv_cols)} FROM ({_SQL_BP_SRC})"
+    )
+    n = "(" + " + ".join(f"c{x}" for x in xs) + ")"
+    Sx = "(" + " + ".join(f"{x} * c{x}" for x in xs) + ")"
+    Sxx = "(" + " + ".join(f"{x * x} * c{x}" for x in xs) + ")"
+    Sy = "(" + " + ".join(f"s1_{x}" for x in xs) + ")"
+    Sxy = "(" + " + ".join(f"{x} * s1_{x}" for x in xs) + ")"
+    det = f"({n} * {Sxx} - {Sx} * {Sx})"
+    b = (
+        f"(CAST({n} * {Sxy} - {Sx} * {Sy} AS DOUBLE)"
+        f" / CAST({det} AS DOUBLE))"
+    )
+    a = (
+        f"((CAST({Sy} AS DOUBLE) - bb * CAST({Sx} AS DOUBLE))"
+        f" / CAST({n} AS DOUBLE))"
+    )
+    cxs = ", ".join(
+        f"aa + bb * CAST({x} AS DOUBLE) AS cx{x}" for x in xs
+    )
+    grp_cols = []
+    for x in xs:
+        grp_cols.append(
+            f"(CAST(s2_{x} AS DOUBLE) - 2.0e0 * cx{x}"
+            f" * CAST(s1_{x} AS DOUBLE)) + cx{x} * cx{x}"
+            f" * CAST(c{x} AS DOUBLE) AS g{x}"
+        )
+        grp_cols.append(
+            f"(((CAST(s4_{x} AS DOUBLE) - 4.0e0 * cx{x}"
+            f" * CAST(s3_{x} AS DOUBLE)) + 6.0e0 * cx{x} * cx{x}"
+            f" * CAST(s2_{x} AS DOUBLE)) - 4.0e0 * cx{x} * cx{x}"
+            f" * cx{x} * CAST(s1_{x} AS DOUBLE)) AS h{x}, "
+            f"cx{x} * cx{x} * cx{x} * cx{x}"
+            f" * CAST(c{x} AS DOUBLE) AS q{x}"
+        )
+    sz = "0.0e0"
+    szx = "0.0e0"
+    szz = "0.0e0"
+    for x in xs:
+        sz = f"({sz} + g{x})"
+        szx = f"({szx} + CAST({x} AS DOUBLE) * g{x})"
+        szz = f"(({szz} + h{x}) + q{x})"
+    return f"""
+    WITH piv AS MATERIALIZED ({piv}),
+    ab AS (SELECT piv.*, {b} AS bb FROM piv),
+    ab2 AS (SELECT ab.*, {a} AS aa FROM ab),
+    cxt AS (SELECT ab2.*, {cxs} FROM ab2),
+    gt AS (SELECT cxt.*, {', '.join(grp_cols)} FROM cxt),
+    acc AS (SELECT gt.*, {sz} AS szv, {szx} AS szxv, {szz} AS szzv
+            FROM gt)
+    SELECT CAST({n} AS BIGINT) AS n,
+      CAST({n} AS DOUBLE)
+        * (((CAST({n} AS DOUBLE) * szxv - CAST({Sx} AS DOUBLE) * szv)
+            * (CAST({n} AS DOUBLE) * szxv - CAST({Sx} AS DOUBLE) * szv))
+           / (CAST({det} AS DOUBLE)
+              * (CAST({n} AS DOUBLE) * szzv - szv * szv))) AS lm_stat,
+      (((CAST({n} AS DOUBLE) * szxv - CAST({Sx} AS DOUBLE) * szv)
+        * (CAST({n} AS DOUBLE) * szxv - CAST({Sx} AS DOUBLE) * szv))
+       / (CAST({det} AS DOUBLE)
+          * (CAST({n} AS DOUBLE) * szzv - szv * szv))) AS aux_r2
+    FROM acc
+    """
+
+
+@register("breusch_pagan", _sql_breusch_pagan())
+def q_breusch_pagan(sf_dir: str):
+    """Breusch-Pagan LM statistic + auxiliary R^2 for qty -> y
+    (tools/stats.py:318; the chi-square p-value is documented out —
+    scipy is absent in this environment). Per-x power-sum
+    decomposition keeps every distributed sum an exact integer."""
+    from rsgislib_ray.stages.scores import breusch_pagan
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        q = batch["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table({"x": q, "y": 2 * q + ck % 7})
+
+    return breusch_pagan(
+        ds.map_batches(f, batch_format="pyarrow", batch_size=65536),
+        "x",
+        "y",
+        _BP_XD,
+    )

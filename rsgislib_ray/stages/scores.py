@@ -309,3 +309,86 @@ def bias_variance_panel(
             "noise": pa.array([noise], pa.float64()),
         }
     )
+
+
+def breusch_pagan(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    x_domain: range,
+) -> pa.Table:
+    """Breusch-Pagan heteroskedasticity test statistic for a simple
+    (1-predictor) linear model (tools/stats.py:318 — OLS fit, squared
+    residuals, auxiliary regression of the squared errors on x,
+    LM = n * R^2 of the auxiliary fit; the reference's chi-square
+    p-value needs scipy, absent in this environment, so the statistic
+    and R^2 are emitted and the p-value is documented out).
+
+    Distribution model: x lives on a bounded integer domain, so ONE
+    pre-reduced groupby collects per-x power sums of y (count,
+    sum y..sum y^4 — exact int64); every residual moment then
+    decomposes per x-group (sum (y - C)^k expands over the power
+    sums with C = a + b*x), and the driver accumulates the float
+    group terms in ascending-x order — the fixed chain the unrolled
+    SQL oracle replays."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy().astype(np.int64)
+        y = batch[y_col].to_numpy().astype(np.int64)
+        ux, inv = np.unique(x, return_inverse=True)
+        out = {"x": ux}
+        for k in range(5):
+            a = np.zeros(len(ux), dtype=np.int64)
+            np.add.at(a, inv, y**k if k else np.ones(len(y), np.int64))
+            out[f"s{k}"] = a
+        return pa.table(out)
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("x")
+        .sum([f"s{k}" for k in range(5)])
+        .to_pandas()
+        .sort_values("x")
+    )
+    g = {
+        int(r["x"]): tuple(int(r[f"sum(s{k})"]) for k in range(5))
+        for _i, r in pdf.iterrows()
+    }
+    # exact integer global moments
+    n = sum(s[0] for s in g.values())
+    Sx = sum(x * s[0] for x, s in g.items())
+    Sxx = sum(x * x * s[0] for x, s in g.items())
+    Sy = sum(s[1] for s in g.values())
+    Sxy = sum(x * s[1] for x, s in g.items())
+    det = n * Sxx - Sx * Sx
+    b = float(n * Sxy - Sx * Sy) / float(det)
+    a = (float(Sy) - b * float(Sx)) / float(n)
+    Sz = 0.0
+    Szx = 0.0
+    Szz = 0.0
+    for x in x_domain:
+        if x not in g:
+            continue
+        cnt, s1, s2, s3, s4 = g[x]
+        C = a + b * float(x)
+        grp = (float(s2) - 2.0 * C * float(s1)) + C * C * float(cnt)
+        Sz = Sz + grp
+        Szx = Szx + float(x) * grp
+        Szz = Szz + (
+            (
+                (float(s4) - 4.0 * C * float(s3))
+                + 6.0 * C * C * float(s2)
+            )
+            - 4.0 * C * C * C * float(s1)
+        ) + C * C * C * C * float(cnt)
+    nf = float(n)
+    num = nf * Szx - float(Sx) * Sz
+    r2 = (num * num) / (float(det) * (nf * Szz - Sz * Sz))
+    lm = nf * r2
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "lm_stat": pa.array([lm], pa.float64()),
+            "aux_r2": pa.array([r2], pa.float64()),
+        }
+    )

@@ -117,3 +117,31 @@ def test_bias_variance(ray_session):
         d.mean() / t.mean() * 100, rel=1e-12
     )
     assert out["noise"] >= 0.0
+
+
+def test_breusch_pagan_vs_direct(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    x = rng.integers(1, 21, n).astype(np.int64)
+    # heteroskedastic: noise scale grows with x
+    y = (3 * x + np.rint(rng.normal(0, 1, n) * x).astype(np.int64)).astype(
+        np.int64
+    )
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y})).repartition(4)
+    out = sc.breusch_pagan(ds, "x", "y", range(1, 21)).to_pandas().iloc[0]
+    # direct: OLS fit, squared residuals, aux regression R^2
+    X = np.stack([x.astype(float), np.ones(n)], axis=1)
+    beta, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+    err = (y - X @ beta) ** 2
+    Xa = np.stack([x.astype(float), np.ones(n)], axis=1)
+    ab, *_ = np.linalg.lstsq(Xa, err, rcond=None)
+    pred = Xa @ ab
+    ss_tot = np.sum((err - err.mean()) ** 2)
+    ss_res = np.sum((err - pred) ** 2)
+    r2 = 1 - ss_res / ss_tot
+    assert out["aux_r2"] == pytest.approx(r2, rel=1e-6)
+    assert out["lm_stat"] == pytest.approx(n * r2, rel=1e-6)
+    # heteroskedastic fixture should light up the statistic
+    assert out["lm_stat"] > 50.0
