@@ -140,6 +140,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "semivariogram",
         "kmeans_exact",
         "reproject_utm",
+        # round-4 additions: calibration chain, season-trend moments +
+        # Cholesky, registration tile scans, banded DEM fill,
+        # confusion-reduce panel
+        "calib_toa_refl",
+        "st_model_fit",
+        "reg_tie_points",
+        "dem_fill",
+        "class_accuracy_global",
         # shuffle-heavy strategies LAST: their sort/join stages leave a
         # large idle-worker pool behind that breaks the per-process
         # broadcast-cache locality of later broadcast-path queries

@@ -14300,3 +14300,104 @@ def q_breusch_pagan(sf_dir: str):
         "y",
         _BP_XD,
     )
+
+
+# ===========================================================================
+# Terrain shadow mask (stages/demtools.shadow_mask — reference
+# RSGISCalcShadowBinaryMask, RSGISDEMTools.cpp). Fixture: the gentle
+# SE-rising slope with +9 spikes; sun from the NW at zenith 65 so
+# spikes cast discretized-ray shadows.
+# ===========================================================================
+
+_SHW_AZ, _SHW_ZEN, _SHW_K = 315.0, 65.0, 12
+
+
+def _shw_offsets():
+    az = _SHW_AZ * _math.pi / 180.0
+    zen = _SHW_ZEN * _math.pi / 180.0
+    return [
+        (
+            int(_math.floor(-k * _math.cos(az) + 0.5)),
+            int(_math.floor(k * _math.sin(az) + 0.5)),
+            k / _math.tan(zen),
+        )
+        for k in range(1, _SHW_K + 1)
+    ]
+
+
+def _sql_shadow() -> str:
+    az = _SHW_AZ * _math.pi / 180.0
+    zen = _SHW_ZEN * _math.pi / 180.0
+    cos_sz, sin_sz = _math.cos(zen), _math.sin(zen)
+    px = f"""
+    px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range // {_SEG_N} + p.range % {_SEG_N}) // 4
+               + CASE WHEN (31 * (p.range // {_SEG_N})
+                            + 17 * (p.range % {_SEG_N})) % 37 = 0
+                      THEN 9 ELSE 0 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    )
+    """
+    asp = "(ATAN2(CAST(-gx AS DOUBLE), CAST(gy AS DOUBLE))" \
+          f" * {_R2D!r})"
+    joins, hits = [], []
+    for i, (orow, ocol, tk) in enumerate(_shw_offsets(), start=1):
+        joins.append(
+            f"LEFT JOIN px s{i} ON s{i}.rr = h.rr + ({orow})"
+            f" AND s{i}.cc = h.cc + ({ocol})"
+        )
+        hits.append(
+            f"(s{i}.val IS NOT NULL AND CAST(s{i}.val AS DOUBLE)"
+            f" > CAST(h.val AS DOUBLE) + {_dlit(tk)})"
+        )
+    return f"""
+    WITH {px},
+    {_DEMX_GXY.format(n2=_SEG_N - 2)},
+    f AS (SELECT g.pixel_id, g.gx, g.gy, p0.rr, p0.cc, p0.val
+          FROM g JOIN px p0 ON p0.pixel_id = g.pixel_id),
+    f2 AS (SELECT *,
+        ATAN(SQRT(CAST(gx * gx + gy * gy AS DOUBLE)) / 8.0e0) AS s,
+        CASE WHEN {asp} < 0.0e0 THEN {asp} + 360.0e0
+             ELSE {asp} END AS a0 FROM f),
+    h AS (SELECT pixel_id, gx, gy, rr, cc, val,
+        ({_dlit(cos_sz)} * COS(s)) + ({_dlit(sin_sz)} * SIN(s)
+          * COS({_dlit(az)} - (CASE WHEN a0 = 360.0e0 THEN 0.0e0
+                ELSE a0 END) * {_dlit(_math.pi / 180.0)})) AS ic
+      FROM f2)
+    SELECT h.pixel_id,
+      CAST(CASE WHEN h.gx = 0 AND h.gy = 0 THEN 0
+           WHEN h.ic < 0.0e0 THEN 1
+           WHEN {' OR '.join(hits)} THEN 1
+           ELSE 0 END AS BIGINT) AS shadow
+    FROM h {' '.join(joins)}
+    """
+
+
+@register("dem_shadow_mask", _sql_shadow())
+def q_dem_shadow_mask(sf_dir: str):
+    """Terrain shadow mask (RSGISCalcShadowBinaryMask,
+    RSGISDEMTools.cpp): away-from-sun incidence + discretized
+    toward-sun ray sampling (12 unit steps, precomputed half-up
+    integer offsets), flat pixels never shadowed (reference quirk,
+    mirrored). Sun az 315 zen 65 over the spiked slope fixture."""
+    from rsgislib_ray.stages.demtools import shadow_mask
+
+    pid = np.arange(_SEG_N * _SEG_N, dtype=np.int64)
+    row, col = np.divmod(pid, _SEG_N)
+    z = (row + col) // 4 + 9 * ((31 * row + 17 * col) % 37 == 0).astype(
+        np.int64
+    )
+    t = pa.table(
+        {"pixel_id": pid, "row": row, "col": col, "value": z}
+    )
+    return shadow_mask(
+        ray.data.from_arrow(t).repartition(8),
+        _SEG_N,
+        _SHW_AZ,
+        _SHW_ZEN,
+        n_steps=_SHW_K,
+        tile_size=32,
+    )

@@ -183,3 +183,120 @@ def detrend_plane(
         .groupby("tile_id")
         .map_groups(per_tile, batch_format="pyarrow")
     )
+
+
+def shadow_mask(
+    raster: ray.data.Dataset,
+    width: int,
+    sun_azimuth_deg: float,
+    sun_zenith_deg: float,
+    n_steps: int = 12,
+    value_col: str = "value",
+    tile_size: int = 64,
+) -> ray.data.Dataset:
+    """Terrain shadow mask (RSGISCalcShadowBinaryMask,
+    /root/reference/src/calibration/RSGISDEMTools.cpp): a pixel is
+    shadowed when it faces away from the sun (incidence term
+    ic = cos(sz)cos(slope) + sin(sz)sin(slope)cos(saz - aspect) < 0)
+    OR the discretized ray toward the sun intersects terrain. The
+    reference walks a GDAL ray extractor per pixel; ours samples the
+    ray at ``n_steps`` unit ground steps with half-up-rounded integer
+    offsets (precomputed once, the SQL parity contract) and ray
+    heights z + k/tan(zenith). The reference's flat-ground quirk is
+    mirrored: flat pixels (zero Horn gradients) skip BOTH tests and
+    are never shadowed. Interior pixels only (full 3x3 windows);
+    off-grid ray samples see no terrain."""
+    from rsgislib_ray.stages.raster import _halo_dup_fn
+
+    d2r = math.pi / 180.0
+    az = sun_azimuth_deg * d2r
+    zen = sun_zenith_deg * d2r
+    # toward-sun ground direction: east = sin(az), north = cos(az);
+    # rows grow southward
+    offs = [
+        (
+            int(math.floor(-k * math.cos(az) + 0.5)),  # drow
+            int(math.floor(k * math.sin(az) + 0.5)),  # dcol
+            k / math.tan(zen),  # ray height gain
+        )
+        for k in range(1, n_steps + 1)
+    ]
+    halo = n_steps + 1
+    if halo > tile_size:
+        raise ValueError("n_steps + 1 must be <= tile_size")
+    dup = _halo_dup_fn(tile_size, halo)
+    cos_sz, sin_sz = math.cos(zen), math.sin(zen)
+
+    def per_tile(g: pa.Table) -> pa.Table:
+        tid = int(g["tile_id"][0].as_py())
+        tr, tc = tid // (1 << 20), tid % (1 << 20)
+        r0 = tr * tile_size - halo
+        c0 = tc * tile_size - halo
+        dim = tile_size + 2 * halo
+        rr = g["row"].to_numpy().astype(np.int64) - r0
+        cc = g["col"].to_numpy().astype(np.int64) - c0
+        z = np.zeros((dim, dim), dtype=np.int64)
+        p = np.zeros((dim, dim), dtype=bool)
+        z[rr, cc] = g[value_col].to_numpy().astype(np.int64)
+        p[rr, cc] = True
+        # interior core pixels with full 3x3 windows
+        core = (
+            (rr >= halo)
+            & (rr < dim - halo)
+            & (cc >= halo)
+            & (cc < dim - halo)
+        )
+        sr, sc = rr[core], cc[core]
+        full = np.ones(len(sr), dtype=bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                full &= p[sr + dy, sc + dx]
+        sr, sc = sr[full], sc[full]
+        if not len(sr):
+            return pa.table(
+                {
+                    "pixel_id": pa.array([], pa.int64()),
+                    "shadow": pa.array([], pa.int64()),
+                }
+            )
+        gx = np.zeros(len(sr), dtype=np.int64)
+        gy = np.zeros(len(sr), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                w_x = (2 if dy == 0 else 1) * (0 if dx == 0 else dx)
+                w_y = (2 if dx == 0 else 1) * (0 if dy == 0 else dy)
+                v = z[sr + dy, sc + dx]
+                gx += w_x * v
+                gy += w_y * v
+        gxf, gyf = gx.astype(np.float64), gy.astype(np.float64)
+        slope = np.arctan(np.sqrt(gxf * gxf + gyf * gyf) / 8.0)
+        aspect = np.arctan2(-gxf, gyf) * (180.0 / math.pi)
+        aspect = np.where(aspect < 0.0, aspect + 360.0, aspect)
+        aspect = np.where(aspect == 360.0, 0.0, aspect)
+        arad = aspect * d2r
+        ic = (cos_sz * np.cos(slope)) + (
+            sin_sz * np.sin(slope) * np.cos(az - arad)
+        )
+        flat = (gx == 0) & (gy == 0)
+        zc = z[sr, sc].astype(np.float64)
+        hit = np.zeros(len(sr), dtype=bool)
+        for (orow, ocol, tk) in offs:
+            r2, c2 = sr + orow, sc + ocol
+            ok = (r2 >= 0) & (r2 < dim) & (c2 >= 0) & (c2 < dim)
+            r2s, c2s = np.clip(r2, 0, dim - 1), np.clip(c2, 0, dim - 1)
+            samp_present = p[r2s, c2s] & ok
+            samp = z[r2s, c2s].astype(np.float64)
+            hit |= samp_present & (samp > zc + tk)
+        shadow = np.where(flat, 0, ((ic < 0.0) | hit).astype(np.int64))
+        return pa.table(
+            {
+                "pixel_id": (sr + r0) * np.int64(width) + sc + c0,
+                "shadow": shadow,
+            }
+        )
+
+    return (
+        raster.map_batches(dup, batch_format="pyarrow", batch_size=65536)
+        .groupby("tile_id")
+        .map_groups(per_tile, batch_format="pyarrow")
+    )
