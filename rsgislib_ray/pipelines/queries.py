@@ -14401,3 +14401,201 @@ def q_dem_shadow_mask(sf_dir: str):
         n_steps=_SHW_K,
         tile_size=32,
     )
+
+
+# ===========================================================================
+# Morphology composites (reference src/filtering/RSGISMorphology
+# {Opening,Closing,Gradient,TopHat}.cpp): two-pass erode/dilate
+# chains + diffs over the halo-tiled window reduction, grayscale
+# fixture.
+# ===========================================================================
+
+_MORPH_G_SQL = """
+    px AS MATERIALIZED (
+      SELECT r.range AS pixel_id,
+             r.range // 100 AS row_i, r.range % 100 AS col_i,
+             (r.range // 100 * 31 + r.range % 100 * 17) % 97 AS v
+      FROM range(10000) r
+    )"""
+
+_MORPH_WIN = (
+    "ON abs(a.row_i - b.row_i) <= 1 AND abs(a.col_i - b.col_i) <= 1"
+)
+
+
+def _morph_gray_ds():
+    n = 100
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    value = ((row * 31 + col * 17) % 97).astype(np.float64)
+    return ray.data.from_arrow(
+        pa.table(
+            {"pixel_id": pid, "row": row, "col": col, "value": value}
+        )
+    ).repartition(8)
+
+
+def _morph_two_pass(first: str, second: str):
+    from rsgislib_ray.stages.raster import tiled_filter
+
+    p1 = tiled_filter(
+        _morph_gray_ds(), None, kernel_size=3, tile_size=32, agg=first
+    )
+    p2 = tiled_filter(
+        p1, None, kernel_size=3, tile_size=32, agg=second,
+        value_col="filtered",
+    )
+    return p1, p2
+
+
+def _sql_morph_two(first: str, second: str, out_expr: str) -> str:
+    f1 = "MAX" if first == "max" else "MIN"
+    f2 = "MAX" if second == "max" else "MIN"
+    return f"""
+    WITH {_MORPH_G_SQL},
+    m1 AS MATERIALIZED (
+      SELECT a.pixel_id, a.row_i, a.col_i, a.v,
+             CAST({f1}(b.v) AS DOUBLE) AS w
+      FROM px a JOIN px b {_MORPH_WIN}
+      GROUP BY a.pixel_id, a.row_i, a.col_i, a.v),
+    m2 AS (
+      SELECT a.pixel_id, a.v, {f2}(b.w) AS w2
+      FROM m1 a JOIN m1 b {_MORPH_WIN}
+      GROUP BY a.pixel_id, a.v)
+    SELECT pixel_id, {out_expr} FROM m2
+    """
+
+
+@register(
+    "morph_opening",
+    _sql_morph_two("min", "max", "w2 AS filtered"),
+)
+def q_morph_opening(sf_dir: str):
+    """Grayscale 3x3 opening = erode then dilate (executeImageOpening
+    -> RSGISMorphologyOpening.cpp, one iteration): two halo-tiled
+    window passes."""
+    _p1, p2 = _morph_two_pass("min", "max")
+    return p2.select_columns(["pixel_id", "filtered"])
+
+
+@register(
+    "morph_closing",
+    _sql_morph_two("max", "min", "w2 AS filtered"),
+)
+def q_morph_closing(sf_dir: str):
+    """Grayscale 3x3 closing = dilate then erode
+    (RSGISMorphologyClosing.cpp)."""
+    _p1, p2 = _morph_two_pass("max", "min")
+    return p2.select_columns(["pixel_id", "filtered"])
+
+
+@register(
+    "morph_gradient",
+    f"""
+    WITH {_MORPH_G_SQL}
+    SELECT a.pixel_id,
+      CAST(MAX(b.v) AS DOUBLE) - CAST(MIN(b.v) AS DOUBLE) AS filtered
+    FROM px a JOIN px b {_MORPH_WIN}
+    GROUP BY a.pixel_id
+    """,
+)
+def q_morph_gradient(sf_dir: str):
+    """Morphological gradient = window max - window min in ONE pass
+    (RSGISMorphologyGradient::calcImageValue)."""
+    from rsgislib_ray.stages.raster import tiled_filter
+
+    mx = tiled_filter(
+        _morph_gray_ds(), None, kernel_size=3, tile_size=32, agg="max"
+    )
+    mn = tiled_filter(
+        _morph_gray_ds(), None, kernel_size=3, tile_size=32, agg="min"
+    )
+
+    def dkey(b: pa.Table, name: str) -> pa.Table:
+        return pa.table(
+            {"pixel_id": b["pixel_id"], name: b["filtered"]}
+        )
+
+    from rsgislib_ray.stages.components import (
+        drop_empty_blocks,
+        measured_join_partitions,
+    )
+
+    j = drop_empty_blocks(
+        mx.map_batches(
+            lambda b: dkey(b, "mx"), batch_format="pyarrow"
+        ).join(
+            mn.map_batches(
+                lambda b: dkey(b, "mn"), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            on=("pixel_id",),
+            num_partitions=measured_join_partitions(10000),
+        )
+    )
+
+    def diff(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pixel_id": b["pixel_id"],
+                "filtered": b["mx"].to_numpy() - b["mn"].to_numpy(),
+            }
+        )
+
+    return j.map_batches(diff, batch_format="pyarrow")
+
+
+@register(
+    "morph_white_tophat",
+    _sql_morph_two(
+        "min", "max", "CAST(v AS DOUBLE) - w2 AS filtered"
+    ),
+)
+def q_morph_white_tophat(sf_dir: str):
+    """White top-hat = original - opening
+    (executeImageWhiteTopHat -> RSGISMorphologyTopHat.cpp:105-140,
+    erode-then-dilate then image diff)."""
+    _p1, p2 = _morph_two_pass("min", "max")
+
+    # tiled_filter carries only the filtered value forward; the
+    # original is re-derived from pixel_id (deterministic fixture)
+    def rederive_diff(b: pa.Table) -> pa.Table:
+        pid = b["pixel_id"].to_numpy().astype(np.int64)
+        v = (((pid // 100) * 31 + (pid % 100) * 17) % 97).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "pixel_id": b["pixel_id"],
+                "filtered": v - b["filtered"].to_numpy(),
+            }
+        )
+
+    return p2.map_batches(rederive_diff, batch_format="pyarrow")
+
+
+@register(
+    "morph_black_tophat",
+    _sql_morph_two(
+        "max", "min", "w2 - CAST(v AS DOUBLE) AS filtered"
+    ),
+)
+def q_morph_black_tophat(sf_dir: str):
+    """Black top-hat = closing - original
+    (executeImageBlackTopHat -> RSGISMorphologyTopHat.cpp:36-100,
+    dilate-then-erode then image diff)."""
+    _p1, p2 = _morph_two_pass("max", "min")
+
+    def rederive_diff(b: pa.Table) -> pa.Table:
+        pid = b["pixel_id"].to_numpy().astype(np.int64)
+        v = (((pid // 100) * 31 + (pid % 100) * 17) % 97).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "pixel_id": b["pixel_id"],
+                "filtered": b["filtered"].to_numpy() - v,
+            }
+        )
+
+    return p2.map_batches(rederive_diff, batch_format="pyarrow")

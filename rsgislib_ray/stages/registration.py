@@ -99,10 +99,26 @@ def coregister_shifted(
         )
         return pa.concat_tables([t1, t2])
 
-    agg = (
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    # pre-reduce per batch (many points share a cell), then the
+    # sort-based segment reduction (native groupby aggregate is the
+    # measured ~100x trap at high key cardinality, stages/segsum.py)
+    def prereduce(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy()
+        uk, inv = np.unique(k, return_inverse=True)
+        out = {"k": uk}
+        for c in ("rv_p", "fv_p", "nr_p", "nf_p"):
+            a = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(a, inv, batch[c].to_numpy())
+            out[c] = a
+        return pa.table(out)
+
+    agg = segment_sum(
         points.map_batches(fan, batch_format="pyarrow", batch_size=65536)
-        .groupby("k")
-        .sum(["rv_p", "fv_p", "nr_p", "nf_p"])
+        .map_batches(prereduce, batch_format="pyarrow"),
+        "k",
+        ["rv_p", "fv_p", "nr_p", "nf_p"],
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -111,10 +127,10 @@ def coregister_shifted(
             {
                 "row": k >> np.int64(20),
                 "col": k & np.int64((1 << 20) - 1),
-                "rv": batch["sum(rv_p)"].to_numpy().astype(np.int64),
-                "fv": batch["sum(fv_p)"].to_numpy().astype(np.int64),
-                "nr": batch["sum(nr_p)"].to_numpy().astype(np.int64),
-                "nf": batch["sum(nf_p)"].to_numpy().astype(np.int64),
+                "rv": batch["rv_p"].to_numpy().astype(np.int64),
+                "fv": batch["fv_p"].to_numpy().astype(np.int64),
+                "nr": batch["nr_p"].to_numpy().astype(np.int64),
+                "nf": batch["nf_p"].to_numpy().astype(np.int64),
             }
         )
 

@@ -130,7 +130,11 @@ def pixel_start_dates(
     ds: ray.data.Dataset, pixel_col: str, t_col: str
 ) -> ray.data.Dataset:
     """Per-pixel earliest day (modelfitting.py:82 rescales each
-    pixel's dates to start at 0): one pre-reduced min pass."""
+    pixel's dates to start at 0): pre-reduced min partials through
+    the sort-based :func:`segment_sum` (Ray's native groupby
+    aggregate is ~100x slower at high key cardinality — measured,
+    see stages/segsum.py). Output columns: (pixel_col, t0)."""
+    from rsgislib_ray.stages.segsum import segment_sum
 
     def partial(batch: pa.Table) -> pa.Table:
         pix = batch[pixel_col].to_numpy().astype(np.int64)
@@ -139,12 +143,13 @@ def pixel_start_dates(
         pix, t = pix[order], t[order]
         first = np.concatenate(([True], pix[1:] != pix[:-1]))
         mins = np.minimum.reduceat(t, np.flatnonzero(first))
-        return pa.table({pixel_col: pix[first], "t0_partial": mins})
+        return pa.table({pixel_col: pix[first], "t0": mins})
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(pixel_col)
-        .min("t0_partial")
+    return segment_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        pixel_col,
+        ["t0"],
+        aggs=["min"],
     )
 
 
@@ -198,11 +203,11 @@ def season_trend_moments(
     if t0_attach == "broadcast":
         from rsgislib_ray.state.broadcast import cached
 
-        t0_tbl = t0.to_pandas()
+        t0_tbl = t0.to_pandas().sort_values(pixel_col)
         ref = ray.put(
             (
                 t0_tbl[pixel_col].to_numpy().astype(np.int64),
-                t0_tbl["min(t0_partial)"].to_numpy().astype(np.int64),
+                t0_tbl["t0"].to_numpy().astype(np.int64),
             )
         )
 
@@ -230,7 +235,7 @@ def season_trend_moments(
 
         def g(batch: pa.Table) -> pa.Table:
             return partials_from(
-                batch, batch["min(t0_partial)"].to_numpy().astype(np.int64)
+                batch, batch["t0"].to_numpy().astype(np.int64)
             )
 
         parts = joined.map_batches(
@@ -239,18 +244,9 @@ def season_trend_moments(
     else:
         raise ValueError(f"unknown t0_attach {t0_attach!r}")
 
-    agg = parts.groupby(pixel_col).sum(mcols)
-    # groupby.sum prefixes names with sum( ) — restore flat names
-    ren = {f"sum({c})": c for c in mcols}
+    from rsgislib_ray.stages.segsum import segment_sum
 
-    def flat(batch: pa.Table) -> pa.Table:
-        cols = {pixel_col: batch[pixel_col]}
-        for src, dst in ren.items():
-            cols[dst] = batch[src]
-        return pa.table(cols)
-
-    moments = agg.map_batches(flat, batch_format="pyarrow")
-    # attach t0 for reporting (tiny join against the same table)
+    moments = segment_sum(parts, pixel_col, mcols)
     return moments, t0
 
 
@@ -383,11 +379,11 @@ def predict_for_day(
     coefficients, so the full basis dot product is tier-safe."""
     from rsgislib_ray.state.broadcast import cached
 
-    t0_tbl = t0.to_pandas()
+    t0_tbl = t0.to_pandas().sort_values(pixel_col)
     ref = ray.put(
         (
             t0_tbl[pixel_col].to_numpy().astype(np.int64),
-            t0_tbl["min(t0_partial)"].to_numpy().astype(np.int64),
+            t0_tbl["t0"].to_numpy().astype(np.int64),
         )
     )
     L = float(lattice)
