@@ -14599,3 +14599,36 @@ def q_morph_black_tophat(sf_dir: str):
         )
 
     return p2.map_batches(rederive_diff, batch_format="pyarrow")
+
+
+@register(
+    "morph_local_minima",
+    f"""
+    WITH {_MORPH_G_SQL}
+    SELECT a.pixel_id,
+      CAST(CASE WHEN SUM(CASE WHEN b.v <= a.v THEN 1 ELSE 0 END) = 0
+           THEN 1 ELSE 0 END AS BIGINT) AS is_minima
+    FROM px a JOIN px b
+      ON abs(a.row_i - b.row_i) = 1 AND abs(a.col_i - b.col_i) = 1
+    WHERE a.row_i BETWEEN 1 AND 98 AND a.col_i BETWEEN 1 AND 98
+    GROUP BY a.pixel_id, a.v
+    """,
+)
+def q_morph_local_minima(sf_dir: str):
+    """Local-minima flags (RSGISMorphologyFindLocalMinima,
+    RSGISMorphologyFindExtrema.cpp:94, binary output): the reference's
+    centre-row/column exclusion quirk means only the four CORNER
+    neighbours disqualify a pixel (strict allowEquals=False rule),
+    mirrored faithfully; interior pixels of the grayscale fixture."""
+    from rsgislib_ray.stages.raster import local_minima
+
+    n = 100
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    value = ((row * 31 + col * 17) % 97).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"pixel_id": pid, "row": row, "col": col, "value": value}
+        )
+    ).repartition(8)
+    return local_minima(ds, n, n, tile_size=32)

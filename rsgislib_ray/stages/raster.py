@@ -779,3 +779,77 @@ def build_pyramid(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def local_minima(
+    raster: ray.data.Dataset,
+    width: int,
+    height: int,
+    value_col: str = "value",
+    allow_equals: bool = False,
+    tile_size: int = 64,
+) -> ray.data.Dataset:
+    """Local-minima flags (RSGISMorphologyFindLocalMinima,
+    /root/reference/src/filtering/RSGISMorphologyFindExtrema.cpp:94 —
+    binary output type). REFERENCE-FAITHFUL QUIRK: the C++ skips any
+    window cell in the centre row OR centre column (its guard is
+    ``(i != c) & (j != c)``), so in a 3x3 window only the four CORNER
+    neighbours are compared; ``allow_equals`` picks strict-< vs <=
+    disqualification. Interior pixels only (full windows)."""
+
+    halo = 1
+    dup = _halo_dup_fn(tile_size, halo)
+
+    def per_tile(g) -> pa.Table:
+        tid = int(g["tile_id"][0].as_py())
+        tr, tc = tid // (1 << 20), tid % (1 << 20)
+        r0 = tr * tile_size - halo
+        c0 = tc * tile_size - halo
+        dim = tile_size + 2 * halo
+        rr = g["row"].to_numpy().astype(np.int64) - r0
+        cc = g["col"].to_numpy().astype(np.int64) - c0
+        z = np.zeros((dim, dim), dtype=np.int64)
+        p = np.zeros((dim, dim), dtype=bool)
+        z[rr, cc] = g[value_col].to_numpy().astype(np.int64)
+        p[rr, cc] = True
+        core = (
+            (rr >= halo)
+            & (rr < dim - halo)
+            & (cc >= halo)
+            & (cc < dim - halo)
+        )
+        # interior of the RASTER (full 3x3 windows)
+        gr = rr[core] + r0
+        gc = cc[core] + c0
+        inner = (
+            (gr >= 1) & (gr < height - 1) & (gc >= 1) & (gc < width - 1)
+        )
+        sr, sc = rr[core][inner], cc[core][inner]
+        if not len(sr):
+            return pa.table(
+                {
+                    "pixel_id": pa.array([], pa.int64()),
+                    "is_minima": pa.array([], pa.int64()),
+                }
+            )
+        v = z[sr, sc]
+        ok = np.ones(len(sr), dtype=bool)
+        for dy, dx in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+            nb = z[sr + dy, sc + dx]
+            present = p[sr + dy, sc + dx]
+            if allow_equals:
+                ok &= ~(present & (nb < v))
+            else:
+                ok &= ~(present & (nb <= v))
+        return pa.table(
+            {
+                "pixel_id": (sr + r0) * np.int64(width) + sc + c0,
+                "is_minima": ok.astype(np.int64),
+            }
+        )
+
+    return (
+        raster.map_batches(dup, batch_format="pyarrow", batch_size=65536)
+        .groupby("tile_id")
+        .map_groups(per_tile, batch_format="pyarrow")
+    )
