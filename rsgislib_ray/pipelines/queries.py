@@ -14632,3 +14632,163 @@ def q_morph_local_minima(sf_dir: str):
         )
     ).repartition(8)
     return local_minima(ds, n, n, tile_size=32)
+
+
+# ===========================================================================
+# Clear-sky region composite (stages/calibration.clear_sky_regions —
+# reference imagecalibration/__init__.py:143 calc_clear_sky_regions,
+# a 12-temp-file GDAL chain). Oracle: exact-integer EDT via min-join,
+# three iteration-indexed recursive-CTE component passes (min-label
+# propagation, label = min pixel id, matching the engine's clump
+# convention), size filters, intersect-init keep set, 3x3 binary
+# opening via NOT EXISTS window tests.
+# ===========================================================================
+
+_CS_N = 60
+_CS_K = 200  # propagation rounds > any component diameter at 60x60
+_CS_INIT_D2, _CS_MIN, _CS_FINAL_D2 = 64, 40, 9
+
+
+def _sql_clear_sky() -> str:
+    n = _CS_N
+
+    def cc(name: str, src: str, edges: str) -> str:
+        return f"""
+    {name}(it, pixel_id, lab) AS (
+      SELECT 0, pixel_id, pixel_id FROM {src}
+      UNION ALL
+      SELECT it + 1, pixel_id, MIN(lab) FROM (
+        SELECT x.it AS it, {edges}.v AS pixel_id, x.lab AS lab
+        FROM {name} x JOIN {edges} ON {edges}.u = x.pixel_id
+        WHERE x.it < {_CS_K}
+        UNION ALL
+        SELECT it, pixel_id, lab FROM {name} WHERE it < {_CS_K}
+      ) GROUP BY it, pixel_id
+    )"""
+
+    def edges_of(mask: str, ename: str) -> str:
+        return f"""
+    {ename} AS MATERIALIZED (
+      SELECT a.pixel_id AS u, b.pixel_id AS v
+      FROM {mask} a JOIN {mask} b
+        ON (a.r = b.r AND abs(a.c - b.c) = 1)
+        OR (a.c = b.c AND abs(a.r - b.r) = 1)
+    )"""
+
+    return f"""
+    WITH RECURSIVE px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {n} AS BIGINT) AS r,
+             CAST(p.range % {n} AS BIGINT) AS c,
+             CAST(CASE
+               WHEN ((p.range // {n}) - 15) * ((p.range // {n}) - 15)
+                    + ((p.range % {n}) - 15) * ((p.range % {n}) - 15)
+                    < 30 THEN 1
+               WHEN ((p.range // {n}) - 40) * ((p.range // {n}) - 40)
+                    + ((p.range % {n}) - 45) * ((p.range % {n}) - 45)
+                    < 20 THEN 2
+               WHEN ((p.range // {n}) * 13 + (p.range % {n}) * 29)
+                    % 211 = 0 THEN 1
+               ELSE 0 END AS BIGINT) AS cloud,
+             CAST(CASE WHEN p.range % {n} >= 2 THEN 1 ELSE 0 END
+                  AS BIGINT) AS valid
+      FROM range(0, {n * n}) p
+    ),
+    cl AS MATERIALIZED (SELECT r, c FROM px WHERE cloud IN (1, 2)),
+    dd AS MATERIALIZED (
+      SELECT p.pixel_id, p.r, p.c, p.valid,
+             MIN((p.r - cl.r) * (p.r - cl.r)
+                 + (p.c - cl.c) * (p.c - cl.c)) AS d2
+      FROM px p CROSS JOIN cl GROUP BY p.pixel_id, p.r, p.c, p.valid),
+    m1 AS MATERIALIZED (
+      SELECT pixel_id, r, c FROM dd
+      WHERE valid = 1 AND d2 > {_CS_INIT_D2}),
+    {edges_of('m1', 'e1')},
+    {cc('cc1', 'm1', 'e1')},
+    l1 AS MATERIALIZED (
+      SELECT pixel_id, lab FROM cc1 WHERE it = {_CS_K}),
+    s1 AS MATERIALIZED (
+      SELECT lab FROM l1 GROUP BY lab HAVING COUNT(*) >= {_CS_MIN}),
+    init AS MATERIALIZED (
+      SELECT pixel_id FROM l1 WHERE lab IN (SELECT lab FROM s1)),
+    m2 AS MATERIALIZED (
+      SELECT pixel_id, r, c FROM dd
+      WHERE valid = 1 AND d2 > {_CS_FINAL_D2}),
+    {edges_of('m2', 'e2')},
+    {cc('cc2', 'm2', 'e2')},
+    l2 AS MATERIALIZED (
+      SELECT pixel_id, lab FROM cc2 WHERE it = {_CS_K}),
+    keep2 AS MATERIALIZED (
+      SELECT DISTINCT l2.lab FROM l2
+      JOIN init ON init.pixel_id = l2.pixel_id),
+    k2 AS MATERIALIZED (
+      SELECT m2.pixel_id, m2.r, m2.c FROM m2
+      JOIN l2 ON l2.pixel_id = m2.pixel_id
+      WHERE l2.lab IN (SELECT lab FROM keep2)),
+    won AS (SELECT dr, dc FROM generate_series(-1, 1) a(dr),
+            generate_series(-1, 1) b(dc)),
+    er AS MATERIALIZED (
+      SELECT a.pixel_id, a.r, a.c FROM k2 a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM won o
+        WHERE a.r + o.dr >= 0 AND a.r + o.dr < {n}
+          AND a.c + o.dc >= 0 AND a.c + o.dc < {n}
+          AND NOT EXISTS (SELECT 1 FROM k2 b
+                          WHERE b.r = a.r + o.dr
+                            AND b.c = a.c + o.dc))),
+    di AS MATERIALIZED (
+      SELECT DISTINCT (e.r + o.dr) * {n} + (e.c + o.dc) AS pixel_id,
+             e.r + o.dr AS r, e.c + o.dc AS c
+      FROM er e CROSS JOIN won o
+      WHERE e.r + o.dr >= 0 AND e.r + o.dr < {n}
+        AND e.c + o.dc >= 0 AND e.c + o.dc < {n}),
+    {edges_of('di', 'e3')},
+    {cc('cc3', 'di', 'e3')},
+    l3 AS MATERIALIZED (
+      SELECT pixel_id, lab FROM cc3 WHERE it = {_CS_K}),
+    s3 AS MATERIALIZED (
+      SELECT lab FROM l3 GROUP BY lab HAVING COUNT(*) >= {_CS_MIN})
+    SELECT pixel_id FROM l3 WHERE lab IN (SELECT lab FROM s3)
+    """
+
+
+@register("clear_sky_regions", _sql_clear_sky())
+def q_clear_sky_regions(sf_dir: str):
+    """calc_clear_sky_regions (imagecalibration/__init__.py:143): the
+    full composite — exact EDT, init regions > 8 px from cloud/shadow
+    with small components removed, full-extent regions > 3 px kept
+    when they contain a surviving init region, 3x3 binary opening,
+    final component size filter. Engine = streaming operator chain
+    (distance_transform -> clump -> segment-sum sizes -> measured
+    join -> binary morph -> clump); oracle = the same chain as EDT
+    min-join + three recursive-CTE min-label component passes."""
+    from rsgislib_ray.stages.calibration import clear_sky_regions
+
+    n = _CS_N
+    pid = np.arange(n * n, dtype=np.int64)
+    row, col = np.divmod(pid, n)
+    cloud = np.zeros(n * n, dtype=np.int64)
+    cloud[((row - 15) ** 2 + (col - 15) ** 2) < 30] = 1
+    cloud[((row - 40) ** 2 + (col - 45) ** 2) < 20] = 2
+    cloud[
+        (cloud == 0) & ((row * 13 + col * 29) % 211 == 0)
+    ] = 1
+    valid = (col >= 2).astype(np.int64)
+    t = pa.table(
+        {
+            "pixel_id": pid,
+            "row": row,
+            "col": col,
+            "cloud": cloud,
+            "valid": valid,
+        }
+    )
+    return clear_sky_regions(
+        ray.data.from_arrow(t).repartition(6),
+        n,
+        n,
+        init_dist=8,
+        init_min_size=_CS_MIN,
+        final_dist=3,
+        tile_size=16,
+    )
