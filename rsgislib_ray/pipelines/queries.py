@@ -14792,3 +14792,135 @@ def q_clear_sky_regions(sf_dir: str):
         final_dist=3,
         tile_size=16,
     )
+
+
+# ===========================================================================
+# Real byte-level media decode (functions/codecs.py + stages/media.py
+# DecodeImageBytes/DecodeAudioBytes): the documents table drives a
+# deterministic binary-payload column (P6 PPM / 24-bit padded BMP /
+# PCM-16 WAV built with the pure-numpy encoders); the engine's
+# actor-pool decoders PARSE those bytes back; the oracle computes the
+# expected features from the pixel/sample GENERATOR formulas — so a
+# parser bug (padding, BGR order, chunk walk) breaks the match.
+# ===========================================================================
+
+_MEDIA_W, _MEDIA_H = 6, 8  # w=6 -> BMP rows pad 18 -> 20 bytes
+_MEDIA_NS = 64
+
+
+def _media_ids_ds(sf_dir: str):
+    return td.read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).repartition(8)
+
+
+def _media_pixels(d: np.ndarray):
+    """(n, h, w, 3) uint8 pixel block for doc ids d — the generator
+    formula shared (as closed form) with the SQL oracle."""
+    y = np.arange(_MEDIA_H)[None, :, None]
+    x = np.arange(_MEDIA_W)[None, None, :]
+    dd = d[:, None, None]
+    r = (dd * 7 + y * 5 + x * 3) % 256
+    g = (dd * 11 + y * 3 + x * 7) % 256
+    b = (dd * 13 + y + x) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _sql_media_img() -> str:
+    h, w = _MEDIA_H, _MEDIA_W
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    px AS (SELECT d.doc_id, y.range AS y, x.range AS x
+           FROM d, range(0, {h}) y, range(0, {w}) x)
+    SELECT doc_id AS media_id,
+      CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+      CAST(SUM((doc_id * 7 + y * 5 + x * 3) % 256) AS BIGINT) AS sum_r,
+      CAST(SUM((doc_id * 11 + y * 3 + x * 7) % 256) AS BIGINT) AS sum_g,
+      CAST(SUM((doc_id * 13 + y + x) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """
+
+
+def _q_media_img(sf_dir: str, fmt: str):
+    from rsgislib_ray.functions import codecs
+    from rsgislib_ray.stages.media import decode_image_bytes
+
+    enc = codecs.encode_ppm if fmt == "ppm" else codecs.encode_bmp
+
+    def build(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.int64)
+        pix = _media_pixels(d)
+        return pa.table(
+            {
+                "media_id": d,
+                "payload": pa.array(
+                    [enc(pix[i]) for i in range(len(d))], pa.binary()
+                ),
+            }
+        )
+
+    media = _media_ids_ds(sf_dir).map_batches(
+        build, batch_format="pyarrow", batch_size=512
+    )
+    return decode_image_bytes(media)
+
+
+@register("media_decode_ppm", _sql_media_img())
+def q_media_decode_ppm(sf_dir: str):
+    """Real P6 PPM byte decode through the actor pool: payloads are
+    actual PPM files (header tokenizer + raw RGB), features are
+    exact per-channel sums; the oracle computes them from the pixel
+    generator formula — any header/stride parsing bug mismatches."""
+    return _q_media_img(sf_dir, "ppm")
+
+
+@register("media_decode_bmp", _sql_media_img())
+def q_media_decode_bmp(sf_dir: str):
+    """Real 24-bit BMP byte decode (BGR order, bottom-up rows, 4-byte
+    row padding — width 6 forces 2 pad bytes per row) through the
+    actor pool; same formula oracle as the PPM variant."""
+    return _q_media_img(sf_dir, "bmp")
+
+
+@register(
+    "media_decode_wav",
+    f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    smp AS (SELECT d.doc_id, k.range AS k,
+                   (d.doc_id * 31 + k.range * 17) % 4001 - 2000 AS s
+            FROM d, range(0, {_MEDIA_NS}) k)
+    SELECT doc_id AS media_id,
+      CAST({_MEDIA_NS} AS BIGINT) AS n_samples,
+      CAST(1 AS BIGINT) AS n_channels,
+      CAST(8000 + doc_id % 100 AS BIGINT) AS sample_rate,
+      CAST(SUM(s) AS BIGINT) AS sum_samples,
+      CAST(MAX(abs(s)) AS BIGINT) AS max_abs
+    FROM smp GROUP BY doc_id
+    """,
+)
+def q_media_decode_wav(sf_dir: str):
+    """Real PCM-16 WAV byte decode (RIFF chunk walk) through the
+    actor pool; sample values and rates from the generator formulas,
+    verified post-parse against the closed-form oracle."""
+    from rsgislib_ray.functions import codecs
+    from rsgislib_ray.stages.media import decode_audio_bytes
+
+    def build(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.int64)
+        k = np.arange(_MEDIA_NS)[None, :]
+        s = ((d[:, None] * 31 + k * 17) % 4001 - 2000).astype(np.int16)
+        payloads = [
+            codecs.encode_wav_pcm16(s[i], int(8000 + d[i] % 100))
+            for i in range(len(d))
+        ]
+        return pa.table(
+            {
+                "media_id": d,
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = _media_ids_ds(sf_dir).map_batches(
+        build, batch_format="pyarrow", batch_size=512
+    )
+    return decode_audio_bytes(media)

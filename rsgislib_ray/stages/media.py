@@ -263,3 +263,131 @@ def audio_features(
         Extract, batch_format="pyarrow", batch_size=2048,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL byte-level decoding for library-free container formats
+# ---------------------------------------------------------------------------
+
+
+class ImageBytesDecoder:
+    """Sniffing byte decoder for the pure-numpy container formats
+    (P6 PPM, 24-bit BMP — :mod:`rsgislib_ray.functions.codecs`). This
+    is a REAL parser, not a stub: magic-number sniff, header walk,
+    BGR/bottom-up/row-padding handling. Factory-injectable exactly
+    like :class:`FakeImageDecoder` — JPEG/PNG still need Pillow and
+    stay behind the seam."""
+
+    def __init__(self):
+        from rsgislib_ray.functions import codecs
+
+        self._codecs = codecs
+
+    def decode_one(self, b: bytes) -> np.ndarray:
+        if b[:2] == b"P6":
+            return self._codecs.decode_ppm(b)
+        if b[:2] == b"BM":
+            return self._codecs.decode_bmp(b)
+        raise ValueError("unsupported image container (need P6/BMP)")
+
+
+class DecodeImageBytes:
+    """Actor-pool stage: binary image column -> per-image RGB feature
+    rows (width, height, exact per-channel integer sums). Decoder
+    built once per actor (__init__), batches stay small for the
+    binary-payload heap rule."""
+
+    def __init__(self, decoder_factory=None):
+        self.decoder = (
+            decoder_factory() if decoder_factory else ImageBytesDecoder()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        payloads = batch["payload"].to_pylist()
+        w, h = [], []
+        sums = {"sum_r": [], "sum_g": [], "sum_b": []}
+        for b in payloads:
+            img = self.decoder.decode_one(b)
+            hh, ww, _ = img.shape
+            w.append(ww)
+            h.append(hh)
+            s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            sums["sum_r"].append(int(s[0]))
+            sums["sum_g"].append(int(s[1]))
+            sums["sum_b"].append(int(s[2]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(w, pa.int64()),
+                "height": pa.array(h, pa.int64()),
+                "sum_r": pa.array(sums["sum_r"], pa.int64()),
+                "sum_g": pa.array(sums["sum_g"], pa.int64()),
+                "sum_b": pa.array(sums["sum_b"], pa.int64()),
+            }
+        )
+
+
+def decode_image_bytes(
+    media: ray.data.Dataset,
+    concurrency=(1, 4),
+    batch_size: int = 128,
+    decoder_factory=None,
+) -> ray.data.Dataset:
+    """Distributed byte-level image decode over a (media_id, payload
+    binary) table — the real-codec upgrade of :func:`decode_media`
+    for the formats this environment can parse without Pillow."""
+    return media.map_batches(
+        DecodeImageBytes,
+        fn_constructor_kwargs={"decoder_factory": decoder_factory},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class DecodeAudioBytes:
+    """Actor-pool stage: binary WAV column -> per-clip feature rows
+    (n_samples, n_channels, sample_rate, exact sample sum, max
+    absolute amplitude)."""
+
+    def __init__(self):
+        from rsgislib_ray.functions import codecs
+
+        self.codecs = codecs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        out = {
+            "media_id": [], "n_samples": [], "n_channels": [],
+            "sample_rate": [], "sum_samples": [], "max_abs": [],
+        }
+        for mid, b in zip(ids, batch["payload"].to_pylist()):
+            samples, rate = self.codecs.decode_wav_pcm16(b)
+            out["media_id"].append(int(mid))
+            out["n_samples"].append(samples.shape[0])
+            out["n_channels"].append(samples.shape[1])
+            out["sample_rate"].append(rate)
+            out["sum_samples"].append(
+                int(samples.astype(np.int64).sum())
+            )
+            out["max_abs"].append(
+                int(np.abs(samples.astype(np.int64)).max())
+            )
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in out.items()}
+        )
+
+
+def decode_audio_bytes(
+    media: ray.data.Dataset,
+    concurrency=(1, 4),
+    batch_size: int = 128,
+) -> ray.data.Dataset:
+    """Distributed byte-level WAV decode over (media_id, payload)."""
+    return media.map_batches(
+        DecodeAudioBytes,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
