@@ -14924,3 +14924,95 @@ def q_media_decode_wav(sf_dir: str):
         build, batch_format="pyarrow", batch_size=512
     )
     return decode_audio_bytes(media)
+
+
+def _sql_media_pipeline() -> str:
+    """Oracle for the decode->resize->features chain: 8x8 generator
+    pixels, 2x2 block means with numpy's rint HALF-EVEN rounding
+    expressed in exact integer arithmetic
+    (rint(s/4) = s//4 + (s//4)%2 when s%4 == 2, else (s+2)//4)."""
+    chans = {
+        "r": "(doc_id * 7 + y * 5 + x * 3) % 256",
+        "g": "(doc_id * 11 + y * 3 + x * 7) % 256",
+        "b": "(doc_id * 13 + y + x) % 256",
+    }
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN s_{c} % 4 = 2 THEN s_{c} // 4 + (s_{c} // 4) % 2"
+        f" ELSE (s_{c} + 2) // 4 END) AS BIGINT) AS small_sum_{c}"
+        for c in chans
+    )
+    block_sums = ", ".join(
+        f"SUM({expr}) AS s_{c}" for c, expr in chans.items()
+    )
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    px AS (SELECT d.doc_id, y.range AS y, x.range AS x
+           FROM d, range(0, 8) y, range(0, 8) x),
+    blk AS (SELECT doc_id, y // 2 AS by, x // 2 AS bx, {block_sums}
+            FROM px GROUP BY doc_id, y // 2, x // 2)
+    SELECT doc_id AS media_id, {sums} FROM blk GROUP BY doc_id
+    """
+
+
+@register("media_pipeline_real", _sql_media_pipeline())
+def q_media_pipeline_real(sf_dir: str):
+    """End-to-end REAL media pipeline: encode 8x8 PPM payloads from
+    the generator, byte-decode to fixed-shape tensors in an actor
+    pool, block-mean resize to 4x4 (resize_images — np.rint
+    half-even), then exact per-channel sums of the resized image; the
+    oracle replays the block arithmetic incl. the half-even rule in
+    pure integers."""
+    from rsgislib_ray.functions import codecs
+    from rsgislib_ray.stages.media import (
+        decode_image_bytes_tensor,
+        resize_images,
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.int64)
+        y = np.arange(8)[None, :, None]
+        x = np.arange(8)[None, None, :]
+        dd = d[:, None, None]
+        pix = np.stack(
+            [
+                (dd * 7 + y * 5 + x * 3) % 256,
+                (dd * 11 + y * 3 + x * 7) % 256,
+                (dd * 13 + y + x) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        return pa.table(
+            {
+                "media_id": d,
+                "payload": pa.array(
+                    [codecs.encode_ppm(pix[i]) for i in range(len(d))],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    media = _media_ids_ds(sf_dir).map_batches(
+        build, batch_format="pyarrow", batch_size=512
+    )
+    decoded = decode_image_bytes_tensor(media, side=8)
+    resized = resize_images(
+        decoded, out_side=4, image_col="image", side=8
+    )
+
+    def feats(batch: pa.Table) -> pa.Table:
+        col = batch["image_small"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        imgs = flat.reshape(len(batch), 4, 4, 3).astype(np.int64)
+        s = imgs.sum(axis=(1, 2))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "small_sum_r": s[:, 0],
+                "small_sum_g": s[:, 1],
+                "small_sum_b": s[:, 2],
+            }
+        )
+
+    return resized.map_batches(feats, batch_format="pyarrow")

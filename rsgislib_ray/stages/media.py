@@ -391,3 +391,54 @@ def decode_audio_bytes(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class DecodeImageBytesTensor:
+    """Actor-pool stage: binary image column -> fixed-shape RGB tensor
+    column (``image`` as a FixedSizeList of side*side*3 uint8) — the
+    real-codec front end for :func:`resize_images`."""
+
+    def __init__(self, side: int, decoder_factory=None):
+        self.side = side
+        self.decoder = (
+            decoder_factory() if decoder_factory else ImageBytesDecoder()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        tensors = []
+        for b in batch["payload"].to_pylist():
+            img = self.decoder.decode_one(b)
+            if img.shape != (self.side, self.side, 3):
+                raise ValueError(
+                    f"expected {self.side}x{self.side}x3 image"
+                )
+            tensors.append(img.reshape(-1))
+        flat = np.concatenate(tensors) if tensors else np.empty(
+            0, np.uint8
+        )
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, type=pa.uint8()), self.side * self.side * 3
+        )
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()), "image": arr}
+        )
+
+
+def decode_image_bytes_tensor(
+    media: ray.data.Dataset,
+    side: int,
+    concurrency=(1, 4),
+    batch_size: int = 128,
+    decoder_factory=None,
+) -> ray.data.Dataset:
+    return media.map_batches(
+        DecodeImageBytesTensor,
+        fn_constructor_kwargs={
+            "side": side,
+            "decoder_factory": decoder_factory,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
