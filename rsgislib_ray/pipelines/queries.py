@@ -14894,8 +14894,13 @@ def q_media_decode_bmp(sf_dir: str):
       CAST(1 AS BIGINT) AS n_channels,
       CAST(8000 + doc_id % 100 AS BIGINT) AS sample_rate,
       CAST(SUM(s) AS BIGINT) AS sum_samples,
-      CAST(MAX(abs(s)) AS BIGINT) AS max_abs
-    FROM smp GROUP BY doc_id
+      CAST(MAX(abs(s)) AS BIGINT) AS max_abs,
+      CAST(SUM(s * s) AS BIGINT) AS energy,
+      CAST(COALESCE(SUM(CASE WHEN sign(s) * sign(prev_s) < 0
+                        THEN 1 END), 0) AS BIGINT) AS zero_crossings
+    FROM (SELECT doc_id, s,
+            LAG(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev_s
+          FROM smp) GROUP BY doc_id
     """,
 )
 def q_media_decode_wav(sf_dir: str):

@@ -361,18 +361,24 @@ class DecodeAudioBytes:
         out = {
             "media_id": [], "n_samples": [], "n_channels": [],
             "sample_rate": [], "sum_samples": [], "max_abs": [],
+            "energy": [], "zero_crossings": [],
         }
         for mid, b in zip(ids, batch["payload"].to_pylist()):
             samples, rate = self.codecs.decode_wav_pcm16(b)
+            s64 = samples.astype(np.int64)
+            ch0 = s64[:, 0]
             out["media_id"].append(int(mid))
             out["n_samples"].append(samples.shape[0])
             out["n_channels"].append(samples.shape[1])
             out["sample_rate"].append(rate)
-            out["sum_samples"].append(
-                int(samples.astype(np.int64).sum())
-            )
-            out["max_abs"].append(
-                int(np.abs(samples.astype(np.int64)).max())
+            out["sum_samples"].append(int(s64.sum()))
+            out["max_abs"].append(int(np.abs(s64).max()))
+            # exact integer signal features over channel 0: total
+            # energy and strict sign-change count (zeros break runs)
+            out["energy"].append(int((ch0 * ch0).sum()))
+            sgn = np.sign(ch0)
+            out["zero_crossings"].append(
+                int(((sgn[1:] * sgn[:-1]) < 0).sum())
             )
         return pa.table(
             {k: pa.array(v, pa.int64()) for k, v in out.items()}
