@@ -15021,3 +15021,521 @@ def q_media_pipeline_real(sf_dir: str):
         )
 
     return resized.map_batches(feats, batch_format="pyarrow")
+
+
+# ===========================================================================
+# From-scratch distributed classifiers (stages/classify.py — reference
+# classification/classsklearn.py:128 train / :219 mask-gated apply with
+# out_id LUT; classimblearn.py:109/:251 random over/under-sampling).
+# The oracles replay the engine's exact-integer-moment statistics: the
+# least-squares model reuses the fixed-order Cholesky parity contract
+# (chol_solve_np), the tree replays the exact-double impurity ordering,
+# and GNB's ln constants are nano/micro-quantized like the other
+# libm-bearing panels.
+# ===========================================================================
+
+_CL_SEED = 20260818
+
+_CL_SRC = (
+    "SELECT ck, "
+    "CASE WHEN ck % 6 < 3 THEN 1 WHEN ck % 6 < 5 THEN 2 ELSE 3 END AS y, "
+    "(CASE WHEN ck % 6 < 3 THEN 1 WHEN ck % 6 < 5 THEN 2 ELSE 3 END) * 8"
+    " + (ck * 7) % 11 AS x1, "
+    "(CASE WHEN ck % 6 < 3 THEN 1 WHEN ck % 6 < 5 THEN 2 ELSE 3 END)"
+    " * (CASE WHEN ck % 6 < 3 THEN 1 WHEN ck % 6 < 5 THEN 2 ELSE 3 END)"
+    " + (ck * 3) % 4 AS x2, "
+    "(ck * 11) % 13 AS x3, "
+    "(ck // 4) % 5 AS msk "
+    "FROM (SELECT l_orderkey * 10 + l_linenumber AS ck FROM lineitem)"
+)
+
+_CL_FC = ["x1", "x2", "x3"]
+_CL_KS = [1, 2, 3]
+
+
+def _cl_src_ds(sf_dir: str):
+    """Engine mirror of _CL_SRC: deterministic integer features whose
+    distributions depend on the class label (overlapping ranges), one
+    noise feature, a 3:2:1 class imbalance and an apply-mask column."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        r6 = ck % 6
+        y = np.where(r6 < 3, 1, np.where(r6 < 5, 2, 3)).astype(np.int64)
+        return pa.table(
+            {
+                "ck": ck,
+                "y": y,
+                "x1": y * 8 + (ck * 7) % 11,
+                "x2": y * y + (ck * 3) % 4,
+                "x3": (ck * 11) % 13,
+                "msk": (ck // 4) % 5,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _cl_train_ds(sf_dir: str):
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["ck"].to_numpy() % 4 != 0))
+
+    return _cl_src_ds(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+
+def _cl_test_ds(sf_dir: str):
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["ck"].to_numpy() % 4 == 0))
+
+    return _cl_src_ds(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+
+def _sql_cl_moments() -> str:
+    """Train-split moment CTE: global Gram over [1, x1, x2, x3] plus
+    per-class (n, Σx, Σx²) — every column an exact BIGINT sum."""
+    cols = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        "CAST(SUM(x1) AS BIGINT) AS s0",
+        "CAST(SUM(x2) AS BIGINT) AS s1",
+        "CAST(SUM(x3) AS BIGINT) AS s2",
+        "CAST(SUM(x1*x1) AS BIGINT) AS q00",
+        "CAST(SUM(x1*x2) AS BIGINT) AS q01",
+        "CAST(SUM(x1*x3) AS BIGINT) AS q02",
+        "CAST(SUM(x2*x2) AS BIGINT) AS q11",
+        "CAST(SUM(x2*x3) AS BIGINT) AS q12",
+        "CAST(SUM(x3*x3) AS BIGINT) AS q22",
+    ]
+    for c in _CL_KS:
+        cols.append(
+            f"CAST(SUM(CASE WHEN y = {c} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nc{c}"
+        )
+        for i, x in enumerate(_CL_FC):
+            cols.append(
+                f"CAST(SUM(CASE WHEN y = {c} THEN {x} ELSE 0 END)"
+                f" AS BIGINT) AS sc{c}_{i}"
+            )
+            cols.append(
+                f"CAST(SUM(CASE WHEN y = {c} THEN {x}*{x} ELSE 0 END)"
+                f" AS BIGINT) AS qc{c}_{i}"
+            )
+    return (
+        f"src AS MATERIALIZED ({_CL_SRC}), "
+        f"train AS (SELECT * FROM src WHERE ck % 4 <> 0), "
+        f"mm AS MATERIALIZED (SELECT {', '.join(cols)} FROM train)"
+    )
+
+
+def _sql_cl_chol() -> str:
+    """k=4 fixed-order Cholesky over the classifier Gram, mirroring
+    chol_solve_np op for op (the timeseries parity contract), with the
+    three per-class RHS solved in shared CTE levels."""
+    g = {
+        (0, 0): "CAST(n AS DOUBLE)",
+        (1, 0): "CAST(s0 AS DOUBLE)",
+        (2, 0): "CAST(s1 AS DOUBLE)",
+        (3, 0): "CAST(s2 AS DOUBLE)",
+        (1, 1): "CAST(q00 AS DOUBLE)",
+        (2, 1): "CAST(q01 AS DOUBLE)",
+        (3, 1): "CAST(q02 AS DOUBLE)",
+        (2, 2): "CAST(q11 AS DOUBLE)",
+        (3, 2): "CAST(q12 AS DOUBLE)",
+        (3, 3): "CAST(q22 AS DOUBLE)",
+    }
+
+    def b(c: int, i: int) -> str:
+        if i == 0:
+            return f"CAST(2*nc{c} - n AS DOUBLE)"
+        return f"CAST(2*sc{c}_{i - 1} - s{i - 1} AS DOUBLE)"
+
+    zs, xs = [], []
+    for c in _CL_KS:
+        zs.append(
+            f"h1_{c} AS (SELECT *, {b(c, 0)} / l00 AS z0_{c} FROM "
+            f"{'f7' if c == _CL_KS[0] else f'h4_{c - 1}'}), "
+            f"h2_{c} AS (SELECT *, ({b(c, 1)} - l10 * z0_{c}) / l11"
+            f" AS z1_{c} FROM h1_{c}), "
+            f"h3_{c} AS (SELECT *, (({b(c, 2)} - l20 * z0_{c})"
+            f" - l21 * z1_{c}) / l22 AS z2_{c} FROM h2_{c}), "
+            f"h4_{c} AS (SELECT *, ((({b(c, 3)} - l30 * z0_{c})"
+            f" - l31 * z1_{c}) - l32 * z2_{c}) / l33 AS z3_{c}"
+            f" FROM h3_{c})"
+        )
+        xs.append(
+            f"k1_{c} AS (SELECT *, z3_{c} / l33 AS b3_{c} FROM "
+            f"{f'h4_{_CL_KS[-1]}' if c == _CL_KS[0] else f'k4_{c - 1}'}), "
+            f"k2_{c} AS (SELECT *, (z2_{c} - l32 * b3_{c}) / l22"
+            f" AS b2_{c} FROM k1_{c}), "
+            f"k3_{c} AS (SELECT *, ((z1_{c} - l21 * b2_{c})"
+            f" - l31 * b3_{c}) / l11 AS b1_{c} FROM k2_{c}), "
+            f"k4_{c} AS (SELECT *, (((z0_{c} - l10 * b1_{c})"
+            f" - l20 * b2_{c}) - l30 * b3_{c}) / l00 AS b0_{c}"
+            f" FROM k3_{c})"
+        )
+    return (
+        f"f1 AS (SELECT *, SQRT({g[(0, 0)]}) AS l00 FROM mm), "
+        f"f2 AS (SELECT *, {g[(1, 0)]} / l00 AS l10,"
+        f" {g[(2, 0)]} / l00 AS l20, {g[(3, 0)]} / l00 AS l30 FROM f1), "
+        f"f3 AS (SELECT *, SQRT({g[(1, 1)]} - l10 * l10) AS l11 FROM f2), "
+        f"f4 AS (SELECT *, ({g[(2, 1)]} - l20 * l10) / l11 AS l21,"
+        f" ({g[(3, 1)]} - l30 * l10) / l11 AS l31 FROM f3), "
+        f"f5 AS (SELECT *, SQRT(({g[(2, 2)]} - l20 * l20) - l21 * l21)"
+        f" AS l22 FROM f4), "
+        f"f6 AS (SELECT *, (({g[(3, 2)]} - l30 * l20) - l31 * l21) / l22"
+        f" AS l32 FROM f5), "
+        f"f7 AS (SELECT *, SQRT((({g[(3, 3)]} - l30 * l30) - l31 * l31)"
+        f" - l32 * l32) AS l33 FROM f6), "
+        + ", ".join(zs)
+        + ", "
+        + ", ".join(xs)
+        + f", model AS MATERIALIZED (SELECT * FROM k4_{_CL_KS[-1]})"
+    )
+
+
+def _sql_cl_lsq_model_rows() -> str:
+    rows = [
+        f"SELECT CAST({c} AS BIGINT) AS cls, b0_{c} AS b0, b1_{c} AS b1,"
+        f" b2_{c} AS b2, b3_{c} AS b3 FROM model"
+        for c in _CL_KS
+    ]
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "class_train_lsq",
+    f"WITH {_sql_cl_moments()}, {_sql_cl_chol()} "
+    f"SELECT * FROM ({_sql_cl_lsq_model_rows()}) ORDER BY cls",
+)
+def q_class_train_lsq(sf_dir: str):
+    """One-vs-rest least-squares training: one streaming moment pass,
+    closed-form per-class solve (classsklearn.py:128 shape with the
+    sklearn estimator replaced by exact distributed statistics)."""
+    from rsgislib_ray.stages import classify as cls_
+
+    m = cls_.class_moments(_cl_train_ds(sf_dir), _CL_FC, "y", _CL_KS)
+    coefs = cls_.train_lsq_ovr(m)
+    return pa.table(
+        {
+            "cls": np.array(_CL_KS, dtype=np.int64),
+            "b0": coefs[:, 0],
+            "b1": coefs[:, 1],
+            "b2": coefs[:, 2],
+            "b3": coefs[:, 3],
+        }
+    )
+
+
+def _sql_cl_scores(cast_x: bool = True) -> list[str]:
+    out = []
+    for c in _CL_KS:
+        expr = f"b0_{c}"
+        for i, x in enumerate(_CL_FC):
+            xe = f"CAST(t.{x} AS DOUBLE)" if cast_x else f"t.{x}"
+            expr = f"({expr} + b{i + 1}_{c} * {xe})"
+        out.append(expr)
+    return out
+
+
+@register(
+    "class_apply_lsq",
+    f"WITH {_sql_cl_moments()}, {_sql_cl_chol()}, "
+    "test AS (SELECT * FROM src WHERE ck % 4 = 0), "
+    "scored AS (SELECT t.ck, t.msk, "
+    + ", ".join(
+        f"{e} AS s{c}" for c, e in zip(_CL_KS, _sql_cl_scores())
+    )
+    + " FROM test t, model) "
+    "SELECT ck, CASE WHEN msk = 1 THEN ("
+    "CASE WHEN s1 >= s2 AND s1 >= s3 THEN 11 "
+    "WHEN s2 >= s3 THEN 22 ELSE 33 END) ELSE 0 END AS out_id, "
+    "CASE WHEN msk = 1 THEN s1 ELSE 0.0e0 END AS s1, "
+    "CASE WHEN msk = 1 THEN s2 ELSE 0.0e0 END AS s2, "
+    "CASE WHEN msk = 1 THEN s3 ELSE 0.0e0 END AS s3 "
+    "FROM scored ORDER BY ck",
+)
+def q_class_apply_lsq(sf_dir: str):
+    """Mask-gated apply with out_id LUT remap (apply_sklearn_classifier,
+    classsklearn.py:219: pixels where mask != msk_val emit class 0 and
+    zero scores; cls_id_lut maps consecutive train ids to out ids)."""
+    from rsgislib_ray.stages import classify as cls_
+
+    m = cls_.class_moments(_cl_train_ds(sf_dir), _CL_FC, "y", _CL_KS)
+    coefs = cls_.train_lsq_ovr(m)
+    out = cls_.apply_linear_classifier(
+        _cl_test_ds(sf_dir),
+        coefs=coefs,
+        classes=_CL_KS,
+        feature_cols=_CL_FC,
+        out_ids={1: 11, 2: 22, 3: 33},
+        mask_col="msk",
+        msk_val=1,
+    )
+    return out.sort("ck")
+
+
+def _sql_cl_gnb() -> str:
+    """Per-class Gaussian parameter CTE + the fixed left-associative
+    log-likelihood chain per test row."""
+    params = []
+    for c in _CL_KS:
+        params.append(
+            f"LN(CAST(nc{c} AS DOUBLE) / CAST(n AS DOUBLE)) AS lnp_{c}"
+        )
+        for i in range(3):
+            params.append(
+                f"CAST(nc{c}*qc{c}_{i} - sc{c}_{i}*sc{c}_{i} AS DOUBLE)"
+                f" / CAST(nc{c}*nc{c} AS DOUBLE) AS var_{c}_{i}"
+            )
+            params.append(
+                f"CAST(sc{c}_{i} AS DOUBLE) / CAST(nc{c} AS DOUBLE)"
+                f" AS mu_{c}_{i}"
+            )
+    gp = "gp AS MATERIALIZED (SELECT *, " + ", ".join(
+        f"LN(6.283185307179586e0 * var_{c}_{i}) AS lnt_{c}_{i}"
+        for c in _CL_KS
+        for i in range(3)
+    ) + " FROM (SELECT " + ", ".join(params) + " FROM mm))"
+    scores = []
+    for c in _CL_KS:
+        expr = f"lnp_{c}"
+        for i, x in enumerate(_CL_FC):
+            d = f"(CAST(t.{x} AS DOUBLE) - mu_{c}_{i})"
+            expr = f"({expr} - 0.5e0 * lnt_{c}_{i})"
+            expr = f"({expr} - 0.5e0 * (({d} * {d}) / var_{c}_{i}))"
+        scores.append(f"{expr} AS s{c}")
+    return (
+        gp
+        + ", scored AS (SELECT t.ck, "
+        + ", ".join(scores)
+        + " FROM (SELECT * FROM src WHERE ck % 4 = 0) t, gp)"
+    )
+
+
+@register(
+    "class_gnb",
+    f"WITH {_sql_cl_moments()}, {_sql_cl_gnb()} "
+    "SELECT ck, CASE WHEN s1 >= s2 AND s1 >= s3 THEN 1 "
+    "WHEN s2 >= s3 THEN 2 ELSE 3 END AS pred, "
+    "CAST(FLOOR(s1 * 1000000.0e0 + 0.5e0) AS BIGINT) AS qs1, "
+    "CAST(FLOOR(s2 * 1000000.0e0 + 0.5e0) AS BIGINT) AS qs2, "
+    "CAST(FLOOR(s3 * 1000000.0e0 + 0.5e0) AS BIGINT) AS qs3 "
+    "FROM scored ORDER BY ck",
+)
+def q_class_gnb(sf_dir: str):
+    """Gaussian naive Bayes: exact-integer per-class moments, log-
+    likelihood argmax (lowest class wins ties), micro-nat half-up
+    quantized scores (the per-(class,feature) ln constants carry the
+    measured 1-ulp DuckDB/libm divergence; the per-row chain is pure
+    arithmetic)."""
+    from rsgislib_ray.stages import classify as cls_
+
+    m = cls_.class_moments(_cl_train_ds(sf_dir), _CL_FC, "y", _CL_KS)
+    model = cls_.train_gnb(m)
+    out = cls_.apply_gnb(_cl_test_ds(sf_dir), model, _CL_FC)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["ck", "pred", "qs1", "qs2", "qs3"])
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("ck")
+
+
+def _sql_cl_tree() -> str:
+    """Depth-2 histogram-tree training replay: long-form (feat, val,
+    class) counts, exact-double impurity ordering at the root and per
+    side, leaf majority with lowest-class ties."""
+    cls_sum = lambda side, c: (  # noqa: E731
+        f"CAST(SUM(CASE WHEN l.y = {c} THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+    long = (
+        "lng AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT ck, y, {f} AS feat, {x} AS val FROM train"
+            for f, x in enumerate(_CL_FC)
+        )
+        + ")"
+    )
+    tot = (
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN y = {c} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS t{c}"
+            for c in _CL_KS
+        )
+        + " FROM train)"
+    )
+    agg0 = (
+        "agg0 AS (SELECT g.feat, g.val, "
+        "CAST(SUM(CASE WHEN l.val <= g.val THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS nl, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN l.val <= g.val AND l.y = {c} THEN 1"
+            f" ELSE 0 END) AS BIGINT) AS c{c}"
+            for c in _CL_KS
+        )
+        + " FROM (SELECT DISTINCT feat, val FROM lng) g"
+        " JOIN lng l ON l.feat = g.feat GROUP BY g.feat, g.val)"
+    )
+    impl = "CAST(a.nl*a.nl - (" + " + ".join(
+        f"a.c{c}*a.c{c}" for c in _CL_KS
+    ) + ") AS DOUBLE) / CAST(a.nl AS DOUBLE)"
+    impr = "CAST((t.n_all-a.nl)*(t.n_all-a.nl) - (" + " + ".join(
+        f"(t.t{c}-a.c{c})*(t.t{c}-a.c{c})" for c in _CL_KS
+    ) + ") AS DOUBLE) / CAST(t.n_all - a.nl AS DOUBLE)"
+    root = (
+        f"root AS MATERIALIZED (SELECT feat, val FROM ("
+        f"SELECT a.feat, a.val, {impl} + {impr} AS imp"
+        f" FROM agg0 a, tot t WHERE a.nl > 0 AND a.nl < t.n_all)"
+        f" ORDER BY imp, feat, val LIMIT 1)"
+    )
+    pick = "CASE r.feat WHEN 0 THEN x1 WHEN 1 THEN x2 ELSE x3 END"
+    sided = (
+        f"sided AS MATERIALIZED (SELECT t.*, CASE WHEN ({pick}) <= r.val"
+        f" THEN 1 ELSE 2 END AS node FROM train t, root r)"
+    )
+    long1 = (
+        "lng1 AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT node, ck, y, {f} AS feat, {x} AS val FROM sided"
+            for f, x in enumerate(_CL_FC)
+        )
+        + ")"
+    )
+    tot1 = (
+        "tot1 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_all, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN y = {c} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS t{c}"
+            for c in _CL_KS
+        )
+        + " FROM sided GROUP BY node)"
+    )
+    agg1 = (
+        "agg1 AS (SELECT g.node, g.feat, g.val, "
+        "CAST(SUM(CASE WHEN l.val <= g.val THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS nl, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN l.val <= g.val AND l.y = {c} THEN 1"
+            f" ELSE 0 END) AS BIGINT) AS c{c}"
+            for c in _CL_KS
+        )
+        + " FROM (SELECT DISTINCT node, feat, val FROM lng1) g"
+        " JOIN lng1 l ON l.feat = g.feat AND l.node = g.node"
+        " GROUP BY g.node, g.feat, g.val)"
+    )
+    split1 = (
+        f"split1 AS MATERIALIZED (SELECT node, feat, val FROM ("
+        f"SELECT a.node, a.feat, a.val, ROW_NUMBER() OVER ("
+        f"PARTITION BY a.node ORDER BY {impl} + {impr}, a.feat, a.val"
+        f") AS rn FROM agg1 a JOIN tot1 t ON t.node = a.node"
+        f" WHERE a.nl > 0 AND a.nl < t.n_all) WHERE rn = 1)"
+    )
+    pick1 = "CASE s1.feat WHEN 0 THEN sd.x1 WHEN 1 THEN sd.x2 ELSE sd.x3 END"
+    trleaf = (
+        f"trroute AS (SELECT sd.ck, sd.y, CASE WHEN ({pick1}) <= s1.val"
+        f" THEN 2*sd.node + 1 ELSE 2*sd.node + 2 END AS leaf"
+        f" FROM sided sd JOIN split1 s1 ON s1.node = sd.node), "
+        f"lab AS MATERIALIZED (SELECT leaf, y AS pred FROM ("
+        f"SELECT leaf, y, ROW_NUMBER() OVER (PARTITION BY leaf"
+        f" ORDER BY COUNT(*) DESC, y ASC) AS rn FROM trroute"
+        f" GROUP BY leaf, y) WHERE rn = 1)"
+    )
+    pick_t = "CASE r.feat WHEN 0 THEN t.x1 WHEN 1 THEN t.x2 ELSE t.x3 END"
+    pick_t1 = "CASE s1.feat WHEN 0 THEN t.x1 WHEN 1 THEN t.x2 ELSE t.x3 END"
+    troute = (
+        f"test AS (SELECT * FROM src WHERE ck % 4 = 0), "
+        f"n1 AS (SELECT t.*, CASE WHEN ({pick_t}) <= r.val THEN 1 ELSE 2"
+        f" END AS node FROM test t, root r), "
+        f"n2 AS (SELECT t.ck, CASE WHEN ({pick_t1}) <= s1.val"
+        f" THEN 2*t.node + 1 ELSE 2*t.node + 2 END AS leaf"
+        f" FROM n1 t JOIN split1 s1 ON s1.node = t.node)"
+    )
+    return ", ".join(
+        [long, tot, agg0, root, sided, long1, tot1, agg1, split1,
+         trleaf, troute]
+    )
+
+
+@register(
+    "class_hist_tree",
+    "WITH src AS MATERIALIZED (" + _CL_SRC + "), "
+    "train AS (SELECT * FROM src WHERE ck % 4 <> 0), "
+    + _sql_cl_tree()
+    + " SELECT n2.ck, CAST(n2.leaf AS BIGINT) AS leaf, lab.pred"
+    " FROM n2 JOIN lab ON lab.leaf = n2.leaf ORDER BY n2.ck",
+)
+def q_class_hist_tree(sf_dir: str):
+    """Depth-2 histogram decision tree (the distributed-histogram
+    strategy of the reference's wrapped boosters): one domain-bounded
+    counting pass per level, exact-double Gini impurity ordering,
+    first-wins (impurity, feature, threshold) ties, leaf majority with
+    lowest-class ties."""
+    from rsgislib_ray.stages import classify as cls_
+
+    tree = cls_.train_hist_tree(
+        _cl_train_ds(sf_dir), _CL_FC, "y", _CL_KS, max_depth=2
+    )
+    return cls_.apply_hist_tree(_cl_test_ds(sf_dir), tree, _CL_FC).sort("ck")
+
+
+_SQL_CL_RANKED = (
+    "ex AS (SELECT ck, y, CAST(ck + {seed} AS UBIGINT) AS x FROM src), "
+    + _sm64_chain("ck, y", "ex", "cs")
+    + ", ranked AS (SELECT ck, y, ROW_NUMBER() OVER"
+    " (PARTITION BY y ORDER BY z, ck) AS rn FROM cs6)"
+)
+
+
+@register(
+    "class_undersample",
+    "WITH src AS (" + _CL_SRC + "), "
+    + _SQL_CL_RANKED.format(seed=_CL_SEED)
+    + ", nmin AS (SELECT MIN(cnt) AS m FROM"
+    " (SELECT COUNT(*) AS cnt FROM src GROUP BY y)) "
+    "SELECT ck, CAST(y AS BIGINT) AS y FROM ranked, nmin"
+    " WHERE rn <= m ORDER BY ck",
+)
+def q_class_undersample(sf_dir: str):
+    """Balanced random undersampling (classimblearn.py:251): every
+    class cut to the minority count by deterministic splitmix64 rank;
+    selection resolves through broadcast two-level rank thresholds —
+    no data-row shuffle, no driver materialization."""
+    from rsgislib_ray.stages import classify as cls_
+
+    out = cls_.balanced_undersample(
+        _cl_src_ds(sf_dir), "y", "ck", seed=_CL_SEED,
+        keep_cols=["ck", "y"],
+    )
+    return out.sort("ck")
+
+
+@register(
+    "class_oversample",
+    "WITH src AS (" + _CL_SRC + "), "
+    + _SQL_CL_RANKED.format(seed=_CL_SEED)
+    + ", counts AS (SELECT y AS yc, COUNT(*) AS cnt FROM src GROUP BY y), "
+    "nmaj AS (SELECT MAX(cnt) AS m FROM counts), "
+    "reps AS (SELECT r.ck, r.y, (m // cnt) +"
+    " CASE WHEN r.rn <= m % cnt THEN 1 ELSE 0 END AS nrep"
+    " FROM ranked r JOIN counts c ON r.y = c.yc, nmaj) "
+    "SELECT ck, CAST(y AS BIGINT) AS y,"
+    " unnest(range(nrep)) AS copy_idx FROM reps ORDER BY ck, copy_idx",
+)
+def q_class_oversample(sf_dir: str):
+    """Balanced random oversampling (classimblearn.py:109): whole-row
+    replication to the majority count; the n_maj % n_c extra copies go
+    to the lowest-(splitmix64, key) rows per class (same deterministic
+    rank machinery as undersampling), emitted with a 0-based copy_idx."""
+    from rsgislib_ray.stages import classify as cls_
+
+    out = cls_.balanced_oversample(
+        _cl_src_ds(sf_dir), "y", "ck", seed=_CL_SEED,
+        keep_cols=["ck", "y"],
+    )
+    return out.sort(["ck", "copy_idx"])
