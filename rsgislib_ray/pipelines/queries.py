@@ -15539,3 +15539,242 @@ def q_class_oversample(sf_dir: str):
         keep_cols=["ck", "y"],
     )
     return out.sort(["ck", "copy_idx"])
+
+
+# ===========================================================================
+# Shepherd segmentation composite (segmentation/shepherdseg.py:67
+# run_shepherd_segmentation — the reference's published flagship chain,
+# Shepherd et al. 2019): kmeans -> label pixels from centres -> clump ->
+# eliminate single pixels -> relabel consecutive -> clump-mean image.
+# Engine = the existing streaming operators composed end to end; oracle
+# = unrolled-Lloyd SQL + iteration-indexed recursive-CTE min-label
+# components + the exact-rational singleton merge + DENSE_RANK relabel.
+# (The stepwise multi-size small-clump elimination stays covered by the
+# rows-only `eliminate_small`; the chain uses the SQL-expressible
+# singleton sweep, the clump_area=1 first step of the same algorithm.)
+# ===========================================================================
+
+_SH_N = 48
+_SH_K = 4       # clusters
+_SH_IT = 3      # Lloyd iterations
+_SH_CC_K = 250  # min-label propagation rounds > any component diameter
+_SH_THR = 30    # singleton spectral threshold
+
+
+def _sh_px_np():
+    pid = np.arange(_SH_N * _SH_N, dtype=np.int64)
+    r, c = np.divmod(pid, _SH_N)
+    band1 = ((r // 6) * 20 + (c // 6) * 15) % 90 + (r * 5 + c * 3) % 5
+    band2 = ((r // 8) * 25 + (c // 4) * 10) % 80 + (r * 3 + c * 7) % 4
+    return pa.table(
+        {
+            "pixel_id": pid,
+            "row": r,
+            "col": c,
+            "band1": band1,
+            "band2": band2,
+        }
+    )
+
+
+def _sql_shepherd() -> str:
+    n, k, iters = _SH_N, _SH_K, _SH_IT
+    px = f"""
+    px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {n} AS BIGINT) AS rr,
+             CAST(p.range % {n} AS BIGINT) AS cc,
+             ((p.range // {n}) // 6 * 20 + (p.range % {n}) // 6 * 15) % 90
+               + ((p.range // {n}) * 5 + (p.range % {n}) * 3) % 5 AS band1,
+             ((p.range // {n}) // 8 * 25 + (p.range % {n}) // 4 * 10) % 80
+               + ((p.range // {n}) * 3 + (p.range % {n}) * 7) % 4 AS band2
+      FROM range(0, {n * n}) p
+    )"""
+    seeds = ", ".join(
+        f"""(SELECT v FROM (
+            SELECT band{j + 1} AS v, ROW_NUMBER() OVER (ORDER BY band{j + 1})
+                   AS rn, COUNT(*) OVER () AS nn FROM px)
+          WHERE rn = (nn * (kr.range + 1) + {k}) // {k + 1}) AS x{j}"""
+        for j in range(2)
+    )
+    sql = px + f""",
+    c0 AS (SELECT CAST(kr.range AS BIGINT) AS cid, {seeds}
+           FROM range(0, {k}) kr)"""
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sql += f""",
+    a{t} AS (
+      SELECT pixel_id, band1, band2, cid AS cluster FROM (
+        SELECT p.pixel_id, p.band1, p.band2, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.pixel_id ORDER BY
+            (p.band1 - c.x0) * (p.band1 - c.x0)
+              + (p.band2 - c.x1) * (p.band2 - c.x1), c.cid) AS rn
+        FROM px p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    c{t} AS (
+      SELECT c.cid,
+        CASE WHEN s.n > 0
+          THEN CAST(CAST(s.s0 AS BIGINT) AS DOUBLE) / s.n ELSE c.x0
+        END AS x0,
+        CASE WHEN s.n > 0
+          THEN CAST(CAST(s.s1 AS BIGINT) AS DOUBLE) / s.n ELSE c.x1
+        END AS x1
+      FROM {prev} c LEFT JOIN (
+        SELECT cluster, COUNT(*) AS n, SUM(band1) AS s0, SUM(band2) AS s1
+        FROM a{t} GROUP BY cluster
+      ) s ON s.cluster = c.cid
+    )"""
+        prev = f"c{t}"
+    sql += f""",
+    lab0 AS MATERIALIZED (
+      SELECT p.pixel_id, p.rr, p.cc, p.band1, p.band2, f.cluster FROM px p
+      JOIN (
+        SELECT pixel_id, cid AS cluster FROM (
+          SELECT p2.pixel_id, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY p2.pixel_id ORDER BY
+              (p2.band1 - c.x0) * (p2.band1 - c.x0)
+                + (p2.band2 - c.x1) * (p2.band2 - c.x1), c.cid) AS rn
+          FROM px p2 CROSS JOIN {prev} c
+        ) WHERE rn = 1
+      ) f ON f.pixel_id = p.pixel_id
+    ),
+    ee AS MATERIALIZED (
+      SELECT a.pixel_id AS u, b.pixel_id AS v
+      FROM lab0 a JOIN lab0 b
+        ON a.cluster = b.cluster
+       AND ((a.rr = b.rr AND abs(a.cc - b.cc) = 1)
+            OR (a.cc = b.cc AND abs(a.rr - b.rr) = 1))
+    ),
+    ccp(it, pixel_id, lab) AS (
+      SELECT 0, pixel_id, pixel_id FROM lab0
+      UNION ALL
+      SELECT it + 1, pixel_id, MIN(lab) FROM (
+        SELECT x.it AS it, ee.v AS pixel_id, x.lab AS lab
+        FROM ccp x JOIN ee ON ee.u = x.pixel_id
+        WHERE x.it < {_SH_CC_K}
+        UNION ALL
+        SELECT it, pixel_id, lab FROM ccp WHERE it < {_SH_CC_K}
+      ) GROUP BY it, pixel_id
+    ),
+    lab AS MATERIALIZED (
+      SELECT l.pixel_id, l.rr, l.cc, l.band1, l.band2, c.lab
+      FROM lab0 l JOIN ccp c ON c.pixel_id = l.pixel_id
+      WHERE c.it = {_SH_CC_K}
+    ),
+    sz AS MATERIALIZED (
+      SELECT lab AS zl, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(band1) AS BIGINT) AS s1,
+             CAST(SUM(band2) AS BIGINT) AS s2
+      FROM lab GROUP BY lab
+    ),
+    cand AS (
+      SELECT DISTINCT s.lab AS src, t.lab AS tgt,
+             s.band1 AS b1, s.band2 AS b2
+      FROM lab s
+      JOIN sz zs ON zs.zl = s.lab AND zs.n = 1
+      JOIN lab t ON ((s.rr = t.rr AND abs(s.cc - t.cc) = 1)
+                     OR (s.cc = t.cc AND abs(s.rr - t.rr) = 1))
+       AND t.lab <> s.lab
+    ),
+    scored AS (
+      SELECT c.src, c.tgt, z.n AS nt,
+        CAST((c.b1 * z.n - z.s1) * (c.b1 * z.n - z.s1)
+             + (c.b2 * z.n - z.s2) * (c.b2 * z.n - z.s2) AS HUGEINT)
+          AS num
+      FROM cand c JOIN sz z ON z.zl = c.tgt
+      WHERE z.n > 1
+    ),
+    pick AS (
+      SELECT src, tgt, num, nt,
+        ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+          (num * 18446744073709551616) // (CAST(nt AS HUGEINT) * nt),
+          tgt) AS rk
+      FROM scored
+    ),
+    mrg AS (
+      SELECT src, tgt FROM pick
+      WHERE rk = 1
+        AND num < {_SH_THR * _SH_THR} * CAST(nt AS HUGEINT) * nt
+    ),
+    elim AS MATERIALIZED (
+      SELECT l.pixel_id, l.band1, l.band2,
+             COALESCE(m.tgt, l.lab) AS elab
+      FROM lab l LEFT JOIN mrg m ON m.src = l.lab
+    ),
+    segid AS (
+      SELECT elab, CAST(DENSE_RANK() OVER (ORDER BY elab) AS BIGINT)
+             AS seg
+      FROM (SELECT DISTINCT elab FROM elim)
+    )
+    SELECT e.pixel_id, s.seg,
+      CAST(SUM(e.band1) OVER w AS DOUBLE) / COUNT(*) OVER w AS mean1,
+      CAST(SUM(e.band2) OVER w AS DOUBLE) / COUNT(*) OVER w AS mean2
+    FROM elim e JOIN segid s ON s.elab = e.elab
+    WINDOW w AS (PARTITION BY e.elab)
+    """
+    return "WITH RECURSIVE " + sql
+
+
+@register("shepherd_chain", _sql_shepherd() + " ORDER BY pixel_id")
+def q_shepherd_chain(sf_dir: str):
+    """run_shepherd_segmentation end to end (shepherdseg.py:67):
+    exact-integer Lloyd k-means fit + nearest-centre labeling ->
+    distributed clump -> exact-rational singleton elimination ->
+    consecutive relabel -> clump-mean image. Every stage is the
+    already-verified streaming operator; this query pins the whole
+    composite bit-exactly."""
+    from rsgislib_ray.stages.polygonize import clump
+    from rsgislib_ray.stages.segmentation import eliminate_singletons
+    from rsgislib_ray.stages.segsum import segment_sum
+    from rsgislib_ray.stages.zonal import kmeans_cluster_exact
+
+    ds = ray.data.from_arrow(_sh_px_np()).repartition(8)
+    labeled, _C, _sz = kmeans_cluster_exact(
+        ds, ["band1", "band2"], n_clusters=_SH_K, iters=_SH_IT, card=128
+    )
+    clumped = clump(labeled, tile_size=16, value_col="cluster")
+    elim = eliminate_singletons(
+        clumped, ["band1", "band2"], _SH_THR, tile_size=16
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "elab": batch["elim_label"],
+                "n": np.ones(len(batch), dtype=np.int64),
+                "s1": batch["band1"].to_numpy().astype(np.int64),
+                "s2": batch["band2"].to_numpy().astype(np.int64),
+            }
+        )
+
+    sums = segment_sum(
+        elim.map_batches(partial, batch_format="pyarrow"),
+        "elab",
+        ["n", "s1", "s2"],
+    ).to_pandas().sort_values("elab")
+    state = ray.put(
+        {
+            "lab": sums["elab"].to_numpy().astype(np.int64),
+            "n": sums["n"].to_numpy().astype(np.int64),
+            "s1": sums["s1"].to_numpy().astype(np.int64),
+            "s2": sums["s2"].to_numpy().astype(np.int64),
+        }
+    )
+
+    def paint(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        st = cached(state)
+        idx = np.searchsorted(st["lab"], batch["elim_label"].to_numpy())
+        nn = st["n"][idx].astype(np.float64)
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "seg": idx.astype(np.int64) + 1,
+                "mean1": st["s1"][idx].astype(np.float64) / nn,
+                "mean2": st["s2"][idx].astype(np.float64) / nn,
+            }
+        )
+
+    return elim.map_batches(paint, batch_format="pyarrow").sort("pixel_id")
