@@ -15778,3 +15778,109 @@ def q_shepherd_chain(sf_dir: str):
         )
 
     return elim.map_batches(paint, batch_format="pyarrow").sort("pixel_id")
+
+
+def _sql_cluster_sample() -> str:
+    """img_pixel_sample_cluster (clustersklearn.py:57): the Lloyd fit
+    runs on every SMPL-th pixel only; the final assignment covers every
+    pixel. Same unrolled-iteration mirror as kmeans_exact with the
+    moment CTEs restricted to the sample."""
+    n, k, iters, smpl = _SH_N, _SH_K, _SH_IT, 7
+    seeds = ", ".join(
+        f"""(SELECT v FROM (
+            SELECT band{j + 1} AS v, ROW_NUMBER() OVER (ORDER BY band{j + 1})
+                   AS rn, COUNT(*) OVER () AS nn FROM smp)
+          WHERE rn = (nn * (kr.range + 1) + {k}) // {k + 1}) AS x{j}"""
+        for j in range(2)
+    )
+    sql = f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             ((p.range // {n}) // 6 * 20 + (p.range % {n}) // 6 * 15) % 90
+               + ((p.range // {n}) * 5 + (p.range % {n}) * 3) % 5 AS band1,
+             ((p.range // {n}) // 8 * 25 + (p.range % {n}) // 4 * 10) % 80
+               + ((p.range // {n}) * 3 + (p.range % {n}) * 7) % 4 AS band2
+      FROM range(0, {n * n}) p
+    ),
+    smp AS MATERIALIZED (SELECT * FROM px WHERE pixel_id % {smpl} = 0),
+    c0 AS (SELECT CAST(kr.range AS BIGINT) AS cid, {seeds}
+           FROM range(0, {k}) kr)"""
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sql += f""",
+    a{t} AS (
+      SELECT pixel_id, band1, band2, cid AS cluster FROM (
+        SELECT p.pixel_id, p.band1, p.band2, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.pixel_id ORDER BY
+            (p.band1 - c.x0) * (p.band1 - c.x0)
+              + (p.band2 - c.x1) * (p.band2 - c.x1), c.cid) AS rn
+        FROM smp p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    c{t} AS (
+      SELECT c.cid,
+        CASE WHEN s.n > 0
+          THEN CAST(CAST(s.s0 AS BIGINT) AS DOUBLE) / s.n ELSE c.x0
+        END AS x0,
+        CASE WHEN s.n > 0
+          THEN CAST(CAST(s.s1 AS BIGINT) AS DOUBLE) / s.n ELSE c.x1
+        END AS x1
+      FROM {prev} c LEFT JOIN (
+        SELECT cluster, COUNT(*) AS n, SUM(band1) AS s0, SUM(band2) AS s1
+        FROM a{t} GROUP BY cluster
+      ) s ON s.cluster = c.cid
+    )"""
+        prev = f"c{t}"
+    sql += f"""
+    SELECT pixel_id, cid AS cluster FROM (
+      SELECT p.pixel_id, c.cid,
+        ROW_NUMBER() OVER (PARTITION BY p.pixel_id ORDER BY
+          (p.band1 - c.x0) * (p.band1 - c.x0)
+            + (p.band2 - c.x1) * (p.band2 - c.x1), c.cid) AS rn
+      FROM px p CROSS JOIN {prev} c
+    ) WHERE rn = 1 ORDER BY pixel_id
+    """
+    return sql
+
+
+@register("cluster_sample_apply", _sql_cluster_sample())
+def q_cluster_sample_apply(sf_dir: str):
+    """img_pixel_sample_cluster (clustersklearn.py:57): cluster fit on
+    every n_img_smpl-th pixel, predict applied to the whole image —
+    the fit passes stream the (filtered) sample; the apply pass
+    streams everything with the broadcast centres."""
+    from rsgislib_ray.state.broadcast import cached as _cached
+    from rsgislib_ray.stages.zonal import kmeans_cluster_exact
+
+    ds = ray.data.from_arrow(_sh_px_np()).repartition(8)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.array(batch["pixel_id"].to_numpy() % 7 == 0)
+        )
+
+    smp = ds.map_batches(keep, batch_format="pyarrow")
+    _labeled, C, _sz = kmeans_cluster_exact(
+        smp, ["band1", "band2"], n_clusters=_SH_K, iters=_SH_IT, card=128
+    )
+    ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = _cached(ref)
+        M = np.column_stack(
+            [
+                batch["band1"].to_numpy().astype(np.int64),
+                batch["band2"].to_numpy().astype(np.int64),
+            ]
+        )
+        dd = ((M[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "cluster": dd.argmin(axis=1).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=65536
+    ).sort("pixel_id")
