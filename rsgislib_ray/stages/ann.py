@@ -640,3 +640,105 @@ def _semantic_dedup_cluster(
     return tagged.groupby("cluster").map_groups(
         arrowize(cluster_label), batch_format="pandas"
     )
+
+
+def pq_topk(
+    embeddings: ray.data.Dataset,
+    query_tbl: pa.Table,
+    k: int = 10,
+    m: int = 16,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+    rerank_mult: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> pa.Table:
+    """Product-quantization approximate top-k (Jégou et al. 2011, the
+    third standard ANN scale path beside LSH buckets and IVF): the
+    normalized vector splits into ``m`` subvectors, each quantized
+    against a per-subspace ``n_codes`` codebook trained once on a
+    driver-side sample; query-time ADC (asymmetric distance) sums
+    per-subspace lookup-table entries, so shortlisting a corpus batch
+    costs one encode pass + table gathers — the full-dimension matmul
+    runs only on the per-batch ADC shortlist of ``k·rerank_mult``
+    candidates (exact re-rank, the standard ADC+R configuration).
+    At cluster scale the codebooks are the broadcast state (m×ks×dsub
+    floats), corpus codes are ``m`` uint8 columns (8 bytes/vector at
+    m=8 — the 100-TB memory story), and per-batch top-k merges through
+    one small groupby, exactly like :func:`ivf_topk`. Output contract:
+    (query_id, rank, vec_id), exact cosine descending, vec_id ties
+    ascending."""
+    d = None
+    sample_tbl = embeddings.limit(train_sample).to_pandas()
+    sample = _normalize(np.stack(sample_tbl[vec_col].to_numpy()))
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.stack(
+        [
+            _kmeans(sample[:, j * dsub : (j + 1) * dsub], n_codes)
+            for j in range(m)
+        ]
+    )  # (m, ks, dsub)
+    Q = _normalize(_to_matrix(query_tbl[query_vec_col]))
+    q_ids = query_tbl[query_id_col].to_numpy().astype(np.int64)
+    # per-query ADC tables: T[q, j, code] = ||Q_sub - C_code||^2
+    T = np.empty((len(q_ids), m, n_codes))
+    for j in range(m):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        T[:, j, :] = (
+            ((qs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        )
+    ref = ray.put({"books": books, "T": T, "q_ids": q_ids, "Q": Q})
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        st = cached(ref)
+        M = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        bks, Tq = st["books"], st["T"]
+        mm, ks, ds_ = bks.shape
+        codes = np.empty((len(ids), mm), dtype=np.int64)
+        for j in range(mm):
+            sub = M[:, j * ds_ : (j + 1) * ds_]
+            d2 = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        for qi in range(len(st["q_ids"])):
+            # ADC: gather per-subspace table entries and sum
+            dist = Tq[qi][np.arange(mm)[None, :], codes].sum(axis=1)
+            kk = min(k * rerank_mult, len(ids))
+            short = np.argpartition(dist, kk - 1)[:kk]
+            # exact re-rank on the shortlist only
+            sims = M[short] @ st["Q"][qi]
+            out["query_id"].append(
+                np.full(kk, st["q_ids"][qi], dtype=np.int64)
+            )
+            out["vec_id"].append(ids[short])
+            out["sim"].append(sims)
+        return pa.table({c: np.concatenate(v) for c, v in out.items()})
+
+    local = embeddings.map_batches(
+        scan, batch_format="pyarrow", batch_size=8192
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id"]]
+
+    out = local.groupby("query_id").map_groups(
+        arrowize(merge), batch_format="pandas"
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+        .replace_schema_metadata(None)
+    )

@@ -387,3 +387,31 @@ def test_paragraph_dedup_partition_independence(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_pq_topk_recall_and_determinism(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from rsgislib_ray.sources import testdata as td
+    from rsgislib_ray.stages.ann import ann_topk, pq_topk
+
+    emb = td.read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = tbl.filter(pc.less(tbl["vec_id"], 4))
+    a1 = pq_topk(emb, qt, k=10).to_pandas()
+    a2 = pq_topk(emb.repartition(3), qt, k=10).to_pandas()
+    # deterministic and partition-independent
+    assert a1.equals(a2)
+    exact = ann_topk(emb, qt, k=10).to_pandas()
+    for qid in sorted(exact["query_id"].unique()):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(a1[a1["query_id"] == qid]["vec_id"])
+        assert len(e & a) / len(e) >= 0.7
+    # each query returns exactly k ranked rows
+    assert (a1.groupby("query_id").size() == 10).all()
+    assert (
+        a1.groupby("query_id")["rank"].apply(
+            lambda s: (s.to_numpy() == np.arange(1, 11)).all()
+        )
+    ).all()
