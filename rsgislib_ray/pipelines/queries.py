@@ -15929,3 +15929,84 @@ def q_ann_pq(sf_dir: str):
     return pa.Table.from_pandas(
         pd.DataFrame(rows), preserve_index=False
     ).replace_schema_metadata(None)
+
+
+def _sql_alpha_shape() -> str:
+    """Brute-force alpha complex in exact integer arithmetic: Delaunay
+    via NOT EXISTS strict-incircle (cross*det > 0), alpha filter as
+    the exact rational a2*b2*c2 < r2max*4*cross^2, boundary = canonical
+    edges in exactly one kept triangle."""
+
+    def d2(u1, v1, u2, v2):
+        return f"(({u1}-{u2})*({u1}-{u2}) + ({v1}-{v2})*({v1}-{v2}))"
+
+    incircle = (
+        "(t.ax-p.x) * ((t.by_-p.y)*{fc} - (t.cy-p.y)*{fb})"
+        " - (t.ay-p.y) * ((t.bx-p.x)*{fc} - (t.cx-p.x)*{fb})"
+        " + {fa} * ((t.bx-p.x)*(t.cy-p.y) - (t.cx-p.x)*(t.by_-p.y))"
+    ).format(
+        fa=d2("t.ax", "t.ay", "p.x", "p.y"),
+        fb=d2("t.bx", "t.by_", "p.x", "p.y"),
+        fc=d2("t.cx", "t.cy", "p.x", "p.y"),
+    )
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS i,
+             (p.range * 41) % 127 AS x, (p.range * 67) % 131 AS y
+      FROM range(0, 40) p
+    ),
+    tri AS (
+      SELECT a.i AS ia, b.i AS ib, c.i AS ic,
+             a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_,
+             c.x AS cx, c.y AS cy,
+             (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) AS cr
+      FROM pts a JOIN pts b ON b.i > a.i JOIN pts c ON c.i > b.i
+    ),
+    del AS MATERIALIZED (
+      SELECT ia, ib, ic FROM tri t
+      WHERE t.cr <> 0
+        AND CAST({d2('t.bx', 't.by_', 't.ax', 't.ay')} AS HUGEINT)
+            * {d2('t.cx', 't.cy', 't.bx', 't.by_')}
+            * {d2('t.ax', 't.ay', 't.cx', 't.cy')}
+            < 2500 * 4 * CAST(t.cr AS HUGEINT) * t.cr
+        AND NOT EXISTS (
+          SELECT 1 FROM pts p
+          WHERE p.i NOT IN (t.ia, t.ib, t.ic)
+            AND CAST(t.cr AS HUGEINT) * ({incircle}) > 0
+        )
+    ),
+    eg AS (
+      SELECT ia AS u, ib AS v FROM del
+      UNION ALL SELECT ib, ic FROM del
+      UNION ALL SELECT ia, ic FROM del
+    )
+    SELECT e.u AS i, e.v AS j, pu.x AS x1, pu.y AS y1,
+           pv.x AS x2, pv.y AS y2
+    FROM (SELECT u, v FROM eg GROUP BY u, v HAVING COUNT(*) = 1) e
+    JOIN pts pu ON pu.i = e.u JOIN pts pv ON pv.i = e.v
+    ORDER BY i, j
+    """
+
+
+@register("alpha_shape", _sql_alpha_shape())
+def q_alpha_shape(sf_dir: str):
+    """create_alpha_shape (vectorgeoms/__init__.py:1587, wrapping the
+    alphashape package): the alpha-complex boundary over a thinned
+    point layer, computed with exact integer Delaunay/incircle
+    predicates — the candidate-triangle table is the Dataset, the
+    point set is the broadcast state (see stages/alphashape.py for the
+    degeneracy contract: the fixture is verified 4-cocircular-free)."""
+    from rsgislib_ray.stages.alphashape import alpha_shape_edges
+
+    idx = np.arange(40, dtype=np.int64)
+    pts = pa.table(
+        {
+            "pt_id": idx,
+            "xi": (idx * 41) % 127,
+            "yi": (idx * 67) % 131,
+        }
+    )
+    out = alpha_shape_edges(
+        ray.data.from_arrow(pts), r2max=2500, batch_size=2048
+    )
+    return out.sort(["i", "j"])
