@@ -16010,3 +16010,66 @@ def q_alpha_shape(sf_dir: str):
         ray.data.from_arrow(pts), r2max=2500, batch_size=2048
     )
     return out.sort(["i", "j"])
+
+
+def _sql_spectral_smoothing() -> str:
+    """8-band SG(5,3) smoothing mirror: per-band exact-integer kernel
+    sums with ONE float division, 'interp' edge rows, masked rows to
+    nodata."""
+    from rsgislib_ray.stages.smoothing import sg5_matrix
+
+    N, den = sg5_matrix(8)
+    bands = ", ".join(
+        f"CAST((ck % 40) + {b} * 3 + (ck * {b + 2}) % 5 AS BIGINT) AS x{b}"
+        for b in range(8)
+    )
+    outs = []
+    for j in range(8):
+        terms = " + ".join(
+            f"({int(N[j, b])}) * x{b}" for b in range(8) if N[j, b] != 0
+        )
+        outs.append(
+            f"CASE WHEN m = 1 THEN CAST({terms} AS DOUBLE)"
+            f" / {float(den[j])!r}e0 ELSE -99.0e0 END AS sm_x{j}"
+        )
+    return (
+        "WITH src AS (SELECT ck, CASE WHEN ck % 7 = 0 THEN 0 ELSE 1 END"
+        " AS m, " + bands +
+        " FROM (SELECT l_orderkey * 10 + l_linenumber AS ck FROM lineitem))"
+        " SELECT ck, " + ", ".join(outs) + " FROM src ORDER BY ck"
+    )
+
+
+@register("spectral_smoothing", _sql_spectral_smoothing())
+def q_spectral_smoothing(sf_dir: str):
+    """imageutils.spectral_smoothing (:4618, scipy savgol win=5
+    polyorder=3 mode='interp' along the band axis inside a valid
+    mask): exact rational SG projection rows -> integer kernel sums +
+    one float division per band; masked pixels emit nodata on every
+    band. Zero shuffles."""
+    from rsgislib_ray.stages.smoothing import spectral_smoothing
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        cols = {"ck": ck, "m": np.where(ck % 7 == 0, 0, 1)}
+        for b in range(8):
+            cols[f"x{b}"] = (ck % 40) + b * 3 + (ck * (b + 2)) % 5
+        return pa.table(cols)
+
+    src = ds.map_batches(mk, batch_format="pyarrow", batch_size=65536)
+    out = spectral_smoothing(
+        src,
+        [f"x{b}" for b in range(8)],
+        mask_col="m",
+        mask_val=1,
+        key_col="ck",
+    )
+    return out.sort("ck")
