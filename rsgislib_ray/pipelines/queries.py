@@ -16073,3 +16073,134 @@ def q_spectral_smoothing(sf_dir: str):
         key_col="ck",
     )
     return out.sort("ck")
+
+
+# ===========================================================================
+# Grid-to-grid resampling (stages/resample.py — imageutils:2392
+# resample_img_to_match / :2511 gdal_warp, nearest + bilinear).
+# Join-based physical plan: requests flat-map -> hash join on source
+# pixel_id -> segment_sum reassembly; both rasters stream.
+# ===========================================================================
+
+_RS_SN, _RS_SRES = 64, 12       # source: 64x64, pixel 12 u, origin (0,0)
+_RS_TN, _RS_TRES = 80, 10       # target: 80x80, pixel 10 u, origin (-6,14)
+_RS_OFF = 1 << 20
+
+
+def _rs_src_tbl() -> pa.Table:
+    pid = np.arange(_RS_SN * _RS_SN, dtype=np.int64)
+    return pa.table({"pixel_id": pid, "val": (pid * 37) % 100})
+
+
+def _rs_tgt_tbl() -> pa.Table:
+    tid = np.arange(_RS_TN * _RS_TN, dtype=np.int64)
+    r, c = np.divmod(tid, _RS_TN)
+    return pa.table(
+        {
+            "tgt_id": tid,
+            "cx": _RS_TRES * c - 6 + _RS_TRES // 2,
+            "cy": _RS_TRES * r + 14 + _RS_TRES // 2,
+        }
+    )
+
+
+_SQL_RS_BASE = f"""
+    tgt AS (SELECT CAST(p.range AS BIGINT) AS tgt_id,
+                   {_RS_TRES} * (p.range % {_RS_TN}) - 6 + {_RS_TRES // 2}
+                     AS cx,
+                   {_RS_TRES} * (p.range // {_RS_TN}) + 14 + {_RS_TRES // 2}
+                     AS cy
+            FROM range(0, {_RS_TN * _RS_TN}) p),
+    src AS (SELECT CAST(p.range AS BIGINT) AS pixel_id,
+                   (p.range * 37) % 100 AS val
+            FROM range(0, {_RS_SN * _RS_SN}) p)
+"""
+
+
+def _fd(expr: str) -> str:
+    """Offset floor division by src_res (DuckDB // truncates toward
+    zero; the engine uses the identical offset form)."""
+    return (
+        f"(({expr}) + {_RS_OFF * _RS_SRES}) // {_RS_SRES} - {_RS_OFF}"
+    )
+
+
+@register(
+    "resample_nearest",
+    f"""
+    WITH {_SQL_RS_BASE},
+    nn AS (SELECT tgt_id, {_fd('cx')} AS sc, {_fd('cy')} AS sr FROM tgt),
+    nn2 AS (SELECT tgt_id,
+              CASE WHEN sc BETWEEN 0 AND {_RS_SN - 1}
+                    AND sr BETWEEN 0 AND {_RS_SN - 1}
+                   THEN sr * {_RS_SN} + sc ELSE -1 END AS src_pid
+            FROM nn)
+    SELECT n.tgt_id,
+           CASE WHEN n.src_pid >= 0 THEN CAST(s.val AS DOUBLE)
+                ELSE -99.0e0 END AS val
+    FROM nn2 n LEFT JOIN src s ON s.pixel_id = n.src_pid
+    ORDER BY n.tgt_id
+    """,
+)
+def q_resample_nearest(sf_dir: str):
+    """resample_img_to_match nearest-neighbour (imageutils:2392): one
+    request row per target pixel, hash join on source pixel_id,
+    out-of-extent targets -> nodata."""
+    from rsgislib_ray.stages.resample import resample_to_grid
+
+    src = ray.data.from_arrow(_rs_src_tbl()).repartition(8)
+    tgt = ray.data.from_arrow(_rs_tgt_tbl()).repartition(8)
+    out = resample_to_grid(
+        src, tgt, "nearest", src_n=_RS_SN, src_res=_RS_SRES
+    )
+    return out.sort("tgt_id")
+
+
+@register(
+    "resample_bilinear",
+    f"""
+    WITH {_SQL_RS_BASE},
+    bl AS (SELECT tgt_id, cx - {_RS_SRES // 2} AS tx,
+                  cy - {_RS_SRES // 2} AS ty FROM tgt),
+    ij AS (SELECT tgt_id, tx, ty, {_fd('tx')} AS i0u, {_fd('ty')} AS j0u
+           FROM bl),
+    cl AS (SELECT tgt_id,
+             CASE WHEN i0u < 0 THEN 0 WHEN i0u > {_RS_SN - 2} THEN
+               {_RS_SRES} ELSE tx - i0u * {_RS_SRES} END AS fx,
+             CASE WHEN j0u < 0 THEN 0 WHEN j0u > {_RS_SN - 2} THEN
+               {_RS_SRES} ELSE ty - j0u * {_RS_SRES} END AS fy,
+             LEAST(GREATEST(i0u, 0), {_RS_SN - 2}) AS i0,
+             LEAST(GREATEST(j0u, 0), {_RS_SN - 2}) AS j0
+           FROM ij),
+    req AS (
+      SELECT tgt_id, j0 * {_RS_SN} + i0 AS src_pid,
+             ({_RS_SRES} - fx) * ({_RS_SRES} - fy) AS w FROM cl
+      UNION ALL
+      SELECT tgt_id, j0 * {_RS_SN} + i0 + 1,
+             fx * ({_RS_SRES} - fy) FROM cl
+      UNION ALL
+      SELECT tgt_id, (j0 + 1) * {_RS_SN} + i0,
+             ({_RS_SRES} - fx) * fy FROM cl
+      UNION ALL
+      SELECT tgt_id, (j0 + 1) * {_RS_SN} + i0 + 1, fx * fy FROM cl
+    )
+    SELECT r.tgt_id,
+           CAST(SUM(r.w * s.val) AS DOUBLE)
+             / {float(_RS_SRES * _RS_SRES)!r}e0 AS val
+    FROM req r JOIN src s ON s.pixel_id = r.src_pid
+    GROUP BY r.tgt_id ORDER BY r.tgt_id
+    """,
+)
+def q_resample_bilinear(sf_dir: str):
+    """gdal_warp bilinear (imageutils:2511): 4 corner requests per
+    target with exact integer weights summing to res², clamped-index
+    edge replication, hash join + segment_sum reassembly, ONE float
+    division per target."""
+    from rsgislib_ray.stages.resample import resample_to_grid
+
+    src = ray.data.from_arrow(_rs_src_tbl()).repartition(8)
+    tgt = ray.data.from_arrow(_rs_tgt_tbl()).repartition(8)
+    out = resample_to_grid(
+        src, tgt, "bilinear", src_n=_RS_SN, src_res=_RS_SRES
+    )
+    return out.sort("tgt_id")

@@ -1,0 +1,189 @@
+"""Grid-to-grid raster resampling — reference imageutils/__init__.py
+:2392 ``resample_img_to_match`` / :2511 ``gdal_warp`` (nearest and
+bilinear interpolation onto another image's grid).
+
+Join-based physical plan (no raster broadcast): every TARGET pixel
+emits its source-pixel requests (1 for nearest, the 4 bilinear
+corners) as ``(tgt_id, src_pid, w_num)`` rows via flat-map arithmetic,
+the requests hash-join the source table on ``pixel_id`` (measured
+partition count), and bilinear reassembles through the sort-based
+:func:`segment_sum` — so both rasters stream, and a 100-TB source is
+just a bigger join, never a worker-heap dense array.
+
+Exactness: coordinates are integer micro-units; the bilinear output is
+``exact-int Σ w·val / res²`` — ONE correctly-rounded float division,
+bit-reproducible in SQL. Floor divisions are written as
+``(x + OFF·res) // res − OFF`` with a constant OFF so plain truncating
+division (numpy and DuckDB agree on non-negative operands; DuckDB's
+``//`` truncates toward zero on negatives) computes a true floor.
+
+Edge semantics (documented, engine-defined): nearest → out-of-extent
+targets emit ``nodata``; bilinear → corner indices clamp to the source
+extent with saturated fractions (edge replication)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_OFF = 1 << 20  # floor-division offset: valid for coords > -OFF*res
+
+
+def _floor_div(t: np.ndarray, res: int) -> np.ndarray:
+    return (t + _OFF * res) // res - _OFF
+
+
+def nearest_requests(
+    targets: ray.data.Dataset,
+    src_n: int,
+    src_res: int,
+    src_ox: int = 0,
+    src_oy: int = 0,
+    tgt_id_col: str = "tgt_id",
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+) -> ray.data.Dataset:
+    """(tgt_id, src_pid) with src_pid = -1 for out-of-extent targets."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        cx = batch[cx_col].to_numpy().astype(np.int64)
+        cy = batch[cy_col].to_numpy().astype(np.int64)
+        sc = _floor_div(cx - src_ox, src_res)
+        sr = _floor_div(cy - src_oy, src_res)
+        ok = (sc >= 0) & (sc < src_n) & (sr >= 0) & (sr < src_n)
+        pid = np.where(ok, sr * src_n + sc, -1)
+        return pa.table(
+            {tgt_id_col: batch[tgt_id_col], "src_pid": pid}
+        )
+
+    return targets.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def bilinear_requests(
+    targets: ray.data.Dataset,
+    src_n: int,
+    src_res: int,
+    src_ox: int = 0,
+    src_oy: int = 0,
+    tgt_id_col: str = "tgt_id",
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+) -> ray.data.Dataset:
+    """4 rows per target: (tgt_id, src_pid, w_num) with
+    Σ w_num = res² exactly (clamped-index edge replication)."""
+    half = src_res // 2
+    if src_res % 2:
+        raise ValueError("src_res must be even (integer half-pixel)")
+
+    def f(batch: pa.Table) -> pa.Table:
+        cx = batch[cx_col].to_numpy().astype(np.int64)
+        cy = batch[cy_col].to_numpy().astype(np.int64)
+        tid = batch[tgt_id_col].to_numpy().astype(np.int64)
+        tx = cx - src_ox - half
+        ty = cy - src_oy - half
+        i0 = _floor_div(tx, src_res)
+        j0 = _floor_div(ty, src_res)
+        fx = tx - i0 * src_res
+        fy = ty - j0 * src_res
+        # clamp with saturated fraction (edge replication)
+        fx = np.where(i0 < 0, 0, np.where(i0 > src_n - 2, src_res, fx))
+        fy = np.where(j0 < 0, 0, np.where(j0 > src_n - 2, src_res, fy))
+        i0 = np.clip(i0, 0, src_n - 2)
+        j0 = np.clip(j0, 0, src_n - 2)
+        w00 = (src_res - fx) * (src_res - fy)
+        w01 = fx * (src_res - fy)
+        w10 = (src_res - fx) * fy
+        w11 = fx * fy
+        pid00 = j0 * src_n + i0
+        return pa.table(
+            {
+                tgt_id_col: np.concatenate([tid, tid, tid, tid]),
+                "src_pid": np.concatenate(
+                    [pid00, pid00 + 1, pid00 + src_n, pid00 + src_n + 1]
+                ),
+                "w_num": np.concatenate([w00, w01, w10, w11]),
+            }
+        )
+
+    return targets.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def resample_to_grid(
+    src: ray.data.Dataset,
+    targets: ray.data.Dataset,
+    method: str,
+    src_n: int,
+    src_res: int,
+    src_ox: int = 0,
+    src_oy: int = 0,
+    val_col: str = "val",
+    nodata: float = -99.0,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Resample ``src`` (pixel_id,val raster, origin (src_ox,src_oy),
+    pixel size src_res) onto the target centers (tgt_id, cx, cy).
+    Returns (tgt_id, val: float64)."""
+    from rsgislib_ray.stages.components import (
+        drop_empty_blocks_counted,
+        measured_join_partitions,
+    )
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    kw = dict(
+        src_n=src_n, src_res=src_res, src_ox=src_ox, src_oy=src_oy
+    )
+    if method == "nearest":
+        req = nearest_requests(targets, **kw)
+    elif method == "bilinear":
+        req = bilinear_requests(targets, **kw)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    req2, nreq = drop_empty_blocks_counted(req)
+    if req2 is None:
+        return req.limit(0)
+    joined = req2.join(
+        src.select_columns(["pixel_id", val_col]),
+        join_type="left_outer",
+        num_partitions=measured_join_partitions(nreq, num_partitions),
+        on=("src_pid",),
+        right_on=("pixel_id",),
+    )
+
+    if method == "nearest":
+
+        def fin(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            v = pc.coalesce(
+                t[val_col].cast(pa.float64()), pa.scalar(float(nodata))
+            )
+            return pa.table({"tgt_id": t["tgt_id"], "val": v})
+
+        return joined.map_batches(fin, batch_format="pyarrow")
+
+    def pre(t: pa.Table) -> pa.Table:
+        v = t[val_col].to_numpy(zero_copy_only=False)
+        v = np.where(np.isnan(v.astype(np.float64)), 0, v).astype(np.int64)
+        return pa.table(
+            {
+                "tgt_id": t["tgt_id"],
+                "num": t["w_num"].to_numpy().astype(np.int64) * v,
+            }
+        )
+
+    sums = segment_sum(
+        joined.map_batches(pre, batch_format="pyarrow"), "tgt_id", ["num"]
+    )
+    den = float(src_res * src_res)
+
+    def div(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tgt_id": t["tgt_id"],
+                "val": t["num"].to_numpy().astype(np.float64) / den,
+            }
+        )
+
+    return sums.map_batches(div, batch_format="pyarrow")
