@@ -148,6 +148,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "reg_tie_points",
         "dem_fill",
         "class_accuracy_global",
+        # round-4 continuation: from-scratch classifier training
+        # (moment pass + histogram-tree counting passes), band-axis
+        # smoothing, join-based regrid
+        "class_train_lsq",
+        "class_hist_tree",
+        "spectral_smoothing",
+        "resample_bilinear",
         # shuffle-heavy strategies LAST: their sort/join stages leave a
         # large idle-worker pool behind that breaks the per-process
         # broadcast-cache locality of later broadcast-path queries
