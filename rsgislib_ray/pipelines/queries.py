@@ -16204,3 +16204,324 @@ def q_resample_bilinear(sf_dir: str):
         src, tgt, "bilinear", src_n=_RS_SN, src_res=_RS_SRES
     )
     return out.sort("tgt_id")
+
+
+# ===========================================================================
+# regression-model slice (regression/regresssklearn.py — perform_kfold_fit
+# :219, KNeighborsRegressor grid :55, ElasticNet grid :37, tree grids :92;
+# regression/__init__.py:10 get_regression_stats). The wrapped sklearn
+# estimators are re-expressed from exact distributed statistics
+# (stages/regress.py) — the classify-slice pattern.
+# ===========================================================================
+
+_RG_FC = ["x1", "x2", "x3"]
+_RG_NF = 5
+
+_RG_SRC = (
+    "SELECT l_orderkey*10 + l_linenumber AS ck, "
+    "(l_orderkey*10 + l_linenumber) % 5 AS fold, "
+    "((l_orderkey*10 + l_linenumber) * 7) % 23 AS x1, "
+    "((l_orderkey*10 + l_linenumber) * 3) % 17 AS x2, "
+    "((l_orderkey*10 + l_linenumber) * 11) % 13 AS x3, "
+    "3*(((l_orderkey*10 + l_linenumber) * 7) % 23)"
+    " - 2*(((l_orderkey*10 + l_linenumber) * 3) % 17)"
+    " + (((l_orderkey*10 + l_linenumber) * 11) % 13)"
+    " + (((l_orderkey*10 + l_linenumber) * 5) % 7 - 3) AS y "
+    "FROM lineitem"
+)
+
+
+def _rg_src_ds(sf_dir: str):
+    """Engine mirror of _RG_SRC: deterministic integer features, an
+    integer linear response with bounded integer noise, fold = ck%5."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        x1 = (ck * 7) % 23
+        x2 = (ck * 3) % 17
+        x3 = (ck * 11) % 13
+        return pa.table(
+            {
+                "ck": ck,
+                "fold": ck % 5,
+                "x1": x1,
+                "x2": x2,
+                "x3": x3,
+                "y": 3 * x1 - 2 * x2 + x3 + ((ck * 5) % 7 - 3),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_rg_moments() -> str:
+    """Per-fold exact BIGINT moments + global + train (global − fold)."""
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        "CAST(SUM(y) AS BIGINT) AS sy",
+        "CAST(SUM(y*y) AS BIGINT) AS syy",
+    ]
+    for i, x in enumerate(_RG_FC):
+        aggs.append(f"CAST(SUM({x}) AS BIGINT) AS s{i}")
+        aggs.append(f"CAST(SUM({x}*y) AS BIGINT) AS sxy{i}")
+        for j in range(i, len(_RG_FC)):
+            aggs.append(
+                f"CAST(SUM({x}*{_RG_FC[j]}) AS BIGINT) AS q{i}_{j}"
+            )
+    cols = [c.rsplit(" AS ", 1)[1] for c in aggs]
+    pm = (
+        "pm AS MATERIALIZED (SELECT fold, "
+        + ", ".join(aggs)
+        + " FROM rsrc GROUP BY fold)"
+    )
+    g = (
+        "g AS (SELECT "
+        + ", ".join(f"SUM({c}) AS {c}" for c in cols)
+        + " FROM pm)"
+    )
+    tm = (
+        "tm AS (SELECT pm.fold, "
+        + ", ".join(f"g.{c} - pm.{c} AS {c}" for c in cols)
+        + " FROM pm, g)"
+    )
+    return ", ".join([pm, g, tm])
+
+
+def _sql_rg_chol() -> str:
+    """Fixed-order 4×4 Cholesky solve per tm row (fold): the exact
+    chol_solve_np operation sequence — the bit-parity contract."""
+    d = lambda c: f"CAST({c} AS DOUBLE)"  # noqa: E731
+    return ", ".join(
+        [
+            f"c0 AS (SELECT *, SQRT({d('n')}) AS l00 FROM tm)",
+            f"c1 AS (SELECT *, {d('s0')}/l00 AS l10, {d('s1')}/l00 AS l20,"
+            f" {d('s2')}/l00 AS l30 FROM c0)",
+            f"c2 AS (SELECT *, SQRT({d('q0_0')} - l10*l10) AS l11 FROM c1)",
+            f"c3 AS (SELECT *, ({d('q0_1')} - l20*l10)/l11 AS l21,"
+            f" ({d('q0_2')} - l30*l10)/l11 AS l31 FROM c2)",
+            f"c4 AS (SELECT *, SQRT(({d('q1_1')} - l20*l20) - l21*l21)"
+            f" AS l22 FROM c3)",
+            f"c5 AS (SELECT *, (({d('q1_2')} - l30*l20) - l31*l21)/l22"
+            f" AS l32 FROM c4)",
+            f"c6 AS (SELECT *, SQRT((({d('q2_2')} - l30*l30) - l31*l31)"
+            f" - l32*l32) AS l33 FROM c5)",
+            f"c7 AS (SELECT *, {d('sy')}/l00 AS z0 FROM c6)",
+            f"c8 AS (SELECT *, ({d('sxy0')} - l10*z0)/l11 AS z1 FROM c7)",
+            f"c9 AS (SELECT *, (({d('sxy1')} - l20*z0) - l21*z1)/l22"
+            f" AS z2 FROM c8)",
+            f"c10 AS (SELECT *, ((({d('sxy2')} - l30*z0) - l31*z1)"
+            f" - l32*z2)/l33 AS z3 FROM c9)",
+            "c11 AS (SELECT *, z3/l33 AS b3 FROM c10)",
+            "c12 AS (SELECT *, (z2 - l32*b3)/l22 AS b2 FROM c11)",
+            "c13 AS (SELECT *, ((z1 - l21*b2) - l31*b3)/l11 AS b1"
+            " FROM c12)",
+            "c14 AS (SELECT *, (((z0 - l10*b1) - l20*b2) - l30*b3)/l00"
+            " AS b0 FROM c13)",
+            "model AS MATERIALIZED (SELECT fold, b0, b1, b2, b3 FROM c14)",
+        ]
+    )
+
+
+def _sql_rg_metric_chains() -> str:
+    """The fold_metric_panel float chains (stages/regress.py), each
+    generated with the same accumulation loops as the engine."""
+    dd = lambda c: f"CAST(p.{c} AS DOUBLE)"  # noqa: E731
+    phi = [dd("n")] + [dd(f"s{i}") for i in range(3)]
+    v = [dd("sy")] + [dd(f"sxy{i}") for i in range(3)]
+    M = [[None] * 4 for _ in range(4)]
+    M[0][0] = dd("n")
+    for i in range(3):
+        M[0][i + 1] = M[i + 1][0] = dd(f"s{i}")
+        for j in range(i, 3):
+            M[i + 1][j + 1] = M[j + 1][i + 1] = dd(f"q{i}_{j}")
+    syhat = "0.0e0"
+    syh = "0.0e0"
+    for i in range(4):
+        syhat = f"({syhat} + m.b{i} * {phi[i]})"
+        syh = f"({syh} + m.b{i} * {v[i]})"
+    shh = "0.0e0"
+    for i in range(4):
+        for j in range(4):
+            shh = f"({shh} + (m.b{i} * m.b{j}) * {M[i][j]})"
+    mx0 = (
+        f"mx0 AS (SELECT p.fold, p.n, p.sy, p.syy, {syhat} AS syhat,"
+        f" {syh} AS syh, {shh} AS shh"
+        f" FROM pm p JOIN model m ON m.fold = p.fold)"
+    )
+    mx1 = (
+        "mx1 AS (SELECT *, (CAST(syy AS DOUBLE) - 2.0e0*syh) + shh AS sse,"
+        " CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS mean_y,"
+        " CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))"
+        "/CAST(n AS DOUBLE) AS sst FROM mx0)"
+    )
+    mx2 = (
+        "mx2 AS (SELECT *, sse/CAST(n AS DOUBLE) AS mse,"
+        " SQRT(sse/CAST(n AS DOUBLE)) AS rmse,"
+        " 1.0e0 - sse/sst AS r2,"
+        " (CAST(sy AS DOUBLE) - syhat)/CAST(n AS DOUBLE) AS mean_e,"
+        " sst/CAST(n AS DOUBLE) AS var_y,"
+        " (syhat - CAST(sy AS DOUBLE))/CAST(n AS DOUBLE) AS bias"
+        " FROM mx1)"
+    )
+    mx3 = (
+        "mx3 AS (SELECT *, mse - mean_e*mean_e AS var_e,"
+        " 100.0e0*(rmse/mean_y) AS norm_rmse,"
+        " (bias/mean_y)*100.0e0 AS norm_bias,"
+        " bias*bias AS bias_sq, mse - bias*bias AS variance FROM mx2)"
+    )
+    mx4 = (
+        "mx4 AS (SELECT *, 1.0e0 - var_e/var_y AS explained_variance,"
+        " CASE WHEN mse - (bias_sq + variance) < 0 THEN 0.0e0"
+        " ELSE mse - (bias_sq + variance) END AS noise FROM mx3)"
+    )
+    return ", ".join([mx0, mx1, mx2, mx3, mx4])
+
+
+_RG_YHAT = (
+    "(((m.b0 + m.b1 * CAST(r.x1 AS DOUBLE)) + m.b2 * CAST(r.x2 AS DOUBLE))"
+    " + m.b3 * CAST(r.x3 AS DOUBLE))"
+)
+
+
+@register(
+    "regress_kfold",
+    "WITH rsrc AS MATERIALIZED (" + _RG_SRC + "), "
+    + _sql_rg_moments() + ", " + _sql_rg_chol() + ", "
+    + _sql_rg_metric_chains() + ", "
+    "resid AS MATERIALIZED (SELECT r.fold, CAST(FLOOR(ABS("
+    f"CAST(r.y AS DOUBLE) - {_RG_YHAT}) * 1000000.0e0 + 0.5e0)"
+    " AS BIGINT) AS q FROM rsrc r JOIN model m ON m.fold = r.fold), "
+    "qs AS (SELECT fold, CAST(SUM(q) AS BIGINT) AS mae_q,"
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM resid GROUP BY fold), "
+    "rq AS MATERIALIZED (SELECT fold, q, ROW_NUMBER() OVER ("
+    "PARTITION BY fold ORDER BY q) AS rn FROM resid), "
+    "rks AS (SELECT fold, (cnt + 1) // 2 AS rlo, cnt // 2 + 1 AS rhi"
+    " FROM qs), "
+    "qlo AS (SELECT a.fold, a.q FROM rq a JOIN rks r"
+    " ON a.fold = r.fold AND a.rn = r.rlo), "
+    "qhi AS (SELECT a.fold, a.q FROM rq a JOIN rks r"
+    " ON a.fold = r.fold AND a.rn = r.rhi), "
+    "med AS (SELECT qlo.fold, (CAST(qlo.q AS DOUBLE)"
+    " + CAST(qhi.q AS DOUBLE)) / 2.0e0 AS med_q FROM qlo"
+    " JOIN qhi ON qhi.fold = qlo.fold) "
+    "SELECT x.fold, x.n, qs.mae_q,"
+    " (CAST(qs.mae_q AS DOUBLE) / 1000000.0e0) / CAST(x.n AS DOUBLE)"
+    " AS mae, med.med_q, x.r2, x.explained_variance, x.mse, x.rmse,"
+    " x.norm_rmse, x.bias, x.norm_bias, x.bias_sq, x.variance, x.noise"
+    " FROM mx4 x JOIN qs ON qs.fold = x.fold"
+    " JOIN med ON med.fold = x.fold ORDER BY x.fold",
+)
+def q_regress_kfold(sf_dir: str):
+    """k-fold linear-regression evaluation (perform_kfold_fit,
+    regresssklearn.py:219, with the sklearn estimator replaced by the
+    closed-form exact-moment fit): ONE moment pass fits all 5 folds
+    (train Gram = global − fold), the reference's 12-metric panel as
+    fixed float chains over exact integer test-fold moments, MAE +
+    median absolute error over half-up micro-quantized residuals
+    (exact int64 sum + distributed two-level rank selection)."""
+    from rsgislib_ray.stages.regress import kfold_lsq_panel
+
+    return kfold_lsq_panel(_rg_src_ds(sf_dir), _RG_FC, "y", "fold", _RG_NF)
+
+
+def _sql_rg_knn() -> str:
+    """kNN-regression replay: exact integer d², ROW_NUMBER (d², id)
+    ties, rank-pivoted fixed chains for the distance-weighted mean."""
+    d2 = " + ".join(
+        f"(te.{x} - tr.{x}) * (te.{x} - tr.{x})" for x in _RG_FC
+    )
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN rn = {r} THEN ty END) AS y{r},"
+        f" MAX(CASE WHEN rn = {r} THEN d2 END) AS d{r}"
+        for r in range(1, 5)
+    )
+    wnum = "0.0e0"
+    wden = "0.0e0"
+    for r in range(1, 5):
+        wnum = (
+            f"({wnum} + CAST(y{r} AS DOUBLE)"
+            f" / SQRT(CAST(d{r} AS DOUBLE)))"
+        )
+        wden = f"({wden} + 1.0e0 / SQRT(CAST(d{r} AS DOUBLE)))"
+    zsum = " + ".join(
+        f"CASE WHEN d{r} = 0 THEN y{r} ELSE 0 END" for r in range(1, 5)
+    )
+    zcnt = " + ".join(
+        f"CASE WHEN d{r} = 0 THEN 1 ELSE 0 END" for r in range(1, 5)
+    )
+    return (
+        # lineitem's (orderkey, linenumber) pairs repeat, so ck is not
+        # unique; duplicate rows are IDENTICAL (all columns derive
+        # from ck) — DISTINCT on both sides, mirrored by the engine's
+        # exact_dedup / drop_duplicates.
+        "ksrc AS MATERIALIZED (SELECT DISTINCT * FROM rsrc"
+        " WHERE ck % 101 = 0), "
+        "ktr AS (SELECT * FROM ksrc WHERE ck % 4 <> 0), "
+        "kte AS (SELECT * FROM ksrc WHERE ck % 4 = 0), "
+        f"pairs AS (SELECT te.ck, tr.ck AS tid, tr.y AS ty, {d2} AS d2"
+        " FROM kte te, ktr tr), "
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ck"
+        " ORDER BY d2, tid) AS rn FROM pairs), "
+        f"piv AS (SELECT ck, {piv_cols} FROM rk WHERE rn <= 4"
+        " GROUP BY ck), "
+        "kout AS (SELECT ck, CAST(y1 + y2 + y3 + y4 AS BIGINT) AS ysum,"
+        " CAST(y1 + y2 + y3 + y4 AS DOUBLE) / 4.0e0 AS pred_u,"
+        f" CASE WHEN d1 = 0 THEN CAST({zsum} AS DOUBLE)"
+        f" / CAST({zcnt} AS DOUBLE)"
+        f" ELSE {wnum} / {wden} END AS pred_w FROM piv)"
+    )
+
+
+@register(
+    "regress_knn",
+    "WITH rsrc AS MATERIALIZED (" + _RG_SRC + "), "
+    + _sql_rg_knn()
+    + " SELECT ck, ysum, pred_u, pred_w FROM kout ORDER BY ck",
+)
+def q_regress_knn(sf_dir: str):
+    """kNN regression (the KNeighborsRegressor grid entry,
+    regresssklearn.py:55, k=4, both 'uniform' and 'distance'
+    weights): broadcast train matrix, per-batch exact integer d²,
+    deterministic (d², id) selection; uniform = exact neighbour
+    y-sum / k, distance = fixed rank-ordered Σ(y/d)/Σ(1/d) with
+    sklearn's zero-distance fallback."""
+    from rsgislib_ray.stages.regress import knn_regress
+
+    src = _rg_src_ds(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["ck"].to_numpy() % 101 == 0))
+
+    # duplicate ck rows are identical (exact_dedup's min-id winner
+    # keeps both copies when ids tie) — one narrow groupby-first on
+    # the already-thinned layer.
+    ksrc = (
+        src.map_batches(keep, batch_format="pyarrow")
+        .groupby("ck")
+        .map_groups(lambda df: df.head(1))
+    )
+
+    def tr_f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["ck"].to_numpy() % 4 != 0))
+
+    def te_f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["ck"].to_numpy() % 4 == 0))
+
+    tr = ksrc.map_batches(tr_f, batch_format="pyarrow").to_pandas()
+    test = ksrc.map_batches(te_f, batch_format="pyarrow")
+    out = knn_regress(
+        test,
+        train_x=np.stack([tr[c].to_numpy() for c in _RG_FC], axis=1),
+        train_y=tr["y"].to_numpy(),
+        train_id=tr["ck"].to_numpy(),
+        feature_cols=_RG_FC,
+        k=4,
+    )
+    return out.sort("ck")
