@@ -16525,3 +16525,336 @@ def q_regress_knn(sf_dir: str):
         k=4,
     )
     return out.sort("ck")
+
+
+def _sql_rg_tree() -> str:
+    """Depth-2 regression-tree training replay: long-form (feat, val)
+    (n, Σy, Σy²) cumulatives, exact-double SSE_L + SSE_R ordering at
+    the root and per side (each SSE the single correctly-rounded
+    division float(n·Σy² − (Σy)²)/float(n)), leaf = exact train mean."""
+    long = (
+        "lng AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT ck, y, {f} AS feat, {x} AS val FROM train"
+            for f, x in enumerate(_RG_FC)
+        )
+        + ")"
+    )
+    tot = (
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,"
+        " CAST(SUM(y) AS BIGINT) AS sy_all,"
+        " CAST(SUM(y*y) AS BIGINT) AS syy_all FROM train)"
+    )
+    agg0 = (
+        "agg0 AS (SELECT g.feat, g.val, "
+        "CAST(SUM(CASE WHEN l.val <= g.val THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS nl, "
+        "CAST(SUM(CASE WHEN l.val <= g.val THEN l.y ELSE 0 END)"
+        " AS BIGINT) AS syl, "
+        "CAST(SUM(CASE WHEN l.val <= g.val THEN l.y*l.y ELSE 0 END)"
+        " AS BIGINT) AS syyl"
+        " FROM (SELECT DISTINCT feat, val FROM lng) g"
+        " JOIN lng l ON l.feat = g.feat GROUP BY g.feat, g.val)"
+    )
+    ssel = "CAST(a.nl*a.syyl - a.syl*a.syl AS DOUBLE) / CAST(a.nl AS DOUBLE)"
+    sser = (
+        "CAST((t.n_all-a.nl)*(t.syy_all-a.syyl)"
+        " - (t.sy_all-a.syl)*(t.sy_all-a.syl) AS DOUBLE)"
+        " / CAST(t.n_all - a.nl AS DOUBLE)"
+    )
+    root = (
+        f"root AS MATERIALIZED (SELECT feat, val FROM ("
+        f"SELECT a.feat, a.val, {ssel} + {sser} AS crit"
+        f" FROM agg0 a, tot t WHERE a.nl > 0 AND a.nl < t.n_all)"
+        f" ORDER BY crit, feat, val LIMIT 1)"
+    )
+    pick = "CASE r.feat WHEN 0 THEN x1 WHEN 1 THEN x2 ELSE x3 END"
+    sided = (
+        f"sided AS MATERIALIZED (SELECT t.*, CASE WHEN ({pick}) <= r.val"
+        f" THEN 0 ELSE 1 END AS node FROM train t, root r)"
+    )
+    long1 = (
+        "lng1 AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT node, ck, y, {f} AS feat, {x} AS val FROM sided"
+            for f, x in enumerate(_RG_FC)
+        )
+        + ")"
+    )
+    tot1 = (
+        "tot1 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_all,"
+        " CAST(SUM(y) AS BIGINT) AS sy_all,"
+        " CAST(SUM(y*y) AS BIGINT) AS syy_all FROM sided GROUP BY node)"
+    )
+    agg1 = (
+        "agg1 AS (SELECT g.node, g.feat, g.val, "
+        "CAST(SUM(CASE WHEN l.val <= g.val THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS nl, "
+        "CAST(SUM(CASE WHEN l.val <= g.val THEN l.y ELSE 0 END)"
+        " AS BIGINT) AS syl, "
+        "CAST(SUM(CASE WHEN l.val <= g.val THEN l.y*l.y ELSE 0 END)"
+        " AS BIGINT) AS syyl"
+        " FROM (SELECT DISTINCT node, feat, val FROM lng1) g"
+        " JOIN lng1 l ON l.feat = g.feat AND l.node = g.node"
+        " GROUP BY g.node, g.feat, g.val)"
+    )
+    split1 = (
+        f"split1 AS MATERIALIZED (SELECT node, feat, val FROM ("
+        f"SELECT a.node, a.feat, a.val, ROW_NUMBER() OVER ("
+        f"PARTITION BY a.node ORDER BY {ssel} + {sser}, a.feat, a.val"
+        f") AS rn FROM agg1 a JOIN tot1 t ON t.node = a.node"
+        f" WHERE a.nl > 0 AND a.nl < t.n_all) WHERE rn = 1)"
+    )
+    pick1 = "CASE s1.feat WHEN 0 THEN sd.x1 WHEN 1 THEN sd.x2 ELSE sd.x3 END"
+    trleaf = (
+        f"trroute AS (SELECT sd.ck, sd.y, CASE WHEN ({pick1}) <= s1.val"
+        f" THEN 2*sd.node ELSE 2*sd.node + 1 END AS leaf"
+        f" FROM sided sd JOIN split1 s1 ON s1.node = sd.node), "
+        f"lab AS MATERIALIZED (SELECT leaf,"
+        f" CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pred"
+        f" FROM trroute GROUP BY leaf)"
+    )
+    pick_t = "CASE r.feat WHEN 0 THEN t.x1 WHEN 1 THEN t.x2 ELSE t.x3 END"
+    pick_t1 = "CASE s1.feat WHEN 0 THEN t.x1 WHEN 1 THEN t.x2 ELSE t.x3 END"
+    troute = (
+        f"test AS (SELECT * FROM rsrc WHERE ck % 4 = 0), "
+        f"n1 AS (SELECT t.*, CASE WHEN ({pick_t}) <= r.val THEN 0 ELSE 1"
+        f" END AS node FROM test t, root r), "
+        f"n2 AS (SELECT t.ck, CASE WHEN ({pick_t1}) <= s1.val"
+        f" THEN 2*t.node ELSE 2*t.node + 1 END AS leaf"
+        f" FROM n1 t JOIN split1 s1 ON s1.node = t.node)"
+    )
+    return ", ".join(
+        [long, tot, agg0, root, sided, long1, tot1, agg1, split1,
+         trleaf, troute]
+    )
+
+
+@register(
+    "regress_tree",
+    "WITH rsrc AS MATERIALIZED (" + _RG_SRC + "), "
+    "train AS (SELECT * FROM rsrc WHERE ck % 4 <> 0), "
+    + _sql_rg_tree()
+    + " SELECT n2.ck, CAST(n2.leaf AS BIGINT) AS leaf, lab.pred"
+    " FROM n2 JOIN lab ON lab.leaf = n2.leaf ORDER BY n2.ck",
+)
+def q_regress_tree(sf_dir: str):
+    """Depth-2 histogram regression tree (the tree-ensemble grid
+    entries, regresssklearn.py:92: variance-reduction splits): one
+    bounded counting pass per level, split = min exact-double
+    SSE_L + SSE_R with (criterion, feature, threshold) ties, leaf =
+    exact train mean; the SQL oracle REPLAYS the full split search."""
+    from rsgislib_ray.stages.regress import apply_reg_tree, train_reg_tree
+
+    src = _rg_src_ds(sf_dir)
+
+    def tr_f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["ck"].to_numpy() % 4 != 0))
+
+    def te_f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["ck"].to_numpy() % 4 == 0))
+
+    train = src.map_batches(tr_f, batch_format="pyarrow")
+    test = src.map_batches(te_f, batch_format="pyarrow")
+    model = train_reg_tree(train, _RG_FC, "y", [23, 17, 13], max_depth=2)
+    return apply_reg_tree(test, model).sort("ck")
+
+
+def _sql_rg_enet(alpha: str, l1: str, n_sweeps: int) -> str:
+    """Unrolled cyclic coordinate-descent chain over the global moment
+    row — the exact elasticnet_cd update sequence (intercept then
+    features 0..2 per sweep), every CTE one update."""
+    d = lambda c: f"CAST({c} AS DOUBLE)"  # noqa: E731
+    base = (
+        f"e0 AS (SELECT *, ({alpha} * {l1}) * {d('n')} AS lam1,"
+        f" ({alpha} * (1.0e0 - {l1})) * {d('n')} AS lam2,"
+        " 0.0e0 AS b0, 0.0e0 AS b1, 0.0e0 AS b2, 0.0e0 AS b3 FROM g)"
+    )
+    ctes = [base]
+    step = 0
+    cur = {0: "b0", 1: "b1", 2: "b2", 3: "b3"}
+    prev = "e0"
+    for _s in range(n_sweeps):
+        # intercept
+        step += 1
+        t = d("sy")
+        for j in range(3):
+            t = f"({t} - {cur[j + 1]} * {d(f's{j}')})"
+        ctes.append(
+            f"e{step} AS (SELECT *, {t} / {d('n')} AS b0_{step}"
+            f" FROM {prev})"
+        )
+        cur[0] = f"b0_{step}"
+        prev = f"e{step}"
+        for i in range(3):
+            step += 1
+            rho = f"({d(f'sxy{i}')} - {cur[0]} * {d(f's{i}')})"
+            for j in range(3):
+                if j == i:
+                    continue
+                qc = f"q{min(i, j)}_{max(i, j)}"
+                rho = f"({rho} - {cur[j + 1]} * {d(qc)})"
+            zi = f"({d(f'q{i}_{i}')} + lam2)"
+            ctes.append(
+                f"e{step} AS (SELECT *, CASE"
+                f" WHEN {rho} > lam1 THEN ({rho} - lam1) / {zi}"
+                f" WHEN {rho} < -lam1 THEN ({rho} + lam1) / {zi}"
+                f" ELSE 0.0e0 END AS b{i + 1}_{step} FROM {prev})"
+            )
+            cur[i + 1] = f"b{i + 1}_{step}"
+            prev = f"e{step}"
+    return (
+        ", ".join(ctes)
+        + f", enet AS (SELECT {cur[0]} AS b0, {cur[1]} AS b1,"
+        f" {cur[2]} AS b2, {cur[3]} AS b3 FROM {prev})"
+    )
+
+
+@register(
+    "regress_elasticnet",
+    "WITH rsrc AS MATERIALIZED (" + _RG_SRC + "), "
+    + _sql_rg_moments() + ", "
+    + _sql_rg_enet("0.1e0", "0.5e0", 6)
+    + " SELECT b0, b1, b2, b3 FROM enet",
+)
+def q_regress_elasticnet(sf_dir: str):
+    """Elastic-net coordinate descent (the ElasticNet grid entry,
+    regresssklearn.py:37) computed entirely from the one-pass exact
+    Gram/moment statistics — 6 unrolled cyclic sweeps of fixed float
+    soft-threshold chains, no data pass per sweep, bit-mirrored by the
+    unrolled SQL CTE chain."""
+    from rsgislib_ray.stages.regress import elasticnet_cd, fold_moments
+
+    m = fold_moments(_rg_src_ds(sf_dir), _RG_FC, "y", "fold", _RG_NF)
+    beta = elasticnet_cd(m["global"], 3, 0.1, 0.5, 6)
+    return pa.table(
+        {
+            "b0": pa.array([beta[0]], pa.float64()),
+            "b1": pa.array([beta[1]], pa.float64()),
+            "b2": pa.array([beta[2]], pa.float64()),
+            "b3": pa.array([beta[3]], pa.float64()),
+        }
+    )
+
+
+def _sql_rg_pls() -> str:
+    """PLS1 2-component chain over the global moment row — generated
+    with the same accumulation loops as stages/regress.pls_fit (the
+    bit-parity contract): centered moments, per-component w/p/q via
+    rank-one deflation identities, closed-form 2×2 (PᵀW)⁻¹ finish."""
+    d3 = 3
+    dd = lambda c: f"CAST({c} AS DOUBLE)"  # noqa: E731
+    base_cols = []
+    for i in range(d3):
+        base_cols.append(
+            f"({dd(f'sxy{i}')} - ({dd(f's{i}')} * {dd('sy')})"
+            f" / {dd('n')}) AS bv{i}_a0"
+        )
+        for j in range(i, d3):
+            base_cols.append(
+                f"({dd(f'q{i}_{j}')} - ({dd(f's{i}')} * {dd(f's{j}')})"
+                f" / {dd('n')}) AS s{i}_{j}_a0"
+            )
+    ctes = [f"p0 AS (SELECT *, {', '.join(base_cols)} FROM g)"]
+    prev = "p0"
+    step = 0
+
+    def nxt(cols: list[str]) -> None:
+        nonlocal prev, step
+        step += 1
+        ctes.append(f"p{step} AS (SELECT *, {', '.join(cols)} FROM {prev})")
+        prev = f"p{step}"
+
+    for a in range(2):
+        e = "0.0e0"
+        for i in range(d3):
+            e = f"({e} + bv{i}_a{a} * bv{i}_a{a})"
+        nxt([f"{e} AS nrm2_{a}"])
+        nxt([f"SQRT(nrm2_{a}) AS nrm_{a}"])
+        nxt([f"bv{i}_a{a} / nrm_{a} AS w{i}_{a}" for i in range(d3)])
+        sw = []
+        for i in range(d3):
+            e = "0.0e0"
+            for j in range(d3):
+                e = f"({e} + s{min(i, j)}_{max(i, j)}_a{a} * w{j}_{a})"
+            sw.append(f"{e} AS sw{i}_{a}")
+        nxt(sw)
+        e = "0.0e0"
+        for i in range(d3):
+            e = f"({e} + w{i}_{a} * sw{i}_{a})"
+        nxt([f"{e} AS tt_{a}"])
+        e = "0.0e0"
+        for i in range(d3):
+            e = f"({e} + w{i}_{a} * bv{i}_a{a})"
+        nxt(
+            [f"sw{i}_{a} / tt_{a} AS p{i}_{a}" for i in range(d3)]
+            + [f"{e} AS wb_{a}"]
+        )
+        deflate = [f"wb_{a} / tt_{a} AS qv_{a}"]
+        for i in range(d3):
+            deflate.append(
+                f"(bv{i}_a{a} - wb_{a} * p{i}_{a}) AS bv{i}_a{a + 1}"
+            )
+            for j in range(i, d3):
+                deflate.append(
+                    f"(s{i}_{j}_a{a} - tt_{a} * (p{i}_{a} * p{j}_{a}))"
+                    f" AS s{i}_{j}_a{a + 1}"
+                )
+        nxt(deflate)
+    pw = []
+    for nm, pa_, wa in (
+        ("pw11", 0, 0),
+        ("pw12", 0, 1),
+        ("pw21", 1, 0),
+        ("pw22", 1, 1),
+    ):
+        e = "0.0e0"
+        for i in range(d3):
+            e = f"({e} + p{i}_{pa_} * w{i}_{wa})"
+        pw.append(f"{e} AS {nm}")
+    nxt(pw)
+    nxt(["(pw11 * pw22 - pw12 * pw21) AS det"])
+    nxt(
+        [
+            "(qv_0 * pw22 - qv_1 * pw12) / det AS cc1",
+            "(pw11 * qv_1 - pw21 * qv_0) / det AS cc2",
+        ]
+    )
+    nxt(
+        [
+            f"(w{i}_0 * cc1 + w{i}_1 * cc2) AS beta{i}"
+            for i in range(d3)
+        ]
+    )
+    e = f"{dd('sy')} / {dd('n')}"
+    for i in range(d3):
+        e = f"({e} - beta{i} * ({dd(f's{i}')} / {dd('n')}))"
+    nxt([f"{e} AS betaint"])
+    return ", ".join(ctes) + f", pls AS (SELECT * FROM {prev})"
+
+
+@register(
+    "regress_pls",
+    "WITH rsrc AS MATERIALIZED (" + _RG_SRC + "), "
+    + _sql_rg_moments() + ", " + _sql_rg_pls()
+    + " SELECT betaint AS b0, beta0 AS b1, beta1 AS b2, beta2 AS b3, qv_0 AS q1, qv_1 AS q2 FROM pls",
+)
+def q_regress_pls(sf_dir: str):
+    """PLS1 regression, 2 components (the PLSRegression grid entry,
+    regresssklearn.py:113): NIPALS re-expressed as rank-one deflation
+    over the one-pass exact moment dict — no data pass per component;
+    every scalar a fixed float chain bit-mirrored in SQL."""
+    from rsgislib_ray.stages.regress import fold_moments, pls_fit
+
+    m = fold_moments(_rg_src_ds(sf_dir), _RG_FC, "y", "fold", _RG_NF)
+    out = pls_fit(m["global"], 3, 2)
+    return pa.table(
+        {
+            "b0": pa.array([out["b0"]], pa.float64()),
+            "b1": pa.array([out["beta"][0]], pa.float64()),
+            "b2": pa.array([out["beta"][1]], pa.float64()),
+            "b3": pa.array([out["beta"][2]], pa.float64()),
+            "q1": pa.array([out["q"][0]], pa.float64()),
+            "q2": pa.array([out["q"][1]], pa.float64()),
+        }
+    )

@@ -733,3 +733,87 @@ def elasticnet_cd(
             else:
                 b[i] = 0.0
     return [b0] + b
+
+
+# ---------------------------------------------------------------------------
+# PLS1 regression from moments (NIPALS, fixed component count)
+# ---------------------------------------------------------------------------
+
+
+def pls_fit(moments: dict, d: int, n_components: int) -> dict:
+    """PLS1 regression (the PLSRegression grid entry,
+    regresssklearn.py:113) with a FIXED component count, computed
+    entirely from the one-pass exact moment dict via the rank-one
+    deflation identities — no data pass per component:
+
+      S_{a+1} = S_a − t'ᵗt · p pᵀ,   b_{a+1} = b_a − (wᵀb_a) · p,
+
+    where w = b_a/‖b_a‖, p = S_a w / (wᵀ S_a w). Centered moments are
+    fixed float chains over the exact integers (the SQL parity
+    contract); final β = W (PᵀW)⁻¹ q (closed-form 2×2 solve for the
+    default 2 components), intercept from the mean chain. Returns
+    {"b0", "beta": [..], "q": [per-component regressions]}.
+    ``moments`` is one moment dict (``fold_moments(...)["global"]``)."""
+    assert n_components == 2, "fixed 2-component closed form"
+    g = moments
+    fn = float(g["n"])
+
+    def Sym(store, i, j):
+        return store[(min(i, j), max(i, j))]
+
+    S: dict = {}
+    b = [0.0] * d
+    for i in range(d):
+        b[i] = float(g[f"sxy{i}"]) - (float(g[f"s{i}"]) * float(g["sy"])) / fn
+        for j in range(i, d):
+            S[(i, j)] = (
+                float(g[f"q{i}_{j}"])
+                - (float(g[f"s{i}"]) * float(g[f"s{j}"])) / fn
+            )
+    ws, ps, qs = [], [], []
+    for _a in range(n_components):
+        nrm2 = 0.0
+        for i in range(d):
+            nrm2 = nrm2 + b[i] * b[i]
+        nrm = math.sqrt(nrm2)
+        w = [b[i] / nrm for i in range(d)]
+        Sw = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + Sym(S, i, j) * w[j]
+            Sw.append(acc)
+        tt = 0.0
+        for i in range(d):
+            tt = tt + w[i] * Sw[i]
+        p = [Sw[i] / tt for i in range(d)]
+        wb = 0.0
+        for i in range(d):
+            wb = wb + w[i] * b[i]
+        qa = wb / tt
+        ws.append(w)
+        ps.append(p)
+        qs.append(qa)
+        S = {
+            (i, j): S[(i, j)] - tt * (p[i] * p[j])
+            for i in range(d)
+            for j in range(i, d)
+        }
+        b = [b[i] - wb * p[i] for i in range(d)]
+    pw11 = 0.0
+    pw12 = 0.0
+    pw21 = 0.0
+    pw22 = 0.0
+    for i in range(d):
+        pw11 = pw11 + ps[0][i] * ws[0][i]
+        pw12 = pw12 + ps[0][i] * ws[1][i]
+        pw21 = pw21 + ps[1][i] * ws[0][i]
+        pw22 = pw22 + ps[1][i] * ws[1][i]
+    det = pw11 * pw22 - pw12 * pw21
+    c1 = (qs[0] * pw22 - qs[1] * pw12) / det
+    c2 = (pw11 * qs[1] - pw21 * qs[0]) / det
+    beta = [ws[0][i] * c1 + ws[1][i] * c2 for i in range(d)]
+    b0 = float(g["sy"]) / fn
+    for i in range(d):
+        b0 = b0 - beta[i] * (float(g[f"s{i}"]) / fn)
+    return {"b0": b0, "beta": beta, "q": qs}

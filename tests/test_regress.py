@@ -234,3 +234,44 @@ def test_elasticnet_cd_matches_scalar_reference(ray_session):
                 b[i] = 0.0
     assert beta[0] == pytest.approx(b0, rel=1e-9)
     assert np.allclose(beta[1:], b, rtol=1e-9)
+
+
+def test_pls_fit_matches_explicit_nipals(ray_session):
+    t, ds = _fixture()
+    m = rg.fold_moments(ds, FC, "y", "fold", NF)
+    out = rg.pls_fit(m["global"], 3, 2)
+    X = np.stack([t[c].to_numpy().astype(float) for c in FC], axis=1)
+    yv = t["y"].to_numpy().astype(float)
+    Xc = X - X.mean(0)
+    yc = yv - yv.mean()
+    W, P, Q = [], [], []
+    Xa, ya = Xc.copy(), yc.copy()
+    for _a in range(2):
+        w = Xa.T @ ya
+        w = w / np.linalg.norm(w)
+        tv = Xa @ w
+        tt = tv @ tv
+        p = Xa.T @ tv / tt
+        q = ya @ tv / tt
+        Xa = Xa - np.outer(tv, p)
+        ya = ya - q * tv
+        W.append(w)
+        P.append(p)
+        Q.append(q)
+    Wm = np.array(W).T
+    Pm = np.array(P).T
+    beta = Wm @ np.linalg.solve(Pm.T @ Wm, np.array(Q))
+    b0 = yv.mean() - X.mean(0) @ beta
+    assert np.allclose(out["beta"], beta, rtol=1e-8)
+    assert out["b0"] == pytest.approx(b0, rel=1e-8)
+    assert np.allclose(out["q"], Q, rtol=1e-8)
+
+
+def test_reg_tree_partition_independent(ray_session):
+    t, _ = _fixture(n=2000)
+    ms = []
+    for parts in (3, 13):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        ms.append(rg.train_reg_tree(ds, FC, "y", [23, 17, 13], 2))
+    assert ms[0]["splits"] == ms[1]["splits"]
+    assert ms[0]["leaf"] == ms[1]["leaf"]
