@@ -10,6 +10,8 @@ driver's order-insensitive value-hash comparison passes bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -16856,5 +16858,369 @@ def q_regress_pls(sf_dir: str):
             "b3": pa.array([out["beta"][2]], pa.float64()),
             "q1": pa.array([out["q"][0]], pa.float64()),
             "q2": pa.array([out["q"][1]], pa.float64()),
+        }
+    )
+
+
+# ===========================================================================
+# tools/stats + tools/projection stragglers: kurt-skew threshold,
+# standardise/normalise, geodesy unit conversions, correlation
+# feature-selection panel.
+# ===========================================================================
+
+
+@register(
+    "kurt_skew_threshold",
+    "WITH b AS MATERIALIZED (SELECT qty FROM (" + _SQL_BANDS + ")), "
+    + _sql_lerp_q("qty", "0.1e0", "p").strip() + ", "
+    "pb AS (SELECT (SELECT vk + (vk1 - vk) * frac FROM qp) AS pctv,"
+    " CAST((SELECT MIN(qty) FROM b) AS DOUBLE) AS dmin), "
+    "bounds AS (SELECT"
+    " CASE WHEN pctv < 40.0e0 THEN pctv ELSE 40.0e0 END AS mx,"
+    " CASE WHEN 2.0e0 >= (CASE WHEN pctv < 40.0e0 THEN pctv"
+    " ELSE 40.0e0 END) THEN dmin ELSE 2.0e0 END AS mn FROM pb), "
+    "hist AS (SELECT qty AS v, CAST(COUNT(*) AS BIGINT) AS c FROM b"
+    " GROUP BY qty), "
+    "cand AS (SELECT r.range AS x FROM range(0, 256) r"
+    " WHERE r.range >= CAST(CEIL((SELECT mn FROM bounds)) AS BIGINT)"
+    " AND r.range <= CAST(FLOOR((SELECT mx FROM bounds)) AS BIGINT)), "
+    "suff AS (SELECT c.x, CAST(SUM(h.c) AS BIGINT) AS n,"
+    " CAST(SUM(h.c*h.v) AS BIGINT) AS s1,"
+    " CAST(SUM(h.c*h.v*h.v) AS BIGINT) AS s2,"
+    " CAST(SUM(h.c*h.v*h.v*h.v) AS BIGINT) AS s3,"
+    " CAST(SUM(h.c*h.v*h.v*h.v*h.v) AS BIGINT) AS s4"
+    " FROM cand c JOIN hist h ON h.v > c.x GROUP BY c.x), "
+    "ch0 AS (SELECT x, n, CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mu,"
+    " CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS r2m,"
+    " CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS r3m,"
+    " CAST(s4 AS DOUBLE)/CAST(n AS DOUBLE) AS r4m"
+    " FROM suff WHERE n >= 2), "
+    "ch1 AS (SELECT *, r2m - mu*mu AS m2,"
+    " (r3m - 3.0e0*mu*r2m) + 2.0e0*((mu*mu)*mu) AS m3,"
+    " ((r4m - 4.0e0*mu*r3m) + 6.0e0*((mu*mu)*r2m))"
+    " - 3.0e0*((mu*mu)*(mu*mu)) AS m4 FROM ch0), "
+    "ch2 AS (SELECT x, n, m4/(m2*m2) - 3.0e0 AS kurt,"
+    " m3/(m2*SQRT(m2)) AS skew FROM ch1 WHERE m2 > 0.0e0) "
+    "SELECT x AS thr, n, kurt, skew, ABS(kurt) + ABS(skew) AS obj"
+    " FROM ch2 ORDER BY ABS(kurt) + ABS(skew), x LIMIT 1",
+)
+def q_kurt_skew_threshold(sf_dir: str):
+    """calc_kurt_skew_threshold (tools/stats.py:905): the
+    dual_annealing search replaced by a deterministic exhaustive sweep
+    of the integer threshold lattice (the objective is piecewise-
+    constant between data values, so this is the optimum the annealer
+    converges toward); contamination-percentile preamble + min/max
+    adjustment rules mirrored exactly; all statistics from suffix sums
+    of one exact distributed histogram."""
+    from rsgislib_ray.stages.imagestats import (
+        global_histogram,
+        kurt_skew_threshold,
+    )
+
+    hist = global_histogram(_bands_ds(sf_dir), "qty", 256)
+    r = kurt_skew_threshold(hist, 40.0, 2.0, contamination=10.0)
+    return pa.table(
+        {
+            "thr": pa.array([r["thr"]], pa.int64()),
+            "n": pa.array([r["n"]], pa.int64()),
+            "kurt": pa.array([r["kurt"]], pa.float64()),
+            "skew": pa.array([r["skew"]], pa.float64()),
+            "obj": pa.array([r["obj"]], pa.float64()),
+        }
+    )
+
+
+@register(
+    "img_standardise",
+    "WITH b AS MATERIALIZED (SELECT cell_key, qty, disc_c FROM ("
+    + _SQL_BANDS + ")), "
+    "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+    " CAST(SUM(qty) AS BIGINT) AS s1q,"
+    " CAST(SUM(qty*qty) AS BIGINT) AS s2q,"
+    " CAST(MIN(qty) AS BIGINT) AS mnq, CAST(MAX(qty) AS BIGINT) AS mxq,"
+    " CAST(SUM(disc_c) AS BIGINT) AS s1d,"
+    " CAST(SUM(disc_c*disc_c) AS BIGINT) AS s2d,"
+    " CAST(MIN(disc_c) AS BIGINT) AS mnd,"
+    " CAST(MAX(disc_c) AS BIGINT) AS mxd FROM b), "
+    "p AS (SELECT CAST(s1q AS DOUBLE)/CAST(n AS DOUBLE) AS muq,"
+    " SQRT(CAST(n*s2q - s1q*s1q AS DOUBLE)/CAST(n*n AS DOUBLE)) AS sdq,"
+    " CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE) AS mud,"
+    " SQRT(CAST(n*s2d - s1d*s1d AS DOUBLE)/CAST(n*n AS DOUBLE)) AS sdd,"
+    " mnq, mxq, mnd, mxd FROM mm) "
+    "SELECT b.cell_key,"
+    " (CAST(b.qty AS DOUBLE) - p.muq)/p.sdq AS std_qty,"
+    " CAST(b.qty - p.mnq AS DOUBLE)/CAST(p.mxq - p.mnq AS DOUBLE)"
+    " AS nrm_qty,"
+    " (CAST(b.disc_c AS DOUBLE) - p.mud)/p.sdd AS std_disc,"
+    " CAST(b.disc_c - p.mnd AS DOUBLE)/CAST(p.mxd - p.mnd AS DOUBLE)"
+    " AS nrm_disc"
+    " FROM b, p ORDER BY b.cell_key, b.qty, b.disc_c",
+)
+def q_img_standardise(sf_dir: str):
+    """standarise_img_data / normalise_img_data (tools/stats.py:
+    per-band (x − mean)/σ with POPULATION variance, and
+    (x − min)/range): one exact moment pass, σ via the exact integer
+    decomposition √((n·Σx² − (Σx)²)/n²) — algebraically the
+    reference's centered form, bit-stable in SQL — then one
+    vectorized zero-shuffle map."""
+    ds = _bands_ds(sf_dir)
+    from rsgislib_ray.stages.imagestats import band_cross_moments
+
+    m = band_cross_moments(ds, ["qty", "disc_c"])
+    n = m["n"]
+    stats = {}
+    for i, c in enumerate(["qty", "disc_c"]):
+        mu = float(m["s"][i]) / float(n)
+        sd = math.sqrt(
+            float(n * m["q"][(i, i)] - m["s"][i] * m["s"][i])
+            / float(n * n)
+        )
+        stats[c] = (mu, sd)
+    gmn = ds.min(["qty", "disc_c"])
+    gmx = ds.max(["qty", "disc_c"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = {"cell_key": batch["cell_key"]}
+        for c, sc, nc in (
+            ("qty", "std_qty", "nrm_qty"),
+            ("disc_c", "std_disc", "nrm_disc"),
+        ):
+            v = batch[c].to_numpy().astype(np.int64)
+            mu, sd = stats[c]
+            out[sc] = (v.astype(np.float64) - mu) / sd
+            mn, mx = gmn[f"min({c})"], gmx[f"max({c})"]
+            out[nc] = (v - mn).astype(np.float64) / float(mx - mn)
+        out["_q"] = batch["qty"]
+        out["_d"] = batch["disc_c"]
+        return pa.table(out)
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+        .sort(["cell_key", "_q", "_d"])
+        .drop_columns(["_q", "_d"])
+    )
+
+
+_GD_D2R = "0.017453292519943295e0"  # repr(pi/180)
+_GD_A = "6378137.0e0"
+_GD_B = "6356752.314245e0"
+
+
+@register(
+    "geodesy_units",
+    "WITH gsrc AS MATERIALIZED (SELECT l_orderkey*10 + l_linenumber AS ck,"
+    " ((l_orderkey*10 + l_linenumber) * 7) % 161 - 80 AS lat,"
+    " ((l_orderkey*10 + l_linenumber) * 11) % 360 - 180 AS lon"
+    " FROM lineitem), "
+    f"t0 AS (SELECT ck, lat, lon,"
+    f" CAST(lat AS DOUBLE) * {_GD_D2R} AS radlat,"
+    f" CAST(lon AS DOUBLE) * {_GD_D2R} AS radlon FROM gsrc), "
+    "t1 AS (SELECT *, COS(radlat) AS c, SIN(radlat) AS s FROM t0), "
+    f"t2 AS (SELECT *, ({_GD_A} * c) * ({_GD_A} * c)"
+    f" + ({_GD_B} * s) * ({_GD_B} * s) AS rsq FROM t1), "
+    f"t3 AS (SELECT *, (({_GD_A} * {_GD_B}) * ({_GD_A} * {_GD_B}))"
+    f" / (rsq * SQRT(rsq)) AS mlat,"
+    f" ({_GD_A} * {_GD_A}) / SQRT(rsq) AS nlon FROM t2), "
+    f"t4 AS (SELECT *, (({_GD_D2R} * c) * nlon) * 1.0e0 AS xm,"
+    f" ({_GD_D2R} * mlat) * 1.0e0 AS ym FROM t3), "
+    f"t5 AS (SELECT *, xm / (({_GD_D2R} * c) * nlon) AS rt_lon,"
+    f" ym / ({_GD_D2R} * mlat) AS rt_lat,"
+    f" ACOS(SIN(radlat) * SIN(0.0e0 * {_GD_D2R})"
+    f" + (COS(radlat) * COS(0.0e0 * {_GD_D2R}))"
+    f" * COS(ABS(radlon - 0.0e0 * {_GD_D2R}))) AS ca FROM t4) "
+    "SELECT ck,"
+    " CAST(FLOOR(xm * 1000000.0e0 + 0.5e0) AS BIGINT) AS xm_u,"
+    " CAST(FLOOR(ym * 1000000.0e0 + 0.5e0) AS BIGINT) AS ym_u,"
+    " CAST(FLOOR(rt_lon * 1000000.0e0 + 0.5e0) AS BIGINT) AS rt_lon_u,"
+    " CAST(FLOOR(rt_lat * 1000000.0e0 + 0.5e0) AS BIGINT) AS rt_lat_u,"
+    " CAST(FLOOR(ca * 1000000.0e0 + 0.5e0) AS BIGINT) AS ca_u,"
+    f" (CAST(FLOOR(ca * 1000000.0e0 + 0.5e0) AS BIGINT) * {_GD_A})"
+    " / 1000000.0e0 AS gc_m"
+    " FROM t5 ORDER BY ck",
+)
+def q_geodesy_units(sf_dir: str):
+    """degrees_to_metres / metres_to_degrees round-trip +
+    great_circle_distance to (0, 0) (tools/projection.py:66,100,160):
+    vectorized WGS-84 radius chains (functions/geodesy.py), half-up
+    micro-quantized outputs (trig carries the known 1-ulp libm
+    divergence); the distance column derives from the QUANTIZED
+    central angle so it is a pure fixed chain."""
+    from rsgislib_ray.functions import geodesy as gd
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        lat = ((ck * 7) % 161 - 80).astype(np.float64)
+        lon = ((ck * 11) % 360 - 180).astype(np.float64)
+        xm, ym = gd.degrees_to_metres(lat, 1.0, 1.0)
+        rt_lon, rt_lat = gd.metres_to_degrees(lat, xm, ym)
+        ca = gd.great_circle_distance(lon, lat, 0.0, 0.0) / gd.WGS84_A
+        ca_u = np.floor(ca * 1000000.0 + 0.5).astype(np.int64)
+
+        def uq(x):
+            return np.floor(x * 1000000.0 + 0.5).astype(np.int64)
+
+        return pa.table(
+            {
+                "ck": ck,
+                "xm_u": uq(xm),
+                "ym_u": uq(ym),
+                "rt_lon_u": uq(rt_lon),
+                "rt_lat_u": uq(rt_lat),
+                "ca_u": ca_u,
+                "gc_m": (ca_u.astype(np.float64) * gd.WGS84_A)
+                / 1000000.0,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("ck")
+
+
+_CF_XC = ["x1", "x2", "x3", "x4"]
+
+_CF_SRC = (
+    "SELECT ck, x1, x2, x3, x4,"
+    " 3*x1 - x3 + (ck * 5) % 7 AS y1,"
+    " x1 + 2*x3 + (ck * 3) % 5 AS y2 FROM ("
+    "SELECT l_orderkey*10 + l_linenumber AS ck,"
+    " ((l_orderkey*10 + l_linenumber) * 7) % 23 AS x1,"
+    " (((l_orderkey*10 + l_linenumber) * 7) % 23) * 2"
+    " + (l_orderkey*10 + l_linenumber) % 3 AS x2,"
+    " ((l_orderkey*10 + l_linenumber) * 11) % 13 AS x3,"
+    " ((l_orderkey*10 + l_linenumber) * 11) % 13"
+    " + ((l_orderkey*10 + l_linenumber) * 5) % 5 AS x4"
+    " FROM lineitem)"
+)
+
+
+def _cf_src_ds(sf_dir: str):
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        x1 = (ck * 7) % 23
+        x2 = x1 * 2 + ck % 3
+        x3 = (ck * 11) % 13
+        x4 = x3 + (ck * 5) % 5
+        return pa.table(
+            {
+                "ck": ck,
+                "x1": x1,
+                "x2": x2,
+                "x3": x3,
+                "x4": x4,
+                "y1": 3 * x1 - x3 + (ck * 5) % 7,
+                "y2": x1 + 2 * x3 + (ck * 3) % 5,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_cf_r(i: int, yj: int) -> str:
+    """Pearson r(x_i, y_j) fixed chain over the cm moment row:
+    0..3 = predictors, 4..5 = responses."""
+    a, b = (i, yj) if i <= yj else (yj, i)
+    num = f"CAST(n*q{a}_{b} - s{i}*s{yj} AS DOUBLE)"
+    d1 = f"SQRT(CAST(n*q{i}_{i} - s{i}*s{i} AS DOUBLE))"
+    d2 = f"SQRT(CAST(n*q{yj}_{yj} - s{yj}*s{yj} AS DOUBLE))"
+    return f"({num} / ({d1} * {d2}))"
+
+
+def _sql_cf_panel() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    cols = _CF_XC + ["y1", "y2"]
+    for i, c in enumerate(cols):
+        aggs.append(f"CAST(SUM({c}) AS BIGINT) AS s{i}")
+        for j in range(i, len(cols)):
+            aggs.append(
+                f"CAST(SUM({c}*{cols[j]}) AS BIGINT) AS q{i}_{j}"
+            )
+    cm = "cm AS MATERIALIZED (SELECT " + ", ".join(aggs) + " FROM csrc)"
+    rows = []
+    for i in range(4):
+        r1 = _sql_cf_r(i, 4)
+        r2 = _sql_cf_r(i, 5)
+        z1 = f"(0.5e0 * LN((1.0e0 + {r1}) / (1.0e0 - {r1})))"
+        z2 = f"(0.5e0 * LN((1.0e0 + {r2}) / (1.0e0 - {r2})))"
+        zm = f"(({z1} + {z2}) / 2.0e0)"
+        rows.append(
+            f"SELECT {i} AS pred, {r1} AS r1, {r2} AS r2,"
+            f" CAST(FLOOR({zm} * 1000000.0e0 + 0.5e0) AS BIGINT)"
+            f" AS zmean_u,"
+            f" CAST(FLOOR(((EXP(2.0e0 * {zm}) - 1.0e0)"
+            f" / (EXP(2.0e0 * {zm}) + 1.0e0)) * 1000000.0e0 + 0.5e0)"
+            f" AS BIGINT)"
+            f" AS rbar_u FROM cm"
+        )
+    return cm + ", panel AS (" + " UNION ALL ".join(rows) + ")"
+
+
+@register(
+    "corr_feature_panel",
+    "WITH csrc AS MATERIALIZED (" + _CF_SRC + "), "
+    + _sql_cf_panel()
+    + " SELECT * FROM panel ORDER BY pred",
+)
+def q_corr_feature_panel(sf_dir: str):
+    """corr_feature_selection's correlation layer (tools/stats.py:937):
+    per-predictor Pearson r to each response from ONE exact
+    cross-moment pass, Fisher z-transform mean and back-transformed
+    mean r (micro-quantized — ln/tanh carry the 1-ulp divergence).
+    The decision layer (complete-linkage clustering + silhouette +
+    per-cluster pick, stages/scores.corr_feature_select) runs on these
+    tiny driver matrices and is pytest-verified."""
+    from rsgislib_ray.stages.imagestats import band_cross_moments
+
+    m = band_cross_moments(
+        _cf_src_ds(sf_dir), _CF_XC + ["y1", "y2"]
+    )
+    n, s, q = m["n"], m["s"], m["q"]
+
+    def r(i, j):
+        a, b = (i, j) if i <= j else (j, i)
+        num = float(n * q[(a, b)] - s[i] * s[j])
+        d1 = math.sqrt(float(n * q[(i, i)] - s[i] * s[i]))
+        d2 = math.sqrt(float(n * q[(j, j)] - s[j] * s[j]))
+        return num / (d1 * d2)
+
+    rows = {"pred": [], "r1": [], "r2": [], "zmean_u": [], "rbar_u": []}
+    for i in range(4):
+        r1, r2 = r(i, 4), r(i, 5)
+        z1 = 0.5 * math.log((1.0 + r1) / (1.0 - r1))
+        z2 = 0.5 * math.log((1.0 + r2) / (1.0 - r2))
+        zm = (z1 + z2) / 2.0
+        rows["pred"].append(i)
+        rows["r1"].append(r1)
+        rows["r2"].append(r2)
+        rows["zmean_u"].append(int(math.floor(zm * 1000000.0 + 0.5)))
+        ez = math.exp(2.0 * zm)
+        rows["rbar_u"].append(
+            int(
+                math.floor(
+                    ((ez - 1.0) / (ez + 1.0)) * 1000000.0 + 0.5
+                )
+            )
+        )
+    return pa.table(
+        {
+            "pred": pa.array(rows["pred"], pa.int64()),
+            "r1": pa.array(rows["r1"], pa.float64()),
+            "r2": pa.array(rows["r2"], pa.float64()),
+            "zmean_u": pa.array(rows["zmean_u"], pa.int64()),
+            "rbar_u": pa.array(rows["rbar_u"], pa.int64()),
         }
     )

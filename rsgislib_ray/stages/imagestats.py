@@ -904,3 +904,94 @@ def freedman_diaconis_bins(
     nz = np.flatnonzero(hist)
     vmin, vmax = float(nz[0]), float(nz[-1])
     return int((vmax - vmin) / width) + 2, float(width)
+
+
+def kurt_skew_threshold(
+    hist: np.ndarray,
+    max_val: float,
+    min_val: float,
+    low_thres: bool = True,
+    contamination: float = 10.0,
+    only_kurtosis: bool = False,
+) -> dict:
+    """calc_kurt_skew_threshold (tools/stats.py:905) with the
+    stochastic ``scipy.optimize.dual_annealing`` search replaced by a
+    DETERMINISTIC exhaustive sweep of the integer threshold lattice —
+    the objective ``|kurtosis| + |skewness|`` of the ``data > x``
+    (resp. ``< x``) subset is piecewise-constant between data values,
+    so the lattice argmin is the global optimum the annealer converges
+    toward (``init_thres`` only seeds the annealer and cannot change
+    the optimum; dropped). The contamination-percentile preamble
+    mirrors the reference exactly (numpy-lerp percentile from the
+    exact histogram, then the min/max adjustment rules).
+
+    All statistics come from suffix (resp. prefix) sums of the exact
+    integer histogram: Fisher kurtosis ``m4/m2² − 3`` and skewness
+    ``m3/(m2·√m2)`` (algebraically ``m3/m2^1.5``; written with sqrt so
+    numpy and DuckDB agree bit-for-bit) over fixed central-moment
+    chains. Candidates need n ≥ 2 and m2 > 0. Ties → lowest
+    threshold. Returns {"thr", "n", "kurt", "skew", "obj"}."""
+    card = len(hist)
+    vals = np.arange(card, dtype=np.int64)
+    n_tot = int(hist.sum())
+    # numpy-lerp percentile from the histogram
+    p = contamination / 100.0 if low_thres else (100.0 - contamination) / 100.0
+    pos = float(n_tot - 1) * p
+    k = int(math.floor(pos))
+    cum = np.cumsum(hist)
+    vk = float(int(np.searchsorted(cum, k + 1)))
+    vk1 = float(int(np.searchsorted(cum, min(k + 1, n_tot - 1) + 1)))
+    pct = vk + (vk1 - vk) * (pos - float(k))
+    data_min = float(int(np.flatnonzero(hist)[0]))
+    data_max = float(int(np.flatnonzero(hist)[-1]))
+    if low_thres:
+        if pct < max_val:
+            max_val = pct
+        if min_val >= max_val:
+            min_val = data_min
+    else:
+        if pct > min_val:
+            min_val = pct
+        if max_val <= min_val:
+            max_val = data_max
+    if min_val >= max_val:
+        raise ValueError("degenerate threshold range")
+    lo = int(math.ceil(min_val))
+    hi = int(math.floor(max_val))
+    # suffix/prefix power sums
+    h = hist.astype(object)
+    pw = [h, h * vals, h * vals**2, h * vals**3, h * vals**4]
+    if low_thres:
+        sums = [np.cumsum(w[::-1])[::-1] for w in pw]  # Σ over v >= x
+        pick = lambda s, x: int(s[x + 1]) if x + 1 < card else 0  # v > x
+    else:
+        sums = [np.cumsum(w) for w in pw]
+        pick = lambda s, x: int(s[x - 1]) if x >= 1 else 0  # v < x
+    best = None
+    for x in range(lo, hi + 1):
+        n = pick(sums[0], x)
+        if n < 2:
+            continue
+        fn = float(n)
+        s1, s2, s3, s4 = (float(pick(sums[i], x)) for i in range(1, 5))
+        mu = s1 / fn
+        r2 = s2 / fn
+        r3 = s3 / fn
+        r4 = s4 / fn
+        m2 = r2 - mu * mu
+        if not m2 > 0.0:
+            continue
+        m3 = (r3 - 3.0 * mu * r2) + 2.0 * ((mu * mu) * mu)
+        m4 = ((r4 - 4.0 * mu * r3) + 6.0 * ((mu * mu) * r2)) - 3.0 * (
+            (mu * mu) * (mu * mu)
+        )
+        kurt = m4 / (m2 * m2) - 3.0
+        skew = m3 / (m2 * math.sqrt(m2))
+        obj = abs(kurt) if only_kurtosis else abs(kurt) + abs(skew)
+        key = (obj, x)
+        if best is None or key < best[0]:
+            best = (key, n, kurt, skew)
+    if best is None:
+        raise ValueError("no valid threshold candidate")
+    (obj, x), n, kurt, skew = best
+    return {"thr": x, "n": n, "kurt": kurt, "skew": skew, "obj": obj}

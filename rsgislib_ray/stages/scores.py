@@ -392,3 +392,96 @@ def breusch_pagan(
             "aux_r2": pa.array([r2], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# correlation feature selection (tools/stats.py:corr_feature_selection)
+# ---------------------------------------------------------------------------
+
+
+def complete_linkage_labels(D: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic complete-linkage agglomeration on a precomputed
+    distance matrix (the FeatureAgglomeration(linkage="complete",
+    metric=pearson-affinity) shape of corr_feature_selection,
+    tools/stats.py:937): repeatedly merge the pair with the smallest
+    maximum pairwise distance, ties → lowest (i, j). Labels are dense
+    ranks of each cluster's smallest member index."""
+    n = D.shape[0]
+    clusters: list[list[int]] = [[i] for i in range(n)]
+    while len(clusters) > k:
+        best = None
+        for a in range(len(clusters)):
+            for b in range(a + 1, len(clusters)):
+                d = max(
+                    D[i, j] for i in clusters[a] for j in clusters[b]
+                )
+                key = (d, clusters[a][0], clusters[b][0])
+                if best is None or key < best[0]:
+                    best = (key, a, b)
+        _, a, b = best
+        clusters[a] = sorted(clusters[a] + clusters[b])
+        del clusters[b]
+    clusters.sort(key=lambda c: c[0])
+    labels = np.empty(n, dtype=np.int64)
+    for lab, c in enumerate(clusters):
+        for i in c:
+            labels[i] = lab
+    return labels
+
+
+def silhouette_precomputed(D: np.ndarray, labels: np.ndarray) -> float:
+    """Mean silhouette coefficient (Rousseeuw 1987) on a precomputed
+    distance matrix; singleton clusters contribute 0 (sklearn
+    convention)."""
+    n = D.shape[0]
+    ss = []
+    for i in range(n):
+        own = labels == labels[i]
+        n_own = int(own.sum())
+        if n_own <= 1:
+            ss.append(0.0)
+            continue
+        a = float(D[i, own].sum()) / float(n_own - 1)
+        b = math.inf
+        for lab in np.unique(labels):
+            if lab == labels[i]:
+                continue
+            m = labels == lab
+            b = min(b, float(D[i, m].mean()))
+        ss.append((b - a) / max(a, b))
+    return float(np.mean(ss))
+
+
+def corr_feature_select(
+    corr_pred: np.ndarray,
+    rbar: np.ndarray,
+    n_min_clusters: int = 2,
+    n_max_clusters: int = 4,
+) -> dict:
+    """corr_feature_selection (tools/stats.py:937) decision layer over
+    the distributed correlation panel: cluster predictors on
+    D = 1 − |pairwise Pearson r|, pick the cluster count maximizing
+    the silhouette coefficient (ties → fewest clusters), then keep the
+    predictor with the largest |Fisher-mean r to the responses| per
+    cluster (ties → lowest index). All inputs are tiny k×k driver
+    matrices built from ONE distributed moment pass."""
+    D = 1.0 - np.abs(corr_pred)
+    np.fill_diagonal(D, 0.0)
+    best = None
+    for k in range(n_min_clusters, min(n_max_clusters, len(rbar)) + 1):
+        labels = complete_linkage_labels(D, k)
+        sil = silhouette_precomputed(D, labels)
+        key = (-sil, k)
+        if best is None or key < best[0]:
+            best = (key, k, labels)
+    _, k, labels = best
+    selected = []
+    for lab in np.unique(labels):
+        idx = np.flatnonzero(labels == lab)
+        pick = idx[np.argmax(np.abs(rbar[idx]))]
+        selected.append(int(pick))
+    return {
+        "n_clusters": k,
+        "labels": labels,
+        "selected": sorted(selected),
+    }
