@@ -17224,3 +17224,67 @@ def q_corr_feature_panel(sf_dir: str):
             "rbar_u": pa.array(rows["rbar_u"], pa.int64()),
         }
     )
+
+
+# ===========================================================================
+# calc_dist_between_clumps / calc_dist_to_large_clumps
+# (rastergis/__init__.py:1286,1391) — nearest-other-clump distance on
+# the pixel lattice with the max_dist index bound.
+# ===========================================================================
+
+_CD_N = 96
+_CD_MAXD = 7
+
+
+def _cd_fg_tbl() -> pa.Table:
+    p = np.arange(_CD_N * _CD_N, dtype=np.int64)
+    r, c = np.divmod(p, _CD_N)
+    br, bc = r // 8, c // 8
+    keep = ((br * 31 + bc * 17) % 3 == 0) & (r % 8 < 3) & (c % 8 < 3)
+    return pa.table(
+        {
+            "row": r[keep],
+            "col": c[keep],
+            "clump": (br * 12 + bc + 1)[keep],
+        }
+    )
+
+
+@register(
+    "clump_pair_distance",
+    f"""
+    WITH fg AS MATERIALIZED (
+      SELECT (p.range // {_CD_N}) AS r, (p.range % {_CD_N}) AS c,
+             ((p.range // {_CD_N}) // 8) * 12
+               + ((p.range % {_CD_N}) // 8) + 1 AS clump
+      FROM range(0, {_CD_N * _CD_N}) p
+      WHERE ((((p.range // {_CD_N}) // 8) * 31
+              + ((p.range % {_CD_N}) // 8) * 17) % 3 = 0)
+        AND ((p.range // {_CD_N}) % 8 < 3)
+        AND ((p.range % {_CD_N}) % 8 < 3)),
+    pm AS (
+      SELECT a.clump,
+             MIN((a.r-b.r)*(a.r-b.r) + (a.c-b.c)*(a.c-b.c)) AS m
+      FROM fg a JOIN fg b ON b.clump <> a.clump
+      WHERE (a.r-b.r)*(a.r-b.r) + (a.c-b.c)*(a.c-b.c)
+              <= {_CD_MAXD * _CD_MAXD}
+      GROUP BY a.clump)
+    SELECT g.clump, COALESCE(pm.m, -1) AS min_d2,
+           CASE WHEN pm.m IS NULL THEN -1.0e0
+                ELSE SQRT(CAST(pm.m AS DOUBLE)) END AS dist
+    FROM (SELECT DISTINCT clump FROM fg) g
+    LEFT JOIN pm ON pm.clump = g.clump ORDER BY g.clump
+    """,
+)
+def q_clump_pair_distance(sf_dir: str):
+    """calc_dist_between_clumps (rastergis:1286): per-clump nearest-
+    other-clump distance — cell-bucketed 9-copy flat-map (complete for
+    pairs within max_dist), one groupby(cell) shuffle, vectorized
+    cross-clump d² minima, segment_sum(min) + sentinel union so
+    isolated clumps emit -1 without a join (the use_idx +
+    max_dist_thres shape; pixel-lattice metric as in the EDT
+    family)."""
+    from rsgislib_ray.stages.distance import clump_min_distances
+
+    ds = ray.data.from_arrow(_cd_fg_tbl()).repartition(8)
+    return clump_min_distances(ds, _CD_N, _CD_MAXD).sort("clump")

@@ -194,3 +194,125 @@ def distance_transform(
         .groupby("col_band")
         .map_groups(arrowize(phase2), batch_format="pandas")
     )
+
+
+def clump_min_distances(
+    ds: ray.data.Dataset,
+    grid_n: int,
+    max_dist: int,
+    clump_col: str = "clump",
+    row_col: str = "row",
+    col_col: str = "col",
+) -> ray.data.Dataset:
+    """Per-clump minimum pixel-pair distance to the NEAREST other
+    clump within ``max_dist`` (rastergis/__init__.py:1286
+    ``calc_dist_between_clumps`` / :1391 ``calc_dist_to_large_clumps``
+    — the reference polygonises and runs an indexed GEOS distance
+    sweep with ``max_dist_thres``; here the same index idea on the
+    pixel lattice, consistent with this engine's EDT family metrics):
+
+    - every foreground pixel flat-maps into its home cell plus the 8
+      neighbouring cells of a ``max_dist``-sized grid — any pair
+      within ``max_dist`` then co-occurs in the second pixel's home
+      cell, so the sweep is complete while each group stays bounded
+      by 9 · density · cell² (the broadcast-free both-sides-large
+      shape);
+    - one ``groupby(cell)`` shuffle; per group a vectorized cross-
+      clump d² matrix masked at ``max_dist²`` → per-clump partial
+      minima (exact integers);
+    - partials union a per-clump sentinel row and reduce through the
+      sort-based ``segment_sum(min)``, so clumps with no neighbour in
+      range come out as ``-1`` without a join.
+
+    Output: (clump, min_d2, dist) ordered by clump; dist = √min_d2,
+    −1/−1.0 when no other clump lies within ``max_dist``."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    cell = int(max_dist)
+    if cell < 1:
+        raise ValueError("max_dist must be >= 1 pixel")
+    m_cells = grid_n // cell + 3
+    maxd2 = int(max_dist) * int(max_dist)
+    sentinel = np.int64(2**62)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        r = batch[row_col].to_numpy().astype(np.int64)
+        c = batch[col_col].to_numpy().astype(np.int64)
+        k = batch[clump_col].to_numpy().astype(np.int64)
+        cr = r // cell
+        cc = c // cell
+        outs = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                nr = cr + dr
+                nc = cc + dc
+                keep = (nr >= 0) & (nc >= 0)
+                outs.append(
+                    pa.table(
+                        {
+                            "cell_id": (nr[keep] + 1) * m_cells
+                            + (nc[keep] + 1),
+                            "r": r[keep],
+                            "c": c[keep],
+                            "k": k[keep],
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    def per_group(tbl: pa.Table) -> pa.Table:
+        r = tbl["r"].to_numpy()
+        c = tbl["c"].to_numpy()
+        k = tbl["k"].to_numpy()
+        d2 = (r[:, None] - r[None, :]) ** 2 + (c[:, None] - c[None, :]) ** 2
+        cross = (k[:, None] != k[None, :]) & (d2 <= maxd2)
+        d2m = np.where(cross, d2, sentinel)
+        mins = d2m.min(axis=1)
+        ok = mins < sentinel
+        if not ok.any():
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int64()),
+                }
+            )
+        ku = k[ok]
+        mu = mins[ok]
+        order = np.argsort(ku, kind="stable")
+        ku, mu = ku[order], mu[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(ku)) + 1])
+        return pa.table(
+            {"k": ku[starts], "m": np.minimum.reduceat(mu, starts)}
+        )
+
+    partials = (
+        ds.map_batches(expand, batch_format="pyarrow", batch_size=65536)
+        .groupby("cell_id")
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+    def sentinels(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch[clump_col].to_numpy().astype(np.int64))
+        return pa.table(
+            {"k": k, "m": np.full(len(k), sentinel, dtype=np.int64)}
+        )
+
+    base = ds.map_batches(
+        sentinels, batch_format="pyarrow", batch_size=65536
+    )
+    red = segment_sum(partials.union(base), "k", ["m"], aggs=["min"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy().astype(np.int64)
+        m = batch["m"].to_numpy().astype(np.int64)
+        none = m >= sentinel
+        d = np.sqrt(m.astype(np.float64))
+        return pa.table(
+            {
+                "clump": k,
+                "min_d2": np.where(none, np.int64(-1), m),
+                "dist": np.where(none, -1.0, d),
+            }
+        )
+
+    return red.map_batches(finish, batch_format="pyarrow")

@@ -72,3 +72,60 @@ def test_edt_partition_independent(ray_session):
         )
         outs.append(out)
     assert outs[0].equals(outs[1])
+
+
+def test_clump_min_distances_bruteforce(ray_session):
+    import pyarrow as pa
+
+    from rsgislib_ray.stages.distance import clump_min_distances
+
+    rng = np.random.default_rng(13)
+    n = 64
+    pts = rng.choice(n * n, size=220, replace=False)
+    r, c = np.divmod(pts.astype(np.int64), n)
+    clump = (r // 16) * 4 + (c // 16) + 1  # 16 blocks as label regions
+    t = pa.table({"row": r, "col": c, "clump": clump})
+    maxd = 9
+    for parts in (2, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = (
+            clump_min_distances(ds, n, maxd)
+            .to_pandas()
+            .set_index("clump")
+            .sort_index()
+        )
+        for k in np.unique(clump):
+            m = clump == k
+            d2 = (
+                (r[m][:, None] - r[~m][None, :]) ** 2
+                + (c[m][:, None] - c[~m][None, :]) ** 2
+            )
+            d2 = d2[d2 <= maxd * maxd]
+            exp = int(d2.min()) if d2.size else -1
+            assert int(out.loc[k, "min_d2"]) == exp
+            if exp >= 0:
+                assert out.loc[k, "dist"] == np.sqrt(float(exp))
+            else:
+                assert out.loc[k, "dist"] == -1.0
+
+
+def test_clump_min_distances_boundary_inclusive(ray_session):
+    import pyarrow as pa
+
+    from rsgislib_ray.stages.distance import clump_min_distances
+
+    # two pixels exactly max_dist apart (and crossing a cell border)
+    t = pa.table(
+        {"row": [0, 0, 40], "col": [0, 7, 40], "clump": [1, 2, 3]}
+    )
+    out = (
+        clump_min_distances(
+            ray.data.from_arrow(t).repartition(2), 64, 7
+        )
+        .to_pandas()
+        .set_index("clump")
+        .sort_index()
+    )
+    assert int(out.loc[1, "min_d2"]) == 49
+    assert int(out.loc[2, "min_d2"]) == 49
+    assert int(out.loc[3, "min_d2"]) == -1
