@@ -17288,3 +17288,93 @@ def q_clump_pair_distance(sf_dir: str):
 
     ds = ray.data.from_arrow(_cd_fg_tbl()).repartition(8)
     return clump_min_distances(ds, _CD_N, _CD_MAXD).sort("clump")
+
+
+# ===========================================================================
+# FFT DEM fusion (elevation/__init__.py fft_dem_fusion, Karkee 2008) —
+# the whole-image FFT re-expressed as a separable circular convolution
+# with a quantized Dirichlet kernel (stages/demfusion.py): two banded
+# shuffles, order-independent exact int64 sums.
+# ===========================================================================
+
+_DF_N = 48
+_DF_CS = 6
+
+
+def _df_src_tbl() -> pa.Table:
+    p = np.arange(_DF_N * _DF_N, dtype=np.int64)
+    r, c = np.divmod(p, _DF_N)
+    base = 100 + (r * r + c * c) // 50
+    return pa.table(
+        {
+            "row": r,
+            "col": c,
+            "hi": base + (p * 37) % 21 - 10,
+            "lo": base + (p * 53) % 15 - 7,
+        }
+    )
+
+
+def _sql_df() -> str:
+    from rsgislib_ray.stages.demfusion import dirichlet_kernel_q
+
+    kre, kim = dirichlet_kernel_q(_DF_N, _DF_CS)
+    kvals = ", ".join(
+        f"({i}, {int(kre[i])}, {int(kim[i])})" for i in range(_DF_N)
+    )
+    n = _DF_N
+    den = "68719476736.0e0"  # 2^36 = 2^(2*KQ - SHIFT)
+    off = 1 << 50
+    return f"""
+    fsrc AS MATERIALIZED (
+      SELECT (p.range // {n}) AS r, (p.range % {n}) AS c,
+             (100 + ((p.range // {n})*(p.range // {n})
+                     + (p.range % {n})*(p.range % {n})) // 50)
+               + (p.range * 53) % 15 - 7 AS lo,
+             ((p.range * 37) % 21 - 10) - ((p.range * 53) % 15 - 7) AS d
+      FROM range(0, {n * n}) p),
+    kr(dc, re_q, im_q) AS (VALUES {kvals}),
+    t1raw AS (
+      SELECT s.r, (s.c + k.dc) % {n} AS c,
+             CAST(SUM(k.re_q * s.d) AS BIGINT) AS t1re_raw,
+             CAST(SUM(k.im_q * s.d) AS BIGINT) AS t1im_raw
+      FROM fsrc s, kr k GROUP BY s.r, (s.c + k.dc) % {n}),
+    t1 AS (
+      SELECT r, c,
+             (t1re_raw + {off * 4096}) // 4096 - {off} AS t1re,
+             (t1im_raw + {off * 4096}) // 4096 - {off} AS t1im
+      FROM t1raw),
+    t2 AS (
+      SELECT (t.r + k.dc) % {n} AS r, t.c,
+             CAST(SUM(k.re_q * t.t1re - k.im_q * t.t1im) AS BIGINT)
+               AS t2re,
+             CAST(SUM(k.re_q * t.t1im + k.im_q * t.t1re) AS BIGINT)
+               AS t2im
+      FROM t1 t, kr k GROUP BY (t.r + k.dc) % {n}, t.c),
+    fin AS (
+      SELECT t2.r, t2.c,
+             CAST(s.lo AS DOUBLE) + CAST(t2.t2re AS DOUBLE) / {den}
+               AS re,
+             CAST(t2.t2im AS DOUBLE) / {den} AS im
+      FROM t2 JOIN fsrc s ON s.r = t2.r AND s.c = t2.c)
+    SELECT r AS row, c AS col,
+           CAST(FLOOR(SQRT(re*re + im*im) * 1000000.0e0 + 0.5e0)
+                AS BIGINT) AS fused_u
+    FROM fin ORDER BY row, col
+    """
+
+
+@register("fft_dem_fusion", "WITH " + _sql_df())
+def q_fft_dem_fusion(sf_dir: str):
+    """fft_dem_fusion (elevation, Karkee 2008): the reference's
+    whole-image FFT block replacement re-expressed EXACTLY (up to the
+    documented 2^-24 kernel quantization, pytest-bounded at ~2e-4 vs
+    the true FFT) as a separable circular convolution with the complex
+    Dirichlet kernel — two banded groupby passes, order-independent
+    exact int64 sums, one float magnitude chain. Mirrors the code's
+    actual behaviour (low frequencies from the HIGH-res DEM — the
+    docstring says the opposite)."""
+    from rsgislib_ray.stages.demfusion import fft_dem_fusion
+
+    ds = ray.data.from_arrow(_df_src_tbl()).repartition(8)
+    return fft_dem_fusion(ds, _DF_N, _DF_CS).sort(["row", "col"])
