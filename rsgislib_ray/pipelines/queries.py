@@ -17378,3 +17378,100 @@ def q_fft_dem_fusion(sf_dir: str):
 
     ds = ray.data.from_arrow(_df_src_tbl()).repartition(8)
     return fft_dem_fusion(ds, _DF_N, _DF_CS).sort(["row", "col"])
+
+
+# ===========================================================================
+# resample-detrend DEM (elevation.resampling_detread_dem:833) — block
+# AVERAGE downsample + cubic-B-spline upsample + subtract
+# (stages/resample.dem_resample_detrend).
+# ===========================================================================
+
+_RD_N = 64
+_RD_R = 8
+_RD_M = _RD_N // _RD_R
+
+
+def _rd_src_tbl() -> pa.Table:
+    p = np.arange(_RD_N * _RD_N, dtype=np.int64)
+    r, c = np.divmod(p, _RD_N)
+    return pa.table(
+        {
+            "row": r,
+            "col": c,
+            "z": 100 + (r * r + c * c) // 40 + (p * 37) % 21,
+        }
+    )
+
+
+def _sql_rd() -> str:
+    n, R, m = _RD_N, _RD_R, _RD_M
+    r2 = 2 * R
+    den = repr(float((6 * r2**3) ** 2 * R * R)) + "e0"
+    w = lambda p, q, i: {  # noqa: E731
+        -1: f"({q})*({q})*({q})",
+        0: f"4*{r2**3} - 6*({p})*({p})*{r2} + 3*({p})*({p})*({p})",
+        1: f"4*{r2**3} - 6*({q})*({q})*{r2} + 3*({q})*({q})*({q})",
+        2: f"({p})*({p})*({p})",
+    }[i]
+    wr_case = (
+        "CASE ti.i "
+        + " ".join(
+            f"WHEN {i} THEN {w('px.pr', 'px.qr', i)}" for i in (-1, 0, 1, 2)
+        )
+        + " END"
+    )
+    wc_case = (
+        "CASE tj.j "
+        + " ".join(
+            f"WHEN {i} THEN {w('px.pc', 'px.qc', i)}" for i in (-1, 0, 1, 2)
+        )
+        + " END"
+    )
+    return f"""
+    dsrc AS MATERIALIZED (
+      SELECT (p.range // {n}) AS r, (p.range % {n}) AS c,
+             100 + ((p.range // {n})*(p.range // {n})
+                    + (p.range % {n})*(p.range % {n})) // 40
+                 + (p.range * 37) % 21 AS z
+      FROM range(0, {n * n}) p),
+    blk AS MATERIALIZED (
+      SELECT (r // {R}) * {m} + (c // {R}) AS bid,
+             CAST(SUM(z) AS BIGINT) AS bz
+      FROM dsrc GROUP BY (r // {R}) * {m} + (c // {R})),
+    ti(i) AS (VALUES (-1), (0), (1), (2)),
+    tj(j) AS (VALUES (-1), (0), (1), (2)),
+    px AS (
+      SELECT r, c, z,
+             ((2*r + 1 - {R}) + {r2 * 4}) // {r2} - 4 AS br,
+             ((2*c + 1 - {R}) + {r2 * 4}) // {r2} - 4 AS bc,
+             (2*r + 1 - {R}) - {r2} * (((2*r + 1 - {R}) + {r2 * 4})
+               // {r2} - 4) AS pr,
+             (2*c + 1 - {R}) - {r2} * (((2*c + 1 - {R}) + {r2 * 4})
+               // {r2} - 4) AS pc
+      FROM dsrc),
+    px2 AS (SELECT *, {r2} - pr AS qr, {r2} - pc AS qc FROM px),
+    num AS (
+      SELECT px.r, px.c, CAST(SUM(({wr_case}) * ({wc_case}) * b.bz)
+             AS BIGINT) AS nm
+      FROM px2 px, ti, tj
+      JOIN blk b ON b.bid =
+        LEAST(GREATEST(px.br + ti.i, 0), {m - 1}) * {m}
+        + LEAST(GREATEST(px.bc + tj.j, 0), {m - 1})
+      GROUP BY px.r, px.c)
+    SELECT d.r AS row, d.c AS col,
+           CAST(d.z AS DOUBLE) - CAST(n2.nm AS DOUBLE) / {den} AS detr
+    FROM dsrc d JOIN num n2 ON n2.r = d.r AND n2.c = d.c
+    ORDER BY row, col
+    """
+
+
+@register("dem_resample_detrend", "WITH " + _sql_rd())
+def q_dem_resample_detrend(sf_dir: str):
+    """resampling_detread_dem (elevation:833): block-average
+    downsample (one R²-reducing segment_sum, broadcast back) + exact
+    integer cubic-B-spline upsample weights + subtract — zero-shuffle
+    apply, one float division per pixel."""
+    from rsgislib_ray.stages.resample import dem_resample_detrend
+
+    ds = ray.data.from_arrow(_rd_src_tbl()).repartition(8)
+    return dem_resample_detrend(ds, _RD_N, _RD_R).sort(["row", "col"])

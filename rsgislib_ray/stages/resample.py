@@ -187,3 +187,95 @@ def resample_to_grid(
         )
 
     return sums.map_batches(div, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# resample-detrend (elevation.resampling_detread_dem)
+# ---------------------------------------------------------------------------
+
+
+def dem_resample_detrend(
+    ds: ray.data.Dataset, n: int, factor: int
+) -> ray.data.Dataset:
+    """resampling_detread_dem (elevation/__init__.py:833): down-sample
+    the DEM by block AVERAGE (INTERP_AVERAGE), up-sample back with the
+    separable cubic B-SPLINE kernel (the INTERP_CUBICSPLINE shape) and
+    subtract, leaving the high-frequency detrended surface.
+
+    Exactness: at integer grids the B-spline offsets are rationals
+    p/(2R), so the scaled tap weights are the INTEGER polynomials
+
+        W₋₁ = (2R−p)³            W₀ = 4(2R)³ − 6p²(2R) + 3p³
+        W₂  = p³                 W₁ = W₀ with p → 2R−p
+
+    summing to 6(2R)³ exactly; the upsampled value is then
+    ΣᵢΣⱼ Wᵢ Wⱼ · blocksum / (R²·(6(2R)³)²) — one order-independent
+    exact int64 sum per pixel and ONE float division. Physical plan:
+    one narrow segment_sum for the R²-reduced block sums (broadcast —
+    that side shrinks by R² relative to the input), then a zero-
+    shuffle map_batches; edge taps clamp (GDAL edge replication).
+
+    Input (row, col, z) int pixels of an N×N DEM, factor | N.
+    Output (row, col, detr) with detr = z − upsampled."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    if n % factor:
+        raise ValueError("factor must divide n")
+    m = n // factor
+    r2 = 2 * factor
+    d1 = 6 * r2**3
+    den = float(d1 * d1 * factor * factor)
+
+    def to_block(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy().astype(np.int64)
+        c = batch["col"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bid": (r // factor) * m + c // factor,
+                "z": batch["z"],
+            }
+        )
+
+    bs = segment_sum(
+        ds.map_batches(to_block, batch_format="pyarrow"), "bid", ["z"]
+    ).to_pandas()
+    grid = np.zeros(m * m, dtype=np.int64)
+    grid[bs["bid"].to_numpy()] = bs["z"].to_numpy()
+    grid = grid.reshape(m, m)
+    import ray as _ray
+
+    gref = _ray.put(grid)
+
+    def weights(p: np.ndarray) -> list[np.ndarray]:
+        q = r2 - p
+        w_m1 = q * q * q
+        w_0 = 4 * r2**3 - 6 * (p * p) * r2 + 3 * (p * p * p)
+        w_1 = 4 * r2**3 - 6 * (q * q) * r2 + 3 * (q * q * q)
+        w_2 = p * p * p
+        return [w_m1, w_0, w_1, w_2]
+
+    def apply(batch: pa.Table) -> pa.Table:
+        g = _ray.get(gref)
+        r = batch["row"].to_numpy().astype(np.int64)
+        c = batch["col"].to_numpy().astype(np.int64)
+        z = batch["z"].to_numpy().astype(np.int64)
+        num = np.zeros(len(r), dtype=np.int64)
+        tr = 2 * r + 1 - factor
+        tc = 2 * c + 1 - factor
+        br = tr // r2  # numpy floors (SQL mirrors with the offset form)
+        bc = tc // r2
+        pr = tr - r2 * br
+        pc = tc - r2 * bc
+        wr = weights(pr)
+        wc = weights(pc)
+        for i in range(4):
+            bi = np.clip(br + (i - 1), 0, m - 1)
+            for j in range(4):
+                bj = np.clip(bc + (j - 1), 0, m - 1)
+                num = num + (wr[i] * wc[j]) * g[bi, bj]
+        detr = z.astype(np.float64) - num.astype(np.float64) / den
+        return pa.table(
+            {"row": batch["row"], "col": batch["col"], "detr": detr}
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=65536)
