@@ -17475,3 +17475,106 @@ def q_dem_resample_detrend(sf_dir: str):
 
     ds = ray.data.from_arrow(_rd_src_tbl()).repartition(8)
     return dem_resample_detrend(ds, _RD_N, _RD_R).sort(["row", "col"])
+
+
+# ===========================================================================
+# IR-MAD change detection (changedetect.imgchngmthds
+# .multivariate_alteration_detection:820) — 2-band closed-form CCA,
+# 2 reweighted iterations, FULL bit-exact SQL mirror via mirrorchain.
+# ===========================================================================
+
+_MAD_N = 64
+
+
+def _mad_src_tbl() -> pa.Table:
+    p = np.arange(_MAD_N * _MAD_N, dtype=np.int64)
+    return pa.table(
+        {
+            "pixel_id": p,
+            "x1": (p * 37) % 97,
+            "x2": (p * 61) % 89,
+            "y1": (p * 37) % 97 + (p * 11) % 13,
+            "y2": (p * 61) % 89 + (p * 7) % 11,
+        }
+    )
+
+
+def _mad_sql() -> str:
+    from rsgislib_ray.functions.mirrorchain import chain_ctes
+    from rsgislib_ray.stages.changedetect import (
+        mad_pixel_chain,
+        mad_scalar_chain,
+    )
+
+    n = _MAD_N * _MAD_N
+    w0 = 16777216
+
+    def mom(src, w, tag):
+        cols = [f"COUNT(*) AS n", f"CAST(SUM({w}) AS BIGINT) AS sw_{tag}"]
+        for b in ("x1", "x2", "y1", "y2"):
+            cols.append(
+                f"CAST(SUM({w}*{b}) AS BIGINT) AS s{b}_{tag}"
+            )
+        for pre, b1, b2 in (
+            ("qx11", "x1", "x1"),
+            ("qx12", "x1", "x2"),
+            ("qx22", "x2", "x2"),
+            ("qy11", "y1", "y1"),
+            ("qy12", "y1", "y2"),
+            ("qy22", "y2", "y2"),
+            ("c11", "x1", "y1"),
+            ("c12", "x1", "y2"),
+            ("c21", "x2", "y1"),
+            ("c22", "x2", "y2"),
+        ):
+            cols.append(
+                f"CAST(SUM({w}*{b1}*{b2}) AS BIGINT) AS {pre}_{tag}"
+            )
+        return f"SELECT {', '.join(cols)} FROM {src}"
+
+    sa_ctes, sa_last = chain_ctes(mad_scalar_chain("a"), "mom_a", "sca")
+    pa_ctes, pa_last = chain_ctes(mad_pixel_chain("a"), "pxa", "pca")
+    sb_ctes, sb_last = chain_ctes(mad_scalar_chain("b"), "mom_b", "scb")
+    pb_ctes, pb_last = chain_ctes(mad_pixel_chain("b"), "pxb", "pcb")
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST((p.range*37) % 97 AS BIGINT) AS x1,
+             CAST((p.range*61) % 89 AS BIGINT) AS x2,
+             CAST((p.range*37) % 97 + (p.range*11) % 13 AS BIGINT) AS y1,
+             CAST((p.range*61) % 89 + (p.range*7) % 11 AS BIGINT) AS y2
+      FROM range(0, {n}) p),
+    mom_a AS ({mom('px', w0, 'a')}),
+    {sa_ctes},
+    pxa AS (SELECT * FROM px, {sa_last}),
+    {pa_ctes},
+    pw AS (SELECT pixel_id, x1, x2, y1, y2,
+                  CAST(FLOOR(w_a*16777216.0e0 + 0.5e0) AS BIGINT) AS wq
+           FROM {pa_last}),
+    mom_b AS ({mom('pw', 'wq', 'b')}),
+    {sb_ctes},
+    pxb AS (SELECT * FROM px, {sb_last}),
+    {pb_ctes}
+    SELECT pixel_id,
+      CAST(FLOOR(madlo_b*1000000.0e0 + 0.5e0) AS BIGINT) AS mad1_q,
+      CAST(FLOOR(madhi_b*1000000.0e0 + 0.5e0) AS BIGINT) AS mad2_q,
+      CAST(FLOOR(chi2_b*1000000.0e0 + 0.5e0) AS BIGINT) AS chi2_q
+    FROM {pb_last}
+    ORDER BY pixel_id
+    """
+
+
+@register("mad_change", _mad_sql())
+def q_mad_change(sf_dir: str):
+    """multivariate_alteration_detection (imgchngmthds:820): IR-MAD
+    over two 2-band epochs — the whole reweighted loop (weighted
+    covariance blocks from exact integer sums, closed-form 2x2 CCA,
+    v'Sv=1 normalization, dof-2 chi-square weights exp(-T/2)
+    quantized to 2^-24) runs as one zero-shuffle map_batches pass per
+    iteration with the eig state broadcast; the oracle replays the
+    identical mirrorchain, bit-exact in half-up micro-units."""
+    from rsgislib_ray.stages.changedetect import mad_fit_2band
+
+    ds = ray.data.from_arrow(_mad_src_tbl()).repartition(8)
+    out, _ = mad_fit_2band(ds, ["x1", "x2"], ["y1", "y2"], n_iters=2)
+    return out.sort("pixel_id")
