@@ -17578,3 +17578,105 @@ def q_mad_change(sf_dir: str):
     ds = ray.data.from_arrow(_mad_src_tbl()).repartition(8)
     out, _ = mad_fit_2band(ds, ["x1", "x2"], ["y1", "y2"], n_iters=2)
     return out.sort("pixel_id")
+
+
+# ===========================================================================
+# ISFA change detection (changedetect.imgchngmthds
+# .slow_feature_analysis:521) — 3-band trig-cubic generalized eig,
+# 2 reweighted iterations, FULL bit-exact SQL mirror.
+# ===========================================================================
+
+
+def _sfa_src_tbl() -> pa.Table:
+    p = np.arange(_MAD_N * _MAD_N, dtype=np.int64)
+    return pa.table(
+        {
+            "pixel_id": p,
+            "x1": (p * 37) % 97,
+            "x2": (p * 61) % 89,
+            "x3": (p * 23) % 83,
+            "y1": (p * 37) % 97 + (p * 11) % 13,
+            "y2": (p * 61) % 89 + (p * 7) % 11,
+            "y3": (p * 23) % 83 + (p * 5) % 9,
+        }
+    )
+
+
+def _sfa_sql() -> str:
+    from rsgislib_ray.functions.mirrorchain import chain_ctes
+    from rsgislib_ray.stages.changedetect import (
+        sfa_pixel_chain,
+        sfa_scalar_chain,
+    )
+
+    n = _MAD_N * _MAD_N
+    w0 = 16777216
+    bands = ["x1", "x2", "x3", "y1", "y2", "y3"]
+
+    def mom(src, w, tag):
+        cols = ["COUNT(*) AS n", f"CAST(SUM({w}) AS BIGINT) AS sw_{tag}"]
+        for b in bands:
+            cols.append(f"CAST(SUM({w}*{b}) AS BIGINT) AS s{b}_{tag}")
+        for i in (1, 2, 3):
+            for j in (1, 2, 3):
+                if j >= i:
+                    cols.append(
+                        f"CAST(SUM({w}*x{i}*x{j}) AS BIGINT) AS qx{i}{j}_{tag}"
+                    )
+                    cols.append(
+                        f"CAST(SUM({w}*y{i}*y{j}) AS BIGINT) AS qy{i}{j}_{tag}"
+                    )
+                cols.append(
+                    f"CAST(SUM({w}*x{i}*y{j}) AS BIGINT) AS c{i}{j}_{tag}"
+                )
+        return f"SELECT {', '.join(cols)} FROM {src}"
+
+    sa_ctes, sa_last = chain_ctes(sfa_scalar_chain("a"), "mom_a", "fsa")
+    pa_ctes, pa_last = chain_ctes(sfa_pixel_chain("a"), "pxa", "fpa")
+    sb_ctes, sb_last = chain_ctes(sfa_scalar_chain("b"), "mom_b", "fsb")
+    pb_ctes, pb_last = chain_ctes(sfa_pixel_chain("b"), "pxb", "fpb")
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST((p.range*37) % 97 AS BIGINT) AS x1,
+             CAST((p.range*61) % 89 AS BIGINT) AS x2,
+             CAST((p.range*23) % 83 AS BIGINT) AS x3,
+             CAST((p.range*37) % 97 + (p.range*11) % 13 AS BIGINT) AS y1,
+             CAST((p.range*61) % 89 + (p.range*7) % 11 AS BIGINT) AS y2,
+             CAST((p.range*23) % 83 + (p.range*5) % 9 AS BIGINT) AS y3
+      FROM range(0, {n}) p),
+    mom_a AS ({mom('px', w0, 'a')}),
+    {sa_ctes},
+    pxa AS (SELECT * FROM px, {sa_last}),
+    {pa_ctes},
+    pw AS (SELECT pixel_id, x1, x2, x3, y1, y2, y3,
+                  CAST(FLOOR(w_a*16777216.0e0 + 0.5e0) AS BIGINT) AS wq
+           FROM {pa_last}),
+    mom_b AS ({mom('pw', 'wq', 'b')}),
+    {sb_ctes},
+    pxb AS (SELECT * FROM px, {sb_last}),
+    {pb_ctes}
+    SELECT pixel_id,
+      CAST(FLOOR(tt_b*1000000.0e0 + 0.5e0) AS BIGINT) AS t_q,
+      CAST(FLOOR(SQRT(tt_b)*1000000.0e0 + 0.5e0) AS BIGINT) AS sqrt_q
+    FROM {pb_last}
+    ORDER BY pixel_id
+    """
+
+
+@register("sfa_change", _sfa_sql())
+def q_sfa_change(sf_dir: str):
+    """slow_feature_analysis (imgchngmthds:521, Wu/Du/Zhang 2014):
+    ISFA over two 3-band epochs — per iteration one zero-shuffle
+    weighted-moment pass (exact ints, 2^-24 weights), the 3x3
+    generalized eigenproblem inv(B)A solved by the trigonometric
+    cubic, max-abs eigenvector normalization, IWD chi-square and the
+    dof-3 weight via the shared A-S erfc; the oracle replays the
+    identical chains bit-exactly (T is eigenvector-sign invariant)."""
+    from rsgislib_ray.stages.changedetect import sfa_fit_3band
+
+    ds = ray.data.from_arrow(_sfa_src_tbl()).repartition(8)
+    out, _ = sfa_fit_3band(
+        ds, ["x1", "x2", "x3"], ["y1", "y2", "y3"], n_iters=2
+    )
+    return out.sort("pixel_id")

@@ -513,3 +513,440 @@ def mad_fit(
 
     ds_out = ds.map_batches(emit, batch_format="pyarrow", batch_size=batch_size)
     return ds_out, {"rho": p["rho"]}
+
+
+# ---------------------------------------------------------------------------
+# ISFA (slow_feature_analysis, imgchngmthds.py:521) — 3-band mirror
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26 erfc for x >= 0 (|err| <= 1.5e-7): the
+# dof-3 chi-square weight needs erfc and DuckDB 1.0 has none, so BOTH
+# the mirrored engine path and the SQL oracle use this closed form —
+# bit-equal to each other, within 1.5e-7 of the exact-erfc general
+# path (the parity pytest pins that bound).
+_AS_ERFC = (
+    "((((1.061405429e0*{t} - 1.453152027e0)*{t} + 1.421413741e0)*{t}"
+    " - 0.284496736e0)*{t} + 0.254829592e0)*{t} * EXP(-({x})*({x}))"
+)
+
+
+def sfa_scalar_chain(t: str) -> Chain:
+    """Scalar chain for one ISFA iteration over 3+3 bands
+    (imgchngmthds.py:683-737): weighted means, the reference's
+    (P-1)*sum_w/P denominator, per-band weighted variances and stds,
+    mat_A (normalized-difference covariance) and mat_B (mean of the
+    two normalized covariances) via the exact-integer expansion,
+    M = inv(B) @ A explicitly, the characteristic cubic solved by the
+    trigonometric method (three real roots for the symmetric-definite
+    pencil), eigenvalues ordered via LEAST/GREATEST, eigenvectors as
+    (M - l I) row cross products normalized by max-abs (the
+    reference's aux step).  Needs distinct roots and a non-degenerate
+    cross product — generic for correlated fixtures; the engine
+    asserts ACOS domain."""
+    s = lambda nm: f"{nm}_{t}"  # noqa: E731
+    ch: Chain = []
+    a = ch.append
+    for i in (1, 2, 3):
+        a((s(f"mx{i}"), f"{s(f'sx{i}')} / {s('sw')}"))
+        a((s(f"my{i}"), f"{s(f'sy{i}')} / {s('sw')}"))
+    a((s("dd"), f"(n - 1) * {s('sw')} / n"))
+
+    def cm(out, q, su, sv, mu, mv):
+        a(
+            (
+                s(out),
+                f"{s(q)} - {s(mu)}*{s(sv)} - {s(mv)}*{s(su)}"
+                f" + {s(mu)}*{s(mv)}*{s('sw')}",
+            )
+        )
+
+    for i in (1, 2, 3):
+        for j in (1, 2, 3):
+            if j >= i:
+                cm(f"sxx{i}{j}", f"qx{i}{j}", f"sx{i}", f"sx{j}", f"mx{i}", f"mx{j}")
+                cm(f"syy{i}{j}", f"qy{i}{j}", f"sy{i}", f"sy{j}", f"my{i}", f"my{j}")
+            cm(f"sxy{i}{j}", f"c{i}{j}", f"sx{i}", f"sy{j}", f"mx{i}", f"my{j}")
+    for i in (1, 2, 3):
+        a((s(f"sdx{i}"), f"SQRT({s(f'sxx{i}{i}')} / {s('dd')})"))
+        a((s(f"sdy{i}"), f"SQRT({s(f'syy{i}{i}')} / {s('dd')})"))
+
+    def sym(pre, i, j):  # upper-triangle storage of symmetric blocks
+        return s(f"{pre}{min(i, j)}{max(i, j)}")
+
+    for i in (1, 2, 3):
+        for j in (1, 2, 3):
+            if j < i:
+                continue
+            a(
+                (
+                    s(f"ma{i}{j}"),
+                    f"({sym('sxx', i, j)}/({s(f'sdx{i}')}*{s(f'sdx{j}')})"
+                    f" - {s(f'sxy{i}{j}')}/({s(f'sdx{i}')}*{s(f'sdy{j}')})"
+                    f" - {s(f'sxy{j}{i}')}/({s(f'sdy{i}')}*{s(f'sdx{j}')})"
+                    f" + {sym('syy', i, j)}/({s(f'sdy{i}')}*{s(f'sdy{j}')}))"
+                    f" / {s('dd')}",
+                )
+            )
+            a(
+                (
+                    s(f"mb{i}{j}"),
+                    f"({sym('sxx', i, j)}/({s(f'sdx{i}')}*{s(f'sdx{j}')})"
+                    f" + {sym('syy', i, j)}/({s(f'sdy{i}')}*{s(f'sdy{j}')}))"
+                    f" / (2.0e0 * {s('dd')})",
+                )
+            )
+
+    def B(i, j):
+        return s(f"mb{min(i, j)}{max(i, j)}")
+
+    def A(i, j):
+        return s(f"ma{min(i, j)}{max(i, j)}")
+
+    a(
+        (
+            s("detb"),
+            f"{B(1,1)}*({B(2,2)}*{B(3,3)} - {B(2,3)}*{B(2,3)})"
+            f" - {B(1,2)}*({B(1,2)}*{B(3,3)} - {B(2,3)}*{B(1,3)})"
+            f" + {B(1,3)}*({B(1,2)}*{B(2,3)} - {B(2,2)}*{B(1,3)})",
+        )
+    )
+    # inverse of symmetric B via adjugate (6 unique entries)
+    a((s("ib11"), f"({B(2,2)}*{B(3,3)} - {B(2,3)}*{B(2,3)}) / {s('detb')}"))
+    a((s("ib12"), f"({B(1,3)}*{B(2,3)} - {B(1,2)}*{B(3,3)}) / {s('detb')}"))
+    a((s("ib13"), f"({B(1,2)}*{B(2,3)} - {B(1,3)}*{B(2,2)}) / {s('detb')}"))
+    a((s("ib22"), f"({B(1,1)}*{B(3,3)} - {B(1,3)}*{B(1,3)}) / {s('detb')}"))
+    a((s("ib23"), f"({B(1,3)}*{B(1,2)} - {B(1,1)}*{B(2,3)}) / {s('detb')}"))
+    a((s("ib33"), f"({B(1,1)}*{B(2,2)} - {B(1,2)}*{B(1,2)}) / {s('detb')}"))
+
+    def IB(i, j):
+        return s(f"ib{min(i, j)}{max(i, j)}")
+
+    for i in (1, 2, 3):
+        for j in (1, 2, 3):
+            a(
+                (
+                    s(f"m{i}{j}"),
+                    f"{IB(i,1)}*{A(1,j)} + {IB(i,2)}*{A(2,j)}"
+                    f" + {IB(i,3)}*{A(3,j)}",
+                )
+            )
+    M = lambda i, j: s(f"m{i}{j}")  # noqa: E731
+    a((s("c2"), f"{M(1,1)} + {M(2,2)} + {M(3,3)}"))
+    a(
+        (
+            s("c1"),
+            f"({M(1,1)}*{M(2,2)} - {M(1,2)}*{M(2,1)})"
+            f" + ({M(1,1)}*{M(3,3)} - {M(1,3)}*{M(3,1)})"
+            f" + ({M(2,2)}*{M(3,3)} - {M(2,3)}*{M(3,2)})",
+        )
+    )
+    a(
+        (
+            s("c0"),
+            f"{M(1,1)}*({M(2,2)}*{M(3,3)} - {M(2,3)}*{M(3,2)})"
+            f" - {M(1,2)}*({M(2,1)}*{M(3,3)} - {M(2,3)}*{M(3,1)})"
+            f" + {M(1,3)}*({M(2,1)}*{M(3,2)} - {M(2,2)}*{M(3,1)})",
+        )
+    )
+    a((s("pp"), f"{s('c1')} - {s('c2')}*{s('c2')}/3.0e0"))
+    a(
+        (
+            s("qq"),
+            f"{s('c1')}*{s('c2')}/3.0e0"
+            f" - 2.0e0*{s('c2')}*{s('c2')}*{s('c2')}/27.0e0 - {s('c0')}",
+        )
+    )
+    a((s("rr"), f"SQRT(-({s('pp')})/3.0e0)"))
+    a((s("th"), f"ACOS(-({s('qq')}) / (2.0e0*{s('rr')}*{s('rr')}*{s('rr')}))"))
+    for k in (0, 1, 2):
+        a(
+            (
+                s(f"lr{k}"),
+                f"2.0e0*{s('rr')}*COS({s('th')}/3.0e0"
+                f" - 2.0e0*PI()*{k}/3.0e0) + {s('c2')}/3.0e0",
+            )
+        )
+    a((s("l0"), f"LEAST({s('lr0')}, {s('lr1')}, {s('lr2')})"))
+    a((s("l2"), f"GREATEST({s('lr0')}, {s('lr1')}, {s('lr2')})"))
+    a(
+        (
+            s("l1"),
+            f"{s('lr0')} + {s('lr1')} + {s('lr2')} - {s('l0')} - {s('l2')}",
+        )
+    )
+    for k in (0, 1, 2):
+        a((s(f"sq{k}"), f"SQRT({s(f'l{k}')})"))
+        lam = s(f"l{k}")
+        a(
+            (
+                s(f"ev{k}1"),
+                f"{M(1,2)}*{M(2,3)} - ({M(2,2)} - {lam})*{M(1,3)}",
+            )
+        )
+        a(
+            (
+                s(f"ev{k}2"),
+                f"{M(1,3)}*{M(2,1)} - ({M(1,1)} - {lam})*{M(2,3)}",
+            )
+        )
+        a(
+            (
+                s(f"ev{k}3"),
+                f"({M(1,1)} - {lam})*({M(2,2)} - {lam}) - {M(1,2)}*{M(2,1)}",
+            )
+        )
+        a(
+            (
+                s(f"aux{k}"),
+                f"GREATEST(ABS({s(f'ev{k}1')}), ABS({s(f'ev{k}2')}),"
+                f" ABS({s(f'ev{k}3')}))",
+            )
+        )
+        for i in (1, 2, 3):
+            a((s(f"w{k}{i}"), f"{s(f'ev{k}{i}')} / {s(f'aux{k}')}"))
+    return ch
+
+
+def sfa_pixel_chain(t: str) -> Chain:
+    """Per-pixel ISFA chain: standardized bands, the three slow
+    features (ascending-eigenvalue transform columns), the IWD
+    T = sum isfa_k^2 / sqrt(lambda_k) (sign-invariant, so the
+    eigenvector sign ambiguity never reaches the output), and the
+    dof-3 weight 1 - chi2cdf(T,3) = erfc(sqrt(T/2))
+    + sqrt(2T/pi) exp(-T/2) with the shared A-S erfc."""
+    s = lambda nm: f"{nm}_{t}"  # noqa: E731
+    ch: Chain = []
+    a = ch.append
+    for i in (1, 2, 3):
+        a((s(f"nx{i}"), f"(x{i} - {s(f'mx{i}')}) / {s(f'sdx{i}')}"))
+        a((s(f"ny{i}"), f"(y{i} - {s(f'my{i}')}) / {s(f'sdy{i}')}"))
+        a((s(f"df{i}"), f"{s(f'nx{i}')} - {s(f'ny{i}')}"))
+    for k in (0, 1, 2):
+        a(
+            (
+                s(f"isf{k}"),
+                f"{s(f'w{k}1')}*{s('df1')} + {s(f'w{k}2')}*{s('df2')}"
+                f" + {s(f'w{k}3')}*{s('df3')}",
+            )
+        )
+    a(
+        (
+            s("tt"),
+            f"{s('isf0')}*{s('isf0')}/{s('sq0')}"
+            f" + {s('isf1')}*{s('isf1')}/{s('sq1')}"
+            f" + {s('isf2')}*{s('isf2')}/{s('sq2')}",
+        )
+    )
+    a((s("xx"), f"SQRT({s('tt')}/2.0e0)"))
+    a((s("tp"), f"1.0e0 / (1.0e0 + 0.3275911e0*{s('xx')})"))
+    a((s("efc"), _AS_ERFC.format(t=s("tp"), x=s("xx"))))
+    a(
+        (
+            s("w"),
+            f"{s('efc')} + SQRT(2.0e0*{s('tt')}/PI())*EXP(-({s('tt')})/2.0e0)",
+        )
+    )
+    return ch
+
+
+def sfa_fit_3band(
+    ds: ray.data.Dataset,
+    x_cols: list[str],
+    y_cols: list[str],
+    n_iters: int = 2,
+    batch_size: int = 32768,
+) -> tuple[ray.data.Dataset, dict]:
+    """Mirrored 3-band ISFA: exactly ``n_iters`` reweighted
+    iterations (one zero-shuffle moments pass each), per-pixel output
+    (T, sqrt(T)) from the final transform — the reference's change
+    distance surface before its Otsu binarization (covered by the
+    existing threshold machinery)."""
+    assert len(x_cols) == 3 and len(y_cols) == 3
+    env: dict = {}
+    tag = ""
+    for it in range(n_iters):
+        tag = chr(ord("a") + it)
+        if it == 0:
+            wfn = None
+        else:
+            prev = chr(ord("a") + it - 1)
+            scal = {
+                k: v for k, v in env.items() if not isinstance(v, np.ndarray)
+            }
+            pxc = sfa_pixel_chain(prev)
+
+            def wfn(batch, _s=scal, _c=pxc, _p=prev):
+                e = eval_chain(
+                    _c, {**_s, **_pixel_env(batch, x_cols, y_cols)}, vector=True
+                )
+                return np.floor(e[f"w_{_p}"] * 16777216.0 + 0.5).astype(
+                    np.int64
+                )
+
+        m = weighted_cross_moments(ds, x_cols, y_cols, wfn, batch_size)
+        env["n"] = m["n"]
+        for k, v in m.items():
+            if k != "n":
+                env[f"{k}_{tag}"] = v
+        env = eval_chain(sfa_scalar_chain(tag), env)
+        if not (-1.0 <= -env[f"qq_{tag}"] / (2.0 * env[f"rr_{tag}"] ** 3) <= 1.0):
+            raise ValueError("degenerate cubic (repeated eigenvalues)")
+    scal = {k: v for k, v in env.items() if not isinstance(v, np.ndarray)}
+    pxc = sfa_pixel_chain(tag)
+
+    def emit(batch: pa.Table, _s=scal, _c=pxc, _t=tag) -> pa.Table:
+        e = eval_chain(
+            _c, {**_s, **_pixel_env(batch, x_cols, y_cols)}, vector=True
+        )
+        tt = e[f"tt_{_t}"]
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "t_q": np.floor(tt * 1e6 + 0.5).astype(np.int64),
+                "sqrt_q": np.floor(np.sqrt(tt) * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    out = ds.map_batches(emit, batch_format="pyarrow", batch_size=batch_size)
+    return out, scal
+
+
+def isfa_fit(
+    ds: ray.data.Dataset,
+    x_cols: list[str],
+    y_cols: list[str],
+    max_iter: int = 50,
+    epsilon: float = 1e-6,
+    regular: bool = False,
+    norm_trans: bool = False,
+    batch_size: int = 32768,
+) -> tuple[ray.data.Dataset, dict]:
+    """General-C ISFA mirroring the reference loop
+    (imgchngmthds.py:683-775): weighted moments -> standardized
+    difference covariance mat_A and mean covariance mat_B (optional
+    Laplacian-penalty regularization) -> generalized eig (via
+    eig(solve(B, A))), eigenvalues ascending, eigenvectors max-abs
+    normalized -> IWD T = sum isfa^2 / sqrt(lambda) -> dof-C
+    chi-square weights.  Convergence break on
+    max|sqrt(lamb) - sqrt(eig)| < epsilon BEFORE the transform
+    update, like the reference (output T then comes from the last
+    executed update).  Weights quantized to 2^-24 for exact
+    reductions."""
+    c = len(x_cols)
+    assert len(y_cols) == c
+    arr_l = np.zeros((c - 2, c))
+    for i in range(c - 2):
+        arr_l[i, i] = 1
+        arr_l[i, i + 1] = -2
+        arr_l[i, i + 2] = 1
+    omega = arr_l.T @ arr_l
+
+    def state_from_moments(m: dict) -> dict:
+        n, sw = m["n"], m["sw"]
+        mx = np.array([m[f"sx{i + 1}"] / sw for i in range(c)])
+        my = np.array([m[f"sy{i + 1}"] / sw for i in range(c)])
+        dd = (n - 1) * sw / n
+        sxx = np.empty((c, c))
+        syy = np.empty((c, c))
+        sxy = np.empty((c, c))
+        for i in range(c):
+            for j in range(c):
+                kq = f"{min(i, j) + 1}{max(i, j) + 1}"
+                sxx[i, j] = (
+                    m[f"qx{kq}"]
+                    - mx[i] * m[f"sx{j + 1}"]
+                    - mx[j] * m[f"sx{i + 1}"]
+                    + mx[i] * mx[j] * sw
+                )
+                syy[i, j] = (
+                    m[f"qy{kq}"]
+                    - my[i] * m[f"sy{j + 1}"]
+                    - my[j] * m[f"sy{i + 1}"]
+                    + my[i] * my[j] * sw
+                )
+                sxy[i, j] = (
+                    m[f"c{i + 1}{j + 1}"]
+                    - mx[i] * m[f"sy{j + 1}"]
+                    - my[j] * m[f"sx{i + 1}"]
+                    + mx[i] * my[j] * sw
+                )
+        sdx = np.sqrt(np.diag(sxx) / dd)
+        sdy = np.sqrt(np.diag(syy) / dd)
+        ox = np.outer(sdx, sdx)
+        oy = np.outer(sdy, sdy)
+        oxy = np.outer(sdx, sdy)
+        mat_a = (sxx / ox - sxy / oxy - sxy.T / oxy.T + syy / oy) / dd
+        mat_b = (sxx / ox + syy / oy) / (2 * dd)
+        if regular:
+            mat_b = mat_b + (np.trace(mat_b) / np.trace(omega)) * omega
+        eigval, eigvec = np.linalg.eig(np.linalg.solve(mat_b, mat_a))
+        eigval = eigval.real
+        idx = eigval.argsort()
+        eigval = eigval[idx]
+        eigvec = eigvec.real
+        aux = np.abs(eigvec).max(axis=0)
+        eigvec = eigvec / aux
+        trans = eigvec[:, idx]
+        if norm_trans:
+            trans = trans * (
+                1.0 / np.sqrt(np.diag(trans.T @ mat_b @ trans))
+            )
+        return {
+            "mx": mx,
+            "my": my,
+            "sdx": sdx,
+            "sdy": sdy,
+            "trans": trans,
+            "lamb": eigval,
+        }
+
+    def weight_fn_from(st: dict):
+        def wfn(batch: pa.Table) -> np.ndarray:
+            e = _pixel_env(batch, x_cols, y_cols)
+            nx = np.stack(
+                [(e[f"x{i + 1}"] - st["mx"][i]) / st["sdx"][i] for i in range(c)]
+            )
+            ny = np.stack(
+                [(e[f"y{i + 1}"] - st["my"][i]) / st["sdy"][i] for i in range(c)]
+            )
+            isfa = st["trans"].T @ (nx - ny)
+            tt = (isfa * isfa / np.sqrt(st["lamb"])[:, None]).sum(axis=0)
+            w = chi2_sf(tt, c)
+            return np.floor(w * 16777216.0 + 0.5).astype(np.int64)
+
+        return wfn
+
+    state = None
+    lamb = np.full(c, 100.0)
+    for _ in range(max_iter):
+        wfn = None if state is None else weight_fn_from(state)
+        m = weighted_cross_moments(ds, x_cols, y_cols, wfn, batch_size)
+        if m["sw"] < WEIGHT_SCALE:
+            break
+        new = state_from_moments(m)
+        if np.max(np.abs(np.sqrt(lamb) - np.sqrt(new["lamb"]))) < epsilon:
+            break
+        lamb = new["lamb"]
+        state = new
+
+    st = state
+
+    def emit(batch: pa.Table) -> pa.Table:
+        e = _pixel_env(batch, x_cols, y_cols)
+        nx = np.stack(
+            [(e[f"x{i + 1}"] - st["mx"][i]) / st["sdx"][i] for i in range(c)]
+        )
+        ny = np.stack(
+            [(e[f"y{i + 1}"] - st["my"][i]) / st["sdy"][i] for i in range(c)]
+        )
+        isfa = st["trans"].T @ (nx - ny)
+        tt = (isfa * isfa / np.sqrt(st["lamb"])[:, None]).sum(axis=0)
+        out = {"pixel_id": batch["pixel_id"]}
+        for k in range(c):
+            out[f"isfa{k + 1}"] = isfa[k]
+        out["t_chi2"] = tt
+        out["sqrt_chi2"] = np.sqrt(tt)
+        return pa.table(out)
+
+    ds_out = ds.map_batches(emit, batch_format="pyarrow", batch_size=batch_size)
+    return ds_out, {"lamb": st["lamb"]}

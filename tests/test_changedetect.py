@@ -104,3 +104,107 @@ def test_mad_general_converges_on_static_scene(ray_session):
     out, info = mad_fit(ds, ["x1", "x2"], ["y1", "y2"], max_iter=10)
     assert float(info["rho"][-1]) > 0.99
     assert out.count() == 2048
+
+
+# ---------------------------------------------------------------------------
+# ISFA (slow_feature_analysis)
+# ---------------------------------------------------------------------------
+
+
+def _direct_isfa(tbl, n_iters):
+    """Single-process transcription of the reference ISFA loop
+    (imgchngmthds.py:683-775) over centered ARRAYS (not the engine's
+    moment expansion), with the same 2^-24 weight quantization."""
+    from rsgislib_ray.stages.changedetect import chi2_sf
+
+    X = np.stack(
+        [tbl[c].to_numpy().astype(np.float64) for c in ("x1", "x2", "x3")]
+    )
+    Y = np.stack(
+        [tbl[c].to_numpy().astype(np.float64) for c in ("y1", "y2", "y3")]
+    )
+    c, P = X.shape
+    w = np.ones(P)
+    for _ in range(n_iters):
+        sw = w.sum()
+        mx = (w * X).sum(axis=1, keepdims=True) / sw
+        my = (w * Y).sum(axis=1, keepdims=True) / sw
+        cx = X - mx
+        cy = Y - my
+        dd = (P - 1) * sw / P
+        vx = (w * cx * cx).sum(axis=1, keepdims=True) / dd
+        vy = (w * cy * cy).sum(axis=1, keepdims=True) / dd
+        nx = cx / np.sqrt(vx)
+        ny = cy / np.sqrt(vy)
+        df = nx - ny
+        mat_a = (w * df) @ df.T / dd
+        mat_b = ((w * nx) @ nx.T + (w * ny) @ ny.T) / (2 * dd)
+        eigval, eigvec = np.linalg.eig(np.linalg.solve(mat_b, mat_a))
+        eigval = eigval.real
+        idx = eigval.argsort()
+        eigval = eigval[idx]
+        eigvec = eigvec.real / np.abs(eigvec.real).max(axis=0)
+        trans = eigvec[:, idx]
+        isfa = trans.T @ nx - trans.T @ ny
+        tt = (isfa * isfa / np.sqrt(eigval)[:, None]).sum(axis=0)
+        wf = chi2_sf(tt, c)
+        w = np.floor(wf * 16777216.0 + 0.5) / 16777216.0
+    return tt, eigval
+
+
+def test_isfa_general_matches_direct_transcription(ray_session):
+    from rsgislib_ray.pipelines.queries import _sfa_src_tbl
+    from rsgislib_ray.stages.changedetect import isfa_fit
+
+    tbl = _sfa_src_tbl()
+    exp_t, exp_lamb = _direct_isfa(tbl, 2)
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    out, info = isfa_fit(
+        ds,
+        ["x1", "x2", "x3"],
+        ["y1", "y2", "y3"],
+        max_iter=2,
+        epsilon=0.0,
+    )
+    df = out.to_pandas().sort_values("pixel_id")
+    assert np.allclose(df["t_chi2"].to_numpy(), exp_t, rtol=1e-9, atol=1e-9)
+    assert np.allclose(info["lamb"], exp_lamb, rtol=1e-9)
+
+
+def test_sfa_mirrored_matches_general(ray_session):
+    # The mirrored path swaps exact erfc for the shared A-S erfc
+    # (|err| <= 1.5e-7 in the weight) — T parity within that bound.
+    from rsgislib_ray.pipelines.queries import _sfa_src_tbl
+    from rsgislib_ray.stages.changedetect import isfa_fit, sfa_fit_3band
+
+    tbl = _sfa_src_tbl()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    mir, _ = sfa_fit_3band(ds, ["x1", "x2", "x3"], ["y1", "y2", "y3"], 2)
+    mdf = mir.to_pandas().sort_values("pixel_id")
+    gen, _ = isfa_fit(
+        ds, ["x1", "x2", "x3"], ["y1", "y2", "y3"], max_iter=2, epsilon=0.0
+    )
+    gdf = gen.to_pandas().sort_values("pixel_id")
+    assert np.allclose(
+        mdf["t_q"].to_numpy() / 1e6,
+        gdf["t_chi2"].to_numpy(),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_sfa_mirrored_partition_independent(ray_session):
+    from rsgislib_ray.pipelines.queries import _sfa_src_tbl
+    from rsgislib_ray.stages.changedetect import sfa_fit_3band
+
+    tbl = _sfa_src_tbl()
+    outs = []
+    for parts in (1, 11):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out, _ = sfa_fit_3band(
+            ds, ["x1", "x2", "x3"], ["y1", "y2", "y3"], 2, batch_size=700
+        )
+        outs.append(
+            out.to_pandas().sort_values("pixel_id").reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
