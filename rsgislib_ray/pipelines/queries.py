@@ -17680,3 +17680,188 @@ def q_sfa_change(sf_dir: str):
         ds, ["x1", "x2", "x3"], ["y1", "y2", "y3"], n_iters=2
     )
     return out.sort("pixel_id")
+
+
+# ===========================================================================
+# SAR texture + Lee speckle filters (imagefilter apply_norm_var*,
+# apply_texture_var, apply_lee — C++ RSGISSARTextureFilters.cpp /
+# RSGISSpeckleFilters.cpp), one halo-tiled pass, mirrorchain oracle.
+# ===========================================================================
+
+
+def _sar_src_tbl() -> pa.Table:
+    p = np.arange(_MAD_N * _MAD_N, dtype=np.int64)
+    return pa.table(
+        {
+            "pixel_id": p,
+            "row": p // _MAD_N,
+            "col": p % _MAD_N,
+            "value": (p * 37) % 100,
+        }
+    )
+
+
+def _sar_sql() -> str:
+    from rsgislib_ray.functions.mirrorchain import chain_ctes
+    from rsgislib_ray.stages.speckle import sar_finals_chain
+
+    n = _MAD_N * _MAD_N
+    lq = (
+        "CAST(FLOOR(LN(CAST(b.v AS DOUBLE))*16777216.0e0 + 0.5e0)"
+        " AS BIGINT)"
+    )
+    sq = (
+        "CAST(FLOOR(SQRT(CAST(b.v AS DOUBLE))*16777216.0e0 + 0.5e0)"
+        " AS BIGINT)"
+    )
+    f_ctes, f_last = chain_ctes(sar_finals_chain(), "winc", "sfl")
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_MAD_N} AS BIGINT) AS r,
+             CAST(p.range % {_MAD_N} AS BIGINT) AS c,
+             CAST((p.range*37) % 100 AS BIGINT) AS v
+      FROM range(0, {n}) p),
+    win AS (
+      SELECT a.pixel_id, a.v AS cv,
+        CAST(SUM(CASE WHEN b.v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        CAST(SUM(b.v) AS BIGINT) AS s,
+        CAST(SUM(b.v*b.v) AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN b.v <> 0 THEN {sq} ELSE 0 END)
+             AS BIGINT) AS ssq,
+        CAST(SUM(CASE WHEN b.v <> 0 THEN {lq} ELSE 0 END)
+             AS BIGINT) AS sl,
+        CAST(SUM(CASE WHEN b.v <> 0 THEN {lq}*{lq} ELSE 0 END)
+             AS BIGINT) AS sl2
+      FROM px a JOIN px b
+        ON b.r BETWEEN a.r - 1 AND a.r + 1
+       AND b.c BETWEEN a.c - 1 AND a.c + 1
+      GROUP BY a.pixel_id, a.v),
+    winc AS (SELECT *, SQRT(1.0e0/3) AS cu FROM win),
+    {f_ctes}
+    SELECT pixel_id, n AS n_valid,
+      CASE WHEN cv <> 0 AND n > 3 THEN norm_var_raw ELSE 0.0e0 END
+        AS norm_var,
+      CASE WHEN cv <> 0 AND n > 3 THEN norm_var_amp_raw ELSE 0.0e0 END
+        AS norm_var_amp,
+      CASE WHEN cv <> 0 AND n > 3 THEN norm_var_ln_raw ELSE 0.0e0 END
+        AS norm_var_ln,
+      CASE WHEN cv <> 0 AND n > 3 THEN texture_raw ELSE 0.0e0 END
+        AS texture_var,
+      CASE WHEN n > 0 THEN lee_raw ELSE 0.0e0 END AS lee
+    FROM {f_last}
+    ORDER BY pixel_id
+    """
+
+
+@register("sar_texture_filters", _sar_sql())
+def q_sar_texture_filters(sf_dir: str):
+    """imagefilter SAR slice: norm_var power/amplitude/ln power
+    (apply_norm_var[_sqrt/_ln]_filter:445-539, C++
+    RSGISSARTextureFilters.cpp), texture_var (:540 — the C++'s
+    1/numVal unsigned-int divisions are 0, so the bracket is cv^2;
+    mirrored as the code behaves) and the Lee speckle filter
+    (:951, RSGISSpeckleFilters.cpp:43 with its literal cU and
+    +iMean quirks, x100 internal scale) — all five from ONE
+    halo-tiled pass; per-cell 2^-24 sqrt/ln quantization makes every
+    window sum exact, finals via the shared mirrorchain."""
+    from rsgislib_ray.stages.speckle import sar_texture_speckle
+
+    ds = ray.data.from_arrow(_sar_src_tbl()).repartition(8)
+    return sar_texture_speckle(ds, n_looks=3).sort("pixel_id")
+
+
+# ===========================================================================
+# Prewitt + Gaussian-derivative filters (imagefilter
+# apply_prewitt[_x/_y]_filter:683-763, apply_gaussian_1st/2nd_deriv
+# _filter:814/864 — kernels from RSGISCalcImageFilters.cpp:89/129,
+# mirrored verbatim incl. the un-halved exponent) via focal_convolve.
+# ===========================================================================
+
+
+def _pgd_kernels() -> dict:
+    """Prewitt X/Y/XY (RSGISPrewittFilter.cpp:40-58; the 'x' filter is
+    the row gradient as the C++ indexes [y][x]; xy emitted DOUBLED —
+    prewitt_xy2 = conv(Kx + Ky) — so the per-element (x+y)/2 stays an
+    exact integer) and 5x5 Gaussian 1st/2nd derivative kernels from
+    the reference's calcFilterValue formulas at stddev_x=1,
+    stddev_y=1.5, angle=0.5 rad, quantized to 2^20."""
+    kx = np.array([[-1, -1, -1], [0, 0, 0], [1, 1, 1]], np.int64)
+    ky = np.array([[-1, 0, 1], [-1, 0, 1], [-1, 0, 1]], np.int64)
+    sx, sy, ang = 1.0, 1.5, 0.5
+    a = (math.cos(ang) ** 2) / (sx * sx) + (math.sin(ang) ** 2) / (sy * sy)
+    b = -math.sin(2 * ang) / (sx * sx) + math.sin(2 * ang) / (sy * sy)
+    c = (math.sin(ang) ** 2) / (sx * sx) + (math.cos(ang) ** 2) / (sy * sy)
+    cn = 2 * math.pi * sx * sy
+    g1 = np.zeros((5, 5))
+    g2 = np.zeros((5, 5))
+    for j, y in enumerate(range(-2, 3)):
+        for k, x in enumerate(range(-2, 3)):
+            g = math.exp(-a * x * x - b * x * y - c * y * y) / cn
+            gx = g * (-2 * a * x - b * y)
+            gy = g * (-b * x - 2 * c * y)
+            g1[j, k] = gx * math.sin(ang) + gy * math.cos(ang)
+            gxx = g * (-2 * a + (-2 * a * x - b * y) ** 2)
+            gyy = g * (-2 * c + (-b * x - 2 * c * y) ** 2)
+            gxy = g * (-2 * b + (-2 * a * x - b * y)) * (-b * x - 2 * c * y)
+            g2[j, k] = (
+                gxx * math.sin(ang) ** 2
+                + 2 * gxy * math.sin(ang) * math.cos(ang)
+                + gyy * math.cos(ang) ** 2
+            )
+    return {
+        "prewitt_x": kx,
+        "prewitt_y": ky,
+        "prewitt_xy2": kx + ky,
+        "gauss1_q20": np.rint(g1 * (1 << 20)).astype(np.int64),
+        "gauss2_q20": np.rint(g2 * (1 << 20)).astype(np.int64),
+    }
+
+
+def _pgd_sql() -> str:
+    cases = []
+    for name, K in _pgd_kernels().items():
+        h = K.shape[0] // 2
+        whens = " ".join(
+            f"WHEN dr = {dr - h} AND dc = {dc - h} THEN {int(K[dr, dc])}"
+            for dr in range(K.shape[0])
+            for dc in range(K.shape[1])
+            if int(K[dr, dc]) != 0
+        )
+        cases.append(
+            f"CAST(SUM(val * CASE {whens} ELSE 0 END) AS BIGINT) AS {name}"
+        )
+    sel = ",\n      ".join(cases)
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST(CASE WHEN (31 * (p.range // {_SEG_N})
+                             + 17 * (p.range % {_SEG_N})) % 37 = 0 THEN 7
+                  ELSE ((p.range // {_SEG_N}) // 4
+                        + (p.range % {_SEG_N}) // 4) % 5 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    w AS (
+      SELECT a.pixel_id, b.val,
+             b.rr - a.rr AS dr, b.cc - a.cc AS dc
+      FROM px a JOIN px b
+        ON abs(a.rr - b.rr) <= 2 AND abs(a.cc - b.cc) <= 2
+    )
+    SELECT pixel_id,
+      {sel}
+    FROM w GROUP BY pixel_id
+    """
+
+
+@register("focal_prewitt_gaussderiv", _pgd_sql())
+def q_focal_prewitt_gaussderiv(sf_dir: str):
+    """Prewitt x/y/(x+y) and Gaussian 1st/2nd directional-derivative
+    filters in one halo-tiled focal_convolve pass — exact int64
+    outputs (derivative kernels 2^20-quantized), neighbour-join
+    oracle with identical kernel literals."""
+    from rsgislib_ray.stages.raster import focal_convolve
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    return focal_convolve(ds, _pgd_kernels(), tile_size=32)
