@@ -48,15 +48,21 @@ _SCALAR_FNS = {
     "PI": lambda: math.pi,
 }
 
+# numpy's SIMD exp/log/arccos/cbrt kernels differ from libm by 1 ulp
+# on ~25% of inputs (measured); DuckDB calls libm, so the vector side
+# routes those through per-element libm via np.vectorize — slower,
+# but mirror chains run on test-scale fixtures and the hot general
+# paths don't go through this module.  sqrt/cos/sin/abs/min/max are
+# correctly-rounded (or bit-identical) in numpy and stay vectorized.
 _VECTOR_FNS = {
     "SQRT": np.sqrt,
-    "EXP": np.exp,
-    "LN": np.log,
+    "EXP": np.vectorize(math.exp, otypes=[np.float64]),
+    "LN": np.vectorize(math.log, otypes=[np.float64]),
     "ABS": np.abs,
-    "ACOS": np.arccos,
+    "ACOS": np.vectorize(math.acos, otypes=[np.float64]),
     "COS": np.cos,
     "SIN": np.sin,
-    "CBRT": np.cbrt,
+    "CBRT": np.vectorize(math.cbrt, otypes=[np.float64]),
     "LEAST": np.minimum,
     "GREATEST": np.maximum,
     "PI": lambda: math.pi,

@@ -17865,3 +17865,224 @@ def q_focal_prewitt_gaussderiv(sf_dir: str):
 
     ds = ray.data.from_arrow(_seg_raster()).repartition(8)
     return focal_convolve(ds, _pgd_kernels(), tile_size=32)
+
+
+# ===========================================================================
+# Extended band-index panel (imagecalc/calcindices.py — every named
+# index not already in band_indices), expressions mirrored VERBATIM
+# incl. the reference's literal muparser precedence in mvi and bsi.
+# ===========================================================================
+
+
+_cbrt_libm = np.vectorize(math.cbrt, otypes=[np.float64])
+# numpy's SIMD np.cbrt is 1 ulp off libm; DuckDB CBRT is libm.
+
+
+def _bie_bands(pid: np.ndarray) -> dict:
+    # even red / odd nir so nir != red everywhere (ndbsi's 3|nir-red|
+    # denominator) and red == 3*nir never holds (ctvi's 0/0)
+    return {
+        "blue": (pid * 17) % 100,
+        "green": (pid * 29) % 100,
+        "red": 2 * ((pid * 37) % 50),
+        "re": (pid * 43) % 100,
+        "nir": 2 * ((pid * 61) % 50) + 1,
+        "swir": (pid * 89) % 99 + 1,
+        "swir2": (pid * 53) % 100,
+    }
+
+
+_BIE_BANDS_SQL = """
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST((p.range*17) % 100 AS BIGINT) AS blue,
+             CAST((p.range*29) % 100 AS BIGINT) AS green,
+             CAST(2*((p.range*37) % 50) AS BIGINT) AS red,
+             CAST((p.range*43) % 100 AS BIGINT) AS re,
+             CAST(2*((p.range*61) % 50) + 1 AS BIGINT) AS nir,
+             CAST((p.range*89) % 99 + 1 AS BIGINT) AS swir,
+             CAST((p.range*53) % 100 AS BIGINT) AS swir2
+      FROM range(0, 4096) p
+"""
+
+
+@register(
+    "band_indices_ext",
+    f"""
+    WITH px AS ({_BIE_BANDS_SQL})
+    SELECT pixel_id,
+      CASE WHEN nir <> 0 THEN blue/nir ELSE -999 END AS wbi,
+      CASE WHEN nir+swir <> 0 THEN (nir-swir)/(nir+swir)
+           ELSE -999 END AS ndwi,
+      CASE WHEN green+nir <> 0 THEN (green-nir)/(green+nir)
+           ELSE -999 END AS gndwi,
+      CASE WHEN green+swir <> 0 THEN (green-swir)/(green+swir)
+           ELSE -999 END AS gmndwi,
+      CASE WHEN blue+green+red <> 0 THEN
+        (ABS(blue-((blue+green+red)/3)) + ABS(green-((blue+green+red)/3))
+         + ABS(red-((blue+green+red)/3)))/((blue+green+red)/3)
+        ELSE -999 END AS whiteness,
+      CASE WHEN blue+green+red <> 0 THEN
+        ((blue/1000)+(green/1000)+(red/1000))/3 ELSE -999 END
+        AS brightness_scaled,
+      CASE WHEN nir+red <> 0 THEN
+        ((nir-red)/(nir+red)+0.5e0)
+          /SQRT(ABS((nir-red)/(nir+red)+0.5e0))
+        ELSE -999 END AS ctvi,
+      CASE WHEN nir+swir2 <> 0 THEN (nir-swir2)/(nir+swir2)
+           ELSE -999 END AS nbr,
+      CASE WHEN nir+red <> 0 THEN
+        1/((0.1e0 - (red/1000))*(0.1e0 - (red/1000))
+           + (0.06e0 - (nir/1000))*(0.06e0 - (nir/1000)))
+        ELSE -999 END AS bai,
+      CASE WHEN swir-green <> 0 THEN nir-green/swir-green
+           ELSE -999 END AS mvi,
+      CASE WHEN (nir/1000) + (6*(red/1000)) - (7.5e0*(blue/1000)) + 1
+                <> 0 THEN
+        2.5e0*(((nir/1000)-(red/1000))
+          /((nir/1000) + (6*(red/1000)) - (7.5e0*(blue/1000)) + 1))
+        ELSE -999 END AS evi,
+      CASE WHEN nir+green <> 0 THEN (nir-green)/(nir+green)
+           ELSE -999 END AS gndvi,
+      CASE WHEN swir+green <> 0 THEN (re-red)/(swir+green)
+           ELSE -999 END AS remi,
+      CASE WHEN (swir+red)+(nir+blue) <> 0 THEN
+        (swir+red)-(nir+blue)/(swir+red)+(nir+blue)
+        ELSE -999 END AS bsi,
+      CASE WHEN red = 0 OR green = 0 OR blue = 0 THEN -999
+        ELSE CBRT((1-blue/1000)*(1-green/1000)*(1-red/1000)) END AS si,
+      CASE WHEN green+red <> 0 THEN (green-red)/(green+red)
+           ELSE -999 END AS ndgi,
+      CASE WHEN red+blue <> 0 THEN (red-blue)/(red+blue)
+           ELSE -999 END AS npcri,
+      CASE WHEN swir = 0 OR swir2 = 0 THEN -999
+           ELSE swir/swir2 END AS cmr,
+      CASE WHEN nir = 0 OR swir = 0 THEN -999
+           ELSE swir/nir END AS fmr,
+      CASE WHEN red = 0 OR green = 0 THEN -999
+           WHEN red = 0 OR nir = 0 OR swir = 0 THEN -999
+           ELSE ((red/1000) - (green/1000))
+                * (1-(((swir/1000) - (nir/1000))
+                      /(3*ABS((nir/1000) - (red/1000))))) END AS ndbsi
+    FROM px
+    """,
+)
+def q_band_indices_ext(sf_dir: str):
+    """imagecalc/calcindices.py, the rest of the named-index family
+    (calc_wbi:93, ndwi:132, gndwi:174, gmndwi:216, whiteness:258,
+    brightness_scaled:346, ctvi:414, nbr:493, bai:531, mvi:582,
+    evi:629, gndvi:743, remi:781, bsi:834, si:883, ndgi:933,
+    npcri:1009, ndbsi:1047, cmr:1173, fmr:1215): one vectorized
+    zero-shuffle pass, each index the reference's muparser expression
+    verbatim — including the LITERAL precedence of mvi
+    (nir-green/swir-green = nir - (green/swir) - green) and bsi, the
+    -999 nodata gates, and si's cube root (CBRT for the reference's
+    ^(1/3), positive arguments)."""
+    ds = ray.data.from_arrow(
+        pa.table({"pixel_id": np.arange(4096, dtype=np.int64)})
+    ).repartition(8)
+
+    def f(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        b = _bie_bands(pid)
+        blue, green, red = b["blue"], b["green"], b["red"]
+        re_, nir, swir, swir2 = b["re"], b["nir"], b["swir"], b["swir2"]
+        m = (blue + green + red) / 3
+        nd = (nir - red) / (nir + red)
+        evi_den = (nir / 1000) + (6 * (red / 1000)) - (7.5 * (blue / 1000)) + 1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = {
+                "pixel_id": pid,
+                "wbi": np.where(nir != 0, blue / nir, -999.0),
+                "ndwi": np.where(
+                    nir + swir != 0, (nir - swir) / (nir + swir), -999.0
+                ),
+                "gndwi": np.where(
+                    green + nir != 0, (green - nir) / (green + nir), -999.0
+                ),
+                "gmndwi": np.where(
+                    green + swir != 0, (green - swir) / (green + swir), -999.0
+                ),
+                "whiteness": np.where(
+                    blue + green + red != 0,
+                    (np.abs(blue - m) + np.abs(green - m) + np.abs(red - m))
+                    / m,
+                    -999.0,
+                ),
+                "brightness_scaled": np.where(
+                    blue + green + red != 0,
+                    ((blue / 1000) + (green / 1000) + (red / 1000)) / 3,
+                    -999.0,
+                ),
+                "ctvi": np.where(
+                    nir + red != 0,
+                    (nd + 0.5) / np.sqrt(np.abs(nd + 0.5)),
+                    -999.0,
+                ),
+                "nbr": np.where(
+                    nir + swir2 != 0, (nir - swir2) / (nir + swir2), -999.0
+                ),
+                "bai": np.where(
+                    nir + red != 0,
+                    1
+                    / (
+                        (0.1 - (red / 1000)) * (0.1 - (red / 1000))
+                        + (0.06 - (nir / 1000)) * (0.06 - (nir / 1000))
+                    ),
+                    -999.0,
+                ),
+                "mvi": np.where(
+                    swir - green != 0, nir - green / swir - green, -999.0
+                ),
+                "evi": np.where(
+                    evi_den != 0,
+                    2.5 * (((nir / 1000) - (red / 1000)) / evi_den),
+                    -999.0,
+                ),
+                "gndvi": np.where(
+                    nir + green != 0, (nir - green) / (nir + green), -999.0
+                ),
+                "remi": np.where(
+                    swir + green != 0, (re_ - red) / (swir + green), -999.0
+                ),
+                "bsi": np.where(
+                    (swir + red) + (nir + blue) != 0,
+                    (swir + red) - (nir + blue) / (swir + red) + (nir + blue),
+                    -999.0,
+                ),
+                "si": np.where(
+                    (red == 0) | (green == 0) | (blue == 0),
+                    -999.0,
+                    _cbrt_libm(
+                        (1 - blue / 1000) * (1 - green / 1000) * (1 - red / 1000)
+                    ),
+                ),
+                "ndgi": np.where(
+                    green + red != 0, (green - red) / (green + red), -999.0
+                ),
+                "npcri": np.where(
+                    red + blue != 0, (red - blue) / (red + blue), -999.0
+                ),
+                "cmr": np.where(
+                    (swir == 0) | (swir2 == 0), -999.0, swir / swir2
+                ),
+                "fmr": np.where((nir == 0) | (swir == 0), -999.0, swir / nir),
+                "ndbsi": np.where(
+                    (red == 0) | (green == 0),
+                    -999.0,
+                    np.where(
+                        (red == 0) | (nir == 0) | (swir == 0),
+                        -999.0,
+                        ((red / 1000) - (green / 1000))
+                        * (
+                            1
+                            - (
+                                ((swir / 1000) - (nir / 1000))
+                                / (3 * np.abs((nir / 1000) - (red / 1000)))
+                            )
+                        ),
+                    ),
+                ),
+            }
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
