@@ -18086,3 +18086,243 @@ def q_band_indices_ext(sf_dir: str):
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+# ===========================================================================
+# Breusch-Pagan heteroskedasticity test (tools/stats.py:318) —
+# 2-predictor intercept OLS, quantized squared residuals, full mirror.
+# ===========================================================================
+
+
+def _bp_src_tbl() -> pa.Table:
+    i = np.arange(4096, dtype=np.int64)
+    x1 = (i * 37) % 100
+    x2 = (i * 61) % 100
+    noise = ((i * 13) % 17 - 8) * (1 + x1 // 25)  # variance grows with x1
+    return pa.table({"x1": x1, "x2": x2, "y": 3 * x1 - 2 * x2 + noise})
+
+
+def _bp_sql() -> str:
+    from rsgislib_ray.functions.mirrorchain import chain_ctes
+    from rsgislib_ray.stages.regress import bp_final_chain, bp_scalar_chain
+
+    mom = {k: k for k in ("n", "s1", "s2", "q11", "q12", "q22")}
+    b_ctes, b_last = chain_ctes(
+        bp_scalar_chain("b", {**mom, "ty": "ty", "t1": "t1", "t2": "t2"}),
+        "m1",
+        "bpb",
+    )
+    c_ctes, c_last = chain_ctes(
+        bp_scalar_chain("c", {**mom, "ty": "se", "t1": "s1e", "t2": "s2e"}),
+        "m2j",
+        "bpc",
+    )
+    f_ctes, f_last = chain_ctes(bp_final_chain(), c_last, "bpf")
+    e = "(y - (bb0 + bb1*x1 + bb2*x2))"
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST((p.range*37) % 100 AS BIGINT) AS x1,
+             CAST((p.range*61) % 100 AS BIGINT) AS x2,
+             CAST(3*((p.range*37) % 100) - 2*((p.range*61) % 100)
+                  + ((p.range*13) % 17 - 8)
+                    * (1 + ((p.range*37) % 100) // 25) AS BIGINT) AS y
+      FROM range(0, 4096) p),
+    m1 AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+        CAST(SUM(x1*x1) AS BIGINT) AS q11,
+        CAST(SUM(x1*x2) AS BIGINT) AS q12,
+        CAST(SUM(x2*x2) AS BIGINT) AS q22,
+        CAST(SUM(y) AS BIGINT) AS ty,
+        CAST(SUM(x1*y) AS BIGINT) AS t1,
+        CAST(SUM(x2*y) AS BIGINT) AS t2
+      FROM px),
+    {b_ctes},
+    pe AS (
+      SELECT x1, x2,
+             CAST(FLOOR({e}*{e}*100.0e0 + 0.5e0) AS BIGINT) AS eq
+      FROM px, {b_last}),
+    m2 AS (
+      SELECT CAST(SUM(eq) AS BIGINT) AS se,
+             CAST(SUM(eq*eq) AS BIGINT) AS see,
+             CAST(SUM(x1*eq) AS BIGINT) AS s1e,
+             CAST(SUM(x2*eq) AS BIGINT) AS s2e
+      FROM pe),
+    m2j AS (SELECT * FROM m2, {b_last}),
+    {c_ctes},
+    {f_ctes}
+    SELECT
+      CAST(FLOOR(lm_stat*1000000.0e0 + 0.5e0) AS BIGINT) AS lm_q,
+      CAST(FLOOR(pval*1000000.0e0 + 0.5e0) AS BIGINT) AS pval_q,
+      CASE WHEN pval < 0.01e0
+           THEN 'Heteroskedasticity present at 99% CI.'
+           WHEN pval < 0.05e0
+           THEN 'Heteroskedasticity present at 95% CI.'
+           ELSE 'No significant heteroskedasticity.' END AS test_result
+    FROM {f_last}
+    """
+
+
+@register("breusch_pagan_2pred", _bp_sql())
+def q_breusch_pagan_2pred(sf_dir: str):
+    """breusch_pagan_test (tools/stats.py:318): OLS fit, auxiliary
+    regression of squared residuals, R^2 -> LM = n*R^2 -> dof-2
+    p-value exp(-LM/2) and the reference's CI verdict strings — two
+    zero-shuffle moment passes (residuals quantized to 0.01 so every
+    sum is an exact int), all scalar math shared mirrorchain Cramer
+    3x3 solves, bit-exact in SQL."""
+    from rsgislib_ray.stages.regress import breusch_pagan
+
+    ds = ray.data.from_arrow(_bp_src_tbl()).repartition(8)
+    return breusch_pagan(ds, ["x1", "x2"], "y")
+
+
+# ===========================================================================
+# imblearn-style kNN undersampling (classification/classimblearn.py:
+# near_miss:280, edited_near_neigh:309, Tomek links in
+# one_sided_sel:419/smotetomek:504) — from-scratch, exact-int kNN.
+# ===========================================================================
+
+_IMB_SQL_PTS = """
+      SELECT CAST(p.range AS BIGINT) AS id,
+             CAST(CASE WHEN (p.range*p.range*3 + p.range*7) % 11 < 7
+                       THEN 0
+                       WHEN (p.range*p.range*3 + p.range*7) % 11 < 10
+                       THEN 1
+                       ELSE 2 END AS BIGINT) AS cls,
+             CAST((p.range*13) % 53 AS BIGINT) AS f1,
+             CAST((p.range*29) % 47 AS BIGINT) AS f2,
+             CAST((p.range*37) % 43 AS BIGINT) AS f3
+      FROM range(0, 600) p
+"""
+
+_IMB_SQL_D = """
+      SELECT a.id AS ia, b.id AS ib, a.cls AS ca, b.cls AS cb,
+        (b.f1-a.f1)*(b.f1-a.f1) + (b.f2-a.f2)*(b.f2-a.f2)
+          + (b.f3-a.f3)*(b.f3-a.f3) AS d2,
+        ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+          (b.f1-a.f1)*(b.f1-a.f1) + (b.f2-a.f2)*(b.f2-a.f2)
+          + (b.f3-a.f3)*(b.f3-a.f3), b.id) AS rn
+      FROM pts a JOIN pts b ON a.id <> b.id
+"""
+
+_IMB_SQL_MINO = """
+      SELECT cls FROM (SELECT cls, COUNT(*) AS c FROM pts
+                       GROUP BY cls ORDER BY c, cls LIMIT 1)
+"""
+
+
+def _imb_src_tbl() -> pa.Table:
+    i = np.arange(600, dtype=np.int64)
+    # class mixed quadratically mod 11 so it is NOT a function of the
+    # (coprime-moduli) feature lattice — links/edits actually occur
+    h = (i * i * 3 + i * 7) % 11
+    return pa.table(
+        {
+            "id": i,
+            "cls": np.where(h < 7, 0, np.where(h < 10, 1, 2)).astype(
+                np.int64
+            ),
+            "f1": (i * 13) % 53,
+            "f2": (i * 29) % 47,
+            "f3": (i * 37) % 43,
+        }
+    )
+
+
+_IMB_FEATS = ["f1", "f2", "f3"]
+
+
+@register(
+    "class_tomek_links",
+    f"""
+    WITH pts AS MATERIALIZED ({_IMB_SQL_PTS}),
+    d AS ({_IMB_SQL_D}),
+    nn AS (SELECT ia, ib, ca, cb FROM d WHERE rn = 1),
+    mino AS ({_IMB_SQL_MINO}),
+    drops AS (
+      SELECT n1.ia AS id FROM nn n1
+      JOIN nn n2 ON n1.ib = n2.ia AND n2.ib = n1.ia
+      WHERE n1.ca <> n1.cb AND n1.ca <> (SELECT cls FROM mino))
+    SELECT id, cls, f1, f2, f3 FROM pts
+    WHERE id NOT IN (SELECT id FROM drops)
+    ORDER BY id
+    """,
+)
+def q_class_tomek_links(sf_dir: str):
+    """Tomek-link cleaning (classimblearn.py:419/:504 via imblearn
+    TomekLinks, from scratch): mutual exact-int 1-NNs of differing
+    class, (d2, id) tie order, non-minority link members dropped."""
+    from rsgislib_ray.stages.imblearn import tomek_links_undersample
+
+    ds = ray.data.from_arrow(_imb_src_tbl()).repartition(6)
+    return tomek_links_undersample(ds, "id", "cls", _IMB_FEATS).sort("id")
+
+
+@register(
+    "class_enn_undersample",
+    f"""
+    WITH pts AS MATERIALIZED ({_IMB_SQL_PTS}),
+    d AS ({_IMB_SQL_D}),
+    mino AS ({_IMB_SQL_MINO}),
+    agree AS (
+      SELECT ia FROM d WHERE rn <= 3
+      GROUP BY ia, ca
+      HAVING SUM(CASE WHEN cb = ca THEN 1 ELSE 0 END) = 3)
+    SELECT id, cls, f1, f2, f3 FROM pts
+    WHERE cls = (SELECT cls FROM mino)
+       OR id IN (SELECT ia FROM agree)
+    ORDER BY id
+    """,
+)
+def q_class_enn_undersample(sf_dir: str):
+    """EditedNearestNeighbours undersampling (classimblearn.py:309,
+    imblearn defaults n_neighbors=3 / kind_sel='all' / strategy
+    'auto', from scratch): non-minority rows survive only if all 3
+    nearest neighbours (self excluded, (d2,id) ties) share their
+    class."""
+    from rsgislib_ray.stages.imblearn import edited_nn_undersample
+
+    ds = ray.data.from_arrow(_imb_src_tbl()).repartition(6)
+    return edited_nn_undersample(ds, "id", "cls", _IMB_FEATS).sort("id")
+
+
+@register(
+    "class_nearmiss",
+    f"""
+    WITH pts AS MATERIALIZED ({_IMB_SQL_PTS}),
+    mino AS ({_IMB_SQL_MINO}),
+    nmin AS (SELECT COUNT(*) AS c FROM pts
+             WHERE cls = (SELECT cls FROM mino)),
+    dm AS (
+      SELECT a.id AS ia, a.cls AS ca,
+        CAST(FLOOR(SQRT(CAST((b.f1-a.f1)*(b.f1-a.f1)
+          + (b.f2-a.f2)*(b.f2-a.f2) + (b.f3-a.f3)*(b.f3-a.f3)
+          AS DOUBLE))*16777216.0e0 + 0.5e0) AS BIGINT) AS dq,
+        ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+          (b.f1-a.f1)*(b.f1-a.f1) + (b.f2-a.f2)*(b.f2-a.f2)
+          + (b.f3-a.f3)*(b.f3-a.f3), b.id) AS rn
+      FROM pts a JOIN pts b ON b.cls = (SELECT cls FROM mino)
+      WHERE a.cls <> (SELECT cls FROM mino)),
+    sums AS (
+      SELECT ia, ca, CAST(SUM(dq) AS BIGINT) AS s FROM dm
+      WHERE rn <= 3 GROUP BY ia, ca),
+    picked AS (
+      SELECT ia FROM (
+        SELECT ia, ROW_NUMBER() OVER (PARTITION BY ca ORDER BY s, ia)
+               AS rk
+        FROM sums) WHERE rk <= (SELECT c FROM nmin))
+    SELECT id, cls, f1, f2, f3 FROM pts
+    WHERE cls = (SELECT cls FROM mino) OR id IN (SELECT ia FROM picked)
+    ORDER BY id
+    """,
+)
+def q_class_nearmiss(sf_dir: str):
+    """NearMiss v1 undersampling (classimblearn.py:280, from
+    scratch): each non-minority class keeps the n_minority samples
+    with the smallest exact sum of 2^-24-quantized distances to their
+    3 nearest minority samples, ties by id."""
+    from rsgislib_ray.stages.imblearn import near_miss_undersample
+
+    ds = ray.data.from_arrow(_imb_src_tbl()).repartition(6)
+    return near_miss_undersample(ds, "id", "cls", _IMB_FEATS).sort("id")

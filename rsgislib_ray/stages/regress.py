@@ -817,3 +817,176 @@ def pls_fit(moments: dict, d: int, n_components: int) -> dict:
     for i in range(d):
         b0 = b0 - beta[i] * (float(g[f"s{i}"]) / fn)
     return {"b0": b0, "beta": beta, "q": qs}
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroskedasticity test (tools/stats.py:318)
+# ---------------------------------------------------------------------------
+
+
+def bp_scalar_chain(pref: str, mom: dict[str, str]) -> list:
+    """Cramer 3x3 solve for an intercept + 2-predictor OLS over the
+    symmetric normal matrix [[n,s1,s2],[s1,q11,q12],[s2,q12,q22]] and
+    rhs (ty, t1, t2).  ``mom`` maps the 9 role names to env column
+    names (exact ints); all entries are lifted to DOUBLE first
+    (``1.0e0 * x`` — exact below 2^53) so the chain never overflows
+    BIGINT in SQL while Python big-ints would not."""
+    m = mom
+    ch = []
+    for role in ("n", "s1", "s2", "q11", "q12", "q22", "ty", "t1", "t2"):
+        ch.append((f"{pref}f{role}", f"1.0e0 * {m[role]}"))
+    f = lambda r: f"{pref}f{r}"  # noqa: E731
+    ch += [
+        (
+            f"{pref}det",
+            f"{f('n')}*({f('q11')}*{f('q22')} - {f('q12')}*{f('q12')})"
+            f" - {f('s1')}*({f('s1')}*{f('q22')} - {f('q12')}*{f('s2')})"
+            f" + {f('s2')}*({f('s1')}*{f('q12')} - {f('q11')}*{f('s2')})",
+        ),
+        (
+            f"{pref}b0",
+            f"({f('ty')}*({f('q11')}*{f('q22')} - {f('q12')}*{f('q12')})"
+            f" - {f('s1')}*({f('t1')}*{f('q22')} - {f('q12')}*{f('t2')})"
+            f" + {f('s2')}*({f('t1')}*{f('q12')} - {f('q11')}*{f('t2')}))"
+            f" / {pref}det",
+        ),
+        (
+            f"{pref}b1",
+            f"({f('n')}*({f('t1')}*{f('q22')} - {f('q12')}*{f('t2')})"
+            f" - {f('ty')}*({f('s1')}*{f('q22')} - {f('q12')}*{f('s2')})"
+            f" + {f('s2')}*({f('s1')}*{f('t2')} - {f('t1')}*{f('s2')}))"
+            f" / {pref}det",
+        ),
+        (
+            f"{pref}b2",
+            f"({f('n')}*({f('q11')}*{f('t2')} - {f('t1')}*{f('q12')})"
+            f" - {f('s1')}*({f('s1')}*{f('t2')} - {f('t1')}*{f('s2')})"
+            f" + {f('ty')}*({f('s1')}*{f('q12')} - {f('q11')}*{f('s2')}))"
+            f" / {pref}det",
+        ),
+    ]
+    return ch
+
+
+def bp_final_chain() -> list:
+    """From the second-pass exact integer sums (se, see, s1e, s2e —
+    squared residuals quantized to 0.01) and the first-pass normal
+    matrix: the auxiliary-regression R^2 via the algebraic ss_res /
+    ss_tot expansions, the Lagrange multiplier LM = n*r2, and the
+    dof-2 p-value 1 - chi2cdf(LM, 2) = exp(-LM/2)."""
+    return [
+        ("emean", "1.0e0 * se / n"),
+        (
+            "ss_tot",
+            "1.0e0*see - 2.0e0*emean*se + emean*emean*n",
+        ),
+        (
+            "cquad",
+            "cb0*cb0*bfn + 2.0e0*cb0*cb1*bfs1 + 2.0e0*cb0*cb2*bfs2"
+            " + cb1*cb1*bfq11 + 2.0e0*cb1*cb2*bfq12 + cb2*cb2*bfq22",
+        ),
+        (
+            "ss_res",
+            "1.0e0*see - 2.0e0*(cb0*se + cb1*s1e + cb2*s2e) + cquad",
+        ),
+        ("r2", "1.0e0 - (ss_res / ss_tot)"),
+        ("lm_stat", "n * r2"),
+        ("pval", "EXP(-(lm_stat)/2.0e0)"),
+    ]
+
+
+def breusch_pagan(
+    ds: ray.data.Dataset,
+    x_cols: list[str],
+    y_col: str,
+    batch_size: int = 32768,
+) -> pa.Table:
+    """Breusch-Pagan test (tools/stats.py:318) for int-valued
+    predictors/response, distributed as TWO zero-shuffle passes:
+    (1) exact integer normal-equation moments for the intercept OLS
+    fit y ~ X; (2) per-row squared residuals quantized to 0.01
+    (the engine's defined precision — sums stay exact ints < 2^53)
+    feeding the auxiliary regression err ~ X, whose R^2, LM = n*R^2
+    and dof-k p-value come from fixed float chains over the exact
+    sums.  The 2-predictor path (this function) mirrors bit-exactly
+    in SQL via the shared chains; p-value = exp(-LM/2) at dof 2.
+    Returns a 1-row table (lm_q, pval_q, test_result) with the
+    reference's 99%/95% CI verdict strings."""
+    from rsgislib_ray.functions.mirrorchain import eval_chain
+
+    assert len(x_cols) == 2
+    x1c, x2c = x_cols
+
+    def p1(batch: pa.Table) -> pa.Table:
+        x1 = batch[x1c].to_numpy().astype(np.int64)
+        x2 = batch[x2c].to_numpy().astype(np.int64)
+        y = batch[y_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "n": [len(y)],
+                "s1": [int(x1.sum())],
+                "s2": [int(x2.sum())],
+                "q11": [int(np.dot(x1, x1))],
+                "q12": [int(np.dot(x1, x2))],
+                "q22": [int(np.dot(x2, x2))],
+                "ty": [int(y.sum())],
+                "t1": [int(np.dot(x1, y))],
+                "t2": [int(np.dot(x2, y))],
+            }
+        )
+
+    pdf = ds.map_batches(
+        p1, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    env = {k: int(pdf[k].sum()) for k in pdf.columns}
+    mom = {k: k for k in ("n", "s1", "s2", "q11", "q12", "q22")}
+    env = eval_chain(
+        bp_scalar_chain("b", {**mom, "ty": "ty", "t1": "t1", "t2": "t2"}),
+        env,
+    )
+    b0, b1, b2 = env["bb0"], env["bb1"], env["bb2"]
+
+    def p2(batch: pa.Table) -> pa.Table:
+        x1 = batch[x1c].to_numpy().astype(np.int64)
+        x2 = batch[x2c].to_numpy().astype(np.int64)
+        y = batch[y_col].to_numpy().astype(np.int64)
+        e = y - (b0 + b1 * x1 + b2 * x2)
+        eq = np.floor(e * e * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "se": [int(eq.sum())],
+                "see": [int(np.dot(eq, eq))],
+                "s1e": [int(np.dot(x1, eq))],
+                "s2e": [int(np.dot(x2, eq))],
+            }
+        )
+
+    pdf2 = ds.map_batches(
+        p2, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    for k in pdf2.columns:
+        env[k] = int(pdf2[k].sum())
+    env = eval_chain(
+        bp_scalar_chain(
+            "c", {**mom, "ty": "se", "t1": "s1e", "t2": "s2e"}
+        ),
+        env,
+    )
+    env = eval_chain(bp_final_chain(), env)
+    pval = env["pval"]
+    verdict = (
+        "Heteroskedasticity present at 99% CI."
+        if pval < 0.01
+        else (
+            "Heteroskedasticity present at 95% CI."
+            if pval < 0.05
+            else "No significant heteroskedasticity."
+        )
+    )
+    return pa.table(
+        {
+            "lm_q": [int(math.floor(env["lm_stat"] * 1e6 + 0.5))],
+            "pval_q": [int(math.floor(pval * 1e6 + 0.5))],
+            "test_result": [verdict],
+        }
+    )
