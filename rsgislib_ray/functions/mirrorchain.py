@@ -42,6 +42,10 @@ _SCALAR_FNS = {
     "ACOS": math.acos,
     "COS": math.cos,
     "SIN": math.sin,
+    "TAN": math.tan,
+    "ATAN": math.atan,
+    "CEIL": math.ceil,
+    "FLOOR": math.floor,
     "CBRT": math.cbrt,
     "LEAST": min,
     "GREATEST": max,
@@ -62,6 +66,10 @@ _VECTOR_FNS = {
     "ACOS": np.vectorize(math.acos, otypes=[np.float64]),
     "COS": np.cos,
     "SIN": np.sin,
+    "TAN": np.vectorize(math.tan, otypes=[np.float64]),
+    "ATAN": np.vectorize(math.atan, otypes=[np.float64]),
+    "CEIL": np.ceil,
+    "FLOOR": np.floor,
     "CBRT": np.vectorize(math.cbrt, otypes=[np.float64]),
     "LEAST": np.minimum,
     "GREATEST": np.maximum,

@@ -18326,3 +18326,104 @@ def q_class_nearmiss(sf_dir: str):
 
     ds = ray.data.from_arrow(_imb_src_tbl()).repartition(6)
     return near_miss_undersample(ds, "id", "cls", _IMB_FEATS).sort("id")
+
+
+# ===========================================================================
+# Web-mercator tile cache (tools/tilecacheutils.py) — point->tile,
+# TMS<->XYZ flip, tile TL/bbox, mercator roundtrip, quadkeys.
+# ===========================================================================
+
+_TC_ZOOM = 7
+
+
+def _tc_src_tbl() -> pa.Table:
+    i = np.arange(512, dtype=np.int64)
+    return pa.table(
+        {
+            "pt_id": i,
+            "lon100": (i * 7919) % 36000 - 18000 + 1,  # centi-degrees
+            "lat100": (i * 104729) % 16000 - 8000 + 1,
+        }
+    )
+
+
+def _tc_sql() -> str:
+    from rsgislib_ray.functions.mirrorchain import chain_ctes
+    from rsgislib_ray.functions.tilecache import (
+        quadkey_sql,
+        tile_point_chain,
+    )
+
+    ctes, last = chain_ctes(tile_point_chain(_TC_ZOOM), "pts", "tcc")
+    qk = quadkey_sql("CAST(txf AS BIGINT)", "CAST(tyx AS BIGINT)", _TC_ZOOM)
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pt_id,
+             ((p.range*7919) % 36000 - 18000 + 1) / 100.0e0 AS lon,
+             ((p.range*104729) % 16000 - 8000 + 1) / 100.0e0 AS lat
+      FROM range(0, 512) p),
+    {ctes}
+    SELECT pt_id,
+      CAST(txf AS BIGINT) AS tile_x,
+      CAST(tyt AS BIGINT) AS tile_y_tms,
+      CAST(tyx AS BIGINT) AS tile_y_xyz,
+      mx AS merc_x, my AS merc_y,
+      lon_tl AS tl_lon, lat_tl AS tl_lat,
+      lon_tl AS bb_min_lon, lon_br AS bb_max_lon,
+      lat_br AS bb_min_lat, lat_tl AS bb_max_lat,
+      lon_inv AS lon_roundtrip, lat_inv AS lat_roundtrip,
+      {qk} AS quadkey
+    FROM {last}
+    ORDER BY pt_id
+    """
+
+
+@register("tms_tilecache", _tc_sql())
+def q_tms_tilecache(sf_dir: str):
+    """tools/tilecacheutils.py (get_tile_for_point:47,
+    get_tile_tl_lonlat:76, get_tile_bbox:98, flip_xyz_tms_tiles:116,
+    get_web_mercator_xy:132, get_xy_mercator_lonlat:151,
+    get_quadkey_for_tile_path:194): per-point web-mercator tile
+    assignment, TMS/XYZ indices, tile top-left + bbox corners,
+    mercator forward/inverse roundtrip and quadkey — one zero-shuffle
+    mirrorchain pass, bit-exact in SQL (round -> FLOOR(x+0.5) and
+    sinh -> exp composition, both documented).  Note get_tile_bbox's
+    tms=True corner lands one XYZ row UP (the reference flips y+1
+    AFTER the TMS convention), so its Min/MaxLat are swapped — the
+    engine mirrors the code as written (pinned by the pytest)."""
+    from rsgislib_ray.functions.mirrorchain import eval_chain
+    from rsgislib_ray.functions.tilecache import (
+        quadkeys,
+        tile_point_chain,
+    )
+
+    ds = ray.data.from_arrow(_tc_src_tbl()).repartition(4)
+    chain = tile_point_chain(_TC_ZOOM)
+
+    def f(batch: pa.Table) -> pa.Table:
+        lon = batch["lon100"].to_numpy().astype(np.int64) / 100.0
+        lat = batch["lat100"].to_numpy().astype(np.int64) / 100.0
+        e = eval_chain(chain, {"lon": lon, "lat": lat}, vector=True)
+        tx = e["txf"].astype(np.int64)
+        tyx = e["tyx"].astype(np.int64)
+        return pa.table(
+            {
+                "pt_id": batch["pt_id"],
+                "tile_x": tx,
+                "tile_y_tms": e["tyt"].astype(np.int64),
+                "tile_y_xyz": tyx,
+                "merc_x": e["mx"],
+                "merc_y": e["my"],
+                "tl_lon": e["lon_tl"],
+                "tl_lat": e["lat_tl"],
+                "bb_min_lon": e["lon_tl"],
+                "bb_max_lon": e["lon_br"],
+                "bb_min_lat": e["lat_br"],
+                "bb_max_lat": e["lat_tl"],
+                "lon_roundtrip": e["lon_inv"],
+                "lat_roundtrip": e["lat_inv"],
+                "quadkey": quadkeys(tx, tyx, _TC_ZOOM),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
