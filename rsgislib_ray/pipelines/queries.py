@@ -18427,3 +18427,107 @@ def q_tms_tilecache(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+# ===========================================================================
+# SLIC superpixels (segmentation/skimgseg.py:282 wraps skimage slic;
+# re-implemented from Achanta et al. 2012) — 2 unrolled iterations.
+# ===========================================================================
+
+_SLIC_N = 64
+_SLIC_K = 4  # k_side -> 16 clusters, S = 16
+
+
+def _slic_src_tbl() -> pa.Table:
+    p = np.arange(_SLIC_N * _SLIC_N, dtype=np.int64)
+    r, c = np.divmod(p, _SLIC_N)
+    return pa.table(
+        {
+            "pixel_id": p,
+            "row": r,
+            "col": c,
+            "value": 10 * ((r + c) // 16) + (p * 7) % 5,
+        }
+    )
+
+
+def _slic_sql() -> str:
+    n, ks = _SLIC_N, _SLIC_K
+    s = n // ks
+    s2, m2 = s * s, 100
+    d_expr = (
+        f"{float(s2)!r}*((a.v - ct.cv)*(a.v - ct.cv))"
+        f" + {float(m2)!r}*((a.r - ct.cr)*(a.r - ct.cr)"
+        f" + (a.c - ct.cc)*(a.c - ct.cc))"
+    )
+
+    def it(prev: str, tag: str) -> str:
+        return f"""
+    asg_{tag} AS (
+      SELECT a.pixel_id, ct.cid, a.r, a.c, a.v,
+        ROW_NUMBER() OVER (PARTITION BY a.pixel_id
+                           ORDER BY {d_expr}, ct.cid) AS rn
+      FROM px a JOIN {prev} ct
+        ON abs(ct.cid // {ks} - a.r // {s}) <= 1
+       AND abs(ct.cid % {ks} - a.c // {s}) <= 1),
+    agg_{tag} AS (
+      SELECT cid, COUNT(*) AS cnt,
+        CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(c) AS BIGINT) AS sc,
+        CAST(SUM(v) AS BIGINT) AS sv
+      FROM asg_{tag} WHERE rn = 1 GROUP BY cid),
+    ctr_{tag} AS (
+      SELECT p.cid,
+        CASE WHEN g.cnt > 0 THEN CAST(g.sr AS DOUBLE)/g.cnt
+             ELSE p.cr END AS cr,
+        CASE WHEN g.cnt > 0 THEN CAST(g.sc AS DOUBLE)/g.cnt
+             ELSE p.cc END AS cc,
+        CASE WHEN g.cnt > 0 THEN CAST(g.sv AS DOUBLE)/g.cnt
+             ELSE p.cv END AS cv
+      FROM {prev} p LEFT JOIN agg_{tag} g ON g.cid = p.cid)"""
+
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {n} AS BIGINT) AS r,
+             CAST(p.range % {n} AS BIGINT) AS c,
+             CAST(10*((p.range // {n} + p.range % {n}) // 16)
+                  + (p.range*7) % 5 AS BIGINT) AS v
+      FROM range(0, {n * n}) p),
+    ctr_0 AS (
+      SELECT CAST(k.range AS BIGINT) AS cid,
+        CAST((k.range // {ks})*{s} + {s // 2} AS DOUBLE) AS cr,
+        CAST((k.range % {ks})*{s} + {s // 2} AS DOUBLE) AS cc,
+        CAST(p.v AS DOUBLE) AS cv
+      FROM range(0, {ks * ks}) k
+      JOIN px p ON p.r = (k.range // {ks})*{s} + {s // 2}
+               AND p.c = (k.range % {ks})*{s} + {s // 2}),
+    {it('ctr_0', 'a')},
+    {it('ctr_a', 'b')}
+    SELECT a.pixel_id,
+      FIRST(ct.cid ORDER BY {d_expr}, ct.cid) AS slic_id,
+      CAST(FLOOR(MIN({d_expr})*1000000.0e0 + 0.5e0) AS BIGINT)
+        AS dist_q
+    FROM px a JOIN ctr_b ct
+      ON abs(ct.cid // {ks} - a.r // {s}) <= 1
+     AND abs(ct.cid % {ks} - a.c // {s}) <= 1
+    GROUP BY a.pixel_id
+    ORDER BY a.pixel_id
+    """
+
+
+@register("slic_superpixels", _slic_sql())
+def q_slic_superpixels(sf_dir: str):
+    """perform_slic_segmentation (skimgseg.py:282; skimage absent —
+    SLIC re-implemented from Achanta et al. 2012): grid-seeded
+    centers, D = S^2 d_color^2 + m^2 d_spatial^2 (the paper's scaled
+    ordering, exact spatial ints + one-float-division centers), 3x3
+    initial-grid-cell search window, 2 unrolled iterations, ties to
+    the lowest center id; one zero-shuffle pass per iteration with
+    per-batch pre-reduced cluster partials."""
+    from rsgislib_ray.stages.slic import slic_superpixels
+
+    ds = ray.data.from_arrow(_slic_src_tbl()).repartition(8)
+    out, _ = slic_superpixels(
+        ds, _SLIC_N, _SLIC_K, compactness=10, n_iters=2
+    )
+    return out.sort("pixel_id")
