@@ -18531,3 +18531,61 @@ def q_slic_superpixels(sf_dir: str):
         ds, _SLIC_N, _SLIC_K, compactness=10, n_iters=2
     )
     return out.sort("pixel_id")
+
+
+# ===========================================================================
+# Class-timeseries gap fill (classification/__init__.py:1329) —
+# exact integer sweep replay, unrolled SQL oracle.
+# ===========================================================================
+
+_FCT_T = 6
+
+
+def _fct_src_tbl() -> pa.Table:
+    p = np.arange(512, dtype=np.int64)
+    out = {"pixel_id": p}
+    for t, m in enumerate((3, 5, 11, 13, 17, 19)):
+        out[f"cls{t}"] = (p * m) % 7  # 0 = nodata, ~1/7 of cells
+    return pa.table(out)
+
+
+def _fct_sql() -> str:
+    from rsgislib_ray.stages.timeseries import fill_steps
+
+    cols = [f"cls{t}" for t in range(_FCT_T)]
+    sel = ", ".join(
+        f"CAST((p.range*{m}) % 7 AS BIGINT) AS cls{t}"
+        for t, m in enumerate((3, 5, 11, 13, 17, 19))
+    )
+    ctes = []
+    prev = "px"
+    for k, (dst, src) in enumerate(fill_steps(_FCT_T, 3, True, True)):
+        keep = ", ".join(c for c in cols if c != cols[dst])
+        ctes.append(
+            f"s{k} AS (SELECT pixel_id, {keep}, "
+            f"CASE WHEN {cols[dst]} = 0 THEN {cols[src]} "
+            f"ELSE {cols[dst]} END AS {cols[dst]} FROM {prev})"
+        )
+        prev = f"s{k}"
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id, {sel}
+      FROM range(0, 512) p),
+    {", ".join(ctes)}
+    SELECT pixel_id, {", ".join(cols)} FROM {prev} ORDER BY pixel_id
+    """
+
+
+@register("fill_class_timeseries", _fct_sql())
+def q_fill_class_timeseries(sf_dir: str):
+    """fill_class_timeseries (classification/__init__.py:1329): the
+    RIOS kernel's in-place gap-fill sweeps (forward one-ahead,
+    reverse previous-epoch, end recheck, 3 iterations) replayed as a
+    sequential column-update list over wide per-pixel rows — one
+    zero-shuffle integer pass, bit-exact unrolled SQL oracle."""
+    from rsgislib_ray.stages.timeseries import fill_class_timeseries
+
+    ds = ray.data.from_arrow(_fct_src_tbl()).repartition(6)
+    return fill_class_timeseries(
+        ds, [f"cls{t}" for t in range(_FCT_T)]
+    ).sort("pixel_id")

@@ -508,3 +508,65 @@ def tmask_outliers(
     return ds.groupby(pixel_col).map_groups(
         per_pixel, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# class-timeseries gap fill (classification/__init__.py:1329)
+# ---------------------------------------------------------------------------
+
+
+def fill_steps(n_imgs: int, n_iters: int, double_direction: bool,
+               recheck_ends: bool) -> list[tuple[int, int]]:
+    """The exact in-place sweep order of the reference's
+    _fill_cls_imgs kernel (classification/__init__.py:1421): a list
+    of (dst, src) column assignments ``img[dst][nodata] <- img[src]``
+    replayed sequentially.  Forward pulls one epoch ahead, the
+    reverse sweep pulls the (already forward-filled) previous epoch,
+    then the two ends recheck — all cascading through the shared
+    in-place state exactly like the RIOS kernel."""
+    steps: list[tuple[int, int]] = []
+    for _ in range(n_iters):
+        for n in range(n_imgs - 1):
+            steps.append((n, n + 1))
+        if double_direction:
+            for n in range(n_imgs - 1, 0, -1):
+                steps.append((n, n - 1))
+        if recheck_ends:
+            steps.append((0, 1))
+            steps.append((n_imgs - 1, n_imgs - 2))
+    return steps
+
+
+def fill_class_timeseries(
+    ds: ray.data.Dataset,
+    cls_cols: list[str],
+    no_data_val: int = 0,
+    n_iters: int = 3,
+    double_direction: bool = True,
+    recheck_ends: bool = True,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Distributed fill_class_timeseries: the input is one row per
+    pixel with one class column per epoch (the wide layout a
+    time-series table naturally lands in), so the whole fill is ONE
+    zero-shuffle vectorized pass replaying the reference's sweep
+    steps per batch — integers only, trivially partition-independent
+    and bit-exact against the unrolled SQL oracle."""
+    steps = fill_steps(
+        len(cls_cols), n_iters, double_direction, recheck_ends
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        cols = {
+            c: batch[c].to_numpy().astype(np.int64) for c in cls_cols
+        }
+        for dst, src in steps:
+            d = cols[cls_cols[dst]]
+            cols[cls_cols[dst]] = np.where(
+                d == no_data_val, cols[cls_cols[src]], d
+            )
+        out = {"pixel_id": batch["pixel_id"]}
+        out.update(cols)
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
