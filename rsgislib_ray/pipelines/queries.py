@@ -18589,3 +18589,52 @@ def q_fill_class_timeseries(sf_dir: str):
     return fill_class_timeseries(
         ds, [f"cls{t}" for t in range(_FCT_T)]
     ).sort("pixel_id")
+
+
+@register(
+    "class_smote",
+    f"""
+    WITH pts AS MATERIALIZED ({_IMB_SQL_PTS}),
+    cc AS (SELECT cls, COUNT(*) AS n FROM pts GROUP BY cls),
+    maj AS (SELECT n AS mn FROM cc ORDER BY n DESC, cls LIMIT 1),
+    needs AS (
+      SELECT cls, n AS nc, (SELECT mn FROM maj) - n AS need
+      FROM cc WHERE n < (SELECT mn FROM maj)),
+    rnk AS (
+      SELECT id, cls, f1, f2, f3,
+        ROW_NUMBER() OVER (PARTITION BY cls ORDER BY id) - 1 AS rk
+      FROM pts),
+    knn AS (
+      SELECT a.id AS ia, b.f1 AS n1, b.f2 AS n2, b.f3 AS n3,
+        ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+          (b.f1-a.f1)*(b.f1-a.f1) + (b.f2-a.f2)*(b.f2-a.f2)
+          + (b.f3-a.f3)*(b.f3-a.f3), b.id) AS rn
+      FROM pts a JOIN pts b ON a.cls = b.cls AND a.id <> b.id),
+    syn AS (
+      SELECT nd.cls, CAST(t.range AS BIGINT) AS t,
+        nd.cls*100000 + t.range AS syn_id,
+        ((t.range*31 + 11) % 997) / 997.0e0 AS lam,
+        r.id AS base_id, r.f1 AS b1, r.f2 AS b2, r.f3 AS b3,
+        CAST((t.range*7 + 3) % 5 AS BIGINT) AS slot
+      FROM needs nd
+      JOIN range(0, 600) t
+        ON t.range < nd.need
+      JOIN rnk r ON r.cls = nd.cls AND r.rk = t.range % nd.nc)
+    SELECT s.syn_id, s.cls,
+      s.b1 + s.lam*(k.n1 - s.b1) AS f1,
+      s.b2 + s.lam*(k.n2 - s.b2) AS f2,
+      s.b3 + s.lam*(k.n3 - s.b3) AS f3
+    FROM syn s JOIN knn k ON k.ia = s.base_id AND k.rn = s.slot + 1
+    ORDER BY s.syn_id
+    """,
+)
+def q_class_smote(sf_dir: str):
+    """SMOTE oversampling (classimblearn.py:138, Chawla et al. 2002,
+    from scratch): non-majority classes synthesize up to the majority
+    count via x_b + lam*(x_nbr - x_b) over same-class exact-int 5-NN;
+    imblearn's RNG replaced by the engine's deterministic base/slot/
+    lambda schedule (documented in the stage) — bit-exact SQL."""
+    from rsgislib_ray.stages.imblearn import smote_oversample
+
+    ds = ray.data.from_arrow(_imb_src_tbl()).repartition(6)
+    return smote_oversample(ds, "id", "cls", _IMB_FEATS).sort("syn_id")

@@ -191,3 +191,93 @@ def near_miss_undersample(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def smote_oversample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    k: int = 5,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """SMOTE (classimblearn.py:138 via imblearn, from the Chawla et
+    al. 2002 algorithm): every non-MAJORITY class is oversampled to
+    the majority count with synthetics x_b + lam * (x_nbr - x_b),
+    where x_nbr is one of the k nearest SAME-class neighbours of the
+    base sample.  imblearn draws base/neighbour/lambda from its RNG;
+    this engine's deterministic contract (mirrored by the oracle):
+    synthetic t of class c uses base = (t mod n_c)-th id ascending,
+    neighbour slot (t*7 + 3) mod k (of the (d2,id)-ordered k-NN,
+    self excluded) and lam = ((t*31 + 11) mod 997)/997.
+
+    Returns the synthetic rows (syn_id = c*100000 + t, cls, float
+    features); union with the input for the balanced set.  The
+    feature matrix is broadcast (training-set contract); synthesis
+    itself streams over a range dataset."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    u, cnt = np.unique(cls, return_counts=True)
+    maj_i = np.lexsort((u, -cnt))[0]
+    maj_cnt = int(cnt[maj_i])
+    plan = []  # (class, n_needed, class ids asc, kNN id matrix)
+    for ci, c in enumerate(u):
+        if ci == maj_i or cnt[ci] == maj_cnt:
+            continue
+        cmask = cls == c
+        cX, cids = X[cmask], ids[cmask]
+        nbrs = np.empty((len(cids), k), dtype=np.int64)
+        for lo in range(0, len(cids), batch_size):
+            hi = min(lo + batch_size, len(cids))
+            d2 = _d2_block(cX[lo:hi], cX)
+            nbrs[lo:hi] = _knn_ids(
+                d2, cids, k, exclude_ids=cids[lo:hi]
+            )[0]
+        plan.append((int(c), maj_cnt - int(cnt[ci]), cids, cX, nbrs))
+    pref = ray.put(plan)
+    total = sum(p[1] for p in plan)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        t_all = batch["id"].to_numpy().astype(np.int64)
+        p = ray.get(pref)
+        outs = {
+            "syn_id": [],
+            "cls": [],
+            **{c: [] for c in feat_cols},
+        }
+        off = 0
+        for c, need, cids, cX, nbrs in p:
+            tt = t_all[(t_all >= off) & (t_all < off + need)] - off
+            if len(tt):
+                base = tt % len(cids)
+                slot = (tt * 7 + 3) % nbrs.shape[1]
+                lam = ((tt * 31 + 11) % 997) / 997.0
+                nid = nbrs[base, slot]
+                npos = np.searchsorted(cids, nid)
+                outs["syn_id"].append(c * 100000 + tt)
+                outs["cls"].append(np.full(len(tt), c, dtype=np.int64))
+                for j, col in enumerate(feat_cols):
+                    xb = cX[base, j]
+                    xn = cX[npos, j]
+                    outs[col].append(xb + lam * (xn - xb))
+            off += need
+        return pa.table(
+            {
+                "syn_id": np.concatenate(outs["syn_id"])
+                if outs["syn_id"]
+                else np.array([], dtype=np.int64),
+                "cls": np.concatenate(outs["cls"])
+                if outs["cls"]
+                else np.array([], dtype=np.int64),
+                **{
+                    c: np.concatenate(outs[c])
+                    if outs[c]
+                    else np.array([], dtype=np.float64)
+                    for c in feat_cols
+                },
+            }
+        )
+
+    rng = ray.data.range(total).map_batches(
+        lambda b: pa.table({"id": b["id"]}), batch_format="pyarrow"
+    )
+    return rng.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)

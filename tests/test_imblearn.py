@@ -91,3 +91,38 @@ def test_nearmiss_counts_and_partition_independence(ray_session):
         # every class is downsampled to exactly the minority count
         assert (df.groupby("cls").size() == n_min).all()
     assert outs[0].equals(outs[1])
+
+
+def test_smote_synthetics_on_segments(ray_session):
+    from rsgislib_ray.stages.imblearn import smote_oversample
+
+    tbl = _imb_src_tbl()
+    cls_arr = tbl["cls"].to_numpy()
+    u, cnt = np.unique(cls_arr, return_counts=True)
+    maj = int(cnt.max())
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    outs = []
+    for parts in (1, 5):
+        d = ray.data.from_arrow(tbl).repartition(parts)
+        df = (
+            smote_oversample(d, "id", "cls", _IMB_FEATS)
+            .to_pandas()
+            .sort_values("syn_id")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    # per-class synthetic counts top every class up to the majority
+    got = df.groupby("cls").size().to_dict()
+    want = {int(c): maj - int(n) for c, n in zip(u, cnt) if n < maj}
+    assert got == want
+    # every synthetic lies inside the bounding box of its class
+    X = np.stack([tbl[c].to_numpy() for c in _IMB_FEATS], 1)
+    for c in want:
+        sub = df[df["cls"] == c]
+        cx = X[cls_arr == c]
+        for j, col in enumerate(_IMB_FEATS):
+            v = sub[col].to_numpy()
+            assert v.min() >= cx[:, j].min() - 1e-9
+            assert v.max() <= cx[:, j].max() + 1e-9
