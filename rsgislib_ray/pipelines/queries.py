@@ -18638,3 +18638,413 @@ def q_class_smote(sf_dir: str):
 
     ds = ray.data.from_arrow(_imb_src_tbl()).repartition(6)
     return smote_oversample(ds, "id", "cls", _IMB_FEATS).sort("syn_id")
+
+
+# ===========================================================================
+# Vector attribute LUT / string / sort family (stages/vectorattrs.py —
+# reference vectorattrs/__init__.py:580,643,1687,1736,1783,974,920 and
+# tools/utils.py:664,640). Broadcast-small-side physical plans; the
+# only shuffle is the sort inside attr_sort_rank (which IS the op).
+# ===========================================================================
+
+from rsgislib_ray.stages.vectorattrs import _PUNC_CLASS as _VA_PUNC
+
+_VA_PUNC_SQL = _VA_PUNC.replace("'", "''")
+
+
+@register(
+    "attr_unq_numeric",
+    """
+    WITH lut AS (
+      SELECT c_mktsegment AS seg,
+        ROW_NUMBER() OVER (ORDER BY MIN(c_custkey)) AS seg_id
+      FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_custkey, c.c_mktsegment, l.seg_id
+    FROM customer c JOIN lut l ON c.c_mktsegment = l.seg
+    """,
+)
+def q_attr_unq_numeric(sf_dir: str):
+    """Encounter-order unique ids (add_unq_numeric_col,
+    vectorattrs/__init__.py:580 — pandas .unique() preserves first-
+    appearance order): ids 1..n assigned by min(c_custkey) per
+    segment, mapped back in one broadcast pass."""
+    from rsgislib_ray.stages.vectorattrs import add_unq_numeric_col
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    return add_unq_numeric_col(ds, "c_mktsegment", "c_custkey", "seg_id")
+
+
+@register(
+    "attr_numeric_lut",
+    """
+    SELECT c_custkey,
+      CAST(CASE c_mktsegment WHEN 'BUILDING' THEN 10
+           WHEN 'MACHINERY' THEN 20 WHEN 'HOUSEHOLD' THEN 30
+           ELSE 0 END AS BIGINT) AS seg_code
+    FROM customer
+    """,
+)
+def q_attr_numeric_lut(sf_dir: str):
+    """Dict-LUT column (add_numeric_col_lut, vectorattrs:643) — the
+    reference zero-initialises so unmatched segments stay 0."""
+    from rsgislib_ray.stages.vectorattrs import map_col_lut
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    out = map_col_lut(
+        ds, "c_mktsegment",
+        {"BUILDING": 10, "MACHINERY": 20, "HOUSEHOLD": 30},
+        "seg_code",
+    )
+    return out.select_columns(["c_custkey", "seg_code"])
+
+
+@register(
+    "attr_range_lut",
+    """
+    SELECT c_custkey, c_acctbal,
+      CAST(CASE WHEN c_acctbal >= -1000 AND c_acctbal < 500 THEN 4
+        WHEN c_acctbal >= 5000 AND c_acctbal < 8000 THEN 3
+        WHEN c_acctbal >= 2000 AND c_acctbal < 5000 THEN 2
+        WHEN c_acctbal >= 0 AND c_acctbal < 2000 THEN 1
+        ELSE 0 END AS BIGINT) AS bal_class
+    FROM customer
+    """,
+)
+def q_attr_range_lut(sf_dir: str):
+    """Range-LUT column (add_numeric_col_range_lut, vectorattrs:1687):
+    lo <= v < hi masks applied in dict order, so the overlapping
+    entry 4 ([-1000,500)) overwrites entry 1 ([0,2000)) — the SQL
+    mirror is the reverse-order first-match CASE."""
+    from rsgislib_ray.stages.vectorattrs import map_col_range_lut
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"],
+    )
+    return map_col_range_lut(
+        ds, "c_acctbal",
+        {1: (0, 2000), 2: (2000, 5000), 3: (5000, 8000), 4: (-1000, 500)},
+        "bal_class",
+    )
+
+
+@register(
+    "attr_lst_lut",
+    """
+    SELECT c_custkey,
+      CAST(CASE c_mktsegment WHEN 'BUILDING' THEN 7
+           WHEN 'MACHINERY' THEN 3 WHEN 'AUTOMOBILE' THEN 2
+           ELSE 0 END AS BIGINT) AS seg_code
+    FROM customer
+    """,
+)
+def q_attr_lst_lut(sf_dir: str):
+    """List-LUT column (add_numeric_col_from_lst_lut,
+    vectorattrs:1736): ('BUILDING',1) is later overwritten by
+    ('BUILDING',7) — last-entry-wins, mirrored by the reversed CASE."""
+    from rsgislib_ray.stages.vectorattrs import map_col_lst_lut
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    out = map_col_lst_lut(
+        ds, "c_mktsegment",
+        [("BUILDING", 1), ("AUTOMOBILE", 2), ("MACHINERY", 3),
+         ("BUILDING", 7)],
+        "seg_code",
+    )
+    return out.select_columns(["c_custkey", "seg_code"])
+
+
+_SQL_CHECKSTR_SRC = """
+    SELECT c_custkey,
+      '  ' || c_name || CASE CAST(c_custkey % 4 AS INT)
+        WHEN 0 THEN ' - demo--set' WHEN 1 THEN ' é µ café'
+        WHEN 2 THEN '!!x??y' ELSE '   ' END AS raw
+    FROM customer
+"""
+
+
+@register(
+    "attr_check_str",
+    f"""
+    WITH src AS ({_SQL_CHECKSTR_SRC}),
+    s1 AS (SELECT c_custkey, trim(raw) AS s FROM src),
+    s2 AS (SELECT c_custkey,
+             regexp_replace(s, '[^ -~]', '', 'g') AS s FROM s1),
+    s3 AS (SELECT c_custkey,
+             regexp_replace(replace(s, '-', '_'), '_{{2,}}', '_', 'g')
+             AS s FROM s2),
+    s4 AS (SELECT c_custkey,
+             regexp_replace(replace(s, ' ', '_'), '_{{2,}}', '_', 'g')
+             AS s FROM s3),
+    s5 AS (SELECT c_custkey,
+             regexp_replace(regexp_replace(s, '{_VA_PUNC_SQL}', '', 'g'),
+                            '_{{2,}}', '_', 'g') AS s FROM s4)
+    SELECT c_custkey, s AS clean_name FROM s5
+    """,
+)
+def q_attr_check_str(sf_dir: str):
+    """check_str_col with every flag on (vectorattrs:1783 via
+    tools/utils.py:664): strip -> printable-ASCII filter -> dash->
+    underscore + collapse -> space->underscore + collapse -> strip
+    punctuation (keeping _/-) + collapse.  The fixture decorates
+    c_name with spaces / dashes / non-ascii / punctuation chosen by
+    c_custkey % 4; Arrow RE2 and DuckDB regex agree on every class
+    (probed), so the chain is bit-exact."""
+    from rsgislib_ray.stages.vectorattrs import check_str_array
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    decs = np.array(
+        [" - demo--set", " é µ café", "!!x??y", "   "], dtype=object
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy()
+        n = len(key)
+        dec = pa.array(decs[key % 4], pa.string())
+        raw = pc.binary_join_element_wise(
+            pa.array(["  "] * n, pa.string()), batch["c_name"], dec, ""
+        )
+        clean = check_str_array(
+            raw, rm_non_ascii=True, rm_dashs=True,
+            rm_spaces=True, rm_punc=True,
+        )
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "clean_name": clean})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "attr_find_replace",
+    """
+    SELECT o_orderkey,
+      replace(replace(o_orderpriority, '-', '_'),
+              'NOT SPECIFIED', 'NS') AS o_orderpriority
+    FROM orders
+    """,
+)
+def q_attr_find_replace(sf_dir: str):
+    """find_replace_str_vec_lyr (vectorattrs:974): literal
+    all-occurrence replaces applied in dict order — the second pair
+    sees the first pair's output ('4-NOT SPECIFIED' -> '4_NS')."""
+    from rsgislib_ray.stages.vectorattrs import find_replace_str
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    return find_replace_str(
+        ds, ["o_orderpriority"], {"-": "_", "NOT SPECIFIED": "NS"}
+    )
+
+
+@register(
+    "attr_sort_rank",
+    """
+    SELECT c_custkey, c_acctbal,
+      ROW_NUMBER() OVER (ORDER BY
+        (2000000 - CAST(TRUNC(c_acctbal * 100e0) AS BIGINT)) * 10000
+        + c_custkey) AS row_rank
+    FROM customer
+    """,
+)
+def q_attr_sort_rank(sf_dir: str):
+    """sort_vec_lyr (vectorattrs:920) by (c_acctbal DESC, c_custkey
+    ASC) with the output order made hashable as a 1-based global rank:
+    the multi-key spec is encoded into one strict int64 composite
+    (trunc-cents identical float math both sides), range-partition
+    sorted, and ranked via the two-level block-offset scan."""
+    from rsgislib_ray.stages.vectorattrs import sort_with_rank
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"],
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy()
+        cents = np.trunc(bal * 100.0).astype(np.int64)
+        k = (2_000_000 - cents) * 10_000 + batch["c_custkey"].to_numpy()
+        return batch.append_column("sort_key", pa.array(k, pa.int64()))
+
+    ranked = sort_with_rank(
+        ds.map_batches(key, batch_format="pyarrow"), "sort_key"
+    )
+    return ranked.select_columns(["c_custkey", "c_acctbal", "row_rank"])
+
+
+@register(
+    "utils_str_panel",
+    """
+    SELECT o_orderkey,
+      lpad(CAST(o_orderkey % 1000 AS VARCHAR), 5, '0') AS zp,
+      lpad(CAST(CAST(TRUNC(o_totalprice * 100e0) AS BIGINT) AS VARCHAR),
+           10, '0') AS zp_gain,
+      printf('#%02x%02x%02x', CAST(o_orderkey * 7 AS INT) % 256,
+             CAST(o_orderkey * 13 AS INT) % 256,
+             CAST(o_orderkey * 31 AS INT) % 256) AS hex_col,
+      CAST((strpos('0123456789abcdef',
+            substr(printf('#%02x%02x%02x', CAST(o_orderkey * 7 AS INT) % 256,
+                   CAST(o_orderkey * 13 AS INT) % 256,
+                   CAST(o_orderkey * 31 AS INT) % 256), 2, 1)) - 1) * 16
+        + (strpos('0123456789abcdef',
+            substr(printf('#%02x%02x%02x', CAST(o_orderkey * 7 AS INT) % 256,
+                   CAST(o_orderkey * 13 AS INT) % 256,
+                   CAST(o_orderkey * 31 AS INT) % 256), 3, 1)) - 1)
+        AS BIGINT) AS r_back,
+      regexp_replace('x' || repeat('-', CAST(o_orderkey % 3 AS INT))
+        || 'y-' || repeat('-', CAST(o_orderkey % 2 AS INT)) || 'z',
+        '-{2,}', '-', 'g') AS rr,
+      (o_orderkey % 2) <> 0 AS odd
+    FROM orders
+    """,
+)
+def q_utils_str_panel(sf_dir: str):
+    """tools/utils string helpers as one vectorized panel:
+    zero_pad_num_str (:167, plain + integerise*gain=100 trunc — the
+    int() truncation is the same IEEE double multiply both sides),
+    rgb_to_hex (:601, printf %02x) with the hex_to_rgb (:571) parse
+    back via hex-digit position, remove_repeated_chars (:640 ==
+    collapse-consecutive regex), is_odd (:558)."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    hexd = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+    def f(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy()
+        price = batch["o_totalprice"].to_numpy()
+        n = len(key)
+        zp = pc.utf8_lpad(
+            pc.cast(pa.array(key % 1000), pa.string()), 5, "0"
+        )
+        cents = np.trunc(price * 100.0).astype(np.int64)
+        zp_gain = pc.utf8_lpad(pc.cast(pa.array(cents), pa.string()), 10, "0")
+        r = (key * 7 % 256).astype(np.uint8)
+        g = (key * 13 % 256).astype(np.uint8)
+        b = (key * 31 % 256).astype(np.uint8)
+        buf = np.empty((n, 7), dtype=np.uint8)
+        buf[:, 0] = ord("#")
+        for j, ch in enumerate((r, g, b)):
+            buf[:, 1 + 2 * j] = hexd[ch >> 4]
+            buf[:, 2 + 2 * j] = hexd[ch & 15]
+        hex_col = buf.view("S7").ravel().astype("U7")
+        # hex_to_rgb parse-back: digit positions of chars 1:3
+        back = np.zeros(256, dtype=np.int64)
+        back[hexd] = np.arange(16)
+        r_back = back[buf[:, 1]] * 16 + back[buf[:, 2]]
+        dash1 = np.array(["", "-", "--"], dtype=object)[key % 3]
+        dash2 = np.array(["", "-"], dtype=object)[key % 2]
+        rr_raw = pa.array(
+            np.char.add(
+                np.char.add(np.char.add("x", dash1.astype("U2")), "y-"),
+                np.char.add(dash2.astype("U1"), "z"),
+            ),
+            pa.string(),
+        )
+        rr = pc.replace_substring_regex(rr_raw, pattern="-{2,}",
+                                        replacement="-")
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "zp": zp,
+                "zp_gain": zp_gain,
+                "hex_col": pa.array(hex_col, pa.string()),
+                "r_back": pa.array(r_back, pa.int64()),
+                "rr": rr,
+                "odd": pa.array(key % 2 != 0),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "utils_date_panel",
+    """
+    SELECT o_orderkey,
+      CAST(date_diff('day', DATE '1992-01-01',
+                     CAST(o_orderdate AS DATE)) AS BIGINT) AS d_since,
+      CAST(date_diff('day', DATE '1992-01-01',
+             make_date(CAST(year(o_orderdate) AS INT), 1, 1))
+           + dayofyear(o_orderdate) - 1 AS BIGINT) AS d_since_doy,
+      CAST(day(last_day(CAST(o_orderdate AS DATE))) AS BIGINT)
+        AS month_end,
+      CAST(CASE WHEN ((o_custkey * 17) % 181) - 90 < 0 THEN
+        CASE WHEN month(o_orderdate) > 4 AND month(o_orderdate) < 11
+             THEN 2 ELSE 1 END
+      ELSE
+        CASE WHEN month(o_orderdate) > 3 AND month(o_orderdate) < 10
+             THEN 1 ELSE 2 END
+      END AS BIGINT) AS season
+    FROM orders
+    """,
+)
+def q_utils_date_panel(sf_dir: str):
+    """tools/utils date helpers, integer-exact: get_days_since_date
+    (:755, ordinal difference), get_days_since (:738, jan-1 ordinal +
+    doy - 1 — vectorized Gregorian leap-count formula), find_month_end
+    _date (:772), is_summer_winter (:858 with its literal hemisphere
+    month windows: NH summer = months 4-9, SH winter = months 5-10)
+    over a pseudo-latitude ((o_custkey*17) % 181) - 90."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    import datetime as _dt
+
+    base_days = (_dt.date(1992, 1, 1) - _dt.date(1970, 1, 1)).days
+
+    def jan1_days(y: np.ndarray) -> np.ndarray:
+        # epoch days of 1-Jan-y: 365*(y-1970) + leap years in [1970,y)
+        yy = y - 1
+        return (
+            365 * (y - 1970)
+            + (yy // 4 - 1969 // 4)
+            - (yy // 100 - 1969 // 100)
+            + (yy // 400 - 1969 // 400)
+        )
+
+    def f(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"]
+        micros = ts.cast(pa.int64()).to_numpy()
+        days = micros // 86_400_000_000
+        year = pc.year(ts).to_numpy().astype(np.int64)
+        month = pc.month(ts).to_numpy().astype(np.int64)
+        doy = pc.day_of_year(ts).to_numpy().astype(np.int64)
+        d_since = days - base_days
+        d_since_doy = jan1_days(year) - base_days + doy - 1
+        leap = ((year % 4 == 0) & (year % 100 != 0)) | (year % 400 == 0)
+        dim = np.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                       dtype=np.int64)
+        month_end = dim[month] + (leap & (month == 2))
+        lat = (batch["o_custkey"].to_numpy() * 17) % 181 - 90
+        sh = lat < 0
+        season = np.where(
+            sh,
+            np.where((month > 4) & (month < 11), 2, 1),
+            np.where((month > 3) & (month < 10), 1, 2),
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "d_since": pa.array(d_since, pa.int64()),
+                "d_since_doy": pa.array(d_since_doy, pa.int64()),
+                "month_end": pa.array(month_end, pa.int64()),
+                "season": pa.array(season.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
