@@ -19048,3 +19048,352 @@ def q_utils_date_panel(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ===========================================================================
+# Polygon-hole operators + layer predicates (stages/vectorgeoms.py —
+# reference vectorgeoms/__init__.py:2165,2041,1221,3416,3157,
+# 2670,2946,2737,2804,2875,3014). Polygons are long-form rect rings
+# (fid, ring_id, x0,y0,x1,y1), ring_id 0 = outer; the hole fixture
+# derives 0-2 interior rect holes per part zone with binary-fraction
+# coords so every shoelace product/sum is an exact double.
+# ===========================================================================
+
+_SQL_HOLE_RINGS = f"""
+    SELECT fid, CAST(0 AS BIGINT) AS ring_id,
+      xmin AS x0, ymin AS y0, xmax AS x1, ymax AS y1
+    FROM ({td.SQL_ZONES})
+    UNION ALL
+    SELECT z.fid, CAST(j.j + 1 AS BIGINT) AS ring_id,
+      z.xmin + 0.5 + 1.5 * j.j AS x0,
+      z.ymin + 0.5 AS y0,
+      (z.xmin + 0.5 + 1.5 * j.j)
+        + (0.25 + ((z.fid + j.j) % 4) * 0.25) AS x1,
+      (z.ymin + 0.5) + (0.25 + ((z.fid * 7 + j.j) % 4) * 0.25) AS y1
+    FROM ({td.SQL_ZONES}) z
+    JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) j(j)
+      ON j.j < z.fid % 3
+"""
+
+_SQL_RING_A = "(x1 - x0) * (y1 - y0)"
+_SQL_RING_SGN = (
+    f"CASE WHEN ring_id = 0 THEN {_SQL_RING_A} ELSE -({_SQL_RING_A}) END"
+)
+
+
+def _holes_rings_ds(sf_dir: str) -> ray.data.Dataset:
+    """Long-form rect-ring polygons with holes, derived from part
+    (outer ring = the zone rect; 0-2 interior holes per fid)."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).repartition(16)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy()
+        x0 = (k * 31 % 88).astype(np.float64)
+        x1 = x0 + 4 + (k % 9)
+        y0 = (k * 57 % 88).astype(np.float64)
+        y1 = y0 + 4 + (k * 3 % 9)
+        n_holes = (k % 3).astype(np.int64)
+        reps = 1 + n_holes
+        fid = np.repeat(k, reps)
+        # ring_id within each fid: 0, 1, ..., n_holes
+        rid = np.arange(reps.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        ox0 = np.repeat(x0, reps)
+        oy0 = np.repeat(y0, reps)
+        ox1 = np.repeat(x1, reps)
+        oy1 = np.repeat(y1, reps)
+        j = rid - 1  # hole index for rid >= 1
+        hx0 = ox0 + 0.5 + 1.5 * j
+        hy0 = oy0 + 0.5
+        hx1 = hx0 + (0.25 + ((fid + j) % 4) * 0.25)
+        hy1 = hy0 + (0.25 + ((fid * 7 + j) % 4) * 0.25)
+        is_outer = rid == 0
+        return pa.table(
+            {
+                "fid": pa.array(fid, pa.int64()),
+                "ring_id": pa.array(rid, pa.int64()),
+                "x0": np.where(is_outer, ox0, hx0),
+                "y0": np.where(is_outer, oy0, hy0),
+                "x1": np.where(is_outer, ox1, hx1),
+                "y1": np.where(is_outer, oy1, hy1),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+@register(
+    "poly_hole_areas",
+    f"""
+    WITH rings AS ({_SQL_HOLE_RINGS})
+    SELECT fid, ring_id, {_SQL_RING_A} AS hole_area
+    FROM rings WHERE ring_id > 0
+    """,
+)
+def q_poly_hole_areas(sf_dir: str):
+    """get_poly_hole_area (vectorgeoms:2165): the area of every
+    interior ring via the generic shoelace kernel — exactly the rect
+    closed form for binary-fraction coords."""
+    from rsgislib_ray.stages.vectorgeoms import hole_areas
+
+    return hole_areas(_holes_rings_ds(sf_dir))
+
+
+@register(
+    "poly_delete_holes",
+    f"""
+    WITH rings AS ({_SQL_HOLE_RINGS})
+    SELECT fid, ring_id, x0, y0, x1, y1 FROM rings
+    WHERE ring_id = 0 OR {_SQL_RING_A} > 0.3
+    """,
+)
+def q_poly_delete_holes(sf_dir: str):
+    """delete_polygon_holes with area_thres=0.3 (vectorgeoms:2041):
+    outer rings always survive; a hole survives iff its area is
+    STRICTLY greater than the threshold (hole areas are multiples of
+    1/16, so 0.3 is never hit)."""
+    from rsgislib_ray.stages.vectorgeoms import delete_polygon_holes
+
+    return delete_polygon_holes(_holes_rings_ds(sf_dir), area_thres=0.3)
+
+
+@register(
+    "poly_centroids",
+    f"""
+    WITH rings AS ({_SQL_HOLE_RINGS}),
+    s AS (
+      SELECT fid,
+        SUM({_SQL_RING_SGN}) AS wa,
+        SUM(({_SQL_RING_SGN}) * ((x0 + x1) / 2.0)) AS wx,
+        SUM(({_SQL_RING_SGN}) * ((y0 + y1) / 2.0)) AS wy
+      FROM rings GROUP BY fid)
+    SELECT fid, wx / wa AS cx, wy / wa AS cy FROM s
+    """,
+)
+def q_poly_centroids(sf_dir: str):
+    """calc_poly_centroids (vectorgeoms:1221): OGR Centroid() of a
+    polygon with holes = signed-area-weighted ring-centroid combine;
+    every weighted partial is an exact double so the grouped sums are
+    order-independent and the one float division per axis matches."""
+    from rsgislib_ray.stages.vectorgeoms import poly_centroids
+
+    return poly_centroids(_holes_rings_ds(sf_dir))
+
+
+@register(
+    "poly_rm_area",
+    f"""
+    WITH rings AS ({_SQL_HOLE_RINGS}),
+    s AS (SELECT fid, SUM({_SQL_RING_SGN}) AS area
+          FROM rings GROUP BY fid)
+    SELECT fid, area FROM s WHERE area > 60.3
+    """,
+)
+def q_poly_rm_area(sf_dir: str):
+    """rm_polys_area less_than=False (vectorgeoms:3416): geopandas
+    .area = outer minus holes; keep strictly-greater polygons."""
+    from rsgislib_ray.stages.vectorgeoms import rm_polys_area
+
+    return rm_polys_area(_holes_rings_ds(sf_dir), 60.3, less_than=False)
+
+
+@register(
+    "poly_shiftxy",
+    f"""
+    WITH rings AS ({_SQL_HOLE_RINGS})
+    SELECT fid, ring_id, x0 + 12.25 AS x0, y0 + (-7.5) AS y0,
+           x1 + 12.25 AS x1, y1 + (-7.5) AS y1
+    FROM rings
+    """,
+)
+def q_poly_shiftxy(sf_dir: str):
+    """shiftxy_vec_lyr (vectorgeoms:3157): exact translate of every
+    ring coordinate."""
+    from rsgislib_ray.stages.vectorgeoms import shiftxy
+
+    return shiftxy(_holes_rings_ds(sf_dir), 12.25, -7.5)
+
+
+_SQL_PRED_COMP = f"""
+    SELECT fid,
+      CASE CAST(fid % 5 AS INT)
+        WHEN 0 THEN xmin + (xmax - xmin)
+        WHEN 1 THEN xmin + (xmax - xmin) / 2.0
+        WHEN 2 THEN xmin + 0.25
+        WHEN 3 THEN xmin - 0.25
+        ELSE xmin END AS cx0,
+      CASE CAST(fid % 5 AS INT)
+        WHEN 0 THEN xmax + (xmax - xmin)
+        WHEN 1 THEN xmax + (xmax - xmin) / 2.0
+        WHEN 2 THEN xmax - 0.25
+        WHEN 3 THEN xmax + 0.25
+        ELSE xmax END AS cx1,
+      CASE CAST(fid % 5 AS INT)
+        WHEN 2 THEN ymin + 0.25 WHEN 3 THEN ymin - 0.25
+        ELSE ymin END AS cy0,
+      CASE CAST(fid % 5 AS INT)
+        WHEN 2 THEN ymax - 0.25 WHEN 3 THEN ymax + 0.25
+        ELSE ymax END AS cy1
+    FROM ({td.SQL_ZONES})
+"""
+
+
+def _pred_comp_bounds(sf_dir: str) -> np.ndarray:
+    """Comparison rect layer for the predicate panel: per fid mode
+    (fid % 5) — 0: shifted right by exactly its width (touches),
+    1: shifted by half its width (overlaps), 2: inset 0.25 (base
+    contains comp), 3: outset 0.25 (base within comp), 4: identical
+    copy (equals: within+contains, no touch/overlap)."""
+    z = td.zones_from_part(sf_dir)
+    x0 = z["xmin"].to_numpy()
+    x1 = z["xmax"].to_numpy()
+    y0 = z["ymin"].to_numpy()
+    y1 = z["ymax"].to_numpy()
+    fid = z["fid"].to_numpy()
+    w = x1 - x0
+    mode = fid % 5
+    cx0 = np.select(
+        [mode == 0, mode == 1, mode == 2, mode == 3],
+        [x0 + w, x0 + w / 2.0, x0 + 0.25, x0 - 0.25], default=x0,
+    )
+    cx1 = np.select(
+        [mode == 0, mode == 1, mode == 2, mode == 3],
+        [x1 + w, x1 + w / 2.0, x1 - 0.25, x1 + 0.25], default=x1,
+    )
+    cy0 = np.select([mode == 2, mode == 3], [y0 + 0.25, y0 - 0.25],
+                    default=y0)
+    cy1 = np.select([mode == 2, mode == 3], [y1 - 0.25, y1 + 0.25],
+                    default=y1)
+    return np.column_stack([cx0, cx1, cy0, cy1])
+
+
+@register(
+    "vec_predicates",
+    f"""
+    WITH z AS ({td.SQL_ZONES}), comp AS ({_SQL_PRED_COMP}),
+    pairs AS (
+      SELECT a.xmin AS ax0, a.xmax AS ax1, a.ymin AS ay0, a.ymax AS ay1,
+             c.cx0, c.cx1, c.cy0, c.cy1
+      FROM z a JOIN comp c
+        ON a.xmin <= c.cx1 AND c.cx0 <= a.xmax
+       AND a.ymin <= c.cy1 AND c.cy0 <= a.ymax),
+    f AS (
+      SELECT *,
+        (ax0 < cx1 AND cx0 < ax1 AND ay0 < cy1 AND cy0 < ay1)
+          AS interiors,
+        (ax0 >= cx0 AND ax1 <= cx1 AND ay0 >= cy0 AND ay1 <= cy1)
+          AS within,
+        (cx0 >= ax0 AND cx1 <= ax1 AND cy0 >= ay0 AND cy1 <= ay1)
+          AS contains
+      FROM pairs)
+    SELECT COUNT(*) AS n_intersects,
+      COUNT(*) FILTER (NOT interiors) AS n_touches,
+      COUNT(*) FILTER (interiors AND NOT within AND NOT contains)
+        AS n_overlaps,
+      COUNT(*) FILTER (within) AS n_within,
+      COUNT(*) FILTER (contains) AS n_contains,
+      COUNT(*) > 0 AS any_intersects,
+      COUNT(*) FILTER (NOT interiors) > 0 AS any_touches,
+      COUNT(*) FILTER (interiors AND NOT within AND NOT contains) > 0
+        AS any_overlaps,
+      COUNT(*) FILTER (within) > 0 AS any_within,
+      COUNT(*) FILTER (contains) > 0 AS any_contains
+    FROM f
+    """,
+)
+def q_vec_predicates(sf_dir: str):
+    """vec_intersects/touches/overlaps/within/contains_vec
+    (vectorgeoms:2670,2946,2737,2804,2875): ANY-pair layer booleans
+    computed through distributed exact pair counting (count > 0 ==
+    the reference's first-hit break) over the rect DE-9IM conditions;
+    comp layer engineered so each predicate has known witnesses."""
+    from rsgislib_ray.stages.vectorgeoms import rect_layer_predicates
+
+    base = td.zones_dataset(sf_dir)
+
+    def as_rings(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x0": batch["xmin"],
+                "y0": batch["ymin"],
+                "x1": batch["xmax"],
+                "y1": batch["ymax"],
+            }
+        )
+
+    return rect_layer_predicates(
+        base.map_batches(as_rings, batch_format="pyarrow"),
+        _pred_comp_bounds(sf_dir),
+    )
+
+
+@register(
+    "line_cross_count",
+    f"""
+    WITH z AS ({td.SQL_ZONES}),
+    l AS (
+      SELECT CAST((o_orderkey * 13) % 95 AS DOUBLE) AS px,
+             CAST((o_orderkey * 29) % 95 AS DOUBLE) AS py,
+             CAST(3 + o_orderkey % 4 AS DOUBLE) AS dx,
+             CAST(2 + o_orderkey % 3 AS DOUBLE) AS dy
+      FROM orders),
+    cand AS (
+      SELECT l.px, l.py, l.dx, l.dy,
+             z.xmin, z.xmax, z.ymin, z.ymax
+      FROM l JOIN z
+        ON l.px <= z.xmax AND l.px + l.dx >= z.xmin
+       AND l.py <= z.ymax AND l.py + l.dy >= z.ymin),
+    t AS (
+      SELECT *,
+        GREATEST(GREATEST((xmin - px) / dx, (ymin - py) / dy), 0.0) AS t0,
+        LEAST(LEAST((xmax - px) / dx, (ymax - py) / dy), 1.0) AS t1
+      FROM cand),
+    m AS (
+      SELECT *, px + ((t0 + t1) / 2.0) * dx AS mx,
+                py + ((t0 + t1) / 2.0) * dy AS my
+      FROM t)
+    SELECT COUNT(*) FILTER (
+        t1 > t0 AND mx > xmin AND mx < xmax AND my > ymin AND my < ymax
+        AND (t0 > 0.0 OR t1 < 1.0)) AS n_crosses,
+      COUNT(*) FILTER (
+        t1 > t0 AND mx > xmin AND mx < xmax AND my > ymin AND my < ymax
+        AND (t0 > 0.0 OR t1 < 1.0)) > 0 AS any_crosses
+    FROM m
+    """,
+)
+def q_line_cross_count(sf_dir: str):
+    """vec_crosses_vec (vectorgeoms:3014) line-vs-polygon: Crosses ==
+    line interior meets rect interior AND the line escapes the closed
+    rect. Float Liang-Barsky with identical expression shapes both
+    sides (exact-int inputs -> IEEE-identical divisions); fixture
+    guarantees dx,dy > 0 so the div-by-zero branch never runs."""
+    from rsgislib_ray.stages.vectorgeoms import line_rect_crosses
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).repartition(16)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        px = (k * 13 % 95).astype(np.float64)
+        py = (k * 29 % 95).astype(np.float64)
+        return pa.table(
+            {
+                "px": px,
+                "py": py,
+                "qx": px + (3 + k % 4),
+                "qy": py + (2 + k % 3),
+            }
+        )
+
+    z = td.zones_from_part(sf_dir)
+    rects = np.column_stack(
+        [z["xmin"].to_numpy(), z["xmax"].to_numpy(),
+         z["ymin"].to_numpy(), z["ymax"].to_numpy()]
+    )
+    return line_rect_crosses(
+        ds.map_batches(derive, batch_format="pyarrow"), rects
+    )
