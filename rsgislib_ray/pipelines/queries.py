@@ -19397,3 +19397,226 @@ def q_line_cross_count(sf_dir: str):
     return line_rect_crosses(
         ds.map_batches(derive, batch_format="pyarrow"), rects
     )
+
+
+# ===========================================================================
+# vectorutils attribute subset / drop / dedup / deterministic sampling
+# (stages/subset.py — reference vectorutils/__init__.py:2688,2755,
+# 2794,3666,3365,3758). RNG draws replaced by the splitmix64 rank
+# schedule (repo convention), mirrored bit-exactly by _sm64_chain.
+# ===========================================================================
+
+
+@register(
+    "subset_by_attr_multi",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority LIKE '%HIGH%'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority LIKE '%2-%'
+    """,
+)
+def q_subset_by_attr_multi(sf_dir: str):
+    """subset_by_attribute contains-mode (vectorutils:2688): one
+    selection per value concatenated in list order — '2-HIGH' rows
+    match BOTH values and appear twice (the reference's pandas.concat
+    multiset, pinned by UNION ALL)."""
+    from rsgislib_ray.stages.subset import subset_by_attribute
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    return subset_by_attribute(
+        ds, "o_orderpriority", ["HIGH", "2-"], match_type="contains"
+    )
+
+
+@register(
+    "select_str_search",
+    "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE '%0005%'",
+)
+def q_select_str_search(sf_dir: str):
+    """select_feats_str_search (vectorutils:2755): fillna('') +
+    case-sensitive substring containment."""
+    from rsgislib_ray.stages.subset import select_feats_str_search
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return select_feats_str_search(ds, "c_name", "0005")
+
+
+@register(
+    "drop_rows_by_attr",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority NOT IN ('3-MEDIUM', '5-LOW')
+    """,
+)
+def q_drop_rows_by_attr(sf_dir: str):
+    """drop_rows_by_attribute (vectorutils:2794): drop rows equal to
+    any listed value."""
+    from rsgislib_ray.stages.subset import drop_rows_by_attribute
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    return drop_rows_by_attribute(
+        ds, "o_orderpriority", ["3-MEDIUM", "5-LOW"]
+    )
+
+
+@register(
+    "attr_dedup_first",
+    """
+    SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey) = 1
+    """,
+)
+def q_attr_dedup_first(sf_dir: str):
+    """rm_attrib_duplicates keep='First' (vectorutils:3666) on the
+    multi-column key (nationkey, mktsegment): distributed first-wins
+    via (hash, min_order) partials + segment-sum winners."""
+    from rsgislib_ray.stages.subset import rm_attrib_duplicates
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    return rm_attrib_duplicates(
+        ds, ["c_nationkey", "c_mktsegment"], "c_custkey", "First"
+    )
+
+
+@register(
+    "attr_dedup_last",
+    """
+    SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey DESC) = 1
+    """,
+)
+def q_attr_dedup_last(sf_dir: str):
+    """rm_attrib_duplicates keep='Last' (vectorutils:3666): the same
+    winner machinery over the negated order key."""
+    from rsgislib_ray.stages.subset import rm_attrib_duplicates
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    return rm_attrib_duplicates(
+        ds, ["c_nationkey", "c_mktsegment"], "c_custkey", "Last"
+    )
+
+
+@register(
+    "attr_dedup_removeall",
+    """
+    WITH src AS (
+      SELECT c_custkey,
+        ((CAST(TRUNC(c_acctbal * 100e0) AS BIGINT) % 997) + 997) % 997
+          AS k2
+      FROM customer)
+    SELECT c_custkey, k2 FROM src
+    QUALIFY COUNT(*) OVER (PARTITION BY k2) = 1
+    """,
+)
+def q_attr_dedup_removeall(sf_dir: str):
+    """rm_attrib_duplicates keep='RemoveAll' (vectorutils:3666 —
+    pandas drop_duplicates(keep=False)): only singleton groups
+    survive; dup hashes (count >= 2) are the broadcast small side.
+    The bucketing key uses the floored-mod form on both sides (DuckDB
+    % truncates toward zero, numpy floors — round-3 gotcha)."""
+    from rsgislib_ray.stages.subset import rm_attrib_duplicates
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        cents = np.trunc(batch["c_acctbal"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "k2": pa.array(((cents % 997) + 997) % 997, pa.int64()),
+            }
+        )
+
+    return rm_attrib_duplicates(
+        ds.map_batches(key, batch_format="pyarrow"),
+        ["k2"], "c_custkey", "RemoveAll",
+    )
+
+
+_SQL_TTV = (
+    "WITH ex AS (SELECT c_custkey AS id, CAST(c_custkey AS UBIGINT) AS x"
+    " FROM customer), "
+    + _sm64_chain("id", "ex", "s")
+    + """,
+    r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY z, id) AS rn,
+          COUNT(*) OVER () AS n FROM s6)
+    SELECT id AS c_custkey,
+      rn <= CAST(TRUNC(n * 0.2e0) AS BIGINT) AS is_test,
+      (rn > CAST(TRUNC(n * 0.2e0) AS BIGINT)
+       AND rn <= CAST(TRUNC(n * 0.2e0) AS BIGINT)
+             + CAST(TRUNC(n * 0.2e0) AS BIGINT)) AS is_valid,
+      NOT (rn > CAST(TRUNC(n * 0.2e0) AS BIGINT)
+       AND rn <= CAST(TRUNC(n * 0.2e0) AS BIGINT)
+             + CAST(TRUNC(n * 0.2e0) AS BIGINT)) AS is_train
+    FROM r
+    """
+)
+
+
+@register("train_test_valid_split", _SQL_TTV)
+def q_train_test_valid_split(sf_dir: str):
+    """create_train_test_valid_smpls (vectorutils:3365): exact counts
+    int(n*prop); the pandas RNG replaced by ascending (splitmix64(id),
+    id) rank; the reference's literal index arithmetic pinned — train
+    = full.drop(valid.index), so TEST ROWS STAY IN TRAIN.  Exact-count
+    selection via the two-level rank-threshold machinery (no global
+    sort)."""
+    from rsgislib_ray.stages.subset import train_test_valid_split_exact
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).repartition(8)
+    return train_test_valid_split_exact(ds, "c_custkey", 0.2, 0.2)
+
+
+_SQL_NSUBS = (
+    "WITH ex AS (SELECT c_custkey AS id, j.j AS sub,"
+    " CAST(c_custkey * 4 + j.j AS UBIGINT) AS x FROM customer"
+    " CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) j(j)), "
+    + _sm64_chain("id, sub", "ex", "s")
+    + """,
+    r AS (SELECT sub, id,
+          ROW_NUMBER() OVER (PARTITION BY sub ORDER BY z, id) AS rn,
+          COUNT(*) OVER (PARTITION BY sub) AS n FROM s6)
+    SELECT sub AS subset, id FROM r
+    WHERE rn <= CAST(ROUND(0.5e0 * n) AS BIGINT)
+    """
+)
+
+
+@register("random_subsets", _SQL_NSUBS)
+def q_random_subsets(sf_dir: str):
+    """create_n_random_subsets frac=0.5 without replacement
+    (vectorutils:3758): subset i keeps the round(frac*n) smallest rows
+    by (splitmix64(id*4 + i), id) — one indexed deterministic stream
+    per subset (the reference with a fixed seed would emit identical
+    subsets; the indexed stream keeps them distinct, documented).
+    Exact per-subset counts via group_rank_thresholds."""
+    from rsgislib_ray.stages.subset import n_random_subsets
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).repartition(8)
+    return n_random_subsets(ds, "c_custkey", n_subs=4, smpl_frac=0.5)
