@@ -19620,3 +19620,229 @@ def q_random_subsets(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).repartition(8)
     return n_random_subsets(ds, "c_custkey", n_subs=4, smpl_frac=0.5)
+
+
+# ===========================================================================
+# tools/geometrytools bbox utilities (functions/bboxtools.py —
+# geometrytools.py:87,112,137,151,174,231,250,280,301,360,416,570,
+# 650,670): vectorized scalar helpers over derived bbox pairs with
+# binary-fraction coords (FLOOR/CEIL of the exact quotients agree
+# bitwise between numpy and DuckDB).
+# ===========================================================================
+
+_SQL_BBOX_PAIRS = """
+    SELECT p_partkey AS fid,
+      CAST((p_partkey * 31) % 88 AS DOUBLE)
+        + 0.25 * (p_partkey % 3) AS ax0,
+      CAST((p_partkey * 31) % 88 AS DOUBLE) + 0.25 * (p_partkey % 3)
+        + 4 + (p_partkey % 9) + 0.25 * ((p_partkey * 5) % 3) AS ax1,
+      CAST((p_partkey * 57) % 88 AS DOUBLE)
+        + 0.25 * ((p_partkey * 7) % 3) AS ay0,
+      CAST((p_partkey * 57) % 88 AS DOUBLE) + 0.25 * ((p_partkey * 7) % 3)
+        + 4 + ((p_partkey * 3) % 9) + 0.25 * ((p_partkey * 11) % 3) AS ay1,
+      CAST((p_partkey * 43) % 80 AS DOUBLE)
+        + 0.5 * (p_partkey % 2) AS bx0,
+      CAST((p_partkey * 43) % 80 AS DOUBLE) + 0.5 * (p_partkey % 2)
+        + 3 + (p_partkey % 7) AS bx1,
+      CAST((p_partkey * 71) % 80 AS DOUBLE) AS by0,
+      CAST((p_partkey * 71) % 80 AS DOUBLE)
+        + 3 + ((p_partkey * 5) % 7) AS by1
+    FROM part
+"""
+
+
+def _bbox_pairs_ds(sf_dir: str) -> ray.data.Dataset:
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).repartition(16)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy()
+        ax0 = (k * 31 % 88).astype(np.float64) + 0.25 * (k % 3)
+        ax1 = ax0 + 4 + (k % 9) + 0.25 * ((k * 5) % 3)
+        ay0 = (k * 57 % 88).astype(np.float64) + 0.25 * ((k * 7) % 3)
+        ay1 = ay0 + 4 + (k * 3 % 9) + 0.25 * ((k * 11) % 3)
+        bx0 = (k * 43 % 80).astype(np.float64) + 0.5 * (k % 2)
+        bx1 = bx0 + 3 + (k % 7)
+        by0 = (k * 71 % 80).astype(np.float64)
+        by1 = by0 + 3 + ((k * 5) % 7)
+        return pa.table(
+            {"fid": pa.array(k, pa.int64()), "ax0": ax0, "ax1": ax1,
+             "ay0": ay0, "ay1": ay1, "bx0": bx0, "bx1": bx1,
+             "by0": by0, "by1": by1}
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+@register(
+    "bbox_pair_panel",
+    f"""
+    WITH p AS ({_SQL_BBOX_PAIRS})
+    SELECT fid,
+      (ax1 > bx0 AND bx1 > ax0 AND ay1 > by0 AND by1 > ay0) AS inter,
+      (ax0 <= bx0 AND ax1 >= bx1 AND ay0 <= by0 AND ay1 >= by1)
+        AS contains_ab,
+      (ax0 = bx0 AND ax1 = bx1 AND ay0 = by0 AND ay1 = by1) AS eq,
+      (ax1 - ax0) * (ay1 - ay0) AS area_a,
+      (bx1 - bx0) * (by1 - by0) AS area_b,
+      ax0 - 1.25 AS bfx0, ax1 + 1.25 AS bfx1,
+      ay0 - 1.25 AS bfy0, ay1 + 1.25 AS bfy1,
+      LEAST(ax0, bx0) AS ux0, GREATEST(ax1, bx1) AS ux1,
+      LEAST(ay0, by0) AS uy0, GREATEST(ay1, by1) AS uy1,
+      ax0 + (ax1 - ax0) / 2.0 AS cx, ay0 + (ay1 - ay0) / 2.0 AS cy,
+      (ax0 + (ax1 - ax0) / 2.0 >= bx0 AND ax0 + (ax1 - ax0) / 2.0 <= bx1
+       AND ay0 + (ay1 - ay0) / 2.0 >= by0
+       AND ay0 + (ay1 - ay0) / 2.0 <= by1) AS centre_in_b
+    FROM p
+    """,
+)
+def q_bbox_pair_panel(sf_dir: str):
+    """tools/geometrytools scalar bbox helpers vectorized over derived
+    pairs: do_bboxes_intersect (:87, STRICT >), does_bbox_contain
+    (:112), bbox_equal (:151), calc_bbox_area (:137), buffer_bbox
+    (:231, buf=1.25), find_bbox_union (:250, pairwise), get_bbox_
+    centre_pt (:570, min + (max-min)/2), pt_in_bbox (:650, closed)."""
+    from rsgislib_ray.functions import bboxtools as bt
+
+    def f(batch: pa.Table) -> pa.Table:
+        a = tuple(batch[c].to_numpy() for c in ("ax0", "ax1", "ay0", "ay1"))
+        b = tuple(batch[c].to_numpy() for c in ("bx0", "bx1", "by0", "by1"))
+        bf = bt.buffer_bbox(a, 1.25)
+        u = bt.bbox_union_pair(a, b)
+        cx, cy = bt.bbox_centre(a)
+        return pa.table(
+            {
+                "fid": batch["fid"],
+                "inter": pa.array(bt.bboxes_intersect(a, b)),
+                "contains_ab": pa.array(bt.bbox_contains(a, b)),
+                "eq": pa.array(bt.bbox_equal(a, b)),
+                "area_a": pa.array(bt.bbox_area(a)),
+                "area_b": pa.array(bt.bbox_area(b)),
+                "bfx0": bf[0], "bfx1": bf[1], "bfy0": bf[2], "bfy1": bf[3],
+                "ux0": u[0], "ux1": u[1], "uy0": u[2], "uy1": u[3],
+                "cx": cx, "cy": cy,
+                "centre_in_b": pa.array(bt.pt_in_bbox(cx, cy, b)),
+            }
+        )
+
+    return _bbox_pairs_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "bbox_grid_panel",
+    f"""
+    WITH p AS ({_SQL_BBOX_PAIRS}),
+    g AS (SELECT *, (fid % 2) = 0 AS fc,
+      FLOOR(ax0) + FLOOR((ax0 - FLOOR(ax0)) / 0.5e0) * 0.5e0 AS gx0,
+      CEIL(ay1) - FLOOR((CEIL(ay1) - ay1) / 0.5e0) * 0.5e0 AS gy1,
+      FLOOR(ax0 / 2.0e0) * 2.0e0 AS wx0,
+      FLOOR(ay0 / 2.0e0) * 2.0e0 AS wy0
+      FROM p),
+    g2 AS (SELECT *,
+      gx0 + (CASE WHEN fc THEN CEIL((ax1 - gx0) / 0.5e0)
+             ELSE FLOOR((ax1 - gx0) / 0.5e0) END) * 0.5e0 AS gx1,
+      gy1 - (CASE WHEN fc THEN CEIL(ABS(gy1 - ay0) / 0.5e0)
+             ELSE FLOOR(ABS(gy1 - ay0) / 0.5e0) END) * 0.5e0 AS gy0,
+      wx0 + (CASE WHEN fc THEN CEIL((ax1 - wx0) / 2.0e0)
+             ELSE FLOOR((ax1 - wx0) / 2.0e0) END) * 2.0e0 AS wx1,
+      wy0 + (CASE WHEN fc THEN CEIL(ABS(ay1 - wy0) / 2.0e0)
+             ELSE FLOOR(ABS(ay1 - wy0) / 2.0e0) END) * 2.0e0 AS wy1,
+      CASE WHEN bx0 > ax0 THEN ax0
+        + (CASE WHEN fc THEN FLOOR((bx0 - ax0) / 0.5e0)
+           ELSE CEIL((bx0 - ax0) / 0.5e0) END) * 0.5e0 ELSE ax0 END AS ex0,
+      CASE WHEN bx1 < ax1 THEN ax1
+        - (CASE WHEN fc THEN FLOOR((ax1 - bx1) / 0.5e0)
+           ELSE CEIL((ax1 - bx1) / 0.5e0) END) * 0.5e0 ELSE ax1 END AS ex1,
+      CASE WHEN by0 > ay0 THEN ay0
+        + (CASE WHEN fc THEN FLOOR(ABS(by0 - ay0) / 0.5e0)
+           ELSE CEIL(ABS(by0 - ay0) / 0.5e0) END) * 0.5e0 ELSE ay0 END AS ey0,
+      CASE WHEN by1 < ay1 THEN ay1
+        - (CASE WHEN fc THEN FLOOR(ABS(ay1 - by1) / 0.5e0)
+           ELSE CEIL(ABS(ay1 - by1) / 0.5e0) END) * 0.5e0 ELSE ay1 END AS ey1,
+      ax0 + CEIL((ax0 + (ax1 - ax0) / 2.0 - ax0) / 0.5e0) * 0.5e0 AS snx,
+      ay1 - CEIL((ay1 - (ay0 + (ay1 - ay0) / 2.0)) / 0.5e0) * 0.5e0 AS sny
+      FROM g)
+    SELECT fid, gx0, gx1, gy0, gy1, wx0, wx1, wy0, wy1,
+           ex0, ex1, ey0, ey1, snx, sny
+    FROM g2
+    """,
+)
+def q_bbox_grid_panel(sf_dir: str):
+    """Grid-snapping bbox helpers: find_extent_on_grid
+    (geometrytools:360, grid 0.5), find_extent_on_whole_num_grid
+    (:416, grid 2.0), find_common_extent_on_grid (:301, grid 0.5 vs
+    the b bbox), find_point_on_whole_num_grid (:670, the a-centre
+    snapped at 0.5) — full_contain alternates by fid parity, every
+    FLOOR/CEIL bitwise-shared."""
+    from rsgislib_ray.functions import bboxtools as bt
+
+    def f(batch: pa.Table) -> pa.Table:
+        a = tuple(batch[c].to_numpy() for c in ("ax0", "ax1", "ay0", "ay1"))
+        b = tuple(batch[c].to_numpy() for c in ("bx0", "bx1", "by0", "by1"))
+        fid = batch["fid"].to_numpy()
+        fc = (fid % 2) == 0
+        g = bt.find_extent_on_grid(a, 0.5, fc)
+        w = bt.find_extent_on_whole_num_grid(a, 2.0, fc)
+        e = bt.find_common_extent_on_grid(a, 0.5, b, fc)
+        cx, cy = bt.bbox_centre(a)
+        snx, sny = bt.find_point_on_whole_num_grid(cx, cy, a, 0.5, 0.5)
+        return pa.table(
+            {
+                "fid": batch["fid"],
+                "gx0": g[0], "gx1": g[1], "gy0": g[2], "gy1": g[3],
+                "wx0": w[0], "wx1": w[1], "wy0": w[2], "wy1": w[3],
+                "ex0": e[0], "ex1": e[1], "ey0": e[2], "ey1": e[3],
+                "snx": snx, "sny": sny,
+            }
+        )
+
+    return _bbox_pairs_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+@register(
+    "bbox_unwrap",
+    """
+    WITH src AS (
+      SELECT p_partkey AS fid,
+        CAST((p_partkey * 37) % 360 AS DOUBLE) - 180 AS lx0,
+        CAST((p_partkey * 53) % 360 AS DOUBLE) - 180 AS lx1,
+        CAST((p_partkey * 19) % 170 AS DOUBLE) - 85 AS ly0,
+        CAST((p_partkey * 19) % 170 AS DOUBLE) - 85 + 5 AS ly1
+      FROM part)
+    SELECT fid, CAST(0 AS BIGINT) AS part,
+      CASE WHEN lx1 < lx0 THEN -180.0 ELSE lx0 END AS x0,
+      lx1 AS x1, ly0 AS y0, ly1 AS y1
+    FROM src
+    UNION ALL
+    SELECT fid, CAST(1 AS BIGINT) AS part, lx0 AS x0, 180.0 AS x1,
+      ly0 AS y0, ly1 AS y1
+    FROM src WHERE lx1 < lx0
+    """,
+)
+def q_bbox_unwrap(sf_dir: str):
+    """unwrap_wgs84_bbox (geometrytools:280): a bbox whose xMax < xMin
+    wraps the antimeridian and splits into (-180, xMax) + (xMin, 180);
+    long-form (fid, part) rows."""
+    from rsgislib_ray.functions.bboxtools import unwrap_wgs84_bbox
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).repartition(16)
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy()
+        lx0 = (k * 37 % 360).astype(np.float64) - 180
+        lx1 = (k * 53 % 360).astype(np.float64) - 180
+        ly0 = (k * 19 % 170).astype(np.float64) - 85
+        ly1 = ly0 + 5
+        idx, part, x0, x1, y0, y1 = unwrap_wgs84_bbox((lx0, lx1, ly0, ly1))
+        return pa.table(
+            {
+                "fid": pa.array(k[idx], pa.int64()),
+                "part": pa.array(part, pa.int64()),
+                "x0": x0, "x1": x1, "y0": y0, "y1": y1,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
