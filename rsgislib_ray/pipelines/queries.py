@@ -19846,3 +19846,231 @@ def q_bbox_unwrap(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ===========================================================================
+# Band-stack gap utilities (stages/bandfill.py — reference
+# imageutils/__init__.py:4914 mask_outliners_data_values + :5015
+# polyfill_nan_data_values). Shared 9-band pixel fixture over
+# lineitem with deterministic NaN plants; the oracles replay the
+# engine's numpy-linear-quantile branchy lerp and the
+# exact-int-moment + fixed-order-Cholesky + Horner fill chain.
+# ===========================================================================
+
+_BF_X = [1, 2, 4, 5, 7, 9, 11, 12, 14]   # band positions (exact ints)
+_BF_NB = 9
+_BF_MAD = 6.25                            # binary-fraction clamp
+
+
+def _bf_mk(batch: pa.Table) -> pa.Table:
+    pix = (
+        batch["l_orderkey"].to_numpy() * 10
+        + batch["l_linenumber"].to_numpy().astype(np.int64)
+    )
+    cols = {
+        "pix": pix,
+        "m": np.where(pix % 13 == 0, 0, 1).astype(np.int64),
+    }
+    for b in range(_BF_NB):
+        y = ((pix % 50) + 3 * b + (pix * (b + 1)) % 7).astype(np.float64)
+        plant = (
+            ((pix % 3 == 0) & (pix % 9 == b))
+            | ((pix % 4 == 0) & ((pix * 5 + 2) % 9 == b))
+            | ((pix % 101 == 0) & (b <= 5))
+        )
+        y[plant] = np.nan
+        cols[f"y{b}"] = y
+    return pa.table(cols)
+
+
+def _bf_src(sf_dir: str):
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+    return ds.map_batches(_bf_mk, batch_format="pyarrow",
+                          batch_size=65536)
+
+
+def _sql_bf_src() -> str:
+    ys = ", ".join(
+        f"CASE WHEN (pix % 3 = 0 AND pix % 9 = {b})"
+        f" OR (pix % 4 = 0 AND (pix * 5 + 2) % 9 = {b})"
+        f" OR (pix % 101 = 0 AND {b} <= 5) THEN NULL"
+        f" ELSE (pix % 50) + 3 * {b} + (pix * {b + 1}) % 7 END AS y{b}"
+        for b in range(_BF_NB)
+    )
+    return (
+        "src AS (SELECT pix, CASE WHEN pix % 13 = 0 THEN 0 ELSE 1 END"
+        " AS m, " + ys +
+        " FROM (SELECT l_orderkey * 10 + l_linenumber AS pix"
+        " FROM lineitem))"
+    )
+
+
+def _sql_mask_outliers_bands() -> str:
+    ylist = ", ".join(f"y{b}" for b in range(_BF_NB))
+    outs = ", ".join(
+        f"CASE WHEN m = 0 THEN -99.0e0 WHEN y{b} IS NULL THEN NULL"
+        f" WHEN CAST(y{b} AS DOUBLE) < p_lo"
+        f" OR CAST(y{b} AS DOUBLE) > p_hi THEN NULL"
+        f" ELSE CAST(y{b} AS DOUBLE) END AS out_y{b}"
+        for b in range(_BF_NB)
+    )
+    return (
+        f"WITH {_sql_bf_src()}, "
+        f"fin AS (SELECT *, list_sort(list_filter([{ylist}],"
+        " v -> v IS NOT NULL)) AS arr FROM src), "
+        "cnt AS (SELECT *, GREATEST(len(arr), 1) AS n_f FROM fin), "
+        f"qa AS (SELECT *, {_dlit(0.1)} * CAST(n_f - 1 AS DOUBLE)"
+        f" AS vlo, {_dlit(0.9)} * CAST(n_f - 1 AS DOUBLE) AS vhi"
+        " FROM cnt), "
+        "qb AS (SELECT *, FLOOR(vlo) AS ilo, FLOOR(vhi) AS ihi"
+        " FROM qa), "
+        "qc AS (SELECT *, "
+        "CAST(arr[CAST(ilo AS BIGINT) + 1] AS DOUBLE) AS a_lo, "
+        "CAST(arr[LEAST(CAST(ilo AS BIGINT) + 2, n_f)] AS DOUBLE)"
+        " AS b_lo, vlo - ilo AS t_lo, "
+        "CAST(arr[CAST(ihi AS BIGINT) + 1] AS DOUBLE) AS a_hi, "
+        "CAST(arr[LEAST(CAST(ihi AS BIGINT) + 2, n_f)] AS DOUBLE)"
+        " AS b_hi, vhi - ihi AS t_hi FROM qb), "
+        "qd AS (SELECT *, "
+        "CASE WHEN t_lo >= 0.5e0 THEN b_lo - (b_lo - a_lo)"
+        " * (1.0e0 - t_lo) ELSE a_lo + (b_lo - a_lo) * t_lo END"
+        " AS p_lo, "
+        "CASE WHEN t_hi >= 0.5e0 THEN b_hi - (b_hi - a_hi)"
+        " * (1.0e0 - t_hi) ELSE a_hi + (b_hi - a_hi) * t_hi END"
+        " AS p_hi FROM qc) "
+        f"SELECT pix, {outs} FROM qd ORDER BY pix"
+    )
+
+
+@register("mask_outliers_bands", _sql_mask_outliers_bands())
+def q_mask_outliers_bands(sf_dir: str):
+    """mask_outliners_data_values (imageutils:4914): per-pixel
+    [10th, 90th] nanpercentile clip along the band axis; clipped and
+    missing cells NULL, invalid-mask pixels nodata. The quantile is
+    the engine's pinned numpy-1.26 linear method (branchy lerp),
+    replayed by the oracle over the sorted finite list."""
+    from rsgislib_ray.stages.bandfill import mask_outlier_values
+
+    out = mask_outlier_values(
+        _bf_src(sf_dir),
+        [f"y{b}" for b in range(_BF_NB)],
+        lower=10.0, upper=90.0,
+        mask_col="m", mask_val=1, key_col="pix",
+    )
+    return out.sort("pix")
+
+
+def _sql_polyfill_bands() -> str:
+    k = 4
+    P = [[xb ** i for i in range(2 * k - 1)] for xb in _BF_X]
+    nf = " + ".join(
+        f"(CASE WHEN y{b} IS NULL THEN 0 ELSE 1 END)"
+        for b in range(_BF_NB)
+    )
+    moms = []
+    for i in range(k):
+        for j in range(i, k):
+            terms = " + ".join(
+                f"CASE WHEN y{b} IS NOT NULL THEN {P[b][i] * P[b][j]}"
+                " ELSE 0 END"
+                for b in range(_BF_NB)
+            )
+            moms.append(
+                f"CASE WHEN fit THEN CAST({terms} AS BIGINT)"
+                f" ELSE {1 if i == j else 0} END AS g{i}{j}"
+            )
+    for i in range(k):
+        terms = " + ".join(
+            f"CASE WHEN y{b} IS NOT NULL THEN {P[b][i]} * y{b}"
+            " ELSE 0 END"
+            for b in range(_BF_NB)
+        )
+        moms.append(
+            f"CASE WHEN fit THEN CAST({terms} AS BIGINT) ELSE 0 END"
+            f" AS xy{i}"
+        )
+    ysum = " + ".join(
+        f"CASE WHEN y{b} IS NOT NULL THEN y{b} ELSE 0 END"
+        for b in range(_BF_NB)
+    )
+
+    def g(i: int, j: int) -> str:
+        a, b = (i, j) if i <= j else (j, i)
+        return f"CAST(g{a}{b} AS DOUBLE)"
+
+    def xb(i: int) -> str:
+        return f"CAST(xy{i} AS DOUBLE)"
+
+    chol = f"""
+    f1 AS (SELECT *, SQRT({g(0, 0)}) AS l00 FROM mm),
+    f2 AS (SELECT *, {g(1, 0)} / l00 AS l10, {g(2, 0)} / l00 AS l20,
+                  {g(3, 0)} / l00 AS l30 FROM f1),
+    f3 AS (SELECT *, SQRT({g(1, 1)} - l10 * l10) AS l11 FROM f2),
+    f4 AS (SELECT *, ({g(2, 1)} - l20 * l10) / l11 AS l21,
+                  ({g(3, 1)} - l30 * l10) / l11 AS l31 FROM f3),
+    f5 AS (SELECT *, SQRT(({g(2, 2)} - l20 * l20) - l21 * l21) AS l22
+           FROM f4),
+    f6 AS (SELECT *, (({g(3, 2)} - l30 * l20) - l31 * l21) / l22
+           AS l32 FROM f5),
+    f7 AS (SELECT *, SQRT((({g(3, 3)} - l30 * l30) - l31 * l31)
+                          - l32 * l32) AS l33 FROM f6),
+    f8 AS (SELECT *, {xb(0)} / l00 AS z0 FROM f7),
+    f9 AS (SELECT *, ({xb(1)} - l10 * z0) / l11 AS z1 FROM f8),
+    fa AS (SELECT *, (({xb(2)} - l20 * z0) - l21 * z1) / l22 AS z2
+           FROM f9),
+    fb AS (SELECT *, ((({xb(3)} - l30 * z0) - l31 * z1) - l32 * z2)
+                     / l33 AS z3 FROM fa),
+    fc AS (SELECT *, z3 / l33 AS x3 FROM fb),
+    fd AS (SELECT *, (z2 - l32 * x3) / l22 AS x2 FROM fc),
+    fe AS (SELECT *, ((z1 - l21 * x2) - l31 * x3) / l11 AS x1
+           FROM fd),
+    ff AS (SELECT *, (((z0 - l10 * x1) - l20 * x2) - l30 * x3) / l00
+                     AS x0 FROM fe)
+    """
+    outs = []
+    for b in range(_BF_NB):
+        L = _dlit(float(_BF_X[b]))
+        pred = f"(((x3 * {L} + x2) * {L} + x1) * {L} + x0)"
+        outs.append(
+            f"CASE WHEN m = 0 THEN -99.0e0"
+            f" WHEN fit THEN (CASE WHEN ABS({pred} - pmean)"
+            f" > {_dlit(_BF_MAD)} THEN pmean ELSE {pred} END)"
+            f" WHEN has_gap THEN NULL"
+            f" ELSE CAST(y{b} AS DOUBLE) END AS fill_y{b}"
+        )
+    return (
+        f"WITH {_sql_bf_src()}, "
+        f"cnt AS (SELECT *, CAST({nf} AS BIGINT) AS n_f FROM src), "
+        f"flg AS (SELECT *, (n_f < {_BF_NB}) AS has_gap,"
+        f" (n_f < {_BF_NB} AND n_f > 3) AS fit FROM cnt), "
+        f"mm AS (SELECT *, {', '.join(moms)},"
+        f" CAST({ysum} AS BIGINT) AS ys FROM flg), "
+        + chol +
+        ", mn AS (SELECT *, CAST(ys AS DOUBLE)"
+        " / CAST(n_f AS DOUBLE) AS pmean FROM ff) "
+        f"SELECT pix, {', '.join(outs)} FROM mn ORDER BY pix"
+    )
+
+
+@register("polyfill_bands", _sql_polyfill_bands())
+def q_polyfill_bands(sf_dir: str):
+    """polyfill_nan_data_values (imageutils:5015): pixels with
+    missing bands and > polyorder finite samples are replaced on
+    every band by the cubic fit at the band positions (mean-abs-diff
+    clamp 6.25 back to the pixel mean); <= polyorder finite goes
+    all-NULL; gap-free pixels pass through. Fit = exact-int64
+    normal-equation moments + the fixed-order Cholesky, predict =
+    explicit Horner — the oracle replays the identical chain."""
+    from rsgislib_ray.stages.bandfill import polyfill_values
+
+    out = polyfill_values(
+        _bf_src(sf_dir),
+        [f"y{b}" for b in range(_BF_NB)],
+        _BF_X,
+        polyorder=3, mean_abs_diff=_BF_MAD,
+        mask_col="m", mask_val=1, key_col="pix",
+    )
+    return out.sort("pix")
