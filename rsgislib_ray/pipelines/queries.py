@@ -20074,3 +20074,429 @@ def q_polyfill_bands(sf_dir: str):
         mask_col="m", mask_val=1, key_col="pix",
     )
     return out.sort("pix")
+
+
+# ===========================================================================
+# Roughness families part 2 (elevation/roughness.py — the remaining
+# simple-profile metrics :197-238, Munro 1989 z0 :340-393, Smith 2016
+# frontal-area z0 :465-540). Same 80x80 closed-form DEM fixture as
+# roughness_profiles; profiles/windows gathered through the
+# (now multi-image) halo-tiled focal_convolve. detrend=False tier;
+# re-centering terms that are analytically zero (scipy skew/kurt and
+# np.std recenter by mean(dev)) are pinned out of the chains — the
+# pytest checks closeness to the literal reference transcription.
+# ===========================================================================
+
+
+def _rough_px_cte() -> str:
+    return f"""
+    px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST((p.range // {_SEG_N} + p.range % {_SEG_N}) // 4
+               + CASE WHEN (31 * (p.range // {_SEG_N})
+                            + 17 * (p.range % {_SEG_N})) % 37 = 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    )"""
+
+
+def _rough_gather_cte() -> str:
+    sel = []
+    for k in range(5):
+        sel.append(
+            f"MAX(CASE WHEN b.rr - a.rr = 0 AND b.cc - a.cc = {k - 2}"
+            f" THEN b.val END) AS x{k}"
+        )
+        sel.append(
+            f"MAX(CASE WHEN b.cc - a.cc = 0 AND b.rr - a.rr = {k - 2}"
+            f" THEN b.val END) AS y{k}"
+        )
+    return f"""
+    g AS (
+      SELECT a.pixel_id, {", ".join(sel)}
+      FROM (SELECT * FROM px
+            WHERE rr BETWEEN 2 AND {_SEG_N - 3}
+              AND cc BETWEEN 2 AND {_SEG_N - 3}) a
+      JOIN px b ON abs(a.rr - b.rr) <= 2 AND abs(a.cc - b.cc) <= 2
+      GROUP BY a.pixel_id
+    )"""
+
+
+def _rough_profiles_ds():
+    """Shared engine gather: the 5-sample center-row (x) and
+    center-column (y) profiles per interior pixel via selector
+    kernels, exactly as q_roughness_profiles."""
+    from rsgislib_ray.stages.raster import focal_convolve
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        z = (rr + cc) // 4 + ((31 * rr + 17 * cc) % 37 == 0).astype(
+            np.int64
+        )
+        return pa.table(
+            {"pixel_id": pid, "row": rr, "col": cc, "value": z}
+        )
+
+    dem = ray.data.from_arrow(_seg_raster()).repartition(8).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    kernels = {}
+    for k in range(5):
+        kx = np.zeros((5, 5), np.int64)
+        kx[2, k] = 1
+        kernels[f"x{k}"] = kx
+        ky = np.zeros((5, 5), np.int64)
+        ky[k, 2] = 1
+        kernels[f"y{k}"] = ky
+    return focal_convolve(dem, kernels, tile_size=32)
+
+
+def _rough_dev_ctes() -> str:
+    """Stages h1 (profile means) and h2 (deviations) + h3 (power
+    moments, left-associated chains)."""
+    xs = []
+    for p in ("x", "y"):
+        xs.append(
+            f"({p}0 + {p}1 + {p}2 + {p}3 + {p}4) / 5.0e0 AS {p}m"
+        )
+    devs = ", ".join(
+        f"CAST({p}{i} AS DOUBLE) - {p}m AS {p}d{i}"
+        for p in ("x", "y") for i in range(5)
+    )
+    moms = []
+    for p in ("x", "y"):
+        d = [f"{p}d{i}" for i in range(5)]
+        moms.append(
+            "(" + " + ".join(f"{a} * {a}" for a in d)
+            + f") / 5.0e0 AS {p}m2"
+        )
+        moms.append(
+            "(" + " + ".join(f"{a} * {a} * {a}" for a in d)
+            + f") / 5.0e0 AS {p}m3"
+        )
+        moms.append(
+            "(" + " + ".join(f"({a} * {a}) * ({a} * {a})" for a in d)
+            + f") / 5.0e0 AS {p}m4"
+        )
+    return (
+        f"h1 AS (SELECT *, {', '.join(xs)} FROM g), "
+        f"h2 AS (SELECT *, {devs} FROM h1), "
+        f"h3 AS (SELECT *, {', '.join(moms)} FROM h2)"
+    )
+
+
+def _sql_roughness_extrema() -> str:
+    outs = []
+    for p in ("x", "y"):
+        mif = " + ".join(
+            f"CASE WHEN {p}{i + 1} - {p}{i} > 0"
+            f" AND {p}{i + 2} - {p}{i} > 0 THEN 1 ELSE 0 END"
+            for i in range(3)
+        )
+        d = [f"{p}d{i}" for i in range(5)]
+        outs.append(f"CAST({mif} AS BIGINT) AS {p}_mif")
+        outs.append(f"LEAST({', '.join(d)}) AS {p}_rv")
+        outs.append(f"GREATEST({', '.join(d)}) AS {p}_rp")
+        outs.append(
+            f"GREATEST({', '.join(d)}) - LEAST({', '.join(d)})"
+            f" AS {p}_rz"
+        )
+        outs.append(
+            f"CASE WHEN {p}m2 = 0.0e0 THEN NULL ELSE"
+            f" {p}m3 / ({p}m2 * SQRT({p}m2)) END AS {p}_rsk"
+        )
+        outs.append(
+            f"CASE WHEN {p}m2 = 0.0e0 THEN NULL ELSE"
+            f" {p}m4 / ({p}m2 * {p}m2) - 3.0e0 END AS {p}_rku"
+        )
+    return (
+        f"WITH {_rough_px_cte()}, {_rough_gather_cte()}, "
+        f"{_rough_dev_ctes()} "
+        f"SELECT pixel_id, {', '.join(outs)} FROM h3 ORDER BY pixel_id"
+    )
+
+
+@register("roughness_extrema", _sql_roughness_extrema())
+def q_roughness_extrema(sf_dir: str):
+    """The remaining simple-profile roughness metrics
+    (elevation/roughness.py:175-238, detrend off): MIF peak counts
+    (exact int comparisons), RV/RP/RZ extrema of the mean-line
+    deviations, RSK/RKU skewness and Fisher kurtosis with the
+    analytically-zero re-centering pinned out and m2^1.5 expressed as
+    m2*sqrt(m2) (both sides correctly-rounded IEEE ops — no pow)."""
+    conv = _rough_profiles_ds()
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        ok = (rr >= 2) & (rr <= _SEG_N - 3) & (cc >= 2) & (cc <= _SEG_N - 3)
+        out = {"pixel_id": pid[ok]}
+        for p in ("x", "y"):
+            vi = [batch[f"{p}{k}"].to_numpy()[ok] for k in range(5)]
+            v = [a.astype(np.float64) for a in vi]
+            m = (v[0] + v[1] + v[2] + v[3] + v[4]) / 5.0
+            d = [a - m for a in v]
+            mif = sum(
+                (
+                    ((vi[i + 1] - vi[i]) > 0)
+                    & ((vi[i + 2] - vi[i]) > 0)
+                ).astype(np.int64)
+                for i in range(3)
+            )
+            rv = np.minimum.reduce(d)
+            rp = np.maximum.reduce(d)
+            m2 = (
+                d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                + d[3] * d[3] + d[4] * d[4]
+            ) / 5.0
+            m3 = (
+                d[0] * d[0] * d[0] + d[1] * d[1] * d[1]
+                + d[2] * d[2] * d[2] + d[3] * d[3] * d[3]
+                + d[4] * d[4] * d[4]
+            ) / 5.0
+            m4 = (
+                (d[0] * d[0]) * (d[0] * d[0])
+                + (d[1] * d[1]) * (d[1] * d[1])
+                + (d[2] * d[2]) * (d[2] * d[2])
+                + (d[3] * d[3]) * (d[3] * d[3])
+                + (d[4] * d[4]) * (d[4] * d[4])
+            ) / 5.0
+            out[f"{p}_mif"] = mif
+            out[f"{p}_rv"] = rv
+            out[f"{p}_rp"] = rp
+            out[f"{p}_rz"] = rp - rv
+            flat = m2 == 0.0
+            safe2 = np.where(flat, 1.0, m2)
+            out[f"{p}_rsk"] = pa.array(
+                m3 / (safe2 * np.sqrt(safe2)), mask=flat,
+                type=pa.float64(),
+            )
+            out[f"{p}_rku"] = pa.array(
+                m4 / (safe2 * safe2) - 3.0, mask=flat,
+                type=pa.float64(),
+            )
+        return pa.table(out)
+
+    return conv.map_batches(metrics, batch_format="pyarrow").sort(
+        "pixel_id"
+    )
+
+
+def _sql_roughness_munro() -> str:
+    outs = []
+    crs = []
+    for p in ("x", "y"):
+        pos = " + ".join(
+            f"CASE WHEN {p}d{i - 1} < 0.0e0 AND {p}d{i} > 0.0e0"
+            " THEN 1 ELSE 0 END"
+            for i in (1, 2, 3)
+        )
+        neg = " + ".join(
+            f"CASE WHEN {p}d{i} > 0.0e0 AND {p}d{i + 1} < 0.0e0"
+            " THEN 1 ELSE 0 END"
+            for i in (1, 2, 3)
+        )
+        crs.append(
+            f"CAST(GREATEST({pos}, {neg}) AS BIGINT) AS {p}np"
+        )
+    for p in ("x", "y"):
+        h = f"2.0e0 * SQRT({p}m2)"
+        ls = f"(({h}) * 5.0e0) / (2.0e0 * CAST({p}np AS DOUBLE))"
+        bs = (
+            f"((5.0e0 / CAST({p}np AS DOUBLE))"
+            f" * (5.0e0 / CAST({p}np AS DOUBLE)))"
+        )
+        outs.append(f"{p}np AS {p}_peaks")
+        outs.append(
+            f"CASE WHEN {p}np = 0 THEN NULL ELSE {ls} END AS {p}_s"
+        )
+        outs.append(
+            f"CASE WHEN {p}np = 0 THEN NULL ELSE {bs} END AS {p}_big_s"
+        )
+        outs.append(
+            f"CASE WHEN {p}np = 0 THEN NULL ELSE"
+            f" (0.5e0 * ({h})) * (({ls}) / ({bs})) END AS {p}_z0"
+        )
+    return (
+        f"WITH {_rough_px_cte()}, {_rough_gather_cte()}, "
+        f"{_rough_dev_ctes()}, "
+        f"h4 AS (SELECT *, {', '.join(crs)} FROM h3) "
+        f"SELECT pixel_id, {', '.join(outs)} FROM h4 ORDER BY pixel_id"
+    )
+
+
+@register("roughness_munro", _sql_roughness_munro())
+def q_roughness_munro(sf_dir: str):
+    """Munro-1989 wind roughness length (roughness.py:340-393,
+    detrend off): zero-crossing peak counts over the mean-line
+    deviations (n_peaks = max(pos, neg) crossings), h* = 2*std
+    pinned to 2*sqrt(m2), s = h* L / (2 n), S = (L/n)^2,
+    z0 = 0.5 h* s/S; zero-peak profiles emit NULL (the reference
+    divides to inf)."""
+    conv = _rough_profiles_ds()
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        ok = (rr >= 2) & (rr <= _SEG_N - 3) & (cc >= 2) & (cc <= _SEG_N - 3)
+        out = {"pixel_id": pid[ok]}
+        for p in ("x", "y"):
+            v = [
+                batch[f"{p}{k}"].to_numpy()[ok].astype(np.float64)
+                for k in range(5)
+            ]
+            m = (v[0] + v[1] + v[2] + v[3] + v[4]) / 5.0
+            d = [a - m for a in v]
+            pos = sum(
+                ((d[i - 1] < 0.0) & (d[i] > 0.0)).astype(np.int64)
+                for i in (1, 2, 3)
+            )
+            neg = sum(
+                ((d[i] > 0.0) & (d[i + 1] < 0.0)).astype(np.int64)
+                for i in (1, 2, 3)
+            )
+            npk = np.maximum(pos, neg)
+            m2 = (
+                d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                + d[3] * d[3] + d[4] * d[4]
+            ) / 5.0
+            h = 2.0 * np.sqrt(m2)
+            safe = np.maximum(npk, 1).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ls = (h * 5.0) / (2.0 * safe)
+                t = 5.0 / safe
+                bs = t * t
+                z0 = (0.5 * h) * (ls / bs)
+            null = npk == 0
+            out[f"{p}_peaks"] = npk
+            out[f"{p}_s"] = pa.array(
+                np.where(null, 0.0, ls), mask=null, type=pa.float64()
+            )
+            out[f"{p}_big_s"] = pa.array(
+                np.where(null, 0.0, bs), mask=null, type=pa.float64()
+            )
+            out[f"{p}_z0"] = pa.array(
+                np.where(null, 0.0, z0), mask=null, type=pa.float64()
+            )
+        return pa.table(out)
+
+    return conv.map_batches(metrics, batch_format="pyarrow").sort(
+        "pixel_id"
+    )
+
+
+def _rough_nbr_val(dr: int, dc: int) -> str:
+    """Closed-form fixture value at (rr+dr, cc+dc)."""
+    return (
+        f"((rr + {dr} + cc + {dc}) // 4"
+        f" + CASE WHEN (31 * (rr + {dr}) + 17 * (cc + {dc})) % 37 = 0"
+        f" THEN 1 ELSE 0 END)"
+    )
+
+
+def _sql_roughness_smith() -> str:
+    diffs = ", ".join(
+        f"GREATEST(val - {_rough_nbr_val(dr, dc)}, 0) AS {nm}"
+        for nm, (dr, dc) in {
+            "e_pos": (0, 1), "w_pos": (0, -1),
+            "n_pos": (-1, 0), "s_pos": (1, 0),
+        }.items()
+    )
+    f33 = ", ".join(
+        f"CAST(SUM(CASE WHEN abs(a.rr - b.rr) <= 1"
+        f" AND abs(a.cc - b.cc) <= 1"
+        f" THEN b.{nm} ELSE 0 END) AS BIGINT) AS f{nm[0]}"
+        for nm in ("e_pos", "w_pos", "n_pos", "s_pos")
+    )
+    z0s = ", ".join(
+        f"(0.5e0 * h_star) * (CAST(f{t} AS DOUBLE) / 25.0e0) AS z0_{t}"
+        for t in ("e", "w", "n", "s")
+    )
+    return f"""
+    WITH {_rough_px_cte()},
+    pxd AS (SELECT *, {diffs} FROM px),
+    g AS (
+      SELECT a.pixel_id,
+        SUM(b.val) AS s1, SUM(b.val * b.val) AS s2, {f33}
+      FROM (SELECT * FROM pxd
+            WHERE rr BETWEEN 2 AND {_SEG_N - 3}
+              AND cc BETWEEN 2 AND {_SEG_N - 3}) a
+      JOIN pxd b ON abs(a.rr - b.rr) <= 2 AND abs(a.cc - b.cc) <= 2
+      GROUP BY a.pixel_id
+    ),
+    h AS (SELECT *, 2.0e0 * SQRT(CAST(25 * s2 - s1 * s1 AS DOUBLE)
+                                 / 625.0e0) AS h_star FROM g)
+    SELECT pixel_id, fe, fw, fn, fs, h_star, {z0s}
+    FROM h ORDER BY pixel_id
+    """
+
+
+@register("roughness_smith", _sql_roughness_smith())
+def q_roughness_smith(sf_dir: str):
+    """Smith-2016 frontal-area wind roughness (roughness.py:465-540,
+    detrend off, 5x5 windows): per interior pixel, h* = 2*std of the
+    window (pinned to the EXACT rational (25*S2 - S1^2)/625 — int64
+    sums through the multi-image focal pass), directional frontal
+    areas = 3x3 sums of the clamped neighbor drops (exact ints from
+    the closed-form fixture), z0_d = 0.5 h* (area / grid_area)."""
+    from rsgislib_ray.stages.raster import focal_convolve
+
+    def vf(r, c):
+        return (r + c) // 4 + ((31 * r + 17 * c) % 37 == 0).astype(
+            np.int64
+        )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        v = vf(rr, cc)
+        return pa.table(
+            {
+                "pixel_id": pid, "row": rr, "col": cc, "value": v,
+                "val2": v * v,
+                "e_pos": np.maximum(v - vf(rr, cc + 1), 0),
+                "w_pos": np.maximum(v - vf(rr, cc - 1), 0),
+                "n_pos": np.maximum(v - vf(rr - 1, cc), 0),
+                "s_pos": np.maximum(v - vf(rr + 1, cc), 0),
+            }
+        )
+
+    dem = ray.data.from_arrow(_seg_raster()).repartition(8).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    one5 = np.ones((5, 5), np.int64)
+    one3 = np.ones((3, 3), np.int64)
+    conv = focal_convolve(
+        dem,
+        {
+            "s1": ("value", one5), "s2": ("val2", one5),
+            "fe": ("e_pos", one3), "fw": ("w_pos", one3),
+            "fn": ("n_pos", one3), "fs": ("s_pos", one3),
+        },
+        tile_size=32,
+    )
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        ok = (rr >= 2) & (rr <= _SEG_N - 3) & (cc >= 2) & (cc <= _SEG_N - 3)
+        s1 = batch["s1"].to_numpy()[ok]
+        s2 = batch["s2"].to_numpy()[ok]
+        h = 2.0 * np.sqrt((25 * s2 - s1 * s1).astype(np.float64)
+                          / 625.0)
+        out = {"pixel_id": pid[ok]}
+        for t in ("e", "w", "n", "s"):
+            out[f"f{t}"] = batch[f"f{t}"].to_numpy()[ok]
+        out["h_star"] = h
+        for t in ("e", "w", "n", "s"):
+            out[f"z0_{t}"] = (0.5 * h) * (
+                out[f"f{t}"].astype(np.float64) / 25.0
+            )
+        return pa.table(out)
+
+    return conv.map_batches(metrics, batch_format="pyarrow").sort(
+        "pixel_id"
+    )

@@ -363,12 +363,19 @@ def focal_convolve(
     apply_laplacian_filter:915, apply_gaussian_smooth_filter:764 via an
     integer-QUANTIZED kernel so the distributed sum stays exact).
 
-    ``kernels`` maps output column -> (k x k) int64 numpy array.
+    ``kernels`` maps output column -> (k x k) int64 numpy array
+    (convolved over ``value_col``), or -> (input_col, kernel) to
+    convolve a different integer column in the same halo pass (the
+    multi-image form the Smith-roughness frontal-area sums need).
     Absent pixels contribute zero (zero-fill), every output is an
     exact int64 — partitioning-independent and SQL-mirrorable."""
     import pandas as pd
 
-    ksz = max(k.shape[0] for k in kernels.values())
+    spec = {
+        name: (k if isinstance(k, tuple) else (value_col, k))
+        for name, k in kernels.items()
+    }
+    ksz = max(k.shape[0] for _, k in spec.values())
     halo = ksz // 2
 
     dup = _halo_dup_fn(tile_size, halo)
@@ -378,12 +385,15 @@ def focal_convolve(
         tr, tc = tid // 2**20, tid % 2**20
         r = g["row"].to_numpy()
         c = g["col"].to_numpy()
-        v = g[value_col].to_numpy().astype(np.int64)
         r0 = tr * tile_size - halo
         c0 = tc * tile_size - halo
         h = tile_size + 2 * halo
-        dense = np.zeros((h + 2 * halo, h + 2 * halo), dtype=np.int64)
-        dense[r - r0 + halo, c - c0 + halo] = v
+        denses = {}
+        for col in {col for col, _ in spec.values()}:
+            v = g[col].to_numpy().astype(np.int64)
+            d = np.zeros((h + 2 * halo, h + 2 * halo), dtype=np.int64)
+            d[r - r0 + halo, c - c0 + halo] = v
+            denses[col] = d
         core = (
             (r >= tr * tile_size)
             & (r < (tr + 1) * tile_size)
@@ -392,7 +402,8 @@ def focal_convolve(
         )
         rr, cc = r[core] - r0, c[core] - c0
         out = {"pixel_id": g["pixel_id"].to_numpy()[core]}
-        for name, K in kernels.items():
+        for name, (col, K) in spec.items():
+            dense = denses[col]
             acc = np.zeros((h, h), dtype=np.int64)
             kh = K.shape[0] // 2
             for dr in range(K.shape[0]):
