@@ -20500,3 +20500,160 @@ def q_roughness_smith(sf_dir: str):
     return conv.map_batches(metrics, batch_format="pyarrow").sort(
         "pixel_id"
     )
+
+
+# ===========================================================================
+# Second-intersection line cutting (stages/lines.py
+# second_line_intersections — vectorgeoms/__init__.py:988
+# scnd_line_intersection_range): short customer segments cut at their
+# second crossing of the part-rect boundary layer; the reference's
+# single-crossing quirk (the initialised (0,0) second point and the
+# start-to-origin length) is pinned.
+# ===========================================================================
+
+_SLI_B = """
+    b AS (
+      SELECT uid,
+             sxi / 100.0 + 0.005 AS sx, syi / 100.0 + 0.005 AS sy,
+             exi / 100.0 + 0.005 AS ex, eyi / 100.0 + 0.005 AS ey,
+             sxi * 2 + 1 AS isx, syi * 2 + 1 AS isy,
+             exi * 2 + 1 AS iex, eyi * 2 + 1 AS iey,
+             LEAST(sxi, exi) * 2 + 1 AS bx0,
+             GREATEST(sxi, exi) * 2 + 1 AS bx1,
+             LEAST(syi, eyi) * 2 + 1 AS by0,
+             GREATEST(syi, eyi) * 2 + 1 AS by1
+      FROM (
+        SELECT c_custkey AS uid,
+               CAST((c_custkey * 4099 + 7) % 10000 AS BIGINT) AS sxi,
+               CAST((c_custkey * 7411 + 3) % 10000 AS BIGINT) AS syi,
+               CAST((c_custkey * 4099 + 7) % 10000
+                    + 120 + (c_custkey % 50) * 3 AS BIGINT) AS exi,
+               CAST((c_custkey * 7411 + 3) % 10000
+                    + (CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE -1 END)
+                      * (100 + (c_custkey % 61) * 3) AS BIGINT) AS eyi
+        FROM customer)
+    )
+"""
+
+_SLI_T = """
+    r AS (
+      SELECT p_partkey AS pk,
+             CAST(((p_partkey * 53) % 9000) * 2 AS BIGINT) AS ix0,
+             CAST(((p_partkey * 53) % 9000) * 2
+                  + 400 + (p_partkey % 7) * 200 AS BIGINT) AS ix1,
+             CAST(((p_partkey * 29) % 9000) * 2 AS BIGINT) AS iy0,
+             CAST(((p_partkey * 29) % 9000) * 2
+                  + 400 + (p_partkey % 5) * 200 AS BIGINT) AS iy1
+      FROM part),
+    t AS (
+      SELECT pk * 4 + 0 AS tid, ix0 AS iax, iy0 AS iay,
+             ix0 AS ibx, iy1 AS iby,
+             ix0 AS tx0, ix0 AS tx1, iy0 AS ty0, iy1 AS ty1 FROM r
+      UNION ALL SELECT pk * 4 + 1, ix1, iy0, ix1, iy1,
+             ix1, ix1, iy0, iy1 FROM r
+      UNION ALL SELECT pk * 4 + 2, ix0, iy0, ix1, iy0,
+             ix0, ix1, iy0, iy0 FROM r
+      UNION ALL SELECT pk * 4 + 3, ix0, iy1, ix1, iy1,
+             ix0, ix1, iy1, iy1 FROM r
+    )
+"""
+
+
+@register(
+    "second_line_isect",
+    f"""
+    WITH {_SLI_B}, {_SLI_T},
+    pairs AS (
+      SELECT b.uid, b.sx, b.sy, b.ex, b.ey, t.tid,
+             (b.iex - b.isx) * (t.iby - t.iay)
+               - (b.iey - b.isy) * (t.ibx - t.iax) AS den,
+             (t.iax - b.isx) * (t.iby - t.iay)
+               - (t.iay - b.isy) * (t.ibx - t.iax) AS tn,
+             (t.iax - b.isx) * (b.iey - b.isy)
+               - (t.iay - b.isy) * (b.iex - b.isx) AS un
+      FROM b JOIN t
+        ON b.bx0 <= t.tx1 AND b.bx1 >= t.tx0
+       AND b.by0 <= t.ty1 AND b.by1 >= t.ty0
+    ),
+    hits AS (
+      SELECT uid, sx, sy, ex, ey, tid,
+             CAST(tn AS DOUBLE) / den AS t
+      FROM pairs
+      WHERE den != 0
+        AND ((den > 0 AND tn > 0 AND tn < den AND un > 0 AND un < den)
+          OR (den < 0 AND tn < 0 AND tn > den AND un < 0 AND un > den))
+    ),
+    ranked AS (
+      SELECT uid, sx, sy, t,
+             sx + t * (ex - sx) AS px, sy + t * (ey - sy) AS py,
+             ROW_NUMBER() OVER (PARTITION BY uid ORDER BY t, tid) AS rn,
+             COUNT(*) OVER (PARTITION BY uid) AS n
+      FROM hits
+    ),
+    fin AS (
+      SELECT uid, CAST(n AS BIGINT) AS n_isect, sx, sy,
+             CASE WHEN n >= 2 THEN px ELSE 0.0 END AS end_x,
+             CASE WHEN n >= 2 THEN py ELSE 0.0 END AS end_y
+      FROM ranked
+      WHERE rn = CASE WHEN n >= 2 THEN 2 ELSE 1 END
+    )
+    SELECT uid, n_isect, sx AS start_x, sy AS start_y, end_x, end_y,
+           SQRT((end_x - sx) * (end_x - sx)
+                + (end_y - sy) * (end_y - sy)) AS len
+    FROM fin ORDER BY uid
+    """,
+)
+def q_second_line_isect(sf_dir: str):
+    """scnd_line_intersection_range (vectorgeoms:988): short customer
+    segments vs broadcast part-rect boundary edges — STRtree bbox
+    candidates, exact integer crossing tests, second-closest
+    selection by (t, tid) (== the reference's distance ordering), the
+    one-crossing (0,0) quirk pinned."""
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.lines import second_line_intersections
+
+    cust = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).repartition(16)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        sxi = (k * 4099 + 7) % 10000
+        syi = (k * 7411 + 3) % 10000
+        exi = sxi + 120 + (k % 50) * 3
+        eyi = syi + np.where(k % 2 == 0, 1, -1) * (100 + (k % 61) * 3)
+        return pa.table(
+            {
+                "uid": k,
+                "sx": sxi / 100.0 + 0.005,
+                "sy": syi / 100.0 + 0.005,
+                "ex": exi / 100.0 + 0.005,
+                "ey": eyi / 100.0 + 0.005,
+            }
+        )
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = pt["p_partkey"].to_numpy().astype(np.int64)
+    ix0 = ((pk * 53) % 9000) * 2
+    ix1 = ix0 + 400 + (pk % 7) * 200
+    iy0 = ((pk * 29) % 9000) * 2
+    iy1 = iy0 + 400 + (pk % 5) * 200
+    edges = []
+    for j, (ax, ay, bx, by) in enumerate(
+        [(ix0, iy0, ix0, iy1), (ix1, iy0, ix1, iy1),
+         (ix0, iy0, ix1, iy0), (ix0, iy1, ix1, iy1)]
+    ):
+        edges.append(
+            pa.table(
+                {
+                    "tid": pk * 4 + j,
+                    "ax": ax / 200.0, "ay": ay / 200.0,
+                    "bx": bx / 200.0, "by": by / 200.0,
+                }
+            )
+        )
+    targ = pa.concat_tables(edges)
+    return second_line_intersections(
+        cust.map_batches(derive, batch_format="pyarrow"), targ
+    ).sort("uid")

@@ -308,6 +308,150 @@ def closest_line_intersections(
     )
 
 
+def second_line_intersections(
+    base: ray.data.Dataset,
+    targets_tbl: pa.Table,
+    uid_col: str = "uid",
+    base_cols: tuple = ("sx", "sy", "ex", "ey"),
+    target_cols: tuple = ("ax", "ay", "bx", "by"),
+    tid_col: str = "tid",
+    int_scale: int = 200,
+) -> ray.data.Dataset:
+    """scnd_line_intersection_range (vectorgeoms/__init__.py:988):
+    cut each base segment at its SECOND point of intersection with the
+    broadcast boundary-segment layer (first crossing = entering a
+    polygon, second = leaving). Per base segment with >= 1 crossing:
+    ``uid, n_isect, start_x, start_y, end_x, end_y, len``. The
+    reference quirk is pinned: a segment with exactly ONE crossing
+    keeps the initialised (0, 0) second point, so end = (0, 0) and
+    len = the start-to-origin distance. Ordering is by (t, tid) —
+    distance from the start is t*|d|, monotone in t, so this equals
+    the reference's distance ordering; exact-corner touches are
+    excluded by the strict-interior integer crossing test (OGR would
+    include them — documented deviation, measure-zero on the
+    half-integer fixture lattice)."""
+    import ray as _ray
+
+    from rsgislib_ray.state.strtree import STRtree
+
+    tax = np.rint(targets_tbl[target_cols[0]].to_numpy() * int_scale)
+    tay = np.rint(targets_tbl[target_cols[1]].to_numpy() * int_scale)
+    tbx = np.rint(targets_tbl[target_cols[2]].to_numpy() * int_scale)
+    tby = np.rint(targets_tbl[target_cols[3]].to_numpy() * int_scale)
+    state = {
+        "tid": targets_tbl[tid_col].to_numpy().astype(np.int64),
+        "ax": tax.astype(np.int64),
+        "ay": tay.astype(np.int64),
+        "bx": tbx.astype(np.int64),
+        "by": tby.astype(np.int64),
+        "bounds": np.stack(
+            [
+                np.minimum(tax, tbx) / int_scale,
+                np.maximum(tax, tbx) / int_scale,
+                np.minimum(tay, tby) / int_scale,
+                np.maximum(tay, tby) / int_scale,
+            ],
+            axis=1,
+        ),
+    }
+    ref = _ray.put(state)
+    _trees: dict = {}
+
+    def isect_batch(batch: pa.Table) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        st = cached(ref)
+        if id(st) not in _trees:
+            _trees[id(st)] = STRtree(st["bounds"])
+        tree = _trees[id(st)]
+
+        sx = batch[base_cols[0]].to_numpy().astype(np.float64)
+        sy = batch[base_cols[1]].to_numpy().astype(np.float64)
+        ex = batch[base_cols[2]].to_numpy().astype(np.float64)
+        ey = batch[base_cols[3]].to_numpy().astype(np.float64)
+        uid = batch[uid_col].to_numpy().astype(np.int64)
+        isx = np.rint(sx * int_scale).astype(np.int64)
+        isy = np.rint(sy * int_scale).astype(np.int64)
+        iex = np.rint(ex * int_scale).astype(np.int64)
+        iey = np.rint(ey * int_scale).astype(np.int64)
+
+        qb = np.stack(
+            [
+                np.minimum(isx, iex) / int_scale,
+                np.maximum(isx, iex) / int_scale,
+                np.minimum(isy, iey) / int_scale,
+                np.maximum(isy, iey) / int_scale,
+            ],
+            axis=1,
+        )
+        qi, ti = tree.query_bboxes(qb)
+        empty = pa.table(
+            {
+                "uid": np.empty(0, np.int64),
+                "n_isect": np.empty(0, np.int64),
+                "start_x": np.empty(0, np.float64),
+                "start_y": np.empty(0, np.float64),
+                "end_x": np.empty(0, np.float64),
+                "end_y": np.empty(0, np.float64),
+                "len": np.empty(0, np.float64),
+            }
+        )
+        if len(qi) == 0:
+            return empty
+        rx = iex[qi] - isx[qi]
+        ry = iey[qi] - isy[qi]
+        swx = st["bx"][ti] - st["ax"][ti]
+        swy = st["by"][ti] - st["ay"][ti]
+        den = rx * swy - ry * swx
+        qpx = st["ax"][ti] - isx[qi]
+        qpy = st["ay"][ti] - isy[qi]
+        t_num = qpx * swy - qpy * swx
+        u_num = qpx * ry - qpy * rx
+        pos = den > 0
+        ok = (den != 0) & np.where(
+            pos,
+            (t_num > 0) & (t_num < den) & (u_num > 0) & (u_num < den),
+            (t_num < 0) & (t_num > den) & (u_num < 0) & (u_num > den),
+        )
+        if not ok.any():
+            return empty
+        qi, ti = qi[ok], ti[ok]
+        t = t_num[ok].astype(np.float64) / den[ok].astype(np.float64)
+        tid = st["tid"][ti]
+        order = np.lexsort((tid, t, qi))
+        qs = qi[order]
+        firsts = np.concatenate([[True], qs[1:] != qs[:-1]])
+        fi = np.flatnonzero(firsts)
+        counts = np.diff(np.concatenate([fi, [len(qs)]]))
+        has2 = counts >= 2
+        sel2 = order[np.minimum(fi + 1, len(order) - 1)]
+        li = qi[order[fi]]
+        t2 = t[sel2]
+        end_x = np.where(
+            has2, sx[li] + t2 * (ex[li] - sx[li]), 0.0
+        )
+        end_y = np.where(
+            has2, sy[li] + t2 * (ey[li] - sy[li]), 0.0
+        )
+        dx = end_x - sx[li]
+        dy = end_y - sy[li]
+        return pa.table(
+            {
+                "uid": uid[li],
+                "n_isect": counts.astype(np.int64),
+                "start_x": sx[li],
+                "start_y": sy[li],
+                "end_x": end_x,
+                "end_y": end_y,
+                "len": np.sqrt(dx * dx + dy * dy),
+            }
+        )
+
+    return base.map_batches(
+        isect_batch, batch_format="pyarrow", batch_size=16384
+    )
+
+
 def orthogonal_lines(
     vertices: ray.data.Dataset,
     pt_step: float,
