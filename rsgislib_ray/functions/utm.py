@@ -305,3 +305,25 @@ def tmerc_inverse(easting: np.ndarray, northing: np.ndarray, c: dict):
 #: WGS84 ellipsoid: natural origin 49N 2W, k0 = 0.9996012717, false
 #: origin 400km E / -100km N)
 TMERC_GB = tmerc_constants(49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+
+
+def zone_number_rint(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """latlon_arr_to_utm_zone_number (tools/utm.py:432): the ARRAY
+    variant computes rint((lon+180)/6 + 1) — round-to-nearest, unlike
+    from_latlon's floor — then applies the Norway/Svalbard overrides
+    as SEQUENTIAL overwrites whose conditions nest (31 for lon<9, 33
+    for lon<21, 35 for lon<33, 37 for lon<42, each including the
+    previous range), so in the 72..84 band every 0<=lon<42 pixel ends
+    at 37 and 31/33/35 never survive. That last-wins quirk is the
+    reference's literal behavior and is mirrored by the SQL CASE in
+    reverse-assignment order."""
+    z = np.rint((lon + 180.0) / 6.0 + 1.0).astype(np.int64)
+    z = np.where(
+        (lat >= 56) & (lat < 64) & (lon >= 3) & (lon < 12), 32, z
+    )
+    sval = (72 <= lat) & (lat <= 84) & (lon >= 0)
+    z = np.where(sval & (lon < 9), 31, z)
+    z = np.where(sval & (lon < 21), 33, z)
+    z = np.where(sval & (lon < 33), 35, z)
+    z = np.where(sval & (lon < 42), 37, z)
+    return z

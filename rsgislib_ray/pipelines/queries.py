@@ -20657,3 +20657,257 @@ def q_second_line_isect(sf_dir: str):
     return second_line_intersections(
         cust.map_batches(derive, batch_format="pyarrow"), targ
     ).sort("uid")
+
+
+# ===========================================================================
+# UTM zone utilities (functions/utm.py — tools/utm.py:432
+# latlon_arr_to_utm_zone_number rint variant + its last-wins Svalbard
+# quirk, :470 latlon_to_mode_utm_zone_number, :60 epsg_for_utm / :84
+# utm_from_epsg, :100 split_wgs84_bbox_utm_zones).
+# ===========================================================================
+
+_UTM_LATLON = """
+      SELECT c_custkey AS uid,
+             ((c_custkey * 17) % 16000) / 100.0 - 80.0 + 0.005 AS lat,
+             ((c_custkey * 31) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+      FROM customer
+"""
+
+_UTM_ZONE_RINT = """
+      CASE WHEN 72 <= lat AND lat <= 84 AND lon >= 0 AND lon < 42
+             THEN 37
+           WHEN lat >= 56 AND lat < 64 AND lon >= 3 AND lon < 12
+             THEN 32
+           ELSE CAST(FLOOR((lon + 180.0) / 6.0 + 1.0 + 0.5) AS BIGINT)
+      END
+"""
+
+
+def _utm_latlon_ds(sf_dir: str):
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).repartition(16)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "uid": k,
+                "lat": ((k * 17) % 16000) / 100.0 - 80.0 + 0.005,
+                "lon": ((k * 31) % 36000) / 100.0 - 180.0 + 0.005,
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+@register(
+    "utm_zone_panel",
+    f"""
+    WITH src AS ({_UTM_LATLON}),
+    z AS (SELECT uid, lat, lon, {_UTM_ZONE_RINT} AS zone_rint,
+            CASE WHEN 72 <= lat AND lat <= 84 AND lon >= 0
+                   THEN (CASE WHEN lon < 9 THEN 31
+                              WHEN lon < 21 THEN 33
+                              WHEN lon < 33 THEN 35
+                              WHEN lon < 42 THEN 37
+                         ELSE CAST(FLOOR((lon + 180.0) / 6.0) AS BIGINT)
+                              + 1 END)
+                 WHEN lat >= 56 AND lat < 64 AND lon >= 3 AND lon < 12
+                   THEN 32
+                 ELSE CAST(FLOOR((lon + 180.0) / 6.0) AS BIGINT) + 1
+            END AS zone_std
+          FROM src)
+    SELECT uid, zone_rint, zone_std,
+           32000 + CASE WHEN lat >= 0 THEN 600 ELSE 700 END + zone_std
+             AS epsg,
+           CASE WHEN 32000 + CASE WHEN lat >= 0 THEN 600 ELSE 700 END
+                     + zone_std - 32000 < 700
+                THEN 32000 + CASE WHEN lat >= 0 THEN 600 ELSE 700 END
+                     + zone_std - 32600
+                ELSE 32000 + CASE WHEN lat >= 0 THEN 600 ELSE 700 END
+                     + zone_std - 32700 END AS zone_back,
+           CASE WHEN 32000 + CASE WHEN lat >= 0 THEN 600 ELSE 700 END
+                     + zone_std - 32000 < 700
+                THEN 'N' ELSE 'S' END AS hemi_back
+    FROM z ORDER BY uid
+    """,
+)
+def q_utm_zone_panel(sf_dir: str):
+    """UTM zone helpers (tools/utm.py): the rint-based array zone
+    with its last-wins Svalbard quirk (:432, zone_number_rint), the
+    from_latlon floor zone with standalone exceptions (:400),
+    epsg_for_utm (:60, hemisphere by lat sign) and the utm_from_epsg
+    round-trip (:84)."""
+    from rsgislib_ray.functions.utm import zone_number, zone_number_rint
+
+    def panel(batch: pa.Table) -> pa.Table:
+        uid = batch["uid"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        lon = batch["lon"].to_numpy()
+        zr = zone_number_rint(lat, lon)
+        zs = zone_number(lat, lon)
+        epsg = 32000 + np.where(lat >= 0, 600, 700) + zs
+        h = epsg - 32000
+        zone_back = np.where(h < 700, h - 600, h - 700)
+        hemi = np.where(h < 700, "N", "S")
+        return pa.table(
+            {
+                "uid": uid, "zone_rint": zr, "zone_std": zs,
+                "epsg": epsg, "zone_back": zone_back,
+                "hemi_back": pa.array(hemi.tolist(), pa.string()),
+            }
+        )
+
+    return _utm_latlon_ds(sf_dir).map_batches(
+        panel, batch_format="pyarrow"
+    ).sort("uid")
+
+
+@register(
+    "utm_mode_zone",
+    f"""
+    WITH src AS ({_UTM_LATLON}),
+    z AS (SELECT {_UTM_ZONE_RINT} AS zone FROM src)
+    SELECT CAST(zone AS BIGINT) AS mode_zone,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM z GROUP BY zone ORDER BY cnt DESC, zone LIMIT 1
+    """,
+)
+def q_utm_mode_zone(sf_dir: str):
+    """latlon_to_mode_utm_zone_number (tools/utm.py:470): the mode of
+    the rint-variant zones; scipy.stats.mode's smallest-on-tie pinned
+    (ORDER BY cnt DESC, zone). Distributed as bounded per-batch zone
+    histograms (<= 60 rows each) -> tiny groupby -> driver pick."""
+    from rsgislib_ray.functions.utm import zone_number_rint
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = zone_number_rint(
+            batch["lat"].to_numpy(), batch["lon"].to_numpy()
+        )
+        zs, cs = np.unique(z, return_counts=True)
+        return pa.table({"zone": zs, "c": cs.astype(np.int64)})
+
+    agg = (
+        _utm_latlon_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("zone")
+        .sum("c")
+    )
+    t = agg.to_pandas()          # <= 60 rows at any corpus scale
+    t = t.sort_values(["sum(c)", "zone"], ascending=[False, True])
+    return pa.table(
+        {
+            "mode_zone": np.asarray([t["zone"].iloc[0]], np.int64),
+            "cnt": np.asarray([t["sum(c)"].iloc[0]], np.int64),
+        }
+    )
+
+
+@register(
+    "utm_bbox_zone_split",
+    """
+    WITH src AS (
+      SELECT p_partkey AS fid,
+             ((p_partkey * 37) % 33000) / 100.0 - 170.0 AS x0,
+             ((p_partkey * 37) % 33000) / 100.0 - 170.0
+               + 3.0 + ((p_partkey * 7) % 200) / 100.0 AS x1,
+             ((p_partkey * 19) % 15000) / 100.0 - 75.0 AS y0,
+             ((p_partkey * 19) % 15000) / 100.0 - 75.0 + 4.0 AS y1
+      FROM part),
+    zc AS (
+      SELECT *,
+        CASE WHEN 72 <= y1 AND y1 <= 84 AND x0 >= 0
+               THEN (CASE WHEN x0 < 9 THEN 31 WHEN x0 < 21 THEN 33
+                          WHEN x0 < 33 THEN 35 WHEN x0 < 42 THEN 37
+                     ELSE CAST(FLOOR((x0 + 180.0) / 6.0) AS BIGINT)
+                          + 1 END)
+             WHEN y1 >= 56 AND y1 < 64 AND x0 >= 3 AND x0 < 12 THEN 32
+             ELSE CAST(FLOOR((x0 + 180.0) / 6.0) AS BIGINT) + 1
+        END AS ztl,
+        CASE WHEN 72 <= y1 AND y1 <= 84 AND x1 >= 0
+               THEN (CASE WHEN x1 < 9 THEN 31 WHEN x1 < 21 THEN 33
+                          WHEN x1 < 33 THEN 35 WHEN x1 < 42 THEN 37
+                     ELSE CAST(FLOOR((x1 + 180.0) / 6.0) AS BIGINT)
+                          + 1 END)
+             WHEN y1 >= 56 AND y1 < 64 AND x1 >= 3 AND x1 < 12 THEN 32
+             ELSE CAST(FLOOR((x1 + 180.0) / 6.0) AS BIGINT) + 1
+        END AS ztr,
+        CASE WHEN 72 <= y0 AND y0 <= 84 AND x1 >= 0
+               THEN (CASE WHEN x1 < 9 THEN 31 WHEN x1 < 21 THEN 33
+                          WHEN x1 < 33 THEN 35 WHEN x1 < 42 THEN 37
+                     ELSE CAST(FLOOR((x1 + 180.0) / 6.0) AS BIGINT)
+                          + 1 END)
+             WHEN y0 >= 56 AND y0 < 64 AND x1 >= 3 AND x1 < 12 THEN 32
+             ELSE CAST(FLOOR((x1 + 180.0) / 6.0) AS BIGINT) + 1
+        END AS zbr,
+        CASE WHEN 72 <= y0 AND y0 <= 84 AND x0 >= 0
+               THEN (CASE WHEN x0 < 9 THEN 31 WHEN x0 < 21 THEN 33
+                          WHEN x0 < 33 THEN 35 WHEN x0 < 42 THEN 37
+                     ELSE CAST(FLOOR((x0 + 180.0) / 6.0) AS BIGINT)
+                          + 1 END)
+             WHEN y0 >= 56 AND y0 < 64 AND x0 >= 3 AND x0 < 12 THEN 32
+             ELSE CAST(FLOOR((x0 + 180.0) / 6.0) AS BIGINT) + 1
+        END AS zbl
+      FROM src),
+    rng AS (SELECT *, LEAST(ztl, ztr, zbr, zbl) AS zmin,
+                      GREATEST(ztl, ztr, zbr, zbl) AS zmax FROM zc)
+    SELECT fid, CAST(z.range AS BIGINT) AS zone,
+      CASE WHEN x0 > z.range * 6.0 - 186.0 THEN x0
+           ELSE z.range * 6.0 - 186.0 END AS x_min,
+      CASE WHEN x1 < z.range * 6.0 - 180.0 THEN x1
+           ELSE z.range * 6.0 - 180.0 END AS x_max,
+      y0 AS y_min, y1 AS y_max
+    FROM rng JOIN range(1, 62) z
+      ON z.range >= rng.zmin AND z.range <= rng.zmax
+    ORDER BY fid, zone
+    """,
+)
+def q_utm_bbox_zone_split(sf_dir: str):
+    """split_wgs84_bbox_utm_zones (tools/utm.py:100): each bbox's
+    corner zones (from_latlon floor zones, Norway/Svalbard
+    exceptions) bound the zone range; one long-form row per zone with
+    the bbox clipped to [zone*6-186, zone*6-180] exactly as the
+    reference's conditional assignments."""
+    from rsgislib_ray.functions.utm import zone_number
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).repartition(16)
+
+    def split(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy().astype(np.int64)
+        x0 = ((k * 37) % 33000) / 100.0 - 170.0
+        x1 = x0 + 3.0 + ((k * 7) % 200) / 100.0
+        y0 = ((k * 19) % 15000) / 100.0 - 75.0
+        y1 = y0 + 4.0
+        zs = np.stack(
+            [
+                zone_number(y1, x0), zone_number(y1, x1),
+                zone_number(y0, x1), zone_number(y0, x0),
+            ],
+            axis=1,
+        )
+        zmin = zs.min(axis=1)
+        zmax = zs.max(axis=1)
+        n = (zmax - zmin + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(k)), n)
+        zone = np.concatenate(
+            [np.arange(a, b + 1) for a, b in zip(zmin, zmax)]
+        ) if len(k) else np.empty(0, np.int64)
+        zlo = zone * 6.0 - 186.0
+        zhi = zone * 6.0 - 180.0
+        return pa.table(
+            {
+                "fid": k[idx],
+                "zone": zone.astype(np.int64),
+                "x_min": np.where(x0[idx] > zlo, x0[idx], zlo),
+                "x_max": np.where(x1[idx] < zhi, x1[idx], zhi),
+                "y_min": y0[idx],
+                "y_max": y1[idx],
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow").sort(
+        ["fid", "zone"]
+    )
