@@ -95,3 +95,75 @@ def quadkey_sql(tx: str, ty: str, zoom: int) -> str:
         for z in range(zoom, 0, -1)
     ]
     return " || ".join(parts)
+
+
+def tile_idx_chain(sfx: str, lon: str, lat: str, zoom: int) -> Chain:
+    """lon/lat -> (tile_x, tms_row) float chain (get_tile_for_point:47,
+    tms=True), name-suffixed so two corners can share one CTE cascade.
+    round() mirrored as FLOOR(x+0.5) (module-doc deviation)."""
+    n = 1 << zoom
+    res = f"({_IR} / {n})"
+    s = sfx
+    return [
+        (f"mx_{s}", f"{lon} * {_OS} / 180.0e0"),
+        (f"tm_{s}", f"TAN((90.0e0 + {lat}) * PI() / 360.0e0)"),
+        (f"my0_{s}", f"LN(tm_{s}) / (PI() / 180.0e0)"),
+        (f"my_{s}", f"my0_{s} * {_OS} / 180.0e0"),
+        (f"pxx_{s}", f"(mx_{s} + {_OS}) / {res}"),
+        (f"pyy_{s}", f"(my_{s} - {_OS}) / {res}"),
+        (f"pxr_{s}", f"ABS(FLOOR(pxx_{s} + 0.5e0))"),
+        (f"pyr_{s}", f"ABS(FLOOR(pyy_{s} + 0.5e0))"),
+        (f"tx_{s}", f"CEIL(pxr_{s} / 256.0e0) - 1"),
+        (f"tyx_{s}", f"CEIL(pyr_{s} / 256.0e0) - 1"),
+        (f"ty_{s}", f"({n} - 1) - tyx_{s}"),
+    ]
+
+
+def tile_merc_bounds_chain(zoom: int) -> Chain:
+    """(tile_x, tile_y TMS as cols ti, tj) -> web-mercator bbox
+    (xy_mercator_bounds:? via get_tile_bbox + get_web_mercator_xy):
+    tl corner = XYZ row (n-1-tj), br corner = (ti+1, XYZ row - 1)."""
+    n = 1 << zoom
+    fn = f"{float(n)!r}"
+
+    def corner(tag: str, tx: str, row: str) -> Chain:
+        return [
+            (f"lon_{tag}", f"{tx} / {fn} * 360.0e0 - 180.0e0"),
+            (f"sha_{tag}", f"PI() * (1.0e0 - 2.0e0 * {row} / {fn})"),
+            (
+                f"sh_{tag}",
+                f"(EXP(sha_{tag}) - EXP(-(sha_{tag}))) / 2.0e0",
+            ),
+            (f"lat_{tag}", f"ATAN(sh_{tag}) * (180.0e0 / PI())"),
+            (f"bmx_{tag}", f"lon_{tag} * {_OS} / 180.0e0"),
+            (
+                f"btm_{tag}",
+                f"TAN((90.0e0 + lat_{tag}) * PI() / 360.0e0)",
+            ),
+            (f"bmy0_{tag}", f"LN(btm_{tag}) / (PI() / 180.0e0)"),
+            (f"bmy_{tag}", f"bmy0_{tag} * {_OS} / 180.0e0"),
+        ]
+
+    ch: Chain = []
+    ch += corner("tl", "ti", f"({n - 1} - tj)")
+    ch += corner("br", "(ti + 1)", f"(({n - 1} - tj) - 1)")
+    return ch
+
+
+def tile_path_from_quadkeys(quadkeys_lst: list[str], tms: bool = True):
+    """get_tile_path_from_quadkey:214 vectorized: digit bit
+    reassembly; zoom = len(quadkey); TMS flip on request. Empty keys
+    return (0, 0, 0) as the reference does."""
+    tx = np.zeros(len(quadkeys_lst), np.int64)
+    ty = np.zeros(len(quadkeys_lst), np.int64)
+    zoom = np.array([len(q) for q in quadkeys_lst], np.int64)
+    for r, q in enumerate(quadkeys_lst):
+        for i, digit in enumerate(reversed(q)):
+            d = int(digit)
+            if d & 1:
+                tx[r] |= 1 << i
+            if d & 2:
+                ty[r] |= 1 << i
+    if tms:
+        ty = np.where(zoom > 0, (1 << zoom) - 1 - ty, ty)
+    return tx, ty, zoom

@@ -20911,3 +20911,246 @@ def q_utm_bbox_zone_split(sf_dir: str):
     return ds.map_batches(split, batch_format="pyarrow").sort(
         ["fid", "zone"]
     )
+
+
+# ===========================================================================
+# Tile-range enumeration + mercator tile bounds (functions/tilecache.py
+# — tools/tilecacheutils.py:16 truncate_lng_lat, :225 get_tiles with
+# its literal epsilon/count quirks, :98/:132 get_tile_bbox +
+# get_web_mercator_xy == xy_mercator_bounds:170). Zoom 6, TMS rows.
+# ===========================================================================
+
+_TR_ZOOM = 6
+_TR_N = 1 << _TR_ZOOM
+
+
+def _tile_ranges_sql() -> str:
+    from rsgislib_ray.functions.mirrorchain import chain_ctes
+    from rsgislib_ray.functions.tilecache import (
+        tile_idx_chain,
+        tile_merc_bounds_chain,
+    )
+
+    # fixture with truncate + antimeridian + polar-clamp coverage
+    src = """
+    raw AS (
+      SELECT p_partkey AS fid,
+        CASE WHEN p_partkey % 9 = 0
+             THEN 150.0 + (p_partkey % 25)
+             ELSE ((p_partkey * 23) % 36000) / 100.0 - 180.0 + 0.005
+        END AS w0,
+        CASE WHEN p_partkey % 9 = 0
+             THEN -150.0 - (p_partkey % 20)
+             ELSE ((p_partkey * 23) % 36000) / 100.0 - 180.0 + 0.005
+                  + 5.0 + (p_partkey % 40) / 10.0
+        END AS e0,
+        ((p_partkey * 41) % 16500) / 100.0 - 88.0 AS s0,
+        CASE WHEN p_partkey % 7 = 0
+             THEN 84.0 + (p_partkey % 40) / 10.0
+             ELSE ((p_partkey * 41) % 16500) / 100.0 - 88.0
+                  + 3.0 + (p_partkey % 30) / 10.0
+        END AS n0
+      FROM part),
+    trunc AS (
+      SELECT fid,
+        CASE WHEN w0 > 180.0 THEN 180.0 WHEN w0 < -180.0 THEN -180.0
+             ELSE w0 END AS w,
+        CASE WHEN e0 > 180.0 THEN 180.0 WHEN e0 < -180.0 THEN -180.0
+             ELSE e0 END AS e,
+        CASE WHEN s0 > 90.0 THEN 90.0 WHEN s0 < -90.0 THEN -90.0
+             ELSE s0 END AS s,
+        CASE WHEN n0 > 90.0 THEN 90.0 WHEN n0 < -90.0 THEN -90.0
+             ELSE n0 END AS n
+      FROM raw),
+    segs AS (
+      SELECT fid, CAST(0 AS BIGINT) AS seg,
+             CASE WHEN w > e THEN -180.0 ELSE w END AS sw,
+             s AS ss, e AS se, n AS sn
+      FROM trunc
+      UNION ALL
+      SELECT fid, CAST(1 AS BIGINT), w, s, 180.0, n
+      FROM trunc WHERE w > e),
+    clmp AS (
+      SELECT fid, seg,
+        GREATEST(-180.0, sw) AS cw, GREATEST(-85.051129, ss) AS cs,
+        LEAST(180.0, se) AS ce, LEAST(85.051129, sn) AS cn
+      FROM segs)
+    """
+    ca, last_a = chain_ctes(
+        tile_idx_chain("a", "cw", "cs", _TR_ZOOM), "clmp", "tca"
+    )
+    cb, last_b = chain_ctes(
+        tile_idx_chain("b", "ce", "cn", _TR_ZOOM), last_a, "tcb"
+    )
+    quirks = f"""
+    idx AS (
+      SELECT fid, seg,
+        CAST(tx_a AS BIGINT) AS llx0,
+        CAST(ty_a AS BIGINT) - 1 AS lly,
+        CAST(tx_b AS BIGINT) - 1 AS urx,
+        CAST(ty_b AS BIGINT) AS ury0
+      FROM {last_b}),
+    cidx AS (
+      SELECT fid, seg,
+        CASE WHEN llx0 < 0 THEN 0 ELSE llx0 END AS llx, lly, urx,
+        CASE WHEN ury0 < 0 THEN 0 ELSE ury0 END AS ury
+      FROM idx),
+    rng AS (
+      SELECT fid, seg,
+        LEAST(llx, urx) AS min_x,
+        CASE WHEN llx = urx THEN 1
+             WHEN llx < urx THEN
+               CASE WHEN urx - LEAST(llx + 1, {_TR_N}) = 0 THEN 1
+                    ELSE urx - LEAST(llx + 1, {_TR_N}) END
+             ELSE
+               CASE WHEN llx - LEAST(urx + 1, {_TR_N}) = 0 THEN 1
+                    ELSE llx - LEAST(urx + 1, {_TR_N}) END
+        END AS n_x,
+        LEAST(ury, lly) AS min_y,
+        CASE WHEN ury = lly THEN 1
+             WHEN ury < lly THEN
+               CASE WHEN lly - LEAST(ury + 1, {_TR_N}) = 0 THEN 1
+                    ELSE lly - LEAST(ury + 1, {_TR_N}) END
+             ELSE
+               CASE WHEN ury - LEAST(lly + 1, {_TR_N}) = 0 THEN 1
+                    ELSE ury - LEAST(lly + 1, {_TR_N}) END
+        END AS n_y
+      FROM cidx),
+    tiles AS (
+      SELECT fid, seg,
+        CAST(i.range AS BIGINT) AS ti, CAST(j.range AS BIGINT) AS tj
+      FROM rng
+      JOIN range(-1, {_TR_N}) i
+        ON i.range >= rng.min_x AND i.range < rng.min_x + rng.n_x
+      JOIN range(-1, {_TR_N}) j
+        ON j.range >= rng.min_y AND j.range < rng.min_y + rng.n_y)
+    """
+    cm, last_m = chain_ctes(
+        tile_merc_bounds_chain(_TR_ZOOM), "tiles", "tcm"
+    )
+    return (
+        f"WITH {src}, {ca}, {cb}, {quirks}, {cm} "
+        f"SELECT fid, seg, ti AS tile_x, tj AS tile_y, "
+        f"bmx_tl AS xmin_m, bmx_br AS xmax_m, "
+        f"bmy_br AS ymin_m, bmy_tl AS ymax_m "
+        f"FROM {last_m} ORDER BY fid, seg, ti, tj"
+    )
+
+
+@register("tile_ranges", _tile_ranges_sql())
+def q_tile_ranges(sf_dir: str):
+    """get_tiles (tilecacheutils:225) + xy_mercator_bounds (:170):
+    truncate_lng_lat clamp, antimeridian split, web-mercator lat
+    clamp, corner tiles via the pinned point->tile chain, then the
+    reference's LITERAL range quirks — the int tile indices always
+    pass the `% 1 < eps` test so lly/urx get the epsilon knock-down
+    (floor -> minus one) and the counts under-enumerate by one tile
+    (urx - llx - 1) — and per-tile mercator bounds via the tl/br
+    corner chains; lly is NOT zero-clamped (only llx/ury are), so
+    south-edge bboxes emit tile_y = -1 rows exactly as the reference
+    does. Everything flat map_batches, zero shuffles."""
+    from rsgislib_ray.functions.mirrorchain import eval_chain
+    from rsgislib_ray.functions.tilecache import (
+        tile_idx_chain,
+        tile_merc_bounds_chain,
+    )
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).repartition(16)
+    N = _TR_N
+
+    def split(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy().astype(np.int64)
+        w0 = np.where(
+            k % 9 == 0, 150.0 + (k % 25),
+            ((k * 23) % 36000) / 100.0 - 180.0 + 0.005,
+        )
+        e0 = np.where(
+            k % 9 == 0, -150.0 - (k % 20),
+            ((k * 23) % 36000) / 100.0 - 180.0 + 0.005
+            + 5.0 + (k % 40) / 10.0,
+        )
+        s0 = ((k * 41) % 16500) / 100.0 - 88.0
+        n0 = np.where(
+            k % 7 == 0, 84.0 + (k % 40) / 10.0,
+            s0 + 3.0 + (k % 30) / 10.0,
+        )
+        w = np.clip(w0, -180.0, 180.0)
+        e = np.clip(e0, -180.0, 180.0)
+        s = np.clip(s0, -90.0, 90.0)
+        n = np.clip(n0, -90.0, 90.0)
+        wrap = w > e
+        fid = np.concatenate([k, k[wrap]])
+        seg = np.concatenate(
+            [np.zeros(len(k), np.int64), np.ones(int(wrap.sum()), np.int64)]
+        )
+        sw = np.concatenate([np.where(wrap, -180.0, w), w[wrap]])
+        ss = np.concatenate([s, s[wrap]])
+        se = np.concatenate([e, np.full(int(wrap.sum()), 180.0)])
+        sn = np.concatenate([n, n[wrap]])
+        cw = np.maximum(-180.0, sw)
+        cs = np.maximum(-85.051129, ss)
+        ce = np.minimum(180.0, se)
+        cn = np.minimum(85.051129, sn)
+        env = eval_chain(
+            tile_idx_chain("a", "cw", "cs", _TR_ZOOM),
+            {"cw": cw, "cs": cs}, vector=True,
+        )
+        env.update(eval_chain(
+            tile_idx_chain("b", "ce", "cn", _TR_ZOOM),
+            {"ce": ce, "cn": cn}, vector=True,
+        ))
+        llx = env["tx_a"].astype(np.int64)
+        lly = env["ty_a"].astype(np.int64) - 1
+        urx = env["tx_b"].astype(np.int64) - 1
+        ury = env["ty_b"].astype(np.int64)
+        llx = np.where(llx < 0, 0, llx)
+        ury = np.where(ury < 0, 0, ury)
+        min_x = np.minimum(llx, urx)
+        n_x = np.where(
+            llx == urx, 1,
+            np.where(
+                llx < urx,
+                urx - np.minimum(llx + 1, N),
+                llx - np.minimum(urx + 1, N),
+            ),
+        )
+        n_x = np.where(n_x == 0, 1, n_x)
+        min_y = np.minimum(ury, lly)
+        n_y = np.where(
+            ury == lly, 1,
+            np.where(
+                ury < lly,
+                lly - np.minimum(ury + 1, N),
+                ury - np.minimum(lly + 1, N),
+            ),
+        )
+        n_y = np.where(n_y == 0, 1, n_y)
+        # enumerate the product ranges
+        reps = (n_x * n_y).astype(np.int64)
+        ridx = np.repeat(np.arange(len(fid)), reps)
+        if len(ridx):
+            off = np.arange(len(ridx)) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            ti = min_x[ridx] + off // n_y[ridx]
+            tj = min_y[ridx] + off % n_y[ridx]
+        else:
+            ti = tj = np.empty(0, np.int64)
+        env2 = eval_chain(
+            tile_merc_bounds_chain(_TR_ZOOM),
+            {"ti": ti, "tj": tj}, vector=True,
+        )
+        return pa.table(
+            {
+                "fid": fid[ridx], "seg": seg[ridx],
+                "tile_x": ti, "tile_y": tj,
+                "xmin_m": env2["bmx_tl"], "xmax_m": env2["bmx_br"],
+                "ymin_m": env2["bmy_br"], "ymax_m": env2["bmy_tl"],
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow").sort(
+        ["fid", "seg", "tile_x", "tile_y"]
+    )
