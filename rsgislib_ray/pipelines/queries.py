@@ -21154,3 +21154,124 @@ def q_tile_ranges(sf_dir: str):
     return ds.map_batches(split, batch_format="pyarrow").sort(
         ["fid", "seg", "tile_x", "tile_y"]
     )
+
+
+# ===========================================================================
+# Watershed segmentation (stages/watershed.py — segmentation/
+# skimgseg.py:270 perform_watershed_segmentation; skimage replaced by
+# the pinned lexicographic-minimax immersion semantics). Same holed
+# 40x40 DEM as dem_fill, sparse pixel-id markers.
+# ===========================================================================
+
+_WS_K = 160          # > max optimal-path hop count (pytest-guarded)
+_WS_KL = 1 << 20     # label packing base
+_WS_INF = 1 << 62
+
+
+def _ws_raster() -> pa.Table:
+    pid = np.arange(_FILL_N * _FILL_N, dtype=np.int64)
+    r, c = np.divmod(pid, _FILL_N)
+    keep = (r * 7 + c * 11) % 53 != 0
+    dem = (r * 31 + c * 17) % 23 + (
+        (r - 20) * (r - 20) + (c - 20) * (c - 20)
+    ) // 40
+    marker = np.where((r * 7 + c * 13) % 101 == 0, pid + 1, 0)
+    return pa.table(
+        {
+            "pixel_id": pid[keep],
+            "row": r[keep],
+            "col": c[keep],
+            "dem": dem[keep],
+            "marker": marker[keep],
+        }
+    )
+
+
+@register(
+    "watershed_labels",
+    f"""
+    WITH RECURSIVE px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_FILL_N} AS BIGINT) AS r,
+             CAST(p.range % {_FILL_N} AS BIGINT) AS c,
+             CAST(((p.range // {_FILL_N}) * 31
+                   + (p.range % {_FILL_N}) * 17) % 23
+                  + ((p.range // {_FILL_N} - 20)
+                     * (p.range // {_FILL_N} - 20)
+                     + (p.range % {_FILL_N} - 20)
+                     * (p.range % {_FILL_N} - 20)) // 40
+                  AS BIGINT) AS dem,
+             CASE WHEN ((p.range // {_FILL_N}) * 7
+                        + (p.range % {_FILL_N}) * 13) % 101 = 0
+                  THEN CAST(p.range + 1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS marker
+      FROM range(0, {_FILL_N * _FILL_N}) p
+      WHERE ((p.range // {_FILL_N}) * 7
+             + (p.range % {_FILL_N}) * 11) % 53 <> 0
+    ),
+    e AS MATERIALIZED (
+      SELECT a.pixel_id AS u, b.pixel_id AS v, b.dem AS dem_v
+      FROM px a JOIN px b
+        ON (a.r = b.r AND abs(a.c - b.c) = 1)
+        OR (a.c = b.c AND abs(a.r - b.r) = 1)
+    ),
+    vvr(it, pixel_id, f) AS (
+      SELECT 0, pixel_id,
+        CASE WHEN marker > 0 THEN dem
+             ELSE CAST({_WS_INF} AS BIGINT) END
+      FROM px
+      UNION ALL
+      SELECT it + 1, pixel_id, MIN(f) FROM (
+        SELECT vvr.it AS it, e.v AS pixel_id,
+               GREATEST(vvr.f, e.dem_v) AS f
+        FROM vvr JOIN e ON e.u = vvr.pixel_id
+        WHERE vvr.it < {_WS_K}
+        UNION ALL
+        SELECT it, pixel_id, f FROM vvr WHERE it < {_WS_K}
+      ) GROUP BY it, pixel_id
+    ),
+    vv AS MATERIALIZED (
+      SELECT pixel_id, f FROM vvr WHERE it = {_WS_K}
+    ),
+    oe AS MATERIALIZED (
+      SELECT e.u, e.v
+      FROM e JOIN vv a ON a.pixel_id = e.u
+             JOIN vv b ON b.pixel_id = e.v
+      WHERE GREATEST(a.f, e.dem_v) = b.f
+    ),
+    llr(it, pixel_id, l) AS (
+      SELECT 0, pixel_id,
+        CASE WHEN marker > 0 THEN marker
+             ELSE CAST({_WS_INF} AS BIGINT) END
+      FROM px
+      UNION ALL
+      SELECT it + 1, pixel_id, MIN(l) FROM (
+        SELECT llr.it AS it, oe.v AS pixel_id, llr.l AS l
+        FROM llr JOIN oe ON oe.u = llr.pixel_id
+        WHERE llr.it < {_WS_K}
+        UNION ALL
+        SELECT it, pixel_id, l FROM llr WHERE it < {_WS_K}
+      ) GROUP BY it, pixel_id
+    )
+    SELECT v.pixel_id,
+      CASE WHEN l.l < {_WS_INF} THEN l.l ELSE 0 END AS label,
+      CASE WHEN l.l < {_WS_INF} THEN v.f ELSE NULL END AS crest
+    FROM vv v JOIN llr l ON l.pixel_id = v.pixel_id
+    WHERE l.it = {_WS_K} ORDER BY v.pixel_id
+    """,
+)
+def q_watershed_labels(sf_dir: str):
+    """perform_watershed_segmentation (skimgseg.py:270): watershed by
+    immersion with the pinned lexicographic (minimax elevation,
+    marker label) tie rule — see stages/watershed.py. Banded
+    block-parallel packed-int relaxation; oracle = the
+    iteration-indexed recursive-CTE fixpoint ({_WS_K} synchronous
+    rounds, pytest-guarded to exceed the true hop count)."""
+    from rsgislib_ray.stages.watershed import watershed_segmentation
+
+    return watershed_segmentation(
+        ray.data.from_arrow(_ws_raster()).repartition(8),
+        _FILL_N,
+        _FILL_N,
+        row_band=8,
+    ).sort("pixel_id")
