@@ -21275,3 +21275,108 @@ def q_watershed_labels(sf_dir: str):
         _FILL_N,
         row_band=8,
     ).sort("pixel_id")
+
+
+# ===========================================================================
+# Pixel purity index (stages/imagestats.ppi_counts —
+# specunmixing/__init__.py:1373 calc_ppi, Boardman 1995). Pinned
+# splitmix64 projection matrix inlined as literals on both sides;
+# threshold mode (lthres = uthres = 0.25) so only per-iteration
+# min/max values matter (no argmin tie rule in the oracle).
+# ===========================================================================
+
+_PPI_D = 5
+_PPI_ITERS = 40
+_PPI_THR = 0.25
+
+
+def _ppi_rmat() -> np.ndarray:
+    from rsgislib_ray.functions.hashing import splitmix64
+
+    idx = np.arange(_PPI_ITERS * _PPI_D, dtype=np.uint64)
+    h = splitmix64(idx + np.uint64(911))
+    r = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53) - 0.5
+    return r.reshape(_PPI_ITERS, _PPI_D)
+
+
+def _ppi_src_sql() -> str:
+    xs = ", ".join(
+        f"CAST((c_custkey * {3 + b}) % 97"
+        f" + (c_custkey // {1 << b}) % 13 AS BIGINT) AS x{b}"
+        for b in range(_PPI_D)
+    )
+    return (
+        f"src AS (SELECT c_custkey AS pix, {xs} FROM customer"
+        " WHERE c_custkey % 17 <> 0)"
+    )
+
+
+def _sql_ppi() -> str:
+    R = _ppi_rmat()
+    ms = ", ".join(
+        f"CAST(SUM(x{b}) AS DOUBLE) / COUNT(*) AS m{b}"
+        for b in range(_PPI_D)
+    )
+    cs = ", ".join(
+        f"CAST(x{b} AS DOUBLE) - m{b} AS c{b}" for b in range(_PPI_D)
+    )
+    it_rows = ", ".join(
+        "(" + ", ".join(
+            [str(i)] + [_dlit(float(R[i, b])) for b in range(_PPI_D)]
+        ) + ")"
+        for i in range(_PPI_ITERS)
+    )
+    rcols = ", ".join(f"r{b}" for b in range(_PPI_D))
+    sexpr = f"(c0 * r0)"
+    for b in range(1, _PPI_D):
+        sexpr = f"({sexpr} + c{b} * r{b})"
+    return (
+        f"WITH {_ppi_src_sql()}, "
+        f"mm AS (SELECT {ms} FROM src), "
+        f"cen AS (SELECT pix, {cs} FROM src, mm), "
+        f"it(i, {rcols}) AS (VALUES {it_rows}), "
+        f"sc AS (SELECT pix, i, {sexpr} AS s FROM cen CROSS JOIN it), "
+        "ext AS (SELECT i, MIN(s) AS smin, MAX(s) AS smax FROM sc"
+        " GROUP BY i) "
+        "SELECT sc.pix, CAST(SUM("
+        f"(CASE WHEN sc.s <= ext.smin + {_dlit(_PPI_THR)}"
+        " THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN sc.s >= ext.smax - {_dlit(_PPI_THR)}"
+        " THEN 1 ELSE 0 END)) AS BIGINT) AS ppi "
+        "FROM sc JOIN ext ON ext.i = sc.i "
+        "GROUP BY sc.pix ORDER BY sc.pix"
+    )
+
+
+@register("spec_ppi", _sql_ppi())
+def q_spec_ppi(sf_dir: str):
+    """calc_ppi (specunmixing:1373): mean-centred projections onto 40
+    pinned splitmix64 directions, per-pixel extreme counts within the
+    0.25 threshold bands. Three map_batches passes (exact-int sums,
+    bounded per-iteration extreme partials, counting); the oracle
+    replays the left-associated projection chain with the same
+    literal direction matrix."""
+    from rsgislib_ray.stages.imagestats import ppi_counts
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).repartition(16)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        keep = k % 17 != 0
+        k = k[keep]
+        cols = {"pix": k}
+        for b in range(_PPI_D):
+            cols[f"x{b}"] = (k * (3 + b)) % 97 + (k >> b) % 13
+        return pa.table(cols)
+
+    src = ds.map_batches(derive, batch_format="pyarrow")
+    out = ppi_counts(
+        src,
+        [f"x{b}" for b in range(_PPI_D)],
+        _ppi_rmat(),
+        lthres=_PPI_THR,
+        uthres=_PPI_THR,
+    )
+    return out.sort("pix")

@@ -995,3 +995,133 @@ def kurt_skew_threshold(
         raise ValueError("no valid threshold candidate")
     (obj, x), n, kurt, skew = best
     return {"thr": x, "n": n, "kurt": kurt, "skew": skew, "obj": obj}
+
+
+def ppi_counts(
+    ds: "ray.data.Dataset",
+    value_cols: list[str],
+    r_mat: np.ndarray,
+    *,
+    lthres: float = 0.0,
+    uthres: float = 0.0,
+    key_col: str = "pix",
+) -> pa.Table:
+    """Pixel purity index (specunmixing/__init__.py:1373 ``calc_ppi``,
+    Boardman 1995): mean-center the band matrix, project onto
+    ``r_mat``'s random unit-cube directions (the reference's
+    ``numpy.random.rand(d) - 0.5`` replaced by a caller-supplied
+    pinned matrix — splitmix64-derived in the contract query), and
+    count per pixel how often it is extreme. ``lthres``/``uthres`` = 0
+    counts only the argmin/argmax pixel, ties by (s, pixel id)
+    lexicographic (the reference's first-index rule under
+    pixel-id-ordered rows); > 0 counts every pixel within the
+    threshold of the extreme. Three passes, all map_batches partials:
+    exact-int64 band sums -> broadcast means; per-iteration
+    (min, argmin, max, argmax) partials (bounded: n_iters rows per
+    batch) -> broadcast extremes; per-pixel counting. The projection
+    is the pinned left-associated chain ((c0*r0 + c1*r1) + ...) the
+    SQL oracle replays."""
+    d = len(value_cols)
+    n_iters = r_mat.shape[0]
+    assert r_mat.shape == (n_iters, d)
+
+    def sums(batch: pa.Table) -> pa.Table:
+        out = {"n": np.array([batch.num_rows], np.int64)}
+        for j, c in enumerate(value_cols):
+            out[f"s{j}"] = np.array(
+                [batch[c].to_numpy().sum()], np.int64
+            )
+        return pa.table(out)
+
+    part = ds.map_batches(
+        sums, batch_format="pyarrow", batch_size=65536
+    ).to_arrow_refs()
+    import ray as _ray
+
+    ptbl = pa.concat_tables(_ray.get(part))
+    n = int(ptbl["n"].to_numpy().sum())
+    means = np.array(
+        [
+            float(ptbl[f"s{j}"].to_numpy().sum()) / n
+            for j in range(d)
+        ]
+    )
+
+    def proj(batch: pa.Table) -> np.ndarray:
+        p = batch.num_rows
+        acc = None
+        for j, c in enumerate(value_cols):
+            cj = batch[c].to_numpy().astype(np.float64) - means[j]
+            term = cj[:, None] * r_mat[None, :, j]
+            acc = term if acc is None else acc + term
+        return acc          # (p, n_iters)
+
+    def extremes(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "it": pa.array([], pa.int64()),
+                    "smin": pa.array([], pa.float64()),
+                    "pmin": pa.array([], pa.int64()),
+                    "smax": pa.array([], pa.float64()),
+                    "pmax": pa.array([], pa.int64()),
+                }
+            )
+        s = proj(batch)
+        pid = batch[key_col].to_numpy().astype(np.int64)
+        o_min = np.lexsort((pid[:, None].repeat(n_iters, 1), s),
+                           axis=0)[0]
+        o_max = np.lexsort(
+            (pid[:, None].repeat(n_iters, 1), -s), axis=0
+        )[0]
+        idx = np.arange(n_iters)
+        return pa.table(
+            {
+                "it": idx,
+                "smin": s[o_min, idx],
+                "pmin": pid[o_min],
+                "smax": s[o_max, idx],
+                "pmax": pid[o_max],
+            }
+        )
+
+    etbl = pa.concat_tables(
+        _ray.get(
+            ds.map_batches(
+                extremes, batch_format="pyarrow", batch_size=65536
+            ).to_arrow_refs()
+        )
+    )
+    ed = etbl.to_pandas()
+    smin = np.full(n_iters, np.inf)
+    pmin = np.full(n_iters, np.iinfo(np.int64).max)
+    smax = np.full(n_iters, -np.inf)
+    pmax = np.full(n_iters, np.iinfo(np.int64).max)
+    for it, a, pa_, b, pb in zip(
+        ed["it"], ed["smin"], ed["pmin"], ed["smax"], ed["pmax"]
+    ):
+        if (a, pa_) < (smin[it], pmin[it]):
+            smin[it], pmin[it] = a, pa_
+        if (-b, pb) < (-smax[it], pmax[it]):
+            smax[it], pmax[it] = b, pb
+
+    def count(batch: pa.Table) -> pa.Table:
+        s = proj(batch)
+        pid = batch[key_col].to_numpy().astype(np.int64)
+        if lthres == 0.0:
+            lo = (pid[:, None] == pmin[None, :]).sum(axis=1)
+        else:
+            lo = (s <= (smin + lthres)[None, :]).sum(axis=1)
+        if uthres == 0.0:
+            hi = (pid[:, None] == pmax[None, :]).sum(axis=1)
+        else:
+            hi = (s >= (smax - uthres)[None, :]).sum(axis=1)
+        return pa.table(
+            {key_col: pid, "ppi": (lo + hi).astype(np.int64)}
+        )
+
+    import ray.data as _rd
+
+    return ds.map_batches(
+        count, batch_format="pyarrow", batch_size=65536
+    )
