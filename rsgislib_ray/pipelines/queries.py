@@ -21380,3 +21380,178 @@ def q_spec_ppi(sf_dir: str):
         uthres=_PPI_THR,
     )
     return out.sort("pix")
+
+
+# ===========================================================================
+# NNLS spectral unmixing (stages/imagestats.nnls_unmix —
+# specunmixing/__init__.py:264 spec_unmix_spts_nnls + :471 rescale +
+# :528 predict + :585 rmse; Lawson-Hanson replaced by exact-integer
+# KKT subset enumeration, see the stage docstring).
+# ===========================================================================
+
+_NNLS_E = np.array(
+    [[12, 3, 7, 1, 9], [2, 14, 5, 8, 3], [6, 2, 11, 13, 4]],
+    dtype=np.int64,
+)
+_NNLS_NB = 5
+_NNLS_SUBSETS = [
+    (0, 1, 2), (0, 1), (0, 2), (1, 2), (0,), (1,), (2,), (),
+]
+
+
+def _nnls_sql(weight: int | None) -> str:
+    E = _NNLS_E
+    w2 = 0 if weight is None else weight ** 2
+    G = (E @ E.T + w2).astype(object)
+
+    ys = ", ".join(
+        f"CAST((o_orderkey * {2 * b + 3}) % 180"
+        f" + (o_orderkey // {1 << (b + 1)}) % 11 AS BIGINT) AS y{b}"
+        for b in range(_NNLS_NB)
+    )
+    bs = []
+    for j in range(3):
+        t = " + ".join(
+            f"{int(E[j, b])} * y{b}" for b in range(_NNLS_NB)
+        )
+        bs.append(f"CAST({t} + {w2} AS BIGINT) AS b{j}")
+
+    def subset_exprs(S):
+        """(det_literal, {i: num_sql}, {j: dual_sql})"""
+        if len(S) == 0:
+            det = 1
+            nums = {}
+        elif len(S) == 1:
+            i = S[0]
+            det = int(G[i, i])
+            nums = {i: f"b{i}"}
+        elif len(S) == 2:
+            i, j = S
+            det = int(G[i, i] * G[j, j] - G[i, j] * G[i, j])
+            nums = {
+                i: f"(b{i} * {int(G[j, j])} - b{j} * {int(G[i, j])})",
+                j: f"(b{j} * {int(G[i, i])} - b{i} * {int(G[i, j])})",
+            }
+        else:
+            a, bb, c = G[0], G[1], G[2]
+            det = int(
+                a[0] * (bb[1] * c[2] - bb[2] * c[1])
+                - a[1] * (bb[0] * c[2] - bb[2] * c[0])
+                + a[2] * (bb[0] * c[1] - bb[1] * c[0])
+            )
+            adj = {}
+            for i in range(3):
+                for j in range(3):
+                    r = [k for k in range(3) if k != j]
+                    ci = [k for k in range(3) if k != i]
+                    mnr = int(
+                        G[r[0], ci[0]] * G[r[1], ci[1]]
+                        - G[r[0], ci[1]] * G[r[1], ci[0]]
+                    )
+                    adj[(i, j)] = ((-1) ** (i + j)) * mnr
+            nums = {
+                i: "("
+                + " + ".join(
+                    f"b{j} * {adj[(i, j)]}" for j in range(3)
+                )
+                + ")"
+                for i in range(3)
+            }
+        duals = {}
+        for j in range(3):
+            if j in S:
+                continue
+            dn = f"b{j} * {det}"
+            for i in S:
+                dn += f" - {int(G[j, i])} * {nums[i]}"
+            duals[j] = f"({dn})"
+        return det, nums, duals
+
+    conds = []
+    for S in _NNLS_SUBSETS:
+        det, nums, duals = subset_exprs(S)
+        cond = " AND ".join(
+            [f"{nums[i]} > 0" for i in S]
+            + [f"{duals[j]} <= 0" for j in duals]
+        ) or "TRUE"
+        conds.append((S, det, nums, cond))
+
+    def a_col(i: int) -> str:
+        cases = []
+        for S, det, nums, cond in conds:
+            val = (
+                f"CAST({nums[i]} AS DOUBLE) / {_dlit(float(det))}"
+                if i in S
+                else "0.0e0"
+            )
+            cases.append(f"WHEN {cond} THEN {val}")
+        return "CASE " + " ".join(cases) + " END"
+
+    preds = []
+    for b in range(_NNLS_NB):
+        preds.append(
+            f"(a0 * {_dlit(float(E[0, b]))}"
+            f" + a1 * {_dlit(float(E[1, b]))})"
+            f" + a2 * {_dlit(float(E[2, b]))} AS p{b}"
+        )
+    sqs = " + ".join(
+        f"(CAST(y{b} AS DOUBLE) - p{b})"
+        f" * (CAST(y{b} AS DOUBLE) - p{b})"
+        for b in range(_NNLS_NB)
+    )
+    return (
+        f"WITH src AS (SELECT o_orderkey AS pix, {ys} FROM orders), "
+        f"bb AS (SELECT *, {', '.join(bs)} FROM src), "
+        f"aa AS (SELECT *, {a_col(0)} AS a0, {a_col(1)} AS a1,"
+        f" {a_col(2)} AS a2 FROM bb), "
+        f"ss AS (SELECT *, (a0 + a1) + a2 AS asum FROM aa), "
+        f"pp AS (SELECT *, {', '.join(preds)} FROM ss) "
+        "SELECT pix, a0, a1, a2, "
+        "CASE WHEN asum = 0.0e0 THEN NULL ELSE a0 / asum END AS an0, "
+        "CASE WHEN asum = 0.0e0 THEN NULL ELSE a1 / asum END AS an1, "
+        "CASE WHEN asum = 0.0e0 THEN NULL ELSE a2 / asum END AS an2, "
+        f"p0 AS pred_b0, SQRT(({sqs}) / {_dlit(float(_NNLS_NB))})"
+        " AS rmse FROM pp ORDER BY pix"
+    )
+
+
+def _nnls_src(sf_dir: str):
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).repartition(16)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        cols = {"pix": k}
+        for b in range(_NNLS_NB):
+            cols[f"y{b}"] = (k * (2 * b + 3)) % 180 + (
+                k >> (b + 1)
+            ) % 11
+        return pa.table(cols)
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+@register("spec_unmix_nnls", _nnls_sql(None))
+def q_spec_unmix_nnls(sf_dir: str):
+    """spec_unmix_spts_nnls + rescale + predict + rmse: exact-integer
+    KKT subset NNLS over the pinned 3x5 endmember matrix."""
+    from rsgislib_ray.stages.imagestats import nnls_unmix
+
+    return nnls_unmix(
+        _nnls_src(sf_dir), [f"y{b}" for b in range(_NNLS_NB)],
+        _NNLS_E,
+    ).sort("pix")
+
+
+@register("spec_unmix_nnls_sum1", _nnls_sql(4))
+def q_spec_unmix_nnls_sum1(sf_dir: str):
+    """The Scarth-2010 weighted variant (weight column 4 appended to
+    endmembers and signals: G += 16, b += 16) nudging abundances
+    toward sum-to-one."""
+    from rsgislib_ray.stages.imagestats import nnls_unmix
+
+    return nnls_unmix(
+        _nnls_src(sf_dir), [f"y{b}" for b in range(_NNLS_NB)],
+        _NNLS_E, weight=4,
+    ).sort("pix")

@@ -1125,3 +1125,146 @@ def ppi_counts(
     return ds.map_batches(
         count, batch_format="pyarrow", batch_size=65536
     )
+
+
+def nnls_unmix(
+    ds: "ray.data.Dataset",
+    value_cols: list[str],
+    E: np.ndarray,
+    *,
+    weight: int | None = None,
+    key_col: str = "pix",
+):
+    """Per-pixel non-negative least-squares unmixing for m = 3
+    endmembers (specunmixing/__init__.py:264 ``spec_unmix_spts_nnls``
+    via pysptools/scipy Lawson-Hanson, absent here) + the downstream
+    helpers in one pass: rescaled sum-to-one abundances (:471
+    ``rescale_unmixing_results``), predicted reflectance (:528
+    ``predict_refl_linear_unmixing``) and per-pixel RMSE (:585
+    ``calc_unmixing_rmse_residual_err``).
+
+    The iterative active-set solver is replaced by EXACT KKT subset
+    enumeration: with integer endmembers/signals, every principal
+    subset solve is integer Cramer (det(G_S) > 0 since G is a Gram
+    matrix of independent rows), so primal feasibility (x_i > 0 <=>
+    Cramer numerator > 0) and dual feasibility (w_j <= 0 <=> integer
+    numerator b_j*det - sum g_ji num_i <= 0) are exact INTEGER
+    predicates — deterministic, partitioning-independent, and
+    replayed verbatim by the SQL oracle. The first subset in the
+    pinned order [{0,1,2},{0,1},{0,2},{1,2},{0},{1},{2},{}] passing
+    both tests is the (unique) NNLS optimum. Scarth-2010 ``weight``
+    appends a weight column to E and every signal (G += w^2 on every
+    entry, b += w^2). Abundances are single divisions num/det."""
+    m, nb = E.shape
+    assert m == 3
+    G = (E.astype(np.int64) @ E.astype(np.int64).T)
+    w2 = 0 if weight is None else int(weight) ** 2
+    G = G + w2
+
+    SUBSETS = [
+        (0, 1, 2), (0, 1), (0, 2), (1, 2), (0,), (1,), (2,), (),
+    ]
+
+    def solve_subset(S, b):
+        """(num array list aligned to full index set, det) as exact
+        int64 vectors; absent coordinates carry num = 0."""
+        p = b.shape[0]
+        nums = [np.zeros(p, np.int64) for _ in range(3)]
+        if len(S) == 0:
+            det = np.ones(p, np.int64)
+        elif len(S) == 1:
+            i = S[0]
+            det = np.full(p, G[i, i], np.int64)
+            nums[i] = b[:, i].copy()
+        elif len(S) == 2:
+            i, j = S
+            det_s = G[i, i] * G[j, j] - G[i, j] * G[i, j]
+            det = np.full(p, det_s, np.int64)
+            nums[i] = b[:, i] * G[j, j] - b[:, j] * G[i, j]
+            nums[j] = b[:, j] * G[i, i] - b[:, i] * G[i, j]
+        else:
+            a, bb, c = G[0], G[1], G[2]
+            det_s = (
+                a[0] * (bb[1] * c[2] - bb[2] * c[1])
+                - a[1] * (bb[0] * c[2] - bb[2] * c[0])
+                + a[2] * (bb[0] * c[1] - bb[1] * c[0])
+            )
+            det = np.full(p, int(det_s), np.int64)
+            # adjugate columns (G symmetric)
+            adj = np.empty((3, 3), np.int64)
+            for i in range(3):
+                for j in range(3):
+                    r = [k for k in range(3) if k != j]
+                    cidx = [k for k in range(3) if k != i]
+                    mnr = (
+                        G[r[0], cidx[0]] * G[r[1], cidx[1]]
+                        - G[r[0], cidx[1]] * G[r[1], cidx[0]]
+                    )
+                    adj[i, j] = ((-1) ** (i + j)) * mnr
+            for i in range(3):
+                nums[i] = (
+                    b[:, 0] * adj[i, 0] + b[:, 1] * adj[i, 1]
+                    + b[:, 2] * adj[i, 2]
+                )
+        return nums, det
+
+    def f(batch: pa.Table) -> pa.Table:
+        p = batch.num_rows
+        Y = np.stack(
+            [
+                batch[c].to_numpy().astype(np.int64)
+                for c in value_cols
+            ],
+            axis=1,
+        )
+        b = Y @ E.astype(np.int64).T + w2
+        sel_num = [np.zeros(p, np.int64) for _ in range(3)]
+        sel_det = np.ones(p, np.int64)
+        done = np.zeros(p, bool)
+        for S in SUBSETS:
+            nums, det = solve_subset(S, b)
+            ok = ~done
+            for i in S:
+                ok &= nums[i] > 0
+            for j in range(3):
+                if j in S:
+                    continue
+                # dual numerator: b_j*det - sum_{i in S} g_ji num_i
+                dn = b[:, j] * det
+                for i in S:
+                    dn = dn - G[j, i] * nums[i]
+                ok &= dn <= 0
+            for i in range(3):
+                sel_num[i] = np.where(ok, nums[i], sel_num[i])
+            sel_det = np.where(ok, det, sel_det)
+            done |= ok
+        x = [
+            sel_num[i].astype(np.float64)
+            / sel_det.astype(np.float64)
+            for i in range(3)
+        ]
+        ssum = (x[0] + x[1]) + x[2]
+        zero = ssum == 0.0
+        safe = np.where(zero, 1.0, ssum)
+        out = {key_col: batch[key_col]}
+        for i in range(3):
+            out[f"a{i}"] = x[i]
+            out[f"an{i}"] = pa.array(
+                x[i] / safe, mask=zero, type=pa.float64()
+            )
+        # predicted reflectance + RMSE over the ORIGINAL bands
+        acc = None
+        for bi in range(nb):
+            pred = (
+                x[0] * float(E[0, bi]) + x[1] * float(E[1, bi])
+            ) + x[2] * float(E[2, bi])
+            r = Y[:, bi].astype(np.float64) - pred
+            sq = r * r
+            acc = sq if acc is None else acc + sq
+            if bi == 0:
+                out["pred_b0"] = pred
+        out["rmse"] = np.sqrt(acc / float(nb))
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=65536)
