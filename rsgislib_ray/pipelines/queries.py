@@ -21555,3 +21555,129 @@ def q_spec_unmix_nnls_sum1(sf_dir: str):
         _nnls_src(sf_dir), [f"y{b}" for b in range(_NNLS_NB)],
         _NNLS_E, weight=4,
     ).sort("pix")
+
+
+# ===========================================================================
+# Max-NDVI composite (imageutils/imagecomp.py:84
+# create_max_ndvi_composite = calc_ndvi per date (calcindices.py:49,
+# muparser "(nir+red)!=0?(nir-red)/(nir+red):-999", float32 output)
+# -> get_img_idx_for_stat SUMTYPE_MAX (RSGISImageStatistics.cpp:1601,
+# first-strict-max scan, nodata -999 skipped, all-nodata -> 0) ->
+# create_ref_img_composite_img band gather (0 where idx 0)).
+# ===========================================================================
+
+_MC_D = 4
+
+
+def _mc_sql() -> str:
+    srcs = []
+    for d in range(_MC_D):
+        srcs.append(
+            f"CASE WHEN pix % 23 = 0 OR (pix * {d + 1}) % 19 = 0"
+            f" THEN 0 ELSE (pix * {2 * d + 3}) % 120 + 5 END AS r{d}"
+        )
+        srcs.append(
+            f"CASE WHEN pix % 23 = 0 OR (pix * {d + 1}) % 19 = 0"
+            f" THEN 0 ELSE (pix * {3 * d + 7}) % 140 + 9 END AS n{d}"
+        )
+    nds = ", ".join(
+        f"CASE WHEN (n{d} + r{d}) <> 0"
+        f" THEN CAST(CAST(n{d} - r{d} AS DOUBLE) / (n{d} + r{d})"
+        f" AS FLOAT) ELSE CAST(-999.0 AS FLOAT) END AS v{d}, "
+        f"((n{d} + r{d}) <> 0) AS ok{d}"
+        for d in range(_MC_D)
+    )
+    # first-strict-max: date i wins iff valid AND > all valid before
+    # AND >= all valid after
+    wins = []
+    for i in range(_MC_D):
+        conj = [f"ok{i}"]
+        for j in range(_MC_D):
+            if j < i:
+                conj.append(f"(NOT ok{j} OR v{i} > v{j})")
+            elif j > i:
+                conj.append(f"(NOT ok{j} OR v{i} >= v{j})")
+        wins.append("(" + " AND ".join(conj) + ")")
+    idx = "CASE "
+    for i in range(_MC_D):
+        idx += f"WHEN {wins[i]} THEN {i + 1} "
+    idx += "ELSE 0 END"
+    gat_r = " ".join(
+        f"WHEN {i + 1} THEN r{i}" for i in range(_MC_D)
+    )
+    gat_n = " ".join(
+        f"WHEN {i + 1} THEN n{i}" for i in range(_MC_D)
+    )
+    return (
+        "WITH src AS (SELECT pix, " + ", ".join(srcs)
+        + " FROM (SELECT l_orderkey * 10 + l_linenumber AS pix"
+        " FROM lineitem)), "
+        f"nd AS (SELECT *, {nds} FROM src), "
+        f"ii AS (SELECT *, CAST({idx} AS BIGINT) AS ref_idx FROM nd) "
+        f"SELECT pix, ref_idx, "
+        f"CAST(CASE ref_idx {gat_r} ELSE 0 END AS BIGINT) AS comp_red, "
+        f"CAST(CASE ref_idx {gat_n} ELSE 0 END AS BIGINT) AS comp_nir "
+        "FROM ii ORDER BY pix"
+    )
+
+
+@register("max_ndvi_composite", _mc_sql())
+def q_max_ndvi_composite(sf_dir: str):
+    """create_max_ndvi_composite (imagecomp.py:84): per-date float32
+    NDVI (the muparser conditional incl. the -999 zero-denominator
+    branch), first-strict-max date index (C++ scan semantics, ties
+    keep the earliest date, all-nodata pixels -> 0), composite = the
+    winning date's bands (0 at unreferenced pixels). One map_batches
+    pass, zero shuffles."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        pix = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        p = len(pix)
+        rs, ns, vs, oks = [], [], [], []
+        for d in range(_MC_D):
+            bad = (pix % 23 == 0) | ((pix * (d + 1)) % 19 == 0)
+            r = np.where(bad, 0, (pix * (2 * d + 3)) % 120 + 5)
+            n = np.where(bad, 0, (pix * (3 * d + 7)) % 140 + 9)
+            ok = (n + r) != 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = np.where(
+                    ok,
+                    ((n - r).astype(np.float64)
+                     / np.where(ok, n + r, 1)),
+                    -999.0,
+                ).astype(np.float32)
+            rs.append(r)
+            ns.append(n)
+            vs.append(v)
+            oks.append(ok)
+        # first-strict-max scan (RSGISImageStatistics.cpp:1631)
+        best = np.full(p, np.float32(0.0), np.float32)
+        idx = np.zeros(p, np.int64)
+        first = np.ones(p, bool)
+        for d in range(_MC_D):
+            take = oks[d] & (first | (vs[d] > best))
+            best = np.where(take, vs[d], best)
+            idx = np.where(take, d + 1, idx)
+            first = first & ~oks[d]
+        comp_r = np.zeros(p, np.int64)
+        comp_n = np.zeros(p, np.int64)
+        for d in range(_MC_D):
+            comp_r = np.where(idx == d + 1, rs[d], comp_r)
+            comp_n = np.where(idx == d + 1, ns[d], comp_n)
+        return pa.table(
+            {
+                "pix": pix, "ref_idx": idx,
+                "comp_red": comp_r, "comp_nir": comp_n,
+            }
+        )
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("pix")
