@@ -21681,3 +21681,90 @@ def q_max_ndvi_composite(sf_dir: str):
     return ds.map_batches(
         f, batch_format="pyarrow", batch_size=65536
     ).sort("pix")
+
+
+# ===========================================================================
+# Orthogonal angle sets (vectorattrs/__init__.py:1503
+# create_orthogonal_angle_sets): label 1 for the start-angle +- half
+# width pair (and its 180-mirror), 2 for the orthogonal pair, with
+# the reference's wrap handling (_sgl_create_angle_sets) and its
+# SEQUENTIAL overwrite (set-2 wins inclusive boundary overlaps at
+# half_width = 45).
+# ===========================================================================
+
+_AS_START = 30
+_AS_HW = 45
+
+
+def _angle_sets(start: int, hw: int) -> tuple[list, list]:
+    """Literal transcription of the reference's interval builder."""
+
+    def sgl(s, e):
+        if e == 0:
+            e = 360
+        if s > 360 and e > 360:
+            s, e = s - 360, e - 360
+        if 0 <= s and e <= 360:
+            return [[s, e]]
+        if s < 0 and e <= 360:
+            return [[360 + s, 360], [0, e]]
+        if s >= 0 and e > 360:
+            return [[s, 360], [0, e - 360]]
+        raise ValueError((s, e))
+
+    set1 = sgl(start - hw, start + hw) + sgl(
+        start + 180 - hw, start + 180 + hw
+    )
+    o = start + 90
+    set2 = sgl(o - hw, o + hw) + sgl(o + 180 - hw, o + 180 + hw)
+    return set1, set2
+
+
+def _as_sql() -> str:
+    s1, s2 = _angle_sets(_AS_START, _AS_HW)
+
+    def within(iv):
+        return " OR ".join(
+            f"(ang >= {_dlit(float(a))} AND ang <= {_dlit(float(b))})"
+            for a, b in iv
+        )
+
+    # sequential overwrite: set2 assignments come LAST -> CASE checks
+    # set2 first
+    return f"""
+    WITH src AS (
+      SELECT c_custkey AS uid,
+             ((c_custkey * 77) % 36000) / 100.0 AS ang
+      FROM customer)
+    SELECT uid, ang,
+      CASE WHEN {within(s2)} THEN 2
+           WHEN {within(s1)} THEN 1
+           ELSE 0 END AS angle_set
+    FROM src ORDER BY uid
+    """
+
+
+@register("attr_angle_sets", _as_sql())
+def q_attr_angle_sets(sf_dir: str):
+    """create_orthogonal_angle_sets (vectorattrs:1503), start 30 /
+    half-width 45: the wrap-splitting interval builder transcribed,
+    labels assigned by sequential overwrite (inclusive interval ends,
+    so boundary angles like 75.0 land in BOTH pairs and set 2 wins —
+    the fixture's integer-degree angles hit this)."""
+    s1, s2 = _angle_sets(_AS_START, _AS_HW)
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).repartition(16)
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        ang = ((k * 77) % 36000) / 100.0
+        lbl = np.zeros(len(k), np.int64)
+        for a, b in s1:
+            lbl[(ang >= a) & (ang <= b)] = 1
+        for a, b in s2:
+            lbl[(ang >= a) & (ang <= b)] = 2
+        return pa.table({"uid": k, "ang": ang, "angle_set": lbl})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("uid")
