@@ -21768,3 +21768,133 @@ def q_attr_angle_sets(sf_dir: str):
         return pa.table({"uid": k, "ang": ang, "angle_set": lbl})
 
     return ds.map_batches(f, batch_format="pyarrow").sort("uid")
+
+
+# ===========================================================================
+# Modelled accuracy points (classaccuracymetrics.py:1497
+# create_norm_modelled_err_matrix + :1552 create_modelled_acc_pts,
+# shuffle_pts=False): the normalised error matrix is config math
+# (computed once, inlined as literals); the point set is a pure block
+# construction over k in [0, n_pts) with the reference's quirks —
+# ref and cls block boundaries use INDEPENDENT floor prefix sums, so
+# rows near block edges can pair ref/cls labels from different
+# matrix cells, and rows where either array stayed empty (the floor
+# shortfall tails) are dropped.
+# ===========================================================================
+
+_MAP_CLS = ["forest", "grass", "urban", "water"]
+_MAP_AREAS = [40, 30, 20, 10]
+_MAP_ACCS = [
+    [85, 10, 5, 0],
+    [8, 82, 6, 4],
+    [5, 10, 80, 5],
+    [2, 3, 5, 90],
+]
+
+
+def _map_err_matrix() -> np.ndarray:
+    """Literal transcription of create_norm_modelled_err_matrix."""
+    areas = np.array(_MAP_AREAS, dtype=float)
+    if abs(areas.sum() - 100) < 0.01:
+        areas = areas / 100
+    acc = np.array(_MAP_ACCS, dtype=float)
+    for i in range(len(areas)):
+        if abs(acc[i].sum() - 1) > 0.0001:
+            acc[i] = acc[i] / 100
+        acc[i] = acc[i] * areas[i]
+    return acc
+
+
+def _map_sql() -> str:
+    E = _map_err_matrix()
+    n_c = len(_MAP_CLS)
+    ref_rows = ", ".join(
+        f"({i}, '{_MAP_CLS[i]}', {_dlit(float(E[i].sum()))})"
+        for i in range(n_c)
+    )
+    cls_rows = ", ".join(
+        f"({i * n_c + j}, '{_MAP_CLS[j]}',"
+        f" {_dlit(float(E[i, j]))})"
+        for i in range(n_c)
+        for j in range(n_c)
+    )
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pts
+               FROM lineitem),
+    refb AS (
+      SELECT i, cls,
+        CAST(FLOOR(CAST(n.n_pts AS DOUBLE) * p) AS BIGINT) AS cnt
+      FROM (VALUES {ref_rows}) AS t(i, cls, p), n),
+    refc AS (
+      SELECT i, cls, cnt,
+        SUM(cnt) OVER (ORDER BY i) - cnt AS lo,
+        SUM(cnt) OVER (ORDER BY i) AS hi
+      FROM refb),
+    clsb AS (
+      SELECT i, cls,
+        CAST(FLOOR(CAST(n.n_pts AS DOUBLE) * p) AS BIGINT) AS cnt
+      FROM (VALUES {cls_rows}) AS t(i, cls, p), n),
+    clsc AS (
+      SELECT i, cls, cnt,
+        SUM(cnt) OVER (ORDER BY i) - cnt AS lo,
+        SUM(cnt) OVER (ORDER BY i) AS hi
+      FROM clsb),
+    tot AS (SELECT (SELECT MAX(hi) FROM refc) AS rt,
+                   (SELECT MAX(hi) FROM clsc) AS ct),
+    pts AS (
+      SELECT pt_id FROM (
+        SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS pt_id
+        FROM lineitem) k, tot
+      WHERE k.pt_id < LEAST(tot.rt, tot.ct))
+    SELECT p.pt_id, r.cls AS ref_cls, c.cls AS pred_cls
+    FROM pts p
+    JOIN refc r ON p.pt_id >= r.lo AND p.pt_id < r.hi
+    JOIN clsc c ON p.pt_id >= c.lo AND p.pt_id < c.hi
+    ORDER BY p.pt_id
+    """
+
+
+@register("modelled_acc_pts", _map_sql())
+def q_modelled_acc_pts(sf_dir: str):
+    """create_modelled_acc_pts over the normalised 4-class error
+    matrix, n_pts = |lineitem|: independent floor prefix sums place
+    the ref and cls label blocks (their misalignment near block edges
+    is the reference's literal behavior), floor-shortfall tails
+    dropped. Engine: count -> tiny broadcast block table ->
+    searchsorted labeling over a range dataset."""
+    E = _map_err_matrix()
+    n_c = len(_MAP_CLS)
+    n_pts = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    ).count()
+    ref_cnt = np.floor(
+        float(n_pts) * E.sum(axis=1)
+    ).astype(np.int64)
+    cls_cnt = np.floor(float(n_pts) * E.ravel()).astype(np.int64)
+    ref_hi = np.cumsum(ref_cnt)
+    cls_hi = np.cumsum(cls_cnt)
+    keep = int(min(ref_hi[-1], cls_hi[-1]))
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["id"].to_numpy().astype(np.int64)
+        k = k[k < keep]
+        ri = np.searchsorted(ref_hi, k, side="right")
+        ci = np.searchsorted(cls_hi, k, side="right")
+        return pa.table(
+            {
+                "pt_id": k,
+                "ref_cls": pa.array(
+                    [_MAP_CLS[i] for i in ri], pa.string()
+                ),
+                "pred_cls": pa.array(
+                    [_MAP_CLS[i % n_c] for i in ci], pa.string()
+                ),
+            }
+        )
+
+    return (
+        ray.data.range(n_pts)
+        .repartition(16)
+        .map_batches(f, batch_format="pyarrow", batch_size=65536)
+        .sort("pt_id")
+    )
