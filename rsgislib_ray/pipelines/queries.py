@@ -21898,3 +21898,81 @@ def q_modelled_acc_pts(sf_dir: str):
         .map_batches(f, batch_format="pyarrow", batch_size=65536)
         .sort("pt_id")
     )
+
+
+# ===========================================================================
+# Landsat C2 QA_PIXEL bit decode (imagecalibration/sensorlvl2data.py:
+# parse_landsat_c2_qa_pixel_img): 16-bit flags -> 12 variable bands
+# (8 booleans + 4 two-bit confidences mapped {00->1, 01->2, 10->3,
+# 11->4}).
+# ===========================================================================
+
+_QA_FLAGS = [
+    "fill", "dilated_cloud", "cirrus", "cloud", "cloud_shadow",
+    "snow", "clear", "water",
+]
+_QA_CONF = [
+    ("cloud_conf", 8), ("cloud_shadow_conf", 10),
+    ("snow_ice_conf", 12), ("cirrus_conf", 14),
+]
+
+
+def _qa_sql() -> str:
+    cols = [
+        f"CAST((qa >> {b}) & 1 AS BIGINT) AS {nm}"
+        for b, nm in enumerate(_QA_FLAGS)
+    ]
+    for nm, b in _QA_CONF:
+        cols.append(
+            f"CAST(CASE WHEN (qa >> {b}) & 1 = 0"
+            f" AND (qa >> {b + 1}) & 1 = 1 THEN 2"
+            f" WHEN (qa >> {b}) & 1 = 1"
+            f" AND (qa >> {b + 1}) & 1 = 0 THEN 3"
+            f" WHEN (qa >> {b}) & 1 = 1"
+            f" AND (qa >> {b + 1}) & 1 = 1 THEN 4"
+            " ELSE 1 END AS BIGINT) AS " + nm
+        )
+    return (
+        "WITH src AS (SELECT pix,"
+        " (pix * 2654435761) % 65536 AS qa"
+        " FROM (SELECT l_orderkey * 10 + l_linenumber AS pix"
+        " FROM lineitem)) "
+        f"SELECT pix, qa, {', '.join(cols)} FROM src ORDER BY pix"
+    )
+
+
+@register("qa_pixel_parse", _qa_sql())
+def q_qa_pixel_parse(sf_dir: str):
+    """parse_landsat_c2_qa_pixel_img (sensorlvl2data.py): the 16-bit
+    QA_PIXEL decode into 12 variable bands — 8 single-bit flags in
+    LSB order (Fill..Water) and 4 two-bit confidence pairs mapped
+    {00->1, 01->2, 10->3, 11->4} exactly as the reference's
+    unpackbits LUT (the LUT indirection collapses to the direct bit
+    expressions). Pure vectorized bit ops, zero shuffles."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        pix = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        qa = (pix * 2654435761) % 65536
+        out = {"pix": pix, "qa": qa}
+        for b, nm in enumerate(_QA_FLAGS):
+            out[nm] = (qa >> b) & 1
+        for nm, b in _QA_CONF:
+            lo = (qa >> b) & 1
+            hi = (qa >> (b + 1)) & 1
+            out[nm] = np.select(
+                [(lo == 0) & (hi == 1), (lo == 1) & (hi == 0),
+                 (lo == 1) & (hi == 1)],
+                [2, 3, 4], default=1,
+            ).astype(np.int64)
+        return pa.table(out)
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("pix")
