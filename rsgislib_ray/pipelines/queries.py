@@ -21976,3 +21976,240 @@ def q_qa_pixel_parse(sf_dir: str):
     return ds.map_batches(
         f, batch_format="pyarrow", batch_size=65536
     ).sort("pix")
+
+
+# ===========================================================================
+# Spectral indices panel 2 (imagecalc/calcindices.py — the named
+# indices beyond band_indices: wbi:93, ndwi:132, gndwi:174,
+# gmndwi:216, whiteness:258, ctvi:414, bai:531, mvi:582 (muparser
+# precedence quirk "nir-green/swir-green" = (nir - green/swir) -
+# green, kept literally), gndvi:743, remi:781, bsi:834 (same quirk
+# class), si:883 (cube root; muparser pow(x, 1/3) mirrored as
+# cbrt on both sides, <= 1 ulp), ndgi:933, npcri:1009, ndbsi:1047
+# (4-stage chain with float32 narrowing between stages), cmr:1173,
+# fmr:1215). All outputs float32 like the reference's TYPE_32FLOAT
+# writes.
+# ===========================================================================
+
+
+def _bi2_sql() -> str:
+    S = 1000  # scale_factor
+    f32 = lambda e: f"CAST({e} AS FLOAT)"  # noqa: E731
+    m = "((blue + green + red) / 3)"
+    nd = "((nir - red) / (nir + red))"
+    cols = [
+        ("wbi", "nir <> 0", "blue / nir"),
+        ("ndwi", "(nir + swir) <> 0",
+         "(nir - swir) / (nir + swir)"),
+        ("gndwi", "(green + nir) <> 0",
+         "(green - nir) / (green + nir)"),
+        ("gmndwi", "(green + swir) <> 0",
+         "(green - swir) / (green + swir)"),
+        ("gndvi", "(nir + green) <> 0",
+         "(nir - green) / (nir + green)"),
+        ("remi", "(swir + green) <> 0",
+         "(re - red) / (swir + green)"),
+        ("ndgi", "(green + red) <> 0",
+         "(green - red) / (green + red)"),
+        ("npcri", "(red + blue) <> 0",
+         "(red - blue) / (red + blue)"),
+        ("whiteness", "(blue + green + red) <> 0",
+         f"(ABS(blue - {m}) + ABS(green - {m}) + ABS(red - {m}))"
+         f" / {m}"),
+        ("ctvi", "(nir + red) <> 0",
+         f"({nd} + 0.5e0) / SQRT(ABS({nd} + 0.5e0))"),
+        ("bai", "(nir + red) <> 0",
+         f"(1 / ((0.1e0 - (red / {S})) * (0.1e0 - (red / {S}))"
+         f" + (0.06e0 - (nir / {S})) * (0.06e0 - (nir / {S}))))"),
+        ("mvi", "swir - green <> 0",
+         "(nir - green / swir) - green"),
+        ("bsi", "(swir + red) + (nir + blue) <> 0",
+         "((swir + red) - (nir + blue) / (swir + red))"
+         " + (nir + blue)"),
+        ("si", "NOT (red = 0 OR green = 0 OR blue = 0)",
+         f"CBRT((1 - (blue / {S})) * (1 - (green / {S}))"
+         f" * (1 - (red / {S})))"),
+        ("cmr", "NOT (swir = 0 OR swir2 = 0)", "swir / swir2"),
+        ("fmr", "NOT (nir = 0 OR swir = 0)", "swir / nir"),
+    ]
+    sel = ", ".join(
+        f"CASE WHEN {cond} THEN {f32(expr)}"
+        f" ELSE {f32('-999.0e0')} END AS {nm}"
+        for nm, cond, expr in cols
+    )
+    # ndbsi staged chain with float32 narrowing per stage
+    v32 = f32(f"CASE WHEN red = 0 OR green = 0 THEN -999.0e0"
+              f" ELSE (red / {S}) - (green / {S}) END")
+    r32 = f32(
+        f"CASE WHEN red = 0 OR nir = 0 OR swir = 0 THEN -999.0e0"
+        f" ELSE 1 - (((swir / {S}) - (nir / {S}))"
+        f" / (3 * ABS((nir / {S}) - (red / {S})))) END"
+    )
+    k32 = f32(
+        "CASE WHEN r32 = CAST(-999.0e0 AS FLOAT)"
+        " OR v32 = CAST(-999.0e0 AS FLOAT) THEN -999.0e0"
+        " ELSE CAST(v32 AS DOUBLE) * CAST(r32 AS DOUBLE) END"
+    )
+    ndbsi = f32(
+        "CASE WHEN k32 = CAST(-999.0e0 AS FLOAT) THEN -999.0e0"
+        f" WHEN CAST(k32 AS DOUBLE) < 0"
+        f" THEN ABS((swir / {S}) - (blue / {S}))"
+        f" / ((swir / {S}) + (blue / {S})) * (-1)"
+        f" ELSE ((swir / {S}) - (blue / {S}))"
+        f" / ((swir / {S}) + (blue / {S})) END"
+    )
+    return (
+        "WITH src AS (SELECT pix,"
+        " CASE WHEN (pix * 3) % 29 = 0 THEN 0"
+        "  ELSE (pix * 13) % 160 END AS blue,"
+        " CASE WHEN (pix * 5) % 29 = 0 THEN 0"
+        "  ELSE (pix * 17) % 160 END AS green,"
+        " CASE WHEN (pix * 7) % 29 = 0 THEN 0"
+        "  ELSE (pix * 5) % 160 END AS red,"
+        " (pix * 23) % 120 + 1 AS re,"
+        " (pix * 11) % 160 + 162 AS nir,"
+        " (pix * 7) % 160 + 1 AS swir,"
+        " CASE WHEN (pix * 11) % 29 = 0 THEN 0"
+        "  ELSE (pix * 19) % 160 END AS swir2"
+        " FROM (SELECT l_orderkey * 10 + l_linenumber AS pix"
+        " FROM lineitem)), "
+        f"st1 AS (SELECT *, {v32} AS v32, {r32} AS r32 FROM src), "
+        f"st2 AS (SELECT *, {k32} AS k32 FROM st1) "
+        f"SELECT pix, {sel}, {ndbsi} AS ndbsi FROM st2 ORDER BY pix"
+    )
+
+
+@register("band_indices2", _bi2_sql())
+def q_band_indices2(sf_dir: str):
+    """The named calcindices panel beyond band_indices — 17 indices
+    incl. the mvi/bsi muparser-precedence quirks kept literally, the
+    ctvi sqrt-abs chain, bai, whiteness, the 4-stage ndbsi with
+    float32 narrowing per intermediate image, and si's cube root
+    (pow(x, 1/3) mirrored as libm cbrt on both sides). All float32
+    like the reference's TYPE_32FLOAT band_math writes."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+    S = 1000.0
+    NOD = np.float32(-999.0)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import math as _math
+
+        _cbrt = np.frompyfunc(_math.cbrt, 1, 1)
+        pix = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        blue = np.where(
+            (pix * 3) % 29 == 0, 0, (pix * 13) % 160
+        ).astype(np.float64)
+        green = np.where(
+            (pix * 5) % 29 == 0, 0, (pix * 17) % 160
+        ).astype(np.float64)
+        red = np.where(
+            (pix * 7) % 29 == 0, 0, (pix * 5) % 160
+        ).astype(np.float64)
+        re = ((pix * 23) % 120 + 1).astype(np.float64)
+        nir = ((pix * 11) % 160 + 162).astype(np.float64)
+        swir = ((pix * 7) % 160 + 1).astype(np.float64)
+        swir2 = np.where(
+            (pix * 11) % 29 == 0, 0, (pix * 19) % 160
+        ).astype(np.float64)
+
+        def gate(cond, val):
+            return np.where(cond, val, -999.0).astype(np.float32)
+
+        out = {"pix": pix}
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out["wbi"] = gate(nir != 0, blue / nir)
+            out["ndwi"] = gate(
+                nir + swir != 0, (nir - swir) / (nir + swir)
+            )
+            out["gndwi"] = gate(
+                green + nir != 0, (green - nir) / (green + nir)
+            )
+            out["gmndwi"] = gate(
+                green + swir != 0, (green - swir) / (green + swir)
+            )
+            out["gndvi"] = gate(
+                nir + green != 0, (nir - green) / (nir + green)
+            )
+            out["remi"] = gate(
+                swir + green != 0, (re - red) / (swir + green)
+            )
+            out["ndgi"] = gate(
+                green + red != 0, (green - red) / (green + red)
+            )
+            out["npcri"] = gate(
+                red + blue != 0, (red - blue) / (red + blue)
+            )
+            mm = (blue + green + red) / 3
+            out["whiteness"] = gate(
+                blue + green + red != 0,
+                (np.abs(blue - mm) + np.abs(green - mm)
+                 + np.abs(red - mm)) / mm,
+            )
+            nd = (nir - red) / (nir + red)
+            out["ctvi"] = gate(
+                nir + red != 0,
+                (nd + 0.5) / np.sqrt(np.abs(nd + 0.5)),
+            )
+            out["bai"] = gate(
+                nir + red != 0,
+                1 / ((0.1 - red / S) * (0.1 - red / S)
+                     + (0.06 - nir / S) * (0.06 - nir / S)),
+            )
+            out["mvi"] = gate(
+                swir - green != 0, (nir - green / swir) - green
+            )
+            out["bsi"] = gate(
+                (swir + red) + (nir + blue) != 0,
+                ((swir + red) - (nir + blue) / (swir + red))
+                + (nir + blue),
+            )
+            si_ok = ~((red == 0) | (green == 0) | (blue == 0))
+            si_arg = (
+                (1 - blue / S) * (1 - green / S) * (1 - red / S)
+            )
+            out["si"] = gate(
+                si_ok,
+                _cbrt(np.where(si_ok, si_arg, 1.0)).astype(
+                    np.float64
+                ),
+            )
+            out["cmr"] = gate(
+                ~((swir == 0) | (swir2 == 0)), swir / swir2
+            )
+            out["fmr"] = gate(
+                ~((nir == 0) | (swir == 0)), swir / nir
+            )
+            v32 = gate(~((red == 0) | (green == 0)),
+                       red / S - green / S)
+            r32 = gate(
+                ~((red == 0) | (nir == 0) | (swir == 0)),
+                1 - ((swir / S - nir / S)
+                     / (3 * np.abs(nir / S - red / S))),
+            )
+            kbad = (r32 == NOD) | (v32 == NOD)
+            k32 = np.where(
+                kbad, NOD,
+                (v32.astype(np.float64)
+                 * r32.astype(np.float64)).astype(np.float32),
+            ).astype(np.float32)
+            neg = (
+                np.abs(swir / S - blue / S)
+                / (swir / S + blue / S) * (-1)
+            )
+            pos = (swir / S - blue / S) / (swir / S + blue / S)
+            out["ndbsi"] = np.where(
+                k32 == NOD, NOD,
+                np.where(k32.astype(np.float64) < 0, neg, pos)
+                .astype(np.float32),
+            ).astype(np.float32)
+        return pa.table(out)
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("pix")
