@@ -22213,3 +22213,151 @@ def q_band_indices2(sf_dir: str):
     return ds.map_batches(
         f, batch_format="pyarrow", batch_size=65536
     ).sort("pix")
+
+
+# ===========================================================================
+# GCP polynomial warp (stages/registration.warp_with_gcps —
+# imageregistration/__init__.py warp_with_gcps_with_gdal, gdal.Warp
+# polyorder=1 + nearest; GDAL's double LS replaced by exact integer
+# Cramer over the GCP normal equations, HUGEINT in the oracle).
+# ===========================================================================
+
+_GW_N = 80
+
+
+def _gw_sql() -> str:
+    # adjugate of G = [[n,sx,sy],[sx,sxx,sxy],[sy,sxy,syy]]
+    g = [["n", "sx", "sy"], ["sx", "sxx", "sxy"], ["sy", "sxy", "syy"]]
+    det = (
+        f"{g[0][0]} * ({g[1][1]} * {g[2][2]} - {g[1][2]} * {g[2][1]})"
+        f" - {g[0][1]} * ({g[1][0]} * {g[2][2]}"
+        f" - {g[1][2]} * {g[2][0]})"
+        f" + {g[0][2]} * ({g[1][0]} * {g[2][1]}"
+        f" - {g[1][1]} * {g[2][0]})"
+    )
+    adj = {}
+    for i in range(3):
+        for j in range(3):
+            r = [k for k in range(3) if k != j]
+            c = [k for k in range(3) if k != i]
+            sgn = "-" if (i + j) % 2 else ""
+            adj[(i, j)] = (
+                f"({sgn}({g[r[0]][c[0]]} * {g[r[1]][c[1]]}"
+                f" - {g[r[0]][c[1]]} * {g[r[1]][c[0]]}))"
+            )
+    anums = [
+        " + ".join(f"b{j}x * {adj[(i, j)]}" for j in range(3))
+        for i in range(3)
+    ]
+    bnums = [
+        " + ".join(f"b{j}y * {adj[(i, j)]}" for j in range(3))
+        for i in range(3)
+    ]
+    coefs = ", ".join(
+        [
+            f"CAST({anums[i]} AS DOUBLE) / CAST(det AS DOUBLE)"
+            f" AS ax{i}"
+            for i in range(3)
+        ]
+        + [
+            f"CAST({bnums[i]} AS DOUBLE) / CAST(det AS DOUBLE)"
+            f" AS ay{i}"
+            for i in range(3)
+        ]
+    )
+    return f"""
+    WITH gcp AS (
+      SELECT CAST((p_partkey * 13) % {_GW_N} AS BIGINT) AS x,
+             CAST((p_partkey * 29) % {_GW_N} AS BIGINT) AS y,
+             CAST(3 + (p_partkey * 13) % {_GW_N}
+                  + (p_partkey * 7) % 5 AS BIGINT) AS gx,
+             CAST((p_partkey * 29) % {_GW_N} - 2
+                  + (p_partkey * 11) % 5 AS BIGINT) AS gy
+      FROM part),
+    mm AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        CAST(SUM(x * x) AS HUGEINT) AS sxx,
+        CAST(SUM(x * y) AS HUGEINT) AS sxy,
+        CAST(SUM(y * y) AS HUGEINT) AS syy,
+        CAST(SUM(gx) AS HUGEINT) AS b0x,
+        CAST(SUM(x * gx) AS HUGEINT) AS b1x,
+        CAST(SUM(y * gx) AS HUGEINT) AS b2x,
+        CAST(SUM(gy) AS HUGEINT) AS b0y,
+        CAST(SUM(x * gy) AS HUGEINT) AS b1y,
+        CAST(SUM(y * gy) AS HUGEINT) AS b2y
+      FROM gcp),
+    dd AS (SELECT *, {det} AS det FROM mm),
+    cf AS (SELECT {coefs} FROM dd),
+    px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_GW_N} AS BIGINT) AS r,
+             CAST(p.range % {_GW_N} AS BIGINT) AS c,
+             CAST(((p.range // {_GW_N}) * 31
+                   + (p.range % {_GW_N}) * 17) % 23 AS BIGINT) AS val
+      FROM range(0, {_GW_N * _GW_N}) p),
+    req AS (
+      SELECT t.pixel_id AS tgt_id,
+        CAST(FLOOR(((cf.ax0 + cf.ax1 * t.c) + cf.ax2 * t.r) / 1)
+             AS BIGINT) AS sc,
+        CAST(FLOOR(((cf.ay0 + cf.ay1 * t.c) + cf.ay2 * t.r) / 1)
+             AS BIGINT) AS sr
+      FROM px t, cf)
+    SELECT r.tgt_id,
+      CASE WHEN r.sc >= 0 AND r.sc < {_GW_N}
+            AND r.sr >= 0 AND r.sr < {_GW_N}
+           THEN CAST(s.val AS DOUBLE) ELSE -99.0e0 END AS val
+    FROM req r
+    LEFT JOIN px s ON s.pixel_id = r.sr * {_GW_N} + r.sc
+     AND r.sc >= 0 AND r.sc < {_GW_N}
+     AND r.sr >= 0 AND r.sr < {_GW_N}
+    ORDER BY r.tgt_id
+    """
+
+
+@register("gcp_warp_poly1", _gw_sql())
+def q_gcp_warp_poly1(sf_dir: str):
+    """warp_with_gcps_with_gdal, polyorder 1 + nearest: GCPs from
+    part (near-affine with deterministic residuals), exact-integer
+    Cramer fit (distributed int sums, Python-int driver combine),
+    pinned per-pixel chain X = (a0 + a1*x) + a2*y -> floor -> hash
+    join gather; out-of-extent pixels nodata."""
+    from rsgislib_ray.stages.registration import warp_with_gcps
+
+    pid = np.arange(_GW_N * _GW_N, dtype=np.int64)
+    r, c = np.divmod(pid, _GW_N)
+    src = ray.data.from_arrow(
+        pa.table(
+            {
+                "pixel_id": pid,
+                "val": ((r * 31 + c * 17) % 23).astype(np.int64),
+            }
+        )
+    ).repartition(8)
+    targets = ray.data.from_arrow(
+        pa.table({"tgt_id": pid, "x": c, "y": r})
+    ).repartition(8)
+
+    gc = td.read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).repartition(8)
+
+    def mk(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy().astype(np.int64)
+        x = (k * 13) % _GW_N
+        y = (k * 29) % _GW_N
+        return pa.table(
+            {
+                "x": x, "y": y,
+                "X": 3 + x + (k * 7) % 5,
+                "Y": y - 2 + (k * 11) % 5,
+            }
+        )
+
+    out = warp_with_gcps(
+        src,
+        targets,
+        gc.map_batches(mk, batch_format="pyarrow"),
+        src_n=_GW_N,
+    )
+    return out.sort("tgt_id")

@@ -392,3 +392,113 @@ def apply_offset_to_image(
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+def fit_gcp_poly1(
+    sums: dict,
+) -> tuple[int, list[int], list[int]]:
+    """Order-1 GCP polynomial fit (imageregistration/__init__.py
+    ``warp_with_gcps_with_gdal`` with polyorder=1; GDAL's double
+    least squares replaced by EXACT integer Cramer over the normal
+    equations — the established KKT/Cramer parity pattern). Input:
+    exact integer GCP sums {n, sx, sy, sxx, sxy, syy, sX, sxX, syX,
+    sY, sxY, syY} (Python ints). Returns (det, a_nums, b_nums) with
+    X = (a0 + a1 x + a2 y)/det, Y likewise — all exact integers."""
+    n, sx, sy = sums["n"], sums["sx"], sums["sy"]
+    sxx, sxy, syy = sums["sxx"], sums["sxy"], sums["syy"]
+    G = [[n, sx, sy], [sx, sxx, sxy], [sy, sxy, syy]]
+    det = (
+        G[0][0] * (G[1][1] * G[2][2] - G[1][2] * G[2][1])
+        - G[0][1] * (G[1][0] * G[2][2] - G[1][2] * G[2][0])
+        + G[0][2] * (G[1][0] * G[2][1] - G[1][1] * G[2][0])
+    )
+    adj = [[0] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            r = [k for k in range(3) if k != j]
+            c = [k for k in range(3) if k != i]
+            mnr = G[r[0]][c[0]] * G[r[1]][c[1]] - G[r[0]][c[1]] * G[r[1]][c[0]]
+            adj[i][j] = ((-1) ** (i + j)) * mnr
+    bX = [sums["sX"], sums["sxX"], sums["syX"]]
+    bY = [sums["sY"], sums["sxY"], sums["syY"]]
+    a_nums = [sum(bX[j] * adj[i][j] for j in range(3)) for i in range(3)]
+    b_nums = [sum(bY[j] * adj[i][j] for j in range(3)) for i in range(3)]
+    return det, a_nums, b_nums
+
+
+def warp_with_gcps(
+    src: "ray.data.Dataset",
+    targets: "ray.data.Dataset",
+    gcps: "ray.data.Dataset",
+    *,
+    src_n: int,
+    src_res: int = 1,
+    src_ox: int = 0,
+    src_oy: int = 0,
+    val_col: str = "val",
+    nodata: float = -99.0,
+) -> "ray.data.Dataset":
+    """warp_with_gcps_with_gdal (imageregistration/__init__.py,
+    gdal.Warp with polynomial order 1 + nearest resampling): fit the
+    order-1 polynomial from the GCP layer via exact integer Cramer
+    (distributed int sums -> Python-int fit on the driver, O(1)
+    state), broadcast the SIX float coefficients (one
+    correctly-rounded division each from the exact numerators), map
+    every target pixel to source coordinates through the pinned
+    chain X = (a0 + a1*x) + a2*y, floor to the source grid, and
+    gather values by hash join (stages/resample.gather_nearest).
+    Out-of-extent targets carry ``nodata``."""
+    from rsgislib_ray.stages.resample import gather_nearest
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.int64)
+        y = batch["y"].to_numpy().astype(np.int64)
+        X = batch["X"].to_numpy().astype(np.int64)
+        Y = batch["Y"].to_numpy().astype(np.int64)
+        vals = {
+            "n": len(x), "sx": x.sum(), "sy": y.sum(),
+            "sxx": (x * x).sum(), "sxy": (x * y).sum(),
+            "syy": (y * y).sum(), "sX": X.sum(),
+            "sxX": (x * X).sum(), "syX": (y * X).sum(),
+            "sY": Y.sum(), "sxY": (x * Y).sum(),
+            "syY": (y * Y).sum(),
+        }
+        return pa.table(
+            {k: np.array([v], np.int64) for k, v in vals.items()}
+        )
+
+    import ray as _ray
+
+    ptbl = pa.concat_tables(
+        _ray.get(
+            gcps.map_batches(
+                part, batch_format="pyarrow", batch_size=65536
+            ).to_arrow_refs()
+        )
+    )
+    sums = {
+        k: sum(int(v) for v in ptbl[k].to_pylist())
+        for k in ptbl.column_names
+    }
+    det, a_nums, b_nums = fit_gcp_poly1(sums)
+    ax = [float(v) / float(det) for v in a_nums]
+    ay = [float(v) / float(det) for v in b_nums]
+
+    def req(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy().astype(np.float64)
+        y = batch["y"].to_numpy().astype(np.float64)
+        X = (ax[0] + ax[1] * x) + ax[2] * y
+        Y = (ay[0] + ay[1] * x) + ay[2] * y
+        sc = np.floor((X - src_ox) / src_res).astype(np.int64)
+        sr = np.floor((Y - src_oy) / src_res).astype(np.int64)
+        ok = (sc >= 0) & (sc < src_n) & (sr >= 0) & (sr < src_n)
+        pid = np.where(ok, sr * src_n + sc, -1)
+        return pa.table(
+            {"tgt_id": batch["tgt_id"], "src_pid": pid}
+        )
+
+    requests = targets.map_batches(
+        req, batch_format="pyarrow", batch_size=65536
+    )
+    return gather_nearest(requests, src, val_col=val_col,
+                          nodata=nodata)

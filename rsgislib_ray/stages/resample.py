@@ -109,6 +109,43 @@ def bilinear_requests(
     return targets.map_batches(f, batch_format="pyarrow", batch_size=65536)
 
 
+def gather_nearest(
+    req: ray.data.Dataset,
+    src: ray.data.Dataset,
+    val_col: str = "val",
+    nodata: float = -99.0,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Hash-join (tgt_id, src_pid) requests against the source raster
+    (src_pid = -1 or missing pixels -> nodata). The shared gather leg
+    of nearest resampling and GCP warping."""
+    from rsgislib_ray.stages.components import (
+        drop_empty_blocks_counted,
+        measured_join_partitions,
+    )
+
+    req2, nreq = drop_empty_blocks_counted(req)
+    if req2 is None:
+        return req.limit(0)
+    joined = req2.join(
+        src.select_columns(["pixel_id", val_col]),
+        join_type="left_outer",
+        num_partitions=measured_join_partitions(nreq, num_partitions),
+        on=("src_pid",),
+        right_on=("pixel_id",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.coalesce(
+            t[val_col].cast(pa.float64()), pa.scalar(float(nodata))
+        )
+        return pa.table({"tgt_id": t["tgt_id"], "val": v})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def resample_to_grid(
     src: ray.data.Dataset,
     targets: ray.data.Dataset,
@@ -140,6 +177,12 @@ def resample_to_grid(
     else:
         raise ValueError(f"unknown method {method!r}")
 
+    if method == "nearest":
+        return gather_nearest(
+            req, src, val_col=val_col, nodata=nodata,
+            num_partitions=num_partitions,
+        )
+
     req2, nreq = drop_empty_blocks_counted(req)
     if req2 is None:
         return req.limit(0)
@@ -150,18 +193,6 @@ def resample_to_grid(
         on=("src_pid",),
         right_on=("pixel_id",),
     )
-
-    if method == "nearest":
-
-        def fin(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            v = pc.coalesce(
-                t[val_col].cast(pa.float64()), pa.scalar(float(nodata))
-            )
-            return pa.table({"tgt_id": t["tgt_id"], "val": v})
-
-        return joined.map_batches(fin, batch_format="pyarrow")
 
     def pre(t: pa.Table) -> pa.Table:
         v = t[val_col].to_numpy(zero_copy_only=False)
