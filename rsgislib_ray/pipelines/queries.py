@@ -22361,3 +22361,88 @@ def q_gcp_warp_poly1(sf_dir: str):
         src_n=_GW_N,
     )
     return out.sort("tgt_id")
+
+
+# ===========================================================================
+# Union clumping (segmentation/tiledclump.py:232
+# perform_union_clumping_single_thread: clump where BOTH the input
+# value AND the reference classification agree — the pair packs into
+# one int key and the tiled clump machinery runs unchanged).
+# ===========================================================================
+
+_UC_N = 40
+_UC_K = 120
+
+
+@register(
+    "clump_union",
+    f"""
+    WITH RECURSIVE px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_UC_N} AS BIGINT) AS r,
+             CAST(p.range % {_UC_N} AS BIGINT) AS c,
+             CAST((((p.range // {_UC_N}) * 31
+                    + (p.range % {_UC_N}) * 17) % 23) // 6
+                  AS BIGINT) AS in_val,
+             CAST(((p.range // {_UC_N}) // 8
+                   + (p.range % {_UC_N}) // 8) % 3 AS BIGINT)
+               AS ref_val
+      FROM range(0, {_UC_N * _UC_N}) p),
+    e AS MATERIALIZED (
+      SELECT a.pixel_id AS u, b.pixel_id AS v
+      FROM px a JOIN px b
+        ON ((a.r = b.r AND abs(a.c - b.c) = 1)
+         OR (a.c = b.c AND abs(a.r - b.r) = 1))
+       AND a.in_val = b.in_val AND a.ref_val = b.ref_val),
+    cc(it, pixel_id, l) AS (
+      SELECT 0, pixel_id, pixel_id FROM px
+      UNION ALL
+      SELECT it + 1, pixel_id, MIN(l) FROM (
+        SELECT cc.it AS it, e.v AS pixel_id, cc.l AS l
+        FROM cc JOIN e ON e.u = cc.pixel_id WHERE cc.it < {_UC_K}
+        UNION ALL
+        SELECT it, pixel_id, l FROM cc WHERE it < {_UC_K}
+      ) GROUP BY it, pixel_id
+    )
+    SELECT p.pixel_id, p.in_val, p.ref_val, cc.l AS comp_label
+    FROM px p JOIN cc ON cc.pixel_id = p.pixel_id
+    WHERE cc.it = {_UC_K} ORDER BY p.pixel_id
+    """,
+)
+def q_clump_union(sf_dir: str):
+    """perform_union_clumping (tiledclump.py:232): connected
+    components where the input value AND the reference class both
+    agree — the (in_val, ref_val) pair packs into one int key and the
+    distributed tiled clump (border merge, min-pixel-id labels) runs
+    unchanged. Oracle: iteration-indexed recursive-CTE min-label
+    fixpoint over the pair-equality edge graph."""
+    from rsgislib_ray.stages.polygonize import clump
+
+    pid = np.arange(_UC_N * _UC_N, dtype=np.int64)
+    r, c = np.divmod(pid, _UC_N)
+    in_val = (((r * 31 + c * 17) % 23) // 6).astype(np.int64)
+    ref_val = ((r // 8 + c // 8) % 3).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "pixel_id": pid, "row": r, "col": c,
+                "in_val": in_val, "ref_val": ref_val,
+                "value": in_val * 16 + ref_val,
+            }
+        )
+    ).repartition(8)
+    out = clump(ds, tile_size=16)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "in_val": batch["in_val"],
+                "ref_val": batch["ref_val"],
+                "comp_label": batch["comp_label"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort(
+        "pixel_id"
+    )
