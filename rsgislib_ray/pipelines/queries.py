@@ -22446,3 +22446,95 @@ def q_clump_union(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow").sort(
         "pixel_id"
     )
+
+
+# ===========================================================================
+# Quickshift segmentation (stages/quickshift.py — segmentation/
+# skimgseg.py:176 perform_quickshift_segmentation; pinned integer
+# variant, see the stage docstring). Same holeless 40x40 DEM closed
+# form; labels = min pixel id per mode tree.
+# ===========================================================================
+
+_QS_K = 160
+
+
+@register(
+    "quickshift_segments",
+    f"""
+    WITH RECURSIVE px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_FILL_N} AS BIGINT) AS r,
+             CAST(p.range % {_FILL_N} AS BIGINT) AS c,
+             CAST(((p.range // {_FILL_N}) * 31
+                   + (p.range % {_FILL_N}) * 17) % 23
+                  + ((p.range // {_FILL_N} - 20)
+                     * (p.range // {_FILL_N} - 20)
+                     + (p.range % {_FILL_N} - 20)
+                     * (p.range % {_FILL_N} - 20)) // 40
+                  AS BIGINT) AS v
+      FROM range(0, {_FILL_N * _FILL_N}) p),
+    nb AS MATERIALIZED (
+      SELECT a.pixel_id AS u, b.pixel_id AS q,
+             64 * ((a.r - b.r) * (a.r - b.r)
+                   + (a.c - b.c) * (a.c - b.c))
+             + (a.v - b.v) * (a.v - b.v) AS d2
+      FROM px a JOIN px b
+        ON abs(a.r - b.r) <= 2 AND abs(a.c - b.c) <= 2
+       AND NOT (a.r = b.r AND a.c = b.c)),
+    dens AS MATERIALIZED (
+      SELECT u AS pixel_id,
+             CAST(SUM(1048576 // (1 + d2)) AS BIGINT) AS dens
+      FROM nb GROUP BY u),
+    cand AS (
+      SELECT nb.u, nb.q,
+        ROW_NUMBER() OVER (PARTITION BY nb.u
+                           ORDER BY nb.d2, nb.q) AS rn
+      FROM nb JOIN dens da ON da.pixel_id = nb.u
+              JOIN dens db ON db.pixel_id = nb.q
+      WHERE db.dens > da.dens),
+    par AS MATERIALIZED (
+      SELECT d.pixel_id, d.dens,
+             COALESCE(c.q, d.pixel_id) AS parent
+      FROM dens d
+      LEFT JOIN (SELECT u, q FROM cand WHERE rn = 1) c
+        ON c.u = d.pixel_id),
+    e AS MATERIALIZED (
+      SELECT pixel_id AS u, parent AS v FROM par
+      WHERE parent <> pixel_id
+      UNION ALL
+      SELECT parent, pixel_id FROM par WHERE parent <> pixel_id),
+    cc(it, pixel_id, l) AS (
+      SELECT 0, pixel_id, pixel_id FROM par
+      UNION ALL
+      SELECT it + 1, pixel_id, MIN(l) FROM (
+        SELECT cc.it AS it, e.v AS pixel_id, cc.l AS l
+        FROM cc JOIN e ON e.u = cc.pixel_id WHERE cc.it < {_QS_K}
+        UNION ALL
+        SELECT it, pixel_id, l FROM cc WHERE it < {_QS_K}
+      ) GROUP BY it, pixel_id
+    )
+    SELECT p.pixel_id, p.dens, p.parent, cc.l AS seg_label
+    FROM par p JOIN cc ON cc.pixel_id = p.pixel_id
+    WHERE cc.it = {_QS_K} ORDER BY p.pixel_id
+    """,
+)
+def q_quickshift_segments(sf_dir: str):
+    """perform_quickshift_segmentation (skimgseg.py:176), pinned
+    integer variant: inverse-quadratic density over the 5x5 window,
+    parent = nearest strictly-denser neighbour by (d2, pixel id),
+    segment label = min pixel id of the mode tree (components
+    machinery). Halo-4 tiled pass + distributed component labels;
+    oracle = window join + ROW_NUMBER + recursive min-label CTE."""
+    from rsgislib_ray.stages.quickshift import quickshift_segments
+
+    pid = np.arange(_FILL_N * _FILL_N, dtype=np.int64)
+    r, c = np.divmod(pid, _FILL_N)
+    v = (r * 31 + c * 17) % 23 + (
+        (r - 20) * (r - 20) + (c - 20) * (c - 20)
+    ) // 40
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"pixel_id": pid, "row": r, "col": c, "value": v}
+        )
+    ).repartition(8)
+    return quickshift_segments(ds, tile_size=16).sort("pixel_id")
