@@ -22538,3 +22538,116 @@ def q_quickshift_segments(sf_dir: str):
         )
     ).repartition(8)
     return quickshift_segments(ds, tile_size=16).sort("pixel_id")
+
+
+# ===========================================================================
+# WGS84 antimeridian polygon unwrap (vectorutils/__init__.py:2973
+# geopd_check_polys_wgs84_bounds_geometry): polygons wider than the
+# 350-degree threshold get their minority-hemisphere vertices shifted
+# across the antimeridian (east-majority: x < 0 -> 180 + (x - -180);
+# west-majority: x > 0 -> -180 - (180 - x)); ties count as
+# east-majority (n_west > n_east flips).
+# ===========================================================================
+
+_PU_NV = 8
+
+
+def _pu_xy(tag: str) -> tuple[str, str]:
+    """Vertex v of polygon fid: wrap-case polygons straddle the
+    antimeridian, normal ones sit mid-ocean."""
+    return (
+        f"CASE WHEN fid % 3 = 0 THEN"
+        f" (CASE WHEN ({tag} + fid) % 2 = 0"
+        f"  THEN 170.0 + ((fid * 7 + {tag} * 13) % 90) / 10.0"
+        f"  ELSE -179.0 + ((fid * 11 + {tag} * 5) % 80) / 10.0 END)"
+        f" ELSE -30.0 + ((fid * 13 + {tag} * 17) % 600) / 10.0 END",
+        f"-60.0 + ((fid * 19 + {tag} * 23) % 1200) / 10.0",
+    )
+
+
+def _pu_sql() -> str:
+    xs = [_pu_xy(str(v)) for v in range(_PU_NV)]
+    verts = " UNION ALL ".join(
+        f"SELECT fid, {v} AS seq, {xs[v][0]} AS x, {xs[v][1]} AS y"
+        " FROM base"
+        for v in range(_PU_NV)
+    )
+    return f"""
+    WITH base AS (SELECT p_partkey AS fid FROM part),
+    verts AS ({verts}),
+    st AS (
+      SELECT fid,
+        MAX(x) - MIN(x) AS width,
+        SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS n_west,
+        SUM(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS n_east
+      FROM verts GROUP BY fid)
+    SELECT v.fid, v.seq,
+      CASE WHEN st.width > 350.0 THEN
+        (CASE WHEN st.n_west > st.n_east THEN
+           (CASE WHEN v.x > 0 THEN -180.0 - (180.0 - v.x)
+                 ELSE v.x END)
+         ELSE
+           (CASE WHEN v.x < 0 THEN 180.0 + (v.x - -180.0)
+                 ELSE v.x END)
+         END)
+      ELSE v.x END AS x_out,
+      v.y AS y
+    FROM verts v JOIN st ON st.fid = v.fid
+    ORDER BY v.fid, v.seq
+    """
+
+
+@register("poly_unwrap_bounds", _pu_sql())
+def q_poly_unwrap_bounds(sf_dir: str):
+    """geopd_check_polys_wgs84_bounds_geometry (vectorutils:2973):
+    per polygon, width > 350 triggers the minority-hemisphere vertex
+    shift across the antimeridian (majority by vertex count, x >= 0
+    counts east, ties east). Wide-form vertex derivation keeps it one
+    map_batches pass, zero shuffles."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).repartition(16)
+
+    def f(batch: pa.Table) -> pa.Table:
+        fid = batch["p_partkey"].to_numpy().astype(np.int64)
+        n = len(fid)
+        X = np.empty((n, _PU_NV))
+        Y = np.empty((n, _PU_NV))
+        wrap = fid % 3 == 0
+        for v in range(_PU_NV):
+            east = 170.0 + ((fid * 7 + v * 13) % 90) / 10.0
+            west = -179.0 + ((fid * 11 + v * 5) % 80) / 10.0
+            xv = np.where(
+                wrap,
+                np.where((v + fid) % 2 == 0, east, west),
+                -30.0 + ((fid * 13 + v * 17) % 600) / 10.0,
+            )
+            X[:, v] = xv
+            Y[:, v] = -60.0 + ((fid * 19 + v * 23) % 1200) / 10.0
+        width = X.max(axis=1) - X.min(axis=1)
+        n_west = (X < 0).sum(axis=1)
+        n_east = (X >= 0).sum(axis=1)
+        trig = width > 350.0
+        west_focus = n_west > n_east
+        Xo = X.copy()
+        for v in range(_PU_NV):
+            x = X[:, v]
+            shifted_w = np.where(x > 0, -180.0 - (180.0 - x), x)
+            shifted_e = np.where(x < 0, 180.0 + (x - -180.0), x)
+            Xo[:, v] = np.where(
+                trig, np.where(west_focus, shifted_w, shifted_e), x
+            )
+        idx = np.repeat(np.arange(n), _PU_NV)
+        seq = np.tile(np.arange(_PU_NV, dtype=np.int64), n)
+        return pa.table(
+            {
+                "fid": fid[idx],
+                "seq": seq,
+                "x_out": Xo.ravel(),
+                "y": Y.ravel(),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").sort(
+        ["fid", "seq"]
+    )
