@@ -22651,3 +22651,93 @@ def q_poly_unwrap_bounds(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow").sort(
         ["fid", "seq"]
     )
+
+
+# ===========================================================================
+# Chip flip augmentation (classification/__init__.py:829
+# flip_chip_hdf5_file, :899 ref variant): every chip doubles into its left-right flip (the
+# reference's flip(chip.T, axis=1).T == chip[i, cs-1-j, b]) followed
+# by its up-down flip (axis=2 == chip[cs-1-i, j, b]), interleaved as
+# out ids 2n / 2n+1 — pure coordinate remapping over long-form chip
+# pixels.
+# ===========================================================================
+
+_CF_CS = 4
+_CF_NB = 2
+
+
+def _cf_val(cid: str, r: str, c: str, b: str) -> str:
+    return (
+        f"({cid} % 97) + 5 * ({r}) + 3 * ({c})"
+        f" + (({cid} + 1) * (({b}) + 2)) % 13"
+    )
+
+
+@register(
+    "chip_flips",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS cid, r.range AS r, c.range AS c,
+             b.range AS b
+      FROM orders, range(0, {_CF_CS}) r, range(0, {_CF_CS}) c,
+           range(0, {_CF_NB}) b)
+    SELECT CAST(cid * 2 AS BIGINT) AS out_id,
+           CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+           CAST(b AS BIGINT) AS band,
+           CAST({_cf_val("cid", "r", f"{_CF_CS - 1} - c", "b")}
+                AS BIGINT) AS val
+    FROM base
+    UNION ALL
+    SELECT CAST(cid * 2 + 1 AS BIGINT),
+           CAST(r AS BIGINT), CAST(c AS BIGINT),
+           CAST(b AS BIGINT),
+           CAST({_cf_val("cid", f"{_CF_CS - 1} - r", "c", "b")}
+                AS BIGINT)
+    FROM base
+    ORDER BY 1, 2, 3, 4
+    """,
+)
+def q_chip_flips(sf_dir: str):
+    """flip_chip_hdf5_file (classification/__init__.py:829): per chip,
+    the left-right flip (flip(chip.T, axis=1).T) and the up-down
+    flip (axis=2), interleaved 2n/2n+1 — doubling the sample count.
+    Long-form chip pixels make both flips pure coordinate remaps
+    (one flat map_batches, zero shuffles)."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).repartition(16)
+    cs, nb = _CF_CS, _CF_NB
+
+    def f(batch: pa.Table) -> pa.Table:
+        cid = batch["o_orderkey"].to_numpy().astype(np.int64)
+        n = len(cid)
+        idx = np.repeat(np.arange(n), cs * cs * nb)
+        grid = np.arange(cs * cs * nb, dtype=np.int64)
+        r = np.tile(grid // (cs * nb), n)
+        c = np.tile((grid // nb) % cs, n)
+        b = np.tile(grid % nb, n)
+        ci = cid[idx]
+
+        def val(rr, cc, bb):
+            return (
+                (ci % 97) + 5 * rr + 3 * cc
+                + ((ci + 1) * (bb + 2)) % 13
+            )
+
+        lr = pa.table(
+            {
+                "out_id": ci * 2, "r": r, "c": c, "band": b,
+                "val": val(r, cs - 1 - c, b),
+            }
+        )
+        ud = pa.table(
+            {
+                "out_id": ci * 2 + 1, "r": r, "c": c, "band": b,
+                "val": val(cs - 1 - r, c, b),
+            }
+        )
+        return pa.concat_tables([lr, ud])
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=8192
+    ).sort(["out_id", "r", "c", "band"])
