@@ -22741,3 +22741,107 @@ def q_chip_flips(sf_dir: str):
     return ds.map_batches(
         f, batch_format="pyarrow", batch_size=8192
     ).sort(["out_id", "r", "c", "band"])
+
+
+# ===========================================================================
+# Chip-proportion sample labeling (classification/__init__.py:989
+# label_pxl_sample_chips): per sample pixel, class counts in the
+# chip_size window; classes whose proportion >= their LUT threshold
+# compete, strict-> replacement in ascending class order == argmax
+# proportion with smallest-class ties. chip_size 5 (odd: window
+# [p-2, p+3)), n_pxls = 25 (full windows only — interior samples).
+# ===========================================================================
+
+_CL_LUT = {1: 0.2, 2: 0.3, 3: 0.6}
+
+
+def _cl_sql() -> str:
+    e = {
+        k: f"(c{k} / 25.0 >= {_dlit(v)})" for k, v in _CL_LUT.items()
+    }
+    p = {k: f"(c{k} / 25.0)" for k in _CL_LUT}
+    lbl = (
+        f"CASE WHEN NOT samp THEN 0"
+        f" WHEN {e[1]} AND (NOT {e[2]} OR {p[1]} >= {p[2]})"
+        f" AND (NOT {e[3]} OR {p[1]} >= {p[3]}) THEN 1"
+        f" WHEN {e[2]} AND (NOT {e[3]} OR {p[2]} >= {p[3]}) THEN 2"
+        f" WHEN {e[3]} THEN 3 ELSE 0 END"
+    )
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS r,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS c,
+             CAST(((p.range // {_SEG_N}) * 13
+                   + (p.range % {_SEG_N}) * 7) % 4 AS BIGINT) AS cls
+      FROM range(0, {_SEG_N * _SEG_N}) p),
+    g AS (
+      SELECT a.pixel_id, a.r, a.c,
+        ((a.r * 7 + a.c * 13) % 11 = 0) AS samp,
+        CAST(SUM(CASE WHEN b.cls = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS c1,
+        CAST(SUM(CASE WHEN b.cls = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS c2,
+        CAST(SUM(CASE WHEN b.cls = 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS c3
+      FROM px a JOIN px b
+        ON abs(a.r - b.r) <= 2 AND abs(a.c - b.c) <= 2
+      WHERE a.r BETWEEN 2 AND {_SEG_N - 3}
+        AND a.c BETWEEN 2 AND {_SEG_N - 3}
+      GROUP BY a.pixel_id, a.r, a.c)
+    SELECT pixel_id, CAST({lbl} AS BIGINT) AS label
+    FROM g ORDER BY pixel_id
+    """
+
+
+@register("chip_label_samples", _cl_sql())
+def q_chip_label_samples(sf_dir: str):
+    """label_pxl_sample_chips (classification:989): 5x5 chip class
+    counts through the multi-image focal pass, LUT-thresholded
+    proportions, the reference's ascending strict-> scan (== argmax
+    proportion, smallest class on ties); non-sample pixels 0."""
+    from rsgislib_ray.stages.raster import focal_convolve
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        cls = (rr * 13 + cc * 7) % 4
+        t = {"pixel_id": pid, "row": rr, "col": cc, "value": cls}
+        for k in _CL_LUT:
+            t[f"i{k}"] = (cls == k).astype(np.int64)
+        return pa.table(t)
+
+    dem = ray.data.from_arrow(_seg_raster()).repartition(8).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    one5 = np.ones((5, 5), np.int64)
+    conv = focal_convolve(
+        dem,
+        {f"c{k}": (f"i{k}", one5) for k in _CL_LUT},
+        tile_size=32,
+    )
+
+    def lab(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy().astype(np.int64)
+        rr, cc = np.divmod(pid, _SEG_N)
+        ok = (rr >= 2) & (rr <= _SEG_N - 3) & (cc >= 2) & (cc <= _SEG_N - 3)
+        pid = pid[ok]
+        rr, cc = rr[ok], cc[ok]
+        samp = (rr * 7 + cc * 13) % 11 == 0
+        pr = {
+            k: batch[f"c{k}"].to_numpy()[ok] / 25.0 for k in _CL_LUT
+        }
+        el = {k: pr[k] >= v for k, v in _CL_LUT.items()}
+        w1 = (
+            el[1]
+            & (~el[2] | (pr[1] >= pr[2]))
+            & (~el[3] | (pr[1] >= pr[3]))
+        )
+        w2 = el[2] & (~el[3] | (pr[2] >= pr[3]))
+        lbl = np.select([~samp, w1, w2, el[3]], [0, 1, 2, 3],
+                        default=0).astype(np.int64)
+        return pa.table({"pixel_id": pid, "label": lbl})
+
+    return conv.map_batches(lab, batch_format="pyarrow").sort(
+        "pixel_id"
+    )
