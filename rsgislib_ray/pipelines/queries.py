@@ -22845,3 +22845,170 @@ def q_chip_label_samples(sf_dir: str):
     return conv.map_batches(lab, batch_format="pyarrow").sort(
         "pixel_id"
     )
+
+
+# ===========================================================================
+# Spectral division (src/segmentation/RSGISDefineSpectralDivision.cpp
+# :35 findSpectralDivision + :170 assignToCategory): per band,
+# subDivision equal-width bins built by FLOAT32 accumulation
+# (bandMin += bandStep), categories = the lexicographic cartesian
+# product, pixels take the FIRST matching category (inclusive bin
+# ends -> edge values land in the earlier bin; float accumulation can
+# leave the band maximum above the last bin -> category 0, the
+# reference's literal behavior); all-bands-nodata -> 0. Stats span
+# ALL pixels (the nodata plant included), as the reference's
+# calcImageStatistics call does.
+# ===========================================================================
+
+_SD_SUB = 4
+_SD_NB = 3
+_SD_NOD = -99
+
+
+def _sd_sql() -> str:
+    bands = ", ".join(
+        f"CASE WHEN pix % 31 = 0 THEN {_SD_NOD}"
+        f" ELSE (pix * {7 + 4 * n}) % 200 END AS b{n}"
+        for n in range(_SD_NB)
+    )
+    mm = ", ".join(
+        f"MIN(b{n}) AS mn{n}, MAX(b{n}) AS mx{n}"
+        for n in range(_SD_NB)
+    )
+    chains = []
+    last = "mm"
+    for n in range(_SD_NB):
+        parts = []
+        src = last
+        parts.append(
+            f"sd{n}0 AS (SELECT *, CAST((CAST(mx{n} AS DOUBLE)"
+            f" - CAST(mn{n} AS DOUBLE)) / {_SD_SUB} AS FLOAT)"
+            f" AS st{n}, CAST(mn{n} AS FLOAT) AS lo{n}_0 FROM {src})"
+        )
+        parts.append(
+            f"sd{n}1 AS (SELECT *, CAST(CAST(lo{n}_0 AS DOUBLE)"
+            f" + CAST(st{n} AS DOUBLE) AS FLOAT) AS hi{n}_0"
+            f" FROM sd{n}0)"
+        )
+        for j in range(1, _SD_SUB):
+            parts.append(
+                f"sd{n}{j + 1} AS (SELECT *,"
+                f" CAST(CAST(lo{n}_{j - 1} AS DOUBLE)"
+                f" + CAST(st{n} AS DOUBLE) AS FLOAT) AS lo{n}_{j},"
+                f" CAST(CAST(hi{n}_{j - 1} AS DOUBLE)"
+                f" + CAST(st{n} AS DOUBLE) AS FLOAT) AS hi{n}_{j}"
+                f" FROM sd{n}{j})"
+            )
+        chains.append(", ".join(parts))
+        last = f"sd{n}{_SD_SUB}"
+    jcols = []
+    for n in range(_SD_NB):
+        c = "CASE "
+        for j in range(_SD_SUB):
+            c += (
+                f"WHEN NOT (CAST(b{n} AS FLOAT) < lo{n}_{j}"
+                f" OR CAST(b{n} AS FLOAT) > hi{n}_{j}) THEN {j} "
+            )
+        c += "ELSE -1 END"
+        jcols.append(f"({c}) AS j{n}")
+    nod = " AND ".join(
+        f"b{n} = {_SD_NOD}" for n in range(_SD_NB)
+    )
+    return f"""
+    WITH src AS (
+      SELECT pix, {bands}
+      FROM (SELECT l_orderkey * 10 + l_linenumber AS pix
+            FROM lineitem)),
+    mm AS (SELECT {mm} FROM src),
+    {', '.join(chains)},
+    jj AS (SELECT src.pix, src.b0, src.b1, src.b2, {', '.join(jcols)}
+           FROM src, {last})
+    SELECT pix,
+      CAST(CASE WHEN {nod} THEN 0
+           WHEN j0 < 0 OR j1 < 0 OR j2 < 0 THEN 0
+           ELSE (j0 * {_SD_SUB} + j1) * {_SD_SUB} + j2 + 1
+      END AS BIGINT) AS cat
+    FROM jj ORDER BY pix
+    """
+
+
+@register("spectral_division", _sd_sql())
+def q_spectral_division(sf_dir: str):
+    """findSpectralDivision (RSGISDefineSpectralDivision.cpp:35):
+    global per-band min/max (exact int partials), float32
+    bin-boundary accumulation, first-match category over the
+    lexicographic product (== per-band first matching bin), nodata
+    and no-bin pixels 0. Two streaming passes, O(1) driver state."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pix = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        cols = {"pix": pix}
+        for n in range(_SD_NB):
+            cols[f"b{n}"] = np.where(
+                pix % 31 == 0, _SD_NOD, (pix * (7 + 4 * n)) % 200
+            )
+        return pa.table(cols)
+
+    src = ds.map_batches(derive, batch_format="pyarrow")
+
+    def mmx(batch: pa.Table) -> pa.Table:
+        out = {}
+        for n in range(_SD_NB):
+            b = batch[f"b{n}"].to_numpy()
+            out[f"mn{n}"] = np.array([b.min()], np.int64)
+            out[f"mx{n}"] = np.array([b.max()], np.int64)
+        return pa.table(out)
+
+    import ray as _ray
+
+    ptbl = pa.concat_tables(
+        _ray.get(
+            src.map_batches(
+                mmx, batch_format="pyarrow", batch_size=65536
+            ).to_arrow_refs()
+        )
+    )
+    lo = np.empty((_SD_NB, _SD_SUB), np.float32)
+    hi = np.empty((_SD_NB, _SD_SUB), np.float32)
+    for n in range(_SD_NB):
+        mn = int(ptbl[f"mn{n}"].to_numpy().min())
+        mx = int(ptbl[f"mx{n}"].to_numpy().max())
+        st = np.float32((mx - mn) / _SD_SUB)
+        l = np.float32(mn)
+        h = np.float32(l + st)
+        for j in range(_SD_SUB):
+            lo[n, j] = l
+            hi[n, j] = h
+            l = np.float32(l + st)
+            h = np.float32(h + st)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        pix = batch["pix"].to_numpy()
+        p = len(pix)
+        js = []
+        nod = np.ones(p, bool)
+        for n in range(_SD_NB):
+            b = batch[f"b{n}"].to_numpy()
+            nod &= b == _SD_NOD
+            v = b.astype(np.float32)
+            j = np.full(p, -1, np.int64)
+            for jj in range(_SD_SUB - 1, -1, -1):
+                inb = ~((v < lo[n, jj]) | (v > hi[n, jj]))
+                j = np.where(inb, jj, j)
+            js.append(j)
+        cat = (js[0] * _SD_SUB + js[1]) * _SD_SUB + js[2] + 1
+        bad = nod | (js[0] < 0) | (js[1] < 0) | (js[2] < 0)
+        return pa.table(
+            {"pix": pix, "cat": np.where(bad, 0, cat)}
+        )
+
+    return src.map_batches(
+        assign, batch_format="pyarrow", batch_size=65536
+    ).sort("pix")
