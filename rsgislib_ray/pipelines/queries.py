@@ -23012,3 +23012,201 @@ def q_spectral_division(sf_dir: str):
     return src.map_batches(
         assign, batch_format="pyarrow", batch_size=65536
     ).sort("pix")
+
+
+# ===========================================================================
+# Zonal stats with centroid fallback (zonalstats/__init__.py:899
+# calc_zonal_band_stats_test_poly_pts_file): zones capturing >= 1
+# pixel center get normal stats; sub-pixel zones fall back to the
+# pixel under the polygon centroid — valid values give
+# min = max = mean = sum = value, stddev = 0, count = 1; values
+# outside [min_thres, max_thres] give out_no_data and count 0.
+# ===========================================================================
+
+_ZF_N = 100
+_ZF_MINT = 5
+_ZF_MAXT = 250
+
+
+def _zf_v(r: str, c: str) -> str:
+    return f"(({r}) * 37 + ({c}) * 17) % 251 + 3"
+
+
+_ZF_ZONES = """
+      SELECT p_partkey AS fid,
+        CASE WHEN p_partkey % 5 = 0
+             THEN ((p_partkey * 31) % 90) + 0.05
+             ELSE ((p_partkey * 31) % 90) + 0.25 END AS xmin,
+        CASE WHEN p_partkey % 5 = 0
+             THEN ((p_partkey * 31) % 90) + 0.35
+             ELSE ((p_partkey * 31) % 90) + 0.25 + 3 + p_partkey % 6
+        END AS xmax,
+        CASE WHEN p_partkey % 5 = 0
+             THEN ((p_partkey * 57) % 90) + 0.05
+             ELSE ((p_partkey * 57) % 90) + 0.25 END AS ymin,
+        CASE WHEN p_partkey % 5 = 0
+             THEN ((p_partkey * 57) % 90) + 0.35
+             ELSE ((p_partkey * 57) % 90) + 0.25 + 3
+                  + (p_partkey * 3) % 6
+        END AS ymax
+      FROM part
+"""
+
+
+@register(
+    "zonal_stats_fallback",
+    f"""
+    WITH px AS (
+      SELECT CAST(p.range % {_ZF_N} AS BIGINT) + 0.5 AS x,
+             CAST(p.range // {_ZF_N} AS BIGINT) + 0.5 AS y,
+             CAST({_zf_v(f"p.range // {_ZF_N}", f"p.range % {_ZF_N}")}
+                  AS BIGINT) AS v
+      FROM range(0, {_ZF_N * _ZF_N}) p),
+    zones AS ({_ZF_ZONES}),
+    j AS (
+      SELECT z.fid, c.v FROM zones z JOIN px c
+        ON c.x > z.xmin AND c.x < z.xmax
+       AND c.y > z.ymin AND c.y < z.ymax),
+    agg AS (
+      SELECT fid, COUNT(*) AS cnt, SUM(v) AS s, SUM(v * v) AS q,
+             MIN(v) AS mn, MAX(v) AS mx
+      FROM j GROUP BY fid),
+    fb AS (
+      SELECT z.fid,
+        CAST(FLOOR((z.xmin + z.xmax) / 2.0) AS BIGINT) AS fx,
+        CAST(FLOOR((z.ymin + z.ymax) / 2.0) AS BIGINT) AS fy
+      FROM zones z),
+    fbv AS (
+      SELECT fid, CAST({_zf_v("fy", "fx")} AS BIGINT) AS fv FROM fb)
+    SELECT z.fid,
+      CASE WHEN a.cnt IS NOT NULL THEN CAST(a.cnt AS BIGINT)
+           WHEN f.fv >= {_ZF_MINT} AND f.fv <= {_ZF_MAXT} THEN 1
+           ELSE 0 END AS n_pix,
+      CASE WHEN a.cnt IS NOT NULL THEN CAST(a.s AS DOUBLE)
+           WHEN f.fv >= {_ZF_MINT} AND f.fv <= {_ZF_MAXT}
+             THEN CAST(f.fv AS DOUBLE)
+           ELSE -9999.0 END AS sumv,
+      CASE WHEN a.cnt IS NOT NULL THEN CAST(a.mn AS DOUBLE)
+           WHEN f.fv >= {_ZF_MINT} AND f.fv <= {_ZF_MAXT}
+             THEN CAST(f.fv AS DOUBLE)
+           ELSE -9999.0 END AS vmin,
+      CASE WHEN a.cnt IS NOT NULL THEN CAST(a.mx AS DOUBLE)
+           WHEN f.fv >= {_ZF_MINT} AND f.fv <= {_ZF_MAXT}
+             THEN CAST(f.fv AS DOUBLE)
+           ELSE -9999.0 END AS vmax,
+      CASE WHEN a.cnt IS NOT NULL
+             THEN CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE)
+           WHEN f.fv >= {_ZF_MINT} AND f.fv <= {_ZF_MAXT}
+             THEN CAST(f.fv AS DOUBLE)
+           ELSE -9999.0 END AS mean,
+      CASE WHEN a.cnt IS NOT NULL
+             THEN sqrt(CAST(a.q AS DOUBLE) / CAST(a.cnt AS DOUBLE)
+               - (CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE))
+                 * (CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE)))
+           WHEN f.fv >= {_ZF_MINT} AND f.fv <= {_ZF_MAXT} THEN 0.0
+           ELSE -9999.0 END AS sd
+    FROM zones z
+    LEFT JOIN agg a ON a.fid = z.fid
+    JOIN fbv f ON f.fid = z.fid
+    ORDER BY z.fid
+    """,
+)
+def q_zonal_stats_fallback(sf_dir: str):
+    """calc_zonal_band_stats_test_poly_pts_file (zonalstats:899):
+    normal zones through the distributed zonal machinery (exact-int
+    moment chains); sub-pixel zones (every 5th part) fall back to the
+    pixel under the rect centroid — clean single-value stats or
+    out_no_data when the value fails the [5, 250] threshold test.
+    The rect centroid is pinned as (xmin+xmax)/2 (exact for rects;
+    OGR's shoelace centroid agrees on rectangles)."""
+    import pyarrow.parquet as pq
+
+    from rsgislib_ray.stages.zonal import zonal_stats
+
+    pid = np.arange(_ZF_N * _ZF_N, dtype=np.int64)
+    r, c = np.divmod(pid, _ZF_N)
+    cells = ray.data.from_arrow(
+        pa.table(
+            {
+                "x": c + 0.5,
+                "y": r + 0.5,
+                "v": (r * 37 + c * 17) % 251 + 3,
+            }
+        )
+    ).repartition(8)
+
+    pk = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    )["p_partkey"].to_numpy().astype(np.int64)
+    tiny = pk % 5 == 0
+    x0 = np.where(
+        tiny, (pk * 31) % 90 + 0.05, (pk * 31) % 90 + 0.25
+    )
+    x1 = np.where(
+        tiny, (pk * 31) % 90 + 0.35,
+        (pk * 31) % 90 + 0.25 + 3 + pk % 6,
+    )
+    y0 = np.where(
+        tiny, (pk * 57) % 90 + 0.05, (pk * 57) % 90 + 0.25
+    )
+    y1 = np.where(
+        tiny, (pk * 57) % 90 + 0.35,
+        (pk * 57) % 90 + 0.25 + 3 + (pk * 3) % 6,
+    )
+    ring = np.empty((len(pk), 8), dtype=np.float64)
+    ring[:, 0], ring[:, 1] = x0, y0
+    ring[:, 2], ring[:, 3] = x1, y0
+    ring[:, 4], ring[:, 5] = x1, y1
+    ring[:, 6], ring[:, 7] = x0, y1
+    zones = pa.table(
+        {
+            "fid": pk, "xmin": x0, "xmax": x1,
+            "ymin": y0, "ymax": y1,
+            "ring_xy": pa.FixedSizeListArray.from_arrays(
+                ring.ravel(), 8
+            ),
+        }
+    )
+    t = zonal_stats(
+        cells, zones, "v",
+        stats=("count", "sum", "min", "max", "mean", "stddev"),
+    ).to_pandas().sort_values("fid").reset_index(drop=True)
+    # centroid fallback for empty zones
+    fx = np.floor((x0 + x1) / 2.0).astype(np.int64)
+    fy = np.floor((y0 + y1) / 2.0).astype(np.int64)
+    fv = (fy * 37 + fx * 17) % 251 + 3
+    order = np.argsort(pk, kind="stable")
+    fv = fv[order]
+    empty = t["count"].to_numpy() == -9999.0
+    ok = (fv >= _ZF_MINT) & (fv <= _ZF_MAXT)
+    fvd = fv.astype(np.float64)
+    out = pa.table(
+        {
+            "fid": t["fid"].to_numpy(),
+            "n_pix": np.where(
+                empty, np.where(ok, 1, 0),
+                t["count"].to_numpy(),
+            ).astype(np.int64),
+            "sumv": np.where(
+                empty, np.where(ok, fvd, -9999.0),
+                t["sum"].to_numpy(),
+            ),
+            "vmin": np.where(
+                empty, np.where(ok, fvd, -9999.0),
+                t["min"].to_numpy(),
+            ),
+            "vmax": np.where(
+                empty, np.where(ok, fvd, -9999.0),
+                t["max"].to_numpy(),
+            ),
+            "mean": np.where(
+                empty, np.where(ok, fvd, -9999.0),
+                t["mean"].to_numpy(),
+            ),
+            "sd": np.where(
+                empty, np.where(ok, 0.0, -9999.0),
+                t["stddev"].to_numpy(),
+            ),
+        }
+    )
+    return out
