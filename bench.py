@@ -155,6 +155,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "class_hist_tree",
         "spectral_smoothing",
         "resample_bilinear",
+        # round-4 late additions: banded lexicographic fixpoints,
+        # halo-tiled density/parent pass + component labels,
+        # exact-KKT unmixing, band-stack fill, tile enumeration
+        "watershed_labels",
+        "quickshift_segments",
+        "spec_unmix_nnls",
+        "polyfill_bands",
+        "tile_ranges",
         # shuffle-heavy strategies LAST: their sort/join stages leave a
         # large idle-worker pool behind that breaks the per-process
         # broadcast-cache locality of later broadcast-path queries
