@@ -23210,3 +23210,47 @@ def q_zonal_stats_fallback(sf_dir: str):
         }
     )
     return out
+
+
+# ===========================================================================
+# Solar azimuth convention transforms (imagecalibration/solarangles.py
+# :49 get_solar_irr_convention_solar_azimuth_from_usgs, :76 ..._from_
+# trad — note the trad zero quirk: az == 0 returns 0.0, not 180).
+# ===========================================================================
+
+
+@register(
+    "solar_az_conventions",
+    """
+    WITH src AS (
+      SELECT c_custkey AS uid,
+             ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS az
+      FROM customer)
+    SELECT uid, az,
+      CASE WHEN az < 0 THEN 360.0 + az ELSE az END AS az_usgs,
+      CASE WHEN az > 0 THEN 180.0 - az
+           WHEN az < 0 THEN 180.0 + ((-1) * az)
+           ELSE 0.0 END AS az_trad
+    FROM src ORDER BY uid
+    """,
+)
+def q_solar_az_conventions(sf_dir: str):
+    """Solar-irradiance azimuth conventions (solarangles.py:49,:76):
+    USGS [-180,180] -> [0,360) and traditional -> irradiance with the
+    literal zero quirk (az == 0 stays 0.0, not 180)."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).repartition(16)
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        az = ((k * 91) % 36000) / 100.0 - 180.0
+        usgs = np.where(az < 0, 360.0 + az, az)
+        trad = np.select(
+            [az > 0, az < 0], [180.0 - az, 180.0 + (-1) * az], 0.0
+        )
+        return pa.table(
+            {"uid": k, "az": az, "az_usgs": usgs, "az_trad": trad}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("uid")
