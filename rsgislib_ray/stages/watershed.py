@@ -277,8 +277,10 @@ def watershed_segmentation(
         v_tops: dict = {}
         v_bots: dict = {}
         if phase == 2:
-            v_tops = {b: ray.get(v_refs[b])[0] for b in bands}
-            v_bots = {b: ray.get(v_refs[b])[-1] for b in bands}
+            # boundary rows only — the grids stay in the object store
+            row_refs = {b: _edge_rows.remote(v_refs[b]) for b in bands}
+            for b, fr in row_refs.items():
+                v_tops[b], v_bots[b] = ray.get(fr)
         dirty = set(bands)
         iters = 0
         while dirty and iters < max_iters:
@@ -368,3 +370,8 @@ def _seed(
     if values:
         return np.where(markers > 0, elev, _INF).astype(np.int64)
     return np.where(markers > 0, markers, _INF).astype(np.int64)
+
+
+@ray.remote
+def _edge_rows(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return arr[0].copy(), arr[-1].copy()
