@@ -1120,8 +1120,6 @@ def ppi_counts(
             {key_col: pid, "ppi": (lo + hi).astype(np.int64)}
         )
 
-    import ray.data as _rd
-
     return ds.map_batches(
         count, batch_format="pyarrow", batch_size=65536
     )
