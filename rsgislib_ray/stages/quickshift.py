@@ -91,19 +91,24 @@ def quickshift_parents(
         dens[~pres] = 0
 
         BIG = np.int64(1) << 62
-        best_key = np.full((h, h), BIG, dtype=np.int64)
+        best_d2 = np.full((h, h), BIG, dtype=np.int64)
         best_pid = pid.copy()          # default parent = self
-        n_pix = np.int64(1) << 22      # pid < 2^22 packing bound
+        found = np.zeros((h, h), dtype=bool)
         for dr, dc in _offsets():
             nv = shifted(vg, dr, dc, 0)
             nd = shifted(dens, dr, dc, np.int64(-1))
             npid = shifted(pid, dr, dc, np.int64(-1))
             npres = shifted(pres, dr, dc, False)
             d2 = CS * (dr * dr + dc * dc) + (vg - nv) ** 2
-            key = d2 * n_pix + npid
-            ok = npres & (nd > dens) & (key < best_key)
-            best_key = np.where(ok, key, best_key)
+            # explicit (d2, pid) lexicographic min — no packing, so
+            # arbitrary 64-bit pixel ids are safe at any raster size
+            better = (d2 < best_d2) | (
+                (d2 == best_d2) & found & (npid < best_pid)
+            )
+            ok = npres & (nd > dens) & better
+            best_d2 = np.where(ok, d2, best_d2)
             best_pid = np.where(ok, npid, best_pid)
+            found |= ok
         core = (
             (r >= tr * tile_size)
             & (r < (tr + 1) * tile_size)
