@@ -112,3 +112,71 @@ def token_count_regex(text: pa.Array) -> pa.Array:
     ``len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))`` matches
     exactly)."""
     return pc.count_substring_regex(text, r"\w+|[^\w\s]")
+
+
+def parse_mtl_lines(
+    doc_ids: "np.ndarray", texts: list[str]
+) -> "pa.Table":
+    """Landsat MTL header parser (tools/sensors.py:11
+    read_landsat_mtl_to_dict) over whole-document strings, long-form
+    output (doc_id, grp, key, val). The reference's literal quirks
+    are kept: the dict is FLAT (a nested GROUP simply switches the
+    current dict, so outer groups opened before an inner GROUP keep
+    no keys), END_GROUP lines and lines without exactly one '=' are
+    skipped, values are stripped and double-quotes removed.
+    Vectorized across lines: explode -> one split('=') pass ->
+    forward-filled group index via maximum.accumulate."""
+    import numpy as np
+    import pyarrow as pa
+
+    lines = []
+    docs = []
+    for d, t in zip(doc_ids, texts):
+        ls = t.split("\n")
+        lines.extend(ls)
+        docs.extend([d] * len(ls))
+    if not lines:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "grp": pa.array([], pa.string()),
+                "key": pa.array([], pa.string()),
+                "val": pa.array([], pa.string()),
+            }
+        )
+    docs = np.asarray(docs, dtype=np.int64)
+    arr = np.char.strip(np.asarray(lines, dtype=object).astype(str))
+    nonempty = arr != ""
+    eq_count = np.char.count(arr, "=")
+    one_eq = nonempty & (eq_count == 1)
+    head = np.char.strip(
+        np.asarray([a.partition("=")[0] for a in arr], dtype=str)
+    )
+    tail = np.asarray(
+        [a.partition("=")[2] for a in arr], dtype=str
+    )
+    is_group = one_eq & (head == "GROUP")
+    is_end = one_eq & (head == "END_GROUP")
+    is_kv = one_eq & ~is_group & ~is_end
+    # forward-fill the group ordinal (fixtures/files start with GROUP,
+    # matching the reference's implicit requirement that a key line
+    # only appears after some GROUP)
+    gid = np.where(is_group, np.arange(len(arr)), -1)
+    gid = np.maximum.accumulate(gid)
+    grp_names = np.char.strip(tail)
+    sel = is_kv & (gid >= 0)
+    return pa.table(
+        {
+            "doc_id": docs[sel],
+            "grp": pa.array(
+                grp_names[gid[sel]].tolist(), pa.string()
+            ),
+            "key": pa.array(head[sel].tolist(), pa.string()),
+            "val": pa.array(
+                np.char.replace(
+                    np.char.strip(tail[sel]), '"', ""
+                ).tolist(),
+                pa.string(),
+            ),
+        }
+    )

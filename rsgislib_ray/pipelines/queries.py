@@ -23254,3 +23254,79 @@ def q_solar_az_conventions(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow").sort("uid")
+
+
+# ===========================================================================
+# Landsat MTL header parsing (functions/textstats.parse_mtl_lines —
+# tools/sensors.py:11 read_landsat_mtl_to_dict). Differential oracle:
+# the engine CONSTRUCTS an MTL document per order and PARSES it; the
+# oracle emits the expected rows directly from the same closed-form
+# fields. The reference quirks are in play: the outer
+# L1_METADATA_FILE group keeps no keys (a nested GROUP switches the
+# current dict), the bare END line and the NOTE line with two '='
+# are skipped, quotes are stripped.
+# ===========================================================================
+
+
+def _mtl_text(k: np.ndarray) -> list[str]:
+    cloud = (k * 7) % 101
+    sunaz = (k * 13) % 360
+    return [
+        (
+            "GROUP = L1_METADATA_FILE\n"
+            "  GROUP = PRODUCT_CONTENTS\n"
+            f'    LANDSAT_PRODUCT_ID = "LC08_L1TP_{int(kk)}"\n'
+            f"    SCENE_ID = LC8{int(kk)}\n"
+            f"    NOTE = A={int(kk)}\n"
+            "  END_GROUP = PRODUCT_CONTENTS\n"
+            "  GROUP = IMAGE_ATTRIBUTES\n"
+            f"    CLOUD_COVER = {int(cc)}\n"
+            f"    SUN_AZIMUTH = {int(sa)}.5\n"
+            "  END_GROUP = IMAGE_ATTRIBUTES\n"
+            "END_GROUP = L1_METADATA_FILE\n"
+            "END"
+        )
+        for kk, cc, sa in zip(k, cloud, sunaz)
+    ]
+
+
+@register(
+    "mtl_header_parse",
+    """
+    WITH k AS (SELECT o_orderkey AS doc_id FROM orders)
+    SELECT doc_id, grp, key, val FROM (
+      SELECT doc_id, 'PRODUCT_CONTENTS' AS grp,
+             'LANDSAT_PRODUCT_ID' AS key,
+             'LC08_L1TP_' || CAST(doc_id AS VARCHAR) AS val FROM k
+      UNION ALL
+      SELECT doc_id, 'PRODUCT_CONTENTS', 'SCENE_ID',
+             'LC8' || CAST(doc_id AS VARCHAR) FROM k
+      UNION ALL
+      SELECT doc_id, 'IMAGE_ATTRIBUTES', 'CLOUD_COVER',
+             CAST((doc_id * 7) % 101 AS VARCHAR) FROM k
+      UNION ALL
+      SELECT doc_id, 'IMAGE_ATTRIBUTES', 'SUN_AZIMUTH',
+             CAST((doc_id * 13) % 360 AS VARCHAR) || '.5' FROM k
+    ) ORDER BY doc_id, grp, key
+    """,
+)
+def q_mtl_header_parse(sf_dir: str):
+    """read_landsat_mtl_to_dict (tools/sensors.py:11): construct an
+    MTL document per order and parse it with the vectorized
+    line-exploded parser; differential oracle emits the expected
+    long-form rows directly. Quirk coverage: the outer group keeps no
+    keys, NOTE = A=B (two '=') and the bare END line are skipped,
+    quotes stripped."""
+    from rsgislib_ray.functions.textstats import parse_mtl_lines
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).repartition(16)
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        return parse_mtl_lines(k, _mtl_text(k))
+
+    return ds.map_batches(f, batch_format="pyarrow").sort(
+        ["doc_id", "grp", "key"]
+    )
