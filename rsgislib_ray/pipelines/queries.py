@@ -15048,7 +15048,8 @@ _CL_SRC = (
     " + (ck * 3) % 4 AS x2, "
     "(ck * 11) % 13 AS x3, "
     "(ck // 4) % 5 AS msk "
-    "FROM (SELECT l_orderkey * 10 + l_linenumber AS ck FROM lineitem)"
+    "FROM (SELECT DISTINCT l_orderkey * 10 + l_linenumber AS ck"
+    " FROM lineitem)"
 )
 
 _CL_FC = ["x1", "x2", "x3"]
@@ -15058,17 +15059,39 @@ _CL_KS = [1, 2, 3]
 def _cl_src_ds(sf_dir: str):
     """Engine mirror of _CL_SRC: deterministic integer features whose
     distributions depend on the class label (overlapping ranges), one
-    noise feature, a 3:2:1 class imbalance and an apply-mask column."""
+    noise feature, a 3:2:1 class imbalance and an apply-mask column.
+
+    ``ck = l_orderkey*10 + l_linenumber`` is NOT unique in the
+    synthetic lineitem, and every derived column is a pure function of
+    ck — so the source dedups ck first (DISTINCT in the SQL mirror,
+    ``segment_sum`` one-row-per-key here). Without this, per-class
+    rank selections (under/oversample) diverge when a duplicated ck
+    lands exactly on a selection boundary: the engine's threshold test
+    keeps the whole tie group while the oracle's ROW_NUMBER splits
+    it."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
     ds = td.read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber"],
     ).repartition(32)
 
-    def f(batch: pa.Table) -> pa.Table:
+    def keys(batch: pa.Table) -> pa.Table:
         ck = (
             batch["l_orderkey"].to_numpy() * 10
             + batch["l_linenumber"].to_numpy().astype(np.int64)
         )
+        return pa.table({"ck": ck, "one": np.ones(len(ck), np.int64)})
+
+    uniq = segment_sum(
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=65536),
+        "ck",
+        ["one"],
+        aggs=["min"],
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy()
         r6 = ck % 6
         y = np.where(r6 < 3, 1, np.where(r6 < 5, 2, 3)).astype(np.int64)
         return pa.table(
@@ -15082,7 +15105,7 @@ def _cl_src_ds(sf_dir: str):
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+    return uniq.map_batches(f, batch_format="pyarrow", batch_size=65536)
 
 
 def _cl_train_ds(sf_dir: str):
