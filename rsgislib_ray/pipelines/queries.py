@@ -11449,6 +11449,142 @@ def q_image_difference_change(sf_dir: str):
     return diffs.map_batches(flag, batch_format="pyarrow")
 
 
+@register(
+    "chng_class_outliers",
+    f"""
+    WITH cells AS ({{SQL_CELLS}}),
+    px AS MATERIALIZED (
+      SELECT cell_key, qty AS v, (cell_key // 3) % 2 AS m FROM cells),
+    hh AS MATERIALIZED (
+      SELECT v, COUNT(*) AS cnt FROM px
+      WHERE m = 1 AND v <> 13 GROUP BY v),
+    rng AS (
+      SELECT CAST(r.range AS BIGINT) AS v FROM range(1, 51) r
+      WHERE r.range BETWEEN (SELECT MIN(v) FROM hh)
+                        AND (SELECT MAX(v) FROM hh)
+    ),
+    g AS MATERIALIZED (
+      SELECT rng.v, CAST(COALESCE(hh.cnt, 0) AS BIGINT) AS cnt
+      FROM rng LEFT JOIN hh ON hh.v = rng.v
+    ),
+    c AS MATERIALIZED (
+      SELECT v,
+        CAST(SUM(cnt) OVER w AS BIGINT) AS cum,
+        CAST(SUM(cnt * v) OVER w AS BIGINT) AS cumv
+      FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS MATERIALIZED (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * v) AS BIGINT) AS totv,
+             MAX(v) AS vmax
+      FROM g
+    ),
+    gap AS MATERIALIZED (
+      SELECT COALESCE(MIN(d), 1.0e0) / 2.0e0 AS tol FROM (
+        SELECT CAST(v - LAG(v) OVER (ORDER BY v) AS DOUBLE) AS d FROM hh
+      ) WHERE d IS NOT NULL
+    ),
+    body AS (SELECT c.*, t.* FROM c, t WHERE c.v < t.vmax),
+    otsu AS (
+      SELECT v FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY
+          CAST(CAST((n - cum) AS HUGEINT) * cum *
+               (CAST((n - cum) * cumv - cum * (totv - cumv) AS HUGEINT)
+                * CAST((n - cum) * cumv - cum * (totv - cumv) AS HUGEINT))
+               / (CAST(cum AS HUGEINT) * (n - cum)
+                  * CAST(cum AS HUGEINT) * (n - cum)) AS DOUBLE)
+          DESC, v ASC) AS rn
+        FROM body WHERE cum > 0 AND cum < n
+      ) WHERE rn = 1
+    ),{{LI_CHAIN}},
+    thr AS (
+      SELECT CAST((SELECT v FROM otsu) AS DOUBLE) AS t_otsu,
+             (SELECT tn FROM {{LI_LAST}}) AS t_li
+    )
+    SELECT cell_key, v AS val,
+      CASE WHEN v = 13 THEN 0
+           WHEN m = 1 AND CAST(v AS DOUBLE) < t_otsu THEN 2
+           WHEN m = 1 THEN 1 ELSE 0 END AS cls_otsu_low,
+      CASE WHEN v = 13 THEN 0
+           WHEN m = 1 AND CAST(v AS DOUBLE) > t_otsu THEN 2
+           WHEN m = 1 THEN 1 ELSE 0 END AS cls_otsu_high,
+      CASE WHEN v = 13 THEN 0
+           WHEN m = 1 AND CAST(v AS DOUBLE) < t_li THEN 2
+           WHEN m = 1 THEN 1 ELSE 0 END AS cls_li_low
+    FROM px, thr
+    """.format(SQL_CELLS=td.SQL_CELLS, LI_CHAIN=_LI_CHAIN,
+               LI_LAST=_LI_LAST),
+)
+def q_chng_class_outliers(sf_dir: str):
+    """changedetect.pxloutlierchng find_class_otsu_outliers (:352) +
+    find_class_li_outliers (:444): per-class outlier change maps. The
+    class mask ((cell_key//3)%2 == 1, img_mask_val 1) gates a masked
+    pixel extraction (extract_img_pxl_vals_in_msk semantics: in-mask
+    pixels with val != no_data, no_data = 13), one exact distributed
+    histogram feeds the Otsu and Li thresholds (the engine's pinned
+    unit-width integer binning — histogram_thresholds docstring), and
+    the reference's band_math classify expression
+    ``(val==nd)?0:(msk==v)&&(val<t)?2:(msk==v)?1:0`` is replayed per
+    pixel for low_thres=True (otsu, li) and low_thres=False (otsu).
+    Oracle: exact-integer Otsu criterion + the unrolled carry-forward
+    Li chain over the masked histogram; the val-vs-threshold compares
+    are integer-vs-log-mean (never within 1 ULP of an integer), so the
+    1-ULP libm-vs-DuckDB LN gap cannot flip a class."""
+    from rsgislib_ray.stages.imagestats import (
+        global_histogram,
+        histogram_thresholds,
+    )
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ck = batch["cell_key"].to_numpy()
+        return pa.table(
+            {
+                "cell_key": ck,
+                "v": batch["qty"].to_numpy().astype(np.int64),
+                "m": (ck // 3) % 2,
+            }
+        )
+
+    px = cells.map_batches(derive, batch_format="pyarrow")
+
+    def masked(batch: pa.Table) -> pa.Table:
+        keep = (batch["m"].to_numpy() == 1) & (
+            batch["v"].to_numpy() != 13
+        )
+        return batch.filter(pa.array(keep))
+
+    hist = global_histogram(
+        px.map_batches(masked, batch_format="pyarrow"), "v", 64
+    )
+    th = histogram_thresholds(hist)
+    t_otsu, t_li = float(th["otsu"]), float(th["li"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy().astype(np.int64)
+        m = batch["m"].to_numpy()
+        nd = v == 13
+        in_m = (m == 1) & ~nd
+
+        def cls(outlier: np.ndarray) -> np.ndarray:
+            return np.where(
+                in_m & outlier, 2, np.where(in_m, 1, 0)
+            ).astype(np.int64)
+
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "val": v,
+                "cls_otsu_low": cls(v < t_otsu),
+                "cls_otsu_high": cls(v > t_otsu),
+                "cls_li_low": cls(v < t_li),
+            }
+        )
+
+    return px.map_batches(classify, batch_format="pyarrow")
+
+
 def _dem_sql() -> str:
     import math
 
