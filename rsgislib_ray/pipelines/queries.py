@@ -6719,6 +6719,146 @@ def _conv_sql() -> str:
     """
 
 
+def _gauss_deriv_kernel(size: int, sd_x: float, sd_y: float,
+                        angle: float, order: int) -> np.ndarray:
+    """float32 transcription of the reference's Gaussian-derivative
+    kernel chains (RSGISCalcImageFilters.cpp:87-170
+    RSGISCalcGaussianFirstDerivativeFilter /
+    RSGISCalcGaussianSecondDerivativeFilter::calcFilterValue, sampled
+    on the integer lattice by RSGISGenerateFilter::generateFilter:32 —
+    x,y in [-size//2, size//2], NO normalisation). Each intermediate is
+    narrowed to float32 exactly as the C++ float locals are; libm
+    exp/sin/cos run in double between the narrows."""
+    f32 = np.float32
+    x_var, y_var = f32(sd_x) * f32(sd_x), f32(sd_y) * f32(sd_y)
+    sin_a, cos_a = f32(np.sin(angle)), f32(np.cos(angle))
+    sin_2a = f32(np.sin(2.0 * angle))
+    a = f32(cos_a * cos_a / x_var) + f32(sin_a * sin_a / y_var)
+    b = f32(-sin_2a / x_var) + f32(sin_2a / y_var)
+    c = f32(sin_a * sin_a / x_var) + f32(cos_a * cos_a / y_var)
+    const_norm = f32(f32(2.0 * np.pi) * f32(sd_x) * f32(sd_y))
+    half = size // 2
+    out = np.zeros((size, size), dtype=np.float32)
+    for i, y in enumerate(range(-half, half + 1)):
+        for j, x in enumerate(range(-half, half + 1)):
+            pa_ = f32(-a * f32(x * x))
+            pb_ = f32(b * f32(x * y))
+            pc_ = f32(c * f32(y * y))
+            g = f32(np.exp(np.float64(f32(pa_ - pb_ - pc_)))
+                    / np.float64(const_norm))
+            if order == 1:
+                gx = f32(g * f32(f32(-2 * a * x) - f32(b * y)))
+                gy = f32(g * f32(f32(-b * x) - f32(2 * c * y)))
+                out[i, j] = f32(f32(gx * sin_a) + f32(gy * cos_a))
+            else:
+                gxx_p2 = f32(f32(-2 * a * x) - f32(b * y))
+                gxx = f32(g * f32(f32(-2 * a) + f32(gxx_p2 * gxx_p2)))
+                gyy_p2 = f32(f32(-b * x) - f32(2 * c * y))
+                gyy = f32(g * f32(f32(-2 * c) + f32(gyy_p2 * gyy_p2)))
+                gxy = f32(f32(g * f32(f32(-2 * b) + gxx_p2)) * gyy_p2)
+                out[i, j] = f32(
+                    f32(gxx * f32(sin_a * sin_a))
+                    + f32(f32(2 * gxy) * f32(sin_a * cos_a))
+                    + f32(gyy * f32(cos_a * cos_a))
+                )
+    return out
+
+
+def _conv_kernels2() -> dict:
+    """Second filter-bank: the literal Prewitt kernels
+    (RSGISPrewittFilter.cpp:40-58 — filterX is the ROW gradient and
+    filterY the COLUMN gradient, the reference's axis-naming quirk
+    kept) and 2^24-quantized size-5 sigma=1 angle=0 Gaussian first/
+    second derivative kernels (float32 C++ chain transcription, then
+    integer quantization so the distributed sums stay exact — the same
+    pinned-quantization convention as gauss_q20)."""
+    px = np.array([[-1, -1, -1], [0, 0, 0], [1, 1, 1]], np.int64)
+    py = np.array([[-1, 0, 1], [-1, 0, 1], [-1, 0, 1]], np.int64)
+    q = 1 << 24
+    g1 = _gauss_deriv_kernel(5, 1.0, 1.0, 0.0, order=1)
+    g2 = _gauss_deriv_kernel(5, 1.0, 1.0, 0.0, order=2)
+    return {
+        "prewitt_x": px,
+        "prewitt_y": py,
+        "prewitt_xy2": px + py,
+        "gauss1_q24": np.rint(g1.astype(np.float64) * q).astype(np.int64),
+        "gauss2_q24": np.rint(g2.astype(np.float64) * q).astype(np.int64),
+    }
+
+
+def _conv2_sql() -> str:
+    cases = []
+    for name, K in _conv_kernels2().items():
+        kh = K.shape[0] // 2
+        whens = " ".join(
+            f"WHEN dr = {dr - kh} AND dc = {dc - kh} THEN {int(K[dr, dc])}"
+            for dr in range(K.shape[0])
+            for dc in range(K.shape[1])
+            if int(K[dr, dc]) != 0
+        )
+        cases.append(
+            f"CAST(SUM(val * CASE {whens} ELSE 0 END) AS BIGINT) AS {name}"
+        )
+    sel = ",\n      ".join(cases)
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_SEG_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SEG_N} AS BIGINT) AS cc,
+             CAST(CASE WHEN (31 * (p.range // {_SEG_N})
+                             + 17 * (p.range % {_SEG_N})) % 37 = 0 THEN 7
+                  ELSE ((p.range // {_SEG_N}) // 4
+                        + (p.range % {_SEG_N}) // 4) % 5 END AS BIGINT) AS val
+      FROM range(0, {_SEG_N * _SEG_N}) p
+    ),
+    w AS (
+      SELECT a.pixel_id, b.val,
+             b.rr - a.rr AS dr, b.cc - a.cc AS dc
+      FROM px a JOIN px b
+        ON abs(a.rr - b.rr) <= 2 AND abs(a.cc - b.cc) <= 2
+    ),
+    s AS (SELECT pixel_id,
+      {sel}
+    FROM w GROUP BY pixel_id)
+    SELECT pixel_id, prewitt_x, prewitt_y,
+           CAST(prewitt_xy2 AS DOUBLE) / 2.0e0 AS prewitt_xy,
+           gauss1_q24, gauss2_q24
+    FROM s
+    """
+
+
+@register("focal_convolve_bank", _conv2_sql())
+def q_focal_convolve_bank(sf_dir: str):
+    """Prewitt filters (imagefilter/__init__.py apply_prewitt_filter
+    :683 / _x_filter:710 / _y_filter:737; kernels + the xy mean-of-
+    gradients combine from RSGISPrewittFilter.cpp:40-58,99-113 — xy
+    output is sum(v*(fx+fy))/2, exact half-integers) and Gaussian
+    first/second derivative filters (apply_gaussian_1st_deriv_filter
+    :814 / _2nd_:869; float32 kernel chains transcribed then
+    2^24-quantized) in ONE halo-2 tiled pass over the shared
+    segmentation raster. Oracle: neighbour-join with identical kernel
+    literals."""
+    from rsgislib_ray.stages.raster import focal_convolve
+
+    ds = ray.data.from_arrow(_seg_raster()).repartition(8)
+    out = focal_convolve(ds, _conv_kernels2(), tile_size=32)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        xy2 = batch["prewitt_xy2"].to_numpy()
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "prewitt_x": batch["prewitt_x"],
+                "prewitt_y": batch["prewitt_y"],
+                "prewitt_xy": xy2.astype(np.float64) / 2.0,
+                "gauss1_q24": batch["gauss1_q24"],
+                "gauss2_q24": batch["gauss2_q24"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 @register("focal_convolve", _conv_sql())
 def q_focal_convolve(sf_dir: str):
     """Derivative/smoothing convolution filters (reference

@@ -136,3 +136,32 @@ def test_focal_stats_float_raster_raises(ray_session):
     )
     with pytest.raises(Exception, match="integer-valued"):
         focal_stats(ray.data.from_arrow(bad), tile_size=8).materialize()
+
+
+def test_gauss_deriv_kernel_structure():
+    """angle=0 pins sin=0/cos=1 exactly even in float32: the 1st-deriv
+    kernel reduces to gy = -2y*g (antisymmetric in y, zero centre row),
+    the 2nd-deriv to gyy (symmetric in both axes)."""
+    from rsgislib_ray.pipelines.queries import _gauss_deriv_kernel
+
+    g1 = _gauss_deriv_kernel(5, 1.0, 1.0, 0.0, order=1)
+    assert np.all(g1[2, :] == 0)                      # y = 0 row
+    assert np.allclose(g1, -g1[::-1, :], atol=0)      # antisymmetric in y
+    assert np.allclose(g1, g1[:, ::-1], atol=0)       # symmetric in x
+    g2 = _gauss_deriv_kernel(5, 1.0, 1.0, 0.0, order=2)
+    assert np.allclose(g2, g2[::-1, :], atol=0)
+    assert np.allclose(g2, g2[:, ::-1], atol=0)
+    assert g2[2, 2] < 0                               # centre is -2c*g/2pi
+
+
+def test_prewitt_xy_is_mean_of_gradients(ray_session):
+    """RSGISPrewittFilter xy mode sums (v*fx + v*fy)/2 per element ==
+    conv(fx+fy)/2 — check the emitted double equals the mean of the two
+    integer gradient outputs."""
+    from rsgislib_ray.pipelines.queries import q_focal_convolve_bank
+
+    df = q_focal_convolve_bank("/root/testdata/sf0.001").to_pandas()
+    assert np.array_equal(
+        df["prewitt_xy"].to_numpy(),
+        (df["prewitt_x"].to_numpy() + df["prewitt_y"].to_numpy()) / 2.0,
+    )
