@@ -22614,6 +22614,191 @@ def _gw_sql() -> str:
     """
 
 
+@register(
+    "band_indices3",
+    "WITH src AS (SELECT pix,"
+    " CASE WHEN (pix * 3) % 29 = 0 THEN 0"
+    "  ELSE (pix * 13) % 160 END AS blue,"
+    " CASE WHEN (pix * 5) % 29 = 0 THEN 0"
+    "  ELSE (pix * 17) % 160 END AS green,"
+    " CASE WHEN (pix * 7) % 29 = 0 THEN 0"
+    "  ELSE (pix * 5) % 160 END AS red,"
+    " (pix * 11) % 160 + 162 AS nir,"
+    " CASE WHEN (pix * 11) % 29 = 0 THEN 0"
+    "  ELSE (pix * 19) % 160 END AS swir2"
+    " FROM (SELECT l_orderkey * 10 + l_linenumber AS pix"
+    " FROM lineitem)) "
+    "SELECT pix,"
+    " CASE WHEN (nir + swir2) <> 0"
+    "  THEN CAST((nir - swir2) / (nir + swir2) AS FLOAT)"
+    "  ELSE CAST(-999.0e0 AS FLOAT) END AS nbr,"
+    " CASE WHEN (blue + green + red) <> 0"
+    "  THEN CAST(((blue / 1000) + (green / 1000) + (red / 1000)) / 3"
+    "            AS FLOAT)"
+    "  ELSE CAST(-999.0e0 AS FLOAT) END AS brightness"
+    " FROM src ORDER BY pix",
+)
+def q_band_indices3(sf_dir: str):
+    """calcindices.calc_nbr (:493 — (nir-swir2)/(nir+swir2), zero-sum
+    gate, -999 nodata) and calc_brightness (:299 — mean of the three
+    scale_factor-divided visible bands, zero-SUM gate '(blue+green+red)
+    !=0', -999): the last two members of the named-index family, same
+    float32 TYPE_32FLOAT convention and synthetic band derivations as
+    the band_indices2 panel. calc_brightness_scaled (:346) = this
+    brightness image piped through normalise_img_pxl_vals — covered
+    compositionally by the normalise_stretch query below."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        pix = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        blue = np.where(
+            (pix * 3) % 29 == 0, 0, (pix * 13) % 160
+        ).astype(np.float64)
+        green = np.where(
+            (pix * 5) % 29 == 0, 0, (pix * 17) % 160
+        ).astype(np.float64)
+        red = np.where(
+            (pix * 7) % 29 == 0, 0, (pix * 5) % 160
+        ).astype(np.float64)
+        nir = ((pix * 11) % 160 + 162).astype(np.float64)
+        swir2 = np.where(
+            (pix * 11) % 29 == 0, 0, (pix * 19) % 160
+        ).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nbr = np.where(
+                nir + swir2 != 0, (nir - swir2) / (nir + swir2), -999.0
+            ).astype(np.float32)
+            bright = np.where(
+                blue + green + red != 0,
+                (blue / 1000.0 + green / 1000.0 + red / 1000.0) / 3.0,
+                -999.0,
+            ).astype(np.float32)
+        return pa.table(
+            {"pix": pix, "nbr": nbr, "brightness": bright}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("pix")
+
+
+@register(
+    "normalise_stretch",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    px AS MATERIALIZED (
+      SELECT cell_key, qty AS v FROM cells),
+    st AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS BIGINT) AS s2,
+             CAST(MIN(v) AS DOUBLE) AS vmin,
+             CAST(MAX(v) AS DOUBLE) AS vmax
+      FROM px WHERE v <> 13),
+    b AS MATERIALIZED (
+      SELECT GREATEST(mean - sd * 2.0e0, vmin) AS lo,
+             LEAST(mean + sd * 2.0e0, vmax) AS hi
+      FROM (SELECT CAST(s AS DOUBLE) / n AS mean,
+                   SQRT(CAST(n * s2 - s * s AS DOUBLE)
+                        / CAST(n * n AS DOUBLE)) AS sd,
+                   vmin, vmax FROM st))
+    SELECT cell_key, v,
+      CASE WHEN v = 13 THEN -999.0e0
+           WHEN CAST(v AS DOUBLE) < lo THEN 0.0e0
+           WHEN CAST(v AS DOUBLE) > hi THEN 1.0e0
+           ELSE (((CAST(v AS DOUBLE) - lo) / (hi - lo)) * 1.0e0)
+                + 0.0e0 END AS norm
+    FROM px, b
+    """,
+)
+def q_normalise_stretch(sf_dir: str):
+    """imageutils.normalise_img_pxl_vals STRETCH_LINEARSTDDEV
+    (RSGISStretchImage::executeLinearStdDevStretch:263-307 + the
+    RSGISLinearStretchImage per-pixel map :1094-1130) — the rescale
+    stage of calcindices.calc_brightness_scaled (:346,394): band
+    stats over non-nodata pixels, stretch window mean +/- 2*stddev
+    clipped to [min, max], below-window -> out_min (0), above ->
+    out_max (1), nodata passthrough (-999), else the literal
+    ((v-lo)/(hi-lo))*outDiff + outMin chain. PINNED variant: the
+    reference's sequential two-pass sum((x-mean)^2)/n stddev is
+    replaced by the exact-integer moment identity (n*S2 - S^2)/n^2
+    (same population variance, order- and partition-independent —
+    the same documented equivalence populate_rat_with_stats uses);
+    every remaining float op is one correctly-rounded double chain
+    replayed verbatim by the oracle."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch["qty"].to_numpy().astype(np.int64)
+        return pa.table({"cell_key": batch["cell_key"], "v": v})
+
+    px = cells.map_batches(derive, batch_format="pyarrow")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy()
+        v = v[v != 13]
+        if len(v) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64()),
+                 "s2": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.int64()),
+                 "mx": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "k": np.zeros(1, np.int64),
+                "n": np.array([len(v)], np.int64),
+                "s": np.array([v.sum()], np.int64),
+                "s2": np.array([(v * v).sum()], np.int64),
+                "mn": np.array([v.min()], np.int64),
+                "mx": np.array([v.max()], np.int64),
+            }
+        )
+
+    parts = px.map_batches(
+        moments, batch_format="pyarrow", batch_size=65536
+    )
+    red = segment_sum(
+        parts, "k", ["n", "s", "s2", "mn", "mx"],
+        aggs=["sum", "sum", "sum", "min", "max"],
+    ).to_pandas()
+    n, s, s2 = int(red["n"][0]), int(red["s"][0]), int(red["s2"][0])
+    vmin, vmax = float(red["mn"][0]), float(red["mx"][0])
+    mean = float(s) / n
+    sd = np.sqrt(float(n * s2 - s * s) / float(n * n))
+    lo = max(mean - sd * 2.0, vmin)
+    hi = min(mean + sd * 2.0, vmax)
+
+    def stretch(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy().astype(np.float64)
+        norm = np.where(
+            batch["v"].to_numpy() == 13,
+            -999.0,
+            np.where(
+                v < lo,
+                0.0,
+                np.where(v > hi, 1.0, ((v - lo) / (hi - lo)) * 1.0 + 0.0),
+            ),
+        )
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "v": batch["v"],
+                "norm": norm,
+            }
+        )
+
+    return px.map_batches(stretch, batch_format="pyarrow")
+
+
 @register("gcp_warp_poly1", _gw_sql())
 def q_gcp_warp_poly1(sf_dir: str):
     """warp_with_gcps_with_gdal, polyorder 1 + nearest: GCPs from
