@@ -21831,6 +21831,88 @@ def _nnls_src(sf_dir: str):
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
+def _fcls_sql() -> str:
+    from rsgislib_ray.stages.imagestats import _int_det_adj
+
+    E = _NNLS_E
+    G = (E.astype(object) @ E.astype(object).T)
+    ys = ", ".join(
+        f"CAST((o_orderkey * {2 * b + 3}) % 180"
+        f" + (o_orderkey // {1 << (b + 1)}) % 11 AS BIGINT) AS y{b}"
+        for b in range(_NNLS_NB)
+    )
+    bs = []
+    for j in range(3):
+        t = " + ".join(
+            f"{int(E[j, b])} * y{b}" for b in range(_NNLS_NB)
+        )
+        bs.append(f"CAST({t} AS BIGINT) AS b{j}")
+
+    SUBSETS = [(0, 1, 2), (0, 1), (0, 2), (1, 2), (0,), (1,), (2,)]
+    conds = []
+    for S in SUBSETS:
+        k = len(S)
+        K = [
+            [int(G[S[i], S[j]]) for j in range(k)] + [1]
+            for i in range(k)
+        ] + [[1] * k + [0]]
+        d, adj = _int_det_adj(K)
+        if d < 0:
+            d = -d
+            adj = [[-x for x in row] for row in adj]
+        nums = {}
+        for u in range(k + 1):
+            terms = [str(adj[u][k])] + [
+                f"{adj[u][t]} * b{S[t]}" for t in range(k)
+                if adj[u][t] != 0
+            ]
+            nums[u] = "(" + " + ".join(terms) + ")"
+        tests = [f"{nums[u]} > 0" for u in range(k)]
+        for j in range(3):
+            if j in S:
+                continue
+            mu = [f"{nums[k]}", f"- b{j} * {d}"] + [
+                f"+ {int(G[j, S[u]])} * {nums[u]}" for u in range(k)
+            ]
+            tests.append("(" + " ".join(mu) + ") >= 0")
+        conds.append((S, d, nums, " AND ".join(tests)))
+
+    def a_col(i: int) -> str:
+        cases = []
+        for S, d, nums, cond in conds:
+            if i in S:
+                u = S.index(i)
+                val = f"CAST({nums[u]} AS DOUBLE) / {_dlit(float(d))}"
+            else:
+                val = "0.0e0"
+            cases.append(f"WHEN {cond} THEN {val}")
+        return "CASE " + " ".join(cases) + " END"
+
+    return (
+        f"WITH src AS (SELECT o_orderkey AS pix, {ys} FROM orders), "
+        f"bb AS (SELECT *, {', '.join(bs)} FROM src) "
+        f"SELECT pix, {a_col(0)} AS a0, {a_col(1)} AS a1,"
+        f" {a_col(2)} AS a2 FROM bb ORDER BY pix"
+    )
+
+
+@register("spec_unmix_fcls", _fcls_sql())
+def q_spec_unmix_fcls(sf_dir: str):
+    """spec_unmix_spts_fcls (specunmixing/__init__.py:496 via
+    pysptools FCLS — non-negative AND sum-to-one): the unique optimum
+    of the fully-constrained problem computed by exact bordered-KKT
+    subset enumeration (integer adjugate/determinant of [[G_S,1],
+    [1^T,0]], primal/dual feasibility as integer predicates — see
+    stages/imagestats.fcls_unmix). Same pinned 3x5 endmember matrix
+    and signal derivation as spec_unmix_nnls."""
+    from rsgislib_ray.stages.imagestats import fcls_unmix
+
+    return fcls_unmix(
+        _nnls_src(sf_dir), [f"y{b}" for b in range(_NNLS_NB)],
+        _NNLS_E,
+    ).sort("pix")
+
+
 @register("spec_unmix_nnls", _nnls_sql(None))
 def q_spec_unmix_nnls(sf_dir: str):
     """spec_unmix_spts_nnls + rescale + predict + rmse: exact-integer

@@ -1266,3 +1266,126 @@ def nnls_unmix(
 
     return ds.map_batches(f, batch_format="pyarrow",
                           batch_size=65536)
+
+
+def _int_det_adj(K: list) -> tuple:
+    """Exact integer determinant + adjugate of a small (<= 4x4) integer
+    matrix via cofactor expansion (Python ints — no overflow)."""
+    n = len(K)
+
+    def det(M):
+        if len(M) == 1:
+            return M[0][0]
+        if len(M) == 2:
+            return M[0][0] * M[1][1] - M[0][1] * M[1][0]
+        s = 0
+        for j in range(len(M)):
+            if M[0][j] == 0:
+                continue
+            minor = [row[:j] + row[j + 1:] for row in M[1:]]
+            s += ((-1) ** j) * M[0][j] * det(minor)
+        return s
+
+    d = det(K)
+    adj = [[0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            minor = [
+                [K[r][c] for c in range(n) if c != j]
+                for r in range(n) if r != i
+            ]
+            adj[j][i] = ((-1) ** (i + j)) * det(minor)
+    return d, adj
+
+
+def fcls_unmix(
+    ds: "ray.data.Dataset",
+    value_cols: list[str],
+    E: np.ndarray,
+    *,
+    key_col: str = "pix",
+):
+    """Per-pixel FULLY-constrained least-squares unmixing (m = 3
+    endmembers): non-negative AND sum-to-one, the
+    ``spec_unmix_spts_fcls`` semantics (specunmixing/__init__.py:496
+    via pysptools FCLS, absent here — the optimisation problem is
+    identical and its optimum unique, so the exact solver below is a
+    faithful replacement, the same pinning as :func:`nnls_unmix`).
+
+    For every support subset S (pinned order: full set, pairs,
+    singletons) the equality-constrained KKT system is the BORDERED
+    Gram system [[G_S, 1], [1^T, 0]] [a_S, lam] = [b_S, 1]. With
+    integer endmembers/signals its adjugate and determinant are exact
+    integers (computed once at setup, sign-normalised so det > 0), so
+
+    - primal feasibility  a_i > 0      <=>  num_i > 0          (exact)
+    - dual feasibility    mu_j >= 0    <=>  sum_i G[j,i]*num_i
+                                             + num_lam - b_j*det >= 0
+
+    are integer predicates — deterministic, partition-independent and
+    replayed verbatim by the SQL oracle. The first feasible subset is
+    the unique optimum (strictly convex objective on the simplex);
+    abundances are single divisions num/det."""
+    m, nb = E.shape
+    assert m == 3
+    Eo = E.astype(object)
+    G = Eo @ Eo.T
+
+    SUBSETS = [(0, 1, 2), (0, 1), (0, 2), (1, 2), (0,), (1,), (2,)]
+
+    solves = {}
+    for S in SUBSETS:
+        k = len(S)
+        K = [
+            [int(G[S[i], S[j]]) for j in range(k)] + [1]
+            for i in range(k)
+        ] + [[1] * k + [0]]
+        d, adj = _int_det_adj(K)
+        if d < 0:
+            d = -d
+            adj = [[-x for x in row] for row in adj]
+        solves[S] = (d, adj)
+
+    def f(batch: pa.Table) -> pa.Table:
+        p = batch.num_rows
+        Y = np.stack(
+            [batch[c].to_numpy().astype(np.int64) for c in value_cols],
+            axis=1,
+        )
+        b = Y @ E.astype(np.int64).T  # (p, 3)
+        sel_num = [np.zeros(p, np.int64) for _ in range(3)]
+        sel_det = np.ones(p, np.int64)
+        done = np.zeros(p, bool)
+        for S in SUBSETS:
+            d, adj = solves[S]
+            k = len(S)
+            # num for unknown u (a over S, then lambda):
+            # sum_t adj[u][t] * b_{S[t]}  +  adj[u][k] * 1
+            nums = {}
+            for u in range(k + 1):
+                acc = np.full(p, adj[u][k], np.int64)
+                for t in range(k):
+                    acc = acc + adj[u][t] * b[:, S[t]]
+                nums[u] = acc
+            ok = ~done
+            for u in range(k):
+                ok &= nums[u] > 0
+            for j in range(3):
+                if j in S:
+                    continue
+                mu = nums[k] - b[:, j] * d
+                for u in range(k):
+                    mu = mu + int(G[j, S[u]]) * nums[u]
+                ok &= mu >= 0
+            for u, i in enumerate(S):
+                sel_num[i] = np.where(ok, nums[u], sel_num[i])
+            sel_det = np.where(ok, d, sel_det)
+            done |= ok
+        out = {key_col: batch[key_col]}
+        for i in range(3):
+            out[f"a{i}"] = sel_num[i].astype(np.float64) / sel_det.astype(
+                np.float64
+            )
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)

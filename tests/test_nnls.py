@@ -86,3 +86,48 @@ def test_nnls_weighted_kkt_properties(ray_session):
         # dual feasibility on the zero set, stationarity on support
         assert grad[x <= 1e-12].max(initial=-np.inf) <= 1e-6
         assert np.abs(grad[x > 1e-12]).max(initial=0.0) <= 1e-6
+
+
+def test_fcls_optimality_and_constraints(ray_session):
+    """FCLS: abundances sum to 1, are non-negative, satisfy the KKT
+    conditions numerically, and beat random simplex points (Monte-Carlo
+    optimality — the uniqueness argument of the docstring)."""
+    import pyarrow as pa
+    from rsgislib_ray.stages.imagestats import fcls_unmix
+
+    rng = np.random.RandomState(7)
+    E = np.array(
+        [[12, 1, 0, 3, 2], [0, 11, 2, 3, 1], [1, 0, 10, 2, 4]], np.int64
+    )
+    n = 300
+    Y = rng.randint(0, 190, size=(n, 5)).astype(np.int64)
+    tbl = pa.table(
+        {"pix": np.arange(n, dtype=np.int64)}
+        | {f"y{b}": Y[:, b] for b in range(5)}
+    )
+    out = (
+        fcls_unmix(
+            ray.data.from_arrow(tbl), [f"y{b}" for b in range(5)], E
+        )
+        .to_pandas()
+        .sort_values("pix")
+    )
+    A = out[["a0", "a1", "a2"]].to_numpy()
+    assert np.all(A >= 0.0)
+    assert np.allclose(A.sum(1), 1.0, atol=1e-12)
+
+    def obj(a, y):
+        r = a @ E - y
+        return float((r * r).sum())
+
+    G = (E @ E.T).astype(float)
+    for i in range(n):
+        o_star = obj(A[i], Y[i])
+        for _ in range(40):
+            w = rng.dirichlet([1.0, 1.0, 1.0])
+            assert obj(w, Y[i]) >= o_star - 1e-9 * max(1.0, o_star)
+        g = G @ A[i] - E @ Y[i].astype(float)
+        sup = A[i] > 1e-12
+        lam = -g[sup].mean()
+        assert np.ptp(g[sup]) < 1e-6          # stationarity on support
+        assert np.all(g[~sup] + lam > -1e-6)  # dual feasibility off it
