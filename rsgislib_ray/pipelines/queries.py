@@ -22064,6 +22064,185 @@ def q_max_ndvi_composite(sf_dir: str):
     ).sort("pix")
 
 
+def _mcw_sql() -> str:
+    D = _MC_D
+    srcs = []
+    for d in range(D):
+        bad = f"pix % 23 = 0 OR (pix * {d + 1}) % 19 = 0"
+        srcs.append(
+            f"CASE WHEN {bad} THEN 0"
+            f" ELSE (pix * {2 * d + 3}) % 120 + 5 END AS r{d}"
+        )
+        srcs.append(
+            f"CASE WHEN {bad} THEN 0"
+            f" ELSE (pix * {3 * d + 7}) % 140 + 9 END AS n{d}"
+        )
+        srcs.append(
+            f"CASE WHEN {bad} THEN 0"
+            f" ELSE (pix * {5 * d + 11}) % 130 + 3 END AS s{d}"
+        )
+    nds = ", ".join(
+        f"CASE WHEN (n{d} + r{d}) <> 0"
+        f" THEN CAST(CAST(n{d} - r{d} AS DOUBLE) / (n{d} + r{d})"
+        f" AS FLOAT) ELSE CAST(-999.0 AS FLOAT) END AS v{d}, "
+        f"CASE WHEN (n{d} + s{d}) <> 0"
+        f" THEN CAST(CAST(n{d} - s{d} AS DOUBLE) / (n{d} + s{d})"
+        f" AS FLOAT) ELSE CAST(-999.0 AS FLOAT) END AS w{d}"
+        for d in range(D)
+    )
+    lms = ", ".join(
+        f"CASE WHEN CAST(v{d} AS DOUBLE) < -1.0e0 THEN 0"
+        f" WHEN CAST(v{d} AS DOUBLE) > 0.3e0 THEN 1"
+        f" WHEN CAST(w{d} AS DOUBLE) > 0.01e0 THEN 2"
+        f" ELSE 1 END AS lm{d}"
+        for d in range(D)
+    )
+    cnt1 = " + ".join(f"CASE WHEN lm{d} = 1 THEN 1 ELSE 0 END"
+                      for d in range(D))
+    cnt2 = " + ".join(f"CASE WHEN lm{d} = 2 THEN 1 ELSE 0 END"
+                      for d in range(D))
+    omsk = (
+        f"CASE WHEN ({cnt1}) = 0 AND ({cnt2}) = 0 THEN 0"
+        f" WHEN ({cnt2}) > ({cnt1}) THEN 2 ELSE 1 END"
+    )
+    scs = ", ".join(
+        f"CASE WHEN lm{d} = 0 THEN CAST(-999.0 AS FLOAT)"
+        f" WHEN omsk = 1 THEN v{d}"
+        f" WHEN omsk = 2 THEN w{d}"
+        f" ELSE CAST(-999.0 AS FLOAT) END AS sc{d}, "
+        f"(CASE WHEN lm{d} = 0 THEN CAST(-999.0 AS FLOAT)"
+        f" WHEN omsk = 1 THEN v{d}"
+        f" WHEN omsk = 2 THEN w{d}"
+        f" ELSE CAST(-999.0 AS FLOAT) END"
+        f" <> CAST(-999.0 AS FLOAT)) AS ok{d}"
+        for d in range(D)
+    )
+    wins = []
+    for i in range(D):
+        conj = [f"ok{i}"]
+        for j in range(D):
+            if j < i:
+                conj.append(f"(NOT ok{j} OR sc{i} > sc{j})")
+            elif j > i:
+                conj.append(f"(NOT ok{j} OR sc{i} >= sc{j})")
+        wins.append("(" + " AND ".join(conj) + ")")
+    idx = ("CASE "
+           + " ".join(f"WHEN {wins[i]} THEN {i + 1}" for i in range(D))
+           + " ELSE 0 END")
+    gats = {
+        b: " ".join(f"WHEN {i + 1} THEN {b}{i}" for i in range(D))
+        for b in ("r", "n", "s")
+    }
+    return (
+        "WITH src AS (SELECT pix, " + ", ".join(srcs)
+        + " FROM (SELECT l_orderkey * 10 + l_linenumber AS pix"
+        " FROM lineitem)), "
+        f"nd AS (SELECT *, {nds} FROM src), "
+        f"lm AS (SELECT *, {lms} FROM nd), "
+        f"om AS (SELECT *, CAST({omsk} AS BIGINT) AS omsk FROM lm), "
+        f"sc AS (SELECT *, {scs} FROM om), "
+        f"ii AS (SELECT *, CAST({idx} AS BIGINT) AS ref_idx FROM sc) "
+        "SELECT pix, omsk, ref_idx, "
+        f"CAST(CASE ref_idx {gats['r']} ELSE 0 END AS BIGINT)"
+        " AS comp_red, "
+        f"CAST(CASE ref_idx {gats['n']} ELSE 0 END AS BIGINT)"
+        " AS comp_nir, "
+        f"CAST(CASE ref_idx {gats['s']} ELSE 0 END AS BIGINT)"
+        " AS comp_swir "
+        "FROM ii ORDER BY pix"
+    )
+
+
+@register("max_ndvi_ndwi_composite", _mcw_sql())
+def q_max_ndvi_ndwi_composite(sf_dir: str):
+    """create_max_ndvi_ndwi_composite (imagecomp.py:212): per-date
+    float32 NDVI + NDWI (calc_ndvi/calc_ndwi -999 gates), per-date
+    land/water mask 'ndvi<-1?0:ndvi>0.3?1:ndwi>0.01?2:1' (:407), the
+    use_mode=True combined mask = per-pixel MODE excluding no-data 0
+    with the C++ histogram-scan tie rule (lowest value wins,
+    RSGISMathsUtils.cpp:680-723; all-nodata -> 0), hybrid per-date
+    score 'lmsk==0?-999:omsk==1?ndvi:omsk==2?ndwi:-999' (:481), ref
+    image = first-strict-max date index (get_img_idx_for_stat MAX,
+    :491), composite = the winning date's bands with 0 at
+    unreferenced pixels (create_ref_img_composite_img, :508). One
+    map_batches pass, zero shuffles."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+    D = _MC_D
+
+    def f(batch: pa.Table) -> pa.Table:
+        pix = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        p = len(pix)
+        rs, ns, ss, vs, ws, lms = [], [], [], [], [], []
+        for d in range(D):
+            bad = (pix % 23 == 0) | ((pix * (d + 1)) % 19 == 0)
+            r = np.where(bad, 0, (pix * (2 * d + 3)) % 120 + 5)
+            n = np.where(bad, 0, (pix * (3 * d + 7)) % 140 + 9)
+            s = np.where(bad, 0, (pix * (5 * d + 11)) % 130 + 3)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = np.where(
+                    (n + r) != 0,
+                    (n - r).astype(np.float64)
+                    / np.where((n + r) != 0, n + r, 1),
+                    -999.0,
+                ).astype(np.float32)
+                w = np.where(
+                    (n + s) != 0,
+                    (n - s).astype(np.float64)
+                    / np.where((n + s) != 0, n + s, 1),
+                    -999.0,
+                ).astype(np.float32)
+            lm = np.where(
+                v < -1.0, 0, np.where(v > 0.3, 1,
+                                      np.where(w > 0.01, 2, 1))
+            ).astype(np.int64)
+            rs.append(r); ns.append(n); ss.append(s)
+            vs.append(v); ws.append(w); lms.append(lm)
+        cnt1 = sum((lm == 1).astype(np.int64) for lm in lms)
+        cnt2 = sum((lm == 2).astype(np.int64) for lm in lms)
+        omsk = np.where(
+            (cnt1 == 0) & (cnt2 == 0), 0,
+            np.where(cnt2 > cnt1, 2, 1),
+        ).astype(np.int64)
+        best = np.full(p, np.float32(0.0), np.float32)
+        idx = np.zeros(p, np.int64)
+        first = np.ones(p, bool)
+        NOD = np.float32(-999.0)
+        for d in range(D):
+            sc = np.where(
+                lms[d] == 0, NOD,
+                np.where(omsk == 1, vs[d],
+                         np.where(omsk == 2, ws[d], NOD)),
+            ).astype(np.float32)
+            ok = sc != NOD
+            take = ok & (first | (sc > best))
+            best = np.where(take, sc, best)
+            idx = np.where(take, d + 1, idx)
+            first = first & ~ok
+        comp = {b: np.zeros(p, np.int64) for b in ("r", "n", "s")}
+        for d in range(D):
+            m = idx == d + 1
+            comp["r"] = np.where(m, rs[d], comp["r"])
+            comp["n"] = np.where(m, ns[d], comp["n"])
+            comp["s"] = np.where(m, ss[d], comp["s"])
+        return pa.table(
+            {
+                "pix": pix, "omsk": omsk, "ref_idx": idx,
+                "comp_red": comp["r"], "comp_nir": comp["n"],
+                "comp_swir": comp["s"],
+            }
+        )
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("pix")
+
+
 # ===========================================================================
 # Orthogonal angle sets (vectorattrs/__init__.py:1503
 # create_orthogonal_angle_sets): label 1 for the start-angle +- half
