@@ -13104,6 +13104,46 @@ def q_tmask_outliers(sf_dir: str):
     )
 
 
+@register("st_robust_masks", None)
+def q_st_robust_masks(sf_dir: str):
+    """Season-trend robust outlier masks (robustfitoutliners.py:124
+    get_ST_masks + :61 _gen_band_masks): per-pixel per-band Tukey-IRLS
+    season-trend fits with -1/0/+1 residual masks, nodata-row
+    exclusion and the >= 12 clean-observation gate. Like
+    tmask_outliers, the IRLS fixpoint (per-iteration medians) is
+    non-SQL-expressible -> rows-only; the semantic oracle is the
+    planted-spike pytest (tests/test_timeseries.py)."""
+
+    def src(batch: pa.Table) -> pa.Table:
+        us = batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+        pm = np.rint(
+            batch["l_extendedprice"].to_numpy() * 100
+        ).astype(np.int64)
+        k = batch["l_orderkey"].to_numpy()
+        t = us.astype(np.int64) // 86400000000
+        b0 = np.where(
+            (k * 7) % 41 == 0, -99,
+            batch["l_quantity"].to_numpy().astype(np.int64),
+        )
+        return pa.table(
+            {
+                "pix": k % 61,
+                "t": t,
+                "b0": b0,
+                "b1": pm % 3000,
+            }
+        )
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                 "l_shipdate"],
+    ).map_batches(src, batch_format="pyarrow", batch_size=65536)
+    return _ts.st_outlier_masks(
+        ds, "pix", "t", ["b0", "b1"], nodata=-99, threshold=3.0
+    )
+
+
 # ===========================================================================
 # Image registration (stages/registration.py — reference
 # src/registration/ basic tie-point search + similarity metrics).

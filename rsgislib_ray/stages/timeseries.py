@@ -510,6 +510,75 @@ def tmask_outliers(
     )
 
 
+def st_outlier_masks(
+    ds: ray.data.Dataset,
+    pixel_col: str,
+    t_col: str,
+    value_cols: list[str],
+    nodata: int,
+    threshold: float = 3.0,
+    max_iter: int = 5,
+) -> ray.data.Dataset:
+    """Season-trend robust outlier masks (robustfitoutliners.py:61
+    ``_gen_band_masks`` + :124 ``get_ST_masks``): per pixel, rows where
+    ANY band equals ``nodata`` are excluded from the fit and masked 0;
+    with >= 12 clean observations each band is robust-fitted (Tukey
+    IRLS, the statsmodels-RLM replacement :func:`tukey_irls`) against
+    the 5-column season-trend design with
+    ``num_years = ceil((t_max - t_min) / 365)`` (:95 — 365, not the
+    365.25 period, quirk kept) and masked -1 / +1 where the residual
+    is below ``-RMSE*threshold`` / above ``RMSE*threshold``
+    (RMSE = sqrt(mean(residual^2)) of the robust fit, :45). Fewer
+    than 12 clean rows -> all masks 0. One ``groupby(pixel)``
+    co-locates each pixel's series; everything inside the group is
+    vectorized numpy. Output long form: (pixel, t, band, mask)."""
+
+    def per_pixel(g: pa.Table) -> pa.Table:
+        t = g[t_col].to_numpy().astype(np.int64)
+        order = np.argsort(t, kind="stable")
+        t = t[order]
+        Y = np.stack(
+            [g[c].to_numpy().astype(np.int64)[order]
+             for c in value_cols],
+            axis=1,
+        )
+        n = len(t)
+        masks = np.zeros((n, len(value_cols)), np.int64)
+        clean = np.all(Y != nodata, axis=1)
+        nc = int(clean.sum())
+        if nc >= 12:
+            tc = t[clean]
+            ny = float(np.ceil((t.max() - t.min()) / 365.0))
+            x = _tmask_basis(tc - tc.min(), ny)
+            for bi in range(len(value_cols)):
+                y = Y[clean, bi].astype(np.float64)
+                _beta, resid = tukey_irls(x, y, max_iter=max_iter)
+                rmse = float(np.sqrt(np.mean(resid * resid)))
+                m = np.zeros(nc, np.int64)
+                m[resid < -rmse * threshold] = -1
+                m[resid > rmse * threshold] = 1
+                masks[clean, bi] = m
+        out_pix = np.repeat(
+            g[pixel_col].to_numpy()[order], len(value_cols)
+        )
+        out_t = np.repeat(t, len(value_cols))
+        out_b = np.tile(
+            np.arange(len(value_cols), dtype=np.int64), n
+        )
+        return pa.table(
+            {
+                pixel_col: out_pix,
+                t_col: out_t,
+                "band": out_b,
+                "mask": masks.reshape(-1),
+            }
+        )
+
+    return ds.groupby(pixel_col).map_groups(
+        per_pixel, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # class-timeseries gap fill (classification/__init__.py:1329)
 # ---------------------------------------------------------------------------

@@ -197,3 +197,48 @@ def test_tmask_outliers(ray_session):
         cloud_t = set(t[cloud])
         flagged_t = set(rows_p[rows_p["outlier"] == 1]["t"])
         assert cloud_t <= flagged_t
+
+
+def test_st_outlier_masks_planted_spikes(ray_session):
+    """get_ST_masks semantics: a clean seasonal series with planted
+    spikes flags exactly the spikes (+1 high / -1 low), rows with any
+    nodata band are masked 0 and excluded from the fit, and a pixel
+    with < 12 clean observations is all-zero."""
+    import pyarrow as pa
+    import ray
+
+    from rsgislib_ray.stages.timeseries import st_outlier_masks
+
+    t = np.arange(0, 365 * 2, 16, dtype=np.int64)  # 46 obs
+    base = 100 + 20 * np.cos(2 * np.pi * t / 365.25)
+    y = np.rint(base).astype(np.int64)
+    y[10] += 300   # high spike
+    y[30] -= 300   # low spike
+    y2 = np.full(len(t), 50, np.int64)
+    y2[5] = -99    # nodata row -> excluded + masked 0 for BOTH bands
+    rows = {
+        "pix": np.concatenate(
+            [np.zeros(len(t), np.int64), np.ones(4, np.int64)]
+        ),
+        "t": np.concatenate([t, np.arange(4, dtype=np.int64)]),
+        "b0": np.concatenate([y, np.array([900, 1, 1, 1], np.int64)]),
+        "b1": np.concatenate([y2, np.ones(4, np.int64)]),
+    }
+    out = (
+        st_outlier_masks(
+            ray.data.from_arrow(pa.table(rows)),
+            "pix", "t", ["b0", "b1"], nodata=-99, threshold=3.0,
+        )
+        .to_pandas()
+        .sort_values(["pix", "t", "band"])
+    )
+    p0 = out[(out["pix"] == 0) & (out["band"] == 0)].set_index("t")
+    assert p0.loc[t[10], "mask"] == 1
+    assert p0.loc[t[30], "mask"] == -1
+    assert p0.loc[t[5], "mask"] == 0          # the nodata row
+    clean = np.ones(len(t), bool)
+    clean[[5, 10, 30]] = False
+    assert (p0.loc[t[clean], "mask"] == 0).all()
+    # pixel 1 has only 4 observations -> all masks 0 despite the 900
+    p1 = out[out["pix"] == 1]
+    assert (p1["mask"] == 0).all()
