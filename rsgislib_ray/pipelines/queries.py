@@ -480,6 +480,99 @@ def q_rasterize(sf_dir: str):
     return out.map_batches(to_int, batch_format="pyarrow")
 
 
+@register(
+    "lut_score_raster",
+    f"""
+    WITH zones AS ({td.SQL_ZONES}),
+    sc AS (
+      SELECT fid, xmin, xmax, ymin, ymax,
+        (CASE WHEN category >= 3 AND category < 5 THEN 9
+              WHEN category >= 2 AND category < 4 THEN 7
+              WHEN category >= 0 AND category < 2 THEN 5
+              ELSE 0 END) * 100
+        + CASE WHEN category = 1 THEN 13
+               WHEN category = 3 THEN 12
+               ELSE 0 END AS packed
+      FROM zones
+    ),
+    px AS (
+      SELECT r.range AS pixel_id,
+             CAST(r.range % 100 AS DOUBLE) + 0.5 AS cx,
+             100.0 - (CAST(r.range // 100 AS DOUBLE) + 0.5) AS cy
+      FROM range(10000) r
+    ),
+    j AS (
+      SELECT p.pixel_id, z.packed,
+             ROW_NUMBER() OVER (PARTITION BY p.pixel_id
+                                ORDER BY z.fid DESC) AS rn
+      FROM px p JOIN sc z
+        ON p.cx > z.xmin AND p.cx < z.xmax
+       AND p.cy > z.ymin AND p.cy < z.ymax
+    )
+    SELECT p.pixel_id,
+           CAST(COALESCE(j.packed, 0) AS BIGINT) AS burn
+    FROM px p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+      ON p.pixel_id = j.pixel_id
+    """,
+)
+def q_lut_score_raster(sf_dir: str):
+    """create_vector_range_lut_score_img + create_vector_lst_lut_
+    score_img (vectorutils/createrasters.py:257,323): LUT-score the
+    vector attributes (range LUT with last-entry-wins overlaps +
+    list LUT with last-tuple-wins repeats — the oracled attr_range_lut
+    / attr_lst_lut kernels), then rasterise the scored column over the
+    reference grid (last-covering-feature-in-fid-order burn, zeros
+    outside — the oracled rasterize kernel). Both scores pack into one
+    burn attribute (range*100 + lst) so a single rasterise pass
+    verifies both LUT paths end to end."""
+    from rsgislib_ray.stages.raster import (
+        RasterGrid,
+        make_pixel_centers,
+        rasterize_zones,
+    )
+    from rsgislib_ray.stages.vectorattrs import (
+        map_col_lst_lut,
+        map_col_range_lut,
+    )
+
+    zt = td.zones_from_part(sf_dir)
+    zds = ray.data.from_arrow(zt)
+    zds = map_col_range_lut(
+        zds, "category", {5: (0, 2), 7: (2, 4), 9: (3, 5)}, "rng"
+    )
+    zds = map_col_lst_lut(
+        zds, "category", [(1, 11), (3, 12), (1, 13)], "lst"
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        packed = (
+            batch["rng"].to_numpy().astype(np.int64) * 100
+            + batch["lst"].to_numpy().astype(np.int64)
+        )
+        return batch.append_column("packed", pa.array(packed))
+
+    scored = pa.concat_tables(
+        ray.get(
+            zds.map_batches(pack, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    grid = RasterGrid(0.0, 100.0, 1.0, 1.0, 100, 100)
+    out = rasterize_zones(
+        make_pixel_centers(grid), scored, grid,
+        burn_attr="packed", background=0.0,
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "burn": pc.cast(batch["burn"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(to_int, batch_format="pyarrow")
+
+
 # ===========================================================================
 # kNN / radius (SURVEY.md §2.4)
 # ===========================================================================
