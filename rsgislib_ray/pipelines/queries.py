@@ -23326,6 +23326,167 @@ def q_clump_union(sf_dir: str):
     )
 
 
+@register(
+    "rat_small_units",
+    f"""
+    WITH RECURSIVE px AS MATERIALIZED (
+      SELECT CAST(p.range AS BIGINT) AS pixel_id,
+             CAST(p.range // {_UC_N} AS BIGINT) AS r,
+             CAST(p.range % {_UC_N} AS BIGINT) AS c,
+             CAST(CASE WHEN ((p.range // {_UC_N}) * 7
+                             + (p.range % {_UC_N}) * 11) % 29 = 0
+                  THEN (((p.range // {_UC_N}) * 31
+                         + (p.range % {_UC_N}) * 17) % 23) // 6
+                  ELSE (((p.range // {_UC_N}) // 5) * 3
+                        + ((p.range % {_UC_N}) // 5) * 5) % 4
+                  END AS BIGINT) AS cls,
+             CAST((p.range // {_UC_N}) // 8 * {_UC_N // 8}
+                  + (p.range % {_UC_N}) // 8 AS BIGINT) AS orig
+      FROM range(0, {_UC_N * _UC_N}) p),
+    e AS MATERIALIZED (
+      SELECT a.pixel_id AS u, b.pixel_id AS v
+      FROM px a JOIN px b
+        ON ((a.r = b.r AND abs(a.c - b.c) = 1)
+         OR (a.c = b.c AND abs(a.r - b.r) = 1))
+       AND a.cls = b.cls AND a.cls <> 0 AND b.cls <> 0),
+    cc(it, pixel_id, l) AS (
+      SELECT 0, pixel_id, pixel_id FROM px WHERE cls <> 0
+      UNION ALL
+      SELECT it + 1, pixel_id, MIN(l) FROM (
+        SELECT cc.it AS it, e.v AS pixel_id, cc.l AS l
+        FROM cc JOIN e ON e.u = cc.pixel_id WHERE cc.it < {_UC_K}
+        UNION ALL
+        SELECT it, pixel_id, l FROM cc WHERE it < {_UC_K}
+      ) GROUP BY it, pixel_id
+    ),
+    lab AS MATERIALIZED (
+      SELECT p.pixel_id, p.orig,
+             CASE WHEN p.cls = 0 THEN 0 ELSE cc.l + 1 END AS lbl
+      FROM px p LEFT JOIN cc
+        ON cc.pixel_id = p.pixel_id AND cc.it = {_UC_K}
+    ),
+    hist AS MATERIALIZED (
+      SELECT lbl, COUNT(*) AS cnt FROM lab GROUP BY lbl
+    )
+    SELECT l.orig AS clump_id,
+           CAST(MAX(CASE WHEN h.cnt < 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS small4,
+           CAST(MAX(CASE WHEN h.cnt < 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS small25
+    FROM lab l JOIN hist h ON h.lbl = l.lbl
+    GROUP BY l.orig ORDER BY l.orig
+    """,
+)
+def q_rat_small_units(sf_dir: str):
+    """rastergis.identify_small_units (:649): export the class column
+    as an image, CLUMP it (class-equality connected components,
+    nodata 0 -> background label 0, real labels = min pixel id + 1 —
+    the reference's 1-based clump ids), per-clump Histogram, smallUnits
+    = histogram < threshold (one column per threshold: 4, 25), and
+    per ORIGINAL clump the MAX of the smallUnits image
+    (populate_rat_with_stats maxField, :778-780) — i.e. does the
+    original clump contain any pixel of a small class-connected unit.
+    Original clumps = the 8x8 block partition (a valid connected clump
+    map). Distributed: the tiled border-merge clump, segment_sum
+    histogram, broadcast small-flag lookup, segment_sum(max) per
+    original clump. Oracle: iteration-indexed recursive-CTE min-label
+    components + the same histogram/threshold/max chain."""
+    from rsgislib_ray.stages.polygonize import clump
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    pid = np.arange(_UC_N * _UC_N, dtype=np.int64)
+    r, c = np.divmod(pid, _UC_N)
+    cls = np.where(
+        (r * 7 + c * 11) % 29 == 0,
+        ((r * 31 + c * 17) % 23) // 6,
+        ((r // 5) * 3 + (c // 5) * 5) % 4,
+    ).astype(np.int64)
+    orig = (r // 8) * (_UC_N // 8) + c // 8
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "pixel_id": pid, "row": r, "col": c,
+                "value": cls, "orig": orig,
+            }
+        )
+    ).repartition(8)
+    lab = clump(ds, tile_size=16, no_data=0)
+
+    def pos_lbl(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "orig": batch["orig"],
+                "lbl": batch["comp_label"].to_numpy() + 1,
+            }
+        )
+
+    def zero_lbl(batch: pa.Table) -> pa.Table:
+        keep = batch["value"].to_numpy() == 0
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"].to_numpy()[keep],
+                "orig": batch["orig"].to_numpy()[keep],
+                "lbl": np.zeros(n, np.int64),
+            }
+        )
+
+    full = lab.map_batches(pos_lbl, batch_format="pyarrow").union(
+        ds.map_batches(zero_lbl, batch_format="pyarrow")
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lbl": batch["lbl"],
+                "one": np.ones(len(batch), np.int64),
+            }
+        )
+
+    hist = segment_sum(
+        full.map_batches(ones, batch_format="pyarrow"), "lbl", ["one"]
+    ).to_pandas()  # one row per clump — RAT granularity, like the
+    # reference's driver-side Histogram read
+    hl = np.sort(hist["lbl"].to_numpy())
+    hc = hist.set_index("lbl")["one"].reindex(hl).to_numpy()
+    ref = ray.put((hl, hc))
+
+    def flags(batch: pa.Table, _ref=None) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        kl, kc = cached(_ref)
+        pos = np.searchsorted(kl, batch["lbl"].to_numpy())
+        cnt = kc[pos]
+        return pa.table(
+            {
+                "orig": batch["orig"],
+                "small4": (cnt < 4).astype(np.int64),
+                "small25": (cnt < 25).astype(np.int64),
+            }
+        )
+
+    per_px = full.map_batches(
+        flags, fn_kwargs={"_ref": ref}, batch_format="pyarrow"
+    )
+    out = segment_sum(
+        per_px, "orig", ["small4", "small25"], aggs=["max", "max"]
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "clump_id": batch["orig"],
+                "small4": batch["small4"],
+                "small25": batch["small25"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort(
+        "clump_id"
+    )
+
+
 # ===========================================================================
 # Quickshift segmentation (stages/quickshift.py — segmentation/
 # skimgseg.py:176 perform_quickshift_segmentation; pinned integer
