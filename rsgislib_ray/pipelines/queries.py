@@ -19558,6 +19558,214 @@ def _holes_rings_ds(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "utils_num_panel",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderkey % 1000 AS q,
+             o_orderkey % 6 AS form,
+             o_orderkey % 17 AS grp,
+             CAST(o_orderkey * 7 % 81 AS BIGINT) - 30 AS v
+      FROM orders),
+    s AS (
+      SELECT *, CASE form
+        WHEN 0 THEN '  ' || q || '  '
+        WHEN 1 THEN q || '.7'
+        WHEN 2 THEN '-' || q || '.5'
+        WHEN 3 THEN 'abc'
+        WHEN 4 THEN q || '+4j'
+        ELSE q || 'e2' END AS sv
+      FROM src),
+    rowp AS (
+      SELECT k, sv,
+        CAST(form <> 3 AS BIGINT) AS is_num,
+        CASE WHEN form IN (3, 4) THEN -1.0e0
+             ELSE CAST(TRIM(sv) AS DOUBLE) END AS f_val,
+        CASE WHEN form IN (3, 4) THEN CAST(-1 AS BIGINT)
+             WHEN form = 0 THEN q
+             ELSE CAST(FLOOR(CAST(TRIM(sv) AS DOUBLE) + 0.5e0)
+                       AS BIGINT) END AS i_val,
+        CAST(ABS((CAST(k * 3 % 50 AS DOUBLE) / 10.0e0)
+                 - (CAST(k * 7 % 50 AS DOUBLE) / 10.0e0)) < 0.1e0
+             AS BIGINT) AS similar,
+        grp, v
+      FROM s),
+    gp AS (
+      SELECT grp,
+        CAST(0 <= MIN(v) AND MAX(v) <= 40 AS BIGINT) AS in_b,
+        CAST(0 <= MIN(v) AND MAX(v) < 40 AS BIGINT) AS in_b_strict,
+        CAST(MIN(v) < 0 AND MAX(v) >= 0 AS BIGINT) AS mixed,
+        CAST(MAX(v) < 0 AS BIGINT) AS neg
+      FROM rowp GROUP BY grp)
+    SELECT r.k, r.sv, r.is_num, r.f_val, r.i_val, r.similar,
+           g.in_b, g.in_b_strict, g.mixed, g.neg
+    FROM rowp r JOIN gp g ON g.grp = r.grp
+    ORDER BY r.k
+    """,
+)
+def q_utils_num_panel(sf_dir: str):
+    """tools/utils numeric helpers: is_number (:59 — float() OR
+    complex(), so 'q+4j' IS a number), str_to_float (:112, strip +
+    err_val fallback), str_to_int (:137 — int() first, then
+    floor(float + 0.5), then err_val; '-q.5' rounds UP to -q, 'qe2'
+    parses via the float path), similar_numeric_vals (:76 abs-diff
+    threshold), and the group predicates in_bounds (:517, strict and
+    non-strict upper), mixed_signs (:536), negative (:547) computed
+    from distributed min/max partials. Differential oracle: strings
+    are constructed from closed-form fields on both sides; the float
+    parses are correctly-rounded decimal parses (bit-equal), the
+    group predicates re-derive from SQL MIN/MAX."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).repartition(16)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        q = k % 1000
+        form = k % 6
+        grp = k % 17
+        v = (k * 7 % 81) - 30
+        qs = q.astype(str)
+        sv = np.select(
+            [form == 0, form == 1, form == 2, form == 3, form == 4],
+            [
+                np.char.add(np.char.add("  ", qs), "  "),
+                np.char.add(qs, ".7"),
+                np.char.add(np.char.add("-", qs), ".5"),
+                np.full(len(k), "abc"),
+                np.char.add(qs, "+4j"),
+            ],
+            np.char.add(qs, "e2"),
+        )
+        # is_number: float() OR complex() accept
+        is_num = (form != 3).astype(np.int64)
+        # str_to_float with err_val=-1.0 (the strip + float chain)
+        f_val = np.full(len(k), -1.0)
+        i_val = np.full(len(k), -1, np.int64)
+        for i, s in enumerate(sv):
+            t = s.strip()
+            try:
+                f_val[i] = float(t)
+            except ValueError:
+                f_val[i] = -1.0
+            try:
+                i_val[i] = int(t)
+            except ValueError:
+                try:
+                    i_val[i] = int(np.floor(float(t) + 0.5))
+                except ValueError:
+                    i_val[i] = -1
+        a = (k * 3 % 50).astype(np.float64) / 10.0
+        b = (k * 7 % 50).astype(np.float64) / 10.0
+        similar = (np.abs(a - b) < 0.1).astype(np.int64)
+        return pa.table(
+            {
+                "k": k, "sv": sv, "is_num": is_num,
+                "f_val": f_val, "i_val": i_val, "similar": similar,
+                "grp": grp, "v": v,
+            }
+        )
+
+    rp = ds.map_batches(rows, batch_format="pyarrow",
+                        batch_size=65536)
+    gp = segment_sum(
+        rp.map_batches(
+            lambda t: pa.table(
+                {"grp": t["grp"], "mn": t["v"], "mx": t["v"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        "grp", ["mn", "mx"], aggs=["min", "max"],
+    ).to_pandas()
+    gl = np.sort(gp["grp"].to_numpy())
+    gsorted = gp.set_index("grp").loc[gl]
+    ref = ray.put(
+        (gl, gsorted["mn"].to_numpy(), gsorted["mx"].to_numpy())
+    )
+
+    def attach(batch: pa.Table, _ref=None) -> pa.Table:
+        from rsgislib_ray.state.broadcast import cached
+
+        kl, mn, mx = cached(_ref)
+        pos = np.searchsorted(kl, batch["grp"].to_numpy())
+        lo, hi = mn[pos], mx[pos]
+        return pa.table(
+            {
+                "k": batch["k"], "sv": batch["sv"],
+                "is_num": batch["is_num"], "f_val": batch["f_val"],
+                "i_val": batch["i_val"], "similar": batch["similar"],
+                "in_b": ((0 <= lo) & (hi <= 40)).astype(np.int64),
+                "in_b_strict": ((0 <= lo) & (hi < 40)).astype(
+                    np.int64
+                ),
+                "mixed": ((lo < 0) & (hi >= 0)).astype(np.int64),
+                "neg": (hi < 0).astype(np.int64),
+            }
+        )
+
+    return rp.map_batches(
+        attach, fn_kwargs={"_ref": ref}, batch_format="pyarrow"
+    ).sort("k")
+
+
+_PS_N = 5  # powerset base-set size
+_PS_MIN = 2  # min_items filter
+
+
+@register(
+    "utils_powerset",
+    f"""
+    WITH raw AS (
+      SELECT CAST(r.range AS BIGINT) AS i,
+             {' + '.join(f"CASE WHEN (r.range >> {b}) & 1 = 0"
+                         f" THEN {1 << b} ELSE 0 END"
+                         for b in range(_PS_N))} AS members,
+             {' + '.join(f"CAST((r.range >> {b}) & 1 = 0 AS INT)"
+                         for b in range(_PS_N))} AS n_items
+      FROM range(0, {1 << _PS_N}) r
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY i) - 1 AS out_idx,
+           members, CAST(n_items AS BIGINT) AS n_items
+    FROM raw WHERE n_items >= {_PS_MIN}
+    ORDER BY out_idx
+    """,
+)
+def q_utils_powerset(sf_dir: str):
+    """powerset_iter / powerset_lst (tools/utils.py:202,219): the
+    recursive generator's EXACT emission order — yield index i maps
+    to the subset excluding element b wherever bit b of i is set
+    (membership mask = ~i & (2^n - 1); proven by the recursion:
+    position 2j includes element 0, 2j+1 excludes it, i >> 1 indexes
+    the tail powerset) — with the min_items >= {_PS_MIN} filter
+    re-indexing survivors in generator order. Engine runs the literal
+    recursive generator; the oracle the closed form."""
+    base = list(range(_PS_N))
+
+    def powerset_iter(in_set):
+        if len(in_set) <= 1:
+            yield in_set
+            yield []
+        else:
+            for item in powerset_iter(in_set[1:]):
+                yield [in_set[0]] + item
+                yield item
+
+    rows = []
+    for subset in powerset_iter(base):
+        if len(subset) >= _PS_MIN:
+            rows.append(subset)
+    out_idx = np.arange(len(rows), dtype=np.int64)
+    members = np.array(
+        [sum(1 << b for b in s) for s in rows], np.int64
+    )
+    n_items = np.array([len(s) for s in rows], np.int64)
+    return pa.table(
+        {"out_idx": out_idx, "members": members, "n_items": n_items}
+    )
+
+
+@register(
     "poly_hole_areas",
     f"""
     WITH rings AS ({_SQL_HOLE_RINGS})
