@@ -19765,6 +19765,229 @@ def q_utils_powerset(sf_dir: str):
     )
 
 
+def _angle_line_lits(angle_step: float) -> list:
+    """(angle_deg, cos_lit, sin_lit) for arange(0, 360, step) — the
+    radians/cos/sin chain evaluated ONCE with scalar libm (math.*)
+    and inlined as double literals on both sides, so the per-point
+    work is a single multiply+add each (identical IEEE)."""
+    out = []
+    a = 0.0
+    while a < 360.0:
+        rad = _math.radians(a)
+        out.append((a, _math.cos(rad), _math.sin(rad)))
+        a += angle_step
+    return out
+
+
+_AL_LEN = 2.5
+_AL_LITS = _angle_line_lits(45.0)
+
+
+def _al_sql() -> str:
+    vals = ", ".join(
+        f"({int(a)}, {_dlit(c)}, {_dlit(s)})" for a, c, s in _AL_LITS
+    )
+    return (
+        f"WITH base AS ({td.SQL_BASE_PTS}), "
+        f"ang(a, ca, sa) AS (VALUES {vals}) "
+        "SELECT b.base_id AS pt_id, CAST(ang.a AS BIGINT) AS angle, "
+        "b.x AS x0, b.y AS y0, "
+        f"b.x + ({_dlit(_AL_LEN)} * ang.ca) AS x1, "
+        f"b.y + ({_dlit(_AL_LEN)} * ang.sa) AS y1 "
+        "FROM base b CROSS JOIN ang ORDER BY pt_id, angle"
+    )
+
+
+@register("pt_angle_lines", _al_sql())
+def q_pt_angle_lines(sf_dir: str):
+    """create_angle_lines_from_points (vectorgeoms/__init__.py:3459):
+    per point one line for every angle in arange(0, 360, angle) —
+    end = (x + len*cos(radians(a)), y + len*sin(radians(a))). The
+    8 angle constants' radians/cos/sin evaluate once with scalar libm
+    and broadcast as literals (engine and oracle share them), so each
+    endpoint is one multiply+add — bit-exact. pt_id pins the
+    reference's iterrows index as the feature id."""
+    pts = td.base_points_from_customer(sf_dir)
+    angs = np.array([a for a, _, _ in _AL_LITS], np.int64)
+    cas = np.array([c for _, c, _ in _AL_LITS])
+    sas = np.array([s for _, _, s in _AL_LITS])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        x = np.repeat(batch["x"].to_numpy(), len(angs))
+        y = np.repeat(batch["y"].to_numpy(), len(angs))
+        pid = np.repeat(batch["base_id"].to_numpy(), len(angs))
+        a = np.tile(angs, n)
+        ca = np.tile(cas, n)
+        sa = np.tile(sas, n)
+        return pa.table(
+            {
+                "pt_id": pid, "angle": a, "x0": x, "y0": y,
+                "x1": x + (_AL_LEN * ca), "y1": y + (_AL_LEN * sa),
+            }
+        )
+
+    return pts.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort(["pt_id", "angle"])
+
+
+@register(
+    "pt_bboxes",
+    f"""
+    WITH base AS ({td.SQL_BASE_PTS})
+    SELECT base_id, x - 1.25e0 AS xmin, x + 1.25e0 AS xmax,
+           y - 0.75e0 AS ymin, y + 0.75e0 AS ymax
+    FROM base ORDER BY base_id
+    """,
+)
+def q_pt_bboxes(sf_dir: str):
+    """create_bboxs_for_pts (vectorutils/createvectors.py:892): one
+    box per point, x +/- width/2 and y +/- height/2 (width 2.5,
+    height 1.5) — the half-extents are exact binary fractions so the
+    corners are single IEEE adds on both sides."""
+    pts = td.base_points_from_customer(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        return pa.table(
+            {
+                "base_id": batch["base_id"],
+                "xmin": x - 1.25, "xmax": x + 1.25,
+                "ymin": y - 0.75, "ymax": y + 0.75,
+            }
+        )
+
+    return pts.map_batches(f, batch_format="pyarrow").sort("base_id")
+
+
+# WGS84 named grid fixture: every coordinate an exact quarter so the
+# round(x, 1) in the tile name is an exact-decimal tie (round half to
+# even) reproducible by integer math in the oracle.
+_WG = dict(min_x=-1.25, max_x=2.75, min_y=-1.75, max_y=1.5,
+           grid_x=0.75, grid_y=0.5)
+
+
+def _wg_name_sql(vexpr: str) -> str:
+    """zero_pad_num_str(v, 4, round_num=True, round_n_digts=1,
+    integerise=True, absolute=True, gain=10) over an exact-quarter v:
+    abs -> round-half-even on the .25/.75 ties (digit map 0/2/5/8) ->
+    the int(x*10) IEEE truncation -> zfill(4)."""
+    q = f"CAST(ROUND(ABS({vexpr}) * 4) AS BIGINT)"
+    dec = (f"CAST({q} // 4 AS VARCHAR) || '.' || "
+           f"CASE {q} % 4 WHEN 0 THEN '0' WHEN 1 THEN '2'"
+           " WHEN 2 THEN '5' ELSE '8' END")
+    return (f"LPAD(CAST(CAST(TRUNC(CAST({dec} AS DOUBLE)"
+            " * 10.0e0) AS BIGINT) AS VARCHAR), 4, '0')")
+
+
+def _wg_sql() -> str:
+    g = _WG
+    nx = _math.floor((g["max_x"] - g["min_x"]) / g["grid_x"])
+    xr = (g["max_x"] - g["min_x"]) - g["grid_x"] * nx
+    ny = _math.floor((g["max_y"] - g["min_y"]) / g["grid_y"])
+    yr = (g["max_y"] - g["min_y"]) - g["grid_y"] * ny
+    ncx = nx + (1 if xr > 0 else 0)
+    nry = ny + (1 if yr > 0 else 0)
+    cminx = (f"CASE WHEN j < {nx} THEN {_dlit(g['min_x'])}"
+             f" + j * {_dlit(g['grid_x'])}"
+             f" ELSE {_dlit(g['min_x'])} + {nx} * {_dlit(g['grid_x'])}"
+             " END")
+    cmaxx = (f"CASE WHEN j < {nx} THEN ({cminx}) + {_dlit(g['grid_x'])}"
+             f" ELSE ({cminx}) + {_dlit(xr)} END")
+    cmaxy = (f"CASE WHEN i < {ny} THEN {_dlit(g['max_y'])}"
+             f" - i * {_dlit(g['grid_y'])}"
+             f" ELSE {_dlit(g['max_y'])} - {ny} * {_dlit(g['grid_y'])}"
+             " END")
+    cminy = (f"CASE WHEN i < {ny} THEN ({cmaxy}) - {_dlit(g['grid_y'])}"
+             f" ELSE ({cmaxy}) - {_dlit(yr)} END")
+    return f"""
+    WITH ij AS (
+      SELECT CAST(r.range // {ncx} AS BIGINT) AS i,
+             CAST(r.range % {ncx} AS BIGINT) AS j,
+             CAST(r.range AS BIGINT) AS tile_idx
+      FROM range(0, {nry * ncx}) r
+    ),
+    cc AS (
+      SELECT tile_idx, {cminx} AS xmin, {cmaxx} AS xmax,
+             {cminy} AS ymin, {cmaxy} AS ymax
+      FROM ij
+    )
+    SELECT tile_idx, xmin, xmax, ymin, ymax,
+      (CASE WHEN xmin < 0 THEN 's' ELSE 'n' END)
+      || {_wg_name_sql('xmin')}
+      || (CASE WHEN ymax < 0 THEN 'w' ELSE 'e' END)
+      || {_wg_name_sql('ymax')} AS tile_name
+    FROM cc ORDER BY tile_idx
+    """
+
+
+@register("wgs84_grid_names", _wg_sql())
+def q_wgs84_grid_names(sf_dir: str):
+    """create_wgs84_vector_grid (vectorutils/createvectors.py:981):
+    top-down row-major layout with x-remainder cells per row and a
+    final y-remainder row, plus the tile-name string
+    get_deg_coord_as_str(lat=c_MIN_X, lon=c_MAX_Y) — the swapped
+    lat/lon argument quirk kept — via zero_pad_num_str's
+    abs -> round(.,1) -> int(v*10) truncation -> zfill(4) chain
+    (tools/projection.py:132, tools/utils.py:167). The fixture's
+    exact-quarter lattice makes every round a true decimal tie
+    (Python round half-to-even: .25 -> .2, .75 -> .8), which the
+    oracle reproduces with integer quarter math; the int(v*10)
+    truncation is the same IEEE multiply both sides. The reference's
+    final +/-180 clamp loop would raise TypeError on its tuples if it
+    ever fired (createvectors.py:1109-1113) — the fixture stays
+    inside, as any working use must. Engine = the literal loop
+    transcription (a driver-side layout generator, like the other
+    grid builders)."""
+    g = _WG
+    nx = int(_math.floor((g["max_x"] - g["min_x"]) / g["grid_x"]))
+    xr = (g["max_x"] - g["min_x"]) - g["grid_x"] * nx
+    ny = int(_math.floor((g["max_y"] - g["min_y"]) / g["grid_y"]))
+    yr = (g["max_y"] - g["min_y"]) - g["grid_y"] * ny
+
+    def name(lat: float, lon: float) -> str:
+        def pad(v: float) -> str:
+            v = abs(v)
+            v = round(v, 1)
+            return str(int(v * 10)).zfill(4)
+
+        ns = "s" if lat < 0 else "n"
+        ew = "w" if lon < 0 else "e"
+        return f"{ns}{pad(lat)}{ew}{pad(lon)}"
+
+    rows = []
+    for i in range(ny + (1 if yr > 0 else 0)):
+        if i < ny:
+            c_max_y = g["max_y"] - i * g["grid_y"]
+            c_min_y = c_max_y - g["grid_y"]
+        else:
+            c_max_y = g["max_y"] - ny * g["grid_y"]
+            c_min_y = c_max_y - yr
+        for j in range(nx + (1 if xr > 0 else 0)):
+            if j < nx:
+                c_min_x = g["min_x"] + j * g["grid_x"]
+                c_max_x = c_min_x + g["grid_x"]
+            else:
+                c_min_x = g["min_x"] + nx * g["grid_x"]
+                c_max_x = c_min_x + xr
+            rows.append(
+                (len(rows), c_min_x, c_max_x, c_min_y, c_max_y,
+                 name(c_min_x, c_max_y))
+            )
+    return pa.table(
+        {
+            "tile_idx": pa.array([r[0] for r in rows], pa.int64()),
+            "xmin": pa.array([r[1] for r in rows]),
+            "xmax": pa.array([r[2] for r in rows]),
+            "ymin": pa.array([r[3] for r in rows]),
+            "ymax": pa.array([r[4] for r in rows]),
+            "tile_name": pa.array([r[5] for r in rows]),
+        }
+    )
+
+
 @register(
     "poly_hole_areas",
     f"""
