@@ -19989,6 +19989,83 @@ def q_wgs84_grid_names(sf_dir: str):
 
 
 @register(
+    "h5_sample_filters",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS smpl_id,
+        CASE WHEN o_orderkey % 31 = 0 THEN CAST('NaN' AS DOUBLE)
+             WHEN o_orderkey % 37 = 0 THEN CAST('Infinity' AS DOUBLE)
+             ELSE CAST(o_orderkey * 7 % 300 AS DOUBLE) END AS v0,
+        CAST(o_orderkey * 11 % 260 AS DOUBLE) AS v1
+      FROM orders),
+    b AS (
+      SELECT o_orderkey AS smpl_id,
+        CASE WHEN o_orderkey % 41 = 0 THEN CAST('-Infinity' AS DOUBLE)
+             ELSE CAST(o_orderkey * 13 % 280 AS DOUBLE) END AS v2
+      FROM orders),
+    merged AS (
+      SELECT a.smpl_id, a.v0, a.v1, b.v2
+      FROM a JOIN b ON a.smpl_id = b.smpl_id),
+    finite AS (
+      SELECT * FROM merged
+      WHERE isfinite(v0) AND isfinite(v1) AND isfinite(v2)),
+    lim AS (
+      SELECT * FROM finite
+      WHERE (v0 > 5 OR v1 > 5 OR v2 > 5)
+        AND (v0 < 250 OR v1 < 250 OR v2 < 250))
+    SELECT smpl_id, CAST(v0 AS FLOAT) AS v0, CAST(v1 AS FLOAT) AS v1,
+           CAST(v2 AS FLOAT) AS v2
+    FROM lim WHERE v1 > 10 AND v1 < 200 ORDER BY smpl_id
+    """,
+)
+def q_h5_sample_filters(sf_dir: str):
+    """The HDF5 sample-table maintenance family (zonalstats/
+    __init__.py): merge_extracted_hdf5_vars_data (:1681 — hstack
+    same-row-count variable blocks, here an equi-join on the sample
+    index), msk_h5_smpls_to_finite_values (:2688 — drop rows with any
+    non-finite value, then the lower/upper limits with the INVERTED
+    flag quirk kept: limits_all_vars=True applies numpy.ANY(> lower)
+    / ANY(< upper), :2726-2733), filter_h5_smpls_var_range (:2758 —
+    keep rows where ONE variable sits strictly inside the range), and
+    the float32 output datatype default. Streaming map_batches
+    filters; NaN/inf planted in the fixture are removed before the
+    output so no NaN-payload hashing ambiguity exists."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).repartition(16)
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        v0 = np.where(
+            k % 31 == 0, np.nan,
+            np.where(k % 37 == 0, np.inf, (k * 7 % 300)),
+        ).astype(np.float64)
+        v1 = (k * 11 % 260).astype(np.float64)
+        v2 = np.where(
+            k % 41 == 0, -np.inf, (k * 13 % 280)
+        ).astype(np.float64)
+        data = np.stack([v0, v1, v2], axis=1)
+        keep = np.isfinite(data).all(axis=1)
+        # limits_all_vars=True quirk: numpy.any(...)
+        keep &= (data > 5).any(axis=1)
+        keep &= (data < 250).any(axis=1)
+        # filter_h5_smpls_var_range on var_idx=1
+        keep &= (data[:, 1] > 10) & (data[:, 1] < 200)
+        return pa.table(
+            {
+                "smpl_id": k[keep],
+                "v0": v0[keep].astype(np.float32),
+                "v1": v1[keep].astype(np.float32),
+                "v2": v2[keep].astype(np.float32),
+            }
+        )
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("smpl_id")
+
+
+@register(
     "poly_hole_areas",
     f"""
     WITH rings AS ({_SQL_HOLE_RINGS})
