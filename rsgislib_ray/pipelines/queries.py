@@ -20065,6 +20065,162 @@ def q_h5_sample_filters(sf_dir: str):
     ).sort("smpl_id")
 
 
+_BS_D = 4  # image-stack depth for stack_basic_stats
+
+
+def _bs_sql() -> str:
+    D = _BS_D
+    vs = ", ".join(
+        f"CASE WHEN (pix * {d + 2}) % 13 = 0 THEN 0"
+        f" ELSE (pix * {3 * d + 5}) % 90 + 1 END AS v{d}"
+        for d in range(D)
+    )
+    n = " + ".join(f"CASE WHEN v{d} <> 0 THEN 1 ELSE 0 END"
+                   for d in range(D))
+    # ordered left-fold with zero padding == numpy's nan-zeroed
+    # add.reduce for a 4-element axis
+    s = "v0"
+    for d in range(1, D):
+        s = f"({s} + v{d})"
+    terms = []
+    for d in range(D):
+        t = (f"CASE WHEN v{d} <> 0 THEN"
+             f" (CAST(v{d} AS DOUBLE) - mean) * (CAST(v{d} AS DOUBLE)"
+             " - mean) ELSE 0.0e0 END")
+        terms.append(t)
+    sq = terms[0]
+    for d in range(1, D):
+        sq = f"({sq} + {terms[d]})"
+    return f"""
+    WITH src AS (
+      SELECT pix, {vs}
+      FROM (SELECT l_orderkey * 10 + l_linenumber AS pix
+            FROM lineitem)),
+    st AS (
+      SELECT *, CAST({n} AS BIGINT) AS n,
+             CAST({s} AS DOUBLE) AS s FROM src),
+    mn AS (
+      SELECT *, CASE WHEN n = 0 THEN NULL ELSE s / n END AS mean
+      FROM st)
+    SELECT pix,
+      CASE WHEN n = 0 THEN 0.0e0 ELSE mean END AS mean_b0,
+      CASE WHEN n = 0 THEN 0.0e0
+           ELSE SQRT(({sq}) / n) END AS std_b0
+    FROM mn ORDER BY pix
+    """
+
+
+@register("stack_basic_stats", _bs_sql())
+def q_stack_basic_stats(sf_dir: str):
+    """calc_img_basic_stats_for_ref_region (imagecalc/__init__.py:1235
+    _calcBasicStats): per-pixel nanmean + nanstd (population) through a
+    stack of images with nodata (0) masked to NaN per date; all-nodata
+    pixels emit no_data_val for the mean band and 0.0 for the stddev
+    band (:1310-1318, no_data_val = 0 here so both are 0.0). With the
+    4-deep stack numpy's nan-zeroed add.reduce is the literal ordered
+    left fold (adding 0.0 is exact), so mean = zero-padded
+    ((v0+v1)+v2)+v3 over n present values and std = sqrt(ordered-sum of
+    present squared deviations / n) — both single correctly-rounded
+    chains the oracle replays verbatim. One zero-shuffle map_batches
+    pass."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+    D = _BS_D
+
+    def f(batch: pa.Table) -> pa.Table:
+        pix = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        vs = [
+            np.where(
+                (pix * (d + 2)) % 13 == 0, 0,
+                (pix * (3 * d + 5)) % 90 + 1,
+            ).astype(np.int64)
+            for d in range(D)
+        ]
+        pres = [v != 0 for v in vs]
+        n = sum(p.astype(np.int64) for p in pres)
+        s = vs[0].astype(np.float64)
+        for d in range(1, D):
+            s = s + vs[d]
+        ok = n > 0
+        mean = np.where(ok, s / np.where(ok, n, 1), 0.0)
+        sq = np.where(pres[0], (vs[0] - mean) * (vs[0] - mean), 0.0)
+        for d in range(1, D):
+            sq = sq + np.where(
+                pres[d], (vs[d] - mean) * (vs[d] - mean), 0.0
+            )
+        std = np.where(ok, np.sqrt(sq / np.where(ok, n, 1)), 0.0)
+        return pa.table(
+            {"pix": pix, "mean_b0": mean, "std_b0": std}
+        )
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("pix")
+
+
+@register(
+    "normalise_band",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    px AS (SELECT cell_key, qty AS v FROM cells),
+    mm AS (
+      SELECT CAST(MIN(v) AS DOUBLE) AS mn, CAST(MAX(v) AS DOUBLE) AS mx
+      FROM px WHERE v <> 13)
+    SELECT cell_key,
+      CASE WHEN v = 13 THEN 0.0e0
+           ELSE CAST(CAST((CAST(v AS DOUBLE) - mn) / (mx - mn)
+                AS FLOAT) AS DOUBLE) END AS norm
+    FROM px, mm ORDER BY cell_key
+    """,
+)
+def q_normalise_band(sf_dir: str):
+    """normalise_image_band (imagecalc/__init__.py:1359): (v - min) /
+    (max - min) with min/max over non-nodata pixels
+    (get_img_band_min_max) and the nodata -> 0.0 branch of the
+    muparser expression (which COLLIDES with the normalised minimum —
+    quirk kept), written float32 (TYPE_32FLOAT). Distributed exact
+    integer min/max partials + one broadcast float chain."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def kv(batch: pa.Table) -> pa.Table:
+        v = batch["qty"].to_numpy().astype(np.int64)
+        keep = v != 13
+        return pa.table(
+            {
+                "k": np.zeros(int(keep.sum()), np.int64),
+                "mn": v[keep], "mx": v[keep],
+            }
+        )
+
+    mm = segment_sum(
+        cells.map_batches(kv, batch_format="pyarrow"),
+        "k", ["mn", "mx"], aggs=["min", "max"],
+    ).to_pandas()
+    mn, mx = float(mm["mn"][0]), float(mm["mx"][0])
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch["qty"].to_numpy().astype(np.int64)
+        norm = np.where(
+            v == 13,
+            0.0,
+            ((v.astype(np.float64) - mn) / (mx - mn)).astype(
+                np.float32
+            ).astype(np.float64),
+        )
+        return pa.table({"cell_key": batch["cell_key"], "norm": norm})
+
+    return cells.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("cell_key")
+
+
 @register(
     "poly_hole_areas",
     f"""
