@@ -25033,3 +25033,284 @@ def q_mtl_header_parse(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow").sort(
         ["doc_id", "grp", "key"]
     )
+
+
+# ===========================================================================
+# Numpy stretch panel (tools/plotting.py: limit_range_np_arr:965,
+# linear_stretch_np_arr:991, cumulative_stretch_np_arr:1080,
+# stdev_stretch_np_arr:1171, manual_stretch_np_arr:1284). Each is a
+# per-band GLOBAL reduce (min/max, nanpercentile 2/98, mean+/-n*std)
+# followed by a per-pixel linear map + output clip. Distributed as a
+# single tiny value-histogram shuffle (integer pixel domain) -> exact
+# driver-side fold of <=50 rows -> broadcast scalars into one final
+# map_batches. The nanpercentile is the pinned numpy-1.26 linear
+# method: virtual = (q/100)*(n-1), order stats a=srt[k], b=srt[k+1],
+# BRANCHY lerp (t >= 0.5 -> b-(b-a)*(1-t) else a+(b-a)*t), replayed
+# op-for-op by the SQL oracle over cumulative histogram counts.
+# PINNED variant (documented divergence): stdev_stretch's np.nanstd
+# (pairwise/blocked float summation, partition-order dependent) is
+# replaced by the exact-integer moment identity
+# sqrt((n*S2 - S^2)/n^2) — the same population variance, order- and
+# partition-independent (the populate_rat_with_stats equivalence the
+# normalise_stretch query pins); np.nanmean IS mirrored exactly (its
+# pairwise sum of integer-valued doubles < 2^53 is the exact integer
+# sum, so mean = S/n is one correctly-rounded division on both
+# sides). out_int_type=True's astype(int) C-truncation is mirrored
+# as CAST(TRUNC(x) AS BIGINT); nodata pixels (NaN through the whole
+# chain; int-cast of NaN is platform garbage in the reference) are
+# pinned to NULL.
+# ===========================================================================
+
+
+def _nps_sql() -> str:
+    clip01 = (
+        lambda e: f"CASE WHEN {e} < 0.0e0 THEN 0.0e0"
+        f" WHEN {e} > 1.0e0 THEN 1.0e0 ELSE {e} END"
+    )  # noqa: E731
+    lin_e = "((CAST(v AS DOUBLE) - vmin) / (vmax - vmin)) * 1.0e0 + 0.0e0"
+    l255 = "((CAST(v AS DOUBLE) - vmin) / (vmax - vmin)) * 255.0e0 + 0.0e0"
+    l255c = (
+        f"CASE WHEN {l255} < 0.0e0 THEN 0.0e0"
+        f" WHEN {l255} > 255.0e0 THEN 255.0e0 ELSE {l255} END"
+    )
+    cum_e = "((CAST(v AS DOUBLE) - p_lo) / (p_hi - p_lo)) * 1.0e0 + 0.0e0"
+    sdv_e = "((CAST(v AS DOUBLE) - lo_sd) / (hi_sd - lo_sd)) * 1.0e0 + 0.0e0"
+    man_e = "((CAST(v AS DOUBLE) - 5) / 40) * 1.0e0 + 0.0e0"
+    lerp = (
+        lambda a, b, t: f"CASE WHEN {t} >= 0.5e0"
+        f" THEN {b} - ({b} - {a}) * (1.0e0 - {t})"
+        f" ELSE {a} + ({b} - {a}) * {t} END"
+    )  # noqa: E731
+    return f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    px AS MATERIALIZED (SELECT cell_key, qty AS v FROM cells),
+    h AS MATERIALIZED (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM px WHERE v <> 13 GROUP BY v),
+    hc AS MATERIALIZED (
+      SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+    st AS MATERIALIZED (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(v * c) AS BIGINT) AS s,
+             CAST(SUM(v * v * c) AS BIGINT) AS s2,
+             CAST(MIN(v) AS DOUBLE) AS vmin,
+             CAST(MAX(v) AS DOUBLE) AS vmax
+      FROM h),
+    kq AS MATERIALIZED (
+      SELECT n, s, s2, vmin, vmax,
+             (CAST(2 AS DOUBLE) / 100) * CAST(n - 1 AS DOUBLE) AS virt_lo,
+             (CAST(98 AS DOUBLE) / 100) * CAST(n - 1 AS DOUBLE) AS virt_hi
+      FROM st),
+    ks AS MATERIALIZED (
+      SELECT *,
+             CAST(FLOOR(virt_lo) AS BIGINT) AS k_lo,
+             virt_lo - FLOOR(virt_lo) AS g_lo,
+             CAST(FLOOR(virt_hi) AS BIGINT) AS k_hi,
+             virt_hi - FLOOR(virt_hi) AS g_hi
+      FROM kq),
+    osv AS MATERIALIZED (
+      SELECT ks.*,
+        CAST((SELECT MIN(v) FROM hc WHERE cum > ks.k_lo) AS DOUBLE) AS a_lo,
+        CAST((SELECT MIN(v) FROM hc
+              WHERE cum > LEAST(ks.k_lo + 1, ks.n - 1)) AS DOUBLE) AS b_lo,
+        CAST((SELECT MIN(v) FROM hc WHERE cum > ks.k_hi) AS DOUBLE) AS a_hi,
+        CAST((SELECT MIN(v) FROM hc
+              WHERE cum > LEAST(ks.k_hi + 1, ks.n - 1)) AS DOUBLE) AS b_hi
+      FROM ks),
+    par AS MATERIALIZED (
+      SELECT n, s, s2, vmin, vmax,
+        {lerp("a_lo", "b_lo", "g_lo")} AS p_lo,
+        {lerp("a_hi", "b_hi", "g_hi")} AS p_hi,
+        CAST(s AS DOUBLE) / n AS mean,
+        SQRT(CAST(n * s2 - s * s AS DOUBLE)
+             / CAST(n * n AS DOUBLE)) AS sd
+      FROM osv),
+    par2 AS MATERIALIZED (
+      SELECT *,
+        CASE WHEN mean - (sd * 2.0e0) < vmin THEN vmin
+             ELSE mean - (sd * 2.0e0) END AS lo_sd,
+        CASE WHEN mean + (sd * 2.0e0) > vmax THEN vmax
+             ELSE mean + (sd * 2.0e0) END AS hi_sd
+      FROM par)
+    SELECT cell_key, v,
+      CAST(CASE WHEN v < 10 THEN 10 WHEN v > 40 THEN 40
+                ELSE v END AS BIGINT) AS lim,
+      CASE WHEN v = 13 THEN NULL ELSE {clip01(lin_e)} END AS lin,
+      CASE WHEN v = 13 THEN NULL
+           ELSE CAST(TRUNC({l255c}) AS BIGINT) END AS lin255,
+      CASE WHEN v = 13 THEN NULL ELSE {clip01(cum_e)} END AS cum,
+      CASE WHEN v = 13 THEN NULL ELSE {clip01(sdv_e)} END AS sdv,
+      CASE WHEN v = 13 THEN NULL ELSE {clip01(man_e)} END AS man
+    FROM px, par2 ORDER BY cell_key
+    """
+
+
+@register("np_stretch_panel", _nps_sql())
+def q_np_stretch_panel(sf_dir: str):
+    """tools/plotting.py numpy stretch family over one image band
+    (qty, nodata 13): limit_range_np_arr(:965, thresholds 10/40 on
+    the raw ints), linear_stretch_np_arr(:991, nanmin/nanmax window),
+    its out_gain=255/out_int_type=True variant (astype(int)
+    C-truncation), cumulative_stretch_np_arr(:1080, pinned numpy-1.26
+    nanpercentile 2/98), stdev_stretch_np_arr(:1171, mean +/- 2*std
+    window clipped to [min,max]; moment-form std pinned — see module
+    comment) and manual_stretch_np_arr(:1284, literal min=5/max=45).
+    One histogram shuffle (<=50 keys) + broadcast-scalar final map;
+    nodata pixels are NaN through every chain -> NULL."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch["qty"].to_numpy().astype(np.int64)
+        return pa.table({"cell_key": batch["cell_key"], "v": v})
+
+    px = cells.map_batches(derive, batch_format="pyarrow")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy()
+        v = v[v != 13]
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": vals.astype(np.int64), "c": cnts.astype(np.int64)}
+        )
+
+    red = (
+        segment_sum(
+            px.map_batches(hist, batch_format="pyarrow", batch_size=65536),
+            "v", ["c"],
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    vals = red["v"].to_numpy().astype(np.int64)
+    cnts = red["c"].to_numpy().astype(np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    s = int((vals * cnts).sum())
+    s2 = int((vals * vals * cnts).sum())
+    vminf, vmaxf = float(vals[0]), float(vals[-1])
+
+    def orderstat(k: int) -> float:
+        return float(vals[int(np.searchsorted(cum, k, side="right"))])
+
+    def nanpct(q_num: int) -> float:
+        # numpy-1.26 linear method, op for op (see bandfill pin)
+        q = q_num / 100
+        virt = q * float(n - 1)
+        k = math.floor(virt)
+        g = virt - k
+        a = orderstat(int(k))
+        b = orderstat(min(int(k) + 1, n - 1))
+        if g >= 0.5:
+            return b - (b - a) * (1.0 - g)
+        return a + (b - a) * g
+
+    p_lo, p_hi = nanpct(2), nanpct(98)
+    mean = s / n
+    sd = math.sqrt(float(n * s2 - s * s) / float(n * n))
+    lo_sd = mean - (sd * 2.0)
+    if lo_sd < vminf:
+        lo_sd = vminf
+    hi_sd = mean + (sd * 2.0)
+    if hi_sd > vmaxf:
+        hi_sd = vmaxf
+
+    def stretch(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy()
+        vv = v.astype(np.float64)
+        nod = v == 13
+
+        def clip01(x):
+            return np.where(x < 0.0, 0.0, np.where(x > 1.0, 1.0, x))
+
+        lim = np.where(v < 10, 10, np.where(v > 40, 40, v)).astype(
+            np.int64
+        )
+        lin = clip01(((vv - vminf) / (vmaxf - vminf)) * 1.0 + 0.0)
+        l255 = ((vv - vminf) / (vmaxf - vminf)) * 255.0 + 0.0
+        l255 = np.where(l255 < 0.0, 0.0, np.where(l255 > 255.0, 255.0, l255))
+        l255i = np.trunc(l255).astype(np.int64)
+        cm = clip01(((vv - p_lo) / (p_hi - p_lo)) * 1.0 + 0.0)
+        sv = clip01(((vv - lo_sd) / (hi_sd - lo_sd)) * 1.0 + 0.0)
+        mn = clip01(((vv - 5) / 40) * 1.0 + 0.0)
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "v": v,
+                "lim": lim,
+                "lin": pa.array(lin, mask=nod),
+                "lin255": pa.array(l255i, mask=nod),
+                "cum": pa.array(cm, mask=nod),
+                "sdv": pa.array(sv, mask=nod),
+                "man": pa.array(mn, mask=nod),
+            }
+        )
+
+    return px.map_batches(
+        stretch, batch_format="pyarrow", batch_size=65536
+    ).sort("cell_key")
+
+
+# ===========================================================================
+# image_ratio (changedetect/imgchngmthds.py:192): float32 base/chng
+# per-pixel ratio, nan_to_num(0.0) on 0/0 and x/0, with the internal
+# valid mask built by SEQUENTIAL assignment (base != nodata sets
+# valid, then chng != nodata sets valid -> the UNION of the two
+# tests); invalid pixels keep the 0.0 fill of the output buffer. The
+# float32 division is mirrored as CAST(double-div-of-float32-inputs
+# AS FLOAT) (exact: Figueroa 2p+2). apply_std=False (the default)
+# path only — the std variant's np.std is the pairwise-sum form
+# already pinned elsewhere.
+# ===========================================================================
+
+
+@register(
+    "image_ratio_change",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    px AS (
+      SELECT cell_key,
+             CASE WHEN (cell_key * 3) % 31 = 0 THEN 0 ELSE qty END
+               AS base,
+             val_cents % 47 AS chng
+      FROM cells)
+    SELECT cell_key, base, chng,
+      CAST(CASE WHEN base <> 0 OR chng <> 0 THEN 1
+                ELSE 0 END AS BIGINT) AS vld,
+      CASE WHEN chng = 0 THEN CAST(0.0e0 AS FLOAT)
+           ELSE CAST(CAST(CAST(base AS FLOAT) AS DOUBLE)
+                     / CAST(chng AS FLOAT) AS FLOAT) END AS ratio
+    FROM px ORDER BY cell_key
+    """,
+)
+def q_image_ratio_change(sf_dir: str):
+    """changedetect.image_ratio (imgchngmthds.py:192): single-band
+    base/chng ratio with nodata 0 on both sides. valid = base != 0 OR
+    chng != 0 (the reference's two sequential mask assignments :311);
+    ratio = float32(base) / float32(chng) with nan_to_num -> 0.0 for
+    0/0 (NaN) and x/0 (inf) :345, invalid pixels keep the 0.0 output
+    fill :349 — so every chng == 0 pixel emits 0.0. One map_batches,
+    zero shuffles (sort is presentation only)."""
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ck = batch["cell_key"].to_numpy()
+        qty = batch["qty"].to_numpy().astype(np.int64)
+        base = np.where((ck * 3) % 31 == 0, 0, qty)
+        chng = batch["val_cents"].to_numpy() % 47
+        vld = ((base != 0) | (chng != 0)).astype(np.int64)
+        b32 = base.astype(np.float32)
+        c32 = chng.astype(np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = b32 / c32
+        r = np.nan_to_num(r, nan=0.0, posinf=0.0, neginf=0.0)
+        r = np.where(vld == 1, r, np.float32(0.0)).astype(np.float32)
+        return pa.table(
+            {"cell_key": ck, "base": base, "chng": chng, "vld": vld,
+             "ratio": r}
+        )
+
+    return cells.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("cell_key")
