@@ -25314,3 +25314,367 @@ def q_image_ratio_change(sf_dir: str):
     return cells.map_batches(
         f, batch_format="pyarrow", batch_size=65536
     ).sort("cell_key")
+
+
+# ===========================================================================
+# Per-pixel image-stack percentiles (imagecalc/__init__.py:2908
+# calc_img_band_pxl_percentiles): per band, stack the N input images,
+# float32 cast, nodata -> NaN, numpy nanpercentile along the stack
+# axis (linear method), nan_to_num(nan -> no_data_val), astype back
+# to the input integer datatype (C truncation). Same 4-image stack
+# fixture as stack_basic_stats; the quantile is the pinned
+# numpy-1.26 branchy lerp over the sorted finite list (the float32
+# intermediate values here are small exact integers so the f32/f64
+# mixed lerp equals the pure-double chain the oracle replays).
+# ===========================================================================
+
+
+def _isp_sql() -> str:
+    D = _BS_D
+    vs = ", ".join(
+        f"CASE WHEN (pix * {d + 2}) % 13 = 0 THEN NULL"
+        f" ELSE (pix * {3 * d + 5}) % 90 + 1 END AS v{d}"
+        for d in range(D)
+    )
+    vlist = ", ".join(f"v{d}" for d in range(D))
+
+    def chain(tag: str, qn: int, src_cte: str) -> str:
+        return f"""
+    q{tag} AS (SELECT *,
+        (CAST({qn} AS DOUBLE) / 100) * CAST(n_f - 1 AS DOUBLE)
+          AS virt_{tag} FROM {src_cte}),
+    q{tag}k AS (SELECT *, FLOOR(virt_{tag}) AS fl_{tag} FROM q{tag}),
+    q{tag}v AS (SELECT *,
+        CAST(arr[CAST(fl_{tag} AS BIGINT) + 1] AS DOUBLE) AS a_{tag},
+        CAST(arr[LEAST(CAST(fl_{tag} AS BIGINT) + 2, n_f)] AS DOUBLE)
+          AS b_{tag},
+        virt_{tag} - fl_{tag} AS t_{tag} FROM q{tag}k),
+    q{tag}f AS (SELECT *,
+        CASE WHEN n_f0 = 0 THEN 0
+             WHEN t_{tag} >= 0.5e0 THEN CAST(TRUNC(b_{tag}
+               - (b_{tag} - a_{tag}) * (1.0e0 - t_{tag})) AS BIGINT)
+             ELSE CAST(TRUNC(a_{tag}
+               + (b_{tag} - a_{tag}) * t_{tag}) AS BIGINT)
+        END AS {tag} FROM q{tag}v)"""
+
+    return f"""
+    WITH src AS (
+      SELECT pix, {vs}
+      FROM (SELECT l_orderkey * 10 + l_linenumber AS pix
+            FROM lineitem)),
+    fin AS (SELECT *, list_sort(list_filter([{vlist}],
+            v -> v IS NOT NULL)) AS arr FROM src),
+    qbase AS (SELECT *, len(arr) AS n_f0,
+              GREATEST(len(arr), 1) AS n_f FROM fin),
+    {chain("p25", 25, "qbase")},
+    {chain("p75", 75, "qp25f")}
+    SELECT pix, p25, p75 FROM qp75f ORDER BY pix
+    """
+
+
+@register("img_stack_percentiles", _isp_sql())
+def q_img_stack_percentiles(sf_dir: str):
+    """calc_img_band_pxl_percentiles (imagecalc/__init__.py:2908):
+    per-pixel [25, 75] percentiles through a 4-image stack (nodata 0
+    -> NaN), numpy-1.26 linear nanpercentile along the stack axis
+    (pinned branchy lerp over the sorted finite list), NaN ->
+    no_data_val (0), astype(int) C-truncation back to the input
+    integer datatype. One zero-shuffle map_batches pass."""
+    from rsgislib_ray.stages.bandfill import _np_linear_quantile
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+    D = _BS_D
+
+    def f(batch: pa.Table) -> pa.Table:
+        pix = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        stack = np.stack(
+            [
+                np.where(
+                    (pix * (d + 2)) % 13 == 0, np.nan,
+                    ((pix * (3 * d + 5)) % 90 + 1).astype(np.float64),
+                )
+                for d in range(D)
+            ],
+            axis=1,
+        )
+        srt = np.sort(stack, axis=1)  # NaN to the tail
+        n_f0 = np.isfinite(stack).sum(axis=1)
+        n_f = np.maximum(n_f0, 1)
+        p25 = _np_linear_quantile(srt, n_f, 25 / 100)
+        p75 = _np_linear_quantile(srt, n_f, 75 / 100)
+        p25 = np.where(n_f0 == 0, 0, np.trunc(p25)).astype(np.int64)
+        p75 = np.where(n_f0 == 0, 0, np.trunc(p75)).astype(np.int64)
+        return pa.table({"pix": pix, "p25": p25, "p75": p75})
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("pix")
+
+
+# ===========================================================================
+# Image value/stat maintenance panel (imagecalc/__init__.py:
+# count_pxls_of_val:527, get_unique_values:602, calc_img_min_max:2347,
+# calc_img_mean:2422, calc_img_stdev:2482). Long form (kind, key,
+# dval): 'uniq0'/'uniq1' rows = np.unique of each band (counts
+# attached — the count_pxls_of_val machinery), 'cnt0' rows = the
+# requested-value counts incl. an absent value -> 0, and scalar
+# 'min/max/mean/sd' rows per band with nodata excluded (13 for band
+# 0, 0 for band 1). mean = exact-int S/n on both sides (the
+# reference's block-sequential float accumulation of integer block
+# sums is the exact integer sum). PINNED: calc_img_stdev's
+# sqrt(sum((x-mean)^2)/n) float fold is replaced by the moment
+# identity sqrt((n*S2-S^2)/n^2) — the population variance about the
+# exact mean (same documented equivalence as normalise_stretch).
+# ===========================================================================
+
+_IVS_CNT_VALS = [1, 13, 25, 77]  # 77 is absent from qty's 1..50
+
+
+@register(
+    "img_val_stats",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    px AS MATERIALIZED (
+      SELECT cell_key, qty AS b0, val_cents % 97 AS b1 FROM cells),
+    h0 AS MATERIALIZED (
+      SELECT b0 AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM px GROUP BY b0),
+    h1 AS MATERIALIZED (
+      SELECT b1 AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM px GROUP BY b1),
+    st0 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(v * c) AS BIGINT) AS s,
+             CAST(SUM(v * v * c) AS BIGINT) AS s2,
+             CAST(MIN(v) AS DOUBLE) AS mn, CAST(MAX(v) AS DOUBLE) AS mx
+      FROM h0 WHERE v <> 13),
+    st1 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(v * c) AS BIGINT) AS s,
+             CAST(SUM(v * v * c) AS BIGINT) AS s2,
+             CAST(MIN(v) AS DOUBLE) AS mn, CAST(MAX(v) AS DOUBLE) AS mx
+      FROM h1 WHERE v <> 0)
+    SELECT 'uniq0' AS kind, v AS key, CAST(c AS DOUBLE) AS dval FROM h0
+    UNION ALL
+    SELECT 'uniq1', v, CAST(c AS DOUBLE) FROM h1
+    UNION ALL
+    SELECT 'cnt0', rv.v, CAST(COALESCE(h0.c, 0) AS DOUBLE)
+    FROM (VALUES {", ".join(f"({v})" for v in _IVS_CNT_VALS)}) rv(v)
+    LEFT JOIN h0 ON h0.v = rv.v
+    UNION ALL SELECT 'min0', 0, mn FROM st0
+    UNION ALL SELECT 'max0', 0, mx FROM st0
+    UNION ALL SELECT 'mean0', 0, CAST(s AS DOUBLE) / n FROM st0
+    UNION ALL SELECT 'sd0', 0,
+      SQRT(CAST(n * s2 - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+      FROM st0
+    UNION ALL SELECT 'min1', 0, mn FROM st1
+    UNION ALL SELECT 'max1', 0, mx FROM st1
+    UNION ALL SELECT 'mean1', 0, CAST(s AS DOUBLE) / n FROM st1
+    UNION ALL SELECT 'sd1', 0,
+      SQRT(CAST(n * s2 - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+      FROM st1
+    ORDER BY kind, key
+    """,
+)
+def q_img_val_stats(sf_dir: str):
+    """imagecalc value/stat maintenance family — get_unique_values
+    (:602, np.unique = the sorted histogram keys), count_pxls_of_val
+    (:527, per-requested-value counts, absent value -> 0),
+    calc_img_min_max (:2347, first-block seeding collapses to plain
+    min/max), calc_img_mean (:2422, exact-int S/n) and calc_img_stdev
+    (:2482, moment-form pinned — module comment) for two bands with
+    their own nodata (13 / 0). One tiny histogram shuffle per band,
+    driver folds <=150 rows, long-form output."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "b0": batch["qty"].to_numpy().astype(np.int64),
+                "b1": batch["val_cents"].to_numpy() % 97,
+            }
+        )
+
+    px = cells.map_batches(derive, batch_format="pyarrow")
+
+    def hist(col):
+        def f(batch: pa.Table) -> pa.Table:
+            vals, cnts = np.unique(batch[col].to_numpy(),
+                                   return_counts=True)
+            return pa.table(
+                {"v": vals.astype(np.int64),
+                 "c": cnts.astype(np.int64)}
+            )
+        return f
+
+    rows_kind, rows_key, rows_val = [], [], []
+    stats = {}
+    for b, (col, nod) in enumerate((("b0", 13), ("b1", 0))):
+        red = (
+            segment_sum(
+                px.map_batches(hist(col), batch_format="pyarrow",
+                               batch_size=65536),
+                "v", ["c"],
+            )
+            .to_pandas()
+            .sort_values("v")
+        )
+        vals = red["v"].to_numpy().astype(np.int64)
+        cnts = red["c"].to_numpy().astype(np.int64)
+        for v, c in zip(vals, cnts):
+            rows_kind.append(f"uniq{b}")
+            rows_key.append(int(v))
+            rows_val.append(float(c))
+        if b == 0:
+            lut = dict(zip(vals.tolist(), cnts.tolist()))
+            for v in _IVS_CNT_VALS:
+                rows_kind.append("cnt0")
+                rows_key.append(v)
+                rows_val.append(float(lut.get(v, 0)))
+        fin = vals != nod
+        fv, fc = vals[fin], cnts[fin]
+        n = int(fc.sum())
+        s = int((fv * fc).sum())
+        s2 = int((fv * fv * fc).sum())
+        stats[b] = {
+            "min": float(fv[0]),
+            "max": float(fv[-1]),
+            "mean": s / n,
+            "sd": math.sqrt(float(n * s2 - s * s) / float(n * n)),
+        }
+    for b in (0, 1):
+        for k in ("min", "max", "mean", "sd"):
+            rows_kind.append(f"{k}{b}")
+            rows_key.append(0)
+            rows_val.append(stats[b][k])
+    return pa.table(
+        {
+            "kind": pa.array(rows_kind, pa.string()),
+            "key": pa.array(rows_key, pa.int64()),
+            "dval": pa.array(rows_val, pa.float64()),
+        }
+    )
+
+
+# ===========================================================================
+# calc_apply_img_band_threshold (imagecalc/__init__.py:3085): Otsu
+# threshold over the band with nodata EXCLUDED (use_no_data=True),
+# then band_math "img > thres" applied to EVERY pixel INCLUDING
+# nodata (the muparser expression has no nodata gate — quirk kept),
+# TYPE_8UINT 0/1 output, threshold returned. Same exact-integer
+# Otsu criterion as closed_thresholds, restricted to v <> 13.
+# ===========================================================================
+
+
+@register(
+    "apply_band_threshold",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    px AS MATERIALIZED (SELECT cell_key, qty AS v FROM cells),
+    hh AS (SELECT v, COUNT(*) AS cnt FROM px WHERE v <> 13 GROUP BY v),
+    rng AS (
+      SELECT CAST(r.range AS BIGINT) AS v FROM range(1, 51) r
+      WHERE r.range BETWEEN (SELECT MIN(v) FROM hh)
+                        AND (SELECT MAX(v) FROM hh)
+    ),
+    g AS (
+      SELECT rng.v, CAST(COALESCE(hh.cnt, 0) AS BIGINT) AS cnt
+      FROM rng LEFT JOIN hh ON hh.v = rng.v
+    ),
+    c AS (
+      SELECT v,
+        CAST(SUM(cnt) OVER w AS BIGINT) AS cum,
+        CAST(SUM(cnt * v) OVER w AS BIGINT) AS cumv
+      FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * v) AS BIGINT) AS totv,
+             MAX(v) AS vmax
+      FROM g
+    ),
+    body AS (SELECT c.*, t.* FROM c, t WHERE c.v < t.vmax),
+    otsu AS (
+      SELECT v FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY
+          CAST(CAST((n - cum) AS HUGEINT) * cum *
+               (CAST((n - cum) * cumv - cum * (totv - cumv) AS HUGEINT)
+                * CAST((n - cum) * cumv - cum * (totv - cumv) AS HUGEINT))
+               / (CAST(cum AS HUGEINT) * (n - cum)
+                  * CAST(cum AS HUGEINT) * (n - cum)) AS DOUBLE)
+          DESC, v ASC) AS rn
+        FROM body WHERE cum > 0 AND cum < n
+      ) WHERE rn = 1
+    )
+    SELECT cell_key, v,
+      CAST(CASE WHEN v > (SELECT v FROM otsu) THEN 1 ELSE 0 END
+           AS BIGINT) AS msk,
+      CAST((SELECT v FROM otsu) AS BIGINT) AS thres
+    FROM px ORDER BY cell_key
+    """,
+)
+def q_apply_band_threshold(sf_dir: str):
+    """calc_apply_img_band_threshold (imagecalc/__init__.py:3085,
+    THRES_METH_OTSU, apply_thres_op '>'): threshold from the
+    nodata-excluded band histogram (use_no_data=True, nodata 13),
+    then the band_math expression 'img > thres' burned over EVERY
+    pixel including nodata (no gate in the muparser expression —
+    quirk kept), TYPE_8UINT 0/1 + the returned threshold. Exact
+    integer Otsu criterion (HUGEINT ratio), one histogram shuffle +
+    broadcast threshold map."""
+    from rsgislib_ray.stages.imagestats import global_histogram
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cell_key": batch["cell_key"],
+             "v": batch["qty"].to_numpy().astype(np.int64)}
+        )
+
+    px = cells.map_batches(derive, batch_format="pyarrow")
+    def drop_nodata(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["v"], 13))
+
+    hist = global_histogram(
+        px.map_batches(drop_nodata, batch_format="pyarrow"), "v", 64
+    )
+    nz = np.flatnonzero(hist)
+    vmin, vmax = int(nz[0]), int(nz[-1])
+    vals = np.arange(vmin, vmax + 1, dtype=np.int64)
+    h = hist[vmin : vmax + 1]
+    n = int(h.sum())
+    cum = np.cumsum(h)[:-1]
+    cumv = np.cumsum(h * vals)[:-1]
+    totv = int((h * vals).sum())
+    v = vals[:-1]
+    okb = (cum > 0) & (cum < n)
+    crit = np.full(len(v), -np.inf)
+    for i in np.flatnonzero(okb):
+        num = int(n - cum[i]) * int(cum[i]) * (
+            int((n - cum[i]) * cumv[i] - cum[i] * (totv - cumv[i])) ** 2
+        )
+        den = (int(cum[i]) * int(n - cum[i])) ** 2
+        crit[i] = float(num) / float(den)
+    thres = int(v[int(np.argmax(crit))])
+
+    def apply_t(batch: pa.Table) -> pa.Table:
+        vv = batch["v"].to_numpy()
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "v": vv,
+                "msk": (vv > thres).astype(np.int64),
+                "thres": np.full(len(vv), thres, np.int64),
+            }
+        )
+
+    return px.map_batches(
+        apply_t, batch_format="pyarrow", batch_size=65536
+    ).sort("cell_key")
