@@ -25678,3 +25678,166 @@ def q_apply_band_threshold(sf_dir: str):
     return px.map_batches(
         apply_t, batch_format="pyarrow", batch_size=65536
     ).sort("cell_key")
+
+
+# ===========================================================================
+# tools/utils date/combination generators (create_year_month_start_
+# end_lst:789, create_year_month_n_months_lst:820 — with its FIRST-
+# entry year-rollover quirk (start_month=12's second entry keeps the
+# START year because first=True skips the month==0 increment),
+# get_datetime_increment_lst:887 — appends AFTER incrementing, so
+# the start is excluded and one past-end entry is included,
+# create_var_list:462 — the recursive cartesian-product builder
+# (docstring says powerset; it is a product) whose emission order is
+# C-order over insertion-ordered keys). Long-form (fid, kind, seq,
+# a, b); per-fid parameters derived from s_suppkey; all expansions
+# vectorized via repeat + intra-group arange. The recursion itself
+# is proven equal to the closed-form div/mod enumeration in
+# tests/test_date_panel.py (same pin style as powerset_iter).
+# ===========================================================================
+
+
+@register(
+    "utils_date_panel",
+    """
+    WITH sup AS (SELECT s_suppkey AS fid FROM supplier),
+    par AS MATERIALIZED (
+      SELECT fid,
+        2000 + (fid * 7) % 20 AS sy,
+        (fid * 5) % 12 + 1 AS sm,
+        2000 + (fid * 7) % 20 + (fid * 3) % 3 AS ey,
+        (fid * 11) % 12 + 1 AS em,
+        (fid * 3) % 25 AS nm,
+        18000 + (fid * 13) % 1000 AS d0,
+        (fid % 13) + 1 AS iv,
+        (fid * 9) % 50 AS dspan,
+        (fid % 3) + 1 AS la, (fid % 2) + 1 AS lb, (fid % 4) + 1 AS lc
+      FROM sup),
+    nums AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i
+      FROM lineitem LIMIT 100),
+    se AS (
+      SELECT fid, 'se' AS kind, i AS seq,
+             (sy * 12 + sm - 1 + i) // 12 AS a,
+             (sy * 12 + sm - 1 + i) % 12 + 1 AS b
+      FROM par, nums
+      WHERE i <= (ey * 12 + em - 1) - (sy * 12 + sm - 1)),
+    nm AS (
+      SELECT fid, 'nm' AS kind, i AS seq,
+        CASE WHEN i = 0 THEN sy
+             ELSE sy + (sm + i - 1) // 12
+                  - CASE WHEN sm = 12 THEN 1 ELSE 0 END END AS a,
+        CASE WHEN i = 0 THEN sm ELSE (sm + i - 1) % 12 + 1 END AS b
+      FROM par, nums WHERE i <= nm),
+    dt AS (
+      SELECT fid, 'dt' AS kind, i AS seq, d0 + (i + 1) * iv AS a,
+             CAST(0 AS BIGINT) AS b
+      FROM par, nums
+      WHERE dspan > 0 AND i < (dspan + iv - 1) // iv),
+    var AS (
+      SELECT fid, 'var' AS kind, i AS seq,
+        ((fid + i // (lb * lc)) * 1000000
+         + (2 * fid + (i // lc) % lb) * 1000
+         + (3 * fid + i % lc)) AS a,
+        CAST(0 AS BIGINT) AS b
+      FROM par, nums WHERE i < la * lb * lc)
+    SELECT fid, kind, CAST(seq AS BIGINT) AS seq,
+           CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+    FROM (SELECT * FROM se UNION ALL SELECT * FROM nm
+          UNION ALL SELECT * FROM dt UNION ALL SELECT * FROM var)
+    ORDER BY fid, kind, seq
+    """,
+)
+def q_utils_date_panel(sf_dir: str):
+    """tools/utils generator family (module comment above): per
+    supplier fid the (year, month) expansions of
+    create_year_month_start_end_lst (:789, empty when ey==sy and
+    em<sm), create_year_month_n_months_lst (:820, n+1 entries, the
+    first=True rollover quirk pinned via y_i = sy + (sm+i)//12 -
+    [sm==12]), get_datetime_increment_lst (:887, K =
+    ceil(span/iv) post-increment appends, start excluded, one
+    past-end entry included, empty when span==0) and create_var_list
+    (:462, C-order product packed a*10^6+b*10^3+c). Vectorized
+    repeat/arange expansion, zero shuffles."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).repartition(8)
+
+    def f(batch: pa.Table) -> pa.Table:
+        fid = batch["s_suppkey"].to_numpy().astype(np.int64)
+        sy = 2000 + (fid * 7) % 20
+        sm = (fid * 5) % 12 + 1
+        ey = sy + (fid * 3) % 3
+        em = (fid * 11) % 12 + 1
+        nmv = (fid * 3) % 25
+        d0 = 18000 + (fid * 13) % 1000
+        iv = (fid % 13) + 1
+        dspan = (fid * 9) % 50
+        la, lb, lc = (fid % 3) + 1, (fid % 2) + 1, (fid % 4) + 1
+
+        def expand(cnt):
+            cnt = np.maximum(cnt, 0)
+            tot = int(cnt.sum())
+            rix = np.repeat(np.arange(len(cnt)), cnt)
+            seq = np.arange(tot) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+            )
+            return rix, seq.astype(np.int64)
+
+        out_fid, out_kind, out_seq, out_a, out_b = [], [], [], [], []
+
+        # se: linear month index t0..t1
+        t0 = sy * 12 + sm - 1
+        t1 = ey * 12 + em - 1
+        rix, seq = expand(t1 - t0 + 1)
+        t = t0[rix] + seq
+        out_fid.append(fid[rix]); out_kind.append(np.full(len(seq), "se"))
+        out_seq.append(seq); out_a.append(t // 12)
+        out_b.append(t % 12 + 1)
+
+        # nm: n+1 entries with the first=True rollover quirk
+        rix, seq = expand(nmv + 1)
+        smr, syr = sm[rix], sy[rix]
+        a = np.where(
+            seq == 0, syr,
+            syr + (smr + seq - 1) // 12 - (smr == 12).astype(np.int64),
+        )
+        b = np.where(seq == 0, smr, (smr + seq - 1) % 12 + 1)
+        out_fid.append(fid[rix]); out_kind.append(np.full(len(seq), "nm"))
+        out_seq.append(seq); out_a.append(a); out_b.append(b)
+
+        # dt: K = ceil(span/iv) post-increment appends
+        k = np.where(dspan > 0, (dspan + iv - 1) // iv, 0)
+        rix, seq = expand(k)
+        out_fid.append(fid[rix]); out_kind.append(np.full(len(seq), "dt"))
+        out_seq.append(seq)
+        out_a.append(d0[rix] + (seq + 1) * iv[rix])
+        out_b.append(np.zeros(len(seq), np.int64))
+
+        # var: C-order product, packed
+        rix, seq = expand(la * lb * lc)
+        fr, lbr, lcr = fid[rix], lb[rix], lc[rix]
+        a = (
+            (fr + seq // (lbr * lcr)) * 1000000
+            + (2 * fr + (seq // lcr) % lbr) * 1000
+            + (3 * fr + seq % lcr)
+        )
+        out_fid.append(fid[rix]); out_kind.append(np.full(len(seq), "var"))
+        out_seq.append(seq); out_a.append(a)
+        out_b.append(np.zeros(len(seq), np.int64))
+
+        return pa.table(
+            {
+                "fid": np.concatenate(out_fid),
+                "kind": pa.array(
+                    np.concatenate(out_kind).tolist(), pa.string()
+                ),
+                "seq": np.concatenate(out_seq),
+                "a": np.concatenate(out_a).astype(np.int64),
+                "b": np.concatenate(out_b).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort(["fid", "kind", "seq"])
