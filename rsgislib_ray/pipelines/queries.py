@@ -25841,3 +25841,260 @@ def q_utils_date_panel(sf_dir: str):
     return ds.map_batches(
         f, batch_format="pyarrow", batch_size=65536
     ).sort(["fid", "kind", "seq"])
+
+
+# ===========================================================================
+# Vector explode / vertex-extraction / split maintenance family:
+# explode_vec_lyr (vectorgeoms:1764, geopandas .explode() — one row
+# per part, attributes duplicated, (orig, part) index) and
+# convert_multi_geoms_to_single (:1831, same part fan-out),
+# get_vec_lyr_as_pts + get_geom_pts (:1557,:2641 — every vertex in
+# recursion order INCLUDING each ring's closing duplicate vertex),
+# split_vec_lyr (vectorutils:700 — positional assignment into
+# ceil(n/n_feats) files where null-geometry features are DROPPED
+# from the output but still OCCUPY position slots, remainder tail
+# file = nOutFiles+1), split_by_attribute (:2584 — per-value layer
+# fan-out named vec_<check_str(val)>) and count_feats_per_att_val
+# (:323). Multipart rect fixture derived from part; positions via
+# broadcast sorted-key searchsorted (rank-by-sort is the scale
+# path; the key array is the small side here).
+# ===========================================================================
+
+
+def _multipart_src(sf_dir: str) -> ray.data.Dataset:
+    """(fid, part, x0, y0, x1, y1, attr) rect parts, 1-3 per fid."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).repartition(16)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy().astype(np.int64)
+        n_parts = k % 3 + 1
+        fid = np.repeat(k, n_parts)
+        p = np.arange(int(n_parts.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_parts)[:-1]]), n_parts
+        )
+        x0 = ((fid * 31 + p * 11) % 88).astype(np.float64)
+        y0 = ((fid * 57 + p * 13) % 88).astype(np.float64)
+        x1 = x0 + 2 + (fid + p) % 5
+        y1 = y0 + 2 + (fid * 3 + p) % 5
+        return pa.table(
+            {
+                "fid": fid, "part": p.astype(np.int64),
+                "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                "attr": (fid * 5) % 97,
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+_MP_SQL = """
+    mp AS MATERIALIZED (
+      SELECT k AS fid, i AS part,
+        CAST((k * 31 + i * 11) % 88 AS DOUBLE) AS x0,
+        CAST((k * 57 + i * 13) % 88 AS DOUBLE) AS y0,
+        CAST((k * 31 + i * 11) % 88 + 2 + (k + i) % 5 AS DOUBLE) AS x1,
+        CAST((k * 57 + i * 13) % 88 + 2 + (k * 3 + i) % 5 AS DOUBLE)
+          AS y1,
+        (k * 5) % 97 AS attr
+      FROM (SELECT p_partkey AS k FROM part),
+           (SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i
+            FROM lineitem LIMIT 3)
+      WHERE i < k % 3 + 1)
+"""
+
+
+@register(
+    "vec_explode_parts",
+    f"""
+    WITH {_MP_SQL}
+    SELECT fid, part, x0, y0, x1, y1,
+           (x1 - x0) * (y1 - y0) AS area, CAST(attr AS BIGINT) AS attr
+    FROM mp ORDER BY fid, part
+    """,
+)
+def q_vec_explode_parts(sf_dir: str):
+    """explode_vec_lyr (vectorgeoms:1764) / convert_multi_geoms_to_
+    single (:1831): multipart -> one row per single-part geometry
+    with the parent's attributes duplicated and the (orig, part)
+    explode index. Zero-shuffle part fan-out."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        x0 = batch["x0"].to_numpy()
+        y0 = batch["y0"].to_numpy()
+        x1 = batch["x1"].to_numpy()
+        y1 = batch["y1"].to_numpy()
+        return batch.append_column(
+            "area", pa.array((x1 - x0) * (y1 - y0))
+        )
+
+    out = _multipart_src(sf_dir).map_batches(f, batch_format="pyarrow")
+    return out.select_columns(
+        ["fid", "part", "x0", "y0", "x1", "y1", "area", "attr"]
+    ).sort(["fid", "part"])
+
+
+@register(
+    "vec_lyr_pts",
+    f"""
+    WITH {_MP_SQL},
+    vtx AS (
+      SELECT fid, part, i AS vi,
+        CASE WHEN i = 0 OR i = 3 OR i = 4 THEN x0 ELSE x1 END AS x,
+        CASE WHEN i <= 1 OR i = 4 THEN y0 ELSE y1 END AS y
+      FROM mp,
+           (SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i
+            FROM lineitem LIMIT 5))
+    SELECT fid, part, vi, x, y FROM vtx ORDER BY fid, part, vi
+    """,
+)
+def q_vec_lyr_pts(sf_dir: str):
+    """get_vec_lyr_as_pts + get_geom_pts (vectorgeoms:1557,2641):
+    every vertex of every ring in traversal order, INCLUDING the
+    ring's closing duplicate vertex (OGR GetPointCount counts it and
+    the reference appends every GetPoint(i)). Ring order pinned
+    (x0,y0)->(x1,y0)->(x1,y1)->(x0,y1)->(x0,y0). Vectorized tile
+    fan-out, zero shuffles."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        fid = np.repeat(batch["fid"].to_numpy(), 5)
+        part = np.repeat(batch["part"].to_numpy(), 5)
+        vi = np.tile(np.arange(5, dtype=np.int64), n)
+        x0 = np.repeat(batch["x0"].to_numpy(), 5)
+        y0 = np.repeat(batch["y0"].to_numpy(), 5)
+        x1 = np.repeat(batch["x1"].to_numpy(), 5)
+        y1 = np.repeat(batch["y1"].to_numpy(), 5)
+        x = np.where((vi == 1) | (vi == 2), x1, x0)
+        y = np.where((vi <= 1) | (vi == 4), y0, y1)
+        return pa.table(
+            {"fid": fid, "part": part, "vi": vi, "x": x, "y": y}
+        )
+
+    return _multipart_src(sf_dir).map_batches(
+        f, batch_format="pyarrow"
+    ).sort(["fid", "part", "vi"])
+
+
+@register(
+    "split_vec_positions",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS fid,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1
+                  AS BIGINT) AS pos
+      FROM orders),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_in FROM src)
+    SELECT fid, pos,
+      CASE WHEN pos >= (n_in // 140) * 140 AND n_in % 140 > 0
+           THEN n_in // 140 + 1
+           ELSE pos // 140 + 1 END AS file_idx
+    FROM src, n
+    WHERE fid % 17 <> 0
+    ORDER BY fid
+    """,
+)
+def q_split_vec_positions(sf_dir: str):
+    """split_vec_lyr (vectorutils:700, n_feats=140): features are
+    assigned to file floor(pos/n_feats)+1 by READ POSITION; the
+    remainder tail (pos >= nOutFiles*n_feats when n %% n_feats > 0)
+    lands in file nOutFiles+1; features with NULL geometry (fid %%
+    17 == 0 here) are dropped from every output file but still
+    OCCUPY their position slot (cFeatN increments before the geom
+    test — quirk kept). Rank via broadcast sorted keys (searchsorted
+    per batch; rank-by-sort is the 100TB path, the key vector is the
+    small side at these scales)."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).repartition(16)
+    keys = np.sort(
+        ds.to_pandas()["o_orderkey"].to_numpy().astype(np.int64)
+    )
+    n_in = len(keys)
+    n_out_files = n_in // 140
+    remain = n_in - n_out_files * 140
+    keys_ref = ray.put(keys)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ks = _ray.get(keys_ref)
+        fid = batch["o_orderkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(ks, fid, side="left")
+        file_idx = np.where(
+            (pos >= n_out_files * 140) & (remain > 0),
+            n_out_files + 1,
+            pos // 140 + 1,
+        ).astype(np.int64)
+        keep = fid % 17 != 0
+        return pa.table(
+            {
+                "fid": fid[keep],
+                "pos": pos[keep].astype(np.int64),
+                "file_idx": file_idx[keep],
+            }
+        )
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("fid")
+
+
+@register(
+    "split_by_attr_panel",
+    """
+    SELECT o_orderpriority AS val,
+      'vec_' || regexp_replace(
+         regexp_replace(TRIM(o_orderpriority), '-', '_', 'g'),
+         '_{2,}', '_', 'g') AS lyr_name,
+      CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderpriority ORDER BY val
+    """,
+)
+def q_split_by_attr_panel(sf_dir: str):
+    """split_by_attribute (vectorutils:2584, multi_layers=False) +
+    count_feats_per_att_val (:323): per distinct attribute value the
+    output layer name vec_<check_str(val, rm_non_ascii, rm_dashs,
+    rm_punc)> (dash -> underscore + consecutive collapse; priorities
+    carry no other punctuation so the punc pass is identity) and the
+    per-value feature count. Distributed groupby count + the
+    vectorized check_str chain."""
+    from rsgislib_ray.stages.segsum import segment_sum
+    from rsgislib_ray.stages.vectorattrs import check_str_array
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+    ).repartition(16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            batch["o_orderpriority"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {"val": pa.array(vals.tolist(), pa.string()),
+             "c": cnts.astype(np.int64)}
+        )
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("val", as_index=False)["c"]
+        .sum()
+        .sort_values("val")
+    )
+    vals = pa.array(pdf["val"].tolist(), pa.string())
+    cleaned = check_str_array(
+        vals, rm_non_ascii=True, rm_dashs=True, rm_punc=True
+    )
+    lyr = pc.binary_join_element_wise(
+        pa.array(["vec_"] * len(pdf), pa.string()), cleaned, ""
+    )
+    return pa.table(
+        {
+            "val": vals,
+            "lyr_name": lyr,
+            "cnt": pdf["c"].to_numpy().astype(np.int64),
+        }
+    )
