@@ -26098,3 +26098,285 @@ def q_split_by_attr_panel(sf_dir: str):
             "cnt": pdf["c"].to_numpy().astype(np.int64),
         }
     )
+
+
+# ===========================================================================
+# Season-trend model fitting (timeseries/modelfitting.py:
+# MakeSeasonTrendModel:57 + gen_per_band_models:167 +
+# get_ST_model_coeffs:269, OLS path). Per pixel: drop nodata dates,
+# rescale to start 0, harmonic design [t, cos(wt), sin(wt)] with
+# w = 2*pi/365.25 (12 observations < 18 here -> the SIMPLE model,
+# 4 coefficients — the >=18/>=24 branches add cos2/sin2/cos3/sin3
+# columns to the same machinery and their outputs are emitted as the
+# reference's zero padding), LinearRegression(fit_intercept=True),
+# RMSE over the fitted dates, overall = intercept + slope * mid_ts
+# (mid_ts = half the UNrescaled span — quirk kept: predict at the
+# midpoint of the rescaled axis), start_date band. PINNED variant:
+# sklearn's centered SVD lstsq is replaced by centered normal
+# equations + fixed-order 3x3 Cholesky (polyfill_bands precedent)
+# with every mean/moment an ordered 12-term left fold — the oracle
+# replays each chain verbatim (np.cos/sin == DuckDB COS/SIN: both
+# libm, the conic-projection precedent); the lstsq parity pytest
+# bounds the divergence. Lasso path documented out (iterative
+# coordinate descent, sklearn-internal stopping).
+# ===========================================================================
+
+_ST_NJ = 14  # candidate dates per pixel; exactly 2 dropped -> 12 kept
+_ST_NK = 12
+
+
+def _st_sql(final_select: str | None = None) -> str:
+    NK = _ST_NK
+    W = "((2 * PI()) / 365.25)"
+    fin = final_select
+    if fin is None:
+        fin = """SELECT fid, b1 AS slope, icpt AS intercept,
+      b2 AS cos1, b3 AS sin1, 0.0e0 AS cos2, 0.0e0 AS sin2,
+      0.0e0 AS cos3, 0.0e0 AS sin3, rmse,
+      icpt + b1 * (CAST(tlast - tstart AS DOUBLE) / 2) AS overall,
+      CAST(tstart AS BIGINT) AS start_date
+    FROM fe ORDER BY fid"""
+
+    def fold(terms):
+        s = terms[0]
+        for t in terms[1:]:
+            s = f"({s} + {t})"
+        return s
+
+    tcols = ", ".join(
+        f"MAX(CASE WHEN rn = {k + 1} THEN t END) AS t{k}"
+        for k in range(NK)
+    )
+    ycols = ", ".join(
+        f"MAX(CASE WHEN rn = {k + 1} THEN y END) AS y{k}"
+        for k in range(NK)
+    )
+    xs = ", ".join(
+        f"CAST(t{k} - t0 AS DOUBLE) AS x{k}" for k in range(NK)
+    )
+    trig = ", ".join(
+        f"COS({W} * x{k}) AS c{k}, SIN({W} * x{k}) AS s{k}"
+        for k in range(NK)
+    )
+    means = (
+        f"{fold([f'x{k}' for k in range(NK)])} / {NK} AS xb, "
+        f"{fold([f'c{k}' for k in range(NK)])} / {NK} AS cb, "
+        f"{fold([f's{k}' for k in range(NK)])} / {NK} AS sb, "
+        f"{fold([f'CAST(y{k} AS DOUBLE)' for k in range(NK)])} / {NK}"
+        " AS yb"
+    )
+
+    def mom(p, q):
+        return fold(
+            [f"(({p}{k} - {p}b) * ({q}{k} - {q}b))" for k in range(NK)]
+        )
+
+    def momy(p):
+        return fold(
+            [f"(({p}{k} - {p}b) * (CAST(y{k} AS DOUBLE) - yb))"
+             for k in range(NK)]
+        )
+
+    moms = (
+        f"{mom('x', 'x')} AS axx, {mom('x', 'c')} AS axc, "
+        f"{mom('x', 's')} AS axs, {mom('c', 'c')} AS acc, "
+        f"{mom('c', 's')} AS acs, {mom('s', 's')} AS ass_, "
+        f"{momy('x')} AS bx, {momy('c')} AS bc, {momy('s')} AS bs"
+    )
+    preds = ", ".join(
+        f"(((x{k} * b1 + c{k} * b2) + s{k} * b3) + icpt) AS p{k}"
+        for k in range(NK)
+    )
+    res2 = fold(
+        [f"((CAST(y{k} AS DOUBLE) - p{k})"
+         f" * (CAST(y{k} AS DOUBLE) - p{k}))" for k in range(NK)]
+    )
+    return f"""
+    WITH k AS (SELECT o_orderkey AS fid FROM orders),
+    nums AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS j
+      FROM lineitem LIMIT {_ST_NJ}),
+    obs AS (
+      SELECT fid, j,
+        10000 + (fid * 11) % 400 + j * 30 + (fid * (j + 1)) % 7 AS t,
+        (fid * 17 + j * j * 13) % 200 + (fid + j) % 23 AS y
+      FROM k, nums
+      WHERE j <> fid % {_ST_NJ}
+        AND j <> ((fid % {_ST_NJ}) + 1 + fid % {_ST_NJ - 1})
+                  % {_ST_NJ}),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fid ORDER BY j)
+           AS rn FROM obs),
+    piv AS (SELECT fid, {tcols}, {ycols} FROM rk GROUP BY fid),
+    d AS (SELECT fid, t0 AS tstart, t{NK - 1} AS tlast, {xs},
+          {", ".join(f"y{k}" for k in range(NK))} FROM piv),
+    g AS (SELECT *, {trig} FROM d),
+    m AS (SELECT *, {means} FROM g),
+    mm AS (SELECT *, {moms} FROM m),
+    f1 AS (SELECT *, SQRT(axx) AS l11 FROM mm),
+    f2 AS (SELECT *, axc / l11 AS l21, axs / l11 AS l31 FROM f1),
+    f3 AS (SELECT *, SQRT(acc - l21 * l21) AS l22 FROM f2),
+    f4 AS (SELECT *, (acs - l31 * l21) / l22 AS l32 FROM f3),
+    f5 AS (SELECT *, SQRT((ass_ - l31 * l31) - l32 * l32) AS l33
+           FROM f4),
+    f6 AS (SELECT *, bx / l11 AS z1 FROM f5),
+    f7 AS (SELECT *, (bc - l21 * z1) / l22 AS z2 FROM f6),
+    f8 AS (SELECT *, ((bs - l31 * z1) - l32 * z2) / l33 AS z3
+           FROM f7),
+    f9 AS (SELECT *, z3 / l33 AS b3 FROM f8),
+    fa AS (SELECT *, (z2 - l32 * b3) / l22 AS b2 FROM f9),
+    fb AS (SELECT *, ((z1 - l21 * b2) - l31 * b3) / l11 AS b1
+           FROM fa),
+    fc AS (SELECT *, yb - ((xb * b1 + cb * b2) + sb * b3) AS icpt
+           FROM fb),
+    fd AS (SELECT *, {preds} FROM fc),
+    fe AS (SELECT *, SQRT(({res2}) / {NK}) AS rmse FROM fd)
+    {fin}
+    """
+
+
+@register("st_model_coeffs", _st_sql())
+def q_st_model_coeffs(sf_dir: str):
+    """gen_per_band_models / get_ST_model_coeffs OLS path
+    (timeseries/modelfitting.py:57,167,269) — see the module comment
+    above for the pinned centered-Cholesky variant and padding/
+    mid_ts quirks. One zero-shuffle vectorized pass; every chain
+    (means, centered moments, Cholesky, back-substitution,
+    prediction, RMSE) is an ordered left fold the oracle replays
+    verbatim."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).repartition(16)
+
+    def f(batch: pa.Table) -> pa.Table:
+        st = _st_fit_np(batch["o_orderkey"].to_numpy().astype(np.int64))
+        return pa.table(st)
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("fid")
+
+
+def _st_fit_np(fid: np.ndarray) -> dict:
+    """Vectorized pinned season-trend OLS fit (see st_model_coeffs)."""
+    NJ, NK = _ST_NJ, _ST_NK
+    W = (2 * math.pi) / 365.25
+    if True:
+        n = len(fid)
+        j = np.arange(NJ, dtype=np.int64)[None, :]
+        fc = fid[:, None]
+        t_all = 10000 + (fc * 11) % 400 + j * 30 + (fc * (j + 1)) % 7
+        y_all = (fc * 17 + j * j * 13) % 200 + (fc + j) % 23
+        j1 = (fid % NJ)[:, None]
+        j2 = ((fid % NJ) + 1 + fid % (NJ - 1))[:, None] % NJ
+        keep = (j != j1) & (j != j2)
+        t = t_all[keep].reshape(n, NK)
+        y = y_all[keep].reshape(n, NK).astype(np.float64)
+        tstart = t[:, 0]
+        tlast = t[:, -1]
+        x = (t - tstart[:, None]).astype(np.float64)
+        c = np.cos(W * x)
+        s = np.sin(W * x)
+
+        def fold(arr):
+            acc = arr[:, 0].copy()
+            for kk in range(1, NK):
+                acc = acc + arr[:, kk]
+            return acc
+
+        xb = fold(x) / NK
+        cb = fold(c) / NK
+        sb = fold(s) / NK
+        yb = fold(y) / NK
+        xc, cc_, sc = (x - xb[:, None], c - cb[:, None],
+                       s - sb[:, None])
+        ycn = y - yb[:, None]
+        axx, axc, axs = fold(xc * xc), fold(xc * cc_), fold(xc * sc)
+        acc_m, acs, ass_ = fold(cc_ * cc_), fold(cc_ * sc), fold(sc * sc)
+        bx, bc, bs = fold(xc * ycn), fold(cc_ * ycn), fold(sc * ycn)
+        l11 = np.sqrt(axx)
+        l21, l31 = axc / l11, axs / l11
+        l22 = np.sqrt(acc_m - l21 * l21)
+        l32 = (acs - l31 * l21) / l22
+        l33 = np.sqrt((ass_ - l31 * l31) - l32 * l32)
+        z1 = bx / l11
+        z2 = (bc - l21 * z1) / l22
+        z3 = ((bs - l31 * z1) - l32 * z2) / l33
+        b3 = z3 / l33
+        b2 = (z2 - l32 * b3) / l22
+        b1 = ((z1 - l21 * b2) - l31 * b3) / l11
+        icpt = yb - ((xb * b1 + cb * b2) + sb * b3)
+        pred = ((x * b1[:, None] + c * b2[:, None])
+                + s * b3[:, None]) + icpt[:, None]
+        res = y - pred
+        rmse = np.sqrt(fold(res * res) / NK)
+        mid_ts = (tlast - tstart).astype(np.float64) / 2
+        overall = icpt + b1 * mid_ts
+        z = np.zeros(n, np.float64)
+        return {
+            "fid": fid, "slope": b1, "intercept": icpt,
+            "cos1": b2, "sin1": b3, "cos2": z, "sin2": z,
+            "cos3": z, "sin3": z, "rmse": rmse,
+            "overall": overall,
+            "start_date": tstart.astype(np.int64),
+        }
+
+
+_ST_PRED_DATE = 10600
+
+
+def _stp_sql() -> str:
+    D = _ST_PRED_DATE
+    dd = f"CAST({D} - tstart AS DOUBLE)"
+    w1 = "((2 * PI()) / 365.25)"
+    w2 = "((4 * PI()) / 365.25)"
+    w3 = "((6 * PI()) / 365.25)"
+    # the literal left-to-right addition order of gen_prediction:394
+    pred = (
+        f"((((((((b1 * {dd}) + icpt)"
+        f" + (b2 * COS({w1} * {dd})))"
+        f" + (b3 * SIN({w1} * {dd})))"
+        f" + (0.0e0 * COS({w2} * {dd})))"
+        f" + (0.0e0 * SIN({w2} * {dd})))"
+        f" + (0.0e0 * COS({w3} * {dd})))"
+        f" + (0.0e0 * SIN({w3} * {dd})))"
+    )
+    return _st_sql(
+        f"SELECT fid, {pred} AS pred FROM fe ORDER BY fid"
+    )
+
+
+@register("st_model_predict", _stp_sql())
+def q_st_model_predict(sf_dir: str):
+    """gen_prediction / predict_for_date (modelfitting.py:394,455):
+    per-pixel harmonic forecast at a fixed date from the fitted
+    coefficient bands — slope * (date - start) + intercept +
+    cos1*cos(w1*d') + sin1*sin(w1*d') + the four zero-padded
+    advanced/full harmonic terms (0 * cos/sin kept literally, the
+    reference's left-to-right addition order). Chains the pinned
+    st_model_coeffs fit inline — one zero-shuffle pass."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).repartition(16)
+    D = _ST_PRED_DATE
+    w1 = (2 * math.pi) / 365.25
+    w2 = (4 * math.pi) / 365.25
+    w3 = (6 * math.pi) / 365.25
+
+    def f(batch: pa.Table) -> pa.Table:
+        st = _st_fit_np(batch["o_orderkey"].to_numpy().astype(np.int64))
+        dd = (D - st["start_date"]).astype(np.float64)
+        z = st["cos2"]
+        pred = (
+            (((((((st["slope"] * dd) + st["intercept"])
+                 + (st["cos1"] * np.cos(w1 * dd)))
+                + (st["sin1"] * np.sin(w1 * dd)))
+               + (z * np.cos(w2 * dd)))
+              + (z * np.sin(w2 * dd)))
+             + (z * np.cos(w3 * dd)))
+            + (z * np.sin(w3 * dd))
+        )
+        return pa.table({"fid": st["fid"], "pred": pred})
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("fid")
