@@ -26380,3 +26380,174 @@ def q_st_model_predict(sf_dir: str):
     return ds.map_batches(
         f, batch_format="pyarrow", batch_size=65536
     ).sort("fid")
+
+
+# ===========================================================================
+# Landsat C2 L2 stacked-reflectance builder (imagecalibration/
+# sensorlvl2data.py:52 create_stacked_sref_ls_oli_cl2_lv2_img; the
+# TAR/MTL/file plumbing is out of scope — covered compute core only):
+# per band the image_math chain "b1==0?-9999:((b1*MULT)+ADD)*SCALE"
+# written TYPE_32INT (muparser double chain, C++ double->int32 cast
+# = truncation toward zero, pinned as TRUNC), the cloud mask
+# "DilatedCloud==1?1:Cirrus==1?1:Cloud==1?1:CloudShadow==1?2:0" and
+# the valid mask "fill==0?1:0" over the parse_landsat_c2_qa_pixel
+# bit decode (the qa_pixel_parse fixture). MULT/ADD are the C2
+# standard 2.75e-05 / -0.2. create_stacked_toa_ls_oli_cl2_lv1_img
+# (sensorlvl1data.py:41) and create_stacked_sref_ls_4_5_7_lv2_img
+# (:307) run the same per-band kernel with different constants.
+# ===========================================================================
+
+
+def _ls2_sql() -> str:
+    bands = []
+    for b in range(1, 8):
+        dn = (f"CASE WHEN (pix * {b + 3}) % 23 = 0 THEN 0"
+              f" ELSE (pix * {2 * b + 7}) % 40000 END")
+        bands.append(f"{dn} AS dn{b}")
+    srefs = ", ".join(
+        f"CASE WHEN dn{b} = 0 THEN -9999 ELSE"
+        f" CAST(TRUNC(((CAST(dn{b} AS DOUBLE) * 2.75e-05)"
+        f" + -0.2e0) * 10000) AS BIGINT) END AS sref{b}"
+        for b in range(1, 8)
+    )
+    return f"""
+    WITH src AS (
+      SELECT pix, (pix * 2654435761) % 65536 AS qa,
+             {", ".join(bands)}
+      FROM (SELECT l_orderkey * 10 + l_linenumber AS pix
+            FROM lineitem))
+    SELECT pix, {srefs},
+      CAST(CASE WHEN (qa >> 1) & 1 = 1 THEN 1
+                WHEN (qa >> 2) & 1 = 1 THEN 1
+                WHEN (qa >> 3) & 1 = 1 THEN 1
+                WHEN (qa >> 4) & 1 = 1 THEN 2
+                ELSE 0 END AS BIGINT) AS cloud_msk,
+      CAST(CASE WHEN qa & 1 = 0 THEN 1 ELSE 0 END AS BIGINT) AS vld_msk
+    FROM src ORDER BY pix
+    """
+
+
+@register("ls_c2_sref_stack", _ls2_sql())
+def q_ls_c2_sref_stack(sf_dir: str):
+    """create_stacked_sref_ls_oli_cl2_lv2_img compute core
+    (sensorlvl2data.py:52 — module comment above): 7 surface-
+    reflectance bands via the literal muparser chain with DN-0
+    nodata -> -9999 and double->int32 truncation, the 4-flag cloud/
+    shadow cascade (cloud=1, shadow=2) and the fill-derived valid
+    mask. One zero-shuffle vectorized pass."""
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    ).repartition(32)
+
+    def f(batch: pa.Table) -> pa.Table:
+        pix = (
+            batch["l_orderkey"].to_numpy() * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        qa = (pix * 2654435761) % 65536
+        out = {"pix": pix}
+        for b in range(1, 8):
+            dn = np.where(
+                (pix * (b + 3)) % 23 == 0, 0, (pix * (2 * b + 7)) % 40000
+            )
+            sref = np.trunc(
+                ((dn.astype(np.float64) * 2.75e-05) + -0.2) * 10000
+            ).astype(np.int64)
+            out[f"sref{b}"] = np.where(dn == 0, -9999, sref)
+        dil = (qa >> 1) & 1
+        cir = (qa >> 2) & 1
+        cld = (qa >> 3) & 1
+        shd = (qa >> 4) & 1
+        out["cloud_msk"] = np.select(
+            [dil == 1, cir == 1, cld == 1, shd == 1],
+            [1, 1, 1, 2], default=0,
+        ).astype(np.int64)
+        out["vld_msk"] = np.where(qa & 1 == 0, 1, 0).astype(np.int64)
+        return pa.table(out)
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("pix")
+
+
+# ===========================================================================
+# bboxes_intersection (tools/geometrytools.py:209): the sequential
+# pairwise bbox_intersection fold over a list of bboxes == the group
+# (max of mins, min of maxs) — exact for integer coordinates, so the
+# distributed segment min/max IS the literal left fold; the fixture
+# guarantees a common core per group so every prefix intersects (the
+# reference's bbox_intersection raises otherwise). calc_pt_distance
+# (:636) applied across the intersection diagonal.
+# ===========================================================================
+
+
+@register(
+    "bboxes_group_intersection",
+    """
+    WITH b AS (
+      SELECT s_nationkey AS nk,
+        s_nationkey * 40 + (s_suppkey * 7) % 10 AS x0,
+        s_nationkey * 40 + 30 - (s_suppkey * 11) % 10 AS x1,
+        (s_nationkey * 13) % 50 + (s_suppkey * 3) % 10 AS y0,
+        (s_nationkey * 13) % 50 + 30 - (s_suppkey * 5) % 10 AS y1
+      FROM supplier)
+    SELECT nk, CAST(MAX(x0) AS BIGINT) AS ix0,
+      CAST(MIN(x1) AS BIGINT) AS ix1,
+      CAST(MAX(y0) AS BIGINT) AS iy0,
+      CAST(MIN(y1) AS BIGINT) AS iy1,
+      SQRT((CAST(MAX(x0) AS DOUBLE) - MIN(x1))
+           * (CAST(MAX(x0) AS DOUBLE) - MIN(x1))
+           + (CAST(MAX(y0) AS DOUBLE) - MIN(y1))
+           * (CAST(MAX(y0) AS DOUBLE) - MIN(y1))) AS diag
+    FROM b GROUP BY nk ORDER BY nk
+    """,
+)
+def q_bboxes_group_intersection(sf_dir: str):
+    """bboxes_intersection (geometrytools:209) per nation group +
+    calc_pt_distance (:636) across the resulting diagonal. The
+    left-fold of pairwise intersections over exact integer bboxes is
+    partition-independent (max/min), so the distributed segment
+    min/max replays it exactly; common-core fixture keeps every
+    prefix non-empty."""
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    ds = td.read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).repartition(8)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy().astype(np.int64)
+        nk = batch["s_nationkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "nk": nk,
+                "x0": nk * 40 + (k * 7) % 10,
+                "x1": nk * 40 + 30 - (k * 11) % 10,
+                "y0": (nk * 13) % 50 + (k * 3) % 10,
+                "y1": (nk * 13) % 50 + 30 - (k * 5) % 10,
+            }
+        )
+
+    red = segment_sum(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        "nk", ["x0", "x1", "y0", "y1"],
+        aggs=["max", "min", "max", "min"],
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        x0 = batch["x0"].to_numpy().astype(np.float64)
+        x1 = batch["x1"].to_numpy().astype(np.float64)
+        y0 = batch["y0"].to_numpy().astype(np.float64)
+        y1 = batch["y1"].to_numpy().astype(np.float64)
+        diag = np.sqrt((x0 - x1) * (x0 - x1) + (y0 - y1) * (y0 - y1))
+        return pa.table(
+            {
+                "nk": batch["nk"],
+                "ix0": batch["x0"], "ix1": batch["x1"],
+                "iy0": batch["y0"], "iy1": batch["y1"],
+                "diag": diag,
+            }
+        )
+
+    return red.map_batches(fin, batch_format="pyarrow").sort("nk")
