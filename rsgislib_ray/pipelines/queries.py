@@ -26551,3 +26551,238 @@ def q_bboxes_group_intersection(sf_dir: str):
         )
 
     return red.map_batches(fin, batch_format="pyarrow").sort("nk")
+
+
+# ===========================================================================
+# imagecalc pure-python raster maintenance pair (imagecalc/__init__.py):
+# rescale_img_pxl_vals (:859) — the rios _applyRescale expression kept
+# LITERALLY, including the reference's broken denominator/multiplier
+# algebra ("v - in_max - v - in_min" == -(in_max+in_min), constant) and
+# the trim-to-limits float32 clamps; recode_int_raster (:1393) — int
+# recode dict over band 1 with keep_vals_not_in_dict True (copyto then
+# per-key overwrite against the INPUT, so chains never cascade) and
+# False (zeros default). normalise_img_pxl_vals_py (:2559) is the next
+# query below.
+# ===========================================================================
+
+
+@register(
+    "img_rescale_recode",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    px AS (SELECT cell_key, qty AS v, val_cents % 7 AS v2 FROM cells),
+    resc AS (
+      SELECT cell_key, v, v2,
+        CASE WHEN v = 13 THEN CAST(-99 AS FLOAT)
+             ELSE CAST(
+               ((CAST(v - 5 AS DOUBLE) / CAST((v - 40) - v - 5 AS DOUBLE))
+                * CAST((v - 100) - v - 10 AS DOUBLE) + v) - 10
+               AS FLOAT) END AS r0
+      FROM px),
+    trm AS (
+      SELECT cell_key, v2,
+        CASE WHEN r0 <> CAST(-99 AS FLOAT)
+                  AND r0 < CAST(10 AS FLOAT) THEN CAST(10 AS FLOAT)
+             ELSE r0 END AS r1
+      FROM resc)
+    SELECT cell_key,
+      CAST(CASE WHEN r1 <> CAST(-99 AS FLOAT)
+                     AND r1 > CAST(100 AS FLOAT) THEN CAST(100 AS FLOAT)
+                ELSE r1 END AS DOUBLE) AS resc,
+      CAST(CASE v2 WHEN 2 THEN 20 WHEN 5 THEN -1 WHEN 6 THEN 2
+           ELSE v2 END AS INTEGER) AS rc_keep,
+      CAST(CASE v2 WHEN 2 THEN 20 WHEN 5 THEN -1 WHEN 6 THEN 2
+           ELSE 0 END AS INTEGER) AS rc_only
+    FROM trm ORDER BY cell_key
+    """,
+)
+def q_img_rescale_recode(sf_dir: str):
+    """rescale_img_pxl_vals (imagecalc/__init__.py:859): the literal
+    rios expression ``((v - in_min) / (v - in_max - v - in_min)) *
+    (v - out_max - v - out_min) + v - out_min`` — the denominator and
+    multiplier collapse to the CONSTANTS -(in_max+in_min) and
+    -(out_max+out_min) (the reference's algebra, kept verbatim), the
+    nodata branch writes out_no_data, assignment into a float32
+    zeros_like narrows, and trim_to_limits clamps non-nodata values to
+    [out_min, out_max] in float32. Params: in [5,40] -> out [10,100],
+    nodata 13 -> -99. recode_int_raster (:1393): int dict recode
+    {{2:20, 5:-1, 6:2}} against the INPUT band (no cascade), keep=True
+    copies unmatched values, keep=False zeros them (int32 output).
+    Zero-shuffle single map_batches pass."""
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch["qty"].to_numpy().astype(np.int64)
+        v2 = (batch["val_cents"].to_numpy() % 7).astype(np.int64)
+        # rescale_img_pxl_vals literal chain (float64 then float32)
+        out = np.zeros(len(v), dtype=np.float32)
+        chain = (
+            ((v - 5) / ((v - 40) - v - 5)) * ((v - 100) - v - 10)
+            + v
+            - 10
+        )
+        out[:] = np.where(v == 13, -99.0, chain)
+        out = np.where(
+            (out != np.float32(-99.0)) & (out < np.float32(10.0)),
+            np.float32(10.0), out,
+        )
+        out = np.where(
+            (out != np.float32(-99.0)) & (out > np.float32(100.0)),
+            np.float32(100.0), out,
+        )
+        # recode_int_raster: keep=True (copy then overwrite) and
+        # keep=False (zeros then overwrite), both matched on the input
+        rc_keep = v2.astype(np.int32).copy()
+        rc_only = np.zeros(len(v2), dtype=np.int32)
+        for k, rv in ((2, 20), (5, -1), (6, 2)):
+            rc_keep[v2 == k] = rv
+            rc_only[v2 == k] = rv
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "resc": out.astype(np.float64),
+                "rc_keep": rc_keep,
+                "rc_only": rc_only,
+            }
+        )
+
+    return cells.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("cell_key")
+
+
+def _npxl_sql() -> str:
+    # STDEV window: mean +/- 2*sd (exact-int moments), clamped to the
+    # band min/max; CUMULATIVE window: ceil-rank percentiles at
+    # fractions 2/100 and 98/100 (calc_band_percentile convention)
+    mom = """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({c}) AS BIGINT) AS s,
+             CAST(SUM({c} * {c}) AS BIGINT) AS s2,
+             CAST(MIN({c}) AS DOUBLE) AS mn,
+             CAST(MAX({c}) AS DOUBLE) AS mx
+      FROM px WHERE {c} <> 13"""
+    pctl = """
+      SELECT MIN(v) FROM (
+        SELECT {c} AS v,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY {c}) AS BIGINT) AS cum
+        FROM px WHERE {c} <> 13 GROUP BY {c}) h
+      WHERE cum >= GREATEST(
+        (((SELECT COUNT(*) FROM px WHERE {c} <> 13) * {num}
+          + {den} - 1) // {den}), 1)"""
+    return f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    px AS MATERIALIZED (
+      SELECT cell_key, qty AS b0, val_cents % 97 AS b1 FROM cells),
+    m0 AS ({mom.format(c="b0")}),
+    w0 AS (
+      SELECT
+        GREATEST(CAST(s AS DOUBLE) / n
+          - SQRT(CAST(n * s2 - s * s AS DOUBLE)
+                 / CAST(n * n AS DOUBLE)) * 2.0e0, mn) AS smn,
+        LEAST(CAST(s AS DOUBLE) / n
+          + SQRT(CAST(n * s2 - s * s AS DOUBLE)
+                 / CAST(n * n AS DOUBLE)) * 2.0e0, mx) AS smx
+      FROM m0),
+    w1 AS (
+      SELECT CAST(({pctl.format(c="b1", num=2, den=100)}) AS DOUBLE) AS cmn,
+             CAST(({pctl.format(c="b1", num=98, den=100)}) AS DOUBLE) AS cmx)
+    SELECT cell_key,
+      CAST(CAST(CASE WHEN b0 = 13 THEN 13.0e0
+        ELSE LEAST(GREATEST(
+          (CAST(b0 AS DOUBLE) - smn) / (smx - smn) * 1 + 0, 0.0e0),
+          1.0e0) END AS FLOAT) AS DOUBLE) AS norm_sd,
+      CAST(CAST(CASE WHEN b1 = 13 THEN 13.0e0
+        ELSE LEAST(GREATEST(
+          (CAST(b1 AS DOUBLE) - cmn) / (cmx - cmn) * 1 + 0, 0.0e0),
+          1.0e0) END AS FLOAT) AS DOUBLE) AS norm_cuml
+    FROM px, w0, w1 ORDER BY cell_key
+    """
+
+
+@register("normalise_pxl_py", _npxl_sql())
+def q_normalise_pxl_py(sf_dir: str):
+    """normalise_img_pxl_vals_py (imagecalc/__init__.py:2559) — the
+    pure-python replacement for the C++ stretch: IMG_STRETCH_STDEV
+    window = mean +/- stch_n_stdevs*sd (calc_img_mean exact-int S/n;
+    calc_img_stdev moment-form pinned) clamped to the band min/max
+    (:2745-2755), IMG_STRETCH_CUMULATIVE window = calc_band_percentile
+    at the FRACTIONS stch_cuml_low/upp (0.02/0.98 -> the C++ ceil-rank
+    percentile, executeBandPercentile validates 0..1), then the shared
+    rios apply: ((v - min)/range)*out_range + out_min in float64,
+    clip_vals clamps to [out_min, out_max], the nodata overwrite runs
+    AFTER the clip (in_no_data 13 -> out_no_data default == in), and
+    astype(float32) narrows last. Band 0 = STDEV path, band 1 =
+    CUMULATIVE path, out range [0,1]. One histogram/moment partial
+    pass + one broadcast-window map."""
+    from rsgislib_ray.stages.calibration import band_dark_percentiles
+    from rsgislib_ray.stages.segsum import segment_sum
+
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "b0": batch["qty"].to_numpy().astype(np.int64),
+                "b1": (batch["val_cents"].to_numpy() % 97).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    px = cells.map_batches(derive, batch_format="pyarrow")
+
+    # STDEV window for b0: exact-int moment partials, one tiny reduce
+    def mom(batch: pa.Table) -> pa.Table:
+        v = batch["b0"].to_numpy()
+        v = v[v != 13]
+        return pa.table(
+            {
+                "k": np.zeros(1, np.int64),
+                "n": np.array([len(v)], np.int64),
+                "s": np.array([v.sum()], np.int64),
+                "s2": np.array([(v * v).sum()], np.int64),
+                "mn": np.array([v.min() if len(v) else 2**62], np.int64),
+                "mx": np.array([v.max() if len(v) else -(2**62)], np.int64),
+            }
+        )
+
+    m = segment_sum(
+        px.map_batches(mom, batch_format="pyarrow"),
+        "k", ["n", "s", "s2", "mn", "mx"],
+        aggs=["sum", "sum", "sum", "min", "max"],
+    ).to_pandas()
+    n = int(m["n"][0]); s = int(m["s"][0]); s2 = int(m["s2"][0])
+    b_min = float(m["mn"][0]); b_max = float(m["mx"][0])
+    mean = s / n
+    sd = np.sqrt(float(n * s2 - s * s) / float(n * n))
+    calcd_min = mean - sd * 2.0
+    calcd_max = mean + sd * 2.0
+    if calcd_min < b_min:
+        calcd_min = b_min
+    if calcd_max > b_max:
+        calcd_max = b_max
+
+    # CUMULATIVE window for b1: exact ceil-rank percentiles
+    p = band_dark_percentiles(px, ["b1"], 0.02, no_data_val=13)
+    q = band_dark_percentiles(px, ["b1"], 0.98, no_data_val=13)
+    c_min, c_max = float(p["b1"]), float(q["b1"])
+
+    wins = {"b0": (calcd_min, calcd_max), "b1": (c_min, c_max)}
+
+    def apply_norm(batch: pa.Table) -> pa.Table:
+        out = {"cell_key": batch["cell_key"]}
+        for col, name in (("b0", "norm_sd"), ("b1", "norm_cuml")):
+            v = batch[col].to_numpy()
+            mn, mx = wins[col]
+            arr = ((v - mn) / (mx - mn)) * 1 + 0
+            arr[arr < 0.0] = 0.0
+            arr[arr > 1.0] = 1.0
+            arr[v == 13] = 13.0
+            out[name] = arr.astype(np.float32).astype(np.float64)
+        return pa.table(out)
+
+    return px.map_batches(
+        apply_norm, batch_format="pyarrow", batch_size=65536
+    ).sort("cell_key")
