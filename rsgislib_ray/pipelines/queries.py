@@ -26786,3 +26786,324 @@ def q_normalise_pxl_py(sf_dir: str):
     return px.map_batches(
         apply_norm, batch_format="pyarrow", batch_size=65536
     ).sort("cell_key")
+
+
+# ===========================================================================
+# sharpen_low_res_bands (imageutils; RSGISCmdImageUtils.cpp:2147,
+# RSGISSharpenLowResImagery.cpp:82, RSGISMathsUtils.cpp:1423,1493) — the
+# Sentinel-2 L2A stacker's 20m->10m sharpening kernel
+# (sensorlvl2data.py:734 uses win=7 over the 10-band stack after the
+# nearest-neighbour resample). Fixture: a 64x64 4-band raster (ignore,
+# 2 high-res, 1 low-res) with scattered per-band nodata zeros, a solid
+# all-band-zero block (centre-nodata path), a noise region (coeff <=
+# 0.5 passthrough) and two correlation regions (the argmax selects h1
+# on the left half, h2 on the right). The oracle replays the EXACT
+# arithmetic: integer window sums (exact doubles by the < 2^17 bound),
+# single-division slope/intercept/ybar, the residual folds as literal
+# 49-term left-associative addition chains in window scan order
+# (invalid pairs +0.0, identical to the C++ skip), the NaN->0 /
+# +inf-kept coeff guard, first-wins strict-> selection, the
+# predFromLinearFit val==0 -> 0.0 quirk, whole-image (nodata-included)
+# clamps, and the zero-filled window edge cells.
+# ===========================================================================
+
+_SHP_N = 64
+
+
+def _shp_band_sql() -> str:
+    zb = "(rr >= 40 AND rr <= 45 AND cc >= 40 AND cc <= 45)"
+    return f"""
+      SELECT CAST(p.range AS BIGINT) AS pid,
+             CAST(p.range // {_SHP_N} AS BIGINT) AS rr,
+             CAST(p.range % {_SHP_N} AS BIGINT) AS cc,
+             CAST(CASE WHEN {zb} THEN 0
+                  ELSE (rr * 3 + cc * 5) % 11 + 1 END AS BIGINT) AS ig,
+             CAST(CASE WHEN {zb} OR (rr * 7 + cc * 11) % 41 = 0 THEN 0
+                  ELSE (rr * 2 + cc) % 97 + 10 END AS BIGINT) AS h1,
+             CAST(CASE WHEN {zb} OR (rr * 5 + cc * 3) % 43 = 0 THEN 0
+                  ELSE (rr + cc * 3) % 89 + 20 END AS BIGINT) AS h2,
+             CAST(CASE WHEN {zb} OR (rr * 3 + cc * 7) % 47 = 0 THEN 0
+                  WHEN rr < 8 THEN (rr * 13 + cc * 29) % 200 + 1
+                  WHEN cc < 32
+                    THEN 2 * ((rr * 2 + cc) % 97 + 10) + rr % 5
+                  ELSE 3 * ((rr + cc * 3) % 89 + 20) - 25
+                  END AS BIGINT) AS lo
+      FROM range(0, {_SHP_N * _SHP_N}) p
+    """
+
+
+def _shp_raster() -> pa.Table:
+    n = _SHP_N
+    pid = np.arange(n * n, dtype=np.int64)
+    rr, cc = np.divmod(pid, n)
+    zb = (rr >= 40) & (rr <= 45) & (cc >= 40) & (cc <= 45)
+    ig = np.where(zb, 0, (rr * 3 + cc * 5) % 11 + 1)
+    h1 = np.where(
+        zb | ((rr * 7 + cc * 11) % 41 == 0), 0, (rr * 2 + cc) % 97 + 10
+    )
+    h2 = np.where(
+        zb | ((rr * 5 + cc * 3) % 43 == 0), 0, (rr + cc * 3) % 89 + 20
+    )
+    h1b = (rr * 2 + cc) % 97 + 10
+    h2b = (rr + cc * 3) % 89 + 20
+    lo = np.where(
+        zb | ((rr * 3 + cc * 7) % 47 == 0),
+        0,
+        np.where(
+            rr < 8,
+            (rr * 13 + cc * 29) % 200 + 1,
+            np.where(cc < 32, 2 * h1b + rr % 5, 3 * h2b - 25),
+        ),
+    )
+    return pa.table(
+        {
+            "pixel_id": pid, "row": rr, "col": cc,
+            "ig": ig.astype(np.int64), "h1": h1.astype(np.int64),
+            "h2": h2.astype(np.int64), "lo": lo.astype(np.int64),
+        }
+    )
+
+
+def _shp_sql() -> str:
+    k = 7
+    offs = [(dr - 3, dc - 3) for dr in range(k) for dc in range(k)]
+    joins = "\n".join(
+        f"      LEFT JOIN px p{i} ON p{i}.rr = px.rr + ({dr})"
+        f" AND p{i}.cc = px.cc + ({dc})"
+        for i, (dr, dc) in enumerate(offs)
+    )
+    nbcols = ", ".join(
+        f"COALESCE(p{i}.h1, 0) AS h1_{i}, COALESCE(p{i}.h2, 0) AS h2_{i},"
+        f" COALESCE(p{i}.lo, 0) AS lo_{i}"
+        for i in range(49)
+    )
+
+    def fit(hc: str) -> str:
+        val = lambda i: f"(w.{hc}_{i} <> 0 AND w.lo_{i} <> 0)"  # noqa: E731
+        n_ = " + ".join(f"CASE WHEN {val(i)} THEN 1 ELSE 0 END"
+                        for i in range(49))
+        sx = " + ".join(f"CASE WHEN {val(i)} THEN w.{hc}_{i} ELSE 0 END"
+                        for i in range(49))
+        sy = " + ".join(f"CASE WHEN {val(i)} THEN w.lo_{i} ELSE 0 END"
+                        for i in range(49))
+        sxy = " + ".join(
+            f"CASE WHEN {val(i)} THEN w.{hc}_{i} * w.lo_{i} ELSE 0 END"
+            for i in range(49)
+        )
+        sxx = " + ".join(
+            f"CASE WHEN {val(i)} THEN w.{hc}_{i} * w.{hc}_{i} ELSE 0 END"
+            for i in range(49)
+        )
+        return (
+            f"CAST({n_} AS BIGINT) AS n_{hc}, CAST({sx} AS BIGINT) AS"
+            f" sx_{hc}, CAST({sy} AS BIGINT) AS sy_{hc},"
+            f" CAST({sxy} AS BIGINT) AS sxy_{hc},"
+            f" CAST({sxx} AS BIGINT) AS sxx_{hc}"
+        )
+
+    def coefs(hc: str) -> str:
+        pv = f"(n_{hc} * sxx_{hc} - sx_{hc} * sx_{hc})"
+        return (
+            f"CASE WHEN n_{hc} >= 3 THEN"
+            f" CAST(n_{hc} * sxy_{hc} - sx_{hc} * sy_{hc} AS DOUBLE)"
+            f" / CAST({pv} AS DOUBLE) ELSE 0.0e0 END AS slope_{hc},"
+            f" CASE WHEN n_{hc} >= 3 THEN"
+            f" CAST(sy_{hc} * sxx_{hc} - sx_{hc} * sxy_{hc} AS DOUBLE)"
+            f" / CAST({pv} AS DOUBLE) ELSE 0.0e0 END AS icept_{hc},"
+            f" CASE WHEN n_{hc} >= 3 THEN CAST(sy_{hc} AS DOUBLE)"
+            f" / n_{hc} ELSE 0.0e0 END AS ybar_{hc}"
+        )
+
+    def folds(hc: str) -> str:
+        val = lambda i: f"(f2.{hc}_{i} <> 0 AND f2.lo_{i} <> 0)"  # noqa: E731
+        est = " + ".join(
+            f"CASE WHEN {val(i)} THEN"
+            f" (f2.slope_{hc} * f2.{hc}_{i} + f2.icept_{hc} - f2.ybar_{hc})"
+            f" * (f2.slope_{hc} * f2.{hc}_{i} + f2.icept_{hc} - f2.ybar_{hc})"
+            f" ELSE 0.0e0 END"
+            for i in range(49)
+        )
+        act = " + ".join(
+            f"CASE WHEN {val(i)} THEN"
+            f" (f2.lo_{i} - f2.ybar_{hc}) * (f2.lo_{i} - f2.ybar_{hc})"
+            f" ELSE 0.0e0 END"
+            for i in range(49)
+        )
+        return f"({est}) AS yest_{hc}, ({act}) AS yact_{hc}"
+
+    def coeff(hc: str) -> str:
+        return (
+            f"CASE WHEN n_{hc} < 3 THEN 0.0e0"
+            f" WHEN yact_{hc} = 0.0e0 THEN"
+            f"  CASE WHEN yest_{hc} = 0.0e0 THEN 0.0e0"
+            f"  ELSE CAST('infinity' AS DOUBLE) END"
+            f" ELSE SQRT(yest_{hc} / yact_{hc}) END AS coeff_{hc}"
+        )
+
+    return f"""
+    WITH px AS MATERIALIZED ({_shp_band_sql()}),
+    mm AS (SELECT CAST(MIN(lo) AS DOUBLE) AS lo_mn,
+                  CAST(MAX(lo) AS DOUBLE) AS lo_mx FROM px),
+    w AS MATERIALIZED (
+      SELECT px.pid, px.ig AS igc, px.h1 AS h1c, px.h2 AS h2c,
+             px.lo AS loc, {nbcols}
+      FROM px
+{joins}
+    ),
+    f AS MATERIALIZED (
+      SELECT w.*, {fit('h1')}, {fit('h2')} FROM w),
+    f2 AS MATERIALIZED (
+      SELECT f.*, {coefs('h1')}, {coefs('h2')} FROM f),
+    f3 AS MATERIALIZED (
+      SELECT f2.pid, f2.igc, f2.h1c, f2.h2c, f2.loc,
+             f2.n_h1, f2.n_h2,
+             f2.slope_h1, f2.icept_h1, f2.slope_h2, f2.icept_h2,
+             {folds('h1')}, {folds('h2')}
+      FROM f2),
+    f4 AS (
+      SELECT f3.*, {coeff('h1')}, {coeff('h2')} FROM f3),
+    sel AS (
+      SELECT pid, igc, h1c, h2c, loc,
+        CASE WHEN coeff_h2 > coeff_h1 THEN coeff_h2
+             ELSE coeff_h1 END AS max_coeff,
+        CASE WHEN coeff_h2 > coeff_h1 THEN slope_h2
+             ELSE slope_h1 END AS slope_s,
+        CASE WHEN coeff_h2 > coeff_h1 THEN icept_h2
+             ELSE icept_h1 END AS icept_s,
+        CASE WHEN coeff_h2 > coeff_h1 THEN h2c ELSE h1c END AS xc
+      FROM f4),
+    prd AS (
+      SELECT sel.*, (igc = 0 AND h1c = 0 AND h2c = 0 AND loc = 0)
+               AS all_nd,
+        CASE WHEN xc = 0 THEN 0.0e0
+             WHEN slope_s * xc + icept_s < mm.lo_mn THEN mm.lo_mn
+             WHEN slope_s * xc + icept_s > mm.lo_mx THEN mm.lo_mx
+             ELSE slope_s * xc + icept_s END AS pred
+      FROM sel, mm)
+    SELECT pid AS pixel_id,
+      CAST(CASE WHEN all_nd THEN 0 ELSE igc END AS DOUBLE) AS ig,
+      CAST(CASE WHEN all_nd THEN 0 ELSE h1c END AS DOUBLE) AS h1,
+      CAST(CASE WHEN all_nd THEN 0 ELSE h2c END AS DOUBLE) AS h2,
+      CASE WHEN all_nd THEN 0.0e0
+           WHEN max_coeff > 0.5e0 THEN pred
+           ELSE CAST(loc AS DOUBLE) END AS lo,
+      CASE WHEN all_nd THEN 0.0e0 ELSE max_coeff END AS lo_coeff
+    FROM prd ORDER BY pixel_id
+    """
+
+
+@register("sharpen_low_res", _shp_sql())
+def q_sharpen_low_res(sf_dir: str):
+    """imageutils.sharpen_low_res_bands — the Sentinel-2 L2A stacker's
+    sharpening stage (sensorlvl2data.py:734; executeSharpenLowResImg-
+    Bands RSGISCmdImageUtils.cpp:2147; window kernel RSGISSharpenLow-
+    ResImagery.cpp:82; performLinearFit / predFromLinearFit RSGISMaths-
+    Utils.cpp:1423,1493). 7x7 window, zero-filled edges, per-window OLS
+    of the low band against each high band (exact integer sums, N < 3
+    zero-fit), coeff = sqrt(explained/total) as literal ordered left
+    folds (NaN -> 0, +inf kept), first-wins strict-> band selection,
+    > 0.5 gate, predFromLinearFit with the val==0 -> 0.0 quirk and
+    whole-image (nodata-INCLUDED, the calcImageStatistics pin) clamps,
+    centre-all-nodata passthrough. One halo-3 tiled groupby pass.
+    The surrounding create_stacked_sen2_esa_l2a_img chain: resample
+    (covered: resample_nearest — sharpen forces INTERP_NEAREST),
+    band stack (covered machinery), SCL cloud/valid masks (next
+    query), BOA quant rescale (band-math family); the MTD XML parse
+    is documented out (no XML plumbing in scope)."""
+    from rsgislib_ray.stages.segsum import segment_sum
+    from rsgislib_ray.stages.sharpen import sharpen_low_res_bands
+
+    ds = ray.data.from_arrow(_shp_raster()).repartition(8)
+
+    def mmpart(batch: pa.Table) -> pa.Table:
+        v = batch["lo"].to_numpy()
+        return pa.table(
+            {
+                "k": np.zeros(1, np.int64),
+                "mn": np.array([v.min()], np.int64),
+                "mx": np.array([v.max()], np.int64),
+            }
+        )
+
+    mm = segment_sum(
+        ds.map_batches(mmpart, batch_format="pyarrow"),
+        "k", ["mn", "mx"], aggs=["min", "max"],
+    ).to_pandas()
+    lo_mm = (float(mm["mn"][0]), float(mm["mx"][0]))
+
+    out = sharpen_low_res_bands(
+        ds,
+        band_status=[
+            ("ig", "ignore"), ("h1", "high"),
+            ("h2", "high"), ("lo", "low"),
+        ],
+        low_min_max={"lo": lo_mm},
+        win_size=7,
+        no_data_val=0,
+        tile_size=32,
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "ig": batch["ig"], "h1": batch["h1"],
+                "h2": batch["h2"], "lo": batch["lo"],
+                "lo_coeff": batch["lo_coeff"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("pixel_id")
+
+
+@register(
+    "sen2_scl_masks",
+    f"""
+    WITH cells AS ({td.SQL_CELLS}),
+    px AS (SELECT cell_key, qty % 12 AS scl,
+                  val_cents % 12000 AS boa FROM cells)
+    SELECT cell_key,
+      CAST(CASE WHEN scl = 8 OR scl = 9 OR scl = 10 THEN 1
+                WHEN scl = 3 THEN 2 ELSE 0 END AS TINYINT) AS clouds,
+      CAST(CASE WHEN scl = 0 THEN 1 ELSE 0 END AS TINYINT) AS vld,
+      CAST(CASE WHEN boa = 0 THEN 0
+           ELSE TRUNC((CAST(boa AS DOUBLE) / 10000e0) * 1000e0)
+           END AS INTEGER) AS sref
+    FROM px ORDER BY cell_key
+    """,
+)
+def q_sen2_scl_masks(sf_dir: str):
+    """create_stacked_sen2_esa_l2a_img mask/rescale stages
+    (sensorlvl2data.py:734): the SCL cloud mask image_math
+    '(b1==8)||(b1==9)||(b1==10)?1:(b1==3)?2:0' (clouds 1, shadow 2),
+    the valid mask 'b1==0?1:0' (both TYPE_8UINT), and the BOA
+    quantification rescale 'b1==nd?nd:(b1/quant)*scale' applied when
+    scale_factor != BOA_QUANTIFICATION_VALUE (quant 10000 -> scale
+    1000 here), double muparser chain truncated to TYPE_32INT (the
+    repo's pinned double->int32 TRUNC convention). Zero-shuffle
+    single pass; completes the Sen2 stacker chain around
+    sharpen_low_res (resample/stack covered; MTD XML documented
+    out)."""
+    cells = td.cells_from_lineitem(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        scl = (batch["qty"].to_numpy() % 12).astype(np.int64)
+        boa = (batch["val_cents"].to_numpy() % 12000).astype(np.int64)
+        clouds = np.where(
+            (scl == 8) | (scl == 9) | (scl == 10), 1,
+            np.where(scl == 3, 2, 0),
+        ).astype(np.uint8)
+        vld = (scl == 0).astype(np.uint8)
+        sref = np.where(
+            boa == 0, 0.0, (boa.astype(np.float64) / 10000.0) * 1000.0
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "cell_key": batch["cell_key"],
+                "clouds": clouds, "vld": vld, "sref": sref,
+            }
+        )
+
+    return cells.map_batches(
+        f, batch_format="pyarrow", batch_size=65536
+    ).sort("cell_key")
