@@ -27107,3 +27107,263 @@ def q_sen2_scl_masks(sf_dir: str):
     return cells.map_batches(
         f, batch_format="pyarrow", batch_size=65536
     ).sort("cell_key")
+
+
+# ===========================================================================
+# imblearn family round-out (classification/classimblearn.py —
+# adasyn_oversample_smpls, borderline_smote_oversample_smpls,
+# all_knn_undersample_smpls, smoteenn_combined_sample_smpls; the
+# wrapped imbalanced-learn estimators re-implemented from the
+# published algorithms with the engine's deterministic schedules, the
+# same contract as the covered SMOTE/ENN/NearMiss/Tomek members).
+# ===========================================================================
+
+
+@register(
+    "class_adasyn",
+    f"""
+    WITH pts AS MATERIALIZED ({_IMB_SQL_PTS}),
+    cc AS (SELECT cls, COUNT(*) AS n FROM pts GROUP BY cls),
+    maj AS (SELECT n AS mn FROM cc ORDER BY n DESC, cls LIMIT 1),
+    needs AS (
+      SELECT cls, n AS nc, (SELECT mn FROM maj) - n AS need
+      FROM cc WHERE n < (SELECT mn FROM maj)),
+    d AS ({_IMB_SQL_D}),
+    delta AS (
+      SELECT ia AS id, ca AS cls,
+        CAST(SUM(CASE WHEN cb <> ca THEN 1 ELSE 0 END) AS BIGINT)
+          AS dlt
+      FROM d WHERE rn <= 5 GROUP BY ia, ca),
+    sums AS (
+      SELECT cls, CAST(SUM(dlt) AS BIGINT) AS s
+      FROM delta GROUP BY cls),
+    g0 AS (
+      SELECT dd.id, dd.cls, nd.need,
+        (dd.dlt * nd.need) // sm.s AS gz,
+        ROW_NUMBER() OVER (PARTITION BY dd.cls ORDER BY dd.id) AS rk
+      FROM delta dd JOIN needs nd ON nd.cls = dd.cls
+      JOIN sums sm ON sm.cls = dd.cls),
+    rems AS (
+      SELECT cls, ANY_VALUE(need) - SUM(gz) AS rem
+      FROM g0 GROUP BY cls),
+    g AS (
+      SELECT g0.id, g0.cls, g0.need,
+        g0.gz + CASE WHEN g0.rk <= r.rem THEN 1 ELSE 0 END AS gi
+      FROM g0 JOIN rems r ON r.cls = g0.cls),
+    offs AS (
+      SELECT g.*, SUM(gi) OVER (PARTITION BY cls ORDER BY id
+        ROWS UNBOUNDED PRECEDING) - gi AS o
+      FROM g),
+    knn AS (
+      SELECT a.id AS ia, b.f1 AS n1, b.f2 AS n2, b.f3 AS n3,
+        ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+          (b.f1-a.f1)*(b.f1-a.f1) + (b.f2-a.f2)*(b.f2-a.f2)
+          + (b.f3-a.f3)*(b.f3-a.f3), b.id) AS rn
+      FROM pts a JOIN pts b ON a.cls = b.cls AND a.id <> b.id),
+    syn AS (
+      SELECT o.cls, CAST(t.range AS BIGINT) AS t,
+        o.cls*100000 + t.range AS syn_id,
+        ((t.range*31 + 11) % 997) / 997.0e0 AS lam,
+        CAST((t.range*7 + 3) % 5 AS BIGINT) AS slot,
+        p.f1 AS b1, p.f2 AS b2, p.f3 AS b3, o.id AS base_id
+      FROM offs o
+      JOIN range(0, 600) t
+        ON t.range >= o.o AND t.range < o.o + o.gi
+      JOIN pts p ON p.id = o.id)
+    SELECT s.syn_id, s.cls,
+      s.b1 + s.lam*(k.n1 - s.b1) AS f1,
+      s.b2 + s.lam*(k.n2 - s.b2) AS f2,
+      s.b3 + s.lam*(k.n3 - s.b3) AS f3
+    FROM syn s JOIN knn k ON k.ia = s.base_id AND k.rn = s.slot + 1
+    ORDER BY s.syn_id
+    """,
+)
+def q_class_adasyn(sf_dir: str):
+    """ADASYN oversampling (classimblearn.py adasyn_oversample_smpls;
+    He et al. 2008, from scratch): per-base synthetic counts
+    proportional to the different-class share of each base's 5-NN
+    over the WHOLE set — imblearn's rint draw replaced by the exact
+    integer allocation g_i = (delta_i*G)//S with the remainder to the
+    lowest ids; generation = the SMOTE schedules over same-class
+    5-NN.  Bit-exact SQL replay of the allocation and
+    interpolation."""
+    from rsgislib_ray.stages.imblearn import adasyn_oversample
+
+    ds = ray.data.from_arrow(_imb_src_tbl()).repartition(6)
+    return adasyn_oversample(ds, "id", "cls", _IMB_FEATS).sort("syn_id")
+
+
+@register(
+    "class_borderline_smote",
+    f"""
+    WITH pts AS MATERIALIZED ({_IMB_SQL_PTS}),
+    cc AS (SELECT cls, COUNT(*) AS n FROM pts GROUP BY cls),
+    maj AS (SELECT n AS mn FROM cc ORDER BY n DESC, cls LIMIT 1),
+    needs AS (
+      SELECT cls, n AS nc, (SELECT mn FROM maj) - n AS need
+      FROM cc WHERE n < (SELECT mn FROM maj)),
+    d AS ({_IMB_SQL_D}),
+    xs AS (
+      SELECT ia AS id, ca AS cls,
+        CAST(SUM(CASE WHEN cb <> ca THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM d WHERE rn <= 10 GROUP BY ia, ca),
+    danger AS (
+      SELECT xs.id, xs.cls,
+        ROW_NUMBER() OVER (PARTITION BY xs.cls ORDER BY xs.id) - 1
+          AS drk
+      FROM xs JOIN needs nd ON nd.cls = xs.cls
+      WHERE 2*xs.x >= 10 AND xs.x < 10),
+    nds AS (
+      SELECT nd.cls, nd.need, COUNT(*) AS ndang
+      FROM needs nd JOIN danger dg ON dg.cls = nd.cls
+      GROUP BY nd.cls, nd.need),
+    knn AS (
+      SELECT a.id AS ia, b.f1 AS n1, b.f2 AS n2, b.f3 AS n3,
+        ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+          (b.f1-a.f1)*(b.f1-a.f1) + (b.f2-a.f2)*(b.f2-a.f2)
+          + (b.f3-a.f3)*(b.f3-a.f3), b.id) AS rn
+      FROM pts a JOIN pts b ON a.cls = b.cls AND a.id <> b.id),
+    syn AS (
+      SELECT nd.cls, CAST(t.range AS BIGINT) AS t,
+        nd.cls*100000 + t.range AS syn_id,
+        ((t.range*31 + 11) % 997) / 997.0e0 AS lam,
+        CAST((t.range*7 + 3) % 5 AS BIGINT) AS slot,
+        p.f1 AS b1, p.f2 AS b2, p.f3 AS b3, dg.id AS base_id
+      FROM nds nd
+      JOIN range(0, 600) t ON t.range < nd.need
+      JOIN danger dg
+        ON dg.cls = nd.cls AND dg.drk = t.range % nd.ndang
+      JOIN pts p ON p.id = dg.id)
+    SELECT s.syn_id, s.cls,
+      s.b1 + s.lam*(k.n1 - s.b1) AS f1,
+      s.b2 + s.lam*(k.n2 - s.b2) AS f2,
+      s.b3 + s.lam*(k.n3 - s.b3) AS f3
+    FROM syn s JOIN knn k ON k.ia = s.base_id AND k.rn = s.slot + 1
+    ORDER BY s.syn_id
+    """,
+)
+def q_class_borderline_smote(sf_dir: str):
+    """Borderline-SMOTE-1 (classimblearn.py
+    borderline_smote_oversample_smpls; Han et al. 2005, from
+    scratch): DANGER minority samples (m/2 <= different-class 10-NN
+    count < m over the whole set) seed the synthesis; bases cycle the
+    danger ids ascending with the SMOTE slot/lambda schedules over
+    same-class 5-NN; a danger-free class synthesizes nothing."""
+    from rsgislib_ray.stages.imblearn import (
+        borderline_smote_oversample,
+    )
+
+    ds = ray.data.from_arrow(_imb_src_tbl()).repartition(6)
+    return borderline_smote_oversample(
+        ds, "id", "cls", _IMB_FEATS
+    ).sort("syn_id")
+
+
+def _aknn_round(prev: str, kk: int) -> str:
+    return f"""
+    d{kk} AS (
+      SELECT a.id AS ia, a.cls AS ca, b.cls AS cb,
+        ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+          (b.f1-a.f1)*(b.f1-a.f1) + (b.f2-a.f2)*(b.f2-a.f2)
+          + (b.f3-a.f3)*(b.f3-a.f3), b.id) AS rn
+      FROM {prev} a JOIN {prev} b ON a.id <> b.id),
+    s{kk} AS (
+      SELECT p.* FROM {prev} p
+      WHERE p.cls = (SELECT cls FROM mino)
+         OR p.id IN (
+           SELECT ia FROM d{kk} WHERE rn <= {kk}
+           GROUP BY ia, ca
+           HAVING SUM(CASE WHEN cb = ca THEN 1 ELSE 0 END) = {kk}))"""
+
+
+@register(
+    "class_allknn",
+    f"""
+    WITH pts AS MATERIALIZED ({_IMB_SQL_PTS}),
+    mino AS ({_IMB_SQL_MINO}),
+    {_aknn_round('pts', 1)},
+    {_aknn_round('s1', 2)},
+    {_aknn_round('s2', 3)}
+    SELECT id, cls, f1, f2, f3 FROM s3 ORDER BY id
+    """,
+)
+def q_class_allknn(sf_dir: str):
+    """AllKNN undersampling (classimblearn.py
+    all_knn_undersample_smpls; the imblearn k = 1..3 ENN sweep, from
+    scratch): each round re-runs the all-agree ENN edit with k
+    neighbours over the PREVIOUS round's survivors; the minority
+    class (fixed on original counts) always survives.  Oracle = three
+    unrolled rank-join rounds."""
+    from rsgislib_ray.stages.imblearn import all_knn_undersample
+
+    ds = ray.data.from_arrow(_imb_src_tbl()).repartition(6)
+    return all_knn_undersample(ds, "id", "cls", _IMB_FEATS).sort("id")
+
+
+@register(
+    "class_smoteenn",
+    f"""
+    WITH pts AS MATERIALIZED ({_IMB_SQL_PTS}),
+    cc AS (SELECT cls, COUNT(*) AS n FROM pts GROUP BY cls),
+    maj AS (SELECT n AS mn FROM cc ORDER BY n DESC, cls LIMIT 1),
+    needs AS (
+      SELECT cls, n AS nc, (SELECT mn FROM maj) - n AS need
+      FROM cc WHERE n < (SELECT mn FROM maj)),
+    rnk AS (
+      SELECT id, cls, f1, f2, f3,
+        ROW_NUMBER() OVER (PARTITION BY cls ORDER BY id) - 1 AS rk
+      FROM pts),
+    knn AS (
+      SELECT a.id AS ia, b.f1 AS n1, b.f2 AS n2, b.f3 AS n3,
+        ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+          (b.f1-a.f1)*(b.f1-a.f1) + (b.f2-a.f2)*(b.f2-a.f2)
+          + (b.f3-a.f3)*(b.f3-a.f3), b.id) AS rn
+      FROM pts a JOIN pts b ON a.cls = b.cls AND a.id <> b.id),
+    syn AS (
+      SELECT nd.cls, CAST(t.range AS BIGINT) AS t,
+        nd.cls*100000 + t.range AS out_id,
+        CAST((t.range*31 + 11) % 997 AS BIGINT) AS mq,
+        r.id AS base_id, r.f1 AS b1, r.f2 AS b2, r.f3 AS b3,
+        CAST((t.range*7 + 3) % 5 AS BIGINT) AS slot
+      FROM needs nd
+      JOIN range(0, 600) t ON t.range < nd.need
+      JOIN rnk r ON r.cls = nd.cls AND r.rk = t.range % nd.nc),
+    synx AS (
+      SELECT s.out_id, s.cls,
+        997*s.b1 + s.mq*(k.n1 - s.b1) AS f1q,
+        997*s.b2 + s.mq*(k.n2 - s.b2) AS f2q,
+        997*s.b3 + s.mq*(k.n3 - s.b3) AS f3q
+      FROM syn s JOIN knn k ON k.ia = s.base_id AND k.rn = s.slot + 1),
+    allp AS MATERIALIZED (
+      SELECT id AS out_id, cls,
+             997*f1 AS f1q, 997*f2 AS f2q, 997*f3 AS f3q FROM pts
+      UNION ALL SELECT out_id, cls, f1q, f2q, f3q FROM synx),
+    de AS (
+      SELECT a.out_id AS ia, a.cls AS ca, b.cls AS cb,
+        ROW_NUMBER() OVER (PARTITION BY a.out_id ORDER BY
+          (b.f1q-a.f1q)*(b.f1q-a.f1q) + (b.f2q-a.f2q)*(b.f2q-a.f2q)
+          + (b.f3q-a.f3q)*(b.f3q-a.f3q), b.out_id) AS rn
+      FROM allp a JOIN allp b ON a.out_id <> b.out_id),
+    kept AS (
+      SELECT ia FROM de WHERE rn <= 3
+      GROUP BY ia, ca
+      HAVING SUM(CASE WHEN cb = ca THEN 1 ELSE 0 END) = 3)
+    SELECT out_id, cls,
+      CAST(f1q AS DOUBLE) / 997.0e0 AS f1,
+      CAST(f2q AS DOUBLE) / 997.0e0 AS f2,
+      CAST(f3q AS DOUBLE) / 997.0e0 AS f3
+    FROM allp WHERE out_id IN (SELECT ia FROM kept)
+    ORDER BY out_id
+    """,
+)
+def q_class_smoteenn(sf_dir: str):
+    """SMOTEENN (classimblearn.py smoteenn_combined_sample_smpls;
+    SMOTE to the majority count then ENN with
+    sampling_strategy='all' — every class cleaned, the SMOTEENN
+    default): the combined set is held at a x997 integer scale so
+    the post-SMOTE 3-NN order is an exact integer comparison (the
+    lam quantization pin); output features are single divisions."""
+    from rsgislib_ray.stages.imblearn import smote_enn_combined
+
+    ds = ray.data.from_arrow(_imb_src_tbl()).repartition(6)
+    return smote_enn_combined(ds, "id", "cls", _IMB_FEATS).sort("out_id")

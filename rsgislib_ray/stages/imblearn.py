@@ -281,3 +281,325 @@ def smote_oversample(
         lambda b: pa.table({"id": b["id"]}), batch_format="pyarrow"
     )
     return rng.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
+
+
+def adasyn_oversample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    k: int = 5,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """ADASYN (classimblearn.py adasyn_oversample_smpls via imblearn;
+    He et al. 2008, from scratch): each non-majority class c with
+    n_c < n_majority synthesizes G = n_majority - n_c samples,
+    allocated per base sample i proportionally to the adaptive ratio
+    delta_i = #(different-class samples among i's k nearest
+    neighbours over the WHOLE set, self excluded).  imblearn's
+    ``np.rint(r_i * G)`` draw is replaced by the engine's exact
+    integer allocation (mirrored by the SQL oracle):
+    g_i = (delta_i * G) // S with S = sum(delta), and the first
+    (G - sum g_i) base samples by id ascending get one extra.  An
+    all-interior class (S == 0, imblearn raises) falls back to
+    delta_i = 1 uniform.  Generation mirrors SMOTE: the t-th
+    synthetic of class c (t = position in the id-ascending blocks of
+    g_i copies) interpolates its base towards same-class k-NN slot
+    (t*7 + 3) mod k with lam = ((t*31 + 11) mod 997)/997;
+    syn_id = c*100000 + t."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    u, cnt = np.unique(cls, return_counts=True)
+    maj_i = np.lexsort((u, -cnt))[0]
+    maj_cnt = int(cnt[maj_i])
+    plan = []
+    for ci, c in enumerate(u):
+        if ci == maj_i or cnt[ci] == maj_cnt:
+            continue
+        cmask = cls == c
+        cX, cids = X[cmask], ids[cmask]
+        n_c = len(cids)
+        G = maj_cnt - n_c
+        delta = np.empty(n_c, dtype=np.int64)
+        nbrs = np.empty((n_c, k), dtype=np.int64)
+        for lo in range(0, n_c, batch_size):
+            hi = min(lo + batch_size, n_c)
+            # ratio kNN over the WHOLE set (all classes)
+            d2a = _d2_block(cX[lo:hi], X)
+            nbr_all, _ = _knn_ids(d2a, ids, k, exclude_ids=cids[lo:hi])
+            ncls = cls[np.searchsorted(ids, nbr_all)]
+            delta[lo:hi] = (ncls != c).sum(axis=1)
+            # generation kNN within the class
+            d2c = _d2_block(cX[lo:hi], cX)
+            nbrs[lo:hi] = _knn_ids(
+                d2c, cids, k, exclude_ids=cids[lo:hi]
+            )[0]
+        S = int(delta.sum())
+        if S == 0:
+            delta = np.ones(n_c, dtype=np.int64)
+            S = n_c
+        g = (delta * G) // S
+        rem = G - int(g.sum())
+        g[:rem] += 1
+        # base index per synthetic t: blocks of g_i copies, ids asc
+        base_of_t = np.repeat(np.arange(n_c), g)
+        plan.append((int(c), G, cids, cX, nbrs, base_of_t))
+    pref = ray.put(plan)
+    total = sum(p[1] for p in plan)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        t_all = batch["id"].to_numpy().astype(np.int64)
+        p = ray.get(pref)
+        outs = {"syn_id": [], "cls": [], **{c: [] for c in feat_cols}}
+        off = 0
+        for c, need, cids, cX, nbrs, base_of_t in p:
+            tt = t_all[(t_all >= off) & (t_all < off + need)] - off
+            if len(tt):
+                base = base_of_t[tt]
+                slot = (tt * 7 + 3) % nbrs.shape[1]
+                lam = ((tt * 31 + 11) % 997) / 997.0
+                nid = nbrs[base, slot]
+                npos = np.searchsorted(cids, nid)
+                outs["syn_id"].append(c * 100000 + tt)
+                outs["cls"].append(np.full(len(tt), c, dtype=np.int64))
+                for j, col in enumerate(feat_cols):
+                    xb = cX[base, j]
+                    xn = cX[npos, j]
+                    outs[col].append(xb + lam * (xn - xb))
+            off += need
+        return pa.table(
+            {
+                "syn_id": np.concatenate(outs["syn_id"])
+                if outs["syn_id"] else np.array([], dtype=np.int64),
+                "cls": np.concatenate(outs["cls"])
+                if outs["cls"] else np.array([], dtype=np.int64),
+                **{
+                    c: np.concatenate(outs[c])
+                    if outs[c] else np.array([], dtype=np.float64)
+                    for c in feat_cols
+                },
+            }
+        )
+
+    rng = ray.data.range(total).map_batches(
+        lambda b: pa.table({"id": b["id"]}), batch_format="pyarrow"
+    )
+    return rng.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
+
+
+def borderline_smote_oversample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    k: int = 5,
+    m: int = 10,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Borderline-SMOTE-1 (classimblearn.py
+    borderline_smote_oversample_smpls via imblearn; Han et al. 2005,
+    from scratch): a minority-class sample is DANGER iff, among its m
+    nearest neighbours over the whole set (self excluded),
+    the different-class count x satisfies m/2 <= x < m (x == m is
+    noise, x < m/2 is safe; pinned as 2*x >= m AND x < m).  Only
+    DANGER samples seed synthesis; the t-th synthetic of class c uses
+    base = (t mod n_danger)-th danger id ascending, same-class k-NN
+    slot (t*7+3) mod k and lam = ((t*31+11) mod 997)/997 — the SMOTE
+    schedules.  A class with no danger samples synthesizes nothing
+    (imblearn's in-danger early return)."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    u, cnt = np.unique(cls, return_counts=True)
+    maj_i = np.lexsort((u, -cnt))[0]
+    maj_cnt = int(cnt[maj_i])
+    plan = []
+    for ci, c in enumerate(u):
+        if ci == maj_i or cnt[ci] == maj_cnt:
+            continue
+        cmask = cls == c
+        cX, cids = X[cmask], ids[cmask]
+        n_c = len(cids)
+        danger = np.zeros(n_c, dtype=bool)
+        nbrs = np.empty((n_c, k), dtype=np.int64)
+        for lo in range(0, n_c, batch_size):
+            hi = min(lo + batch_size, n_c)
+            d2a = _d2_block(cX[lo:hi], X)
+            nbr_all, _ = _knn_ids(d2a, ids, m, exclude_ids=cids[lo:hi])
+            ncls = cls[np.searchsorted(ids, nbr_all)]
+            x = (ncls != c).sum(axis=1)
+            danger[lo:hi] = (2 * x >= m) & (x < m)
+            d2c = _d2_block(cX[lo:hi], cX)
+            nbrs[lo:hi] = _knn_ids(
+                d2c, cids, k, exclude_ids=cids[lo:hi]
+            )[0]
+        didx = np.flatnonzero(danger)
+        if len(didx) == 0:
+            continue
+        G = maj_cnt - n_c
+        plan.append((int(c), G, cids, cX, nbrs, didx))
+    pref = ray.put(plan)
+    total = sum(p[1] for p in plan)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        t_all = batch["id"].to_numpy().astype(np.int64)
+        p = ray.get(pref)
+        outs = {"syn_id": [], "cls": [], **{c: [] for c in feat_cols}}
+        off = 0
+        for c, need, cids, cX, nbrs, didx in p:
+            tt = t_all[(t_all >= off) & (t_all < off + need)] - off
+            if len(tt):
+                base = didx[tt % len(didx)]
+                slot = (tt * 7 + 3) % nbrs.shape[1]
+                lam = ((tt * 31 + 11) % 997) / 997.0
+                nid = nbrs[base, slot]
+                npos = np.searchsorted(cids, nid)
+                outs["syn_id"].append(c * 100000 + tt)
+                outs["cls"].append(np.full(len(tt), c, dtype=np.int64))
+                for j, col in enumerate(feat_cols):
+                    xb = cX[base, j]
+                    xn = cX[npos, j]
+                    outs[col].append(xb + lam * (xn - xb))
+            off += need
+        return pa.table(
+            {
+                "syn_id": np.concatenate(outs["syn_id"])
+                if outs["syn_id"] else np.array([], dtype=np.int64),
+                "cls": np.concatenate(outs["cls"])
+                if outs["cls"] else np.array([], dtype=np.int64),
+                **{
+                    c: np.concatenate(outs[c])
+                    if outs[c] else np.array([], dtype=np.float64)
+                    for c in feat_cols
+                },
+            }
+        )
+
+    rng = ray.data.range(total).map_batches(
+        lambda b: pa.table({"id": b["id"]}), batch_format="pyarrow"
+    )
+    return rng.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
+
+
+def all_knn_undersample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    n_neighbors: int = 3,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """AllKNN (classimblearn.py all_knn_undersample_smpls via
+    imblearn): the k = 1..n_neighbors sweep of ENN — round k keeps a
+    non-minority SURVIVOR only if all k of its nearest surviving
+    neighbours (self excluded, (d2,id) ties) share its class; the
+    minority class (fixed on the ORIGINAL counts) always survives.
+    imblearn's early-termination guard (stop if the majority would
+    drop below the minority) is not modelled — callers' fixtures must
+    not trigger it (this one never loses a majority)."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    mino = minority_class(cls)
+    alive = np.ones(len(ids), dtype=bool)
+    for kk in range(1, n_neighbors + 1):
+        aids, acls, aX = ids[alive], cls[alive], X[alive]
+        keep = np.zeros(len(ids), dtype=bool)
+        pos_alive = np.flatnonzero(alive)
+        for lo in range(0, len(aids), batch_size):
+            hi = min(lo + batch_size, len(aids))
+            d2 = _d2_block(aX[lo:hi], aX)
+            nbr_ids, _ = _knn_ids(
+                d2, aids, kk, exclude_ids=aids[lo:hi]
+            )
+            ncls = acls[np.searchsorted(aids, nbr_ids)]
+            agree = (ncls == acls[lo:hi, None]).all(axis=1)
+            keep[pos_alive[lo:hi]] = (acls[lo:hi] == mino) | agree
+        alive = keep
+    kref = ray.put(set(ids[alive].tolist()))
+
+    def f(batch: pa.Table) -> pa.Table:
+        kset = ray.get(kref)
+        keep = np.isin(
+            batch[id_col].to_numpy().astype(np.int64), list(kset)
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def smote_enn_combined(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    k: int = 5,
+    n_neighbors: int = 3,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """SMOTEENN (classimblearn.py smoteenn_combined_sample_smpls via
+    imblearn): SMOTE to the majority count, then
+    EditedNearestNeighbours with sampling_strategy='all' (the
+    SMOTEENN default — EVERY class is cleaned, no minority
+    exemption) over the combined set.  The ENN distances involve the
+    synthetic floats; to keep them exact the combined set is held at
+    a x997 integer scale internally: a synthetic feature
+    xb + (m/997)*(xn - xb) is EXACTLY (997*xb + m*(xn - xb))/997, so
+    scaled features are int64 and the 3-NN order is an exact integer
+    comparison (the lam quantization pin, mirrored by the SQL
+    oracle).  Output features are the single-division floats;
+    original rows keep ids, synthetics use c*100000 + t."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    u, cnt = np.unique(cls, return_counts=True)
+    maj_i = np.lexsort((u, -cnt))[0]
+    maj_cnt = int(cnt[maj_i])
+    all_ids = [ids]
+    all_cls = [cls]
+    all_X997 = [X * 997]
+    for ci, c in enumerate(u):
+        if ci == maj_i or cnt[ci] == maj_cnt:
+            continue
+        cmask = cls == c
+        cX, cids = X[cmask], ids[cmask]
+        n_c = len(cids)
+        need = maj_cnt - n_c
+        nbrs = np.empty((n_c, k), dtype=np.int64)
+        for lo in range(0, n_c, batch_size):
+            hi = min(lo + batch_size, n_c)
+            d2 = _d2_block(cX[lo:hi], cX)
+            nbrs[lo:hi] = _knn_ids(
+                d2, cids, k, exclude_ids=cids[lo:hi]
+            )[0]
+        tt = np.arange(need, dtype=np.int64)
+        base = tt % n_c
+        slot = (tt * 7 + 3) % k
+        mq = (tt * 31 + 11) % 997
+        nid = nbrs[base, slot]
+        npos = np.searchsorted(cids, nid)
+        synX = 997 * cX[base] + mq[:, None] * (cX[npos] - cX[base])
+        all_ids.append(c * 100000 + tt)
+        all_cls.append(np.full(need, c, dtype=np.int64))
+        all_X997.append(synX)
+    cids_all = np.concatenate(all_ids)
+    ccls_all = np.concatenate(all_cls)
+    cX997 = np.concatenate(all_X997)
+    order = np.argsort(cids_all)
+    cids_all, ccls_all, cX997 = (
+        cids_all[order], ccls_all[order], cX997[order],
+    )
+    # ENN sampling_strategy='all' over the x997-scaled integers
+    keep = np.zeros(len(cids_all), dtype=bool)
+    for lo in range(0, len(cids_all), batch_size):
+        hi = min(lo + batch_size, len(cids_all))
+        d2 = _d2_block(cX997[lo:hi], cX997)
+        nbr_ids, _ = _knn_ids(
+            d2, cids_all, n_neighbors, exclude_ids=cids_all[lo:hi]
+        )
+        ncls = ccls_all[np.searchsorted(cids_all, nbr_ids)]
+        keep[lo:hi] = (ncls == ccls_all[lo:hi, None]).all(axis=1)
+    out_tbl = pa.table(
+        {
+            "out_id": cids_all[keep],
+            "cls": ccls_all[keep],
+            **{
+                col: (cX997[keep, j] / 997.0)
+                for j, col in enumerate(feat_cols)
+            },
+        }
+    )
+    return ray.data.from_arrow(out_tbl).repartition(4)
