@@ -603,3 +603,172 @@ def smote_enn_combined(
         }
     )
     return ray.data.from_arrow(out_tbl).repartition(4)
+
+
+def repeated_enn_undersample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    n_neighbors: int = 3,
+    max_iter: int = 100,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """RepeatedEditedNearestNeighbours (classimblearn.py
+    repeat_edited_near_neigh_undersample_smpls via imblearn): the
+    all-agree ENN edit (k = n_neighbors, minority fixed on ORIGINAL
+    counts always survives) repeated over its own survivors until a
+    round removes nothing (or max_iter).  ENN is monotone —
+    re-editing a converged set removes nothing — so a SQL oracle may
+    simply unroll >= the convergence round count; the engine loops to
+    the true fixpoint."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    mino = minority_class(cls)
+    alive = np.ones(len(ids), dtype=bool)
+    for _ in range(max_iter):
+        aids, acls, aX = ids[alive], cls[alive], X[alive]
+        keep_local = np.zeros(len(aids), dtype=bool)
+        for lo in range(0, len(aids), batch_size):
+            hi = min(lo + batch_size, len(aids))
+            d2 = _d2_block(aX[lo:hi], aX)
+            nbr_ids, _ = _knn_ids(
+                d2, aids, n_neighbors, exclude_ids=aids[lo:hi]
+            )
+            ncls = acls[np.searchsorted(aids, nbr_ids)]
+            agree = (ncls == acls[lo:hi, None]).all(axis=1)
+            keep_local[lo:hi] = (acls[lo:hi] == mino) | agree
+        if keep_local.all():
+            break
+        nxt = np.zeros(len(ids), dtype=bool)
+        nxt[np.flatnonzero(alive)[keep_local]] = True
+        alive = nxt
+    kref = ray.put(set(ids[alive].tolist()))
+
+    def f(batch: pa.Table) -> pa.Table:
+        kset = ray.get(kref)
+        keep = np.isin(
+            batch[id_col].to_numpy().astype(np.int64), list(kset)
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ncl_undersample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    n_neighbors: int = 3,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """NeighbourhoodCleaningRule (classimblearn.py
+    neighbourhood_clean_undersample_smpls via imblearn; Laurikkala
+    2001, from scratch).  With vote(i) = the most frequent class
+    among i's k nearest neighbours (self excluded, (d2,id) ties;
+    vote ties -> LOWEST class id):
+
+    - A1 = non-minority rows misclassified by the vote;
+    - A2 = the non-minority members of the k-NN of every MINORITY
+      row misclassified by the vote;
+    - drop A1 union A2 (minority rows always survive)."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    mino = minority_class(cls)
+    n = len(ids)
+    drop: set[int] = set()
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        d2 = _d2_block(X[lo:hi], X)
+        nbr_ids, _ = _knn_ids(
+            d2, ids, n_neighbors, exclude_ids=ids[lo:hi]
+        )
+        npos = np.searchsorted(ids, nbr_ids)
+        ncls = cls[npos]
+        # vote: max count, ties by lowest class id
+        votes = np.empty(hi - lo, dtype=np.int64)
+        u_all = np.unique(cls)
+        counts = np.stack(
+            [(ncls == c).sum(axis=1) for c in u_all]
+        )  # (n_classes, rows)
+        best = np.argmax(counts, axis=0)  # first max = lowest cls id
+        votes = u_all[best]
+        mis = votes != cls[lo:hi]
+        # A1: misclassified non-minority rows
+        a1 = ids[lo:hi][(cls[lo:hi] != mino) & mis]
+        drop.update(a1.tolist())
+        # A2: non-minority neighbours of misclassified minority rows
+        mrows = np.flatnonzero((cls[lo:hi] == mino) & mis)
+        if len(mrows):
+            nn = nbr_ids[mrows]
+            nc = ncls[mrows]
+            drop.update(nn[nc != mino].tolist())
+    dref = ray.put(drop)
+
+    def f(batch: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        bid = batch[id_col].to_numpy().astype(np.int64)
+        bcl = batch[class_col].to_numpy().astype(np.int64)
+        keep = (bcl == mino) | ~np.isin(bid, list(d))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def cluster_centroid_undersample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    n_iter: int = 3,
+) -> ray.data.Dataset:
+    """ClusterCentroids (classimblearn.py
+    cluster_centroid_undersample_smpls via imblearn): every
+    non-minority class is replaced by n_minority k-means centroids.
+    sklearn's randomized to-convergence KMeans is replaced by the
+    engine's deterministic pinned variant (mirrored by the SQL
+    oracle): seeds = the class samples at id-ascending positions
+    floor(j*n_c/k); exactly ``n_iter`` Lloyd rounds; assignment by
+    (squared distance, centroid index) ascending; an empty cluster
+    keeps its previous centroid.  Centroid updates are exact integer
+    sums with one division, so every round is bit-replayable.
+    Output: minority rows (out_id = id) + centroids
+    (out_id = cls*100000 + j) with float features."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    mino = minority_class(cls)
+    n_min = int((cls == mino).sum())
+    rows_id = [ids[cls == mino]]
+    rows_cls = [cls[cls == mino]]
+    rows_X = [X[cls == mino].astype(np.float64)]
+    for c in np.unique(cls):
+        if int(c) == mino:
+            continue
+        cmask = cls == c
+        cX = X[cmask].astype(np.float64)
+        n_c = len(cX)
+        k = min(n_min, n_c)
+        seeds = (np.arange(k, dtype=np.int64) * n_c) // k
+        cent = cX[seeds].copy()
+        for _ in range(n_iter):
+            # assignment by (d2, centroid idx)
+            d2 = (
+                ((cX[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            )
+            assign = np.argmin(d2, axis=1)  # first min = lowest idx
+            for j in range(k):
+                sel = assign == j
+                if sel.any():
+                    cent[j] = cX[sel].sum(axis=0) / float(sel.sum())
+        rows_id.append(int(c) * 100000 + np.arange(k, dtype=np.int64))
+        rows_cls.append(np.full(k, c, dtype=np.int64))
+        rows_X.append(cent)
+    out = pa.table(
+        {
+            "out_id": np.concatenate(rows_id),
+            "cls": np.concatenate(rows_cls),
+            **{
+                col: np.concatenate([x[:, j] for x in rows_X])
+                for j, col in enumerate(feat_cols)
+            },
+        }
+    )
+    return ray.data.from_arrow(out).repartition(4)
