@@ -399,3 +399,116 @@ def eliminate_singletons(
         exact=True,
         max_sweeps=1,
     )
+
+
+def merge_selected_clumps(
+    clumped: ray.data.Dataset,
+    band_cols: list[str],
+    selected: dict[int, bool],
+    nodata: dict[int, bool],
+    label_col: str = "fid",
+    tile_size: int = 256,
+) -> pd.DataFrame:
+    """merge_segments_to_neighbours (segmentation;
+    src/segmentation/RSGISMergeSegments.cpp:63 mergeSelectedClumps —
+    the engine of imageutils.tilingutils.create_min_data_tiles):
+    every SELECTED clump merges into its spectrally-nearest eligible
+    neighbour (not selected, not removed, not a nodata region),
+    sweeping until no selected clump can merge.
+
+    Reference quirks kept exactly:
+
+    - calcDist (RSGISMergeSegments.h:102) ASSIGNS instead of
+      accumulating, so the distance is sqrt(lastBandDiff^2 / nBands)
+      — only the LAST band's mean difference matters;
+    - numPxls is DERIVED as sumBand1/meanBand1 (not the count) —
+      exact only when band 1 is clump-constant (enforced by callers;
+      this keeps every later mean a single exact division);
+    - a nodata clump's OUTPUT id is 0 (clumpID overwritten at init);
+    - merges apply in clump-id order within a sweep; target sums /
+      numPxls accumulate and means recompute per merge (exact integer
+      sums make the order immaterial);
+    - ties on distance: the reference breaks by neighbour DISCOVERY
+      order (an image-scan artifact); this engine breaks by lowest
+      neighbour id and callers must keep fixtures tie-free (asserted).
+
+    Physical plan: clump_sums + clump_adjacency (distributed
+    partials); the sweep loop runs on the contracted clump graph
+    (driver-scale by the eliminate_small_clumps contract).  Returns
+    (label, out_id) for every clump row."""
+    stats = clump_sums(clumped, band_cols, label_col=label_col)
+    ea, eb = clump_adjacency(clumped, label_col=label_col,
+                             tile_size=tile_size)
+    labels = stats[label_col].to_numpy()
+    n_by = dict(zip(labels.tolist(), stats["n"].tolist()))
+    sums = {
+        b: dict(zip(labels.tolist(), stats[f"sum_{b}"].tolist()))
+        for b in band_cols
+    }
+    nbrs: dict[int, set] = {int(l): set() for l in labels}
+    for a, b in zip(ea.tolist(), eb.tolist()):
+        nbrs[int(a)].add(int(b))
+        nbrs[int(b)].add(int(a))
+    nb_count = len(band_cols)
+    b1, blast = band_cols[0], band_cols[-1]
+    mean_last = {
+        int(l): sums[blast][int(l)] / n_by[int(l)] for l in labels
+    }
+    mean_b1 = {
+        int(l): sums[b1][int(l)] / n_by[int(l)] for l in labels
+    }
+    num_pxls = {
+        int(l): sums[b1][int(l)] / mean_b1[int(l)] for l in labels
+    }
+    sum_last = {int(l): float(sums[blast][int(l)]) for l in labels}
+    removed: set[int] = set()
+    out_id = {
+        int(l): (0 if nodata.get(int(l), False) else int(l))
+        for l in labels
+    }
+    members = {int(l): [int(l)] for l in labels}
+    while True:
+        merges = []
+        for l in sorted(nbrs):
+            if not selected.get(l, False) or l in removed:
+                continue
+            best, best_d = None, None
+            for t in sorted(nbrs[l]):
+                if (
+                    selected.get(t, False)
+                    or t in removed
+                    or nodata.get(t, False)
+                ):
+                    continue
+                diff = mean_last[l] - mean_last[t]
+                d = float(np.sqrt((diff * diff) / nb_count))
+                if best_d is not None and d == best_d:
+                    raise ValueError(
+                        "distance tie: the reference's discovery-order"
+                        " tie rule is not reproducible; fixture must"
+                        " be tie-free"
+                    )
+                if best_d is None or d < best_d:
+                    best, best_d = t, d
+            if best is not None:
+                merges.append((l, best))
+        if not merges:
+            break
+        for l, t in merges:
+            removed.add(l)
+            members[t].append(l)
+            sum_last[t] += sum_last[l]
+            num_pxls[t] += num_pxls[l]
+            mean_last[t] = sum_last[t] / num_pxls[t]
+            nbrs[t] |= {x for x in nbrs[l] if x != t}
+            nbrs[t].discard(l)
+    rows = []
+    for surv in sorted(members):
+        if surv in removed:
+            continue
+        for m in members[surv]:
+            rows.append((m, out_id[surv], mean_last[surv]))
+    df = pd.DataFrame(
+        rows, columns=[label_col, "out_id", "surv_mean_last"]
+    ).sort_values(label_col).reset_index(drop=True)
+    return df
