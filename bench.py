@@ -163,6 +163,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "spec_unmix_nnls",
         "polyfill_bands",
         "tile_ranges",
+        # round-4 session additions: halo-tiled OLS sharpening, HCS
+        # pan-sharpen (both modes), windowed Pearson, whole-image
+        # Mahalanobis window stats, imblearn kNN resampling
+        "sharpen_low_res",
+        "pan_sharpen_hcs",
+        "corr_window",
+        "mahalanobis_to_img",
+        "class_smoteenn",
         # shuffle-heavy strategies LAST: their sort/join stages leave a
         # large idle-worker pool behind that breaks the per-process
         # broadcast-cache locality of later broadcast-path queries
