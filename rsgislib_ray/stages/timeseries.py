@@ -409,50 +409,107 @@ def predict_for_day(
 # ---------------------------------------------------------------------------
 
 
+#: shared basis + weight lattice for the IRLS path (2^13): small
+#: enough that a weighted moment term wq*xq_i*xq_j <= 2^39 keeps
+#: int64 sums exact through ~10^6 observations per pixel.
+IRLS_LAT = 8192
+
+
 def _tmask_basis(tr: np.ndarray, num_years: float) -> np.ndarray:
-    """5-column TMask design (tmask.py:106-115 /
+    """QUANTIZED 5-column TMask design (tmask.py:106-115 /
     robustfitoutliners.py:47-58): constant, annual harmonic pair,
-    full-span harmonic pair."""
+    full-span harmonic pair — trig columns snapped to the 1/IRLS_LAT
+    grid (half-up) so weighted moment sums are exact integers
+    (order-independent, hence deterministic under any partitioning
+    and replayable by a SQL oracle). Returns int64 (n, 5)."""
     w1 = (2.0 * math.pi) / T_DAYS
     w2 = (2.0 * math.pi) / (num_years * T_DAYS)
     t = tr.astype(np.float64)
-    return np.stack(
-        [
-            np.ones(len(tr)),
-            np.cos(w1 * t),
-            np.sin(w1 * t),
-            np.cos(w2 * t),
-            np.sin(w2 * t),
-        ],
-        axis=1,
-    )
+    L = float(IRLS_LAT)
+    cols = [np.ones(len(tr), np.int64)]
+    for w in (w1, w2):
+        cols.append(np.floor(np.cos(w * t) * L + 0.5).astype(np.int64))
+        cols.append(np.floor(np.sin(w * t) * L + 0.5).astype(np.int64))
+    return np.stack(cols, axis=1)
 
 
 def tukey_irls(
-    x: np.ndarray,
+    xq: np.ndarray,
     y: np.ndarray,
     c: float = 0.4685,
     max_iter: int = 5,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Tukey-biweight IRLS (the reference delegates to statsmodels
-    RLM, tmask.py:117-121; this is the standard public algorithm:
-    OLS start, scale = MAD/0.6745, biweight reweighting, ``max_iter``
-    WLS refits). Returns (coefficients, residuals)."""
-    beta, *_ = np.linalg.lstsq(x, y, rcond=None)
+    """Lattice-quantized Tukey-biweight IRLS (the reference delegates
+    to statsmodels RLM, tmask.py:117-121; this is the standard public
+    algorithm — OLS start, scale = MAD/0.6745, biweight reweighting,
+    ``max_iter`` WLS refits — with every float op pinned for SQL
+    parity):
+
+    - ``xq`` is the INTEGER quantized design from
+      :func:`_tmask_basis` (col 0 the constant, cols 1+ trig *
+      IRLS_LAT); ``y`` integer-valued.  Weights are quantized to the
+      same lattice (``floor(w * L + 0.5)``), so every normal-equation
+      moment is an exact int64 sum; descaling divides by powers of
+      two (exact).
+    - Solves use the fixed-order unrolled Cholesky
+      (:func:`chol_solve_np` — the same parity contract as
+      season-trend); residual prediction is the literal
+      left-associative fold ``(((b0 + xf1*b1) + xf2*b2) + ...)``.
+    - Medians are numpy's sort-based convention: even n ->
+      ``(lo + hi) / 2``, exactly replayable by rank selection.
+
+    The ``scale <= 0`` and degenerate-weight-mass early exits are
+    kept from the public algorithm AND are replayed by the unrolled
+    oracle: both break before the next solve, so the kept residuals
+    are r_s at the iteration s where the exit was detected — the
+    oracle tracks a per-pixel first-exit ``stop`` iteration and
+    rank-picks r_stop (queries._sql_irls_band).
+    Returns (coefficients, residuals-at-final-beta)."""
+    n, k = xq.shape
+    L = float(IRLS_LAT)
+    Li = int(IRLS_LAT)
+    yi = y.astype(np.int64)
+    yf = yi.astype(np.float64)
+    xf = xq.astype(np.float64)
+    for i in range(1, k):
+        xf[:, i] = xf[:, i] / L  # exact power-of-two descale
+    sc = [1.0] + [L] * (k - 1)
+
+    def solve(wq: np.ndarray) -> np.ndarray:
+        G = np.empty((1, k, k))
+        b = np.empty((1, k))
+        for i in range(k):
+            for j in range(i, k):
+                gint = int((wq * xq[:, i] * xq[:, j]).sum())
+                G[0, i, j] = G[0, j, i] = float(gint) / (
+                    L * sc[i] * sc[j]
+                )
+            bint = int((wq * xq[:, i] * yi).sum())
+            b[0, i] = float(bint) / (L * sc[i])
+        return chol_solve_np(G, b)[0]
+
+    def resid(beta: np.ndarray) -> np.ndarray:
+        pred = np.full(n, beta[0])
+        for i in range(1, k):
+            pred = pred + xf[:, i] * beta[i]
+        return yf - pred
+
+    wq = np.full(n, Li, np.int64)
+    beta = solve(wq)
     for _ in range(max_iter):
-        r = y - x @ beta
+        r = resid(beta)
         med = np.median(r)
         scale = np.median(np.abs(r - med)) / 0.6745
         if scale <= 0:
             break
         u = r / (c * scale)
-        w = np.where(np.abs(u) < 1.0, (1.0 - u * u) ** 2, 0.0)
-        if w.sum() <= x.shape[1]:
+        t1 = 1.0 - u * u
+        w = np.where(np.abs(u) < 1.0, t1 * t1, 0.0)
+        wq = np.floor(w * L + 0.5).astype(np.int64)
+        if wq.sum() <= k * Li:
             break
-        xw = x * w[:, None]
-        beta_new, *_ = np.linalg.lstsq(xw.T @ x, xw.T @ y, rcond=None)
-        beta = beta_new
-    return beta, y - x @ beta
+        beta = solve(wq)
+    return beta, resid(beta)
 
 
 def tmask_outliers(
@@ -487,7 +544,7 @@ def tmask_outliers(
         x = _tmask_basis(tr, ny)
         deltas = {}
         for col in (green_col, nir_col, swir_col):
-            y = g[col].to_numpy().astype(np.float64)[order]
+            y = g[col].to_numpy().astype(np.int64)[order]
             if len(y) <= x.shape[1]:
                 deltas[col] = np.zeros(len(y))
                 continue
@@ -551,9 +608,16 @@ def st_outlier_masks(
             ny = float(np.ceil((t.max() - t.min()) / 365.0))
             x = _tmask_basis(tc - tc.min(), ny)
             for bi in range(len(value_cols)):
-                y = Y[clean, bi].astype(np.float64)
+                y = Y[clean, bi]
                 _beta, resid = tukey_irls(x, y, max_iter=max_iter)
-                rmse = float(np.sqrt(np.mean(resid * resid)))
+                # RMSE over residuals quantized to 1/256 so the sum
+                # of squares is an exact (order-independent) int64 —
+                # the same distributed-determinism lattice as the
+                # moments; sqrt and the power-of-two descale are
+                # IEEE-exact both sides of the oracle
+                rq = np.floor(resid * 256.0 + 0.5).astype(np.int64)
+                ssq = int((rq * rq).sum())
+                rmse = math.sqrt(float(ssq) / nc) / 256.0
                 m = np.zeros(nc, np.int64)
                 m[resid < -rmse * threshold] = -1
                 m[resid > rmse * threshold] = 1
