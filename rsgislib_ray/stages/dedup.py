@@ -61,7 +61,7 @@ def exact_dedup(
     ds: ray.data.Dataset,
     cols: list[str],
     id_col: str = "doc_id",
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """First-wins exact dedup on a column subset
@@ -81,6 +81,12 @@ def exact_dedup(
       content_hash + ``id == win_id`` filter — the 100 TB path when the
       distinct-hash set itself is too large to broadcast. One all-to-all
       over the wide rows, no driver materialization anywhere.
+    - ``strategy="auto"`` (default): routes by the MEASURED dup-group
+      count — the exact table the broadcast would ship (the
+      ``resolve_combine`` pattern, VERDICT r4 #6): ``"join"`` above
+      :data:`segsum.AUTO_NATIVE_ROWS` dup groups, else broadcast.
+      The measuring pass reduces each winner block to one count row,
+      so no winner data reaches the driver.
     """
     hashed = add_content_hash(ds, cols)
 
@@ -110,6 +116,26 @@ def exact_dedup(
     # (Ray's native groupby.min runs its combine per group in Python;
     # the segment reducer is ~100x faster at high hash cardinality —
     # see stages/segsum.py.)
+
+    if strategy == "auto":
+        from rsgislib_ray.stages import segsum as _segsum
+
+        winners = winners.materialize()
+
+        def count_dups(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"n": [int((b["cnt"].to_numpy() >= 2).sum())]}
+            )
+
+        ndup = sum(
+            r["n"]
+            for r in winners.map_batches(
+                count_dups, batch_format="pyarrow"
+            ).take_all()
+        )
+        strategy = (
+            "join" if ndup > _segsum.AUTO_NATIVE_ROWS else "broadcast"
+        )
 
     if strategy == "join":
         from rsgislib_ray.stages.spatial_join import _default_join_partitions

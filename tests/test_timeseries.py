@@ -242,3 +242,40 @@ def test_st_outlier_masks_planted_spikes(ray_session):
     # pixel 1 has only 4 observations -> all masks 0 despite the 900
     p1 = out[out["pix"] == 1]
     assert (p1["mask"] == 0).all()
+
+
+def test_t0_attach_auto_routes_by_measured_size(
+    ray_session, monkeypatch
+):
+    """The default t0_attach='auto' must pick broadcast under the
+    threshold and actually engage the hash-join path above it
+    (VERDICT r4 #6), with bit-identical results either way."""
+    import ray.data
+
+    import rsgislib_ray.stages.components as comps
+    import rsgislib_ray.stages.segsum as segsum
+
+    rng = np.random.default_rng(7)
+    tbl = _series(rng, 6, (12, 20))
+    ds = ray.data.from_arrow(tbl).repartition(3)
+
+    calls = []
+    real = comps.measured_join_partitions
+
+    def spy(n):
+        calls.append(n)
+        return real(n)
+
+    monkeypatch.setattr(comps, "measured_join_partitions", spy)
+
+    # under the threshold: broadcast, join machinery untouched
+    a, _ = ts.season_trend_fit(ds, "pix", "t", "y", t0_attach="auto")
+    a_df = a.to_pandas().sort_values("pix").reset_index(drop=True)
+    assert calls == []
+
+    # force the threshold to zero: auto must route through the join
+    monkeypatch.setattr(segsum, "AUTO_NATIVE_ROWS", 0)
+    b, _ = ts.season_trend_fit(ds, "pix", "t", "y", t0_attach="auto")
+    b_df = b.to_pandas().sort_values("pix").reset_index(drop=True)
+    assert calls, "auto above threshold must engage the join path"
+    assert (a_df.to_numpy() == b_df.to_numpy()).all()
