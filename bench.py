@@ -178,6 +178,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "spatial_join_hash",
         "spatial_join_sortmerge",
         "spatial_join_skew",
+        "spatial_join_skew_nosalt",
     ]
     out = {}
     import pandas as pd
