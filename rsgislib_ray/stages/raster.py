@@ -163,8 +163,16 @@ def rasterize_zones(
 
 
 def make_pixel_centers(grid: RasterGrid, override_num_blocks: int | None = None):
-    """Dense pixel-center Dataset for a grid (the rasterize canvas)."""
+    """Dense pixel-center Dataset for a grid (the rasterize canvas).
+
+    Default block sizing targets ~256k pixels per block: a small
+    canvas stays one task (so a broadcast consumer builds its
+    per-process index ONCE instead of once per worker — measured 2x
+    on the rasterize bench row), while a 10^9-pixel canvas still
+    fans out to thousands of blocks."""
     n = grid.n_cols * grid.n_rows
+    if override_num_blocks is None:
+        override_num_blocks = max(1, n // 262144)
 
     def gen(batch: pa.Table) -> pa.Table:
         pid = batch["id"].to_numpy()
