@@ -378,6 +378,134 @@ def season_trend_fit(
     return season_trend_finish(moments, pixel_col, lattice, tier), t0
 
 
+def season_trend_lasso_finish(
+    moments: ray.data.Dataset,
+    pixel_col: str,
+    lattice: int = LATTICE,
+    alpha: float = 20.0,
+    n_cycles: int = 5,
+) -> ray.data.Dataset:
+    """Pinned Lasso finisher for the season-trend model
+    (fit_lasso_model, timeseries/modelfitting.py:141 — the reference's
+    default model_type with alpha=20, get_ST_model_coeffs:269-276).
+
+    Public substitution (the statsmodels->tukey_irls / mpfit->Jacobi-GN
+    / sklearn-KMeans->pinned-Lloyd pattern): sklearn's
+    ``Lasso(fit_intercept=True, alpha)`` tol-stopped coordinate descent
+    is replaced by a from-scratch FIXED-ITERATION cyclic coordinate
+    descent in covariance (Gram) form — the soft-threshold update of
+    Friedman, Hastie & Tibshirani 2010 ("Regularization Paths for
+    GLMs via Coordinate Descent", JSS 33(1), eq. 5-9) — over the
+    EXACT INTEGER centered scatter derived from the lattice moments:
+
+        A_jk = n*g_jk - g_0j*g_0k   (int64, exact)
+        S_jk = A_jk / n / (s_j*s_k) (one rounded division; the
+                                     lattice scales are powers of two,
+                                     so their division is exact)
+        rho_j = C_j - sum_{k != j} S_jk * w_k   (ordered left fold,
+                                                 k ascending)
+        w_j  <- 0                      if |rho_j| <= n*alpha
+                (rho_j -+ n*alpha)/S_jj otherwise
+
+    cycled over features [t, cos1, sin1] in that fixed order for
+    ``n_cycles`` full cycles from w = 0. Intercept = centered mean
+    chain; RSS by the moment identity in the same i-major order as
+    ``season_trend_finish``. Every float op is a deterministic chain
+    over exact integers — the SQL-oracle parity contract. Simple tier
+    only (12-17 observations, 4 coefficients); int64 bound:
+    n*g_jk <= 17^2 * lattice^2 ~ 3.2e14 at the default lattice.
+    """
+    L = float(lattice)
+    sc = [1.0, L, L]  # scales of features t, cos1, sin1 (cols 1..3)
+    feats = (1, 2, 3)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_all = batch["n_obs"].to_numpy().astype(np.int64)
+        sel = np.flatnonzero(
+            (n_all >= TIER_MIN_OBS) & (n_all < TIER_ADVANCED)
+        )
+        pix = batch[pixel_col].to_numpy().astype(np.int64)[sel]
+        n = n_all[sel]
+        dn = n.astype(np.float64)
+        g0 = [
+            batch[f"g0{c}"].to_numpy().astype(np.int64)[sel]
+            for c in feats
+        ]
+        xy0 = batch["xy0"].to_numpy().astype(np.int64)[sel]
+        cxy = [
+            batch[f"xy{c}"].to_numpy().astype(np.int64)[sel]
+            for c in feats
+        ]
+        yy = batch["yy"].to_numpy().astype(np.int64)[sel]
+        S: dict[tuple[int, int], np.ndarray] = {}
+        for a in range(3):
+            for b in range(a, 3):
+                gint = batch[f"g{feats[a]}{feats[b]}"].to_numpy()
+                gint = gint.astype(np.int64)[sel]
+                aint = n * gint - g0[a] * g0[b]
+                S[(a, b)] = aint.astype(np.float64) / dn / (
+                    sc[a] * sc[b]
+                )
+                S[(b, a)] = S[(a, b)]
+        C = [
+            (n * cxy[j] - g0[j] * xy0).astype(np.float64)
+            / dn
+            / sc[j]
+            for j in range(3)
+        ]
+        syy = (n * yy - xy0 * xy0).astype(np.float64) / dn
+        thr = alpha * dn
+        if len(sel):
+            assert all(float(np.min(S[(j, j)])) > 0.0 for j in range(3))
+        w = [np.zeros(len(sel)) for _ in range(3)]
+        for _ in range(n_cycles):
+            for j in range(3):
+                rho = C[j].copy()
+                for k in range(3):
+                    if k != j:
+                        rho = rho - S[(j, k)] * w[k]
+                w[j] = np.where(
+                    np.abs(rho) <= thr,
+                    0.0,
+                    np.where(
+                        rho > 0.0,
+                        (rho - thr) / S[(j, j)],
+                        (rho + thr) / S[(j, j)],
+                    ),
+                )
+        icpt = xy0.astype(np.float64) / dn
+        for j in range(3):
+            icpt = icpt - w[j] * (
+                g0[j].astype(np.float64) / dn / sc[j]
+            )
+        rss = syy.copy()
+        for j in range(3):
+            rss = rss - 2.0 * w[j] * C[j]
+        for j in range(3):
+            for k in range(3):
+                rss = rss + w[j] * w[k] * S[(j, k)]
+        rmse = np.sqrt(np.maximum(rss, 0.0) / dn)
+        nonzero = np.zeros(len(sel), dtype=np.int64)
+        for j in range(3):
+            nonzero = nonzero + (w[j] != 0.0).astype(np.int64)
+        return pa.table(
+            {
+                pixel_col: pix,
+                "n_obs": n,
+                "slope": w[0],
+                "intercept": icpt,
+                "cos1": w[1],
+                "sin1": w[2],
+                "rmse": rmse,
+                "nonzero": nonzero,
+            }
+        )
+
+    return moments.map_batches(
+        finish, batch_format="pyarrow", batch_size=65536
+    )
+
+
 def predict_for_day(
     models: ray.data.Dataset,
     t0: ray.data.Dataset,

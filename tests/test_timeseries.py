@@ -279,3 +279,135 @@ def test_t0_attach_auto_routes_by_measured_size(
     b_df = b.to_pandas().sort_values("pix").reset_index(drop=True)
     assert calls, "auto above threshold must engage the join path"
     assert (a_df.to_numpy() == b_df.to_numpy()).all()
+
+
+def _lasso_residual_form(tbl, alpha, n_cycles, lattice=ts.LATTICE):
+    """Per-pixel RESIDUAL-update cyclic coordinate descent on the
+    descaled quantized design — the textbook form of the same
+    fixed-iteration algorithm the finisher runs in covariance (Gram)
+    form. Exact-arithmetic-equal; float paths differ at the ulp
+    level, so comparisons are toleranced."""
+    df = tbl.to_pandas()
+    out = {}
+    for p, g in df.groupby("pix"):
+        t = g["t"].to_numpy()
+        y = g["y"].to_numpy().astype(np.float64)
+        n = len(t)
+        if not (ts.TIER_MIN_OBS <= n < ts.TIER_ADVANCED):
+            continue
+        tr = t - t.min()
+        cols = ts._quant_cols(tr, lattice)
+        X = np.stack(
+            [
+                cols[i].astype(np.float64) / ts._scale_of(i, lattice)
+                for i in (1, 2, 3)
+            ],
+            axis=1,
+        )
+        Xm = X.mean(axis=0)
+        ym = y.mean()
+        Xc = X - Xm
+        yc = y - ym
+        w = np.zeros(3)
+        thr = n * alpha
+        for _ in range(n_cycles):
+            for j in range(3):
+                r_part = yc - Xc @ w + Xc[:, j] * w[j]
+                rho = Xc[:, j] @ r_part
+                denom = Xc[:, j] @ Xc[:, j]
+                w[j] = (
+                    0.0
+                    if abs(rho) <= thr
+                    else (rho - np.sign(rho) * thr) / denom
+                )
+        icpt = ym - Xm @ w
+        resid = y - (icpt + X @ w)
+        out[p] = (w.copy(), icpt, float(np.sqrt(np.mean(resid**2))))
+    return out
+
+
+def _lasso_models(tbl, parts, **kw):
+    import ray.data
+
+    ds = ray.data.from_arrow(tbl).repartition(parts)
+    moments, _t0 = ts.season_trend_moments(ds, "pix", "t", "y")
+    return (
+        ts.season_trend_lasso_finish(moments, "pix", **kw)
+        .to_pandas()
+        .set_index("pix")
+        .sort_index()
+    )
+
+
+def test_lasso_matches_residual_form_cd(ray_session):
+    """Gram-form fixed-iteration CD == residual-form CD (same cycles,
+    same soft threshold) within float tolerance, on a fixture where
+    the sparsity pattern varies across pixels."""
+    rng = np.random.default_rng(11)
+    tbl = _series(rng, 10, (12, 18))
+    got = _lasso_models(tbl, 4, alpha=40.0, n_cycles=5)
+    want = _lasso_residual_form(tbl, 40.0, 5)
+    assert set(got.index) == set(want)
+    nz_counts = set()
+    for p, (w, icpt, rmse) in want.items():
+        row = got.loc[p]
+        np.testing.assert_allclose(
+            [row["slope"], row["cos1"], row["sin1"]], w,
+            rtol=1e-8, atol=1e-10,
+        )
+        # identical support (which coefficients were zeroed)
+        assert (
+            np.array([row["slope"], row["cos1"], row["sin1"]]) != 0
+        ).tolist() == (w != 0).tolist()
+        np.testing.assert_allclose(row["intercept"], icpt, rtol=1e-8)
+        np.testing.assert_allclose(row["rmse"], rmse, rtol=1e-6)
+        nz_counts.add(int(row["nonzero"]))
+    assert len(nz_counts) >= 2, "fixture must vary the support"
+
+
+def test_lasso_alpha_limits(ray_session):
+    """alpha -> huge zeroes every coefficient (intercept = mean,
+    RMSE = population stddev); alpha -> ~0 with enough cycles
+    converges to the OLS season-trend solution."""
+    rng = np.random.default_rng(5)
+    tbl = _series(rng, 6, (12, 18))
+    big = _lasso_models(tbl, 3, alpha=1e9, n_cycles=5)
+    df = tbl.to_pandas()
+    for p, g in df.groupby("pix"):
+        if not (ts.TIER_MIN_OBS <= len(g) < ts.TIER_ADVANCED):
+            continue
+        y = g["y"].to_numpy().astype(np.float64)
+        row = big.loc[p]
+        assert row["nonzero"] == 0
+        assert row[["slope", "cos1", "sin1"]].to_numpy().tolist() == [
+            0.0, 0.0, 0.0,
+        ]
+        np.testing.assert_allclose(row["intercept"], y.mean(), rtol=1e-12)
+        np.testing.assert_allclose(row["rmse"], y.std(), rtol=1e-9)
+
+    import ray.data
+
+    small = _lasso_models(tbl, 3, alpha=1e-9, n_cycles=400)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    models, _t0 = ts.season_trend_fit(ds, "pix", "t", "y")
+    ols = models.to_pandas().set_index("pix").sort_index()
+    for p in small.index:
+        np.testing.assert_allclose(
+            small.loc[p, ["slope", "cos1", "sin1"]].to_numpy(),
+            ols.loc[p, ["coef1", "coef2", "coef3"]].to_numpy(),
+            rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            small.loc[p, "intercept"], ols.loc[p, "coef0"], rtol=1e-6
+        )
+
+
+def test_lasso_partition_independent_bits(ray_session):
+    """Integer moments are order-independent and the finisher is a
+    deterministic chain — results must be bit-identical across
+    partitionings."""
+    rng = np.random.default_rng(13)
+    tbl = _series(rng, 8, (12, 18))
+    a = _lasso_models(tbl, 2, alpha=1.0)
+    b = _lasso_models(tbl, 7, alpha=1.0)
+    assert (a.to_numpy() == b.to_numpy()).all()
