@@ -3,9 +3,9 @@
 Reference surface: classification/classimblearn.py —
 ``near_miss_undersample_smpls`` (:280, NearMiss v1),
 ``edited_near_neigh_undersample_smpls`` (:309, ENN, n_neighbors=3,
-kind_sel='all'), and the Tomek-link halves of
-``one_sided_sel_undersample_smpls``/``smotetomek_combined_sample_smpls``
-(:419/:504).  The reference delegates to the imbalanced-learn
+kind_sel='all'), ``one_sided_sel_undersample_smpls`` (:419, the
+imblearn one-shot OSS + auto Tomek) and
+``smotetomek_combined_sample_smpls`` (:504, SMOTE + Tomek 'all').  The reference delegates to the imbalanced-learn
 package (absent here); these are from-scratch implementations of the
 published algorithms with this engine's deterministic tie rules.
 
@@ -598,6 +598,160 @@ def smote_enn_combined(
             "cls": ccls_all[keep],
             **{
                 col: (cX997[keep, j] / 997.0)
+                for j, col in enumerate(feat_cols)
+            },
+        }
+    )
+    return ray.data.from_arrow(out_tbl).repartition(4)
+
+
+def smote_tomek_combined(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    k: int = 5,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """SMOTETomek (classimblearn.py:504
+    smotetomek_combined_sample_smpls via imblearn): SMOTE to the
+    majority count, then TomekLinks with sampling_strategy='all'
+    (the SMOTETomek default — BOTH members of every differing-class
+    mutual-1-NN pair are removed, no minority exemption) over the
+    combined set.  Same x997 integer internal scale as
+    ``smote_enn_combined`` so the post-SMOTE 1-NN order is an exact
+    integer comparison; ties (d2, id) ascending."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    u, cnt = np.unique(cls, return_counts=True)
+    maj_i = np.lexsort((u, -cnt))[0]
+    maj_cnt = int(cnt[maj_i])
+    all_ids = [ids]
+    all_cls = [cls]
+    all_X997 = [X * 997]
+    for ci, c in enumerate(u):
+        if ci == maj_i or cnt[ci] == maj_cnt:
+            continue
+        cmask = cls == c
+        cX, cids = X[cmask], ids[cmask]
+        n_c = len(cids)
+        need = maj_cnt - n_c
+        nbrs = np.empty((n_c, k), dtype=np.int64)
+        for lo in range(0, n_c, batch_size):
+            hi = min(lo + batch_size, n_c)
+            d2 = _d2_block(cX[lo:hi], cX)
+            nbrs[lo:hi] = _knn_ids(
+                d2, cids, k, exclude_ids=cids[lo:hi]
+            )[0]
+        tt = np.arange(need, dtype=np.int64)
+        base = tt % n_c
+        slot = (tt * 7 + 3) % k
+        mq = (tt * 31 + 11) % 997
+        nid = nbrs[base, slot]
+        npos = np.searchsorted(cids, nid)
+        synX = 997 * cX[base] + mq[:, None] * (cX[npos] - cX[base])
+        all_ids.append(c * 100000 + tt)
+        all_cls.append(np.full(need, c, dtype=np.int64))
+        all_X997.append(synX)
+    cids_all = np.concatenate(all_ids)
+    ccls_all = np.concatenate(all_cls)
+    cX997 = np.concatenate(all_X997)
+    order = np.argsort(cids_all)
+    cids_all, ccls_all, cX997 = (
+        cids_all[order], ccls_all[order], cX997[order],
+    )
+    # Tomek sampling_strategy='all' over the x997-scaled integers
+    nn1 = np.empty(len(cids_all), dtype=np.int64)
+    for lo in range(0, len(cids_all), batch_size):
+        hi = min(lo + batch_size, len(cids_all))
+        d2 = _d2_block(cX997[lo:hi], cX997)
+        nn1[lo:hi] = _knn_ids(
+            d2, cids_all, 1, exclude_ids=cids_all[lo:hi]
+        )[0][:, 0]
+    pos = np.searchsorted(cids_all, nn1)
+    mutual = nn1[pos] == cids_all
+    link = mutual & (ccls_all != ccls_all[pos])
+    keep = ~link
+    out_tbl = pa.table(
+        {
+            "out_id": cids_all[keep],
+            "cls": ccls_all[keep],
+            **{
+                col: (cX997[keep, j] / 997.0)
+                for j, col in enumerate(feat_cols)
+            },
+        }
+    )
+    return ray.data.from_arrow(out_tbl).repartition(4)
+
+
+def one_sided_selection_undersample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """OneSidedSelection (classimblearn.py:419
+    one_sided_sel_undersample_smpls via imblearn; Kubat & Matwin
+    1997 as implemented by imbalanced-learn): for each non-minority
+    class c, fit a 1-NN classifier on C = (all minority samples +
+    ONE seed sample of class c) and keep, besides the seed, only the
+    class-c samples that C MISCLASSIFIES (one shot — imblearn's OSS
+    does NOT grow the store, unlike Hart's CNN); minority rows always
+    survive.  Then TomekLinks with the default 'auto' strategy drops
+    the non-minority member of every differing-class mutual-1-NN
+    pair.  imblearn's ``random_state.randint`` seed draw is replaced
+    by the LOWEST-ID class-c sample (the splitmix64-free pinned
+    substitution used across this family); 1-NN ties (d2, id)
+    ascending, exact integer distances."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    mino = minority_class(cls)
+    mmask = cls == mino
+    keep_mask = mmask.copy()
+    for c in np.unique(cls):
+        if int(c) == mino:
+            continue
+        cmask = cls == c
+        cids = ids[cmask]
+        cX = X[cmask]
+        # pinned seed: lowest id of the class (ids are sorted asc)
+        C_X = np.concatenate([X[mmask], cX[:1]])
+        C_ids = np.concatenate([ids[mmask], cids[:1]])
+        C_cls = np.concatenate(
+            [cls[mmask], np.array([c], dtype=np.int64)]
+        )
+        S_X, S_ids = cX[1:], cids[1:]
+        pred = np.empty(len(S_ids), dtype=np.int64)
+        for lo in range(0, len(S_ids), batch_size):
+            hi = min(lo + batch_size, len(S_ids))
+            d2 = _d2_block(S_X[lo:hi], C_X)
+            nbr = _knn_ids(d2, C_ids, 1)[0][:, 0]
+            # C ids are not sorted (seed appended); map via argsort
+            co = np.argsort(C_ids)
+            pred[lo:hi] = C_cls[co[np.searchsorted(C_ids[co], nbr)]]
+        mis_ids = S_ids[pred != c]
+        keep_mask |= np.isin(ids, np.concatenate([cids[:1], mis_ids]))
+    kids = ids[keep_mask]
+    kcls = cls[keep_mask]
+    kX = X[keep_mask]
+    # Tomek 'auto': drop non-minority members of mutual links
+    nn1 = np.empty(len(kids), dtype=np.int64)
+    for lo in range(0, len(kids), batch_size):
+        hi = min(lo + batch_size, len(kids))
+        d2 = _d2_block(kX[lo:hi], kX)
+        nn1[lo:hi] = _knn_ids(
+            d2, kids, 1, exclude_ids=kids[lo:hi]
+        )[0][:, 0]
+    pos = np.searchsorted(kids, nn1)
+    mutual = nn1[pos] == kids
+    link = mutual & (kcls != kcls[pos])
+    drop = link & (kcls != mino)
+    out_tbl = pa.table(
+        {
+            "id": kids[~drop],
+            "cls": kcls[~drop],
+            **{
+                col: kX[~drop, j]
                 for j, col in enumerate(feat_cols)
             },
         }

@@ -276,3 +276,130 @@ def test_smoteenn_cleans_all_classes(ray_session):
         o = np.lexsort((all_ids, d2))
         o = o[all_ids[o] != rid][:3]
         assert (all_cls[o] == int(df["cls"][row])).all()
+
+
+def test_smotetomek_drops_both_link_members(ray_session):
+    """SMOTETomek: sampling_strategy='all' — for every dropped row
+    its mutual differing-class 1-NN partner is dropped too (BOTH
+    members go, unlike the 'auto' Tomek); synthetics survive; and
+    the result is partition-independent."""
+    from rsgislib_ray.stages.imblearn import (
+        _d2_block, _knn_ids, smote_oversample, smote_tomek_combined,
+    )
+
+    tbl = _imb_src_tbl()
+    d = ray.data.from_arrow(tbl).repartition(6)
+    df = (
+        smote_tomek_combined(d, "id", "cls", _IMB_FEATS)
+        .to_pandas().sort_values("out_id").reset_index(drop=True)
+    )
+    assert (df["out_id"] >= 100000).any()
+    # rebuild the combined x997 set from the stage contracts
+    syn = (
+        smote_oversample(d, "id", "cls", _IMB_FEATS)
+        .to_pandas().sort_values("syn_id")
+    )
+    all_ids = np.concatenate(
+        [tbl["id"].to_numpy(), syn["syn_id"].to_numpy()]
+    ).astype(np.int64)
+    all_cls = np.concatenate(
+        [tbl["cls"].to_numpy(), syn["cls"].to_numpy()]
+    ).astype(np.int64)
+    allX = np.concatenate(
+        [
+            np.stack([tbl[c].to_numpy() for c in _IMB_FEATS], 1) * 997,
+            np.rint(
+                np.stack([syn[c].to_numpy() for c in _IMB_FEATS], 1)
+                * 997.0
+            ).astype(np.int64),
+        ]
+    )
+    order = np.argsort(all_ids)
+    all_ids, all_cls, allX = all_ids[order], all_cls[order], allX[order]
+    nn1 = _knn_ids(
+        _d2_block(allX, allX), all_ids, 1, exclude_ids=all_ids
+    )[0][:, 0]
+    pos = np.searchsorted(all_ids, nn1)
+    link = (nn1[pos] == all_ids) & (all_cls != all_cls[pos])
+    dropped = set(all_ids[link].tolist())
+    kept = set(df["out_id"].tolist())
+    assert dropped and kept == set(all_ids.tolist()) - dropped
+    # every dropped row's partner is dropped (pairs go together)
+    partner = dict(zip(all_ids.tolist(), nn1.tolist()))
+    for i in dropped:
+        assert partner[i] in dropped
+    # minority originals CAN be dropped under 'all'
+    mino = minority_class(tbl["cls"].to_numpy())
+    mino_ids = set(
+        tbl["id"].to_numpy()[tbl["cls"].to_numpy() == mino].tolist()
+    )
+    assert mino_ids - kept, "'all' strategy must not exempt minority"
+    d2p = ray.data.from_arrow(tbl).repartition(2)
+    df2 = (
+        smote_tomek_combined(d2p, "id", "cls", _IMB_FEATS)
+        .to_pandas().sort_values("out_id").reset_index(drop=True)
+    )
+    assert (df.to_numpy() == df2.to_numpy()).all()
+
+
+def test_oss_one_shot_scan_and_tomek(ray_session):
+    """OneSidedSelection vs a naive per-row transcription: fixed
+    1-NN store (minority + lowest-id seed per class), one-shot
+    misclassification keep, then 'auto' Tomek; minority never
+    dropped by the scan, seeds kept unless Tomek-linked."""
+    from rsgislib_ray.stages.imblearn import (
+        one_sided_selection_undersample,
+    )
+
+    tbl = _imb_src_tbl()
+    ids = tbl["id"].to_numpy().astype(np.int64)
+    cls = tbl["cls"].to_numpy().astype(np.int64)
+    X = np.stack([tbl[c].to_numpy() for c in _IMB_FEATS], 1).astype(
+        np.int64
+    )
+    mino = minority_class(cls)
+    kept = set(ids[cls == mino].tolist())
+    for c in sorted(set(cls.tolist())):
+        if c == mino:
+            continue
+        cid = ids[cls == c]
+        seed = int(cid.min())
+        store = [(int(i), int(cc)) for i, cc in zip(ids, cls)
+                 if cc == mino or i == seed]
+        kept.add(seed)
+        for i in cid:
+            if int(i) == seed:
+                continue
+            xi = X[ids == i][0]
+            best = min(
+                (int(((X[ids == j] - xi) ** 2).sum()), j, cj)
+                for j, cj in store
+            )
+            if best[2] != c:
+                kept.add(int(i))
+    # naive auto-Tomek over kept
+    kl = sorted(kept)
+    kX = np.stack([X[ids == i][0] for i in kl])
+    kc = np.array([cls[ids == i][0] for i in kl])
+    nn = []
+    for a in range(len(kl)):
+        d2 = ((kX - kX[a]) ** 2).sum(1)
+        cand = sorted(
+            (int(d2[b]), kl[b]) for b in range(len(kl)) if b != a
+        )
+        nn.append(cand[0][1])
+    idx = {v: i for i, v in enumerate(kl)}
+    final = set()
+    for a in range(len(kl)):
+        b = idx[nn[a]]
+        is_link = nn[b] == kl[a] and kc[a] != kc[b]
+        if not (is_link and kc[a] != mino):
+            final.add(kl[a])
+    d = ray.data.from_arrow(tbl).repartition(6)
+    df = (
+        one_sided_selection_undersample(d, "id", "cls", _IMB_FEATS)
+        .to_pandas().sort_values("id")
+    )
+    assert set(df["id"].tolist()) == final
+    # scan must have excluded some majority rows
+    assert len(final) < len(ids)
