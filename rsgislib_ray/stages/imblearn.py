@@ -759,6 +759,84 @@ def one_sided_selection_undersample(
     return ray.data.from_arrow(out_tbl).repartition(4)
 
 
+def condensed_nn_undersample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    class_col: str,
+    feat_cols: list[str],
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """CondensedNearestNeighbour (classimblearn.py:390
+    condensed_near_neigh_undersample_smpls via imblearn; Hart 1968):
+    per non-minority class c the STORE starts as all minority
+    samples + one seed of class c, then class-c samples are scanned
+    and every sample the store's 1-NN rule MISCLASSIFIES is added to
+    the store immediately (later samples in the same pass see it);
+    passes repeat over the class until one makes no additions (the
+    Hart fixpoint).  Output = the union of the per-class stores
+    (minority survives whole, each majority class keeps its
+    condensed set).
+
+    Pinned substitutions (the family contract): imblearn's
+    random-seed draw -> the LOWEST-ID class-c sample; its single
+    re-predict-S loop -> Hart's published multi-pass scan; scan
+    order = id ascending; 1-NN ties (d2, id) ascending over exact
+    integer distances.  The scan is inherently sequential (the store
+    grows mid-pass), so it runs on the driver over the broadcast
+    feature matrix — the same small-side contract as the rest of
+    this family — while the SQL oracle replays the identical
+    scan as a recursive CTE carrying the store list.  A store
+    member scanning itself is its own 0-distance 1-NN (self-pairs
+    kept in the distance relation), so it classifies correctly and
+    is never re-added — the skip rule needs no special case."""
+    ids, cls, X = _gather(ds, id_col, class_col, feat_cols)
+    mino = minority_class(cls)
+    keep = np.zeros(len(ids), dtype=bool)
+    keep[cls == mino] = True
+    d2max = int(
+        max(
+            (int(X[:, j].max()) - int(X[:, j].min())) ** 2
+            for j in range(X.shape[1])
+        )
+    ) * X.shape[1]
+    assert d2max * 1048576 + len(ids) < (1 << 62)
+    assert int(ids.max()) < 1048576
+    for c in np.unique(cls):
+        if int(c) == mino:
+            continue
+        cmask = cls == c
+        cids = ids[cmask]
+        cX = X[cmask]
+        store = (cls == mino).copy()
+        store[np.searchsorted(ids, cids[0])] = True
+        D = np.empty((len(cids), len(ids)), dtype=np.int64)
+        for lo in range(0, len(cids), batch_size):
+            hi = min(lo + batch_size, len(cids))
+            D[lo:hi] = _d2_block(cX[lo:hi], X)
+        key_all = D * 1048576 + ids[None, :]
+        changed = True
+        while changed:
+            changed = False
+            for si in range(len(cids)):
+                cand = np.flatnonzero(store)
+                nn_pos = cand[np.argmin(key_all[si, cand])]
+                if cls[nn_pos] != c:
+                    store[np.searchsorted(ids, cids[si])] = True
+                    changed = True
+        keep |= store & cmask
+    out_tbl = pa.table(
+        {
+            "id": ids[keep],
+            "cls": cls[keep],
+            **{
+                col: X[keep, j]
+                for j, col in enumerate(feat_cols)
+            },
+        }
+    )
+    return ray.data.from_arrow(out_tbl).repartition(4)
+
+
 def repeated_enn_undersample(
     ds: ray.data.Dataset,
     id_col: str,

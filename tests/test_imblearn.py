@@ -403,3 +403,65 @@ def test_oss_one_shot_scan_and_tomek(ray_session):
     assert set(df["id"].tolist()) == final
     # scan must have excluded some majority rows
     assert len(final) < len(ids)
+
+
+def test_condensed_nn_sequential_scan(ray_session):
+    """Hart CNN vs a naive pure-Python transcription (growing store,
+    multi-pass, (d2,id) ties); the mid-scan growth must MATTER on
+    this fixture (some scanned sample classifies correctly only
+    because an earlier addition in the same pass is its 1-NN — i.e.
+    the result differs from the one-shot decoupled scan), and the
+    result is partition-independent."""
+    from rsgislib_ray.stages.imblearn import condensed_nn_undersample
+
+    tbl = _imb_src_tbl()
+    ids = tbl["id"].to_numpy().astype(np.int64)
+    cls = tbl["cls"].to_numpy().astype(np.int64)
+    X = np.stack([tbl[c].to_numpy() for c in _IMB_FEATS], 1).astype(
+        np.int64
+    )
+    mino = minority_class(cls)
+    kept = set(ids[cls == mino].tolist())
+    one_shot = set(kept)
+    for c in sorted(set(cls.tolist())):
+        if c == mino:
+            continue
+        cid = sorted(ids[cls == c].tolist())
+        store = set(ids[cls == mino].tolist()) | {cid[0]}
+        frozen = sorted(store)
+
+        def nn_cls(i, members):
+            xi = X[ids == i][0]
+            best = min(
+                (int(((X[ids == j][0] - xi) ** 2).sum()), j)
+                for j in members
+            )
+            return int(cls[ids == best[1]][0])
+
+        changed = True
+        while changed:
+            changed = False
+            for i in cid:
+                if nn_cls(i, sorted(store)) != c:
+                    if i not in store:
+                        store.add(i)
+                        changed = True
+        kept |= {i for i in store if cls[ids == i][0] == c}
+        one_shot |= {cid[0]} | {
+            i for i in cid if nn_cls(i, frozen) != c
+        }
+    d = ray.data.from_arrow(tbl).repartition(6)
+    df = (
+        condensed_nn_undersample(d, "id", "cls", _IMB_FEATS)
+        .to_pandas().sort_values("id")
+    )
+    assert set(df["id"].tolist()) == kept
+    assert kept != one_shot, (
+        "fixture must exercise the sequential (growing-store) path"
+    )
+    d2p = ray.data.from_arrow(tbl).repartition(2)
+    df2 = (
+        condensed_nn_undersample(d2p, "id", "cls", _IMB_FEATS)
+        .to_pandas().sort_values("id")
+    )
+    assert (df.to_numpy() == df2.to_numpy()).all()
