@@ -203,3 +203,74 @@ def test_singletons_single_sweep_exact(ray_session):
     after = out.to_pandas().groupby("elim_label").size()
     # with an effectively infinite threshold every singleton merges
     assert (after > 1).all()
+
+
+def test_felzenszwalb_pinned_vs_naive(ray_session):
+    """felzenszwalb_pinned vs an independent naive transcription
+    (dict-based union-find with path lookup, same pinned rules);
+    plus the min-size guarantee (connected grid -> every final
+    component >= min_size) and partition independence."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rsgislib_ray.pipelines.queries import _fz_src_tbl, _FZ_W
+    from rsgislib_ray.stages.segmentation import felzenszwalb_pinned
+
+    tbl = _fz_src_tbl()
+    W = H = _FZ_W
+    scale, min_size = 18, 5
+    val = tbl["val"].to_numpy().astype(int).reshape(H, W)
+    edges = []
+    for d, (dr, dc) in enumerate([(0, 1), (1, 0), (1, 1), (-1, 1)]):
+        for r in range(H):
+            for c in range(W):
+                r2, c2 = r + dr, c + dc
+                if 0 <= r2 < H and 0 <= c2 < W:
+                    edges.append(
+                        (abs(int(val[r2, c2]) - int(val[r, c])), d,
+                         r * W + c, r2 * W + c2)
+                    )
+    edges.sort()
+    comp = list(range(W * H))
+    cint = [0] * (W * H)
+    size = [1] * (W * H)
+
+    def merge(ra, rb, w):
+        lo, hi = min(ra, rb), max(ra, rb)
+        for i in range(len(comp)):
+            if comp[i] == hi:
+                comp[i] = lo
+        cint[lo] = w
+        size[lo] = size[lo] + size[hi]
+
+    for w, d, u, v in edges:
+        ra, rb = comp[u], comp[v]
+        if ra != rb and (w - cint[ra]) * size[ra] < scale \
+                and (w - cint[rb]) * size[rb] < scale:
+            merge(ra, rb, w)
+    for w, d, u, v in edges:
+        ra, rb = comp[u], comp[v]
+        if ra != rb and (size[ra] < min_size or size[rb] < min_size):
+            merge(ra, rb, w)
+    reps = sorted(set(comp))
+    want = np.array([reps.index(comp[i]) + 1 for i in range(W * H)])
+
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = (
+        felzenszwalb_pinned(ds, W, H, scale=scale, min_size=min_size)
+        .to_pandas().sort_values("pixel_id")["label"].to_numpy()
+    )
+    assert (got == want).all()
+    # every final component is at least min_size (grid is connected)
+    import collections
+
+    sizes = collections.Counter(got.tolist())
+    assert min(sizes.values()) >= min_size
+    assert len(sizes) > 1
+    ds2 = ray.data.from_arrow(tbl).repartition(11)
+    got2 = (
+        felzenszwalb_pinned(ds2, W, H, scale=scale, min_size=min_size)
+        .to_pandas().sort_values("pixel_id")["label"].to_numpy()
+    )
+    assert (got == got2).all()
