@@ -99,6 +99,68 @@ def correlation_from_moments(m: dict, i: int = 0, j: int = 1) -> float:
     return num / math.sqrt(vx * vy)
 
 
+def jacobi_eigh_pinned(
+    C: np.ndarray, sweeps: int = 8
+) -> tuple[list[float], list[list[float]]]:
+    """Cyclic Jacobi eigensolver for a small symmetric matrix — the
+    PINNED public substitution for ``np.linalg.eigh`` (LAPACK dsyevd's
+    divide-and-conquer is not transcribable; the classical Jacobi
+    rotation sweep, Golub & Van Loan §8.5, is a pure scalar
+    +,-,*,/,sqrt chain).  Fixed ``sweeps`` full cycles over pairs
+    (p,q) in row-major order; per rotation: tau = (a_qq-a_pp)/(2
+    a_pq), t = sign(tau)/(|tau|+sqrt(1+tau^2)), c = 1/sqrt(1+t^2),
+    s = t*c, with the a_pq == 0 branch pinned to (c,s) = (1,0) —
+    which makes every update expression an exact pass-through, so
+    the SQL oracle needs no per-entry CASE.  Updates are functional
+    (all new entries from old values) in the documented order; the
+    exact op sequence is the oracle parity contract.  Returns
+    (diag eigenvalue list, V as row-major nested list — COLUMNS are
+    eigenvectors).  Quadratic convergence: 8 sweeps reach machine
+    precision for d <= 8 (pytest-checked invariants)."""
+    d = C.shape[0]
+    A = [[float(C[i, j]) for j in range(d)] for i in range(d)]
+    V = [
+        [1.0 if i == j else 0.0 for j in range(d)] for i in range(d)
+    ]
+    for _ in range(sweeps):
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                apq = A[p][q]
+                if apq == 0.0:
+                    c, s = 1.0, 0.0
+                else:
+                    tau = (A[q][q] - A[p][p]) / (2.0 * apq)
+                    if tau >= 0.0:
+                        t = 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+                    else:
+                        t = -1.0 / (
+                            (-tau) + math.sqrt(1.0 + tau * tau)
+                        )
+                    c = 1.0 / math.sqrt(1.0 + t * t)
+                    s = t * c
+                oldp = [A[i][p] for i in range(d)]
+                oldq = [A[i][q] for i in range(d)]
+                app, aqq = A[p][p], A[q][q]
+                for i in range(d):
+                    if i != p and i != q:
+                        nip = c * oldp[i] - s * oldq[i]
+                        niq = s * oldp[i] + c * oldq[i]
+                        A[i][p] = A[p][i] = nip
+                        A[i][q] = A[q][i] = niq
+                A[p][p] = ((c * c) * app - (2.0 * c * s) * apq) + (
+                    s * s
+                ) * aqq
+                A[q][q] = ((s * s) * app + (2.0 * c * s) * apq) + (
+                    c * c
+                ) * aqq
+                A[p][q] = A[q][p] = 0.0
+                for i in range(d):
+                    vip, viq = V[i][p], V[i][q]
+                    V[i][p] = c * vip - s * viq
+                    V[i][q] = s * vip + c * viq
+    return [A[i][i] for i in range(d)], V
+
+
 def image_pca(
     ds: ray.data.Dataset,
     cols: list[str],
@@ -106,30 +168,44 @@ def image_pca(
     key_col: str = "cell_key",
 ) -> tuple[ray.data.Dataset, np.ndarray, np.ndarray]:
     """perform_image_pca: eigendecompose the (tiny, driver-side)
-    covariance from exact distributed moments, fix each component's
-    sign (largest-|loading| entry positive) for determinism, then
-    project every cell in a second streaming pass. Returns
+    covariance from exact distributed moments via the PINNED cyclic
+    Jacobi (``jacobi_eigh_pinned`` — so the whole chain from integer
+    moments to scores is a deterministic float sequence the SQL
+    oracle replays), fix each component's sign (largest-|loading|
+    entry positive, first-max ties) for determinism, then project
+    every cell in a second streaming pass as ordered left folds (no
+    BLAS matmul — gemm summation order is unspecified). Eigenvalues
+    must be distinct (asserted; strict-greater rank ordering is the
+    oracle's tie-free contract). Returns
     ``(scores_ds, components[k,d], eigenvalues[k])``."""
     m = band_cross_moments(ds, cols)
     cov = covariance_from_moments(m)
+    d = len(cols)
     mean = np.array([si / m["n"] for si in m["s"]])
-    w, v = np.linalg.eigh(cov)
-    order = np.argsort(w)[::-1][:k]
-    comps = v[:, order].T.copy()  # (k, d)
+    evs, V = jacobi_eigh_pinned(cov)
+    rks = [
+        sum(1 for j in range(d) if evs[j] > evs[i]) for i in range(d)
+    ]
+    assert sorted(rks) == list(range(d)), "distinct eigenvalues"
+    comps = np.array(
+        [[V[j][rks.index(r)] for j in range(d)] for r in range(k)]
+    )
     for r in range(k):
         a = int(np.argmax(np.abs(comps[r])))
         if comps[r, a] < 0:
             comps[r] = -comps[r]
-    evals = w[order]
+    evals = np.array([evs[rks.index(r)] for r in range(k)])
 
     def project(batch: pa.Table) -> pa.Table:
-        x = np.stack(
-            [batch[c].to_numpy().astype(np.float64) for c in cols], axis=1
-        )
-        sc = (x - mean) @ comps.T
+        xs = [
+            batch[c].to_numpy().astype(np.float64) for c in cols
+        ]
         out = {key_col: batch[key_col]}
         for r in range(k):
-            out[f"pc{r + 1}"] = sc[:, r]
+            acc = (xs[0] - mean[0]) * comps[r, 0]
+            for j in range(1, d):
+                acc = acc + (xs[j] - mean[j]) * comps[r, j]
+            out[f"pc{r + 1}"] = acc
         return pa.table(out)
 
     return (
@@ -514,31 +590,68 @@ def image_mnf(
     ms = band_cross_moments(ds, cols)
     cov_n = covariance_from_moments(mn)
     cov_s = covariance_from_moments(ms)
-    wn, vn = np.linalg.eigh(cov_n)
-    ihalf = vn @ np.diag(1.0 / np.sqrt(wn)) @ vn.T
-    w, v = np.linalg.eigh(ihalf @ cov_s @ ihalf)
-    order = np.argsort(w)[::-1][:k]
-    comps = (ihalf @ v[:, order]).T.copy()  # rows: MNF directions
+    # PINNED chain (the image_pca Jacobi substitution, plus ordered
+    # folds replacing every BLAS product — gemm summation order is
+    # unspecified; the SQL oracle replays this sequence verbatim):
+    # eigh(N) -> N^(-1/2) -> whitened signal covariance -> eigh ->
+    # back-transformed directions.
+    wn, vn = jacobi_eigh_pinned(cov_n)
+    invs = [1.0 / math.sqrt(wn[t]) for t in range(d)]
+    ih = [[0.0] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            acc = (vn[i][0] * invs[0]) * vn[j][0]
+            for t in range(1, d):
+                acc = acc + (vn[i][t] * invs[t]) * vn[j][t]
+            ih[i][j] = ih[j][i] = acc
+    mw = np.empty((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            acc = (ih[i][0] * float(cov_s[0, 0])) * ih[0][j]
+            first = True
+            for t in range(d):
+                for u in range(d):
+                    if first:
+                        first = False
+                        continue
+                    acc = acc + (
+                        ih[i][t] * float(cov_s[t, u])
+                    ) * ih[u][j]
+            mw[i, j] = mw[j, i] = acc
+    w2, v2 = jacobi_eigh_pinned(mw)
+    rks = [
+        sum(1 for j in range(d) if w2[j] > w2[i]) for i in range(d)
+    ]
+    assert sorted(rks) == list(range(d)), "distinct SNR eigenvalues"
+    comps = np.empty((k, d))
+    for r in range(k):
+        ir = rks.index(r)
+        for j in range(d):
+            acc = ih[j][0] * v2[0][ir]
+            for t in range(1, d):
+                acc = acc + ih[j][t] * v2[t][ir]
+            comps[r, j] = acc
     for r in range(k):
         a = int(np.argmax(np.abs(comps[r])))
         if comps[r, a] < 0:
             comps[r] = -comps[r]
+    evals = np.array([w2[rks.index(r)] for r in range(k)])
     mean = np.array([si / ms["n"] for si in ms["s"]])
 
     def project(batch: pa.Table) -> pa.Table:
-        x = np.stack(
-            [batch[c].to_numpy().astype(np.float64) for c in cols], axis=1
-        )
-        sc = (x - mean) @ comps.T
+        xs = [batch[c].to_numpy().astype(np.float64) for c in cols]
         out = {key_col: batch[key_col]}
         for r in range(k):
-            out[f"mnf{r + 1}"] = sc[:, r]
+            acc = (xs[0] - mean[0]) * comps[r, 0]
+            for j in range(1, d):
+                acc = acc + (xs[j] - mean[j]) * comps[r, j]
+            out[f"mnf{r + 1}"] = acc
         return pa.table(out)
 
     return (
         ds.map_batches(project, batch_format="pyarrow", batch_size=65536),
         comps,
-        w[order],
+        evals,
     )
 
 

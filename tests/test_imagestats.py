@@ -553,3 +553,26 @@ def test_mnf3_closed_form_matches_whitened_eigh():
                 r = -r
             np.testing.assert_allclose(comps[k], r, atol=1e-8)
             np.testing.assert_allclose(comps[k] @ N @ comps[k], 1.0, atol=1e-9)
+
+
+def test_jacobi_eigh_pinned_vs_lapack():
+    """The pinned cyclic Jacobi agrees with np.linalg.eigh on random
+    symmetric matrices (eigenvalues to 1e-12 rel; eigenvectors up to
+    sign), its V is orthonormal, and 8 sweeps reach machine-precision
+    off-diagonals for d up to 6."""
+    from rsgislib_ray.stages.imagestats import jacobi_eigh_pinned
+
+    rng = np.random.default_rng(17)
+    for d in (2, 3, 4, 6):
+        for _ in range(5):
+            B = rng.normal(size=(d, d))
+            C = B @ B.T + np.eye(d)
+            evs, V = jacobi_eigh_pinned(C)
+            w = np.linalg.eigh(C)[0]
+            assert np.allclose(sorted(evs), w, rtol=1e-12)
+            Vn = np.array(V)
+            assert np.allclose(Vn @ Vn.T, np.eye(d), atol=1e-12)
+            # V diagonalizes C
+            D = Vn.T @ C @ Vn
+            off = D - np.diag(np.diag(D))
+            assert np.abs(off).max() < 1e-9 * np.abs(D).max()
