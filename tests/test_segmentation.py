@@ -274,3 +274,75 @@ def test_felzenszwalb_pinned_vs_naive(ray_session):
         .to_pandas().sort_values("pixel_id")["label"].to_numpy()
     )
     assert (got == got2).all()
+
+
+def test_random_walker_pinned_solves_dirichlet(ray_session):
+    """The 800-round Jacobi relaxation reaches the exact Dirichlet
+    solution (np.linalg.solve of the graph Laplacian system) within
+    1e-5; the two seeded regions get distinct labels; partition
+    independent."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rsgislib_ray.pipelines.queries import (
+        _rw_src_tbl, _RW_W, _RW_T,
+    )
+    from rsgislib_ray.stages.segmentation import random_walker_pinned
+
+    tbl = _rw_src_tbl()
+    W = _RW_W
+    N = W * W
+    val = tbl["val"].to_numpy().astype(int)
+    marker = tbl["marker"].to_numpy().astype(int)
+    S = int(val.max() - val.min())
+    # exact Dirichlet solve on the weighted 4-neighbour graph
+    A = np.zeros((N, N))
+    b = np.zeros(N)
+    seeds = {i: 1.0 if marker[i] == 1 else 0.0
+             for i in range(N) if marker[i] != 0}
+    for i in range(N):
+        r, c = divmod(i, W)
+        nbrs = []
+        if r > 0:
+            nbrs.append(i - W)
+        if c < W - 1:
+            nbrs.append(i + 1)
+        if r < W - 1:
+            nbrs.append(i + W)
+        if c > 0:
+            nbrs.append(i - 1)
+        if i in seeds:
+            A[i, i] = 1.0
+            b[i] = seeds[i]
+            continue
+        den = 0.0
+        for j in nbrs:
+            w = math.exp(-(130.0 * (float((val[i] - val[j]) ** 2)
+                                    / float(S * S))))
+            den += w
+            if j in seeds:
+                b[i] += w * seeds[j]
+            else:
+                A[i, j] = -w
+        A[i, i] = den
+    x_exact = np.linalg.solve(A, b)
+
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = (
+        random_walker_pinned(ds, W, W, beta=130.0, iters=_RW_T)
+        .to_pandas().sort_values("pixel_id")
+    )
+    assert np.abs(got["prob1"].to_numpy() - x_exact).max() < 1e-5
+    lab = got["label"].to_numpy()
+    assert (lab[marker == 1] == 1).all()
+    assert (lab[marker == 2] == 2).all()
+    assert set(lab.tolist()) == {1, 2}
+    ds2 = ray.data.from_arrow(tbl).repartition(9)
+    got2 = (
+        random_walker_pinned(ds2, W, W, beta=130.0, iters=_RW_T)
+        .to_pandas().sort_values("pixel_id")
+    )
+    assert (got.to_numpy() == got2.to_numpy()).all()
