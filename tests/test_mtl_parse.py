@@ -64,3 +64,39 @@ def test_parser_multidoc_isolation():
         {"doc_id": 1, "grp": "G1", "key": "K", "val": "1"},
         {"doc_id": 2, "grp": "G2", "key": "K", "val": "2"},
     ]
+
+
+def test_sen2_mtd_parse_quirks():
+    """read_sen2_l2a_mtd_to_dict keeps the reference quirks: only the
+    FIRST Granule_List is read, the Scene_Classification INDEX stays
+    a string, optional Wavelength/Spectral_Response blocks are
+    per-band, unknown tags are skipped, and the flat row count is
+    stable."""
+    from rsgislib_ray.functions.sensors import (
+        build_sen2_l2a_mtd_xml,
+        read_sen2_l2a_mtd_to_dict,
+        sen2_mtd_flat_rows,
+    )
+
+    d = read_sen2_l2a_mtd_to_dict(build_sen2_l2a_mtd_xml())
+    gl = d["Product_Info"]["Product_Organisation"]["Granule_List"]
+    assert len(gl) == 2
+    assert all("IGNORED" not in g["granuleIdentifier"] for g in gl)
+    assert gl[0]["IMAGE_FILES"][0].startswith("GRANULE/")
+    pic = d["Product_Image_Characteristics"]
+    assert pic["Scene_Classification"]["SC_WATER"] == "6"
+    assert isinstance(pic["Scene_Classification"]["SC_WATER"], str)
+    assert pic["Special_Values"]["SATURATED"] == 65535
+    sil = pic["Spectral_Information_List"]
+    assert "Wavelength" not in sil[2]
+    assert "Spectral_Response" not in sil[1]
+    assert sil[3]["Spectral_Response"]["Values"] == [0.1, 0.7]
+    assert d["Band_LUT"]["Physical_Band"]["B8A"] == 3
+    assert d["Band_LUT"]["Band_ID"][0] == "B1"
+    import datetime
+
+    assert pic["Quantification_values"]["BOA_QUANTIFICATION_VALUE"] == 10000
+    assert isinstance(
+        d["Product_Info"]["PRODUCT_START_TIME"], datetime.datetime
+    )
+    assert len(sen2_mtd_flat_rows(d)) == 78
