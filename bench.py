@@ -171,6 +171,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "corr_window",
         "mahalanobis_to_img",
         "class_smoteenn",
+        # round-5 additions: Lasso season-trend CD, pinned-Jacobi PCA
+        # (both sf-scaling), and the sequential-replay family on their
+        # fixed fixtures (felzenszwalb, random walker, condensed NN)
+        "st_model_fit_lasso",
+        "image_pca",
+        "felzenszwalb_segments",
+        "random_walker_segments",
+        "class_condensed_nn",
         # shuffle-heavy strategies LAST: their sort/join stages leave a
         # large idle-worker pool behind that breaks the per-process
         # broadcast-cache locality of later broadcast-path queries

