@@ -950,3 +950,104 @@ def isfa_fit(
 
     ds_out = ds.map_batches(emit, batch_format="pyarrow", batch_size=batch_size)
     return ds_out, {"lamb": st["lamb"]}
+
+
+def pyod_knn_outliers(
+    ds,
+    id_col: str,
+    feat_cols: list[str],
+    k: int = 5,
+    cont_num: int = 1,
+    cont_den: int = 10,
+    batch_size: int = 4096,
+):
+    """find_class_pyod_outliers (changedetect/pxloutlierchng.py:57)
+    instantiated with the pyod KNN detector (pyod.models.knn.KNN,
+    method='largest', the library default) — the deterministic member
+    of the wrapped estimator zoo, from scratch:
+
+    - FIT on the in-mask pixel matrix: decision score = distance to
+      the k-th nearest neighbour, SELF EXCLUDED (sklearn
+      ``kneighbors()`` with X=None); since self is always the
+      0-distance minimum, the self-excluded k-th equals the
+      self-INCLUDED (k+1)-th — one distance pass serves both.
+    - THRESHOLD = the (1 - contamination) percentile of the fit
+      scores.  Pinned substitutions: squared distances replace
+      Euclidean (the percentile interpolation happens on the squared
+      scale, keeping the whole chain exact-rational over int
+      features; labels can differ from the sqrt-scale reference only
+      on the measure-zero boundary family), and numpy's float
+      ``percentile`` interpolation becomes the exact rational
+      ``thr*den*10 ~ s[j]*(10-r) + s[j+1]*r`` with
+      j = ((m-1)*9)//10, r = ((m-1)*9)%10 for contamination 1/10.
+    - PREDICT over the same in-mask pixels (the reference classifies
+      the masked image region, which contains the training pixels):
+      score = k-th nearest INCLUDING the identical training point
+      (sklearn ``kneighbors(X)`` does not exclude); outlier iff
+      10*score > thr10; labels 2 (outlier) / 1, the reference's
+      output coding.
+
+    Physical plan: the in-mask feature matrix is broadcast (training
+    contract), scoring streams per batch (exact int64 matmul +
+    ``np.partition`` order statistics), only the tiny per-pixel fit
+    scores return to the driver for the threshold, and labels attach
+    in a second streaming pass."""
+    import ray as _ray
+
+    mt = ds.select_columns([id_col] + feat_cols).to_pandas()
+    mt = mt.sort_values(id_col)
+    ids = mt[id_col].to_numpy().astype(np.int64)
+    X = np.stack(
+        [mt[c].to_numpy().astype(np.int64) for c in feat_cols], axis=1
+    )
+    xref = _ray.put((ids, X))
+
+    def score(batch: pa.Table) -> pa.Table:
+        aids, aX = _ray.get(xref)
+        bids = batch[id_col].to_numpy().astype(np.int64)
+        pos = np.searchsorted(aids, bids)
+        bX = aX[pos]
+        aa = (bX * bX).sum(axis=1)[:, None]
+        bb = (aX * aX).sum(axis=1)[None, :]
+        d2 = aa + bb - 2 * (bX @ aX.T)
+        part = np.partition(d2, k, axis=1)
+        kth_pred = np.partition(part[:, : k + 1], k - 1, axis=1)[
+            :, k - 1
+        ]
+        kth_fit = part[:, k]
+        return pa.table(
+            {
+                id_col: bids,
+                "score": kth_pred.astype(np.int64),
+                "score_fit": kth_fit.astype(np.int64),
+            }
+        )
+
+    scored = ds.map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+    s = np.sort(
+        pa.concat_tables(_ray.get(scored.to_arrow_refs()))[
+            "score_fit"
+        ].to_numpy()
+    )
+    m = len(s)
+    assert cont_num * 10 == cont_den, "pinned for contamination 1/10"
+    j = ((m - 1) * 9) // 10
+    r = ((m - 1) * 9) % 10
+    thr10 = int(s[j]) * (10 - r) + int(s[min(j + 1, m - 1)]) * r
+    tref = _ray.put(thr10)
+
+    def label(batch: pa.Table) -> pa.Table:
+        t10 = _ray.get(tref)
+        sc = batch["score"].to_numpy()
+        lab = np.where(10 * sc > t10, 2, 1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "score": sc,
+                "label": lab,
+            }
+        )
+
+    return scored.map_batches(label, batch_format="pyarrow")

@@ -208,3 +208,42 @@ def test_sfa_mirrored_partition_independent(ray_session):
             out.to_pandas().sort_values("pixel_id").reset_index(drop=True)
         )
     assert outs[0].equals(outs[1])
+
+
+def test_pyod_knn_outliers_vs_naive(ray_session):
+    """pyod_knn_outliers vs a naive per-point transcription (fit
+    scores self-excluded, predict scores self-included, exact
+    rational 90th-percentile threshold on the squared scale); the
+    planted +500/+700 change population must be flagged and at least
+    one in-distribution point must not."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rsgislib_ray.stages.changedetect import pyod_knn_outliers
+
+    rng_ids = np.arange(400, dtype=np.int64)
+    b1 = (rng_ids * 37) % 100 + np.where(rng_ids % 83 == 0, 500, 0)
+    b2 = (rng_ids * 61) % 100 + np.where(rng_ids % 83 == 0, 700, 0)
+    tbl = pa.table({"pixel_id": rng_ids, "band1": b1, "band2": b2})
+    X = np.stack([b1, b2], 1).astype(np.int64)
+    k = 5
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(2)
+    fit = np.sort(d2, axis=1)[:, k]      # self (0) occupies col 0
+    pred = np.sort(d2, axis=1)[:, k - 1]  # self included
+    s = np.sort(fit)
+    m = len(s)
+    j, r = ((m - 1) * 9) // 10, ((m - 1) * 9) % 10
+    thr10 = int(s[j]) * (10 - r) + int(s[min(j + 1, m - 1)]) * r
+    want = np.where(10 * pred > thr10, 2, 1)
+
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = (
+        pyod_knn_outliers(ds, "pixel_id", ["band1", "band2"], k=k)
+        .to_pandas().sort_values("pixel_id")
+    )
+    assert (got["label"].to_numpy() == want).all()
+    assert (got["score"].to_numpy() == pred).all()
+    planted = rng_ids % 83 == 0
+    assert (got["label"].to_numpy()[planted] == 2).all()
+    assert (got["label"].to_numpy()[~planted] == 1).any()
