@@ -179,3 +179,36 @@ def unwrap_wgs84_bbox(a):
     out_x0 = np.where(w & (part == 0), -180.0, x0[idx])
     out_x1 = np.where(w & (part == 1), 180.0, x1[idx])
     return idx, part, out_x0, out_x1, y0[idx], y1[idx]
+
+
+def get_bbox_wkt_poly(bbox) -> str:
+    """WKT polygon string from a bbox (tools/geometrytools.py:701).
+
+    The ring starts at the BOTTOM-LEFT corner and runs
+    counter-clockwise (BL BR TR TL BL) — the opposite corner order to
+    the GeoJSON builder below; coordinates are Python str(float)."""
+    return (
+        f"POLYGON (({bbox[0]} {bbox[2]}, "
+        f"{bbox[1]} {bbox[2]}, "
+        f"{bbox[1]} {bbox[3]}, "
+        f"{bbox[0]} {bbox[3]}, "
+        f"{bbox[0]} {bbox[2]}))"
+    )
+
+
+def get_bbox_geojson_poly(bbox) -> dict:
+    """GeoJSON polygon dict from a bbox (tools/geometrytools.py:546).
+
+    The ring starts at the TOP-LEFT corner and runs clockwise
+    (TL TR BR BL TL) — reversed orientation vs the WKT builder, a
+    reference quirk both this function and the oracle pin."""
+    bbox_poly = dict()
+    bbox_poly["coordinates"] = list()
+    bbox_poly["coordinates"].append([])
+    bbox_poly["coordinates"][0].append([bbox[0], bbox[3]])  # TL
+    bbox_poly["coordinates"][0].append([bbox[1], bbox[3]])  # TR
+    bbox_poly["coordinates"][0].append([bbox[1], bbox[2]])  # BR
+    bbox_poly["coordinates"][0].append([bbox[0], bbox[2]])  # BL
+    bbox_poly["coordinates"][0].append([bbox[0], bbox[3]])  # TL
+    bbox_poly["type"] = "Polygon"
+    return bbox_poly
