@@ -42,3 +42,14 @@ def row_percentile(cols: list[np.ndarray], q: float) -> np.ndarray:
     """Per-row linear-interpolation percentile (numpy default)."""
     m = np.stack(cols, axis=1).astype(np.float64)
     return np.percentile(m, q, axis=1)
+
+
+def get_bin_centres(
+    bin_edges: np.ndarray, geometric: bool = False
+) -> np.ndarray:
+    """Histogram bin centres from bin edges (tools/stats.py:626):
+    arithmetic (max+min)/2 by default, geometric sqrt(min*max) for
+    logarithmically spaced bins."""
+    if geometric:
+        return np.sqrt(bin_edges[1:] * bin_edges[:-1])
+    return (bin_edges[1:] + bin_edges[:-1]) / 2
