@@ -300,3 +300,126 @@ def shadow_mask(
         .groupby("tile_id")
         .map_groups(per_tile, batch_format="pyarrow")
     )
+
+
+def terrain_pxl_res_np(
+    dem: np.ndarray,
+    nodata: float,
+    ew_res: np.ndarray,
+    ns_res: np.ndarray,
+    sun_azimuth: float,
+    sun_zenith: float,
+):
+    """slope_pxl_res_img / aspect_pxl_res_img / hillshade_pxl_res_img
+    (elevation bindings over RSGISCalcSlopePerPxlRes:122,
+    RSGISCalcAspectPerPxlRes:311, RSGISCalcHillShadePerPxlRes:593 in
+    RSGISDEMTools.cpp): Horn gradients with per-pixel EW/NS
+    resolutions read at the window centre.
+
+    Quirks kept (each mirrored by the SQL oracle):
+
+    - Out-of-image window cells are ZERO-FILLED (RSGISCalcImage) and
+      the zeros count as DATA (0 != noDataVal), so border windows
+      always have nVals = 9 minus in-image nodata cells.
+    - The window-nodata mean fill: slope and aspect ACCUMULATE IN
+      FLOAT32 (``float sumVals``), hillshade in DOUBLE (``double
+      sumVals``) — a genuine kernel inconsistency; the filled value
+      is rounded back to float32 either way; the fill fires only
+      when hasNoDataVal && nVals > 1.
+    - dx sign conventions differ: slope uses (west - east)/ewRes,
+      aspect and hillshade (east - west); hillshade divides by
+      res*8 inside the float chain while slope/aspect divide the
+      raw column sums and fold the /8 into atan(sqrt(..)/8).
+    - nsRes is abs()'d; all float chains are per-op float32
+      (left-assoc doubled-middle Horn sums) before the double
+      trig; slope falls back to 0.0, hillshade to 1.0, aspect to
+      NaN when nVals <= 1; aspect's flat (dx==0 && dy==0) is NaN,
+      its <0 branch adds 360, and the ==360 / >360 branches are
+      unreachable post-atan2 (dead-branch parity).
+    - hillshade gets zenith = 90 - zenith from the cmds layer
+      (RSGISCmdElevationTools.cpp:338) and
+      cang = (sin(zen) - cos(zen)*sqrt(xx+yy)*sin(aspect-(az-pi/2)))
+      / sqrt(1+xx+yy), mapped to 1 + 254*cang with cang<=0 -> 1.
+
+    Returns (slope_deg, aspect_deg_with_nan, hillshade, dxs, dys,
+    dxa, dya, nvals) as float64/int arrays.
+    """
+    F = np.float32
+    H, W = dem.shape
+    pad = np.zeros((H + 2, W + 2), dtype=np.float32)
+    pad[1:-1, 1:-1] = dem.astype(np.float32)
+    ndpad = np.zeros((H + 2, W + 2), dtype=bool)
+    ndpad[1:-1, 1:-1] = dem == nodata
+    neigh = [pad[i : i + H, j : j + W] for i in range(3) for j in range(3)]
+    masks = [ndpad[i : i + H, j : j + W] for i in range(3) for j in range(3)]
+    nvals = 9 - np.sum(masks, axis=0).astype(np.int64)
+    hasnd = np.any(masks, axis=0)
+    fillc = hasnd & (nvals > 1)
+
+    s32 = np.zeros((H, W), dtype=np.float32)
+    for v, m in zip(neigh, masks):
+        s32 = np.where(m, s32, (s32 + v).astype(np.float32))
+    meanf = (s32 / nvals.astype(np.float32)).astype(np.float32)
+    fsa = [
+        np.where(m & fillc, meanf, v).astype(np.float32)
+        for v, m in zip(neigh, masks)
+    ]
+    s64 = np.zeros((H, W), dtype=np.float64)
+    for v, m in zip(neigh, masks):
+        s64 = np.where(m, s64, s64 + v.astype(np.float64))
+    meand = s64 / nvals
+    fh = [
+        np.where(m & fillc, meand.astype(np.float32), v).astype(np.float32)
+        for v, m in zip(neigh, masks)
+    ]
+
+    ew = ew_res.astype(np.float32)
+    ns = np.where(ns_res < 0, ns_res * -1, ns_res).astype(np.float32)
+
+    def col0(f):
+        return (((f[0] + f[3]).astype(F) + f[3]).astype(F) + f[6]).astype(F)
+
+    def col2(f):
+        return (((f[2] + f[5]).astype(F) + f[5]).astype(F) + f[8]).astype(F)
+
+    def row0(f):
+        return (((f[0] + f[1]).astype(F) + f[1]).astype(F) + f[2]).astype(F)
+
+    def row2(f):
+        return (((f[6] + f[7]).astype(F) + f[7]).astype(F) + f[8]).astype(F)
+
+    rad2deg = 180.0 / math.pi
+    deg2rad = math.pi / 180.0
+
+    # slope: (west - east)/ew, (south - north)/ns, atan(sqrt(.)/8)
+    dxs = ((col0(fsa) - col2(fsa)).astype(F) / ew).astype(F)
+    dys = ((row2(fsa) - row0(fsa)).astype(F) / ns).astype(F)
+    dxd, dyd = dxs.astype(np.float64), dys.astype(np.float64)
+    slope = np.arctan(np.sqrt(dxd * dxd + dyd * dyd) / 8) * rad2deg
+    slope = np.where(nvals > 1, slope, 0.0)
+
+    # aspect: (east - west)/ew, (south - north)/ns, atan2(-dx, dy)
+    dxa = ((col2(fsa) - col0(fsa)).astype(F) / ew).astype(F)
+    dya = ((row2(fsa) - row0(fsa)).astype(F) / ns).astype(F)
+    asp = np.arctan2(-dxa.astype(np.float64), dya.astype(np.float64)) * rad2deg
+    asp = np.where(asp < 0, asp + 360.0, asp)
+    asp = np.where((dxa == 0) & (dya == 0), np.nan, asp)
+    asp = np.where(nvals > 1, asp, np.nan)
+
+    # hillshade: (east - west)/(ew*8), (north - south)/(ns*8)
+    e8 = (ew * np.float32(8)).astype(F)
+    n8 = (ns * np.float32(8)).astype(F)
+    dxh = ((col2(fh) - col0(fh)).astype(F) / e8).astype(F)
+    dyh = ((row0(fh) - row2(fh)).astype(F) / n8).astype(F)
+    dxhd, dyhd = dxh.astype(np.float64), dyh.astype(np.float64)
+    xxyy = dxhd * dxhd + dyhd * dyhd
+    asph = np.arctan2(dyhd, dxhd)
+    szr = (90.0 - sun_zenith) * deg2rad
+    azr = sun_azimuth * deg2rad
+    cang = (
+        math.sin(szr)
+        - math.cos(szr) * np.sqrt(xxyy) * np.sin(asph - (azr - math.pi / 2))
+    ) / np.sqrt(1 + 1 * xxyy)
+    cang = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    cang = np.where(nvals > 1, cang, 1.0)
+    return slope, asp, cang, dxs, dys, dxa, dya, nvals
