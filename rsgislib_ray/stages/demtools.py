@@ -423,3 +423,81 @@ def terrain_pxl_res_np(
     cang = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
     cang = np.where(nvals > 1, cang, 1.0)
     return slope, asp, cang, dxs, dys, dxa, dya, nvals
+
+
+def _angle_within_range(angle: float, lower: float, upper: float) -> bool:
+    """RSGISMathsUtils::angleWithinRange (RSGISMathsUtils.cpp:806)
+    with the reference's wrapped-range BUG kept: when lower > upper
+    (a wrapped interval) the second arm tests ``angle < 0``, which an
+    aspect in [0, 360) never satisfies — so only the (0, upper) part
+    of the wrapped interval ever matches and the (lower, 360) part is
+    DEAD.  All comparisons strict."""
+    if lower < upper:
+        return (angle > lower) and (angle < upper)
+    if (angle > 0) and (angle < upper):
+        return True
+    if (angle > lower) and (angle < 0):
+        return True  # pragma: no cover - unreachable for aspects
+    return False
+
+
+def dtm_aspect_median_np(
+    dem: np.ndarray,
+    aspect: np.ndarray,
+    aspect_range: float,
+    win_h: int,
+    nodata: float,
+) -> np.ndarray:
+    """dtm_aspect_median_filter (elevation binding over
+    RSGISFilterDTMWithAspectMedianFilter, RSGISDEMTools.cpp:1195):
+    per pixel, the median of window DEM values whose ASPECT lies
+    within +/-aspect_range of the centre aspect.
+
+    Quirks kept (mirrored by the SQL oracle): thresholds wrap
+    (lower<0 -> 360+lower, upper>360 -> upper-360) and then go
+    through the angleWithinRange dead-arm bug above; the median is
+    the sorted value at floor(n/2) (the UPPER middle for even n);
+    an empty aspect-filtered set falls back to the unfiltered window
+    median; a fully nodata window emits NaN; window size =
+    2*win_h+1 with zero-filled borders where dem 0 counts as data
+    and aspect 0 never passes the strict angle test."""
+    h, w = dem.shape
+    k = 2 * win_h + 1
+    dpad = np.zeros((h + 2 * win_h, w + 2 * win_h), dtype=np.float32)
+    dpad[win_h : win_h + h, win_h : win_h + w] = dem.astype(np.float32)
+    apad = np.zeros((h + 2 * win_h, w + 2 * win_h), dtype=np.float32)
+    apad[win_h : win_h + h, win_h : win_h + w] = aspect.astype(np.float32)
+    out = np.zeros((h, w), dtype=np.float64)
+    for r in range(h):
+        for c in range(w):
+            dwin = dpad[r : r + k, c : c + k]
+            awin = apad[r : r + k, c : c + k]
+            aspect_val = float(awin[win_h, win_h])
+            lower = np.float32(aspect_val - aspect_range)
+            upper = np.float32(aspect_val + aspect_range)
+            if lower < 0:
+                lower = np.float32(360 + lower)
+            if upper > 360:
+                upper = np.float32(upper - 360)
+            vals = [
+                float(dwin[i, j])
+                for i in range(k)
+                for j in range(k)
+                if _angle_within_range(float(awin[i, j]), lower, upper)
+                and not math.isnan(float(dwin[i, j]))
+                and float(dwin[i, j]) != nodata
+            ]
+            if not vals:
+                vals = [
+                    float(dwin[i, j])
+                    for i in range(k)
+                    for j in range(k)
+                    if not math.isnan(float(dwin[i, j]))
+                    and float(dwin[i, j]) != nodata
+                ]
+            if vals:
+                vals.sort()
+                out[r, c] = vals[int(math.floor(len(vals) / 2.0))]
+            else:
+                out[r, c] = float("nan")
+    return out
