@@ -150,3 +150,76 @@ def local_minima(
     out = np.zeros((h, w), dtype=np.float64)
     out[is_min] = np.arange(1, int(is_min.sum()) + 1, dtype=np.float64)
     return out
+
+
+def _window_reduce_all(
+    bands: list[np.ndarray], op: np.ndarray, mode: str
+) -> np.ndarray:
+    """Cross-band window max/min (the *_combined_out kernels,
+    RSGISMorphologyDilateAll:142 / GradientAll:148): one output band,
+    the extreme over EVERY band's value in the SE window, zero fill."""
+    k = op.shape[0]
+    half = k // 2
+    h, w = bands[0].shape
+    fill = -np.inf if mode == "max" else np.inf
+    red = np.maximum if mode == "max" else np.minimum
+    out = np.full((h, w), fill)
+    for bnd in bands:
+        padded = np.zeros((h + 2 * half, w + 2 * half), dtype=np.float64)
+        padded[half : half + h, half : half + w] = bnd
+        for i in range(k):
+            for j in range(k):
+                if op[i, j] > 0:
+                    out = red(out, padded[i : i + h, j : j + w])
+    return out
+
+
+def dilate_all(bands, op) -> np.ndarray:
+    """image_dilate_combined_out."""
+    return _window_reduce_all(bands, op, "max")
+
+
+def erode_all(bands, op) -> np.ndarray:
+    """image_erode_combined_out."""
+    return _window_reduce_all(bands, op, "min")
+
+
+def gradient_all(bands, op) -> np.ndarray:
+    """image_gradiant_combined_out — largest-smallest over all bands
+    in one window pass (the else-if in GradientAll:172 is equivalent:
+    a value above the running max can never also be below the min)."""
+    return _window_reduce_all(bands, op, "max") - _window_reduce_all(
+        bands, op, "min"
+    )
+
+
+def local_minima_all(
+    bands, op, sequencial: bool = False, allow_equal: bool = True
+) -> np.ndarray:
+    """image_local_minima_combined_out
+    (RSGISMorphologyFindLocalMinimaAll:187): the centre value is the
+    MIN across bands at the centre pixel; disqualification compares
+    EVERY band at the (corners-only, bitwise-& quirk) SE cells."""
+    k = op.shape[0]
+    half = k // 2
+    h, w = bands[0].shape
+    center = bands[0].astype(np.float64).copy()
+    for bnd in bands[1:]:
+        center = np.where(bnd < center, bnd, center)
+    is_min = np.ones((h, w), dtype=bool)
+    for bnd in bands:
+        padded = np.zeros((h + 2 * half, w + 2 * half), dtype=np.float64)
+        padded[half : half + h, half : half + w] = bnd
+        for i in range(k):
+            for j in range(k):
+                if (i != half) and (j != half) and op[i, j] > 0:
+                    nb = padded[i : i + h, j : j + w]
+                    if allow_equal:
+                        is_min &= ~(nb < center)
+                    else:
+                        is_min &= ~(nb <= center)
+    if not sequencial:
+        return is_min.astype(np.float64)
+    out = np.zeros((h, w), dtype=np.float64)
+    out[is_min] = np.arange(1, int(is_min.sum()) + 1, dtype=np.float64)
+    return out
