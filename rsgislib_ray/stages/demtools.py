@@ -460,7 +460,9 @@ def dtm_aspect_median_np(
     an empty aspect-filtered set falls back to the unfiltered window
     median; a fully nodata window emits NaN; window size =
     2*win_h+1 with zero-filled borders where dem 0 counts as data
-    and aspect 0 never passes the strict angle test."""
+    and aspect 0 never passes the strict angle test.  Returns
+    (median, tier): tier 0 = aspect-filtered median, 1 = unfiltered
+    fallback, 2 = all-nodata (median NaN)."""
     h, w = dem.shape
     k = 2 * win_h + 1
     dpad = np.zeros((h + 2 * win_h, w + 2 * win_h), dtype=np.float32)
@@ -468,6 +470,7 @@ def dtm_aspect_median_np(
     apad = np.zeros((h + 2 * win_h, w + 2 * win_h), dtype=np.float32)
     apad[win_h : win_h + h, win_h : win_h + w] = aspect.astype(np.float32)
     out = np.zeros((h, w), dtype=np.float64)
+    tier = np.zeros((h, w), dtype=np.int64)
     for r in range(h):
         for c in range(w):
             dwin = dpad[r : r + k, c : c + k]
@@ -488,6 +491,7 @@ def dtm_aspect_median_np(
                 and float(dwin[i, j]) != nodata
             ]
             if not vals:
+                tier[r, c] = 1
                 vals = [
                     float(dwin[i, j])
                     for i in range(k)
@@ -499,5 +503,6 @@ def dtm_aspect_median_np(
                 vals.sort()
                 out[r, c] = vals[int(math.floor(len(vals) / 2.0))]
             else:
+                tier[r, c] = 2
                 out[r, c] = float("nan")
-    return out
+    return out, tier
